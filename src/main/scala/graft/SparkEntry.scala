@@ -1,13 +1,523 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{LatestPerGroup, Pnl, Sma}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] has a matching DuckDB oracle in [[oracleSql]]
+  * unless the operator is not SQL-expressible (then the driver records a
+  * rows-only check). Determinism rules (FIXTURES.md §3): total ORDER BY with
+  * unique tiebreakers; large double sums go through `CAST(expr AS
+  * DECIMAL(18,6))` on BOTH sides (the double→decimal rounding is identical in
+  * Spark and DuckDB, and decimal summation is exact, so hash comparison never
+  * trips over float summation order); int-like computed columns are cast to
+  * BIGINT on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** events with ts normalized to microsecond precision (Tables.events). */
+  private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
+
+  private val ntz: Column => Column = _.cast("timestamp_ntz")
+
+  // ---------------------------------------------------------------------------
+  // Shared DuckDB SQL fragments
+  // ---------------------------------------------------------------------------
+
+  /** The frozen events→market mapping (must mirror Pnl.eventsAsMarket). */
+  private val M_CTE =
+    """m AS (
+      |  SELECT event_id AS seq, CAST(ts AS TIMESTAMP) AS ts,
+      |         'H' || CAST(user_id % 4 AS VARCHAR) AS hub,
+      |         CASE WHEN event_type = 'purchase' THEN 'trade' ELSE 'price' END AS kind,
+      |         CASE WHEN event_type = 'purchase' THEN 'ACC' || CAST(user_id % 3 AS VARCHAR) ELSE '' END AS account,
+      |         CASE WHEN event_type = 'purchase' THEN (CASE WHEN event_id % 2 = 0 THEN 'BUY' ELSE 'SELL' END) ELSE '' END AS side,
+      |         CASE WHEN event_type = 'purchase' THEN [5,10,25,50][CAST(event_id % 4 AS INTEGER) + 1] ELSE 0 END AS mw,
+      |         value AS price_mwh
+      |  FROM events)""".stripMargin
+
+  /** Signed trade quantity, as a SQL fragment over alias `t`. */
+  private val SGN = "(CASE WHEN upper(t.side) = 'BUY' THEN t.mw ELSE -t.mw END)"
+
+  /** Recursive-CTE replay of the PnL fold (oracle for q06/q07/q17): state
+    * after each trade via WITH RECURSIVE; trade emissions join the fold state
+    * at their own row number; price-tick emissions (mark-to-market sweep —
+    * reference PnlAndExposureJob.java:134-137) join the fold state at the
+    * last trade before the tick. Mirrors graft.operators.PnlKernel op-by-op
+    * so doubles match bit-for-bit.
+    */
+  private val PNL_CTES =
+    s"""$M_CTE,
+       |m2 AS (
+       |  SELECT *, last_value(CASE WHEN kind = 'price' THEN price_mwh END IGNORE NULLS)
+       |         OVER (PARTITION BY hub ORDER BY ts, seq ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_price
+       |  FROM m),
+       |t AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY hub, account ORDER BY ts, seq) AS rn
+       |  FROM m2 WHERE kind = 'trade'),
+       |p AS (SELECT seq, ts, hub, price_mwh FROM m WHERE kind = 'price'),
+       |f AS (
+       |  SELECT hub, account, CAST(0 AS BIGINT) AS rn, 0 AS pos,
+       |         CAST(0.0 AS DOUBLE) AS avg, CAST(0.0 AS DOUBLE) AS realized
+       |  FROM (SELECT DISTINCT hub, account FROM t) base
+       |  UNION ALL
+       |  SELECT t.hub, t.account, t.rn,
+       |    f.pos + $SGN AS pos,
+       |    CASE WHEN f.pos = 0 OR (f.pos > 0) = ($SGN > 0)
+       |         THEN CASE WHEN f.pos + $SGN = 0 THEN 0.0
+       |              ELSE (abs(f.pos) * f.avg + abs($SGN) * t.price_mwh) / abs(f.pos + $SGN) END
+       |         ELSE CASE WHEN f.pos + $SGN = 0 THEN 0.0
+       |                   WHEN (f.pos + $SGN > 0) <> (f.pos > 0) THEN t.price_mwh
+       |                   ELSE f.avg END
+       |    END AS avg,
+       |    CASE WHEN f.pos = 0 OR (f.pos > 0) = ($SGN > 0) THEN f.realized
+       |         ELSE f.realized + least(abs(f.pos), abs($SGN)) *
+       |              (CASE WHEN f.pos > 0 THEN t.price_mwh - f.avg ELSE f.avg - t.price_mwh END)
+       |    END AS realized
+       |  FROM f JOIN t ON t.hub = f.hub AND t.account = f.account AND t.rn = f.rn + 1),
+       |te AS (
+       |  SELECT t.seq, t.ts, t.account, t.hub, f.pos AS position_mw, f.avg AS avg_price_mwh,
+       |         COALESCE(t.prev_price, t.price_mwh) AS last_price_mwh, f.realized AS realized_pnl
+       |  FROM t JOIN f ON f.hub = t.hub AND f.account = t.account AND f.rn = t.rn),
+       |ps AS (
+       |  SELECT p.seq AS pseq, tr.hub, tr.account, max(tr.rn) AS rn
+       |  FROM p JOIN t tr ON tr.hub = p.hub AND (tr.ts < p.ts OR (tr.ts = p.ts AND tr.seq < p.seq))
+       |  GROUP BY 1, 2, 3),
+       |pe AS (
+       |  SELECT p.seq, p.ts, s.account, s.hub, f.pos AS position_mw, f.avg AS avg_price_mwh,
+       |         p.price_mwh AS last_price_mwh, f.realized AS realized_pnl
+       |  FROM ps s JOIN p ON p.seq = s.pseq JOIN f ON f.hub = s.hub AND f.account = s.account AND f.rn = s.rn),
+       |u AS (
+       |  SELECT seq, ts, account, hub, position_mw, avg_price_mwh, last_price_mwh, realized_pnl,
+       |         position_mw * (last_price_mwh - avg_price_mwh) AS unrealized_pnl,
+       |         realized_pnl + position_mw * (last_price_mwh - avg_price_mwh) AS total_pnl
+       |  FROM (SELECT * FROM te UNION ALL SELECT * FROM pe) raw)""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Flagship
+  // ---------------------------------------------------------------------------
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the reference's forecast pipeline (SMA5/SMA20 per hub — ForecastsJob).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q16_market_forecasts")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------------------
+  // Queries
+  // ---------------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // D1 — scan + projection (SURVEY §2.10)
+    "q01_scan_project" -> ((s, d) =>
+      ev(s, d).select(col("event_id"), col("event_type"), col("value"))
+        .orderBy(col("event_id")).limit(100)),
+
+    // D2 — filter pushdown + aggregate
+    "q02_filter_agg" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") < to_timestamp(lit("1995-09-01 00:00:00"))
+          && col("l_quantity") < 25)
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("l_quantity")).as("sum_qty"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,6)")).cast("double").as("revenue"))),
+
+    // D3 — sort + limit (reference query surface R1/R2, README.md:86-89)
+    "q03_latest_events" -> ((s, d) =>
+      ev(s, d).orderBy(col("ts").desc, col("event_id").desc).limit(50)
+        .select(col("event_id"), ntz(col("ts")).as("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))),
+
+    // D4 — latest-per-group (Postgres DISTINCT ON — reference README.md:92)
+    "q04_latest_per_group" -> ((s, d) =>
+      LatestPerGroup.latest(ev(s, d), Seq(col("user_id")), Seq(col("ts"), col("event_id")))
+        .select(col("user_id"), col("event_id"), ntz(col("ts")).as("ts"),
+          col("event_type"), col("value"))
+        .orderBy(col("user_id"))),
+
+    // D5 — rows-window SMA over events (reference ForecastFunction shape)
+    "q05_sma_forecast" -> ((s, d) =>
+      Sma.withForecast(ev(s, d), col("user_id"), col("value"),
+          Seq(col("ts"), col("event_id")))
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("sma5"), col("sma20"), col("forecast_next"))
+        .orderBy(col("event_id"))),
+
+    // D6 — the PnL stateful fold (reference PnlCalculator, SURVEY §2.5)
+    "q06_pnl_replay" -> ((s, d) => {
+      import s.implicits._
+      Pnl.replay(Pnl.eventsAsMarket(ev(s, d)))
+        .select(col("seq"), ntz(col("ts")).as("ts"), col("account"), col("hub"),
+          col("position_mw"), col("avg_price_mwh"), col("last_price_mwh"),
+          col("realized_pnl"), col("unrealized_pnl"), col("total_pnl"))
+        .orderBy(col("seq"), col("account"))
+    }),
+
+    // D7 — exposure projection chained on the fold (reference P4)
+    "q07_exposure" -> ((s, d) => {
+      import s.implicits._
+      Pnl.exposure(Pnl.replay(Pnl.eventsAsMarket(ev(s, d))))
+        .select(col("seq"), ntz(col("ts")).as("ts"), col("account"), col("hub"),
+          col("position_mw"), col("last_price_mwh"), col("pnl01"), col("notional_usd"))
+        .orderBy(col("seq"), col("account"))
+    }),
+
+    // D8 — hash aggregation, TPC-H Q1 shape
+    "q08_agg_tpch_q1" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double").as("sum_base"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,6)")).cast("double").as("sum_disc_price"),
+          sum(((col("l_extendedprice") * (lit(1.0) - col("l_discount"))) * (lit(1.0) + col("l_tax")))
+            .cast("decimal(18,6)")).cast("double").as("sum_charge"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // D9 — equi-join + aggregate (broadcast-able dim side)
+    "q09_join_agg" -> ((s, d) =>
+      t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total_price"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy(col("c_mktsegment"))),
+
+    // D10 — semi join (EXISTS)
+    "q10_semi_join" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+
+    // D10b — anti join (NOT EXISTS)
+    "q11_anti_join" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))),
+
+    // D11 — set operations (distinct semantics, like SQL)
+    "q12_setops" -> ((s, d) => {
+      val e = ev(s, d)
+      val clicks = e.filter(col("event_type") === "click").select(col("user_id"))
+      val purchases = e.filter(col("event_type") === "purchase").select(col("user_id"))
+      clicks.intersect(purchases).withColumn("op", lit("both"))
+        .unionByName(clicks.except(purchases).withColumn("op", lit("click_only")))
+        .unionByName(clicks.union(purchases).distinct().withColumn("op", lit("either")))
+        .select(col("op"), col("user_id"))
+        .orderBy(col("op"), col("user_id"))
+    }),
+
+    // D12 — scalar function library (string/date/math)
+    "q13_scalar_funcs" -> ((s, d) =>
+      ev(s, d).select(
+          col("event_id"),
+          upper(col("event_type")).as("type_upper"),
+          substring(col("event_type"), 1, 3).as("type_pre"),
+          concat(col("event_type"), lit("_"), col("user_id").cast("string")).as("tag"),
+          ntz(date_trunc("day", col("ts"))).as("day"),
+          hour(col("ts")).cast("long").as("hr"),
+          floor(col("value")).cast("long").as("flr"),
+          ceil(col("value")).cast("long").as("cl"),
+          abs(col("value") - lit(100.0)).as("dist"))
+        .orderBy(col("event_id")).limit(200)),
+
+    // D13 — tumbling time window (native window(); bucket key exported as
+    // epoch seconds so the oracle can align exactly)
+    "q14_time_window" -> ((s, d) =>
+      ev(s, d)
+        .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_value"))
+        .select(unix_timestamp(col("window.start")).as("bucket_start_s"),
+          col("event_type"), col("n"), col("avg_value"))
+        .orderBy(col("bucket_start_s"), col("event_type"))),
+
+    // D14 — exact distinct aggregation
+    "q15_distinct_agg" -> ((s, d) =>
+      ev(s, d).groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n"))
+        .orderBy(col("event_type"))),
+
+    // Reference forecast pipeline on the mapped market stream (SURVEY §2.4)
+    "q16_market_forecasts" -> ((s, d) => {
+      import s.implicits._
+      val prices = Pnl.eventsAsMarket(ev(s, d)).filter(_.kind == "price").toDF()
+      Sma.withForecast(prices, col("hub"), col("price_mwh"), Seq(col("ts"), col("seq")))
+        .select(col("seq"), ntz(col("ts")).as("ts"), col("hub"), col("price_mwh"),
+          col("sma5"), col("sma20"), col("forecast_next"))
+        .orderBy(col("seq"))
+    }),
+
+    // Reference R3 — latest position per (account, hub) over the fold output
+    "q17_latest_positions" -> ((s, d) => {
+      import s.implicits._
+      LatestPerGroup.latest(
+          Pnl.replay(Pnl.eventsAsMarket(ev(s, d))).toDF(),
+          Seq(col("account"), col("hub")), Seq(col("seq")))
+        .select(col("seq"), ntz(col("ts")).as("ts"), col("account"), col("hub"),
+          col("position_mw"), col("avg_price_mwh"), col("last_price_mwh"),
+          col("realized_pnl"), col("unrealized_pnl"), col("total_pnl"))
+        .orderBy(col("account"), col("hub"))
+    }),
+
+    // Text analysis — token counts + quality scoring (pipeline ops)
+    "q18_text_stats" -> ((s, d) =>
+      t(s, d, "documents").select(
+          col("doc_id"),
+          expr("CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT)").as("n_tokens"),
+          expr("CAST(size(filter(split(text, ' '), x -> array_contains(array('the','a','of','and','to','in','is'), x))) AS BIGINT)").as("n_stop"),
+          expr("CAST(length(replace(text, ' ', '')) AS BIGINT)").as("n_nospace"))
+        .withColumn("stop_ratio",
+          when(col("n_tokens") === 0, lit(0.0))
+            .otherwise(col("n_stop").cast("double") / col("n_tokens")))
+        .withColumn("avg_token_len",
+          when(col("n_tokens") === 0, lit(0.0))
+            .otherwise(col("n_nospace").cast("double") / col("n_tokens")))
+        .withColumn("quality",
+          (col("n_tokens") >= 5 && col("n_tokens") <= 10000 && col("stop_ratio") >= 0.01)
+            .cast("long"))
+        .orderBy(col("doc_id"))),
+
+    // Text analysis — stopword-hit language ID heuristic
+    "q19_lang_id" -> ((s, d) =>
+      t(s, d, "documents").select(
+          col("doc_id"),
+          expr("CAST(size(filter(split(lower(text), ' '), x -> array_contains(array('the','and','of','is','to'), x))) AS BIGINT)").as("en_hits"),
+          expr("CAST(size(filter(split(lower(text), ' '), x -> array_contains(array('el','la','de','que','y','los'), x))) AS BIGINT)").as("es_hits"),
+          expr("CAST(size(filter(split(lower(text), ' '), x -> array_contains(array('der','die','das','und','ist'), x))) AS BIGINT)").as("de_hits"))
+        .withColumn("lang_pred",
+          when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("de_hits")
+            && col("en_hits") > 0, lit("en"))
+            .when(col("es_hits") >= col("de_hits") && col("es_hits") > 0, lit("es"))
+            .when(col("de_hits") > 0, lit("de"))
+            .otherwise(lit("und")))
+        .orderBy(col("doc_id"))),
+
+    // Exact deduplication — canonical id per identical text
+    "q20_dedup_exact" -> ((s, d) =>
+      t(s, d, "documents").groupBy(col("text"))
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+        .select(col("canonical_id"), col("n_copies"))
+        .orderBy(col("canonical_id"))),
+
+    // Document fingerprint — polynomial rolling hash over chars
+    "q21_doc_fingerprint" -> ((s, d) =>
+      t(s, d, "documents").select(
+          col("doc_id"),
+          expr("aggregate(transform(sequence(1, length(text)), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)), CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % 1000000007)").as("fp"))
+        .orderBy(col("doc_id"))),
+
+    // Brute-force cosine top-k (ANN baseline) over the embeddings table
+    "q22_cosine_knn" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("nrm", expr("sqrt(aggregate(v, 0.0D, (acc, x) -> acc + x * x))"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+      val scored = q.join(e, col("vec_id") =!= col("qid"))
+        .withColumn("dot", expr("aggregate(zip_with(qv, v, (a, b) -> a * b), 0.0D, (acc, x) -> acc + x)"))
+        .withColumn("score", col("dot") / (col("qnrm") * col("nrm")))
+      scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))).cast("long"))
+        .filter(col("rn") <= 10)
+        .select(col("qid"), col("vec_id"), col("score"), col("rn"))
+        .orderBy(col("qid"), col("rn"))
+    })
+  )
+
+  // ---------------------------------------------------------------------------
+  // Oracles (DuckDB SQL over the same parquet tables)
+  // ---------------------------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q01_scan_project" ->
+      "SELECT event_id, event_type, value FROM events ORDER BY event_id LIMIT 100",
+
+    "q02_filter_agg" ->
+      """SELECT count(*) AS cnt, sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1995-09-01 00:00:00' AND l_quantity < 25""".stripMargin,
+
+    "q03_latest_events" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+        |FROM events ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC LIMIT 50""".stripMargin,
+
+    "q04_latest_per_group" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |      FROM events) x
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q05_sma_forecast" ->
+      """SELECT event_id, user_id, value,
+        |  avg(value) OVER w5 AS sma5, avg(value) OVER w20 AS sma20, avg(value) OVER w5 AS forecast_next
+        |FROM events
+        |WINDOW
+        |  w5 AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+        |  w20 AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "q06_pnl_replay" ->
+      s"""WITH RECURSIVE $PNL_CTES
+         |SELECT * FROM u ORDER BY seq, account""".stripMargin,
+
+    "q07_exposure" ->
+      s"""WITH RECURSIVE $PNL_CTES
+         |SELECT seq, ts, account, hub, position_mw, last_price_mwh,
+         |       CAST(position_mw AS DOUBLE) AS pnl01,
+         |       position_mw * last_price_mwh AS notional_usd
+         |FROM u ORDER BY seq, account""".stripMargin,
+
+    "q08_agg_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST((l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |  sum(l_quantity) / count(*) AS avg_qty,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q09_join_agg" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price,
+        |  count(DISTINCT o_custkey) AS n_cust
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q10_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q11_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q12_setops" ->
+      """WITH clicks AS (SELECT user_id FROM events WHERE event_type = 'click'),
+        |purchases AS (SELECT user_id FROM events WHERE event_type = 'purchase')
+        |SELECT 'both' AS op, user_id FROM (SELECT user_id FROM clicks INTERSECT SELECT user_id FROM purchases) a
+        |UNION ALL
+        |SELECT 'click_only' AS op, user_id FROM (SELECT user_id FROM clicks EXCEPT SELECT user_id FROM purchases) b
+        |UNION ALL
+        |SELECT 'either' AS op, user_id FROM (SELECT user_id FROM clicks UNION SELECT user_id FROM purchases) c
+        |ORDER BY op, user_id""".stripMargin,
+
+    "q13_scalar_funcs" ->
+      """SELECT event_id,
+        |  upper(event_type) AS type_upper,
+        |  substr(event_type, 1, 3) AS type_pre,
+        |  event_type || '_' || CAST(user_id AS VARCHAR) AS tag,
+        |  CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+        |  CAST(extract(hour FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr,
+        |  CAST(floor(value) AS BIGINT) AS flr,
+        |  CAST(ceil(value) AS BIGINT) AS cl,
+        |  abs(value - 100.0) AS dist
+        |FROM events ORDER BY event_id LIMIT 200""".stripMargin,
+
+    "q14_time_window" ->
+      """SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 600) * 600 AS BIGINT) AS bucket_start_s,
+        |  event_type, count(*) AS n, avg(value) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY bucket_start_s, event_type""".stripMargin,
+
+    "q15_distinct_agg" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q16_market_forecasts" ->
+      s"""WITH $M_CTE
+         |SELECT seq, ts, hub, price_mwh,
+         |  avg(price_mwh) OVER w5 AS sma5, avg(price_mwh) OVER w20 AS sma20,
+         |  avg(price_mwh) OVER w5 AS forecast_next
+         |FROM m WHERE kind = 'price'
+         |WINDOW
+         |  w5 AS (PARTITION BY hub ORDER BY ts, seq ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         |  w20 AS (PARTITION BY hub ORDER BY ts, seq ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+         |ORDER BY seq""".stripMargin,
+
+    "q17_latest_positions" ->
+      s"""WITH RECURSIVE $PNL_CTES
+         |SELECT seq, ts, account, hub, position_mw, avg_price_mwh, last_price_mwh,
+         |       realized_pnl, unrealized_pnl, total_pnl
+         |FROM (SELECT *, row_number() OVER (PARTITION BY account, hub ORDER BY seq DESC) AS rn2 FROM u) z
+         |WHERE rn2 = 1 ORDER BY account, hub""".stripMargin,
+
+    "q18_text_stats" ->
+      """SELECT doc_id,
+        |  CAST(length(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+        |  CAST(length(list_filter(string_split(text, ' '), x -> list_contains(['the','a','of','and','to','in','is'], x))) AS BIGINT) AS n_stop,
+        |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_nospace,
+        |  CASE WHEN length(list_filter(string_split(text, ' '), x -> x <> '')) = 0 THEN 0.0
+        |       ELSE CAST(length(list_filter(string_split(text, ' '), x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE)
+        |            / length(list_filter(string_split(text, ' '), x -> x <> '')) END AS stop_ratio,
+        |  CASE WHEN length(list_filter(string_split(text, ' '), x -> x <> '')) = 0 THEN 0.0
+        |       ELSE CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |            / length(list_filter(string_split(text, ' '), x -> x <> '')) END AS avg_token_len,
+        |  CAST(length(list_filter(string_split(text, ' '), x -> x <> '')) BETWEEN 5 AND 10000
+        |       AND (CASE WHEN length(list_filter(string_split(text, ' '), x -> x <> '')) = 0 THEN 0.0
+        |                 ELSE CAST(length(list_filter(string_split(text, ' '), x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE)
+        |                      / length(list_filter(string_split(text, ' '), x -> x <> '')) END) >= 0.01 AS BIGINT) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q19_lang_id" ->
+      """SELECT doc_id, en_hits, es_hits, de_hits,
+        |  CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+        |       WHEN es_hits >= de_hits AND es_hits > 0 THEN 'es'
+        |       WHEN de_hits > 0 THEN 'de'
+        |       ELSE 'und' END AS lang_pred
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(length(list_filter(string_split(lower(text), ' '), x -> list_contains(['the','and','of','is','to'], x))) AS BIGINT) AS en_hits,
+        |    CAST(length(list_filter(string_split(lower(text), ' '), x -> list_contains(['el','la','de','que','y','los'], x))) AS BIGINT) AS es_hits,
+        |    CAST(length(list_filter(string_split(lower(text), ' '), x -> list_contains(['der','die','das','und','ist'], x))) AS BIGINT) AS de_hits
+        |  FROM documents) h
+        |ORDER BY doc_id""".stripMargin,
+
+    "q20_dedup_exact" ->
+      """SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY canonical_id""".stripMargin,
+
+    "q21_doc_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(text) + 1),
+        |        i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q22_cosine_knn" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.qid, n.vec_id, list_dot_product(q.qv, n.v) / (q.qnrm * n.nrm) AS score
+        |  FROM q JOIN n ON n.vec_id <> q.qid)
+        |SELECT qid, vec_id, score, rn FROM (
+        |  SELECT qid, vec_id, score,
+        |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+        |  FROM scored) z
+        |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin
+  )
 }
