@@ -2,8 +2,6 @@ package graft.operators
 
 import java.sql.Timestamp
 
-import scala.collection.immutable.TreeMap
-
 /** Engine-typed market event: tagged union of the trade and price streams
   * feeding the PnL operator (reference PnlAndExposureJob.java:50 connects the
   * two keyed streams; SURVEY.md §2.5). `kind` ∈ {"trade","price"}; on price
@@ -53,18 +51,20 @@ final case class ExposureRow(
 final case class AccState(position_mw: Int, avg_price_mwh: Double, realized_pnl: Double)
 
 /** Per-hub operator state: last seen price + per-account positions (reference
-  * PnlAndExposureJob.java:107-111 `ValueState<Double>` + `MapState`). A
-  * TreeMap pins the mark-to-market sweep to account order — the reference
-  * iterates `MapState` in undefined order (PnlAndExposureJob.java:136); we
-  * make the emission order deterministic (SURVEY.md §7 "hard parts").
+  * PnlAndExposureJob.java:107-111 `ValueState<Double>` + `MapState`). A plain
+  * immutable Map keeps the class encodable for `flatMapGroupsWithState`
+  * state; the mark-to-market sweep sorts keys at emission time — the
+  * reference iterates `MapState` in undefined order
+  * (PnlAndExposureJob.java:136); we make the emission order deterministic
+  * (SURVEY.md §7 "hard parts").
   */
 final case class HubState(
     lastPrice: Double,
     hasPrice: Boolean,
-    accounts: TreeMap[String, AccState])
+    accounts: Map[String, AccState])
 
 object HubState {
-  val empty: HubState = HubState(0.0, hasPrice = false, TreeMap.empty)
+  val empty: HubState = HubState(0.0, hasPrice = false, Map.empty)
 }
 
 /** Pure average-cost PnL fold — the business logic of the reference's
@@ -131,9 +131,9 @@ object PnlKernel {
         Seq(emit(e.seq, e.ts, e.hub, e.account, next, lp)))
     } else {
       val st2 = st.copy(lastPrice = e.price_mwh, hasPrice = true)
-      val rows = st2.accounts.iterator.map { case (account, acc) =>
+      val rows = st2.accounts.toSeq.sortBy(_._1).map { case (account, acc) =>
         emit(e.seq, e.ts, e.hub, account, acc, e.price_mwh)
-      }.toSeq
+      }
       (st2, rows)
     }
 

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.operators.{HubState, MarketEvent, PnlKernel, PnlRow}
+
+/** SMA ring-buffer state for the streaming forecast operator: the last ≤20
+  * prices per key, newest last (reference keeps two ListState buffers —
+  * ForecastsJob.java:77-81; one suffices since 5 ⊂ 20).
+  */
+final case class SmaState(window: Seq[Double])
+
+/** One forecast per input tick (reference ForecastsJob.java:82-85). */
+final case class ForecastRow(
+    seq: Long,
+    ts: Timestamp,
+    hub: String,
+    price_mwh: Double,
+    sma5: Double,
+    sma20: Double,
+    forecast_next: Double)
+
+/** Streaming counterparts of the batch operators, as
+  * `flatMapGroupsWithState` over the shared pure kernels (SURVEY.md §7:
+  * "pure business-logic kernels usable from both Window/Aggregator (batch)
+  * and flatMapGroupsWithState (streaming)").
+  *
+  * Within a micro-batch the group's events are sorted by `(ts, seq)` — the
+  * pinned deterministic stand-in for the reference's nondeterministic Kafka
+  * arrival order (SURVEY.md §7 "hard parts"). Across micro-batches state
+  * carries over exactly like the reference's keyed state.
+  */
+object StreamingOps {
+
+  private def sortedKey(e: MarketEvent): (Long, Long) = (e.ts.getTime, e.seq)
+
+  /** Streaming SMA5/SMA20 forecast per hub (reference ForecastsJob). */
+  def forecastStream(events: Dataset[MarketEvent]): Dataset[ForecastRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.hub)
+      .flatMapGroupsWithState[SmaState, ForecastRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (hub, it, state) =>
+          var w = state.getOption.map(_.window.toVector).getOrElse(Vector.empty)
+          val out = it.toVector.sortBy(sortedKey).map { e =>
+            w = (w :+ e.price_mwh).takeRight(20)
+            val last5 = w.takeRight(5)
+            val sma5 = last5.sum / last5.size
+            val sma20 = w.sum / w.size
+            ForecastRow(e.seq, e.ts, hub, e.price_mwh, sma5, sma20, sma5)
+          }
+          state.update(SmaState(w))
+          out.iterator
+      }
+  }
+
+  /** Streaming PnL/positions per hub (reference PnlCalculator). */
+  def pnlStream(events: Dataset[MarketEvent]): Dataset[PnlRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.hub)
+      .flatMapGroupsWithState[HubState, PnlRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, it, state) =>
+          var st = state.getOption.getOrElse(HubState.empty)
+          val out = it.toVector.sortBy(sortedKey).flatMap { e =>
+            val (st2, rows) = PnlKernel.step(st, e)
+            st = st2
+            rows
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Dual-sink writer for one PnL query — the reference chains the exposure
+    * map on the PnL operator's output and feeds two JDBC sinks from one job
+    * (PnlAndExposureJob.java:57-76; SURVEY.md §3 E3). In Structured Streaming
+    * that is one `writeStream.foreachBatch` writing both tables from the same
+    * batch DataFrame — one state store, two appends.
+    */
+  def writePnlAndExposure(pnl: Dataset[PnlRow], outDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = pnl.sparkSession
+    import spark.implicits._
+    pnl.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[PnlRow], _: Long) =>
+        val b = batch.persist()
+        b.write.mode("append").parquet(s"$outDir/positions_pnl")
+        b.map(PnlKernel.exposure).write.mode("append").parquet(s"$outDir/price_exposure")
+        b.unpersist()
+        ()
+      }
+      .start()
+  }
+}

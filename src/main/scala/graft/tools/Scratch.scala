@@ -1,31 +1,39 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
+
+import graft.operators.{MarketEvent, Pnl}
+import graft.streaming.StreamingOps
 
 /** Dev-only scratch main for quick empirical checks; not part of the API. */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
+    val spark: SparkSession = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    println("ansi=" + spark.conf.get("spark.sql.ansi.enabled"))
-    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
-    li.printSchema()
-    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
-    ev.printSchema()
-    ev.orderBy(col("event_id")).show(3, truncate = false)
-    // ANSI checks
-    li.filter(col("l_shipdate") < to_timestamp(lit("1995-09-01 00:00:00")))
-      .agg(count(lit(1))).show()
-    ev.select(concat(lit("H"), pmod(col("user_id"), lit(4)).cast("string"))).show(2)
-    ev.select(unix_timestamp(col("ts"))).show(2)
-    val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    em.printSchema()
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // Drive the dual-sink streaming pipeline end-to-end (SURVEY §3 E3)
+    val events = Pnl.eventsAsMarket(graft.Tables.events(spark, "/root/testdata/sf0.001"))
+      .collect().toSeq.sortBy(e => (e.ts.getTime, e.seq))
+    val out = java.nio.file.Files.createTempDirectory("pnl_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("pnl_ckpt").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[MarketEvent]
+    val q = StreamingOps.writePnlAndExposure(
+      StreamingOps.pnlStream(input.toDS()), out, ckpt)
+    events.grouped(400).foreach { c => input.addData(c); q.processAllAvailable() }
+    q.stop()
+    val pnl = spark.read.parquet(s"$out/positions_pnl")
+    val exp = spark.read.parquet(s"$out/price_exposure")
+    println(s"positions_pnl rows=${pnl.count()} cols=${pnl.columns.mkString(",")}")
+    println(s"price_exposure rows=${exp.count()} cols=${exp.columns.mkString(",")}")
+    val batch = Pnl.replay(events.toDS()).count()
+    println(s"batch replay rows=$batch (must equal positions_pnl)")
     spark.stop()
   }
 }

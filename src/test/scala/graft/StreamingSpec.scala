@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{MarketEvent, Pnl, PnlRow, Sma}
+import graft.streaming.{Ingest, StreamingOps}
+
+/** Streaming ≡ batch parity (SURVEY.md §5.4): MemoryStream chunks through
+  * the flatMapGroupsWithState operators must reproduce the batch fold /
+  * window exactly, with state carrying across micro-batches.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val marketEvents: Seq[MarketEvent] = {
+    import spark.implicits._
+    Pnl.eventsAsMarket(Tables.events(spark, "/root/testdata/sf0.001"))
+      .collect().toSeq.sortBy(e => (e.ts.getTime, e.seq))
+  }
+
+  test("streaming PnL over 3 micro-batches equals batch replay bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[MarketEvent]
+    val q = StreamingOps.pnlStream(input.toDS())
+      .writeStream.format("memory").queryName("pnl_out").outputMode("append").start()
+    try {
+      val n = marketEvents.size
+      marketEvents.grouped(math.max(1, n / 3 + 1)).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      val got = spark.table("pnl_out").as[PnlRow].collect().sortBy(r => (r.seq, r.account))
+      val want = Pnl.replay(marketEvents.toDS()).collect().sortBy(r => (r.seq, r.account))
+      assert(got.length == want.length)
+      got.zip(want).foreach { case (g, w) => assert(g == w) }
+    } finally q.stop()
+  }
+
+  test("streaming SMA forecast over 4 micro-batches matches batch window op") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prices = marketEvents.filter(_.kind == "price")
+    val input = MemoryStream[MarketEvent]
+    val q = StreamingOps.forecastStream(input.toDS())
+      .writeStream.format("memory").queryName("fc_out").outputMode("append").start()
+    try {
+      prices.grouped(math.max(1, prices.size / 4 + 1)).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      val got = spark.table("fc_out").collect()
+        .map(r => (r.getAs[Long]("seq"), r.getAs[Double]("sma5"), r.getAs[Double]("sma20")))
+        .sortBy(_._1)
+      val want = Sma.withForecast(prices.toDS().toDF(), col("hub"), col("price_mwh"),
+          Seq(col("ts"), col("seq")))
+        .select(col("seq"), col("sma5"), col("sma20")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+        .sortBy(_._1)
+      assert(got.length == want.length && got.nonEmpty)
+      got.zip(want).foreach { case ((gs, g5, g20), (ws, w5, w20)) =>
+        assert(gs == ws)
+        assert(math.abs(g5 - w5) < 1e-9 && math.abs(g20 - w20) < 1e-9)
+      }
+    } finally q.stop()
+  }
+
+  test("ingest parses both producer ISO-8601 timestamp variants") {
+    import spark.implicits._
+    val raw = Seq(
+      """{"ts": "2024-01-15T10:30:45.123456", "hub": "PJM-WEST", "price_mwh": 47.12}""",
+      """{"ts": "2024-01-15T10:30:45.123456+00:00", "hub": "ERCOT-HOUSTON", "price_mwh": 31.5}"""
+    ).toDF("value")
+    val parsed = Ingest.prices(raw).orderBy(col("hub"))
+    val rows = parsed.collect()
+    assert(rows.length == 2)
+    val expected = java.time.Instant.parse("2024-01-15T10:30:45.123456Z")
+    rows.foreach { r =>
+      assert(r.getAs[java.sql.Timestamp]("ts_utc").toInstant == expected)
+    }
+    assert(rows.map(_.getAs[String]("ts")).forall(_.startsWith("2024-01-15T10:30:45")))
+  }
+
+  test("ingest parses trades with all wire fields") {
+    import spark.implicits._
+    val raw = Seq(
+      """{"trade_id": 123, "ts": "2024-01-15T10:30:45.123456", "account": "ACC1", "hub": "PJM-WEST", "side": "BUY", "mw": 25, "price_mwh": 46.95}"""
+    ).toDF("value")
+    val r = Ingest.trades(raw).collect().head
+    assert(r.getAs[Long]("trade_id") == 123L)
+    assert(r.getAs[String]("side") == "BUY" && r.getAs[Int]("mw") == 25)
+  }
+
+  test("market union tags and merges price/trade frames") {
+    import spark.implicits._
+    val p = Ingest.prices(Seq(
+      """{"ts": "2024-01-15T10:00:00", "hub": "H1", "price_mwh": 50.0}""").toDF("value"))
+      .withColumn("off", lit(0L))
+    val t = Ingest.trades(Seq(
+      """{"trade_id": 1, "ts": "2024-01-15T10:00:01", "account": "A", "hub": "H1", "side": "SELL", "mw": 5, "price_mwh": 49.5}""").toDF("value"))
+      .withColumn("off", lit(1L))
+    val u = Ingest.marketUnion(p, t, col("off"), col("off")).as[MarketEvent]
+      .collect().sortBy(_.seq)
+    assert(u.map(_.kind).toSeq == Seq("price", "trade"))
+    assert(u(1).account == "A" && u(1).mw == 5)
+  }
+}
