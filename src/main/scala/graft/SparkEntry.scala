@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{LatestPerGroup, Pnl, Sma}
+import graft.operators.{Dedup, LatestPerGroup, MediaRecord, Multimodal, Pnl, Similarity, Sma}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -339,6 +339,54 @@ object SparkEntry {
         .filter(col("rn") <= 10)
         .select(col("qid"), col("vec_id"), col("score"), col("rn"))
         .orderBy(col("qid"), col("rn"))
+    }),
+
+    // MinHash + LSH near-dup candidates (no SQL oracle: xxhash64 family —
+    // driver records rows-only; correctness covered by DedupSpec)
+    "q23_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLsh(t(s, d, "documents"), col("doc_id"), col("text"))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // SimHash near-dup pairs (rows-only; covered by DedupSpec)
+    "q24_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(t(s, d, "documents"), col("doc_id"), col("text"))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // Exact n-gram Jaccard over source-blocked pairs (integer set sizes →
+    // bit-reproducible oracle)
+    "q25_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), col("doc_id"), col("text"),
+          col("source"), shingleN = 3, threshold = 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // Embedding cosine near-dup pairs (exact, oracle-checked)
+    "q26_cosine_dups" -> ((s, d) =>
+      Similarity.cosineDupPairs(t(s, d, "embeddings"), threshold = 0.4)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // LSH-bucketed approximate KNN (rows-only; recall vs brute force is
+    // asserted in SimilaritySpec)
+    "q27_lsh_knn" -> ((s, d) =>
+      Similarity.lshKnn(t(s, d, "embeddings"), col("vec_id") < 5, k = 10)
+        .orderBy(col("qid"), col("rn"))),
+
+    // Multimodal plumbing: opaque binary payloads through the typed
+    // feature-extraction path (decode kernel is a deterministic stub —
+    // Multimodal.decodeOne; payload = utf-8 bytes of the fixture text)
+    "q28_media_features" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(
+          col("doc_id").as("media_id"),
+          element_at(array(lit("image"), lit("audio"), lit("video")),
+            (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
+          encode(col("text"), "UTF-8").as("bytes"),
+          map().cast("map<string,string>").as("meta"))
+        .as[MediaRecord]
+      Multimodal.extractFeatures(media)
+        .select(col("media_id"), col("kind"), col("n_bytes"), col("head_hash"),
+          col("width").cast("long").as("width"), col("height").cast("long").as("height"),
+          col("duration_ms"))
+        .orderBy(col("media_id"))
     })
   )
 
@@ -518,6 +566,47 @@ object SparkEntry {
         |  SELECT qid, vec_id, score,
         |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
         |  FROM scored) z
-        |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin
+        |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
+
+    "q25_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT source AS blk, doc_id,
+        |    CASE WHEN length(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_distinct(list_transform(range(1, length(toks) - 2 + 1),
+        |                i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+        |    END AS sh
+        |  FROM (SELECT source, doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |        FROM documents) tk)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |         / length(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / length(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q26_cosine_dups" ->
+      """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |                  sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |           FROM embeddings)
+        |SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+        |       list_dot_product(x.v, y.v) / (x.nrm * y.nrm) AS score
+        |FROM n x JOIN n y ON x.vec_id < y.vec_id
+        |WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q28_media_features" ->
+      """SELECT doc_id AS media_id,
+        |  ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+        |  CAST(length(text) AS BIGINT) AS n_bytes,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, least(length(text), 16) + 1),
+        |        i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS head_hash,
+        |  CAST(16 * (1 + ascii(substr(text, 1, 1)) % 64) AS BIGINT) AS width,
+        |  CAST(16 * (1 + ascii(substr(text, 2, 1)) % 64) AS BIGINT) AS height,
+        |  CASE WHEN doc_id % 3 = 0 THEN CAST(0 AS BIGINT) ELSE CAST(length(text) AS BIGINT) END AS duration_ms
+        |FROM documents ORDER BY media_id""".stripMargin
   )
 }

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Near-duplicate detection for document corpora — the operators a
+  * large-scale training-data pipeline runs before anything else.
+  *
+  * Scale design: every variant is sketch → explode block key → shuffle on
+  * the block key → within-bucket pair join → exact verify. Never O(n²) over
+  * the corpus; the only quadratic step is within a bucket, whose size is
+  * controlled by the sketch parameters. Sketches are computed scan-side
+  * inside whole-stage codegen (see [[graft.functions.Text]]).
+  */
+object Dedup {
+
+  /** Exact duplicate groups: canonical (min) id per identical text. */
+  def exact(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    df.groupBy(textCol.as("text"))
+      .agg(min(idCol).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash + LSH candidate pairs with signature-estimated Jaccard.
+    *
+    * numHashes-lane signatures over n-token shingles; bands of r lanes; a
+    * pair is emitted when it shares ≥1 band bucket, with
+    * `est_jaccard` = fraction of equal signature lanes. Output:
+    * (doc_a, doc_b, est_jaccard), doc_a < doc_b.
+    */
+  def minhashLsh(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      shingleN: Int = 3,
+      numHashes: Int = 32,
+      numBands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val r = numHashes / numBands
+    require(numBands * r == numHashes, "numBands must divide numHashes")
+    val sigs = df.select(
+        idCol.as("doc_id"),
+        Text.minhash(Text.shingles(Text.tokens(textCol), shingleN), numHashes).as("sig"))
+      .withColumn("band", explode(Text.bands(col("sig"), numBands, r)))
+    val a = sigs.select(col("band"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col("band"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band")) // shuffle on band key only — no corpus cross join
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast("int")),
+          e => e === 1)).cast("double") / numHashes).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** SimHash near-dup pairs: 64-bit sketches, 4×16-bit pigeonhole blocking,
+    * exact hamming verify ≤ maxHamming (≤ 3 guarantees no false negatives
+    * from blocking). Output: (doc_a, doc_b, hamming).
+    */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      maxHamming: Int = 3): DataFrame = {
+    val sk = df.select(idCol.as("doc_id"), Text.simhash(Text.tokens(textCol)).as("sh"))
+      .withColumn("chunk_i", explode(sequence(lit(0), lit(3))))
+      .withColumn("chunk", element_at(Text.chunks16(col("sh")), col("chunk_i") + 1))
+    val a = sk.select(col("chunk_i"), col("chunk"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sk.select(col("chunk_i"), col("chunk"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("chunk_i", "chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        Text.hamming64(col("sh_a"), col("sh_b")).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard similarity for pairs blocked on `blockCol` (e.g.
+    * `source`): |A∩B| / |A∪B| over distinct n-token shingle sets. All-integer
+    * set sizes make the score reproducible bit-for-bit in any engine.
+    * Output: (doc_a, doc_b, jaccard).
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      blockCol: Column,
+      shingleN: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = df.select(blockCol.as("blk"), idCol.as("doc_id"),
+      Text.shingles(Text.tokens(textCol), shingleN).as("sh"))
+    val a = sh.select(col("blk"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("blk"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, MediaRecord, Multimodal, Similarity}
+
+/** Planted-duplicate tests for the training-data pipeline operators. */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def docs() = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while the sun sets slowly " +
+      "behind the tall green hills and the river runs quietly through the valley floor"
+    val nearDup = base.replace("quietly", "loudly") // one token differs
+    val unrelated = "completely different content about spark shuffles partitions " +
+      "catalyst codegen tungsten execution joins aggregates windows and state stores here"
+    Seq(
+      (0L, base, "srcA"),
+      (1L, nearDup, "srcA"),
+      (2L, unrelated, "srcA"),
+      (3L, base, "srcB") // exact dup of 0, different block
+    ).toDF("doc_id", "text", "source")
+  }
+
+  test("exact dedup groups identical texts under min id") {
+    val out = Dedup.exact(docs(), col("doc_id"), col("text"))
+      .orderBy(col("canonical_id")).collect()
+    assert(out.map(r => (r.getAs[Long]("canonical_id"), r.getAs[Long]("n_copies"))).toSeq ==
+      Seq((0L, 2L), (1L, 1L), (2L, 1L)))
+  }
+
+  test("minhash LSH finds the near-dup pair and not the unrelated one") {
+    val pairs = Dedup.minhashLsh(docs(), col("doc_id"), col("text"), threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((0L, 1L)), "near-dup must be found")
+    assert(pairs.contains((0L, 3L)), "exact dup must be found")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), "unrelated doc must not pair")
+  }
+
+  test("minhash signature of exact dup estimates jaccard 1.0") {
+    val est = Dedup.minhashLsh(docs(), col("doc_id"), col("text"))
+      .filter(col("doc_a") === 0 && col("doc_b") === 3)
+      .collect().head.getAs[Double]("est_jaccard")
+    assert(est == 1.0)
+  }
+
+  test("simhash pairs near-dups with small hamming, skips unrelated") {
+    val rows = Dedup.simhashPairs(docs(), col("doc_id"), col("text"), maxHamming = 3)
+      .collect().map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")), r.getAs[Long]("hamming"))).toMap
+    assert(rows.contains((0L, 3L)) && rows((0L, 3L)) == 0L, "exact dup has hamming 0")
+    assert(rows.contains((0L, 1L)), "near-dup within hamming 3")
+    assert(!rows.keySet.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("ngram jaccard respects blocking and scores the near-dup high") {
+    val rows = Dedup.ngramJaccardPairs(docs(), col("doc_id"), col("text"), col("source"))
+      .collect().map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")), r.getAs[Double]("jaccard"))).toMap
+    assert(rows.contains((0L, 1L)) && rows((0L, 1L)) > 0.7)
+    assert(!rows.contains((0L, 3L)), "cross-block pair must be blocked out")
+    assert(!rows.keySet.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("LSH KNN returns true-cosine scores and respects bucket recall vs brute force") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val brute = Similarity.bruteForceKnn(emb, col("vec_id") < 3, k = 10).collect()
+      .map(r => ((r.getAs[Long]("qid"), r.getAs[Long]("vec_id")), r.getAs[Double]("score"))).toMap
+    val approx = Similarity.lshKnn(emb, col("vec_id") < 3, k = 10, planes = 4).collect()
+    assert(approx.nonEmpty)
+    // every approx neighbour's score must equal the exact cosine when the
+    // pair also appears in the brute-force top-k
+    approx.foreach { r =>
+      val key = (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))
+      brute.get(key).foreach(exact => assert(math.abs(exact - r.getAs[Double]("score")) < 1e-12))
+    }
+    // rn must be dense 1..n per query
+    approx.groupBy(_.getAs[Long]("qid")).values.foreach { rows =>
+      val rns = rows.map(_.getAs[Long]("rn")).sorted
+      assert(rns.toSeq == (1L to rns.length).toSeq)
+    }
+  }
+
+  test("multimodal stub decode is deterministic and frame sampling covers payload") {
+    import spark.implicits._
+    val media = Seq(
+      MediaRecord(1L, "image", "hello world bytes".getBytes("UTF-8"), Map("f" -> "jpg")),
+      MediaRecord(2L, "video", Array.fill[Byte](2500)(7), Map.empty)
+    ).toDS()
+    val feats = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(feats(0).n_bytes == 17L && feats(0).duration_ms == 0L)
+    assert(feats(1).n_bytes == 2500L && feats(1).duration_ms == 2500L)
+    assert(feats(0).width == 16 * (1 + 'h' % 64))
+    val again = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(feats.toSeq == again.toSeq)
+    val frames = Multimodal.sampleFrames(media, everyNthByte = 1000).collect()
+    assert(frames.length == 3) // offsets 0, 1000, 2000 for the 2500-byte video
+  }
+}
