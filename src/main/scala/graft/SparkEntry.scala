@@ -316,11 +316,12 @@ object SparkEntry {
         .select(col("canonical_id"), col("n_copies"))
         .orderBy(col("canonical_id"))),
 
-    // Document fingerprint — polynomial rolling hash over chars
+    // Document fingerprint — polynomial rolling hash over chars (native
+    // expression graft.functions.PolyFingerprint; 0 = no char limit)
     "q21_doc_fingerprint" -> ((s, d) =>
       t(s, d, "documents").select(
           col("doc_id"),
-          expr("aggregate(transform(sequence(1, length(text)), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)), CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % 1000000007)").as("fp"))
+          call_function("graft_fp", col("text"), lit(0)).as("fp"))
         .orderBy(col("doc_id"))),
 
     // Brute-force cosine top-k (ANN baseline) over the embeddings table
@@ -579,10 +580,10 @@ object SparkEntry {
         |        FROM documents) tk)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |       CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |         / length(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |         / (length(a.sh) + length(b.sh) - length(list_intersect(a.sh, b.sh))) AS jaccard
         |FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
         |WHERE CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |        / length(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+        |        / (length(a.sh) + length(b.sh) - length(list_intersect(a.sh, b.sh))) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q26_cosine_dups" ->

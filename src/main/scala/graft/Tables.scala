@@ -15,9 +15,11 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   /** The fixture `events` table carries TIMESTAMP(NANOS) which Spark's
     * parquet reader rejects ([PARQUET_TYPE_ILLEGAL]); read it as nanos-since-
@@ -27,6 +29,7 @@ object Tables {
     * arithmetic in Long: ns magnitudes (~1.7e18) exceed Double's exact range.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))

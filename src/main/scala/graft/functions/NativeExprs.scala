@@ -1,0 +1,237 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot inner loops of the similarity /
+  * dedup operators.
+  *
+  * Spark's higher-order functions (`transform`/`aggregate`/`zip_with`) are
+  * CodegenFallback — every lambda step is an interpreted expression tree
+  * walk. For sketches evaluated once per document that is tolerable; for a
+  * dot product evaluated per candidate *pair* it dominates the query (bench:
+  * brute-force cosine over 2M pairs spent ~97% of its time inside the
+  * interpreted fold). These expressions compute the same values (bit-for-bit:
+  * same IEEE operation order, same xxhash64 family as
+  * `org.apache.spark.sql.functions.xxhash64`) in tight JVM loops;
+  * [[DotProductD]] additionally generates Java through `doGenCode` so it
+  * stays inside whole-stage codegen.
+  */
+object GraftFunctions {
+
+  /** Idempotently register graft_* functions in the session's registry. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def add(name: String, usage: String, builder: Seq[Expression] => Expression): Unit = {
+      val id = FunctionIdentifier(name)
+      if (!reg.functionExists(id)) {
+        reg.registerFunction(id, new ExpressionInfo("graft", name, usage), builder)
+      }
+    }
+    add("graft_dot", "dot product of two array<double>",
+      es => DotProductD(es(0), es(1)))
+    add("graft_minhash", "graft_minhash(shingles, k) - k-lane minhash signature",
+      es => MinHashSig(es(0), es(1)))
+    add("graft_simhash", "64-bit simhash of array<string> tokens",
+      es => SimHash64(es(0)))
+    add("graft_fp", "graft_fp(text, maxChars) - polynomial rolling hash",
+      es => PolyFingerprint(es(0), es(1)))
+  }
+
+  private[functions] val XXSEED = 42L
+
+  /** xxhash64(s) as the builtin computes it (seed 42). */
+  private[functions] def hashStr(s: UTF8String): Long =
+    XxHash64Function.hash(s, StringType, XXSEED)
+
+  /** xxhash64(s, i): the builtin folds columns left-to-right. */
+  private[functions] def hashStrLane(inner: Long, lane: Long): Long =
+    XxHash64Function.hash(lane, LongType, inner)
+}
+
+/** Exact dot product of two array<double>; null on null input or length
+  * mismatch (matching `aggregate(zip_with(a, b, *), 0d, +)` which nulls out
+  * via zip_with padding). Sequential adds in index order — bit-identical to
+  * the HOF fold and DuckDB's list_dot_product.
+  */
+case class DotProductD(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == ArrayType(DoubleType) && right.dataType == ArrayType(DoubleType)) {
+      TypeCheckResult.TypeCheckSuccess
+    } else {
+      TypeCheckResult.TypeCheckFailure("graft_dot expects two array<double> (non-null elements)")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+      acc
+    }
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    acc += $x.getDouble($i) * $y.getDouble($i);
+         |  }
+         |  ${ev.value} = acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** k-lane MinHash signature over an array<string> shingle set. Lane i of
+  * shingle s = xxhash64(s, i) — identical to the HOF construction
+  * `transform(sequence(0, k-1), i -> array_min(transform(sh, s -> xxhash64(s, i))))`
+  * but hashing each shingle's bytes once and folding the lane id with the
+  * cheap long round.
+  */
+case class MinHashSig(child: Expression, kExpr: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def left: Expression = child
+  override def right: Expression = kExpr
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[ArrayType] &&
+        child.dataType.asInstanceOf[ArrayType].elementType == StringType &&
+        kExpr.dataType == IntegerType) {
+      TypeCheckResult.TypeCheckSuccess
+    } else {
+      TypeCheckResult.TypeCheckFailure("graft_minhash expects (array<string>, int)")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def foldable: Boolean = child.foldable
+
+  override def nullSafeEval(a: Any, kAny: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val k = kAny.asInstanceOf[Int]
+    val mins = Array.fill(k)(Long.MaxValue)
+    var s = 0
+    val n = arr.numElements()
+    if (n == 0) return null // array_min of empty is null -> lane null; keep whole sig null
+    while (s < n) {
+      val inner = GraftFunctions.hashStr(arr.getUTF8String(s))
+      var i = 0
+      while (i < k) {
+        val h = GraftFunctions.hashStrLane(inner, i.toLong)
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(child = l, kExpr = r)
+}
+
+/** 64-bit SimHash over array<string> tokens; bit j = sign of
+  * Σ_tokens (bit j of xxhash64(token) ? +1 : -1). Equals
+  * [[graft.functions.Text.simhash]] (asserted in NativeExprSpec).
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[ArrayType] &&
+        child.dataType.asInstanceOf[ArrayType].elementType == StringType) {
+      TypeCheckResult.TypeCheckSuccess
+    } else {
+      TypeCheckResult.TypeCheckFailure("graft_simhash expects array<string>")
+    }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    var t = 0
+    val n = arr.numElements()
+    while (t < n) {
+      val h = GraftFunctions.hashStr(arr.getUTF8String(t))
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (counts(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  override protected def withNewChildrenInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Polynomial rolling hash ((acc * 31 + codepoint) mod 1e9+7) over the first
+  * `maxChars` characters — the document fingerprint of q21/q28, as one tight
+  * loop instead of a per-char `substr` HOF chain. Matches
+  * `aggregate(transform(sequence(1, length(t)), i -> ascii(substr(t, i, 1))), 0L, ...)`
+  * for ASCII and general codepoints alike (ascii() returns the first
+  * codepoint of the substring).
+  */
+case class PolyFingerprint(child: Expression, maxCharsExpr: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def left: Expression = child
+  override def right: Expression = maxCharsExpr
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && maxCharsExpr.dataType == IntegerType) {
+      TypeCheckResult.TypeCheckSuccess
+    } else {
+      TypeCheckResult.TypeCheckFailure("graft_fp expects (string, int)")
+    }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, mAny: Any): Any = {
+    val s = a.asInstanceOf[UTF8String].toString
+    val max = mAny.asInstanceOf[Int]
+    var acc = 0L
+    var i = 0
+    var seen = 0
+    val n = s.length
+    while (i < n && (max <= 0 || seen < max)) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
+      seen += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(child = l, maxCharsExpr = r)
+}

@@ -21,8 +21,12 @@ object Similarity {
   /** array<float> → array<double>, so products/sums run in double. */
   def toDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Native codegen dot product ([[graft.functions.DotProductD]]) —
+    * bit-identical to `aggregate(zip_with(a, b, *), 0d, +)` but stays inside
+    * whole-stage codegen (the HOF fold is interpreted and dominated the
+    * pairwise queries).
+    */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   def norm(v: Column): Column = sqrt(dot(v, v))
 
@@ -33,6 +37,7 @@ object Similarity {
     * query rows). Output: (qid, vec_id, score, rn), rn = 1..k.
     */
   def bruteForceKnn(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
     val q = e.filter(queryPred)
@@ -52,6 +57,7 @@ object Similarity {
     * cross join within id order) when `planes == 0`.
     */
   def cosineDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
     e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
@@ -78,6 +84,7 @@ object Similarity {
     * of k when a bucket is small — that is the recall trade-off).
     */
   def lshKnn(emb: DataFrame, queryPred: Column, k: Int, planes: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
       .withColumn("bucket", lshBucket(col("v"), planes))

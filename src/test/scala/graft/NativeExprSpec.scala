@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{GraftFunctions, Text}
+
+/** The native Catalyst expressions must equal their HOF reference
+  * implementations bit-for-bit (they replace them purely for codegen speed).
+  */
+class NativeExprSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def docs() = {
+    GraftFunctions.register(spark)
+    Tables.load(spark, "/root/testdata/sf0.001", "documents")
+  }
+
+  test("graft_dot equals the zip_with/aggregate fold bit-for-bit") {
+    GraftFunctions.register(spark)
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val both = e.select(
+      call_function("graft_dot", col("v"), col("v")).as("native"),
+      expr("aggregate(zip_with(v, v, (a, b) -> a * b), 0.0D, (acc, x) -> acc + x)").as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    assert(both.count() == 500)
+  }
+
+  test("graft_minhash equals the HOF minhash lane-for-lane") {
+    val sh = docs().select(Text.shingles(Text.tokens(col("text")), 3).as("sh"))
+    val both = sh.select(
+      call_function("graft_minhash", col("sh"), lit(8)).as("native"),
+      Text.minhash(col("sh"), 8).as("hof"))
+    assert(both.filter(not(col("native") === col("hof"))).count() == 0)
+  }
+
+  test("graft_simhash equals the HOF simhash") {
+    val tk = docs().select(Text.tokens(col("text")).as("tk"))
+    val both = tk.select(
+      call_function("graft_simhash", col("tk")).as("native"),
+      Text.simhash(col("tk")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("graft_fp equals the per-char aggregate fold") {
+    val both = docs().select(
+      call_function("graft_fp", col("text"), lit(0)).as("native"),
+      expr("aggregate(transform(sequence(1, length(text)), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)), CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % 1000000007)").as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("graft_fp honors the maxChars prefix bound") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val r = Seq("abcdef").toDF("t")
+      .select(call_function("graft_fp", col("t"), lit(3)).as("p3"),
+        call_function("graft_fp", substring(col("t"), 1, 3), lit(0)).as("sub3"))
+      .collect().head
+    assert(r.getLong(0) == r.getLong(1))
+  }
+}
