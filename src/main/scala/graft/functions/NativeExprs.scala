@@ -192,7 +192,7 @@ case class SimHash64(child: Expression)
     out
   }
 
-  override protected def withNewChildrenInternal(c: Expression): Expression = copy(child = c)
+  override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
 }
 
 /** Polynomial rolling hash ((acc * 31 + codepoint) mod 1e9+7) over the first

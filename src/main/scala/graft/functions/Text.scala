@@ -34,7 +34,7 @@ object Text {
     */
   def minhash(shingleCol: Column, k: Int): Column =
     transform(
-      sequence(lit(0), lit(k - 1)),
+      sequence(lit(0L), lit((k - 1).toLong)),
       i => array_min(transform(shingleCol, s => xxhash64(s, i))))
 
   /** LSH band keys: hash of each r-lane band of the signature; a candidate
