@@ -205,10 +205,13 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))),
 
-    // D10b — anti join (NOT EXISTS)
+    // D10b — anti join (NOT EXISTS). Filtered to big-ticket orders so the
+    // result is non-empty at every sf (every fixture customer has *some*
+    // order — an unfiltered anti join is vacuously empty and proves nothing).
     "q11_anti_join" -> ((s, d) =>
       t(s, d, "customer")
-        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(t(s, d, "orders").filter(col("o_totalprice") > 300000.0),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))),
 
@@ -324,23 +327,12 @@ object SparkEntry {
           call_function("graft_fp", col("text"), lit(0)).as("fp"))
         .orderBy(col("doc_id"))),
 
-    // Brute-force cosine top-k (ANN baseline) over the embeddings table
-    "q22_cosine_knn" -> ((s, d) => {
-      val e = t(s, d, "embeddings")
-        .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-        .withColumn("nrm", expr("sqrt(aggregate(v, 0.0D, (acc, x) -> acc + x * x))"))
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
-      val scored = q.join(e, col("vec_id") =!= col("qid"))
-        .withColumn("dot", expr("aggregate(zip_with(qv, v, (a, b) -> a * b), 0.0D, (acc, x) -> acc + x)"))
-        .withColumn("score", col("dot") / (col("qnrm") * col("nrm")))
-      scored
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))).cast("long"))
-        .filter(col("rn") <= 10)
-        .select(col("qid"), col("vec_id"), col("score"), col("rn"))
-        .orderBy(col("qid"), col("rn"))
-    }),
+    // Brute-force cosine top-k (ANN baseline) over the embeddings table —
+    // the operator path: broadcast query side + native graft_dot inside
+    // whole-stage codegen (the interpreted HOF fold dominated the bench)
+    "q22_cosine_knn" -> ((s, d) =>
+      Similarity.bruteForceKnn(t(s, d, "embeddings"), col("vec_id") < 5, k = 10)
+        .orderBy(col("qid"), col("rn"))),
 
     // MinHash + LSH near-dup candidates (no SQL oracle: xxhash64 family —
     // driver records rows-only; correctness covered by DedupSpec)
@@ -365,11 +357,18 @@ object SparkEntry {
       Similarity.cosineDupPairs(t(s, d, "embeddings"), threshold = 0.4)
         .orderBy(col("id_a"), col("id_b"))),
 
-    // LSH-bucketed approximate KNN (rows-only; recall vs brute force is
-    // asserted in SimilaritySpec)
+    // LSH-bucketed approximate KNN (rows-only; recall@10 ≥ 0.6 vs brute
+    // force is asserted in SimilaritySpec "lshKnn recall floor")
     "q27_lsh_knn" -> ((s, d) =>
       Similarity.lshKnn(t(s, d, "embeddings"), col("vec_id") < 5, k = 10)
         .orderBy(col("qid"), col("rn"))),
+
+    // LSH-blocked approximate cosine dup pairs — the 100 TB alternative to
+    // exact q26 (rows-only; subset-of-exact with bit-identical scores +
+    // recall floor asserted in SimilaritySpec)
+    "q29_cosine_dups_lsh" -> ((s, d) =>
+      Similarity.cosineDupPairsLsh(t(s, d, "embeddings"), threshold = 0.4)
+        .orderBy(col("id_a"), col("id_b"))),
 
     // Multimodal plumbing: opaque binary payloads through the typed
     // feature-extraction path (decode kernel is a deterministic stub —
@@ -460,7 +459,7 @@ object SparkEntry {
 
     "q11_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
         |ORDER BY c_custkey""".stripMargin,
 
     "q12_setops" ->

@@ -44,7 +44,7 @@ object GraftFunctions {
       es => PolyFingerprint(es(0), es(1)))
   }
 
-  private[functions] val XXSEED = 42L
+  private[graft] val XXSEED = 42L
 
   /** xxhash64(s) as the builtin computes it (seed 42). */
   private[functions] def hashStr(s: UTF8String): Long =

@@ -1,31 +1,41 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.XxHash64Function
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
 
 /** Similarity search over an embedding column (`array<float>`).
   *
-  * Two paths (SURVEY-mandated pipeline ops):
+  * Paths (SURVEY-mandated pipeline ops):
   *   - [[bruteForceKnn]]: exact cosine top-k — the correctness baseline;
   *     O(|Q|·n) with the query side broadcast, embeddings scanned once.
-  *   - [[lshKnn]]: random-hyperplane LSH bucketing — the 100 TB path:
-  *     candidates meet only inside their bucket (shuffle on the bucket key),
-  *     then exact cosine rerank. Recall is tunable via `planes`/`tables`.
+  *   - [[lshKnn]]: OR-amplified random-hyperplane LSH — the 100 TB path:
+  *     `tables` independent hash tables of `planes` sign bits each; a
+  *     candidate meets a query if they share ≥1 bucket in ≥1 table, then
+  *     exact cosine rerank. Recall for a pair at angle θ is
+  *     1 − (1 − (1 − θ/π)^planes)^tables; raise `planes` with corpus size
+  *     (bucket count 2^planes) and `tables` to buy recall back.
+  *   - [[cosineDupPairs]]: EXACT threshold self-join. All-pairs compute is
+  *     intrinsically O(n²); the block-pair equi-join distributes it across
+  *     the cluster (shuffle on a synthetic block-pair key, ~blocks/2×
+  *     replication per side) instead of broadcasting the corpus through a
+  *     BroadcastNestedLoopJoin. For corpora where exact is unaffordable,
+  *     [[cosineDupPairsLsh]] is the approximate scale path.
   *
-  * All arithmetic is double-precision sequential folds (zip_with +
-  * aggregate), bit-reproducible in the DuckDB oracle.
+  * All cosine arithmetic goes through the native codegen'd
+  * [[graft.functions.DotProductD]] — bit-identical to the sequential
+  * `aggregate(zip_with(a, b, *), 0d, +)` fold and DuckDB's
+  * `list_dot_product`, on every path, so exact/approximate results agree
+  * score-for-score.
   */
 object Similarity {
 
   /** array<float> → array<double>, so products/sums run in double. */
   def toDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  /** Native codegen dot product ([[graft.functions.DotProductD]]) —
-    * bit-identical to `aggregate(zip_with(a, b, *), 0d, +)` but stays inside
-    * whole-stage codegen (the HOF fold is interpreted and dominated the
-    * pairwise queries).
-    */
+  /** Native codegen dot product ([[graft.functions.DotProductD]]). */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   def norm(v: Column): Column = sqrt(dot(v, v))
@@ -52,50 +62,130 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("score"), col("rn"))
   }
 
-  /** All pairs with cosine ≥ threshold — embedding near-duplicate dedup.
-    * Blocked on LSH sign buckets when `planes > 0`; exact (single-bucket
-    * cross join within id order) when `planes == 0`.
+  /** Deterministic ±1 hyperplane `planeId`: component j = ±1 from bit 0 of
+    * xxhash64(planeId, j) — the same seed-42 left-to-right fold the Column
+    * builtin computes, evaluated once on the driver so the per-row projection
+    * is a constant-vector [[dot]] inside whole-stage codegen (the previous
+    * per-row HOF construction was interpreted and dominated bucketing cost).
     */
-  def cosineDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
-    graft.functions.GraftFunctions.register(emb.sparkSession)
-    val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      .withColumn("nrm", norm(col("v")))
-    e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
-        cosine(col("x.v"), col("y.v"), col("x.nrm"), col("y.nrm")).as("score"))
-      .filter(col("score") >= threshold)
+  private[graft] def planeVec(planeId: Int, dim: Int): Seq[Double] = {
+    val inner = XxHash64Function.hash(planeId, IntegerType, graft.functions.GraftFunctions.XXSEED)
+    (0 until dim).map { j =>
+      if ((XxHash64Function.hash(j, IntegerType, inner) & 1L) == 1L) 1.0 else -1.0
+    }
   }
 
-  /** Sign of `v · plane_p` for deterministic pseudo-random ±1 hyperplanes;
-    * plane component (p, j) = ±1 from bit 0 of xxhash64(p, j). Returns the
-    * bucket id from `planes` sign bits (statically unrolled per plane).
+  /** Bucket id of `v` in hash table `tableId`: `planes` sign bits of
+    * projections onto planes tableId*planes .. tableId*planes+planes-1.
     */
-  def lshBucket(v: Column, planes: Int): Column =
+  def lshBucket(v: Column, planes: Int, dim: Int, tableId: Int = 0): Column =
     (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, j) => when(xxhash64(lit(p), j).bitwiseAND(lit(1L)) === 1L, x).otherwise(-x)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+      val plane = typedLit(planeVec(tableId * planes + p, dim)).cast("array<double>")
+      when(dot(v, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
-  /** Approximate top-k: candidates share an LSH sign bucket, rerank with the
-    * exact cosine. Output shape matches [[bruteForceKnn]] (rn may stop short
-    * of k when a bucket is small — that is the recall trade-off).
+  /** (tbl, bucket) entries for all `tables` hash tables, ready to explode. */
+  private def allBuckets(v: Column, planes: Int, tables: Int, dim: Int): Column =
+    array((0 until tables).map { t =>
+      struct(lit(t).as("tbl"), lshBucket(v, planes, dim, t).as("bucket"))
+    }: _*)
+
+  /** Embedding dim probed from one row (constant per corpus). */
+  private def dimOf(emb: DataFrame): Int =
+    emb.select(size(col("embedding"))).head().getInt(0)
+
+  /** Approximate top-k: candidates share an LSH bucket in any of `tables`
+    * hash tables, dedup, exact cosine rerank. Output shape matches
+    * [[bruteForceKnn]] (rn may stop short of k when the candidate set is
+    * small — the recall trade-off). Recall@10 ≥ 0.6 vs brute force is
+    * asserted in SimilaritySpec at the defaults.
     */
-  def lshKnn(emb: DataFrame, queryPred: Column, k: Int, planes: Int = 8): DataFrame = {
+  def lshKnn(emb: DataFrame, queryPred: Column, k: Int,
+             planes: Int = 4, tables: Int = 16): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
+    val dim = dimOf(emb)
     val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-      .withColumn("bucket", lshBucket(col("v"), planes))
+      .withColumn("tb", explode(allBuckets(col("v"), planes, tables, dim)))
+      .select(col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"),
+        col("vec_id"), col("v"), col("nrm"))
     val q = e.filter(queryPred)
-      .select(col("bucket"), col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
-    broadcast(q).join(e, Seq("bucket"))
+      .select(col("tbl"), col("bucket"), col("vec_id").as("qid"),
+        col("v").as("qv"), col("nrm").as("qnrm"))
+    // a pair can collide in several tables: dedup on ids before scoring
+    // (all copies carry identical vectors, so first() is deterministic)
+    broadcast(q).join(e, Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(first(col("qv")).as("qv"), first(col("v")).as("v"),
+        first(col("qnrm")).as("qnrm"), first(col("nrm")).as("nrm"))
       .withColumn("score", cosine(col("qv"), col("v"), col("qnrm"), col("nrm")))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))).cast("long"))
       .filter(col("rn") <= k)
       .select(col("qid"), col("vec_id"), col("score"), col("rn"))
+  }
+
+  /** EXACT all pairs with cosine ≥ threshold (the q26 oracle mode).
+    *
+    * Triangle block partitioning: row block b = hash(vec_id) mod blocks; the
+    * "x" side replicates a row to every block-pair key (b, bb≥b), the "y"
+    * side to every (ba≤b, b); the join on the synthetic key is a plain
+    * shuffle/hash equi-join covering each unordered pair exactly once
+    * (within-block pairs dedup on id order). Replication is ~blocks/2× per
+    * side; the O(n²) pair compute spreads over blocks·(blocks+1)/2 keys so
+    * every executor gets work and nothing is nested-loop-broadcast.
+    */
+  def cosineDupPairs(emb: DataFrame, threshold: Double, blocks: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("b", pmod(xxhash64(col("vec_id")), lit(blocks)).cast("int"))
+    val x = e
+      .withColumn("key", explode(transform(
+        sequence(col("b"), lit(blocks - 1)), bb => col("b") * blocks + bb)))
+      .select(col("key"), col("b").as("b_x"), col("vec_id").as("id_x"),
+        col("v").as("v_x"), col("nrm").as("n_x"))
+    val y = e
+      .withColumn("key", explode(transform(
+        sequence(lit(0), col("b")), ba => ba * blocks + col("b"))))
+      .select(col("key"), col("b").as("b_y"), col("vec_id").as("id_y"),
+        col("v").as("v_y"), col("nrm").as("n_y"))
+    x.join(y, Seq("key"))
+      .filter(col("b_x") < col("b_y") || col("id_x") < col("id_y"))
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"),
+        cosine(col("v_x"), col("v_y"), col("n_x"), col("n_y")).as("score"))
+      .filter(col("score") >= threshold)
+  }
+
+  /** Approximate near-dup pairs: candidates share an LSH bucket in any of
+    * `tables` hash tables, exact cosine verify ≥ threshold — the 100 TB
+    * path when exact [[cosineDupPairs]] is unaffordable. Always a subset of
+    * the exact result with bit-identical scores (asserted in
+    * SimilaritySpec); recall per pair is 1−(1−(1−θ/π)^planes)^tables.
+    */
+  def cosineDupPairsLsh(emb: DataFrame, threshold: Double,
+                        planes: Int = 4, tables: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val dim = dimOf(emb)
+    val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("tb", explode(allBuckets(col("v"), planes, tables, dim)))
+      .select(col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"),
+        col("vec_id"), col("v"), col("nrm"))
+      .repartition(col("tbl"), col("bucket")) // sketch once; self-join reuses the exchange
+    val a = e.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"),
+      col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = e.select(col("tbl"), col("bucket"), col("vec_id").as("id_b"),
+      col("v").as("v_b"), col("nrm").as("n_b"))
+    a.join(b, Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("v_a")).as("v_a"), first(col("v_b")).as("v_b"),
+        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("v_a"), col("v_b"), col("n_a"), col("n_b")).as("score"))
+      .filter(col("score") >= threshold)
   }
 }

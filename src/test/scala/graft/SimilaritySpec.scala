@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+/** Recall and equivalence checks for the similarity operators, run over the
+  * real sf0.001 embeddings fixture so the numbers mean something.
+  */
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def emb = Tables.load(spark, dir, "embeddings")
+
+  /** (qid -> top-k neighbour ids) from a knn result frame. */
+  private def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.select(col("qid"), col("vec_id")).collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .map { case (q, rows) => q -> rows.map(_.getAs[Long]("vec_id")).toSet }
+
+  test("lshKnn recall floor: recall@10 >= 0.6 vs brute force") {
+    val exact = topk(Similarity.bruteForceKnn(emb, col("vec_id") < 5, k = 10))
+    val approx = topk(Similarity.lshKnn(emb, col("vec_id") < 5, k = 10))
+    assert(exact.nonEmpty, "brute force must produce neighbours")
+    val recalls = exact.map { case (q, ids) =>
+      val got = approx.getOrElse(q, Set.empty)
+      got.intersect(ids).size.toDouble / ids.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, s"mean recall@10 $mean < 0.6 (per-query: $recalls)")
+  }
+
+  test("cosineDupPairsLsh is a subset of exact pairs, identical scores, recall >= 0.7") {
+    val exact = Similarity.cosineDupPairs(emb, threshold = 0.4).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("score")).toMap
+    val approx = Similarity.cosineDupPairsLsh(emb, threshold = 0.4).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("score")).toMap
+    assert(exact.nonEmpty, "exact path must find dup pairs in the fixture")
+    approx.foreach { case (pair, score) =>
+      assert(exact.contains(pair), s"LSH pair $pair not in exact result")
+      assert(exact(pair) == score, s"score mismatch for $pair")
+    }
+    val recall = approx.size.toDouble / exact.size
+    assert(recall >= 0.7, s"LSH dup recall $recall < 0.7 (${approx.size}/${exact.size})")
+  }
+
+  test("lshKnn scores agree with brute force on shared neighbours") {
+    val exact = Similarity.bruteForceKnn(emb, col("vec_id") < 5, k = 10)
+      .select(col("qid"), col("vec_id"), col("score"))
+    val approx = Similarity.lshKnn(emb, col("vec_id") < 5, k = 10)
+      .select(col("qid"), col("vec_id"), col("score").as("score_lsh"))
+    val joined = exact.join(approx, Seq("qid", "vec_id")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Double]("score") == r.getAs[Double]("score_lsh"),
+        s"cosine must be bit-identical on both paths for (${r.get(0)}, ${r.get(1)})")
+    }
+  }
+}
