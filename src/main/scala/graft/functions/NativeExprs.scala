@@ -42,6 +42,8 @@ object GraftFunctions {
       es => SimHash64(es(0)))
     add("graft_fp", "graft_fp(text, maxChars) - polynomial rolling hash",
       es => PolyFingerprint(es(0), es(1)))
+    add("graft_shingles", "graft_shingles(text, n) - distinct space-joined n-token shingles",
+      es => ShingleSet(es(0), es(1)))
   }
 
   private[graft] val XXSEED = 42L
@@ -193,6 +195,56 @@ case class SimHash64(child: Expression)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression = copy(child = newChild)
+}
+
+/** Distinct n-token shingles of a document, space-joined, in first-occurrence
+  * order — one pass over the text instead of the interpreted
+  * `array_distinct(transform(sequence(...), i -> array_join(slice(...))))`
+  * HOF chain, which at ~2.6 ms/doc dominated every shingle-based dedup query
+  * (bench: q25 explode stage 13 s → sub-second at sf0.1). Matches
+  * [[graft.functions.Text.shingles]]([[graft.functions.Text.tokens]](text), n)
+  * element-for-element (asserted in NativeExprSpec): tokens are the
+  * non-empty single-space splits; fewer than n tokens → empty array; null
+  * text → null.
+  */
+case class ShingleSet(child: Expression, nExpr: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def left: Expression = child
+  override def right: Expression = nExpr
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType && nExpr.dataType == IntegerType) {
+      TypeCheckResult.TypeCheckSuccess
+    } else {
+      TypeCheckResult.TypeCheckFailure("graft_shingles expects (string, int)")
+    }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, nAny: Any): Any = {
+    val n = nAny.asInstanceOf[Int]
+    val toks = a.asInstanceOf[UTF8String].toString.split(' ').filter(_.nonEmpty)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    val last = toks.length - n
+    val sb = new java.lang.StringBuilder()
+    while (i <= last) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(child = l, nExpr = r)
 }
 
 /** Polynomial rolling hash ((acc * 31 + codepoint) mod 1e9+7) over the first

@@ -46,7 +46,7 @@ object Dedup {
     val sigs = df.select(
         idCol.as("doc_id"),
         call_function("graft_minhash",
-          Text.shingles(Text.tokens(textCol), shingleN), lit(numHashes)).as("sig"))
+          call_function("graft_shingles", textCol, lit(shingleN)), lit(numHashes)).as("sig"))
       .withColumn("band", explode(Text.bands(col("sig"), numBands, r)))
       .repartition(col("band"))
     val a = sigs.select(col("band"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
@@ -90,12 +90,20 @@ object Dedup {
     * set sizes make the score reproducible bit-for-bit in any engine.
     * Output: (doc_a, doc_b, jaccard).
     *
-    * Two provable-bound optimizations (result-identical, both mirrored in
-    * the oracle's arithmetic):
-    *   - size prefilter: jaccard ≥ t ⇒ |A|/|B| ∈ [t, 1/t]; pairs outside the
-    *     band never compute a set op
-    *   - |A∪B| = |A| + |B| - |A∩B| — one intersect instead of
-    *     intersect + union array materialization
+    * Scale design — inverted-index similarity join, NOT within-block
+    * pairwise scans (a popular block made the old plan quadratic):
+    *   - explode distinct shingles, shuffle on (block, shingle)
+    *   - the equi self-join meets a pair once per *shared* shingle, so
+    *     count(*) per pair IS |A∩B| — exact, with no pairwise
+    *     array_intersect anywhere
+    *   - every pair with jaccard ≥ t > 0 shares ≥1 shingle, so no
+    *     candidate is missed (exactness, not an LSH bet)
+    *   - size prefilter: jaccard ≥ t ⇒ |A|/|B| ∈ [t, 1/t]; out-of-band
+    *     pairs are cut before the aggregation
+    *   - |A∪B| = |A| + |B| - |A∩B| — sizes ride along, no union built
+    * The remaining hotspot is a single shingle shared by many docs of one
+    * block (stopword-only n-grams); shingleN ≥ 3 keeps that rare, and AQE
+    * skew-join splits such keys at runtime.
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -104,19 +112,23 @@ object Dedup {
       blockCol: Column,
       shingleN: Int = 3,
       threshold: Double = 0.5): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val sh = df.select(blockCol.as("blk"), idCol.as("doc_id"),
-        Text.shingles(Text.tokens(textCol), shingleN).as("sh"))
+        call_function("graft_shingles", textCol, lit(shingleN)).as("sh"))
       .withColumn("n", size(col("sh")))
-      .repartition(col("blk")) // materialize shingles once; self-join reuses the exchange
-    val a = sh.select(col("blk"), col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n").as("n_a"))
-    val b = sh.select(col("blk"), col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n").as("n_b"))
-    val isect = size(array_intersect(col("sh_a"), col("sh_b")))
-    a.join(b, Seq("blk"))
+      .withColumn("s", explode(col("sh")))
+      .drop("sh")
+      .repartition(col("blk"), col("s")) // materialize shingles once; self-join reuses the exchange
+    val a = sh.select(col("blk"), col("s"), col("doc_id").as("doc_a"), col("n").as("n_a"))
+    val b = sh.select(col("blk"), col("s"), col("doc_id").as("doc_b"), col("n").as("n_b"))
+    a.join(b, Seq("blk", "s"))
       .filter(col("doc_a") < col("doc_b"))
       .filter(col("n_b").cast("double") >= col("n_a") * threshold
         && col("n_a").cast("double") >= col("n_b") * threshold)
+      .groupBy(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("c"))
       .select(col("doc_a"), col("doc_b"),
-        (isect.cast("double") / (col("n_a") + col("n_b") - isect)).as("jaccard"))
+        (col("c").cast("double") / (col("n_a") + col("n_b") - col("c"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 }

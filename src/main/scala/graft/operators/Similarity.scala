@@ -95,7 +95,9 @@ object Similarity {
     emb.select(size(col("embedding"))).head().getInt(0)
 
   /** Approximate top-k: candidates share an LSH bucket in any of `tables`
-    * hash tables, dedup, exact cosine rerank. Output shape matches
+    * hash tables, dedup on bare id pairs (vectors are fetched back by id
+    * AFTER the dedup so the candidate shuffle moves 16-byte rows, not
+    * embeddings), exact cosine rerank. Output shape matches
     * [[bruteForceKnn]] (rn may stop short of k when the candidate set is
     * small — the recall trade-off). Recall@10 ≥ 0.6 vs brute force is
     * asserted in SimilaritySpec at the defaults.
@@ -106,19 +108,19 @@ object Similarity {
     val dim = dimOf(emb)
     val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
+    val eb = e
       .withColumn("tb", explode(allBuckets(col("v"), planes, tables, dim)))
-      .select(col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"),
-        col("vec_id"), col("v"), col("nrm"))
-    val q = e.filter(queryPred)
-      .select(col("tbl"), col("bucket"), col("vec_id").as("qid"),
-        col("v").as("qv"), col("nrm").as("qnrm"))
-    // a pair can collide in several tables: dedup on ids before scoring
-    // (all copies carry identical vectors, so first() is deterministic)
-    broadcast(q).join(e, Seq("tbl", "bucket"))
+      .select(col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"), col("vec_id"))
+    val qb = eb.join(e.filter(queryPred).select(col("vec_id")), Seq("vec_id"))
+      .select(col("tbl"), col("bucket"), col("vec_id").as("qid"))
+    val cand = broadcast(qb).join(eb, Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("qid"))
-      .groupBy(col("qid"), col("vec_id"))
-      .agg(first(col("qv")).as("qv"), first(col("v")).as("v"),
-        first(col("qnrm")).as("qnrm"), first(col("nrm")).as("nrm"))
+      .select(col("qid"), col("vec_id")).distinct()
+    val q = e.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
+    cand
+      .join(broadcast(q), Seq("qid"))
+      .join(e, Seq("vec_id"))
       .withColumn("score", cosine(col("qv"), col("v"), col("qnrm"), col("nrm")))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))).cast("long"))
@@ -164,26 +166,34 @@ object Similarity {
     * path when exact [[cosineDupPairs]] is unaffordable. Always a subset of
     * the exact result with bit-identical scores (asserted in
     * SimilaritySpec); recall per pair is 1−(1−(1−θ/π)^planes)^tables.
+    *
+    * `planes = 0` (the default) auto-sizes bucket count to the corpus:
+    * planes = max(4, ⌈log2(n/64)⌉), targeting ~64-vector buckets, so
+    * candidate volume stays ~O(n·tables·64) instead of collapsing the
+    * corpus into a handful of giant buckets as n grows. Candidates travel
+    * as bare id pairs; vectors are fetched back by id after the dedup.
     */
   def cosineDupPairsLsh(emb: DataFrame, threshold: Double,
-                        planes: Int = 4, tables: Int = 16): DataFrame = {
+                        planes: Int = 0, tables: Int = 16): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val dim = dimOf(emb)
     val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-      .withColumn("tb", explode(allBuckets(col("v"), planes, tables, dim)))
-      .select(col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"),
-        col("vec_id"), col("v"), col("nrm"))
+    val p =
+      if (planes > 0) planes
+      else math.max(4, math.ceil(math.log(e.count() / 64.0) / math.log(2)).toInt)
+    val eb = e
+      .withColumn("tb", explode(allBuckets(col("v"), p, tables, dim)))
+      .select(col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"), col("vec_id"))
       .repartition(col("tbl"), col("bucket")) // sketch once; self-join reuses the exchange
-    val a = e.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"),
-      col("v").as("v_a"), col("nrm").as("n_a"))
-    val b = e.select(col("tbl"), col("bucket"), col("vec_id").as("id_b"),
-      col("v").as("v_b"), col("nrm").as("n_b"))
-    a.join(b, Seq("tbl", "bucket"))
+    val a = eb.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"))
+    val b = eb.select(col("tbl"), col("bucket"), col("vec_id").as("id_b"))
+    val cand = a.join(b, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(first(col("v_a")).as("v_a"), first(col("v_b")).as("v_b"),
-        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a")), Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         cosine(col("v_a"), col("v_b"), col("n_a"), col("n_b")).as("score"))
       .filter(col("score") >= threshold)

@@ -35,6 +35,20 @@ class NativeExprSpec extends AnyFunSuite {
     assert(both.filter(not(col("native") === col("hof"))).count() == 0)
   }
 
+  test("graft_shingles equals the HOF shingle chain element-for-element") {
+    val both = docs().select(
+      call_function("graft_shingles", col("text"), lit(3)).as("native"),
+      Text.shingles(Text.tokens(col("text")), 3).as("hof"))
+    assert(both.filter(not(col("native") === col("hof"))).count() == 0)
+    // edge cases: short doc, empty, repeated whitespace
+    import spark.implicits._
+    val edge = Seq("one two", "", "  a  b c d  ", "x x x x x").toDF("text")
+      .select(
+        call_function("graft_shingles", col("text"), lit(3)).as("native"),
+        Text.shingles(Text.tokens(col("text")), 3).as("hof"))
+    assert(edge.filter(not(col("native") === col("hof"))).count() == 0)
+  }
+
   test("graft_simhash equals the HOF simhash") {
     val tk = docs().select(Text.tokens(col("text")).as("tk"))
     val both = tk.select(
