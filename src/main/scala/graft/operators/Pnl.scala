@@ -7,31 +7,49 @@ import org.apache.spark.sql.functions._
   * SURVEY.md §2.5, §3 E3).
   *
   * Scale design: a secondary sort, not a per-group collect. The input is
-  * hash-partitioned by `hub` (one shuffle — the same boundary the reference
-  * crosses at `keyBy`) and sorted *within* partitions by `(hub, ts, seq)`;
-  * the fold then streams each partition once with O(state) memory, resetting
-  * at hub boundaries. This holds at 100 TB: no group is ever materialized,
-  * and partition count scales with the cluster, independent of key count.
-  * Skewed/low-cardinality hub domains (the reference has 4 hubs —
-  * producer.py:10) can be spread with `numPartitions` + AQE; the fold itself
-  * is key-agnostic.
+  * hash-partitioned and sorted *within* partitions by event time; the fold
+  * then streams each partition once with O(state) memory, resetting at
+  * group boundaries. No group is ever materialized.
+  *
+  * The reference's hub domain has 4 values (producer.py:10), so partitioning
+  * by hub alone caps parallelism at 4 regardless of cluster size. The
+  * partition key is therefore (hub, salt) with salt = hash(account) mod
+  * `shards`: trades go to their account's shard; price ticks replicate to
+  * every shard of the hub. Per-account arithmetic only depends on that
+  * account's trades and the hub's price stream — both identical in every
+  * shard — and each account lives in exactly one shard, so the union of
+  * shard outputs is bit-identical to the unsharded fold (asserted in
+  * PnlPropertySpec), while active parallelism becomes hubs × shards.
+  * Price-tick replication costs shards× on the price rows only; sweep
+  * emissions (the dominant volume — one row per account per tick) are not
+  * replicated.
   */
 object Pnl {
 
   /** `events` must have columns (seq, ts, hub, kind, account, side, mw,
     * price_mwh); see [[MarketEvent]]. Returns the `positions_pnl` stream.
     */
-  def replay(events: Dataset[MarketEvent]): Dataset[PnlRow] = {
+  def replay(events: Dataset[MarketEvent], shards: Int = 8): Dataset[PnlRow] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events
-      .repartition(col("hub"))
-      .sortWithinPartitions(col("hub"), col("ts"), col("seq"))
+    events.toDF()
+      .withColumn("salt", explode(
+        when(col("kind") === "trade",
+          array(pmod(xxhash64(col("account")), lit(shards)).cast("int")))
+          .otherwise(sequence(lit(0), lit(shards - 1)))))
+      .select(col("salt").as("_1"),
+        struct(col("seq"), col("ts"), col("hub"), col("kind"), col("account"),
+          col("side"), col("mw"), col("price_mwh")).as("_2"))
+      .as[(Int, MarketEvent)]
+      .repartition(col("_1"), col("_2.hub"))
+      .sortWithinPartitions(col("_1"), col("_2.hub"), col("_2.ts"), col("_2.seq"))
       .mapPartitions { it =>
-        var hub: String = null
+        var key: (Int, String) = null
         var st = HubState.empty
-        it.flatMap { e =>
-          if (e.hub != hub) { hub = e.hub; st = HubState.empty }
+        it.flatMap { case (salt, e) =>
+          if (key == null || salt != key._1 || e.hub != key._2) {
+            key = (salt, e.hub); st = HubState.empty
+          }
           val (st2, rows) = PnlKernel.step(st, e)
           st = st2
           rows

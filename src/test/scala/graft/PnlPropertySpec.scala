@@ -77,6 +77,45 @@ class PnlPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sharded replay is bit-identical to unsharded and spreads >4 partitions") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new Random(7L)
+    val tape = (0 until 4000).map { i =>
+      val hub = "H" + rnd.nextInt(4)
+      val isTrade = rnd.nextInt(10) < 4
+      MarketEvent(i.toLong, new Timestamp(1700000000000L + i * 500), hub,
+        if (isTrade) "trade" else "price",
+        if (isTrade) "ACC" + rnd.nextInt(60) else "",
+        if (isTrade) Seq("BUY", "SELL")(rnd.nextInt(2)) else "",
+        if (isTrade) Seq(5, 10, 25, 50)(rnd.nextInt(4)) else 0,
+        math.rint((5.0 + rnd.nextDouble() * 115.0) * 100) / 100)
+    }
+    val ds = tape.toDS()
+    def key(r: graft.operators.PnlRow) = (r.seq, r.account)
+    val unsharded = graft.operators.Pnl.replay(ds, shards = 1).collect().sortBy(key)
+    val sharded = graft.operators.Pnl.replay(ds, shards = 8)
+    val rows = sharded.collect().sortBy(key)
+    assert(rows.length == unsharded.length)
+    rows.zip(unsharded).foreach { case (a, b) => assert(a == b) }
+    // 4 hubs x 8 shards must occupy more partitions than the 4-value hub
+    // domain ever could (the 100 TB parallelism ceiling the salt removes).
+    // AQE coalesces this tiny fixture to 1 partition, hiding the key
+    // spread — pin it off and widen the shuffle for just this check.
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val sp = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      val nonEmpty = graft.operators.Pnl.replay(ds, shards = 8).rdd
+        .mapPartitions(it => Iterator(if (it.hasNext) 1 else 0)).sum().toInt
+      assert(nonEmpty > 4, s"only $nonEmpty non-empty partitions")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.shuffle.partitions", sp)
+    }
+  }
+
   test("splitting a trade into two same-price halves preserves position and realized") {
     for (seed <- 0L until 50L) {
       val rnd = new Random(seed)
