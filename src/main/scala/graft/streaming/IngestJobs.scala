@@ -1,0 +1,130 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+
+/** The reference's ingest jobs as Structured Streaming pipelines: raw JSON
+  * topic → parsed frame → table sink.
+  *
+  *   - prices/trades (IngestPricesAndTradesJob.java:23-73)
+  *   - dayahead/realtime LMPs (IngestDayAheadAndRealTimeJob.java:23-62)
+  *   - forecasts (ForecastsJob.java:48-56)
+  *
+  * Sources and sinks are configuration, not code paths (SURVEY.md §7): a
+  * [[SourceConfig]] picks kafka / file-directory / an injected stream (tests
+  * feed MemoryStream), and a [[SinkConfig]] picks parquet or jdbc — the
+  * reference's Postgres tables (postgres/init.sql:12-94) map 1:1 onto the
+  * written tables, with the parsed `ts` as TIMESTAMPTZ-equivalent UTC
+  * timestamps plus the raw wire string kept as `ts_raw` for byte-faithful
+  * replay.
+  *
+  * Scale notes: ingestion is embarrassingly parallel (a map over the topic
+  * partitions — no shuffle anywhere in these plans); sink files partition by
+  * the micro-batch naturally. Downstream analytic reads should re-bucket by
+  * (hub) as needed; the writers stay append-only exactly like the
+  * reference's INSERT-only JdbcSink.
+  */
+object IngestJobs {
+
+  /** Where raw frames come from. `format` ∈ kafka | file.
+    *   - kafka: `path` = topic, `broker` = bootstrap servers
+    *   - file: `path` = directory of newline-delimited JSON frames
+    */
+  final case class SourceConfig(format: String, path: String, broker: String = "")
+
+  /** Where tables land. `format` ∈ parquet | jdbc.
+    *   - parquet: `path` = warehouse dir (table = subdir)
+    *   - jdbc: `url`/`user`/`password` as the reference's JdbcSink options
+    */
+  final case class SinkConfig(format: String, path: String = "",
+      url: String = "", user: String = "", password: String = "")
+
+  /** Raw frames as a streaming DataFrame with a string `value` column —
+    * exactly what `Ingest.*` parsers expect.
+    */
+  def rawStream(spark: SparkSession, src: SourceConfig): DataFrame = src.format match {
+    case "kafka" =>
+      // reference consumes from earliest (OffsetsInitializer.earliest())
+      spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", src.broker)
+        .option("subscribe", src.path)
+        .option("startingOffsets", "earliest")
+        .load()
+        .selectExpr("CAST(value AS STRING) AS value")
+    case "file" =>
+      spark.readStream.text(src.path).select(col("value"))
+    case other =>
+      throw new IllegalArgumentException(s"unknown source format: $other")
+  }
+
+  /** Append a parsed frame stream to `table` through the configured sink.
+    * One checkpointed query per table, like one Flink sink operator each.
+    */
+  def writeTable(parsed: DataFrame, table: String, sink: SinkConfig,
+      checkpointDir: String): StreamingQuery =
+    parsed.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"$checkpointDir/$table")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink.format match {
+          case "parquet" =>
+            batch.write.mode("append").parquet(s"${sink.path}/$table")
+          case "jdbc" =>
+            batch.write.mode("append").format("jdbc")
+              .option("url", sink.url)
+              .option("dbtable", table)
+              .option("user", sink.user)
+              .option("password", sink.password)
+              .save()
+          case other =>
+            throw new IllegalArgumentException(s"unknown sink format: $other")
+        }
+        ()
+      }
+      .start()
+
+  /** Parsed topic frame → the reference table's column set: UTC timestamp
+    * first (as the DDL orders it), raw wire timestamp kept as `ts_raw`.
+    */
+  private def tableShape(parsed: DataFrame): DataFrame =
+    parsed
+      .withColumnRenamed("ts", "ts_raw")
+      .withColumn("ts", col("ts_utc"))
+      .drop("ts_utc")
+
+  /** IngestPricesAndTradesJob: two topic streams → `prices` + `trades`. */
+  def ingestPricesAndTrades(pricesRaw: DataFrame, tradesRaw: DataFrame,
+      sink: SinkConfig, checkpointDir: String): Seq[StreamingQuery] = Seq(
+    writeTable(tableShape(Ingest.prices(pricesRaw))
+      .select(col("ts"), col("hub"), col("price_mwh"), col("ts_raw")),
+      "prices", sink, checkpointDir),
+    writeTable(tableShape(Ingest.trades(tradesRaw))
+      .select(col("trade_id"), col("ts"), col("account"), col("hub"),
+        col("side"), col("mw"), col("price_mwh"), col("ts_raw")),
+      "trades", sink, checkpointDir))
+
+  /** IngestDayAheadAndRealTimeJob: two topic streams → `dayahead_prices` +
+    * `realtime_prices`.
+    */
+  def ingestDaRt(daRaw: DataFrame, rtRaw: DataFrame,
+      sink: SinkConfig, checkpointDir: String): Seq[StreamingQuery] = Seq(
+    writeTable(tableShape(Ingest.dayahead(daRaw))
+      .select(col("ts"), col("hub"), col("lmp_da"), col("energy_da"),
+        col("congestion_da"), col("loss_da"), col("ts_raw")),
+      "dayahead_prices", sink, checkpointDir),
+    writeTable(tableShape(Ingest.realtime(rtRaw))
+      .select(col("ts"), col("hub"), col("lmp_rt"), col("energy_rt"),
+        col("congestion_rt"), col("loss_rt"), col("ts_raw")),
+      "realtime_prices", sink, checkpointDir))
+
+  /** ForecastsJob sink: the SMA5/SMA20 stream → `forecasts` table
+    * (init.sql:43-49 columns, plus seq/price_mwh provenance).
+    */
+  def writeForecasts(forecasts: org.apache.spark.sql.Dataset[ForecastRow],
+      sink: SinkConfig, checkpointDir: String): StreamingQuery =
+    writeTable(forecasts.toDF()
+      .select(col("ts"), col("hub"), col("sma5"), col("sma20"),
+        col("forecast_next"), col("seq"), col("price_mwh")),
+      "forecasts", sink, checkpointDir)
+}
