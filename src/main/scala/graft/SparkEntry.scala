@@ -43,6 +43,45 @@ object SparkEntry {
       |         value AS price_mwh
       |  FROM events)""".stripMargin
 
+  /** Frozen events→DA/RT mapping (reference query surface R5/R6,
+    * README.md:99-100): every 10th event is a day-ahead LMP print, every
+    * event a real-time print (mirroring producer_da_rt.py's 10:1 cadence);
+    * components are fixed linear functions of `value` so the DuckDB oracle
+    * mirrors them bit-for-bit (sum order is left-assoc on both sides).
+    */
+  private def daOf(events: DataFrame): DataFrame =
+    events.filter(col("event_id") % 10 === 0).select(
+      col("event_id"), col("ts"),
+      concat(lit("H"), (col("user_id") % 4).cast("string")).as("hub"),
+      (col("value") + col("value") * lit(0.05) + col("value") * lit(0.01)).as("lmp_da"),
+      col("value").as("energy_da"),
+      (col("value") * lit(0.05)).as("congestion_da"),
+      (col("value") * lit(0.01)).as("loss_da"))
+
+  private def rtOf(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id"), col("ts"),
+      concat(lit("H"), (col("user_id") % 4).cast("string")).as("hub"),
+      (col("value") + col("value") * lit(0.15) + col("value") * lit(0.02)).as("lmp_rt"),
+      col("value").as("energy_rt"),
+      (col("value") * lit(0.15)).as("congestion_rt"),
+      (col("value") * lit(0.02)).as("loss_rt"))
+
+  /** DuckDB mirror of [[daOf]]/[[rtOf]]. */
+  private val DA_RT_CTES =
+    """da AS (
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |         'H' || CAST(user_id % 4 AS VARCHAR) AS hub,
+      |         value + value * 0.05 + value * 0.01 AS lmp_da, value AS energy_da,
+      |         value * 0.05 AS congestion_da, value * 0.01 AS loss_da
+      |  FROM events WHERE event_id % 10 = 0),
+      |rt AS (
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |         'H' || CAST(user_id % 4 AS VARCHAR) AS hub,
+      |         value + value * 0.15 + value * 0.02 AS lmp_rt, value AS energy_rt,
+      |         value * 0.15 AS congestion_rt, value * 0.02 AS loss_rt
+      |  FROM events)""".stripMargin
+
   /** Signed trade quantity, as a SQL fragment over alias `t`. */
   private val SGN = "(CASE WHEN upper(t.side) = 'BUY' THEN t.mw ELSE -t.mw END)"
 
@@ -370,6 +409,33 @@ object SparkEntry {
       Similarity.cosineDupPairsLsh(t(s, d, "embeddings"), threshold = 0.4)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // R5/R6 — "DA vs RT last values" (reference README.md:99-100): latest-8
+    // over each LMP table, tagged and unioned
+    "q30_da_rt_latest" -> ((s, d) => {
+      val e = ev(s, d)
+      def top8(df: DataFrame, src: String, pre: String) =
+        df.orderBy(col("ts").desc, col("event_id").desc).limit(8)
+          .select(lit(src).as("src"), col("event_id"), ntz(col("ts")).as("ts"),
+            col("hub"), col(s"lmp_$pre").as("lmp"), col(s"energy_$pre").as("energy"),
+            col(s"congestion_$pre").as("congestion"), col(s"loss_$pre").as("loss"))
+      top8(daOf(e), "da", "da").unionByName(top8(rtOf(e), "rt", "rt"))
+        .orderBy(col("src"), col("ts").desc, col("event_id").desc)
+    }),
+
+    // DA-vs-RT comparison: latest print per hub on each side, joined on hub
+    // (4-row broadcast join) with the basis spread
+    "q31_da_rt_spread" -> ((s, d) => {
+      val e = ev(s, d)
+      val dal = LatestPerGroup.latest(daOf(e), Seq(col("hub")), Seq(col("ts"), col("event_id")))
+        .select(col("hub"), col("lmp_da"))
+      val rtl = LatestPerGroup.latest(rtOf(e), Seq(col("hub")), Seq(col("ts"), col("event_id")))
+        .select(col("hub"), col("lmp_rt"))
+      dal.join(rtl, "hub")
+        .select(col("hub"), col("lmp_da"), col("lmp_rt"),
+          (col("lmp_rt") - col("lmp_da")).as("spread"))
+        .orderBy(col("hub"))
+    }),
+
     // Multimodal plumbing: opaque binary payloads through the typed
     // feature-extraction path (decode kernel is a deterministic stub —
     // Multimodal.decodeOne; payload = utf-8 bytes of the fixture text)
@@ -594,6 +660,31 @@ object SparkEntry {
         |FROM n x JOIN n y ON x.vec_id < y.vec_id
         |WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q30_da_rt_latest" ->
+      s"""WITH $DA_RT_CTES
+         |SELECT * FROM (
+         |  SELECT 'da' AS src, event_id, ts, hub, lmp_da AS lmp, energy_da AS energy,
+         |         congestion_da AS congestion, loss_da AS loss
+         |  FROM da ORDER BY ts DESC, event_id DESC LIMIT 8)
+         |UNION ALL
+         |SELECT * FROM (
+         |  SELECT 'rt' AS src, event_id, ts, hub, lmp_rt AS lmp, energy_rt AS energy,
+         |         congestion_rt AS congestion, loss_rt AS loss
+         |  FROM rt ORDER BY ts DESC, event_id DESC LIMIT 8)
+         |ORDER BY src, ts DESC, event_id DESC""".stripMargin,
+
+    "q31_da_rt_spread" ->
+      s"""WITH $DA_RT_CTES,
+         |dal AS (SELECT hub, lmp_da FROM (
+         |  SELECT hub, lmp_da, row_number() OVER (PARTITION BY hub ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM da) x WHERE rn = 1),
+         |rtl AS (SELECT hub, lmp_rt FROM (
+         |  SELECT hub, lmp_rt, row_number() OVER (PARTITION BY hub ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM rt) x WHERE rn = 1)
+         |SELECT dal.hub AS hub, lmp_da, lmp_rt, lmp_rt - lmp_da AS spread
+         |FROM dal JOIN rtl ON dal.hub = rtl.hub
+         |ORDER BY hub""".stripMargin,
 
     "q28_media_features" ->
       """SELECT doc_id AS media_id,
