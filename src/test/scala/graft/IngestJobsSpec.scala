@@ -1,7 +1,6 @@
 package graft
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path}
+import java.nio.file.{Files, Path, Paths}
 
 import scala.jdk.CollectionConverters._
 
@@ -10,7 +9,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{MarketEvent, Pnl}
-import graft.sources.MarketGen
+import graft.sources.{MarketGen, TapePublisher}
 import graft.streaming.{Ingest, IngestJobs, StreamingOps}
 import graft.streaming.IngestJobs.{SinkConfig, SourceConfig}
 
@@ -21,13 +20,6 @@ import graft.streaming.IngestJobs.{SinkConfig, SourceConfig}
   */
 class IngestJobsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
-
-  private def writeFrames(dir: Path, name: String, frames: Seq[String]): Unit = {
-    Files.createDirectories(dir)
-    Files.write(dir.resolve(name),
-      frames.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    ()
-  }
 
   test("market tape is deterministic and matches producer distributions") {
     val steps = 400
@@ -89,14 +81,12 @@ class IngestJobsSpec extends AnyFunSuite {
     val root = Files.createTempDirectory("graft_ingest_e2e")
     val warehouse = root.resolve("warehouse").toString
     val ckpt = root.resolve("ckpt").toString
-    val pricesIn = root.resolve("prices_in")
-    val tradesIn = root.resolve("trades_in")
-    val daIn = root.resolve("da_in")
-    val rtIn = root.resolve("rt_in")
-    writeFrames(pricesIn, "0.json", tape.prices.map(MarketGen.priceJson))
-    writeFrames(tradesIn, "0.json", tape.trades.map(MarketGen.tradeJson))
-    writeFrames(daIn, "0.json", lmp.da.map(MarketGen.daJson))
-    writeFrames(rtIn, "0.json", lmp.rt.map(MarketGen.rtJson))
+    val topics = root.resolve("topics").toString
+    TapePublisher.publishAllFile(topics, tape, lmp)
+    val pricesIn = Paths.get(topics, "prices")
+    val tradesIn = Paths.get(topics, "trades")
+    val daIn = Paths.get(topics, "dayahead_prices")
+    val rtIn = Paths.get(topics, "realtime_prices")
 
     val sink = SinkConfig("parquet", warehouse)
     def raw(p: Path) = IngestJobs.rawStream(spark, SourceConfig("file", p.toString))
