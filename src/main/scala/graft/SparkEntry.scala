@@ -336,6 +336,19 @@ object SparkEntry {
             .cast("long"))
         .orderBy(col("doc_id"))),
 
+    // Text analysis — BPE-ish regex token counting (letter runs, digit
+    // runs, single punctuation — the GPT-2 pretokenizer's coarse shape);
+    // integer counts → bit-reproducible oracle. Java and RE2 regex agree on
+    // this ASCII-class pattern by construction.
+    "q32_bpe_tokens" -> ((s, d) =>
+      t(s, d, "documents").select(
+          col("doc_id"),
+          expr(raw"""CAST(size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)) AS BIGINT)""").as("n_bpe"),
+          expr(raw"""CAST(size(regexp_extract_all(text, '[A-Za-z]+', 0)) AS BIGINT)""").as("n_word"),
+          expr(raw"""CAST(size(regexp_extract_all(text, '[0-9]+', 0)) AS BIGINT)""").as("n_num"),
+          expr(raw"""CAST(size(regexp_extract_all(text, '[^A-Za-z0-9 ]', 0)) AS BIGINT)""").as("n_punct"))
+        .orderBy(col("doc_id"))),
+
     // Text analysis — stopword-hit language ID heuristic
     "q19_lang_id" -> ((s, d) =>
       t(s, d, "documents").select(
@@ -400,6 +413,13 @@ object SparkEntry {
     // force is asserted in SimilaritySpec "lshKnn recall floor")
     "q27_lsh_knn" -> ((s, d) =>
       Similarity.lshKnn(t(s, d, "embeddings"), col("vec_id") < 5, k = 10)
+        .orderBy(col("qid"), col("rn"))),
+
+    // IVF coarse-quantizer approximate KNN — the inverted-file scale path
+    // (rows-only; recall@10 >= 0.9 on clustered data + bit-identical scores
+    // asserted in SimilaritySpec)
+    "q33_ivf_knn" -> ((s, d) =>
+      Similarity.ivfKnn(t(s, d, "embeddings"), col("vec_id") < 5, k = 10)
         .orderBy(col("qid"), col("rn"))),
 
     // LSH-blocked approximate cosine dup pairs — the 100 TB alternative to
@@ -660,6 +680,14 @@ object SparkEntry {
         |FROM n x JOIN n y ON x.vec_id < y.vec_id
         |WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q32_bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_word,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num,
+        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS n_punct
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q30_da_rt_latest" ->
       s"""WITH $DA_RT_CTES

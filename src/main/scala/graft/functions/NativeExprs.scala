@@ -66,10 +66,13 @@ case class DotProductD(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == ArrayType(DoubleType) && right.dataType == ArrayType(DoubleType)) {
-      TypeCheckResult.TypeCheckSuccess
-    } else {
-      TypeCheckResult.TypeCheckFailure("graft_dot expects two array<double> (non-null elements)")
+    (left.dataType, right.dataType) match {
+      // either containsNull flavour — element reads are null-unsafe, which is
+      // fine for every producer here (transform-cast of non-null floats)
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        TypeCheckResult.TypeCheckFailure("graft_dot expects two array<double>")
     }
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true

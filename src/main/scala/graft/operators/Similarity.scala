@@ -128,6 +128,53 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("score"), col("rn"))
   }
 
+  /** IVF (inverted-file) approximate KNN — the coarse-quantizer scale path
+    * beside [[lshKnn]]. `cells` centroids are a deterministic corpus sample
+    * (the rows with the smallest xxhash64(vec_id) — seedable, reproducible,
+    * no training iteration); every vector is assigned to its max-cosine
+    * centroid, queries probe their `nprobe` nearest cells, and candidates
+    * rerank exactly.
+    *
+    * Scale shape: centroids are collected once (cells × dim doubles — KB)
+    * and inlined as literal vectors, so cell assignment is `cells` codegen'd
+    * constant-vector dots + an `array_max` per row — a pure map over the
+    * scan, no shuffle, no join. The only exchange is the probe-cell
+    * candidate join (query side broadcast) and the final per-query top-k.
+    * Recall@10 vs brute force is asserted in SimilaritySpec.
+    */
+  def ivfKnn(emb: DataFrame, queryPred: Column, k: Int,
+             cells: Int = 64, nprobe: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val cents: Array[(Long, Seq[Double], Double)] = e
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy(col("h")).limit(cells)
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+    // (cosine-to-centroid, cell-id) structs; array_max = lexicographic max
+    // = nearest cell, all inside whole-stage codegen
+    def cellScores(v: Column, nrm: Column): Column = array(cents.map {
+      case (cid, cv, cnrm) =>
+        val cvLit = typedLit(cv).cast("array<double>")
+        struct(cosine(v, cvLit, nrm, lit(cnrm)).as("score"), lit(cid).as("cid"))
+    }.toIndexedSeq: _*)
+    val assigned = e.withColumn("cell", array_max(cellScores(col("v"), col("nrm"))).getField("cid"))
+    val probes = e.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"),
+        slice(reverse(array_sort(cellScores(col("v"), col("nrm")))), 1, nprobe).as("pr"))
+      .withColumn("cell", explode(transform(col("pr"), _.getField("cid"))))
+      .drop("pr")
+    broadcast(probes).join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("score", cosine(col("qv"), col("v"), col("qnrm"), col("nrm")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), col("score"), col("rn"))
+  }
+
   /** EXACT all pairs with cosine ≥ threshold (the q26 oracle mode).
     *
     * Triangle block partitioning: row block b = hash(vec_id) mod blocks; the
