@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, LatestPerGroup, MediaRecord, Multimodal, Pnl, Similarity, Sma}
+import graft.operators.{Dedup, Joins, LatestPerGroup, MediaRecord, Multimodal, Pnl, Similarity, Sma}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -473,7 +473,85 @@ object SparkEntry {
           col("width").cast("long").as("width"), col("height").cast("long").as("height"),
           col("duration_ms"))
         .orderBy(col("media_id"))
-    })
+    }),
+
+    // §2.7 extension — generic as-of join (the reference's trade → latest
+    // price lookup, PnlAndExposureJob.java:134-137, as a standalone
+    // operator): tagged union + one window pass, one shuffle, no range join
+    "q34_asof_join" -> ((s, d) => {
+      val m = Pnl.eventsAsMarket(ev(s, d)).toDF()
+      val trades = m.filter(col("kind") === "trade")
+        .select(col("seq"), col("ts"), col("hub"), col("account"), col("side"),
+          col("mw"), col("price_mwh"))
+      val prices = m.filter(col("kind") === "price")
+        .select(col("hub"), col("ts"), col("seq"), col("price_mwh"))
+      Joins.asOfJoin(trades, prices, keys = Seq("hub"), orderCols = Seq("ts", "seq"),
+          rightVals = Map("price_mwh" -> "last_px", "seq" -> "last_px_seq"))
+        .orderBy(col("seq"))
+    }),
+
+    // §2.7 extension — session window (30-min gap) per user; sum goes
+    // through DECIMAL so both engines add exactly
+    "q35_session_window" -> ((s, d) =>
+      ev(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        .select(unix_timestamp(col("session_window.start")).as("sess_start_s"),
+          unix_timestamp(col("session_window.end")).as("sess_end_s"),
+          col("user_id"), col("n"), col("sum_value"))
+        .orderBy(col("user_id"), col("sess_start_s"))),
+
+    // §2.7 extension — ROLLUP grouping sets over the TPC-H Q1 keys
+    "q36_rollup" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
+    // §2.7 extension — sliding (hopping) time window: 10-min windows every
+    // 5 min, so each event lands in exactly two buckets
+    "q37_sliding_window" -> ((s, d) =>
+      ev(s, d)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("bucket_start_s"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("bucket_start_s"), col("event_type"))),
+
+    // §2.7 extension — range join (point-in-interval) reduced to an
+    // equi-join on interval buckets, never a BroadcastNestedLoopJoin
+    "q38_range_join" -> ((s, d) => {
+      import s.implicits._
+      val bands = Seq(("small", 0.0, 10.0), ("mid", 10.0, 25.0),
+        ("large", 25.0, 40.0), ("xl", 40.0, 55.0)).toDF("band", "lo", "hi")
+      Joins.rangeJoinBucketed(
+          t(s, d, "lineitem").select(col("l_orderkey"), col("l_quantity")),
+          "l_quantity", bands, "lo", "hi", bucketWidth = 5.0)
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("band"))
+    }),
+
+    // §2.7 extension — exact interpolated percentiles (both engines use
+    // lower + (upper-lower)·frac over the sorted values)
+    "q39_percentiles" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.9D))").as("p"))
+        .select(col("l_returnflag"), element_at(col("p"), 1).as("p25"),
+          element_at(col("p"), 2).as("p50"), element_at(col("p"), 3).as("p90"))
+        .orderBy(col("l_returnflag"))),
+
+    // approx_count_distinct (HLL++) beside the exact count — rows-only (the
+    // sketch estimate is engine-specific by design; the ≤5% relative-error
+    // bound vs exact is asserted in JoinsSpec)
+    "q40_approx_distinct" -> ((s, d) =>
+      ev(s, d).groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type")))
   )
 
   // ---------------------------------------------------------------------------
@@ -688,6 +766,60 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num,
         |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS n_punct
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q34_asof_join" ->
+      s"""WITH $M_CTE,
+         |w AS (
+         |  SELECT *,
+         |    last_value(CASE WHEN kind = 'price' THEN price_mwh END IGNORE NULLS) OVER win AS last_px,
+         |    last_value(CASE WHEN kind = 'price' THEN seq END IGNORE NULLS) OVER win AS last_px_seq
+         |  FROM m
+         |  WINDOW win AS (PARTITION BY hub ORDER BY ts, seq ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT seq, ts, hub, account, side, mw, price_mwh, last_px, last_px_seq
+         |FROM w WHERE kind = 'trade' ORDER BY seq""".stripMargin,
+
+    "q35_session_window" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |g AS (SELECT *, CASE WHEN lag(ts) OVER win IS NULL
+        |                     OR ts - lag(ts) OVER win >= INTERVAL 30 MINUTE
+        |                THEN 1 ELSE 0 END AS brk
+        |      FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+        |SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start_s,
+        |       CAST(floor(epoch(max(ts) + INTERVAL 30 MINUTE)) AS BIGINT) AS sess_end_s,
+        |       user_id, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, sess_start_s""".stripMargin,
+
+    "q36_rollup" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q37_sliding_window" ->
+      """SELECT bucket_start_s, event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM (
+        |  SELECT unnest(generate_series(
+        |      CAST(floor((epoch(CAST(ts AS TIMESTAMP)) - 600) / 300) AS BIGINT) + 1,
+        |      CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 300) AS BIGINT))) * 300 AS bucket_start_s,
+        |    event_type, value
+        |  FROM events)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q38_range_join" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('small', 0.0, 10.0), ('mid', 10.0, 25.0), ('large', 25.0, 40.0), ('xl', 40.0, 55.0))
+        |SELECT band, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+
+    "q39_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.25) AS p25,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50,
+        |  quantile_cont(l_extendedprice, 0.9) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q30_da_rt_latest" ->
       s"""WITH $DA_RT_CTES

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join shapes Spark has no built-in operator for, expressed so Catalyst
+  * still sees plain shuffles/equi-joins (never a BroadcastNestedLoopJoin).
+  *
+  * The reference's nearest construct is the PnL CoProcess (trade → latest
+  * price per hub, PnlAndExposureJob.java:134-137) — [[asOfJoin]] is that
+  * lookup generalized to any (keys, order, payload); [[rangeJoinBucketed]]
+  * is the standard interval-bucketing reduction of a range predicate to an
+  * equi-join.
+  */
+object Joins {
+
+  /** As-of join: for every `left` row, the single latest `right` row with
+    * order key ≤ the left row's (per `keys`); right payload columns come
+    * back null when no such row exists.
+    *
+    * Implementation is a tagged union + one window pass, NOT a range join:
+    * both sides shuffle once on `keys`, sort within partitions by
+    * (orderCols, tag) — right rows (tag 0) before left rows (tag 1) at
+    * equal order keys, giving inclusive ≤ semantics — and a running
+    * `last(_, ignoreNulls)` carries the most recent right payload forward.
+    * O(n log n) in the partition sort, O(1) state per key; at 100 TB this
+    * is one exchange over the combined inputs, the same shape as the PnL
+    * secondary sort. No pair blow-up, no per-key collect.
+    *
+    * `rightVals` maps right-side column name → output name; output names
+    * must not collide with left columns.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               orderCols: Seq[String], rightVals: Map[String, String]): DataFrame = {
+    val payloadT = org.apache.spark.sql.types.StructType(
+      right.select(rightVals.keys.toSeq.map(col): _*).schema.fields)
+    val leftCols = left.columns
+    val l = left
+      .withColumn("_tag", lit(1))
+      .withColumn("_rv", lit(null).cast(payloadT))
+    val r0 = right.select((keys ++ orderCols).map(col) :+
+      struct(rightVals.keys.toSeq.map(col): _*).as("_rv"): _*)
+    // conform the right side to the union schema: left payload columns null
+    val r = leftCols.foldLeft(r0) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }.withColumn("_tag", lit(0)).select(l.columns.map(col): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((orderCols.map(col) :+ col("_tag")): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = l.unionByName(r)
+      .withColumn("_rv", last(col("_rv"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1)
+    val outVals = rightVals.toSeq.map { case (src, out) =>
+      col("_rv").getField(src).as(out)
+    }
+    joined.select(leftCols.map(col) ++ outVals: _*)
+  }
+
+  /** Range join `fact.point ∈ [interval.lo, interval.hi)` as an equi-join:
+    * both sides key on `floor(value / bucketWidth)` — the interval side
+    * explodes to every bucket its range overlaps — then the exact predicate
+    * refines. Each (fact, interval) pair meets in exactly one bucket (the
+    * fact's), so no post-join dedup is needed.
+    *
+    * Scale shape: a plain shuffled hash join on the bucket key; interval
+    * replication is ~(hi−lo)/bucketWidth per interval, so pick bucketWidth
+    * near the median interval length. The alternative Spark picks for a raw
+    * inequality join — BroadcastNestedLoopJoin — is O(|fact|·|intervals|).
+    */
+  def rangeJoinBucketed(fact: DataFrame, pointCol: String,
+                        intervals: DataFrame, loCol: String, hiCol: String,
+                        bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val fb = fact.withColumn("_rb", floor(col(pointCol) / bucketWidth).cast("long"))
+    val ib = intervals.withColumn("_rb", explode(sequence(
+      floor(col(loCol) / bucketWidth).cast("long"),
+      floor(col(hiCol) / bucketWidth).cast("long"))))
+    fb.join(ib, Seq("_rb"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("_rb")
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Joins
+
+/** Semantics checks for the generic join operators: as-of join against a
+  * per-row computed expectation (incl. no-match nulls and equal-timestamp
+  * ties), bucketed range join against the naive inequality join, and the
+  * approx_count_distinct error bound backing q40.
+  */
+class JoinsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("asOfJoin picks the latest right row at-or-before, null when none") {
+    val sp = spark
+    import sp.implicits._
+    // left: (key, t, lseq); right: (key, t, rseq, px)
+    val left = Seq(("a", 5L, 1L), ("a", 10L, 2L), ("a", 20L, 3L),
+      ("b", 7L, 4L), ("c", 1L, 5L)).toDF("k", "t", "lseq")
+    val right = Seq(("a", 5L, 10L, 1.5), ("a", 15L, 11L, 2.5),
+      ("b", 3L, 12L, 3.5), ("b", 7L, 13L, 4.5), ("d", 1L, 14L, 9.9))
+      .toDF("k", "t", "rseq", "px")
+    val out = Joins.asOfJoin(left, right, keys = Seq("k"),
+        orderCols = Seq("t"), rightVals = Map("px" -> "px", "rseq" -> "src"))
+      .select(col("lseq"), col("px"), col("src"))
+      .collect().map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    // lseq=1: t=5 — right (a,5) counts (inclusive <=)
+    assert(out(1L) == ((Some(1.5), Some(10L))))
+    assert(out(2L) == ((Some(1.5), Some(10L)))) // t=10: only (a,5) at-or-before
+    assert(out(3L) == ((Some(2.5), Some(11L)))) // t=20: (a,15) is latest
+    assert(out(4L) == ((Some(4.5), Some(13L)))) // tie at t=7 counts (<=)
+    assert(out(5L) == ((None, None)))           // key c has no right rows
+  }
+
+  test("asOfJoin over market events matches a window-computed expectation") {
+    val m = operators.Pnl.eventsAsMarket(Tables.events(spark, dir)).toDF().cache()
+    val trades = m.filter(col("kind") === "trade")
+      .select(col("seq"), col("ts"), col("hub"), col("price_mwh"))
+    val prices = m.filter(col("kind") === "price")
+      .select(col("hub"), col("ts"), col("seq"), col("price_mwh"))
+    val viaOp = Joins.asOfJoin(trades, prices, Seq("hub"), Seq("ts", "seq"),
+        Map("price_mwh" -> "last_px"))
+      .select(col("seq"), col("last_px"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    // independent construction: running last over the full tagged stream
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("hub")).orderBy(col("ts"), col("seq"))
+      .rowsBetween(Long.MinValue, 0)
+    val expect = m
+      .withColumn("last_px", last(when(col("kind") === "price", col("price_mwh")),
+        ignoreNulls = true).over(w))
+      .filter(col("kind") === "trade")
+      .select(col("seq"), col("last_px"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(viaOp.nonEmpty && viaOp == expect)
+    m.unpersist()
+  }
+
+  test("rangeJoinBucketed equals the naive inequality join") {
+    val sp = spark
+    import sp.implicits._
+    val fact = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    val bands = Seq(("small", 0.0, 10.0), ("mid", 10.0, 25.0),
+      ("large", 25.0, 40.0), ("xl", 40.0, 55.0)).toDF("band", "lo", "hi")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("l_orderkey"), col("l_linenumber"), col("band"))
+        .collect().map(r => (r.getLong(0), r.get(1).toString, r.getString(2))).toSet
+    val bucketed = key(Joins.rangeJoinBucketed(fact, "l_quantity", bands, "lo", "hi", 5.0))
+    val naive = key(fact.join(bands,
+      col("l_quantity") >= col("lo") && col("l_quantity") < col("hi")))
+    assert(bucketed.nonEmpty && bucketed == naive)
+  }
+
+  test("approx_count_distinct within 5% of exact (q40 backing bound)") {
+    val got = Tables.events(spark, dir).groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("a"),
+        countDistinct(col("user_id")).as("e"))
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (a, e) = (r.getAs[Long]("a").toDouble, r.getAs[Long]("e").toDouble)
+      assert(math.abs(a - e) / e <= 0.05,
+        s"${r.getString(0)}: approx $a vs exact $e off by ${math.abs(a - e) / e}")
+    }
+  }
+}
