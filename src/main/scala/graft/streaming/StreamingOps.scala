@@ -79,6 +79,40 @@ object StreamingOps {
       }
   }
 
+  /** §2.7 extension — event-time windowed aggregation with a watermark.
+    * The reference runs `noWatermarks()` everywhere (SURVEY §2.1 S5); this
+    * is the event-time path it lacks: tumbling (slide = None) or sliding
+    * windows over `tsCol`, append-mode-finalizable because the watermark
+    * bounds state. Rows later than `watermarkDelay` behind the max seen
+    * event time are dropped by state eviction — asserted in StreamingSpec.
+    *
+    * Scale shape: partial aggregation before the shuffle on (window, key),
+    * state per open window only; watermark eviction keeps the store bounded
+    * regardless of stream length.
+    */
+  def windowedAgg(events: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String, windowDur: String, slide: Option[String],
+      watermarkDelay: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val w = slide.fold(window(col(tsCol), windowDur))(s => window(col(tsCol), windowDur, s))
+    events.withWatermark(tsCol, watermarkDelay)
+      .groupBy(w, col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col(keyCol), col("n"), col("sum_value"))
+  }
+
+  /** §2.7 extension — streaming exact dedup with watermark-bounded state
+    * (`dropDuplicatesWithinWatermark`): duplicates of a key arriving within
+    * the watermark delay collapse to one row; state for keys older than the
+    * watermark is evicted, so the store is bounded — the streaming face of
+    * the batch `Dedup.exact` pipeline op.
+    */
+  def dedupStream(events: DataFrame, idCols: Seq[String], tsCol: String,
+      watermarkDelay: String): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** Dual-sink writer for one PnL query — the reference chains the exposure
     * map on the PnL operator's output and feeds two JDBC sinks from one job
     * (PnlAndExposureJob.java:57-76; SURVEY.md §3 E3). In Structured Streaming

@@ -67,6 +67,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermarked tumbling window finalizes once and drops late data") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Int, s: Int = 0) =
+      java.sql.Timestamp.valueOf(f"2024-01-15 10:$min%02d:$s%02d")
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = input.toDS().toDF("ts", "hub", "v")
+    val q = StreamingOps.windowedAgg(df, "ts", "hub", "v",
+        windowDur = "10 minutes", slide = None, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("ww_out").outputMode("append").start()
+    try {
+      // window [10:00,10:10): two rows
+      input.addData((ts(0), "H1", 1.0), (ts(5), "H1", 2.0)); q.processAllAvailable()
+      // advance event time past the window end...
+      input.addData((ts(21), "H1", 4.0)); q.processAllAvailable()
+      // ...and once more so the watermark (computed from the PREVIOUS
+      // batch's max) passes 10:10 and the first window finalizes
+      input.addData((ts(31), "H1", 8.0)); q.processAllAvailable()
+      val afterClose = spark.table("ww_out").collect()
+      assert(afterClose.exists(r =>
+        r.getAs[java.sql.Timestamp]("window_start") == ts(0) && r.getAs[Long]("n") == 2L),
+        s"first window should finalize with n=2, got ${afterClose.mkString(";")}")
+      // a late row inside the closed window must be dropped, not re-emitted
+      input.addData((ts(2), "H1", 100.0)); q.processAllAvailable()
+      input.addData((ts(41), "H1", 16.0)); q.processAllAvailable()
+      val rows = spark.table("ww_out").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("window_start"),
+          r.getAs[Long]("n"), r.getAs[Double]("sum_value")))
+      assert(rows.count(_._1 == ts(0)) == 1, "closed window must not re-emit")
+      assert(rows.find(_._1 == ts(0)).get._3 == 3.0, "late row must not change the sum")
+    } finally q.stop()
+  }
+
+  test("dedupStream collapses duplicate ids across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-15 10:00:$s%02d")
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val df = input.toDS().toDF("id", "ts", "payload")
+    val q = StreamingOps.dedupStream(df, Seq("id"), "ts", "10 minutes")
+      .writeStream.format("memory").queryName("dd_out").outputMode("append").start()
+    try {
+      input.addData((1L, ts(0), "a"), (2L, ts(1), "b"), (1L, ts(2), "a-dup"))
+      q.processAllAvailable()
+      input.addData((2L, ts(3), "b-dup"), (3L, ts(4), "c"))
+      q.processAllAvailable()
+      val ids = spark.table("dd_out").collect().map(_.getAs[Long]("id")).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
+    } finally q.stop()
+  }
+
   test("ingest parses both producer ISO-8601 timestamp variants") {
     import spark.implicits._
     val raw = Seq(
