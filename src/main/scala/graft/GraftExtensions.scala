@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{DotProductD, MinHashSig, PolyFingerprint, ShingleSet, SimHash64}
+
+/** Spark extension entry point: `--conf
+  * spark.sql.extensions=graft.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`) injects every `graft_*` native
+  * function at session build time, so a pure-SQL user — thriftserver,
+  * spark-sql, notebooks — gets the codegen'd kernels without touching the
+  * Scala API. `GraftFunctions.register` stays as the imperative
+  * per-session path the operators call themselves (idempotent; both routes
+  * bind the same builders).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.injected.foreach { case (name, usage, builder) =>
+      ext.injectFunction(
+        (FunctionIdentifier(name), new ExpressionInfo("graft", name, usage), builder))
+    }
+}
+
+object GraftExtensions {
+  /** (name, usage, builder) for every native function — the single source
+    * shared by the extension injector; keep in sync with
+    * [[graft.functions.GraftFunctions.register]].
+    */
+  private[graft] val injected: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_dot", "dot product of two array<double>",
+      (es: Seq[Expression]) => DotProductD(es(0), es(1))),
+    ("graft_minhash", "graft_minhash(shingles, k) - k-lane minhash signature",
+      (es: Seq[Expression]) => MinHashSig(es(0), es(1))),
+    ("graft_simhash", "64-bit simhash of array<string> tokens",
+      (es: Seq[Expression]) => SimHash64(es(0))),
+    ("graft_fp", "graft_fp(text, maxChars) - polynomial rolling hash",
+      (es: Seq[Expression]) => PolyFingerprint(es(0), es(1))),
+    ("graft_shingles", "graft_shingles(text, n) - distinct space-joined n-token shingles",
+      (es: Seq[Expression]) => ShingleSet(es(0), es(1))))
+}

@@ -25,25 +25,18 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object GraftFunctions {
 
-  /** Idempotently register graft_* functions in the session's registry. */
+  /** Idempotently register graft_* functions in the session's registry.
+    * Same builder list as the [[graft.GraftExtensions]] session-extension
+    * path — this is the imperative route the operators call themselves.
+    */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    def add(name: String, usage: String, builder: Seq[Expression] => Expression): Unit = {
+    graft.GraftExtensions.injected.foreach { case (name, usage, builder) =>
       val id = FunctionIdentifier(name)
       if (!reg.functionExists(id)) {
         reg.registerFunction(id, new ExpressionInfo("graft", name, usage), builder)
       }
     }
-    add("graft_dot", "dot product of two array<double>",
-      es => DotProductD(es(0), es(1)))
-    add("graft_minhash", "graft_minhash(shingles, k) - k-lane minhash signature",
-      es => MinHashSig(es(0), es(1)))
-    add("graft_simhash", "64-bit simhash of array<string> tokens",
-      es => SimHash64(es(0)))
-    add("graft_fp", "graft_fp(text, maxChars) - polynomial rolling hash",
-      es => PolyFingerprint(es(0), es(1)))
-    add("graft_shingles", "graft_shingles(text, n) - distinct space-joined n-token shingles",
-      es => ShingleSet(es(0), es(1)))
   }
 
   private[graft] val XXSEED = 42L

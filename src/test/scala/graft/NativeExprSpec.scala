@@ -64,6 +64,33 @@ class NativeExprSpec extends AnyFunSuite {
     assert(both.filter(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("GraftExtensions injects graft_* into a SQL-only session") {
+    import org.apache.spark.sql.SparkSession
+    val base = TestSpark.spark // ensure the shared SparkContext exists
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // a NEW session (shared context) built purely via the extension hook —
+      // no GraftFunctions.register call anywhere on this path
+      val s2 = SparkSession.builder().master(base.sparkContext.master)
+        .withExtensions(new GraftExtensions).getOrCreate()
+      assert(s2 ne base)
+      val d = s2.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+        .head().getDouble(0)
+      assert(d == 11.0)
+      val fp = s2.sql("SELECT graft_fp('hello world', 0) AS f").head().getLong(0)
+      val hof = s2.sql(
+        """SELECT aggregate(transform(sequence(1, length('hello world')),
+          |  i -> CAST(ascii(substr('hello world', i, 1)) AS BIGINT)),
+          |  CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % 1000000007) AS f""".stripMargin)
+        .head().getLong(0)
+      assert(fp == hof)
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
   test("graft_fp honors the maxChars prefix bound") {
     GraftFunctions.register(spark)
     import spark.implicits._
