@@ -85,6 +85,28 @@ object Multimodal {
       .withColumn("byte_offset", col("frame_idx") * everyNthByte)
   }
 
+  /** Image resize STUB: the kernel is a deterministic downsample of the
+    * payload (every ceil(len/target)-th byte — stable, size-bounded), the
+    * plumbing is real: typed map preserving the MediaRecord shape, target
+    * dimensions recorded in `meta` so downstream readers needn't decode.
+    * Swap `resizeBytes` for a real codec call to go live.
+    */
+  def resize(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val target = math.max(1, w * h / 8) // stub: budget ~1 byte per 8 px
+    def resizeBytes(b: Array[Byte]): Array[Byte] =
+      if (b.length <= target) b
+      else {
+        val step = math.max(1, (b.length + target - 1) / target)
+        b.indices.by(step).map(b).toArray
+      }
+    media.map(r =>
+      if (r.kind != "image") r
+      else r.copy(bytes = resizeBytes(r.bytes),
+        meta = r.meta + ("resized_w" -> w.toString, "resized_h" -> h.toString)))
+  }
+
   /** Metadata-only projection — must prune the bytes column at scan time
     * (check `.explain`: ReadSchema excludes `bytes`).
     */

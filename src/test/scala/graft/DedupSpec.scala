@@ -96,4 +96,21 @@ class DedupSpec extends AnyFunSuite {
     val frames = Multimodal.sampleFrames(media, everyNthByte = 1000).collect()
     assert(frames.length == 3) // offsets 0, 1000, 2000 for the 2500-byte video
   }
+
+  test("multimodal resize stub bounds image payloads and tags metadata") {
+    import spark.implicits._
+    val media = Seq(
+      MediaRecord(1L, "image", Array.fill[Byte](10000)(3), Map("f" -> "jpg")),
+      MediaRecord(2L, "audio", Array.fill[Byte](10000)(5), Map.empty)
+    ).toDS()
+    val out = Multimodal.resize(media, w = 64, h = 64).collect().sortBy(_.media_id)
+    val img = out(0)
+    assert(img.bytes.length <= 64 * 64 / 8 + 1, "image payload must shrink to the stub budget")
+    assert(img.meta("resized_w") == "64" && img.meta("resized_h") == "64")
+    assert(out(1).bytes.length == 10000 && out(1).meta.isEmpty,
+      "non-image payloads pass through untouched")
+    // deterministic: same input, same bytes
+    val again = Multimodal.resize(media, 64, 64).collect().sortBy(_.media_id)
+    assert(img.bytes.toSeq == again(0).bytes.toSeq)
+  }
 }
