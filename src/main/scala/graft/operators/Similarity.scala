@@ -111,8 +111,11 @@ object Similarity {
     val eb = e
       .withColumn("tb", explode(allBuckets(col("v"), planes, tables, dim)))
       .select(col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"), col("vec_id"))
-    val qb = eb.join(e.filter(queryPred).select(col("vec_id")), Seq("vec_id"))
-      .select(col("tbl"), col("bucket"), col("vec_id").as("qid"))
+    // sketch the (few) query rows directly — bucketing is a pure function of
+    // the vector, so this avoids a second full-corpus sketch pass
+    val qb = e.filter(queryPred)
+      .withColumn("tb", explode(allBuckets(col("v"), planes, tables, dim)))
+      .select(col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"), col("vec_id").as("qid"))
     val cand = broadcast(qb).join(eb, Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id")).distinct()
@@ -235,6 +238,10 @@ object Similarity {
       .repartition(col("tbl"), col("bucket")) // sketch once; self-join reuses the exchange
     val a = eb.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"))
     val b = eb.select(col("tbl"), col("bucket"), col("vec_id").as("id_b"))
+    // no join hint: AQE reuses the single (tbl, bucket) shuffle stage for
+    // both sides (measured — the sketch runs once), and its small-side
+    // broadcast conversion is the right call at small scale while a big
+    // corpus keeps the shuffled hash join
     val cand = a.join(b, Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
