@@ -150,12 +150,19 @@ object Similarity {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val cents: Array[(Long, Seq[Double], Double)] = e
+    // TakeOrdered over xxhash(vec_id): norms only for the `cells` sampled
+    // rows, computed driver-side — the sampling job must not pay a full dot
+    // product per corpus row
+    val cents: Array[(Long, Seq[Double], Double)] = emb
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("h", xxhash64(col("vec_id")))
       .orderBy(col("h")).limit(cells)
-      .select(col("vec_id"), col("v"), col("nrm"))
+      .select(col("vec_id"), col("v"))
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .map { r =>
+        val v = r.getSeq[Double](1)
+        (r.getLong(0), v, math.sqrt(v.iterator.map(x => x * x).sum))
+      }
     // (cosine-to-centroid, cell-id) structs; array_max = lexicographic max
     // = nearest cell, all inside whole-stage codegen
     def cellScores(v: Column, nrm: Column): Column = array(cents.map {
