@@ -38,5 +38,7 @@ object GraftExtensions {
     ("graft_fp", "graft_fp(text, maxChars) - polynomial rolling hash",
       (es: Seq[Expression]) => PolyFingerprint(es(0), es(1))),
     ("graft_shingles", "graft_shingles(text, n) - distinct space-joined n-token shingles",
-      (es: Seq[Expression]) => ShingleSet(es(0), es(1))))
+      (es: Seq[Expression]) => ShingleSet(es(0), es(1))),
+    ("graft_topk", "graft_topk(expr, k) - k largest values per group, sorted descending",
+      (es: Seq[Expression]) => graft.functions.TopKOrdered(es(0), es(1))))
 }

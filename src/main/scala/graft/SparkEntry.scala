@@ -551,7 +551,22 @@ object SparkEntry {
       ev(s, d).groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("approx_users"),
           countDistinct(col("user_id")).as("n_users"))
-        .orderBy(col("event_type")))
+        .orderBy(col("event_type"))),
+
+    // latest-3 per user via graft_topk — the bounded-buffer aggregate
+    // replacement for row_number() <= k: partial aggregation means the
+    // exchange carries ≤ k rows per group per partition, no full-group sort
+    "q41_topk_per_group" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      ev(s, d).groupBy(col("user_id"))
+        .agg(call_function("graft_topk",
+          struct(col("ts"), col("event_id"), col("value")), lit(3)).as("top"))
+        .select(col("user_id"), posexplode(col("top")))
+        .select(col("user_id"), (col("pos") + 1).cast("long").as("rn"),
+          col("col.ts").as("ts"), col("col.event_id").as("event_id"),
+          col("col.value").as("value"))
+        .orderBy(col("user_id"), col("rn"))
+    })
   )
 
   // ---------------------------------------------------------------------------
@@ -820,6 +835,13 @@ object SparkEntry {
         |  quantile_cont(l_extendedprice, 0.5) AS p50,
         |  quantile_cont(l_extendedprice, 0.9) AS p90
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q41_topk_per_group" ->
+      """SELECT user_id, CAST(rn AS BIGINT) AS rn, ts, event_id, value FROM (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events) x
+        |WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin,
 
     "q30_da_rt_latest" ->
       s"""WITH $DA_RT_CTES
