@@ -43,6 +43,26 @@ object Similarity {
   def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
     dot(a, b) / (normA * normB)
 
+  /** (qid, vec_id, score) candidates → (qid, vec_id, score, rn), rn = 1..k
+    * by (score desc, vec_id asc), via the bounded [[graft.functions
+    * .TopKOrdered]] aggregate: partial top-k runs map-side, so the exchange
+    * carries ≤ k candidates per query per partition and no full candidate
+    * set is ever sorted — the window row_number() alternative shuffles and
+    * sorts every candidate of every query. The negated id inside the
+    * ordering struct turns the aggregate's descending order into the
+    * ascending-id tie-break.
+    */
+  private def topkPerQuery(cand: DataFrame, k: Int): DataFrame =
+    cand
+      .groupBy(col("qid"))
+      .agg(call_function("graft_topk",
+        struct(col("score"), (-col("vec_id")).as("nid"), col("vec_id").as("vec_id")),
+        lit(k)).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.vec_id").as("vec_id"),
+        col("col.score").as("score"), (col("pos") + 1).cast("long").as("rn"))
+      .select(col("qid"), col("vec_id"), col("score"), col("rn"))
+
   /** Exact top-k neighbours for each query vector (`queryPred` selects the
     * query rows). Output: (qid, vec_id, score, rn), rn = 1..k.
     */
@@ -54,12 +74,9 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
     // query side is small by construction — broadcast it so the big scan
     // never shuffles
-    broadcast(q).join(e, col("vec_id") =!= col("qid"))
+    val cand = broadcast(q).join(e, col("vec_id") =!= col("qid"))
       .withColumn("score", cosine(col("qv"), col("v"), col("qnrm"), col("nrm")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))).cast("long"))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("vec_id"), col("score"), col("rn"))
+    topkPerQuery(cand, k)
   }
 
   /** Deterministic ±1 hyperplane `planeId`: component j = ±1 from bit 0 of
@@ -121,14 +138,10 @@ object Similarity {
       .select(col("qid"), col("vec_id")).distinct()
     val q = e.filter(queryPred)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
-    cand
+    topkPerQuery(cand
       .join(broadcast(q), Seq("qid"))
       .join(e, Seq("vec_id"))
-      .withColumn("score", cosine(col("qv"), col("v"), col("qnrm"), col("nrm")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))).cast("long"))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("vec_id"), col("score"), col("rn"))
+      .withColumn("score", cosine(col("qv"), col("v"), col("qnrm"), col("nrm"))), k)
   }
 
   /** IVF (inverted-file) approximate KNN — the coarse-quantizer scale path
@@ -176,13 +189,9 @@ object Similarity {
         slice(reverse(array_sort(cellScores(col("v"), col("nrm")))), 1, nprobe).as("pr"))
       .withColumn("cell", explode(transform(col("pr"), _.getField("cid"))))
       .drop("pr")
-    broadcast(probes).join(assigned, Seq("cell"))
+    topkPerQuery(broadcast(probes).join(assigned, Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("score", cosine(col("qv"), col("v"), col("qnrm"), col("nrm")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))).cast("long"))
-      .filter(col("rn") <= k)
-      .select(col("qid"), col("vec_id"), col("score"), col("rn"))
+      .withColumn("score", cosine(col("qv"), col("v"), col("qnrm"), col("nrm"))), k)
   }
 
   /** EXACT all pairs with cosine ≥ threshold (the q26 oracle mode).
