@@ -59,6 +59,33 @@ class JoinsSpec extends AnyFunSuite {
     m.unpersist()
   }
 
+  test("asOfJoin property: equals naive latest-at-or-before on random tapes") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(7)
+    // 40 keys × colliding small timestamps; globally unique seqn makes the
+    // (t, seqn) order total so the expectation is well-defined
+    val left = (0 until 400).map { i =>
+      (s"k${rnd.nextInt(40)}", rnd.nextInt(50).toLong, 100000L + i)
+    }
+    val right = (0 until 300).map { i =>
+      (s"k${rnd.nextInt(40)}", rnd.nextInt(50).toLong, i.toLong, rnd.nextDouble())
+    }
+    val out = Joins.asOfJoin(
+        left.toDF("k", "t", "seqn"),
+        right.toDF("k", "t", "seqn", "px"),
+        keys = Seq("k"), orderCols = Seq("t", "seqn"),
+        rightVals = Map("px" -> "px"))
+      .collect().map(r => r.getLong(2) -> Option(r.get(3))).toMap
+    val byKey = right.groupBy(_._1)
+    left.foreach { case (k, t, seqn) =>
+      val want = byKey.getOrElse(k, Seq.empty)
+        .filter(r => r._2 < t || (r._2 == t && r._3 < seqn))
+        .sortBy(r => (r._2, r._3)).lastOption.map(_._4)
+      assert(out(seqn) == want, s"left ($k,$t,$seqn)")
+    }
+  }
+
   test("rangeJoinBucketed equals the naive inequality join") {
     val sp = spark
     import sp.implicits._
