@@ -318,6 +318,19 @@ object SparkEntry {
         .orderBy(col("account"), col("hub"))
     }),
 
+    // Reference R4 — latest exposure per (account, hub) over the exposure
+    // projection (README.md:95-96): DISTINCT ON applied to the derived
+    // pnl01/notional stream, completing the exposure-side query surface
+    "q42_latest_exposure" -> ((s, d) => {
+      import s.implicits._
+      LatestPerGroup.latest(
+          Pnl.exposure(Pnl.replay(Pnl.eventsAsMarket(ev(s, d)))).toDF(),
+          Seq(col("account"), col("hub")), Seq(col("seq")))
+        .select(col("seq"), ntz(col("ts")).as("ts"), col("account"), col("hub"),
+          col("position_mw"), col("last_price_mwh"), col("pnl01"), col("notional_usd"))
+        .orderBy(col("account"), col("hub"))
+    }),
+
     // Text analysis — token counts + quality scoring (pipeline ops)
     "q18_text_stats" -> ((s, d) =>
       t(s, d, "documents").select(
@@ -687,6 +700,14 @@ object SparkEntry {
       s"""WITH RECURSIVE $PNL_CTES
          |SELECT seq, ts, account, hub, position_mw, avg_price_mwh, last_price_mwh,
          |       realized_pnl, unrealized_pnl, total_pnl
+         |FROM (SELECT *, row_number() OVER (PARTITION BY account, hub ORDER BY seq DESC) AS rn2 FROM u) z
+         |WHERE rn2 = 1 ORDER BY account, hub""".stripMargin,
+
+    "q42_latest_exposure" ->
+      s"""WITH RECURSIVE $PNL_CTES
+         |SELECT seq, ts, account, hub, position_mw, last_price_mwh,
+         |       CAST(position_mw AS DOUBLE) AS pnl01,
+         |       position_mw * last_price_mwh AS notional_usd
          |FROM (SELECT *, row_number() OVER (PARTITION BY account, hub ORDER BY seq DESC) AS rn2 FROM u) z
          |WHERE rn2 = 1 ORDER BY account, hub""".stripMargin,
 
