@@ -100,6 +100,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowedAgg recovers watermark+window state across kill-and-restart") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_wagg_ckpt")
+    val inDir = root.resolve("in"); java.nio.file.Files.createDirectories(inDir)
+    val outDir = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-15 10:$min%02d:00")
+    def addFile(rows: Seq[(java.sql.Timestamp, String, Double)], name: String): Unit = {
+      val stage = root.resolve(s"stage_$name")
+      rows.toDF("ts", "hub", "v").coalesce(1).write.json(stage.toString)
+      val src = java.nio.file.Files.list(stage).iterator()
+      var found: java.nio.file.Path = null
+      while (src.hasNext) { val p = src.next(); if (p.toString.endsWith(".json")) found = p }
+      java.nio.file.Files.move(found, inDir.resolve(s"$name.json"))
+      ()
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "ts TIMESTAMP, hub STRING, v DOUBLE")
+    def runOnce(): Unit = {
+      val in = spark.readStream.schema(schema).json(inDir.toString)
+      val q = StreamingOps.windowedAgg(in, "ts", "hub", "v",
+          windowDur = "10 minutes", slide = None, watermarkDelay = "0 seconds")
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    addFile(Seq((ts(0), "H1", 1.0), (ts(5), "H1", 2.0), (ts(21), "H1", 4.0)), "0000")
+    runOnce() // watermark state (10:21) committed, then the query dies
+    addFile(Seq((ts(31), "H1", 8.0)), "0001")
+    runOnce() // restart: watermark 10:21 closes [10:00,10:10) exactly once
+    addFile(Seq((ts(41), "H1", 16.0)), "0002")
+    runOnce() // watermark 10:31 closes [10:20,10:30)
+    val rows = spark.read.parquet(outDir).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("window_start"),
+        r.getAs[Long]("n"), r.getAs[Double]("sum_value")))
+    assert(rows.count(_._1 == ts(0)) == 1, s"first window exactly once: ${rows.toSeq}")
+    assert(rows.find(_._1 == ts(0)).get._2 == 2L)
+    assert(rows.count(_._1 == ts(20)) == 1, s"10:20 window exactly once: ${rows.toSeq}")
+    assert(rows.find(_._1 == ts(20)).get._3 == 4.0)
+  }
+
   test("dedupStream collapses duplicate ids across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
