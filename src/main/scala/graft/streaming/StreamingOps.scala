@@ -102,6 +102,21 @@ object StreamingOps {
         col("window.end").as("window_end"), col(keyCol), col("n"), col("sum_value"))
   }
 
+  /** §2.7 extension — streaming session windows (gap-based) behind a
+    * watermark: sessions close when the watermark passes last-event + gap,
+    * so append mode finalizes each session exactly once. Batch-oracle
+    * counterpart: q35_session_window.
+    */
+  def sessionAgg(events: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String, gap: String, watermarkDelay: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    events.withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"), col(keyCol), col("n"), col("sum_value"))
+  }
+
   /** §2.7 extension — streaming exact dedup with watermark-bounded state
     * (`dropDuplicatesWithinWatermark`): duplicates of a key arriving within
     * the watermark delay collapse to one row; state for keys older than the

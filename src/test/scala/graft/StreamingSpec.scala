@@ -100,6 +100,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming session windows finalize per gap behind the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Int, s: Int = 0) =
+      java.sql.Timestamp.valueOf(f"2024-01-15 10:$min%02d:$s%02d")
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = input.toDS().toDF("ts", "hub", "v")
+    val q = StreamingOps.sessionAgg(df, "ts", "hub", "v",
+        gap = "5 minutes", watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      // session 1: 10:00, 10:03 (within gap); then a 20-min silence
+      input.addData((ts(0), "H1", 1.0), (ts(3), "H1", 2.0)); q.processAllAvailable()
+      input.addData((ts(23), "H1", 4.0)); q.processAllAvailable()
+      input.addData((ts(40), "H1", 8.0)); q.processAllAvailable()
+      input.addData((ts(55), "H1", 16.0)); q.processAllAvailable()
+      val rows = spark.table("sess_out").collect()
+        .map(r => (r.getAs[java.sql.Timestamp]("sess_start"),
+          r.getAs[java.sql.Timestamp]("sess_end"), r.getAs[Long]("n"),
+          r.getAs[Double]("sum_value")))
+      val s1 = rows.find(_._1 == ts(0))
+      assert(s1.nonEmpty, s"first session must have finalized: ${rows.toSeq}")
+      assert(s1.get._2 == ts(8) && s1.get._3 == 2L && s1.get._4 == 3.0,
+        "session end = last event + gap; both events merged")
+      assert(rows.count(_._1 == ts(0)) == 1, "finalized session emits once")
+    } finally q.stop()
+  }
+
   test("windowedAgg recovers watermark+window state across kill-and-restart") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_wagg_ckpt")
