@@ -16,11 +16,14 @@ import graft.functions.{DotProductD, MinHashSig, PolyFingerprint, ShingleSet, Si
   * bind the same builders).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.injected.foreach { case (name, usage, builder) =>
       ext.injectFunction(
         (FunctionIdentifier(name), new ExpressionInfo("graft", name, usage), builder))
     }
+    // latest-N-per-key windows → bounded top-k aggregate (plans.TopKRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
+  }
 }
 
 object GraftExtensions {
