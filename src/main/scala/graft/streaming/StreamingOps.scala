@@ -117,6 +117,27 @@ object StreamingOps {
         col("session_window.end").as("sess_end"), col(keyCol), col("n"), col("sum_value"))
   }
 
+  /** §2.7 extension — watermarked stream-stream interval join: each left
+    * row pairs with right rows of the same key whose timestamp falls in
+    * [leftTs − lookback, leftTs]. This is the declarative cousin of the
+    * PnL CoProcess (trade → recent prices): watermarks on BOTH sides bound
+    * the join state, so Spark can discard right rows older than
+    * watermark − lookback instead of buffering the stream forever.
+    *
+    * Column contract: `left` has (key, ts, ...); `right` has (key2, ts2,
+    * ...) with names disjoint from left's.
+    */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, leftTs: String, rightTs: String,
+      lookback: String, watermarkDelay: String): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    left.withWatermark(leftTs, watermarkDelay)
+      .join(right.withWatermark(rightTs, watermarkDelay),
+        expr(s"""$leftKey = $rightKey AND
+                 $rightTs >= $leftTs - INTERVAL $lookback AND
+                 $rightTs <= $leftTs"""))
+  }
+
   /** §2.7 extension — streaming exact dedup with watermark-bounded state
     * (`dropDuplicatesWithinWatermark`): duplicates of a key arriving within
     * the watermark delay collapse to one row; state for keys older than the

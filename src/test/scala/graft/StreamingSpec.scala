@@ -100,6 +100,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs each trade with in-window prices") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Int, s: Int = 0) =
+      java.sql.Timestamp.valueOf(f"2024-01-15 10:$min%02d:$s%02d")
+    val trades = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val prices = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val out = StreamingOps.intervalJoinStream(
+      trades.toDS().toDF("hub", "t_ts", "t_px"),
+      prices.toDS().toDF("p_hub", "p_ts", "p_px"),
+      leftKey = "hub", rightKey = "p_hub", leftTs = "t_ts", rightTs = "p_ts",
+      lookback = "5 MINUTES", watermarkDelay = "0 seconds")
+    val q = out.select(col("hub"), col("t_ts"), col("p_ts"), col("p_px"))
+      .writeStream.format("memory").queryName("ij_out").outputMode("append").start()
+    try {
+      prices.addData(("H1", ts(0), 40.0), ("H1", ts(4), 41.0), ("H1", ts(12), 42.0),
+        ("H2", ts(4), 99.0))
+      trades.addData(("H1", ts(5), 40.5))
+      q.processAllAvailable()
+      val rows = spark.table("ij_out").collect()
+        .map(r => (r.getString(0), r.getAs[java.sql.Timestamp]("p_ts"), r.getAs[Double]("p_px")))
+      // trade at 10:05 with 5-min lookback sees 10:00 and 10:04, not 10:12,
+      // and never H2's price
+      assert(rows.toSet == Set(("H1", ts(0), 40.0), ("H1", ts(4), 41.0)),
+        s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("streaming session windows finalize per gap behind the watermark") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
