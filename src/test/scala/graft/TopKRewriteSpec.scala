@@ -42,6 +42,29 @@ class TopKRewriteSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("ties: rewritten result is a valid row_number outcome") {
+    val s2 = extSession()
+    val sp = s2
+    import sp.implicits._
+    // 3 keys × 6 rows with DUPLICATE order values: row_number's choice among
+    // ties is arbitrary, so the rewrite must return k rows per key whose
+    // order values equal the true top-k value multiset
+    val df = Seq(
+      ("a", 5L, 1), ("a", 5L, 2), ("a", 3L, 3), ("a", 3L, 4), ("a", 1L, 5), ("a", 5L, 6),
+      ("b", 9L, 7), ("b", 9L, 8), ("b", 2L, 9),
+      ("c", 4L, 10)).toDF("k", "v", "id")
+    val w = Window.partitionBy(col("k")).orderBy(col("v").desc)
+    val q = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+    assert(!q.queryExecution.optimizedPlan.toString.contains("Window"))
+    val got = q.collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3)))
+    val byKey = got.groupBy(_._1)
+    assert(byKey("a").map(_._2).sorted.toSeq == Seq(5L, 5L), "top-2 of a = two 5s")
+    assert(byKey("b").map(_._2).sorted.toSeq == Seq(9L, 9L))
+    assert(byKey("c").map(_._2).toSeq == Seq(4L), "k > group size returns all")
+    byKey.values.foreach(rows =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length).toSeq, "rn dense from 1"))
+  }
+
   test("non-eligible windows are left alone") {
     val s2 = extSession()
     val e = Tables.events(s2, "/root/testdata/sf0.001")
