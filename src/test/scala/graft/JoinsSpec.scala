@@ -102,6 +102,19 @@ class JoinsSpec extends AnyFunSuite {
     assert(bucketed.nonEmpty && bucketed == naive)
   }
 
+  test("equi-join variants (broadcast vs sort-merge) agree — SURVEY D9") {
+    val orders = Tables.load(spark, dir, "orders").select(col("o_custkey"), col("o_totalprice"))
+    val customer = Tables.load(spark, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+    def agg(j: org.apache.spark.sql.DataFrame) =
+      j.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice").cast("decimal(18,6)")).as("s"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+    val cond = col("o_custkey") === col("c_custkey")
+    val viaBroadcast = agg(orders.join(broadcast(customer), cond))
+    val viaMerge = agg(orders.join(customer.hint("merge"), cond))
+    assert(viaBroadcast.nonEmpty && viaBroadcast == viaMerge)
+  }
+
   test("approx_count_distinct within 5% of exact (q40 backing bound)") {
     val got = Tables.events(spark, dir).groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id")).as("a"),
