@@ -21,13 +21,24 @@ import graft.model.Schemas
   */
 object Ingest {
 
-  /** Parse both ISO-8601 variants to a UTC timestamp. */
-  def tsUtc(raw: Column): Column = to_timestamp(raw)
+  /** Parse both ISO-8601 variants to a UTC timestamp; null (→ frame
+    * dropped) on garbage rather than an ANSI cast error — one poison frame
+    * must not kill the stream.
+    */
+  def tsUtc(raw: Column): Column = try_to_timestamp(raw)
 
+  /** Malformed frames are DROPPED, not forwarded as null rows: unparseable
+    * JSON gives a null struct, wrong-shape JSON gives a null/unparseable
+    * `ts` — both filtered. (The reference's Jackson deserializer throws and
+    * fails the job on garbage, IngestPricesAndTradesJob.java:91; at scale a
+    * poison frame must not take the pipeline down.)
+    */
   private def parse(raw: DataFrame, schema: org.apache.spark.sql.types.StructType): DataFrame =
     raw.select(from_json(col("value").cast("string"), schema).as("j"))
+      .filter(col("j").isNotNull)
       .select(col("j.*"))
       .withColumn("ts_utc", tsUtc(col("ts")))
+      .filter(col("ts_utc").isNotNull)
 
   /** topic `prices` → (ts STRING, hub, price_mwh, ts_utc TIMESTAMP) */
   def prices(raw: DataFrame): DataFrame = parse(raw, Schemas.priceTick)

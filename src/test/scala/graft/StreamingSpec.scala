@@ -231,6 +231,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[String]("ts")).forall(_.startsWith("2024-01-15T10:30:45")))
   }
 
+  test("ingest drops malformed frames instead of forwarding null rows") {
+    import spark.implicits._
+    val raw = Seq(
+      """{"ts": "2024-01-15T10:30:45.123456", "hub": "H1", "price_mwh": 47.12}""",
+      """not json at all""",
+      """{"wrong": "shape"}""",
+      """{"ts": "NOT-A-TIMESTAMP", "hub": "H2", "price_mwh": 1.0}""",
+      """{"ts": "2024-01-15T10:30:46", "hub": "H3", "price_mwh": 48.0}"""
+    ).toDF("value")
+    val parsed = Ingest.prices(raw).collect()
+    assert(parsed.length == 2, s"only the two valid frames survive, got ${parsed.length}")
+    assert(parsed.map(_.getAs[String]("hub")).sorted.toSeq == Seq("H1", "H3"))
+    parsed.foreach(r => assert(r.getAs[java.sql.Timestamp]("ts_utc") != null))
+  }
+
   test("ingest parses trades with all wire fields") {
     import spark.implicits._
     val raw = Seq(
