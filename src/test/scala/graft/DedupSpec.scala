@@ -97,6 +97,19 @@ class DedupSpec extends AnyFunSuite {
     assert(frames.length == 3) // offsets 0, 1000, 2000 for the 2500-byte video
   }
 
+  test("multimodal metaOnly prunes the bytes column at the parquet scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
+    Seq(
+      MediaRecord(1L, "image", Array.fill[Byte](64)(1), Map("f" -> "jpg"))
+    ).toDS().write.mode("overwrite").parquet(dir)
+    val plan = Multimodal.metaOnly(spark.read.parquet(dir))
+      .queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.nonEmpty && !readSchema.contains("bytes"),
+      s"bytes must not reach the scan: $readSchema")
+  }
+
   test("multimodal resize stub bounds image payloads and tags metadata") {
     import spark.implicits._
     val media = Seq(
