@@ -107,9 +107,21 @@ object Similarity {
       struct(lit(t).as("tbl"), lshBucket(v, planes, dim, t).as("bucket"))
     }: _*)
 
-  /** Embedding dim probed from one row (constant per corpus). */
+  /** Embedding dim probed from one row (constant per corpus). Probing is a
+    * driver-side job at plan-build time — callers on the scale path should
+    * pass the known dim instead (the `dim` parameters below).
+    */
   private def dimOf(emb: DataFrame): Int =
     emb.select(size(col("embedding"))).head().getInt(0)
+
+  /** Corpus row count for auto-sizing: prefer the caller's known value, then
+    * catalog/plan statistics (free), and only then a count job — plan-build
+    * must not cost a full scan on the 100 TB path when metadata can answer.
+    */
+  private def corpusRows(emb: DataFrame, known: Long): Long =
+    if (known > 0) known
+    else emb.queryExecution.optimizedPlan.stats.rowCount
+      .map(_.toLong).getOrElse(emb.count())
 
   /** Approximate top-k: candidates share an LSH bucket in any of `tables`
     * hash tables, dedup on bare id pairs (vectors are fetched back by id
@@ -120,18 +132,18 @@ object Similarity {
     * asserted in SimilaritySpec at the defaults.
     */
   def lshKnn(emb: DataFrame, queryPred: Column, k: Int,
-             planes: Int = 4, tables: Int = 16): DataFrame = {
+             planes: Int = 4, tables: Int = 16, dim: Int = 0): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
-    val dim = dimOf(emb)
+    val d = if (dim > 0) dim else dimOf(emb)
     val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
     val eb = e
-      .withColumn("tb", explode(allBuckets(col("v"), planes, tables, dim)))
+      .withColumn("tb", explode(allBuckets(col("v"), planes, tables, d)))
       .select(col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"), col("vec_id"))
     // sketch the (few) query rows directly — bucketing is a pure function of
     // the vector, so this avoids a second full-corpus sketch pass
     val qb = e.filter(queryPred)
-      .withColumn("tb", explode(allBuckets(col("v"), planes, tables, dim)))
+      .withColumn("tb", explode(allBuckets(col("v"), planes, tables, d)))
       .select(col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"), col("vec_id").as("qid"))
     val cand = broadcast(qb).join(eb, Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("qid"))
@@ -238,18 +250,25 @@ object Similarity {
     * candidate volume stays ~O(n·tables·64) instead of collapsing the
     * corpus into a handful of giant buckets as n grows. Candidates travel
     * as bare id pairs; vectors are fetched back by id after the dedup.
+    *
+    * Pass `corpusSize`/`dim` when known: auto-sizing otherwise falls back
+    * to plan statistics and, as a last resort, a count job at plan-build
+    * time (and a one-row probe for the dim) — avoidable driver-side scans
+    * on the path meant for the biggest corpora.
     */
   def cosineDupPairsLsh(emb: DataFrame, threshold: Double,
-                        planes: Int = 0, tables: Int = 16): DataFrame = {
+                        planes: Int = 0, tables: Int = 16,
+                        corpusSize: Long = 0L, dim: Int = 0): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
-    val dim = dimOf(emb)
+    val d = if (dim > 0) dim else dimOf(emb)
     val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
     val p =
       if (planes > 0) planes
-      else math.max(4, math.ceil(math.log(e.count() / 64.0) / math.log(2)).toInt)
+      else math.max(4, math.ceil(
+        math.log(corpusRows(emb, corpusSize) / 64.0) / math.log(2)).toInt)
     val eb = e
-      .withColumn("tb", explode(allBuckets(col("v"), p, tables, dim)))
+      .withColumn("tb", explode(allBuckets(col("v"), p, tables, d)))
       .select(col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"), col("vec_id"))
       .repartition(col("tbl"), col("bucket")) // sketch once; self-join reuses the exchange
     val a = eb.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"))

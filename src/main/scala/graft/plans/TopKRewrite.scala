@@ -26,7 +26,9 @@ import graft.functions.TopKOrdered
   *   - every sort key is Descending with NullsLast (the default for DESC) —
   *     the struct encodes an is-not-null flag per key so nulls still sort
   *     last under the aggregate's descending order;
-  *   - k ≤ maxK (buffer is O(k) per key per task).
+  *   - k ≤ maxK (buffer is O(k) per key per task);
+  *   - all partition and sort-key expressions are deterministic (the rule
+  *     duplicates them into the Aggregate and evaluates sort keys twice).
   * Ties beyond the sort keys are broken by the remaining child columns
   * (deterministic), where row_number's tie order is partition-dependent —
   * both are valid row_number outputs.
@@ -54,7 +56,11 @@ object TopKRewrite extends Rule[LogicalPlan] {
         w @ Window(Seq(alias @ Alias(WindowExpression(RowNumber(), spec), _)), part, order, child, _))
       if isDefaultRunningFrame(spec) &&
         order.nonEmpty &&
-        order.forall(so => so.direction == Descending && so.nullOrdering == NullsLast) =>
+        order.forall(so => so.direction == Descending && so.nullOrdering == NullsLast) &&
+        // non-deterministic partition/sort expressions (e.g. rand()) must not
+        // be duplicated into the Aggregate or re-evaluated inside the struct —
+        // the same guard Spark's InferWindowGroupLimit applies
+        part.forall(_.deterministic) && order.forall(_.child.deterministic) =>
       matchLimit(cond, alias.toAttribute) match {
         case Some(k) if k > 0 && k <= maxK =>
           val rnAttr = alias.toAttribute

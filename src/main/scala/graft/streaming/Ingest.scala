@@ -27,30 +27,67 @@ object Ingest {
     */
   def tsUtc(raw: Column): Column = try_to_timestamp(raw)
 
-  /** Malformed frames are DROPPED, not forwarded as null rows: unparseable
-    * JSON gives a null struct, wrong-shape JSON gives a null/unparseable
-    * `ts` — both filtered. (The reference's Jackson deserializer throws and
-    * fails the job on garbage, IngestPricesAndTradesJob.java:91; at scale a
-    * poison frame must not take the pipeline down.)
+  /** Frame validity: JSON parsed AND every schema field present with the
+    * right type (PERMISSIVE from_json nulls out a type-mismatched field —
+    * e.g. a string `price_mwh` — which must count as malformed, not pass as
+    * a null-field row) AND `ts` parseable. The reference's Jackson
+    * deserializer would NPE on any of these (IngestPricesAndTradesJob
+    * .java:91); at scale a poison frame must not take the pipeline down, so
+    * we drop instead — but observably, never silently.
     */
-  private def parse(raw: DataFrame, schema: org.apache.spark.sql.types.StructType): DataFrame =
-    raw.select(from_json(col("value").cast("string"), schema).as("j"))
-      .filter(col("j").isNotNull)
+  private def okCol(schema: org.apache.spark.sql.types.StructType): Column =
+    col("j").isNotNull && tsUtc(col("j.ts")).isNotNull &&
+      schema.fieldNames.map(f => col("j").getField(f).isNotNull).reduce(_ && _)
+
+  /** Malformed frames are DROPPED, not forwarded as null/partial rows, and
+    * the drop is counted: the returned frame carries an observed metric
+    * `graft_ingest_<topic>` with `frames_in` / `frames_dropped`, readable
+    * per micro-batch from `StreamingQueryProgress.observedMetrics` (or a
+    * `QueryExecutionListener` in batch). [[rejects]] is the dead-letter
+    * side output for routing the dropped frames themselves.
+    */
+  private def parse(raw: DataFrame, schema: org.apache.spark.sql.types.StructType,
+      topic: String): DataFrame = {
+    val ok = okCol(schema)
+    raw.select(col("value"), from_json(col("value").cast("string"), schema).as("j"))
+      .observe(s"graft_ingest_$topic",
+        count(lit(1)).as("frames_in"),
+        sum(when(ok, 0L).otherwise(1L)).as("frames_dropped"))
+      .filter(ok)
       .select(col("j.*"))
       .withColumn("ts_utc", tsUtc(col("ts")))
-      .filter(col("ts_utc").isNotNull)
+  }
+
+  /** Dead-letter side output: the raw frames [[parse]] would drop, with a
+    * `reason` ∈ malformed_json (unparseable or type-mismatched field, via
+    * from_json's columnNameOfCorruptRecord) | missing_field | bad_ts. Route
+    * to a quarantine sink when drops must be replayable, not just counted.
+    */
+  def rejects(raw: DataFrame, schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val withCorrupt = schema.add("_corrupt", org.apache.spark.sql.types.StringType)
+    raw.select(col("value"),
+        from_json(col("value").cast("string"), withCorrupt,
+          Map("columnNameOfCorruptRecord" -> "_corrupt")).as("j"))
+      .filter(!okCol(schema))
+      .withColumn("reason",
+        when(col("j").isNull || col("j").getField("_corrupt").isNotNull, "malformed_json")
+          .when(schema.fieldNames.map(f => col("j").getField(f).isNull).reduce(_ || _),
+            "missing_field")
+          .otherwise("bad_ts"))
+      .select(col("value").cast("string").as("value"), col("reason"))
+  }
 
   /** topic `prices` → (ts STRING, hub, price_mwh, ts_utc TIMESTAMP) */
-  def prices(raw: DataFrame): DataFrame = parse(raw, Schemas.priceTick)
+  def prices(raw: DataFrame): DataFrame = parse(raw, Schemas.priceTick, "prices")
 
   /** topic `trades` */
-  def trades(raw: DataFrame): DataFrame = parse(raw, Schemas.trade)
+  def trades(raw: DataFrame): DataFrame = parse(raw, Schemas.trade, "trades")
 
   /** topic `dayahead_prices` */
-  def dayahead(raw: DataFrame): DataFrame = parse(raw, Schemas.daLmp)
+  def dayahead(raw: DataFrame): DataFrame = parse(raw, Schemas.daLmp, "dayahead_prices")
 
   /** topic `realtime_prices` */
-  def realtime(raw: DataFrame): DataFrame = parse(raw, Schemas.rtLmp)
+  def realtime(raw: DataFrame): DataFrame = parse(raw, Schemas.rtLmp, "realtime_prices")
 
   /** Tag + union parsed price and trade frames into the MarketEvent shape
     * feeding the PnL operator (SURVEY.md §2.5 "union of tagged events").

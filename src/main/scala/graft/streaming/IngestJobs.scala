@@ -89,12 +89,13 @@ object IngestJobs {
     * partition instead of appending duplicates. Idempotent by construction —
     * calling this twice with the same id is a no-op.
     */
-  def appendBatchIdempotent(batch: DataFrame, id: Long, tablePath: String): Unit = {
-    batch.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+  def appendBatchIdempotent(batch: DataFrame, id: Long, tablePath: String): Unit =
     batch.withColumn("batch_id", lit(id))
       .write.mode("overwrite").partitionBy("batch_id")
+      // per-write option, NOT session conf: a session-wide "dynamic" would
+      // silently turn later overwrite+partitionBy writes into partial ones
+      .option("partitionOverwriteMode", "dynamic")
       .parquet(tablePath)
-  }
 
   /** [[writeTable]] upgraded from the reference's at-least-once JDBC
     * semantics (SURVEY §2.6: non-transactional sink + checkpoint ⇒ possible

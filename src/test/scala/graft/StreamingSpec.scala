@@ -238,12 +238,51 @@ class StreamingSpec extends AnyFunSuite {
       """not json at all""",
       """{"wrong": "shape"}""",
       """{"ts": "NOT-A-TIMESTAMP", "hub": "H2", "price_mwh": 1.0}""",
+      """{"ts": "2024-01-15T10:30:46", "hub": "H4", "price_mwh": "forty-eight"}""",
+      """{"ts": "2024-01-15T10:30:46", "hub": "H5"}""",
       """{"ts": "2024-01-15T10:30:46", "hub": "H3", "price_mwh": 48.0}"""
     ).toDF("value")
     val parsed = Ingest.prices(raw).collect()
     assert(parsed.length == 2, s"only the two valid frames survive, got ${parsed.length}")
     assert(parsed.map(_.getAs[String]("hub")).sorted.toSeq == Seq("H1", "H3"))
     parsed.foreach(r => assert(r.getAs[java.sql.Timestamp]("ts_utc") != null))
+  }
+
+  test("ingest rejects side output carries each dropped frame with a reason") {
+    import spark.implicits._
+    val raw = Seq(
+      """{"ts": "2024-01-15T10:30:45.123456", "hub": "H1", "price_mwh": 47.12}""",
+      """not json at all""",
+      """{"ts": "NOT-A-TIMESTAMP", "hub": "H2", "price_mwh": 1.0}""",
+      """{"ts": "2024-01-15T10:30:46", "hub": "H4", "price_mwh": "forty-eight"}""",
+      """{"ts": "2024-01-15T10:30:46", "hub": "H5"}"""
+    ).toDF("value")
+    val r = Ingest.rejects(raw, graft.model.Schemas.priceTick).collect()
+      .map(x => (x.getAs[String]("value"), x.getAs[String]("reason"))).toMap
+    assert(r.size == 4)
+    assert(r("not json at all") == "malformed_json")
+    assert(r("""{"ts": "2024-01-15T10:30:46", "hub": "H4", "price_mwh": "forty-eight"}""") == "malformed_json")
+    assert(r("""{"ts": "2024-01-15T10:30:46", "hub": "H5"}""") == "missing_field")
+    assert(r("""{"ts": "NOT-A-TIMESTAMP", "hub": "H2", "price_mwh": 1.0}""") == "bad_ts")
+  }
+
+  test("ingest observed metric counts dropped frames per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[String]
+    val q = Ingest.prices(input.toDF())
+      .writeStream.format("memory").queryName("obs_out").outputMode("append").start()
+    try {
+      input.addData(
+        """{"ts": "2024-01-15T10:30:45", "hub": "H1", "price_mwh": 47.12}""",
+        """garbage""",
+        """{"ts": "2024-01-15T10:30:46", "hub": "H2", "price_mwh": 48.0}""")
+      q.processAllAvailable()
+      val m = q.recentProgress.flatMap(p =>
+        Option(p.observedMetrics.get("graft_ingest_prices"))).last
+      assert(m.getAs[Long]("frames_in") == 3L)
+      assert(m.getAs[Long]("frames_dropped") == 1L)
+    } finally q.stop()
   }
 
   test("ingest parses trades with all wire fields") {
