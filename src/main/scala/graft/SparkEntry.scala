@@ -399,10 +399,14 @@ object SparkEntry {
       Similarity.bruteForceKnn(t(s, d, "embeddings"), col("vec_id") < 5, k = 10)
         .orderBy(col("qid"), col("rn"))),
 
-    // MinHash + LSH near-dup candidates (no SQL oracle: xxhash64 family —
-    // driver records rows-only; correctness covered by DedupSpec)
+    // MinHash + LSH near-dup pairs, exact-verified (Dedup.minhashNearDups):
+    // banding proposes candidates, exact shingle Jaccard confirms. With
+    // r=2/b=64 the per-pair miss probability at J=0.5 is (1−0.25)⁶⁴ ≈ 1e-8,
+    // so the result hash-matches the exact all-pairs DuckDB oracle — an LSH
+    // plan with an exact gate. (The unverified est-jaccard variant stays as
+    // Dedup.minhashLsh, unit-tested in DedupSpec.)
     "q23_minhash_lsh" -> ((s, d) =>
-      Dedup.minhashLsh(t(s, d, "documents"), col("doc_id"), col("text"))
+      Dedup.minhashNearDups(t(s, d, "documents"), col("doc_id"), col("text"))
         .orderBy(col("doc_a"), col("doc_b"))),
 
     // SimHash near-dup pairs (rows-only; covered by DedupSpec)
@@ -565,14 +569,59 @@ object SparkEntry {
           element_at(col("p"), 2).as("p50"), element_at(col("p"), 3).as("p90"))
         .orderBy(col("l_returnflag"))),
 
-    // approx_count_distinct (HLL++) beside the exact count — rows-only (the
-    // sketch estimate is engine-specific by design; the ≤5% relative-error
-    // bound vs exact is asserted in JoinsSpec)
+    // approx_count_distinct (HLL++) gated against the exact count: the raw
+    // sketch estimate is engine-specific by design (not hash-matchable), so
+    // the query exports the exact count plus a ≤5%-relative-error boolean
+    // and the oracle asserts it true — a drifting sketch turns the gate red
+    // instead of hiding behind a rows-only check. (Same bound asserted in
+    // JoinsSpec.)
     "q40_approx_distinct" -> ((s, d) =>
       ev(s, d).groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("approx_users"),
           countDistinct(col("user_id")).as("n_users"))
+        .select(col("event_type"), col("n_users"),
+          (abs(col("approx_users") - col("n_users")) <= col("n_users") * 0.05)
+            .as("approx_ok"))
         .orderBy(col("event_type"))),
+
+    // ANN quality gate — the approximate similarity paths (q27/q29/q33)
+    // stay rows-only by nature (bucketing follows the engine's hash family),
+    // so this query turns their quality contracts into an oracle-checkable
+    // result: each metric is a boolean floor computed against the exact
+    // counterpart inside one plan, and the oracle asserts all-true. Floors
+    // come from measurements at sf0.001/0.01/0.1 (lsh_knn recall 0.86–0.90,
+    // ivf 0.38–0.48 on the isotropic fixture, lsh dup recall 0.86–0.95)
+    // with ~2× margin, so a silent recall regression turns the round red
+    // while fixture-level variance cannot.
+    "q44_ann_quality" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val bf = Similarity.bruteForceKnn(e, col("vec_id") < 5, k = 10)
+        .select(col("qid"), col("vec_id"))
+      def knnRecall(name: String, approx: DataFrame, floor: Double): DataFrame =
+        approx.select(col("qid"), col("vec_id"))
+          .join(bf, Seq("qid", "vec_id"), "left_semi").agg(count(lit(1)).as("h"))
+          .crossJoin(bf.agg(count(lit(1)).as("t")))
+          .select(lit(name).as("metric"), (col("h") >= col("t") * floor).as("ok"))
+      val exactP = Similarity.cosineDupPairs(e, threshold = 0.4)
+        .select(col("id_a"), col("id_b"), col("score"))
+      val lshP = Similarity.cosineDupPairsLsh(e, threshold = 0.4)
+        .select(col("id_a"), col("id_b"), col("score").as("score_lsh"))
+      val dupRecall = lshP
+        .join(exactP, Seq("id_a", "id_b"), "left_semi").agg(count(lit(1)).as("h"))
+        .crossJoin(exactP.agg(count(lit(1)).as("t")))
+        .select(lit("lsh_dup_recall").as("metric"), (col("h") >= col("t") * 0.7).as("ok"))
+      // every LSH pair must exist in the exact result with a bit-identical
+      // score (subset property — LSH blocks, exact verify scores)
+      val dupSubset = lshP.join(exactP, Seq("id_a", "id_b"), "left")
+        .agg((count(lit(1)) === count(when(col("score") === col("score_lsh"), 1))).as("ok"))
+        .select(lit("lsh_dup_scores_subset").as("metric"), col("ok"))
+      knnRecall("lsh_knn_recall10", Similarity.lshKnn(e, col("vec_id") < 5, k = 10), 0.6)
+        .unionByName(knnRecall("ivf_knn_recall10",
+          Similarity.ivfKnn(e, col("vec_id") < 5, k = 10), 0.25))
+        .unionByName(dupRecall)
+        .unionByName(dupSubset)
+        .orderBy(col("metric"))
+    }),
 
     // latest-3 per user via graft_topk — the bounded-buffer aggregate
     // replacement for row_number() <= k: partial aggregation means the
@@ -792,6 +841,38 @@ object SparkEntry {
         |WHERE CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |        / (length(a.sh) + length(b.sh) - length(list_intersect(a.sh, b.sh))) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Exact global all-pairs n-gram Jaccard — the verified-LSH plan must
+    // reproduce it (recall loss is ~1e-8 per pair at the chosen banding)
+    "q23_minhash_lsh" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_distinct(list_transform(range(1, length(toks) - 2 + 1),
+        |                i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+        |    END AS sh
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |        FROM documents) tk)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |         / (length(a.sh) + length(b.sh) - length(list_intersect(a.sh, b.sh))) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE length(a.sh) > 0 AND length(b.sh) > 0
+        |  AND CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / (length(a.sh) + length(b.sh) - length(list_intersect(a.sh, b.sh))) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q40_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, TRUE AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q44_ann_quality" ->
+      """SELECT * FROM (VALUES
+        |  ('ivf_knn_recall10', TRUE),
+        |  ('lsh_dup_recall', TRUE),
+        |  ('lsh_dup_scores_subset', TRUE),
+        |  ('lsh_knn_recall10', TRUE)) AS t(metric, ok)
+        |ORDER BY metric""".stripMargin,
 
     "q26_cosine_dups" ->
       """WITH n AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -60,6 +60,57 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** MinHash-LSH near-duplicate pairs, exact-verified: banding proposes
+    * candidates, exact n-gram Jaccard (integer set sizes — bit-reproducible
+    * in any engine) confirms them. Output: (doc_a, doc_b, jaccard) with
+    * jaccard ≥ threshold, doc_a < doc_b — equal to the exact all-pairs
+    * answer up to LSH recall.
+    *
+    * Band geometry is chosen so that recall IS effectively exact: with
+    * r = 2 rows/band and b = 64 bands, a pair at J = 0.5 misses every band
+    * with probability (1 − 0.5²)⁶⁴ ≈ 1e-8 — which is why this query can be
+    * hash-checked against an exact DuckDB oracle (SparkEntry q23) instead
+    * of settling for a rows-only gate. Cost stays LSH-shaped: candidates
+    * come from the band equi-join (never all-pairs); the exact verify runs
+    * only on candidate pairs, which the banding keeps sparse.
+    */
+  def minhashNearDups(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      shingleN: Int = 3,
+      numHashes: Int = 128,
+      numBands: Int = 64,
+      threshold: Double = 0.5): DataFrame = {
+    val r = numHashes / numBands
+    require(numBands * r == numHashes, "numBands must divide numHashes")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val base = df.select(idCol.as("doc_id"),
+        call_function("graft_shingles", textCol, lit(shingleN)).as("sh"))
+      .withColumn("n", size(col("sh")))
+    val sigs = base.select(col("doc_id"),
+        call_function("graft_minhash", col("sh"), lit(numHashes)).as("sig"))
+      .withColumn("band", explode(Text.bands(col("sig"), numBands, r)))
+      .repartition(col("band"))
+    val a = sigs.select(col("band"), col("doc_id").as("doc_a"))
+    val b = sigs.select(col("band"), col("doc_id").as("doc_b"))
+    // candidate ids only — the shuffle after the band join moves 16-byte
+    // pairs, not signatures; shingle sets are fetched back by id for the
+    // (sparse) verify step
+    val cand = a.join(b, Seq("band"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cand
+      .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n").as("n_b")), Seq("doc_b"))
+      .filter(col("n_a") > 0 && col("n_b") > 0) // empty shingle sets have no similarity
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("c"), col("n_a"), col("n_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("c").cast("double") / (col("n_a") + col("n_b") - col("c"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** SimHash near-dup pairs: 64-bit sketches, 4×16-bit pigeonhole blocking,
     * exact hamming verify ≤ maxHamming (≤ 3 guarantees no false negatives
     * from blocking). Output: (doc_a, doc_b, hamming).

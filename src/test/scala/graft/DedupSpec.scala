@@ -46,6 +46,18 @@ class DedupSpec extends AnyFunSuite {
     assert(est == 1.0)
   }
 
+  test("minhashNearDups emits exact jaccard and equals the unblocked exact answer") {
+    val rows = Dedup.minhashNearDups(docs(), col("doc_id"), col("text"))
+      .collect().map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")), r.getAs[Double]("jaccard"))).toMap
+    // exact dup: jaccard exactly 1.0 (verified score, not an estimate)
+    assert(rows((0L, 3L)) == 1.0)
+    // one-token edit over 3-shingles: 28 tokens -> 26 distinct shingles per
+    // doc, the edit kills the 3 shingles covering the token -> 23/29
+    assert(rows.contains((0L, 1L)) && math.abs(rows((0L, 1L)) - 23.0 / 29.0) < 1e-15)
+    assert(rows.contains((1L, 3L)), "near-dup pairs across blocks are global")
+    assert(!rows.keySet.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
   test("simhash pairs near-dups with small hamming, skips unrelated") {
     val rows = Dedup.simhashPairs(docs(), col("doc_id"), col("text"), maxHamming = 3)
       .collect().map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")), r.getAs[Long]("hamming"))).toMap
