@@ -584,6 +584,54 @@ object SparkEntry {
             .as("approx_ok"))
         .orderBy(col("event_type"))),
 
+    // Normalize-then-dedup (pipeline op): unicode-simple canonical form —
+    // lowercase, strip non-alphanumerics, squeeze whitespace — then exact
+    // dedup over the normalized text. Catches near-dups that differ only in
+    // case/punctuation, the cheapest rung on the dedup ladder before
+    // MinHash. ASCII regex classes keep Java and RE2 semantics identical.
+    "q45_normalized_dedup" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+            " +", " ")).as("norm"))
+        .groupBy(col("norm"))
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+        .select(col("canonical_id"), col("n_copies"))
+        .orderBy(col("canonical_id"))),
+
+    // Approximate quantiles, rank-gated (the 100 TB path beside exact q39:
+    // percentile() sorts every group; percentile_approx is a bounded-memory
+    // sketch with ~1/accuracy rank error). The sketch value is
+    // engine-specific, so the gate is rank-based: the approx p50 must land
+    // between the exact p40 and p60 — at accuracy 10000 the rank error is
+    // 0.01%, so the boolean cannot flap while a broken sketch trips it.
+    "q46_approx_quantile" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_extendedprice, array(0.4D, 0.5D, 0.6D))").as("p"),
+          expr("percentile_approx(l_extendedprice, 0.5D, 10000)").as("ap"))
+        .select(col("l_returnflag"), element_at(col("p"), 2).as("p50_exact"),
+          (col("ap") >= element_at(col("p"), 1) && col("ap") <= element_at(col("p"), 3))
+            .as("approx_ok"))
+        .orderBy(col("l_returnflag"))),
+
+    // Analytic window-function family (lag/lead/rank/dense_rank/cume_dist)
+    // over one WindowExec pass — the OLAP surface beyond plain row_number
+    "q47_window_funcs" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ev(s, d).select(
+          col("event_id"), col("user_id"), col("value"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("value"), 1).over(w).as("next_value"),
+          rank().over(Window.partitionBy(col("user_id"))
+            .orderBy(col("event_type"))).as("type_rank"),
+          dense_rank().over(Window.partitionBy(col("user_id"))
+            .orderBy(col("event_type"))).as("type_dense_rank"),
+          cume_dist().over(w).as("cd"))
+        .orderBy(col("event_id"))
+    }),
+
     // ANN quality gate — the approximate similarity paths (q27/q29/q33)
     // stay rows-only by nature (bucketing follows the engine's hash family),
     // so this query turns their quality contracts into an oracle-checkable
@@ -865,6 +913,30 @@ object SparkEntry {
     "q40_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, TRUE AS approx_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q45_normalized_dedup" ->
+      """SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+        |FROM (SELECT doc_id,
+        |        trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |          ' +', ' ', 'g')) AS norm
+        |      FROM documents) n
+        |GROUP BY norm ORDER BY canonical_id""".stripMargin,
+
+    "q46_approx_quantile" ->
+      """SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS p50_exact,
+        |       TRUE AS approx_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q47_window_funcs" ->
+      """SELECT event_id, user_id, value,
+        |  lag(value, 1) OVER w AS prev_value,
+        |  lead(value, 1) OVER w AS next_value,
+        |  rank() OVER (PARTITION BY user_id ORDER BY event_type) AS type_rank,
+        |  dense_rank() OVER (PARTITION BY user_id ORDER BY event_type) AS type_dense_rank,
+        |  cume_dist() OVER w AS cd
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+        |ORDER BY event_id""".stripMargin,
 
     "q44_ann_quality" ->
       """SELECT * FROM (VALUES
