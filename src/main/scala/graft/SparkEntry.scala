@@ -575,9 +575,13 @@ object SparkEntry {
     // and the oracle asserts it true — a drifting sketch turns the gate red
     // instead of hiding behind a rows-only check. (Same bound asserted in
     // JoinsSpec.)
+    // rsd 0.01 (not the 0.05 default): the gate below asserts ≤5% relative
+    // error, and a sketch whose own standard deviation IS 5% trips it
+    // legitimately (observed at sf0.1) — the gate needs a sketch a few
+    // sigma tighter than the bound it enforces
     "q40_approx_distinct" -> ((s, d) =>
       ev(s, d).groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
           countDistinct(col("user_id")).as("n_users"))
         .select(col("event_type"), col("n_users"),
           (abs(col("approx_users") - col("n_users")) <= col("n_users") * 0.05)
