@@ -636,6 +636,53 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Pivot (wide aggregation): one column per event_type, per-user sums.
+    // Explicit pivot values keep the schema static (no distinct-scan at
+    // plan time — the dynamic form runs an extra job and breaks pure
+    // declarative planning at scale); sums ride through DECIMAL so both
+    // engines add exactly
+    "q48_pivot" -> ((s, d) =>
+      ev(s, d).groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(sum(col("value").cast("decimal(18,6)")).cast("double"))
+        .orderBy(col("user_id"))),
+
+    // Unpivot / melt (long normalization of wide columns)
+    "q49_unpivot" -> ((s, d) =>
+      t(s, d, "lineitem").filter(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "val")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))),
+
+    // Statistical aggregate family (Welford-merged moments): results are
+    // rounded to 3dp on both sides — the merge tree differs between
+    // engines, so the last float bits legitimately disagree while anything
+    // a user reads must not. (skewness is excluded: Spark computes the
+    // population form, DuckDB the sample form — not comparable.)
+    "q50_stats_agg" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(avg(col("l_extendedprice")), 3).as("avg_price"),
+          round(stddev_samp(col("l_extendedprice")), 3).as("sd_price"),
+          round(var_samp(col("l_quantity")), 3).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 3).as("cov_qp"))
+        .orderBy(col("l_returnflag"))),
+
+    // Full outer join (both-side null preservation; sort order pins NULLS
+    // FIRST explicitly — Spark and DuckDB default opposite ways)
+    "q51_full_outer" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_totalprice") > 300000.0),
+          col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(asc_nulls_first("c_custkey"), asc_nulls_first("o_orderkey"))),
+
     // ANN quality gate — the approximate similarity paths (q27/q29/q33)
     // stay rows-only by nature (bucketing follows the engine's hash family),
     // so this query turns their quality contracts into an oracle-checkable
@@ -941,6 +988,43 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
         |ORDER BY event_id""".stripMargin,
+
+    "q48_pivot" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q49_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, val FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val
+        |  FROM lineitem WHERE l_orderkey < 100
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        |  FROM lineitem WHERE l_orderkey < 100
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |  FROM lineitem WHERE l_orderkey < 100) u
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+
+    "q50_stats_agg" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(avg(l_extendedprice), 3) AS avg_price,
+        |  round(stddev_samp(l_extendedprice), 3) AS sd_price,
+        |  round(var_samp(l_quantity), 3) AS var_qty,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |  round(covar_samp(l_quantity, l_extendedprice), 3) AS cov_qp
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q51_full_outer" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM customer FULL OUTER JOIN
+        |  (SELECT * FROM orders WHERE o_totalprice > 300000.0) o
+        |  ON c_custkey = o_custkey
+        |ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin,
 
     "q44_ann_quality" ->
       """SELECT * FROM (VALUES
