@@ -578,15 +578,24 @@ object SparkEntry {
     // rsd 0.01 (not the 0.05 default): the gate below asserts ≤5% relative
     // error, and a sketch whose own standard deviation IS 5% trips it
     // legitimately (observed at sf0.1) — the gate needs a sketch a few
-    // sigma tighter than the bound it enforces
-    "q40_approx_distinct" -> ((s, d) =>
-      ev(s, d).groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
-          countDistinct(col("user_id")).as("n_users"))
+    // sigma tighter than the bound it enforces.
+    // The two aggregates run as separate plans joined on the 5-row key:
+    // fused, Spark's distinct-rewrite builds the 2^14-register HLL partial
+    // per (event_type, user_id) PRE-group — ~1.6k longs × every distinct
+    // user through the exchange (~100 MB at sf0.1, and growing with
+    // corpus) — instead of one sketch per output group
+    "q40_approx_distinct" -> ((s, d) => {
+      val e = ev(s, d)
+      val approx = e.groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      val exact = e.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      exact.join(approx, Seq("event_type"))
         .select(col("event_type"), col("n_users"),
           (abs(col("approx_users") - col("n_users")) <= col("n_users") * 0.05)
             .as("approx_ok"))
-        .orderBy(col("event_type"))),
+        .orderBy(col("event_type"))
+    }),
 
     // Normalize-then-dedup (pipeline op): unicode-simple canonical form —
     // lowercase, strip non-alphanumerics, squeeze whitespace — then exact
