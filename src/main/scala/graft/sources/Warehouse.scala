@@ -24,4 +24,15 @@ object Warehouse {
       .saveAsTable(table)
 
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
+
+  /** Write `df` hive-partitioned by `partCols`. At scale the win is
+    * partition pruning: a filter on a partition column prunes whole
+    * directories at planning time, so a hub- or day-scoped query reads
+    * only its slice of a 100 TB table — the scan's `PartitionFilters`
+    * (asserted in WarehouseSpec) instead of a post-scan row filter.
+    * Partition columns must be coarse (hub, date) — one directory per
+    * value; never partition by a high-cardinality key.
+    */
+  def writePartitioned(df: DataFrame, path: String, partCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
 }

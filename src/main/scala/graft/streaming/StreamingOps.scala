@@ -149,6 +149,46 @@ object StreamingOps {
     events.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Reference R3/R4 ("DISTINCT ON … ORDER BY ts DESC") as a live view:
+    * the latest row per key maintained incrementally with
+    * `mapGroupsWithState` in Update mode, instead of recomputed by a
+    * window over the whole table on every read. Each micro-batch emits the
+    * new latest row for exactly the keys it touched; state holds one row
+    * per key, so the store size is the key cardinality, not the stream
+    * length.
+    */
+  def latestPerGroupStream[K, T](ds: Dataset[T], key: T => K,
+      order: T => (Long, Long))(
+      implicit ke: org.apache.spark.sql.Encoder[K],
+      te: org.apache.spark.sql.Encoder[T]): Dataset[T] =
+    ds.groupByKey(key)
+      .mapGroupsWithState[T, T](GroupStateTimeout.NoTimeout()) {
+        case (_, it, state) =>
+          val best = (it ++ state.getOption.iterator).maxBy(order)
+          state.update(best)
+          best
+      }
+
+  /** Upsert sink for [[latestPerGroupStream]]: each micro-batch overwrites
+    * only the key partitions it touched (dynamic partition overwrite,
+    * passed per write — never mutated session-wide), so the parquet
+    * directory is always the current snapshot. Keys must be coarse enough
+    * to partition by (account, hub — the reference's DISTINCT ON keys).
+    */
+  def writeLatestSnapshot[T](latest: Dataset[T], partCols: Seq[String],
+      outDir: String, checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    latest.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[T], _: Long) =>
+        batch.toDF().write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(partCols: _*)
+          .parquet(outDir)
+        ()
+      }
+      .start()
+
   /** Dual-sink writer for one PnL query — the reference chains the exposure
     * map on the PnL operator's output and feeds two JDBC sinks from one job
     * (PnlAndExposureJob.java:57-76; SURVEY.md §3 E3). In Structured Streaming

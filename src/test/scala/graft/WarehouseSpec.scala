@@ -42,4 +42,19 @@ class WarehouseSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS wh_customer")
     }
   }
+
+  test("partitioned table prunes directories at the scan for partition-key filters") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/events"
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    Warehouse.writePartitioned(events, dir, Seq("event_type"))
+    val q = spark.read.parquet(dir).filter(col("event_type") === "click")
+    val scan = q.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scan.contains("event_type"),
+      s"partition-key filter must reach PartitionFilters, got: $scan")
+    // pruning must not change results vs the unpartitioned read
+    assert(q.count() == events.filter(col("event_type") === "click").count())
+    // and a partition column round-trips (moved to directory, read back)
+    assert(q.columns.contains("event_type"))
+  }
 }
