@@ -58,6 +58,45 @@ class DedupSpec extends AnyFunSuite {
     assert(!rows.keySet.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("minhashNearDups equals brute-force exact jaccard on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    val pool = Vector.tabulate(120)(i => s"tok$i")
+    for (trial <- 1 to 3) {
+      // 40 base docs + mutated copies (drop/replace a few tokens) so the
+      // corpus has pairs straddling the 0.5 threshold, not just dup/unrelated
+      val bases = Vector.tabulate(40) { i =>
+        (i.toLong, Vector.fill(15 + rnd.nextInt(25))(pool(rnd.nextInt(pool.size))))
+      }
+      val mutated = bases.take(15).map { case (id, toks) =>
+        val t2 = toks.zipWithIndex.map { case (t, j) =>
+          if (rnd.nextDouble() < 0.12) pool(rnd.nextInt(pool.size)) else t
+        }
+        (id + 1000L, t2)
+      }
+      val all = bases ++ mutated
+      val df = all.map { case (id, toks) => (id, toks.mkString(" ")) }.toDF("doc_id", "text")
+      val got = Dedup.minhashNearDups(df, col("doc_id"), col("text"))
+        .collect()
+        .map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")), r.getAs[Double]("jaccard")))
+        .toMap
+      // brute-force oracle in plain Scala
+      def shingles(toks: Vector[String]): Set[String] =
+        if (toks.size < 3) Set.empty
+        else toks.sliding(3).map(_.mkString(" ")).toSet
+      val sh = all.map { case (id, toks) => id -> shingles(toks) }
+      val want = (for {
+        (ia, sa) <- sh; (ib, sb) <- sh
+        if ia < ib && sa.nonEmpty && sb.nonEmpty
+        inter = sa.intersect(sb).size
+        j = inter.toDouble / (sa.size + sb.size - inter)
+        if j >= 0.5
+      } yield (ia, ib) -> j).toMap
+      assert(want.nonEmpty, s"trial $trial must plant pairs above threshold")
+      assert(got == want, s"trial $trial: LSH-verified=${got.keySet} exact=${want.keySet}")
+    }
+  }
+
   test("simhash pairs near-dups with small hamming, skips unrelated") {
     val rows = Dedup.simhashPairs(docs(), col("doc_id"), col("text"), maxHamming = 3)
       .collect().map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")), r.getAs[Long]("hamming"))).toMap
