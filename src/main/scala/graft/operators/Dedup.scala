@@ -88,9 +88,14 @@ object Dedup {
     val base = df.select(idCol.as("doc_id"),
         call_function("graft_shingles", textCol, lit(shingleN)).as("sh"))
       .withColumn("n", size(col("sh")))
+    // project the signature away BEFORE the band shuffle: unlike
+    // minhashLsh (whose est_jaccard needs sig on both sides), the verify
+    // step only needs ids — carrying the k-lane sig through a ×numBands
+    // explode would move ~numBands·k·8 bytes per doc instead of 16
     val sigs = base.select(col("doc_id"),
         call_function("graft_minhash", col("sh"), lit(numHashes)).as("sig"))
       .withColumn("band", explode(Text.bands(col("sig"), numBands, r)))
+      .select(col("band"), col("doc_id"))
       .repartition(col("band"))
     val a = sigs.select(col("band"), col("doc_id").as("doc_a"))
     val b = sigs.select(col("band"), col("doc_id").as("doc_b"))

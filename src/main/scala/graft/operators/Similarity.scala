@@ -216,19 +216,28 @@ object Similarity {
     * side; the O(n²) pair compute spreads over blocks·(blocks+1)/2 keys so
     * every executor gets work and nothing is nested-loop-broadcast.
     */
-  def cosineDupPairs(emb: DataFrame, threshold: Double, blocks: Int = 16): DataFrame = {
+  def cosineDupPairs(emb: DataFrame, threshold: Double, blocks: Int = 0): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
+    // blocks auto-sizes to the session's parallelism: block-pair keys
+    // ≈ blocks²/2 must cover every core or the quadratic work piles onto a
+    // few tasks; replication per side is ~blocks/2, the intrinsic price of
+    // exact all-pairs (a row must meet every block). Derived from cluster
+    // config, not data — no plan-build scan.
+    val nb =
+      if (blocks > 0) blocks
+      else math.max(16, math.ceil(math.sqrt(
+        2.0 * emb.sparkSession.sparkContext.defaultParallelism)).toInt)
     val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-      .withColumn("b", pmod(xxhash64(col("vec_id")), lit(blocks)).cast("int"))
+      .withColumn("b", pmod(xxhash64(col("vec_id")), lit(nb)).cast("int"))
     val x = e
       .withColumn("key", explode(transform(
-        sequence(col("b"), lit(blocks - 1)), bb => col("b") * blocks + bb)))
+        sequence(col("b"), lit(nb - 1)), bb => col("b") * nb + bb)))
       .select(col("key"), col("b").as("b_x"), col("vec_id").as("id_x"),
         col("v").as("v_x"), col("nrm").as("n_x"))
     val y = e
       .withColumn("key", explode(transform(
-        sequence(lit(0), col("b")), ba => ba * blocks + col("b"))))
+        sequence(lit(0), col("b")), ba => ba * nb + col("b"))))
       .select(col("key"), col("b").as("b_y"), col("vec_id").as("id_y"),
         col("v").as("v_y"), col("nrm").as("n_y"))
     x.join(y, Seq("key"))
