@@ -692,6 +692,18 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice"))
         .orderBy(asc_nulls_first("c_custkey"), asc_nulls_first("o_orderkey"))),
 
+    // Semi-structured extraction: the JSON `props` column parsed in-query
+    // (get_json_object is codegen'd; no ETL round trip), aggregated per
+    // type — the schema-on-read path every event pipeline needs
+    "q52_json_extract" -> ((s, d) =>
+      ev(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          count(when(col("k") > 50, 1)).as("n_k_gt50"))
+        .orderBy(col("event_type"))),
+
     // ANN quality gate — the approximate similarity paths (q27/q29/q33)
     // stay rows-only by nature (bucketing follows the engine's hash family),
     // so this query turns their quality contracts into an oracle-checkable
@@ -1034,6 +1046,12 @@ object SparkEntry {
         |  (SELECT * FROM orders WHERE o_totalprice > 300000.0) o
         |  ON c_custkey = o_custkey
         |ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin,
+
+    "q52_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 THEN 1 END) AS n_k_gt50
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q44_ann_quality" ->
       """SELECT * FROM (VALUES
