@@ -13,6 +13,9 @@ import graft.operators.{HubState, MarketEvent, PnlKernel, PnlRow}
   */
 final case class SmaState(window: Seq[Double])
 
+/** Doc ids seen in one LSH band bucket (streaming near-dup state). */
+final case class BandBucket(ids: Seq[Long])
+
 /** One forecast per input tick (reference ForecastsJob.java:82-85). */
 final case class ForecastRow(
     seq: Long,
@@ -188,6 +191,51 @@ object StreamingOps {
         ()
       }
       .start()
+
+  /** Streaming MinHash-LSH near-dup candidates — the streaming face of
+    * [[graft.operators.Dedup.minhashLsh]]. Each LSH band bucket keys a
+    * state holding the doc ids seen in that bucket (the same inverted
+    * index the batch band join materializes as a shuffle); an arriving doc
+    * emits one candidate pair per id already in any of its buckets.
+    *
+    * Contract: pairs are at-least-once (a pair sharing several buckets or
+    * split across micro-batches can repeat) — dedup/verify downstream,
+    * exactly like the batch pipeline's `distinct()` + exact-verify step.
+    * Bucket state grows with the corpus, which IS the inverted index's
+    * size; at scale it lives in the state store (RocksDB), and the sketch
+    * parameters bound the bucket fan-out per doc.
+    */
+  def nearDupCandidatesStream(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 32, numBands: Int = 8): Dataset[(Long, Long)] = {
+    import org.apache.spark.sql.functions._
+    val r = numHashes / numBands
+    require(numBands * r == numHashes, "numBands must divide numHashes")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(graft.functions.Text.bands(
+          call_function("graft_minhash",
+            call_function("graft_shingles", col(textCol), lit(shingleN)),
+            lit(numHashes)), numBands, r)).as("band"))
+      .as[(Long, Long)].map { case (id, band) => (band, id) }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[BandBucket, (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, it, state) =>
+          var seen = state.getOption.map(_.ids).getOrElse(Seq.empty).toVector
+          val out = Vector.newBuilder[(Long, Long)]
+          it.map(_._2).toVector.sorted.foreach { id =>
+            if (!seen.contains(id)) {
+              seen.foreach(prev => out += ((math.min(prev, id), math.max(prev, id))))
+              seen = seen :+ id
+            }
+          }
+          state.update(BandBucket(seen))
+          out.result().iterator
+      }
+  }
 
   /** Dual-sink writer for one PnL query — the reference chains the exposure
     * map on the PnL operator's output and feeds two JDBC sinks from one job

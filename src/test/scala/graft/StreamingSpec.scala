@@ -49,6 +49,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup candidates equal the batch band-join candidate set") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val input = MemoryStream[(Long, String)]
+    val stream = StreamingOps.nearDupCandidatesStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = stream.toDF().toDF("doc_a", "doc_b")
+      .writeStream.format("memory").queryName("neardup_out").outputMode("append").start()
+    try {
+      docs.grouped(math.max(1, docs.size / 2 + 1)).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      val got = spark.table("neardup_out").distinct().collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      // batch counterpart: est threshold 0 keeps every band-sharing pair
+      val want = graft.operators.Dedup.minhashLsh(
+          docs.toDF("doc_id", "text"), col("doc_id"), col("text"), threshold = 0.0)
+        .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      assert(want.nonEmpty, "fixture must contain band-sharing candidates")
+      assert(got == want, s"stream=${got.size} batch=${want.size}")
+    } finally q.stop()
+  }
+
   test("streaming PnL over 3 micro-batches equals batch replay bit-for-bit") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
