@@ -40,23 +40,30 @@ object Dedup {
     require(numBands * r == numHashes, "numBands must divide numHashes")
     graft.functions.GraftFunctions.register(df.sparkSession)
     // repartition on the band key: the exchange materializes the (expensive)
-    // signature projection once, and the self-join's two sides become a
+    // sketch projection once, and the self-join's two sides become a
     // ReusedExchange instead of recomputing every sketch per side (bench:
-    // 100s -> ~3s at sf0.1)
+    // 100s -> ~3s at sf0.1). Only (band, doc_id) rides the ×numBands
+    // explode — signatures are fetched back by id AFTER the candidate
+    // dedup, so the band shuffle moves 16-byte rows, not k-lane arrays
     val sigs = df.select(
         idCol.as("doc_id"),
         call_function("graft_minhash",
           call_function("graft_shingles", textCol, lit(shingleN)), lit(numHashes)).as("sig"))
+    val bands = sigs
       .withColumn("band", explode(Text.bands(col("sig"), numBands, r)))
+      .select(col("band"), col("doc_id"))
       .repartition(col("band"))
-    val a = sigs.select(col("band"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val b = sigs.select(col("band"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band")) // shuffle on band key only — no corpus cross join
+    val a = bands.select(col("band"), col("doc_id").as("doc_a"))
+    val b = bands.select(col("band"), col("doc_id").as("doc_b"))
+    val cand = a.join(b, Seq("band")) // shuffle on band key only — no corpus cross join
       .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => (x === y).cast("int")),
           e => e === 1)).cast("double") / numHashes).as("est_jaccard"))
-      .distinct()
       .filter(col("est_jaccard") >= threshold)
   }
 
