@@ -704,6 +704,19 @@ object SparkEntry {
           count(when(col("k") > 50, 1)).as("n_k_gt50"))
         .orderBy(col("event_type"))),
 
+    // Vocabulary building (pipeline op): corpus-wide token frequencies,
+    // top-100 — the explode + count every tokenizer-training pipeline
+    // runs. Partial aggregation combines map-side, so the shuffle carries
+    // one row per distinct token per partition, and TakeOrdered replaces a
+    // global sort; ties break on the token for determinism
+    "q53_vocab" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(explode(graft.functions.Text.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(100)),
+
     // ANN quality gate — the approximate similarity paths (q27/q29/q33)
     // stay rows-only by nature (bucketing follows the engine's hash family),
     // so this query turns their quality contracts into an oracle-checkable
@@ -1052,6 +1065,12 @@ object SparkEntry {
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 THEN 1 END) AS n_k_gt50
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q53_vocab" ->
+      """SELECT tok, count(*) AS n FROM (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        |  FROM documents) t
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 100""".stripMargin,
 
     "q44_ann_quality" ->
       """SELECT * FROM (VALUES
