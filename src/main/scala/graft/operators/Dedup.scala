@@ -112,9 +112,14 @@ object Dedup {
     val cand = a.join(b, Seq("band"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
+    // one id-partitioned exchange of the shingle sets, reused by BOTH
+    // verify joins (the doc_a/doc_b renames are projections on top of the
+    // same exchange) — without it each join recomputes every doc's
+    // shingles from scratch
+    val sets = base.repartition(col("doc_id"))
     cand
-      .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n").as("n_a")), Seq("doc_a"))
-      .join(base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n").as("n_b")), Seq("doc_b"))
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n").as("n_b")), Seq("doc_b"))
       .filter(col("n_a") > 0 && col("n_b") > 0) // empty shingle sets have no similarity
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("sh_a"), col("sh_b"))).as("c"), col("n_a"), col("n_b"))

@@ -225,9 +225,12 @@ object StreamingOps {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (_, it, state) =>
           var seen = state.getOption.map(_.ids).getOrElse(Seq.empty).toVector
+          // Set mirror for O(1) membership — a Seq.contains per arrival
+          // would be quadratic over a hot bucket's stream life
+          val member = scala.collection.mutable.HashSet.from(seen)
           val out = Vector.newBuilder[(Long, Long)]
           it.map(_._2).toVector.sorted.foreach { id =>
-            if (!seen.contains(id)) {
+            if (member.add(id)) {
               seen.foreach(prev => out += ((math.min(prev, id), math.max(prev, id))))
               seen = seen :+ id
             }
