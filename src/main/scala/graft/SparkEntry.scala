@@ -717,6 +717,26 @@ object SparkEntry {
         .orderBy(col("n").desc, col("tok"))
         .limit(100)),
 
+    // SQL entry path: the one declared query that goes through
+    // spark.sql's parser/analyzer instead of the DataFrame API — a
+    // correlated-shape scalar subquery (big spenders vs 2× the mean
+    // per-customer order total). Every other query proves the DataFrame
+    // surface; this one proves a pure-SQL user gets the same engine.
+    "q54_sql_subquery" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("v_orders")
+      t(s, d, "customer").createOrReplaceTempView("v_customer")
+      s.sql("""
+        SELECT c_custkey, c_name, total
+        FROM (SELECT c_custkey, c_name,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+              FROM v_customer JOIN v_orders ON o_custkey = c_custkey
+              GROUP BY c_custkey, c_name) t
+        WHERE total > 2 * (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+                                  / count(DISTINCT o_custkey)
+                           FROM v_orders)
+        ORDER BY c_custkey""")
+    }),
+
     // ANN quality gate — the approximate similarity paths (q27/q29/q33)
     // stay rows-only by nature (bucketing follows the engine's hash family),
     // so this query turns their quality contracts into an oracle-checkable
@@ -1071,6 +1091,17 @@ object SparkEntry {
         |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
         |  FROM documents) t
         |GROUP BY tok ORDER BY n DESC, tok LIMIT 100""".stripMargin,
+
+    "q54_sql_subquery" ->
+      """SELECT c_custkey, c_name, total
+        |FROM (SELECT c_custkey, c_name,
+        |             CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |      FROM customer JOIN orders ON o_custkey = c_custkey
+        |      GROUP BY c_custkey, c_name) t
+        |WHERE total > 2 * (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |                          / count(DISTINCT o_custkey)
+        |                   FROM orders)
+        |ORDER BY c_custkey""".stripMargin,
 
     "q44_ann_quality" ->
       """SELECT * FROM (VALUES
