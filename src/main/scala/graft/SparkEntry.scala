@@ -776,6 +776,40 @@ object SparkEntry {
         .orderBy(col("metric"))
     }),
 
+    // Streaming execution in the driver's gate: the q06 tape replayed in 8
+    // ordered micro-batches through the REAL flatMapGroupsWithState PnL
+    // operator (StreamingOps.pnlStream — the reference's primary execution
+    // mode, PnlAndExposureJob.java:29-78), sink hash-checked against the
+    // same recursive-CTE oracle as the batch fold. State carries across
+    // micro-batch boundaries; a streaming-only regression now turns the
+    // round red instead of hiding behind green batch plans.
+    "q55_streaming_pnl" -> ((s, d) => {
+      import s.implicits._
+      val tape = Pnl.eventsAsMarket(ev(s, d)).collect().toSeq
+        .sortBy(e => (e.ts.getTime, e.seq))
+      graft.streaming.MemoryReplay.replay(s, tape, nBatches = 8)(
+          graft.streaming.StreamingOps.pnlStream(_))
+        .select(col("seq"), ntz(col("ts")).as("ts"), col("account"), col("hub"),
+          col("position_mw"), col("avg_price_mwh"), col("last_price_mwh"),
+          col("realized_pnl"), col("unrealized_pnl"), col("total_pnl"))
+        .orderBy(col("seq"), col("account"))
+    }),
+
+    // Streaming SMA5/SMA20 forecast in the gate (reference ForecastsJob):
+    // price ticks replayed through StreamingOps.forecastStream, checked
+    // against the q16 window oracle — streaming ≡ batch for the second
+    // stateful operator family.
+    "q56_streaming_sma" -> ((s, d) => {
+      import s.implicits._
+      val tape = Pnl.eventsAsMarket(ev(s, d)).filter(_.kind == "price").collect()
+        .toSeq.sortBy(e => (e.ts.getTime, e.seq))
+      graft.streaming.MemoryReplay.replay(s, tape, nBatches = 8)(
+          graft.streaming.StreamingOps.forecastStream(_))
+        .select(col("seq"), ntz(col("ts")).as("ts"), col("hub"), col("price_mwh"),
+          col("sma5"), col("sma20"), col("forecast_next"))
+        .orderBy(col("seq"))
+    }),
+
     // latest-3 per user via graft_topk — the bounded-buffer aggregate
     // replacement for row_number() <= k: partial aggregation means the
     // exchange carries ≤ k rows per group per partition, no full-group sort
@@ -829,6 +863,24 @@ object SparkEntry {
     "q06_pnl_replay" ->
       s"""WITH RECURSIVE $PNL_CTES
          |SELECT * FROM u ORDER BY seq, account""".stripMargin,
+
+    // identical oracle to q06 — the STREAMING path must reproduce the batch
+    // fold's answer exactly (arrival order is the same pinned (ts, seq))
+    "q55_streaming_pnl" ->
+      s"""WITH RECURSIVE $PNL_CTES
+         |SELECT * FROM u ORDER BY seq, account""".stripMargin,
+
+    // identical oracle to q16 — streaming SMA ≡ batch window
+    "q56_streaming_sma" ->
+      s"""WITH $M_CTE
+         |SELECT seq, ts, hub, price_mwh,
+         |  avg(price_mwh) OVER w5 AS sma5, avg(price_mwh) OVER w20 AS sma20,
+         |  avg(price_mwh) OVER w5 AS forecast_next
+         |FROM m WHERE kind = 'price'
+         |WINDOW
+         |  w5 AS (PARTITION BY hub ORDER BY ts, seq ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         |  w20 AS (PARTITION BY hub ORDER BY ts, seq ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+         |ORDER BY seq""".stripMargin,
 
     "q07_exposure" ->
       s"""WITH RECURSIVE $PNL_CTES

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Drive a streaming operator to completion over a frozen tape and hand back
+  * the materialized sink — the harness that lets the driver's DuckDB oracle
+  * gate the STREAMING execution path (SparkEntry q55/q56), not just the batch
+  * plans. The reference runs everything as unbounded streams
+  * (PnlAndExposureJob.java:29-78, ForecastsJob.java:28-58); replaying its
+  * tape through the real `flatMapGroupsWithState` operators in ordered
+  * micro-batches proves streaming ≡ batch inside the round's official gate
+  * instead of only in ScalaTest.
+  *
+  * The tape is a driver-side Seq because that is what `MemoryStream` (the
+  * only deterministic multi-batch source) accepts — a test-harness cost, not
+  * a scale path: production ingestion streams from Kafka/files
+  * ([[IngestJobs.rawStream]]) and never collects. Events must arrive sorted
+  * by the pinned `(ts, seq)` order; chunk boundaries then preserve per-key
+  * arrival order across micro-batches, so state carry-over — not
+  * within-batch sorting — is what the replay exercises.
+  */
+object MemoryReplay {
+
+  /** Monotonic suffix for memory-sink table names: Bench reruns each query
+    * `reps` times in one session, and two runs registering the same memory
+    * table would race on the catalog.
+    */
+  private val runId = new AtomicInteger(0)
+
+  /** Replay `tape` through `f` in `nBatches` ordered micro-batches; returns
+    * the complete append-mode output as a batch DataFrame.
+    */
+  def replay[I: Encoder, O: Encoder](spark: SparkSession, tape: Seq[I],
+      nBatches: Int)(f: Dataset[I] => Dataset[O]): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[I]
+    val name = s"graft_replay_${runId.incrementAndGet()}"
+    val query = f(input.toDS()).writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      val chunk = math.max(1, (tape.size + nBatches - 1) / nBatches)
+      // processAllAvailable per chunk forces a micro-batch boundary, so the
+      // operator's state genuinely persists across batches (one addData of
+      // the whole tape would collapse the replay into a single batch and
+      // prove nothing about state carry-over)
+      tape.grouped(chunk).foreach { c =>
+        input.addData(c)
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    spark.table(name)
+  }
+}

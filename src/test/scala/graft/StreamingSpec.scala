@@ -122,6 +122,16 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("driver-gate q55/q56 streaming entries equal their batch counterparts") {
+    val d = "/root/testdata/sf0.001"
+    def rowsOf(name: String): Seq[String] =
+      graft.SparkEntry.queries(name)(spark, d).collect().map(_.toString).toSeq
+    val pnlStream = rowsOf("q55_streaming_pnl")
+    assert(pnlStream.nonEmpty && pnlStream == rowsOf("q06_pnl_replay"))
+    val smaStream = rowsOf("q56_streaming_sma")
+    assert(smaStream.nonEmpty && smaStream == rowsOf("q16_market_forecasts"))
+  }
+
   test("watermarked tumbling window finalizes once and drops late data") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
