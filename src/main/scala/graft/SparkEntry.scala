@@ -377,11 +377,11 @@ object SparkEntry {
             .otherwise(lit("und")))
         .orderBy(col("doc_id"))),
 
-    // Exact deduplication — canonical id per identical text
+    // Exact deduplication — canonical id per identical text. Dedup.exact
+    // groups on (xxhash64, length) so the exchange carries 16-byte keys,
+    // never documents; a fingerprint verify pass keeps the result exact
     "q20_dedup_exact" -> ((s, d) =>
-      t(s, d, "documents").groupBy(col("text"))
-        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
-        .select(col("canonical_id"), col("n_copies"))
+      Dedup.exact(t(s, d, "documents"), col("doc_id"), col("text"))
         .orderBy(col("canonical_id"))),
 
     // Document fingerprint — polynomial rolling hash over chars (native
@@ -603,13 +603,11 @@ object SparkEntry {
     // case/punctuation, the cheapest rung on the dedup ladder before
     // MinHash. ASCII regex classes keep Java and RE2 semantics identical.
     "q45_normalized_dedup" -> ((s, d) =>
-      t(s, d, "documents")
-        .select(col("doc_id"),
+      Dedup.exact(
+        t(s, d, "documents").select(col("doc_id"),
           trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
-            " +", " ")).as("norm"))
-        .groupBy(col("norm"))
-        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
-        .select(col("canonical_id"), col("n_copies"))
+            " +", " ")).as("norm")),
+        col("doc_id"), col("norm"))
         .orderBy(col("canonical_id"))),
 
     // Approximate quantiles, rank-gated (the 100 TB path beside exact q39:
@@ -808,6 +806,31 @@ object SparkEntry {
         .select(col("seq"), ntz(col("ts")).as("ts"), col("hub"), col("price_mwh"),
           col("sma5"), col("sma20"), col("forecast_next"))
         .orderBy(col("seq"))
+    }),
+
+    // SimHash quality gate — q24's pairs are rows-only by nature (the 64-bit
+    // sketch follows the engine's hash family), so this query turns its
+    // quality contract into oracle-checked booleans, the same way q44 gates
+    // the ANN paths: recall against the exact-verified near-dup ground truth
+    // (q23's J ≥ 0.9 pairs — near-identical docs must collide within
+    // hamming ≤ 3) plus a non-emptiness floor. Measured recall at
+    // sf0.001/0.01/0.1 is 0.78/0.60/0.76; the 0.3 floor keeps ~2× margin so
+    // a silent sketch regression turns the round red while fixture variance
+    // cannot.
+    "q57_simhash_quality" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val sp = Dedup.simhashPairs(docs, col("doc_id"), col("text"))
+        .select(col("doc_a"), col("doc_b"))
+      val high = Dedup.minhashNearDups(docs, col("doc_id"), col("text"))
+        .filter(col("jaccard") >= 0.9).select(col("doc_a"), col("doc_b"))
+      val nonempty = sp.agg((count(lit(1)) >= 1).as("ok"))
+        .select(lit("simhash_nonempty").as("metric"), col("ok"))
+      val recall = high.join(sp, Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("h"))
+        .crossJoin(high.agg(count(lit(1)).as("t")))
+        .select(lit("simhash_recall_j09").as("metric"),
+          (col("h") >= col("t") * 0.3).as("ok"))
+      nonempty.unionByName(recall).orderBy(col("metric"))
     }),
 
     // latest-3 per user via graft_topk — the bounded-buffer aggregate
@@ -1154,6 +1177,12 @@ object SparkEntry {
         |                          / count(DISTINCT o_custkey)
         |                   FROM orders)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q57_simhash_quality" ->
+      """SELECT * FROM (VALUES
+        |  ('simhash_nonempty', TRUE),
+        |  ('simhash_recall_j09', TRUE)) AS t(metric, ok)
+        |ORDER BY metric""".stripMargin,
 
     "q44_ann_quality" ->
       """SELECT * FROM (VALUES

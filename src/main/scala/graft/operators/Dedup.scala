@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
@@ -16,10 +17,55 @@ import graft.functions.Text
   */
 object Dedup {
 
-  /** Exact duplicate groups: canonical (min) id per identical text. */
-  def exact(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
-    df.groupBy(textCol.as("text"))
-      .agg(min(idCol).as("canonical_id"), count(lit(1)).as("n_copies"))
+  /** Exact duplicate groups: canonical (min) id per identical text.
+    *
+    * Scale shape — the exchange never carries documents. Grouping directly
+    * by `text` is correct but ships the corpus as the shuffle key at 100 TB;
+    * instead the group key is `(xxhash64(text), length(text))` — 16 bytes —
+    * and exactness is restored by a verify pass: per (h, len) bucket, the
+    * number of distinct sha2-256 fingerprints is counted (fingerprints, not
+    * texts, ride that exchange too). Buckets with one fingerprint (all of
+    * them, in practice) take the hash-grouped answer; a bucket where two
+    * different texts collided in (xxhash64, length) is re-grouped by full
+    * text — a broadcast-semi-filtered sliver of the corpus, so the text-keyed
+    * exchange only ever carries actual colliding documents. The residual
+    * assumption is sha2-256 collision-freedom (~2⁻²⁵⁶ — the same assumption
+    * content-addressed storage makes).
+    */
+  def exact(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val keyed = df.select(idCol.as("id"), textCol.as("text"),
+      xxhash64(textCol).as("h"), length(textCol).as("len"))
+    val groups = keyed.groupBy(col("h"), col("len"))
+      .agg(min(col("id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+    val ambiguous = keyed
+      .select(col("h"), col("len"), sha2(col("text"), 256).as("fp"))
+      .distinct() // partial-aggregated: duplicate texts collapse map-side
+      .groupBy(col("h"), col("len")).agg(count(lit(1)).as("nfp"))
+      .filter(col("nfp") > 1)
+      .select(col("h"), col("len"))
+    val clean = groups.join(ambiguous, Seq("h", "len"), "left_anti")
+      .select(col("canonical_id"), col("n_copies"))
+    val resolved = keyed.join(ambiguous, Seq("h", "len"), "left_semi")
+      .groupBy(col("text"))
+      .agg(min(col("id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .select(col("canonical_id"), col("n_copies"))
+    clean.unionByName(resolved)
+  }
+
+  /** Drop band buckets larger than `maxBucket` — the standard
+    * "too-common-to-be-informative" guard: one boilerplate cluster of B docs
+    * in a single bucket creates B² candidate pairs, and no cap means one hot
+    * key can dominate the whole join (AQE skew-split shares the work but
+    * cannot shrink it). Docs in a dropped bucket still pair through their
+    * other bands, so recall loss is bounded by the per-band miss rate. The
+    * count rides the band partitioning already in place (window over the
+    * repartition key — no extra exchange).
+    */
+  private def capBuckets(banded: DataFrame, maxBucket: Int, keys: Column*): DataFrame =
+    banded
+      .withColumn("_bn", count(lit(1)).over(Window.partitionBy(keys: _*)))
+      .filter(col("_bn") <= maxBucket)
+      .drop("_bn")
 
   /** MinHash + LSH candidate pairs with signature-estimated Jaccard.
     *
@@ -35,7 +81,8 @@ object Dedup {
       shingleN: Int = 3,
       numHashes: Int = 32,
       numBands: Int = 8,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxBucket: Int = 10000): DataFrame = {
     val r = numHashes / numBands
     require(numBands * r == numHashes, "numBands must divide numHashes")
     graft.functions.GraftFunctions.register(df.sparkSession)
@@ -49,10 +96,10 @@ object Dedup {
         idCol.as("doc_id"),
         call_function("graft_minhash",
           call_function("graft_shingles", textCol, lit(shingleN)), lit(numHashes)).as("sig"))
-    val bands = sigs
+    val bands = capBuckets(sigs
       .withColumn("band", explode(Text.bands(col("sig"), numBands, r)))
       .select(col("band"), col("doc_id"))
-      .repartition(col("band"))
+      .repartition(col("band")), maxBucket, col("band"))
     val a = bands.select(col("band"), col("doc_id").as("doc_a"))
     val b = bands.select(col("band"), col("doc_id").as("doc_b"))
     val cand = a.join(b, Seq("band")) // shuffle on band key only — no corpus cross join
@@ -88,7 +135,8 @@ object Dedup {
       shingleN: Int = 3,
       numHashes: Int = 128,
       numBands: Int = 64,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxBucket: Int = 10000): DataFrame = {
     val r = numHashes / numBands
     require(numBands * r == numHashes, "numBands must divide numHashes")
     graft.functions.GraftFunctions.register(df.sparkSession)
@@ -99,11 +147,11 @@ object Dedup {
     // minhashLsh (whose est_jaccard needs sig on both sides), the verify
     // step only needs ids — carrying the k-lane sig through a ×numBands
     // explode would move ~numBands·k·8 bytes per doc instead of 16
-    val sigs = base.select(col("doc_id"),
+    val sigs = capBuckets(base.select(col("doc_id"),
         call_function("graft_minhash", col("sh"), lit(numHashes)).as("sig"))
       .withColumn("band", explode(Text.bands(col("sig"), numBands, r)))
       .select(col("band"), col("doc_id"))
-      .repartition(col("band"))
+      .repartition(col("band")), maxBucket, col("band"))
     val a = sigs.select(col("band"), col("doc_id").as("doc_a"))
     val b = sigs.select(col("band"), col("doc_id").as("doc_b"))
     // candidate ids only — the shuffle after the band join moves 16-byte
@@ -130,19 +178,23 @@ object Dedup {
 
   /** SimHash near-dup pairs: 64-bit sketches, 4×16-bit pigeonhole blocking,
     * exact hamming verify ≤ maxHamming (≤ 3 guarantees no false negatives
-    * from blocking). Output: (doc_a, doc_b, hamming).
+    * from blocking; a chunk bucket hotter than `maxBucket` is dropped, which
+    * can only lose pairs whose every shared chunk is that hot — the
+    * too-common-to-be-informative trade). Output: (doc_a, doc_b, hamming).
     */
   def simhashPairs(
       df: DataFrame,
       idCol: Column,
       textCol: Column,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucket: Int = 10000): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val sk = df.select(idCol.as("doc_id"),
+    val sk = capBuckets(df.select(idCol.as("doc_id"),
         call_function("graft_simhash", Text.tokens(textCol)).as("sh"))
       .withColumn("chunk_i", explode(sequence(lit(0), lit(3))))
       .withColumn("chunk", element_at(Text.chunks16(col("sh")), col("chunk_i") + 1))
-      .repartition(col("chunk_i"), col("chunk")) // materialize sketches once; self-join reuses the exchange
+      // materialize sketches once; self-join reuses the exchange
+      .repartition(col("chunk_i"), col("chunk")), maxBucket, col("chunk_i"), col("chunk"))
     val a = sk.select(col("chunk_i"), col("chunk"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
     val b = sk.select(col("chunk_i"), col("chunk"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     a.join(b, Seq("chunk_i", "chunk"))

@@ -31,6 +31,42 @@ class DedupSpec extends AnyFunSuite {
       Seq((0L, 2L), (1L, 1L), (2L, 1L)))
   }
 
+  test("exact dedup never shuffles the text column as an exchange key") {
+    val out = Dedup.exact(docs(), col("doc_id"), col("text"))
+    // explain text, not plan-node collect: AQE wraps executedPlan and
+    // sparkPlan predates EnsureRequirements (no Exchange nodes yet)
+    val partitionings = out.queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("extended"))
+      .linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(partitionings.nonEmpty, "plan must have exchanges")
+    // the only text-keyed exchange allowed is the collision-resolution
+    // sliver, which is semi-filtered by the (empty in practice) ambiguous
+    // set — but at plan level we assert the PRIMARY path: the h/len
+    // aggregation and the fingerprint distinct never key on raw text
+    val textKeyed = partitionings.filter(_.contains("text#"))
+    assert(textKeyed.size <= 1,
+      s"at most the collision fallback may key on text: $partitionings")
+  }
+
+  test("hot band buckets are capped: a boilerplate cluster cannot go quadratic") {
+    import spark.implicits._
+    // 300 identical docs: every band bucket holds all 300 -> 300² pair blowup
+    // without the cap; with maxBucket=100 every bucket is dropped and the
+    // candidate set is empty, while the default cap keeps exact behavior
+    val boiler = (0L until 300L).map(i => (i, "all these documents share the " +
+      "same boilerplate body text repeated verbatim across the whole cluster"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.minhashNearDups(boiler, col("doc_id"), col("text"),
+      maxBucket = 100)
+    assert(capped.count() == 0, "over-cap buckets must be dropped")
+    val cappedSim = Dedup.simhashPairs(boiler, col("doc_id"), col("text"),
+      maxBucket = 100)
+    assert(cappedSim.count() == 0, "over-cap simhash chunks must be dropped")
+    // cap far above bucket size: behavior unchanged (all 300·299/2 pairs)
+    val uncapped = Dedup.minhashNearDups(boiler, col("doc_id"), col("text"))
+    assert(uncapped.count() == 300L * 299L / 2)
+  }
+
   test("minhash LSH finds the near-dup pair and not the unrelated one") {
     val pairs = Dedup.minhashLsh(docs(), col("doc_id"), col("text"), threshold = 0.5)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
