@@ -560,13 +560,18 @@ object SparkEntry {
     }),
 
     // §2.7 extension — exact interpolated percentiles (both engines use
-    // lower + (upper-lower)·frac over the sorted values)
+    // lower + (upper-lower)·frac over the sorted values). Computed by the
+    // scale-safe two-pass operator: Spark's built-in `percentile` buffers
+    // every group value in one agg buffer (~n/3 doubles per executor at
+    // this query's 3-value key — OOM at 100×); Percentiles.exact brackets
+    // with a bounded percentile_approx sketch and selects the exact order
+    // statistics from the in-bracket sliver, bit-identical to the built-in
+    // (PercentilesSpec).
     "q39_percentiles" -> ((s, d) =>
-      t(s, d, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.9D))").as("p"))
-        .select(col("l_returnflag"), element_at(col("p"), 1).as("p25"),
-          element_at(col("p"), 2).as("p50"), element_at(col("p"), 3).as("p90"))
+      graft.operators.Percentiles.exact(t(s, d, "lineitem"),
+          col("l_returnflag"), col("l_extendedprice"),
+          Seq(("p25", 0.25), ("p50", 0.5), ("p90", 0.9)))
+        .select(col("g").as("l_returnflag"), col("p25"), col("p50"), col("p90"))
         .orderBy(col("l_returnflag"))),
 
     // approx_count_distinct (HLL++) gated against the exact count: the raw

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Percentiles
+
+/** Percentiles.exact must be bit-identical to Spark's buffering built-in
+  * `percentile` — same order statistics, same interpolation arithmetic —
+  * while never holding a full group in one aggregation buffer.
+  */
+class PercentilesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def check(df: org.apache.spark.sql.DataFrame, gCol: String, vCol: String,
+      ps: Seq[(String, Double)]): Unit = {
+    val pSql = ps.map { case (_, p) => s"${p}D" }.mkString(",")
+    val want = df.groupBy(col(gCol).as("g"))
+      .agg(expr(s"percentile($vCol, array($pSql))").as("pp"))
+      .select(col("g") +: ps.zipWithIndex.map { case ((n, _), i) =>
+        element_at(col("pp"), i + 1).as(n) }: _*)
+      .collect().map(r => r.getAs[Any]("g") -> r).toMap
+    val got = Percentiles.exact(df, col(gCol), col(vCol), ps)
+      .collect().map(r => r.getAs[Any]("g") -> r).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (g, gr) =>
+      ps.foreach { case (name, _) =>
+        val w = want(g).getAs[Double](name)
+        val v = gr.getAs[Double](name)
+        assert(v == w, s"group $g $name: got $v want $w (must be bit-identical)")
+      }
+    }
+  }
+
+  test("matches built-in percentile bit-for-bit on the lineitem fixture") {
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    check(li, "l_returnflag", "l_extendedprice",
+      Seq(("p25", 0.25), ("p50", 0.5), ("p90", 0.9)))
+  }
+
+  test("matches on duplicates, tiny groups, and edge fractions 0.0/1.0") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    val rows = Seq.tabulate(2000) { i =>
+      // group "dup" is 90% duplicated values; "tiny1"/"tiny2" have 1-2 rows
+      ("dup", math.floor(rng.nextDouble() * 10))
+    } ++ Seq(("tiny1", 7.5), ("tiny2", 1.0), ("tiny2", 2.0)) ++
+      Seq.tabulate(500)(i => ("uniform", rng.nextDouble() * 1000))
+    val df = rows.toDF("g", "v")
+    check(df, "g", "v",
+      Seq(("pmin", 0.0), ("p10", 0.1), ("p50", 0.5), ("p99", 0.99), ("pmax", 1.0)))
+  }
+
+  test("q39's plan carries no full-value percentile buffer") {
+    val plan = SparkEntry.queries("q39_percentiles")(spark, "/root/testdata/sf0.001")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("extended"))
+    assert(!plan.contains("percentile("),
+      "exact percentile (per-group full-value buffer) must not appear; " +
+        "only percentile_approx brackets are allowed")
+  }
+}
