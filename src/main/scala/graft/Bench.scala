@@ -27,11 +27,13 @@ object Bench {
       .foreach(fn => fn(spark, sfDir).write.format("noop").mode("overwrite").save())
     // a failed query must be unmistakable in the JSON (value -1 + errors
     // list), never an ordinary-looking elapsed time.
-    // min-of-2 runs per query: single-shot numbers at this scale carry
+    // min-of-3 runs per query: single-shot numbers at this scale carry
     // ±30-40% JIT/codegen variance (first execution pays whole-stage
     // compile), which swamps real plan changes round-over-round; the min is
     // the stable signal and matches how BASELINE.md's table is recorded.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // (reps=2 still recorded double-bad samples — r3's q37 logged 13.9 s vs
+    // a real 0.76 s; the third rep is the cheap insurance.)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()

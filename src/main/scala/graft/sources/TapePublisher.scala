@@ -27,6 +27,14 @@ object TapePublisher {
     ()
   }
 
+  /** The exact writer option map `publishKafka` uses — split out so the sink
+    * wiring is assertable without a broker/connector (IngestJobsSpec), same
+    * rationale as [[graft.streaming.IngestJobs.kafkaSourceOptions]].
+    */
+  def kafkaSinkOptions(broker: String, topic: String): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> broker,
+    "topic" -> topic)
+
   /** producer.py's `acks=all` durability is the Kafka default for the Spark
     * writer's idempotent producer; retries are handled by the data source.
     */
@@ -35,8 +43,7 @@ object TapePublisher {
     import spark.implicits._
     frames.toDF("value")
       .write.format("kafka")
-      .option("kafka.bootstrap.servers", broker)
-      .option("topic", topic)
+      .options(kafkaSinkOptions(broker, topic))
       .save()
   }
 

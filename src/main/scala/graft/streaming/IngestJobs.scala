@@ -40,16 +40,26 @@ object IngestJobs {
   final case class SinkConfig(format: String, path: String = "",
       url: String = "", user: String = "", password: String = "")
 
+  /** The exact option map `rawStream` hands the kafka source — split out so
+    * the wiring is testable without a broker or the connector jar (neither
+    * exists in the sandbox): IngestJobsSpec pins every key/value against the
+    * reference's consumer config (IngestPricesAndTradesJob.java:23-29), so a
+    * typo'd option key fails the suite even though a kafka plan can never be
+    * built here.
+    */
+  def kafkaSourceOptions(src: SourceConfig): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> src.broker,
+    "subscribe" -> src.path,
+    // reference consumes from earliest (OffsetsInitializer.earliest())
+    "startingOffsets" -> "earliest")
+
   /** Raw frames as a streaming DataFrame with a string `value` column —
     * exactly what `Ingest.*` parsers expect.
     */
   def rawStream(spark: SparkSession, src: SourceConfig): DataFrame = src.format match {
     case "kafka" =>
-      // reference consumes from earliest (OffsetsInitializer.earliest())
       spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", src.broker)
-        .option("subscribe", src.path)
-        .option("startingOffsets", "earliest")
+        .options(kafkaSourceOptions(src))
         .load()
         .selectExpr("CAST(value AS STRING) AS value")
     case "file" =>

@@ -21,6 +21,23 @@ import graft.streaming.IngestJobs.{SinkConfig, SourceConfig}
 class IngestJobsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("kafka source/sink option wiring matches the reference consumer/producer config") {
+    // no broker or connector jar exists in the sandbox, so the option maps
+    // ARE the testable wiring (rawStream/publishKafka consume these maps
+    // verbatim): a typo'd key or value fails here, not silently in prod.
+    // Reference: IngestPricesAndTradesJob.java:23-29 (bootstrap servers,
+    // topic subscribe, OffsetsInitializer.earliest()).
+    val src = graft.streaming.IngestJobs.SourceConfig(
+      format = "kafka", path = "prices", broker = "broker:9092")
+    assert(graft.streaming.IngestJobs.kafkaSourceOptions(src) == Map(
+      "kafka.bootstrap.servers" -> "broker:9092",
+      "subscribe" -> "prices",
+      "startingOffsets" -> "earliest"))
+    assert(graft.sources.TapePublisher.kafkaSinkOptions("broker:9092", "trades") == Map(
+      "kafka.bootstrap.servers" -> "broker:9092",
+      "topic" -> "trades"))
+  }
+
   test("market tape is deterministic and matches producer distributions") {
     val steps = 400
     val t1 = MarketGen.marketTape(seed = 7, steps = steps)
