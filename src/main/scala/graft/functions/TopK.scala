@@ -14,7 +14,10 @@ import org.apache.spark.sql.types._
 
 /** `graft_topk(expr, k)`: the k largest values of `expr` per group (by
   * `expr`'s natural ordering — for structs, field-by-field left to right),
-  * returned as an array sorted descending.
+  * returned as an array sorted descending. With `asc = true` it is instead
+  * the k SMALLEST values sorted ascending — the bottom-k twin, so the
+  * TopKRewrite rule covers ascending `row_number()` windows (oldest-N per
+  * key) with the same bounded buffer.
   *
   * Why not `row_number() OVER (PARTITION BY g ORDER BY ...) <= k`? A window
   * shuffles and sorts EVERY row of every group; this aggregate is a bounded
@@ -30,6 +33,7 @@ import org.apache.spark.sql.types._
 case class TopKOrdered(
     child: Expression,
     kExpr: Expression,
+    asc: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.ArrayBuffer[Any]] {
@@ -39,8 +43,10 @@ case class TopKOrdered(
     case other => throw new IllegalArgumentException(s"k must be int, got $other")
   }
 
-  @transient private lazy val ordering: Ordering[Any] =
-    TypeUtils.getInterpretedOrdering(child.dataType)
+  @transient private lazy val ordering: Ordering[Any] = {
+    val natural = TypeUtils.getInterpretedOrdering(child.dataType)
+    if (asc) natural else natural.reverse
+  }
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (!kExpr.foldable || kExpr.dataType != IntegerType) {
@@ -60,11 +66,11 @@ case class TopKOrdered(
   override def createAggregationBuffer(): mutable.ArrayBuffer[Any] =
     mutable.ArrayBuffer.empty[Any]
 
-  /** Sort descending, keep k — called when the buffer overflows 4k. */
+  /** Sort in output order, keep k — called when the buffer overflows 4k. */
   private def compact(buf: mutable.ArrayBuffer[Any]): mutable.ArrayBuffer[Any] =
     if (buf.length <= k) buf
     else {
-      val kept = buf.sorted(ordering.reverse).take(k)
+      val kept = buf.sorted(ordering).take(k)
       buf.clear()
       buf ++= kept
     }
@@ -83,7 +89,7 @@ case class TopKOrdered(
   }
 
   override def eval(buf: mutable.ArrayBuffer[Any]): Any =
-    new GenericArrayData(buf.sorted(ordering.reverse).take(k).toArray)
+    new GenericArrayData(buf.sorted(ordering).take(k).toArray)
 
   @transient private lazy val valueProj = UnsafeProjection.create(Array(child.dataType))
   @transient private lazy val valueRow = new UnsafeRow(1)

@@ -23,9 +23,10 @@ import graft.functions.TopKOrdered
   * Soundness envelope (the rule bails out otherwise):
   *   - single row_number window expression, default running frame;
   *   - the filter is exactly `rn <= k` / `rn < k+1` / `rn = 1` with literal k;
-  *   - every sort key is Descending with NullsLast (the default for DESC) —
-  *     the struct encodes an is-not-null flag per key so nulls still sort
-  *     last under the aggregate's descending order;
+  *   - sort keys are uniformly Descending+NullsLast (top-k) or uniformly
+  *     Ascending+NullsFirst (bottom-k, `asc = true`) — each direction's
+  *     default null ordering; the (is-not-null, key) struct encoding
+  *     reproduces it under the aggregate's order in both cases;
   *   - k ≤ maxK (buffer is O(k) per key per task);
   *   - all partition and sort-key expressions are deterministic (the rule
   *     duplicates them into the Aggregate and evaluates sort keys twice).
@@ -51,18 +52,39 @@ object TopKRewrite extends Rule[LogicalPlan] {
       case _ => false
     }
 
+  /** Both default sort shapes rewrite: DESC NullsLast → top-k (descending
+    * buffer), ASC NullsFirst → bottom-k (`asc = true`). The (IsNotNull, key)
+    * struct encoding serves both: under descending order the true flag sorts
+    * non-nulls first (NULLS LAST), under ascending order the false flag
+    * sorts nulls first (NULLS FIRST) — exactly each direction's default.
+    * Mixed directions or non-default null ordering bail out.
+    *
+    * `rank()/dense_rank() = 1` stays out of scope deliberately: rank ties
+    * make the result set unbounded (all rows tying the max key), so no
+    * fixed-k buffer can hold it; vanilla Spark already gives those shapes a
+    * streaming per-partition group-limit (InferWindowGroupLimit →
+    * WindowGroupLimitExec) which is the right plan for them.
+    */
+  private def uniformDirection(order: Seq[SortOrder]): Option[Boolean] =
+    if (order.forall(so => so.direction == Descending && so.nullOrdering == NullsLast))
+      Some(false)
+    else if (order.forall(so => so.direction == Ascending && so.nullOrdering == NullsFirst))
+      Some(true)
+    else None
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond,
         w @ Window(Seq(alias @ Alias(WindowExpression(RowNumber(), spec), _)), part, order, child, _))
       if isDefaultRunningFrame(spec) &&
         order.nonEmpty &&
-        order.forall(so => so.direction == Descending && so.nullOrdering == NullsLast) &&
+        uniformDirection(order).isDefined &&
         // non-deterministic partition/sort expressions (e.g. rand()) must not
         // be duplicated into the Aggregate or re-evaluated inside the struct —
         // the same guard Spark's InferWindowGroupLimit applies
         part.forall(_.deterministic) && order.forall(_.child.deterministic) =>
       matchLimit(cond, alias.toAttribute) match {
         case Some(k) if k > 0 && k <= maxK =>
+          val asc = uniformDirection(order).get
           val rnAttr = alias.toAttribute
           // struct fields: per sort key (is-not-null flag, key) — so the
           // aggregate's descending order puts nulls last like NULLS LAST —
@@ -74,7 +96,7 @@ object TopKRewrite extends Rule[LogicalPlan] {
             Seq(Literal(a.name), a)
           }
           val structExpr = CreateNamedStruct(ordFields ++ payloadFields)
-          val aggFunc = TopKOrdered(structExpr, Literal(k))
+          val aggFunc = TopKOrdered(structExpr, Literal(k), asc)
           val topkAlias = Alias(
             AggregateExpression(aggFunc, aggregate.Complete, isDistinct = false), "_topk")()
           val agg = Aggregate(part, Seq(topkAlias), child)

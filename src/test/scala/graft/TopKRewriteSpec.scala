@@ -65,14 +65,55 @@ class TopKRewriteSpec extends AnyFunSuite {
       assert(rows.map(_._3).sorted.toSeq == (1 to rows.length).toSeq, "rn dense from 1"))
   }
 
+  test("ascending windows rewrite to the bottom-k aggregate and match") {
+    val s2 = extSession()
+    val e = Tables.events(s2, "/root/testdata/sf0.001")
+    // oldest-3 per user: ASC NullsFirst (the ASC default) → bottom-k
+    val asc = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val q = e.withColumn("rn", row_number().over(asc)).filter(col("rn") <= 3)
+      .select(col("user_id"), col("event_id"), col("rn"))
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("Window"), s"asc window must be rewritten:\n$optimized")
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val base = TestSpark.spark
+    val eb = Tables.events(base, "/root/testdata/sf0.001")
+    val want = eb.withColumn("rn", row_number().over(asc)).filter(col("rn") <= 3)
+      .select(col("user_id"), col("event_id"), col("rn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("ascending rewrite keeps nulls first like the window it replaces") {
+    val s2 = extSession()
+    val sp = s2
+    import sp.implicits._
+    val df = Seq(("a", Some(3L), 1), ("a", None, 2), ("a", Some(1L), 3), ("a", Some(9L), 4),
+      ("b", None, 5), ("b", None, 6), ("b", Some(0L), 7))
+      .toDF("k", "v", "id")
+    val w = Window.partitionBy(col("k")).orderBy(col("v").asc)
+    val q = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+    assert(!q.queryExecution.optimizedPlan.toString.contains("Window"))
+    val got = q.collect().map(r => (r.getString(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+    val byKey = got.groupBy(_._1)
+    assert(byKey("a").map(_._2).toSet == Set(None, Some(1L)), "null sorts first under ASC")
+    assert(byKey("b").map(_._2).toSeq.sortBy(_.isDefined) == Seq(None, None))
+  }
+
   test("non-eligible windows are left alone") {
     val s2 = extSession()
     val e = Tables.events(s2, "/root/testdata/sf0.001")
-    // ascending order: outside the soundness envelope
-    val asc = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
-    val q1 = e.withColumn("rn", row_number().over(asc)).filter(col("rn") <= 3)
+    // non-default null ordering: outside the soundness envelope
+    val mixed = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc_nulls_first, col("event_id").desc)
+    val q1 = e.withColumn("rn", row_number().over(mixed)).filter(col("rn") <= 3)
     assert(q1.queryExecution.optimizedPlan.toString.contains("Window"))
-    // rank() is not row_number: ineligible
+    // mixed directions: ineligible
+    val mixedDir = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").asc)
+    val q1b = e.withColumn("rn", row_number().over(mixedDir)).filter(col("rn") <= 3)
+    assert(q1b.queryExecution.optimizedPlan.toString.contains("Window"))
+    // rank() is not row_number: ineligible (ties make the result unbounded;
+    // vanilla WindowGroupLimit is the right plan for it)
     val desc = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
     val q2 = e.withColumn("rn", rank().over(desc)).filter(col("rn") <= 3)
     assert(q2.queryExecution.optimizedPlan.toString.contains("Window"))
