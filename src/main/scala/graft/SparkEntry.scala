@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Joins, LatestPerGroup, MediaRecord, Multimodal, Pnl, Similarity, Sma}
+import graft.operators.{Corpus, Dedup, Joins, LatestPerGroup, MediaRecord, Multimodal, Pnl, Similarity, Sma}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -378,8 +378,8 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
 
     // Exact deduplication — canonical id per identical text. Dedup.exact
-    // groups on (xxhash64, length) so the exchange carries 16-byte keys,
-    // never documents; a fingerprint verify pass keeps the result exact
+    // groups on the 48-byte (xxhash64, length, sha2-256) content fingerprint
+    // so the exchange carries fingerprints, never documents
     "q20_dedup_exact" -> ((s, d) =>
       Dedup.exact(t(s, d, "documents"), col("doc_id"), col("text"))
         .orderBy(col("canonical_id"))),
@@ -753,24 +753,31 @@ object SparkEntry {
       val e = t(s, d, "embeddings")
       val bf = Similarity.bruteForceKnn(e, col("vec_id") < 5, k = 10)
         .select(col("qid"), col("vec_id"))
+      // numerator and denominator from ONE left join per metric — the
+      // semi-join + crossJoin'd-count form evaluated the expensive brute
+      // force / exact-pairs subplans twice per metric
       def knnRecall(name: String, approx: DataFrame, floor: Double): DataFrame =
-        approx.select(col("qid"), col("vec_id"))
-          .join(bf, Seq("qid", "vec_id"), "left_semi").agg(count(lit(1)).as("h"))
-          .crossJoin(bf.agg(count(lit(1)).as("t")))
+        bf.join(approx.select(col("qid"), col("vec_id")).withColumn("hit", lit(1)),
+            Seq("qid", "vec_id"), "left")
+          .agg(count(lit(1)).as("t"), count(col("hit")).as("h"))
           .select(lit(name).as("metric"), (col("h") >= col("t") * floor).as("ok"))
       val exactP = Similarity.cosineDupPairs(e, threshold = 0.4)
         .select(col("id_a"), col("id_b"), col("score"))
       val lshP = Similarity.cosineDupPairsLsh(e, threshold = 0.4)
         .select(col("id_a"), col("id_b"), col("score").as("score_lsh"))
-      val dupRecall = lshP
-        .join(exactP, Seq("id_a", "id_b"), "left_semi").agg(count(lit(1)).as("h"))
-        .crossJoin(exactP.agg(count(lit(1)).as("t")))
+      // one full-outer join carries both dup metrics: recall (exact pairs
+      // recovered by LSH) and the subset property (every LSH pair exists in
+      // the exact result with a bit-identical score — LSH blocks, exact
+      // verify scores)
+      val dup = exactP.join(lshP, Seq("id_a", "id_b"), "full_outer")
+      val dupRecall = dup.agg(
+          count(col("score")).as("t"),
+          count(when(col("score").isNotNull && col("score_lsh").isNotNull, 1)).as("h"))
         .select(lit("lsh_dup_recall").as("metric"), (col("h") >= col("t") * 0.7).as("ok"))
-      // every LSH pair must exist in the exact result with a bit-identical
-      // score (subset property — LSH blocks, exact verify scores)
-      val dupSubset = lshP.join(exactP, Seq("id_a", "id_b"), "left")
-        .agg((count(lit(1)) === count(when(col("score") === col("score_lsh"), 1))).as("ok"))
-        .select(lit("lsh_dup_scores_subset").as("metric"), col("ok"))
+      val dupSubset = dup.agg(
+          count(when(col("score_lsh").isNotNull &&
+            (col("score").isNull || col("score") =!= col("score_lsh")), 1)).as("bad"))
+        .select(lit("lsh_dup_scores_subset").as("metric"), (col("bad") === 0).as("ok"))
       knnRecall("lsh_knn_recall10", Similarity.lshKnn(e, col("vec_id") < 5, k = 10), 0.6)
         .unionByName(knnRecall("ivf_knn_recall10",
           Similarity.ivfKnn(e, col("vec_id") < 5, k = 10), 0.25))
@@ -828,15 +835,47 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"))
       val high = Dedup.minhashNearDups(docs, col("doc_id"), col("text"))
         .filter(col("jaccard") >= 0.9).select(col("doc_a"), col("doc_b"))
-      val nonempty = sp.agg((count(lit(1)) >= 1).as("ok"))
-        .select(lit("simhash_nonempty").as("metric"), col("ok"))
-      val recall = high.join(sp, Seq("doc_a", "doc_b"), "left_semi")
-        .agg(count(lit(1)).as("h"))
-        .crossJoin(high.agg(count(lit(1)).as("t")))
+      // numerator and denominator from ONE left join — a semi-join +
+      // crossJoin'd count would evaluate the expensive minhash subplan twice
+      val recall = high.join(sp.withColumn("hit", lit(1)),
+          Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("t"), count(col("hit")).as("h"))
         .select(lit("simhash_recall_j09").as("metric"),
           (col("h") >= col("t") * 0.3).as("ok"))
+      val nonempty = sp.agg((count(lit(1)) >= 1).as("ok"))
+        .select(lit("simhash_nonempty").as("metric"), col("ok"))
       nonempty.unionByName(recall).orderBy(col("metric"))
     }),
+
+    // Benchmark decontamination (pipeline op): eval docs (doc_id % 10 = 0)
+    // scored by the fraction of their distinct 3-gram shingles found
+    // anywhere in the train split — inverted-index containment on hashed
+    // shingle keys, never doc×doc (Corpus.decontaminate)
+    "q58_decontaminate" -> ((s, d) =>
+      Corpus.decontaminate(t(s, d, "documents"), col("doc_id"), col("text"),
+          evalPred = col("doc_id") % 10 === 0)
+        .orderBy(col("doc_id"))),
+
+    // Deterministic stratified sampling (pipeline op): per-source keep rates
+    // applied via a portable multiplicative hash of doc_id, so the selected
+    // set is reproducible in ANY engine (the DuckDB oracle computes the
+    // same hash) — rand()-based sampling can never be gated like this
+    "q59_hash_sample" -> ((s, d) => {
+      import s.implicits._
+      val rates = (0 until 20)
+        .map(i => (s"src$i", Seq(0.2, 0.5, 0.8)(i % 3))).toDF("stratum", "rate")
+      Corpus.hashSample(t(s, d, "documents"), col("doc_id"), col("source"), rates)
+        .select(col("id").as("doc_id"), col("stratum").as("source"), col("h"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Repetition/diversity quality signals (pipeline op): type-token ratio
+    // + top-bigram fraction per doc — the Gopher-style screens for
+    // machine-generated/boilerplate text; all integer-derived, so the
+    // divisions are bit-reproducible in the oracle
+    "q60_repetition_stats" -> ((s, d) =>
+      Corpus.repetitionStats(t(s, d, "documents"), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))),
 
     // latest-3 per user via graft_topk — the bounded-buffer aggregate
     // replacement for row_number() <= k: partial aggregation means the
@@ -1182,6 +1221,65 @@ object SparkEntry {
         |                          / count(DISTINCT o_custkey)
         |                   FROM orders)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q58_decontaminate" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |            FROM documents),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN length(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |              ELSE list_distinct(list_transform(range(1, length(toks) - 2 + 1),
+        |                     i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+        |         END AS sh
+        |       FROM tk),
+        |ev AS (SELECT doc_id, sh, CAST(length(sh) AS BIGINT) AS n_sh FROM sh WHERE doc_id % 10 = 0),
+        |tr AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 10 <> 0),
+        |es AS (SELECT doc_id, unnest(sh) AS s FROM ev),
+        |hits AS (SELECT es.doc_id, count(*) AS n_hit FROM es JOIN tr USING (s) GROUP BY 1)
+        |SELECT ev.doc_id, ev.n_sh,
+        |  CAST(COALESCE(hits.n_hit, 0) AS BIGINT) AS n_hit,
+        |  CASE WHEN ev.n_sh = 0 THEN 0.0
+        |       ELSE CAST(COALESCE(hits.n_hit, 0) AS DOUBLE) / ev.n_sh END AS frac,
+        |  (CASE WHEN ev.n_sh = 0 THEN 0.0
+        |        ELSE CAST(COALESCE(hits.n_hit, 0) AS DOUBLE) / ev.n_sh END) >= 0.5 AS contaminated
+        |FROM ev LEFT JOIN hits ON ev.doc_id = hits.doc_id
+        |ORDER BY 1""".stripMargin,
+
+    "q59_hash_sample" ->
+      """WITH rates AS (
+        |  SELECT 'src' || CAST(i AS VARCHAR) AS stratum,
+        |         [0.2, 0.5, 0.8][CAST(i % 3 AS INTEGER) + 1] AS rate
+        |  FROM range(0, 20) t(i))
+        |SELECT doc_id, source,
+        |       (doc_id * 2654435761 + 40503) % 4294967296 AS h
+        |FROM documents JOIN rates ON source = stratum
+        |WHERE CAST((doc_id * 2654435761 + 40503) % 4294967296 AS DOUBLE)
+        |      < rate * 4294967296.0
+        |ORDER BY doc_id""".stripMargin,
+
+    "q60_repetition_stats" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |            FROM documents),
+        |base AS (SELECT doc_id,
+        |           CAST(length(toks) AS BIGINT) AS n_tokens,
+        |           CAST(length(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        |           CASE WHEN length(toks) < 2 THEN CAST([] AS VARCHAR[])
+        |                ELSE list_transform(range(1, length(toks)),
+        |                       i -> toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i AS INTEGER) + 1])
+        |           END AS bigrams
+        |         FROM tk),
+        |top AS (SELECT doc_id, max(c) AS top_bigram_n FROM (
+        |          SELECT doc_id, bg, count(*) AS c FROM (
+        |            SELECT doc_id, unnest(bigrams) AS bg FROM base) x
+        |          GROUP BY doc_id, bg) y
+        |        GROUP BY doc_id)
+        |SELECT base.doc_id, n_tokens, n_distinct,
+        |  CASE WHEN n_tokens = 0 THEN 0.0
+        |       ELSE CAST(n_distinct AS DOUBLE) / n_tokens END AS ttr,
+        |  CAST(COALESCE(top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+        |  CASE WHEN n_tokens < 2 THEN 0.0
+        |       ELSE CAST(COALESCE(top_bigram_n, 0) AS DOUBLE) / (n_tokens - 1) END AS bigram_frac
+        |FROM base LEFT JOIN top ON base.doc_id = top.doc_id
+        |ORDER BY 1""".stripMargin,
 
     "q57_simhash_quality" ->
       """SELECT * FROM (VALUES

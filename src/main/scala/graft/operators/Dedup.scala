@@ -21,36 +21,23 @@ object Dedup {
     *
     * Scale shape — the exchange never carries documents. Grouping directly
     * by `text` is correct but ships the corpus as the shuffle key at 100 TB;
-    * instead the group key is `(xxhash64(text), length(text))` — 16 bytes —
-    * and exactness is restored by a verify pass: per (h, len) bucket, the
-    * number of distinct sha2-256 fingerprints is counted (fingerprints, not
-    * texts, ride that exchange too). Buckets with one fingerprint (all of
-    * them, in practice) take the hash-grouped answer; a bucket where two
-    * different texts collided in (xxhash64, length) is re-grouped by full
-    * text — a broadcast-semi-filtered sliver of the corpus, so the text-keyed
-    * exchange only ever carries actual colliding documents. The residual
-    * assumption is sha2-256 collision-freedom (~2⁻²⁵⁶ — the same assumption
-    * content-addressed storage makes).
+    * instead the group key is the 48-byte content fingerprint
+    * `(xxhash64(text), length(text), sha2_256(text))`: one pass, map-side
+    * partial aggregation collapses duplicates before the exchange, and only
+    * fingerprints ever shuffle. Distinct texts get distinct keys under
+    * sha2-256 collision-freedom (~2⁻²⁵⁶, with the independent xxhash64+length
+    * as defense in depth) — the same assumption content-addressed storage
+    * makes, and the one every at-scale dedup pipeline ships with. TRUE
+    * text-comparison exactness is information-theoretically inseparable from
+    * shipping the texts themselves (a fingerprint collision is undetectable
+    * without comparing payloads), i.e. from the exchange this design exists
+    * to avoid.
     */
-  def exact(df: DataFrame, idCol: Column, textCol: Column): DataFrame = {
-    val keyed = df.select(idCol.as("id"), textCol.as("text"),
-      xxhash64(textCol).as("h"), length(textCol).as("len"))
-    val groups = keyed.groupBy(col("h"), col("len"))
-      .agg(min(col("id")).as("canonical_id"), count(lit(1)).as("n_copies"))
-    val ambiguous = keyed
-      .select(col("h"), col("len"), sha2(col("text"), 256).as("fp"))
-      .distinct() // partial-aggregated: duplicate texts collapse map-side
-      .groupBy(col("h"), col("len")).agg(count(lit(1)).as("nfp"))
-      .filter(col("nfp") > 1)
-      .select(col("h"), col("len"))
-    val clean = groups.join(ambiguous, Seq("h", "len"), "left_anti")
+  def exact(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    df.groupBy(xxhash64(textCol).as("h"), length(textCol).as("len"),
+        sha2(textCol, 256).as("fp"))
+      .agg(min(idCol).as("canonical_id"), count(lit(1)).as("n_copies"))
       .select(col("canonical_id"), col("n_copies"))
-    val resolved = keyed.join(ambiguous, Seq("h", "len"), "left_semi")
-      .groupBy(col("text"))
-      .agg(min(col("id")).as("canonical_id"), count(lit(1)).as("n_copies"))
-      .select(col("canonical_id"), col("n_copies"))
-    clean.unionByName(resolved)
-  }
 
   /** Drop band buckets larger than `maxBucket` — the standard
     * "too-common-to-be-informative" guard: one boilerplate cluster of B docs

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Corpus
+
+/** Planted-case tests for the corpus-hygiene operators. */
+class CorpusSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("decontaminate flags the eval doc copied from train, not the fresh one") {
+    import spark.implicits._
+    val train = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, train),                                         // train
+      (3L, "completely different words nothing shared here at all friend"), // train
+      (10L, train),                                        // eval: full copy
+      (20L, "totally novel eval content with zero overlap whatsoever now"), // eval: clean
+      (30L, "alpha beta gamma then diverging text that keeps going on")     // eval: partial
+    ).toDF("doc_id", "text")
+    val out = Corpus.decontaminate(docs, col("doc_id"), col("text"),
+        evalPred = col("doc_id") >= 10)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("frac"), r.getAs[Boolean]("contaminated")))).toMap
+    assert(out(10L) == ((1.0, true)), "verbatim copy: every shingle in train")
+    assert(out(20L) == ((0.0, false)), "clean doc: no shingle in train")
+    // doc 30: 8 shingles, exactly "alpha beta gamma" shared -> 1/8
+    assert(out(30L)._1 == 0.125 && !out(30L)._2)
+  }
+
+  test("hashSample is deterministic, stratified, and honors 0/1 rates") {
+    import spark.implicits._
+    val rows = (0L until 400L).map(i => (i, s"s${i % 4}")).toDF("doc_id", "src")
+    val rates = Seq(("s0", 1.0), ("s1", 0.0), ("s2", 0.5)).toDF("stratum", "rate")
+    def run() = Corpus.hashSample(rows, col("doc_id"), col("src"), rates)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("stratum"))).toSet
+    val a = run()
+    assert(a == run(), "same inputs must select the same rows")
+    val bySrc = a.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(bySrc("s0") == 100, "rate 1.0 keeps every row")
+    assert(!bySrc.contains("s1"), "rate 0.0 keeps none")
+    val s2 = bySrc("s2")
+    assert(s2 > 25 && s2 < 75, s"rate 0.5 keeps about half, got $s2")
+    assert(!a.exists(_._2 == "s3"), "strata absent from rates are dropped")
+  }
+
+  test("repetitionStats: planted repetition and diversity score exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam spam"),       // 5 tokens, 1 distinct, bigram "spam spam" x4
+      (2L, "all words here are unique five"), // 6 tokens all distinct, every bigram unique
+      (3L, "one"),                            // single token: no bigrams
+      (4L, "")                                // empty: all zeros
+    ).toDF("doc_id", "text")
+    val out = Corpus.repetitionStats(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_tokens") == 5 && out(1L).getAs[Long]("n_distinct") == 1)
+    assert(out(1L).getAs[Double]("ttr") == 0.2)
+    assert(out(1L).getAs[Long]("top_bigram_n") == 4 && out(1L).getAs[Double]("bigram_frac") == 1.0)
+    assert(out(2L).getAs[Double]("ttr") == 1.0 && out(2L).getAs[Long]("top_bigram_n") == 1)
+    assert(out(3L).getAs[Long]("top_bigram_n") == 0 && out(3L).getAs[Double]("bigram_frac") == 0.0)
+    assert(out(4L).getAs[Long]("n_tokens") == 0 && out(4L).getAs[Double]("ttr") == 0.0)
+  }
+}

@@ -39,13 +39,10 @@ class DedupSpec extends AnyFunSuite {
       .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("extended"))
       .linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
     assert(partitionings.nonEmpty, "plan must have exchanges")
-    // the only text-keyed exchange allowed is the collision-resolution
-    // sliver, which is semi-filtered by the (empty in practice) ambiguous
-    // set — but at plan level we assert the PRIMARY path: the h/len
-    // aggregation and the fingerprint distinct never key on raw text
+    // the group key is the 48-byte content fingerprint; raw text must never
+    // appear in any exchange's partitioning
     val textKeyed = partitionings.filter(_.contains("text#"))
-    assert(textKeyed.size <= 1,
-      s"at most the collision fallback may key on text: $partitionings")
+    assert(textKeyed.isEmpty, s"text must never key an exchange: $partitionings")
   }
 
   test("hot band buckets are capped: a boilerplate cluster cannot go quadratic") {
