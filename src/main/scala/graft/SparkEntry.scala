@@ -797,7 +797,7 @@ object SparkEntry {
       import s.implicits._
       val tape = Pnl.eventsAsMarket(ev(s, d)).collect().toSeq
         .sortBy(e => (e.ts.getTime, e.seq))
-      graft.streaming.MemoryReplay.replay(s, tape, nBatches = 8)(
+      graft.streaming.MemoryReplay.replay(s, tape, nBatches = 4)(
           graft.streaming.StreamingOps.pnlStream(_))
         .select(col("seq"), ntz(col("ts")).as("ts"), col("account"), col("hub"),
           col("position_mw"), col("avg_price_mwh"), col("last_price_mwh"),
@@ -813,7 +813,7 @@ object SparkEntry {
       import s.implicits._
       val tape = Pnl.eventsAsMarket(ev(s, d)).filter(_.kind == "price").collect()
         .toSeq.sortBy(e => (e.ts.getTime, e.seq))
-      graft.streaming.MemoryReplay.replay(s, tape, nBatches = 8)(
+      graft.streaming.MemoryReplay.replay(s, tape, nBatches = 4)(
           graft.streaming.StreamingOps.forecastStream(_))
         .select(col("seq"), ntz(col("ts")).as("ts"), col("hub"), col("price_mwh"),
           col("sma5"), col("sma20"), col("forecast_next"))

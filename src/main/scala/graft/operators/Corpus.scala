@@ -87,13 +87,24 @@ object Corpus {
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
-        // sequence(1, 0) counts DOWN in Spark — guard short docs explicitly
+        // zip_with over two slices, NOT transform(sequence)+element_at: the
+        // optimizer collapses the tokenizing projection into this lambda,
+        // and an element_at per iteration would re-run the split per
+        // element — O(tokens²) per doc. zip_with references the array a
+        // constant number of times. (sequence(1, 0) also counts DOWN in
+        // Spark, hence the explicit short-doc guard.)
         when(size(col("toks")) < 2, array().cast("array<string>"))
-          .otherwise(expr("transform(sequence(1, size(toks) - 1), " +
-            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+          .otherwise(zip_with(
+            slice(col("toks"), lit(1), size(col("toks")) - 1),
+            slice(col("toks"), lit(2), size(col("toks")) - 1),
+            (a, b) => concat(a, lit(" "), b)))
           .as("bigrams"))
+    // count by (doc_id, xxhash64(bigram)): the exchange carries 16-byte
+    // keys instead of bigram strings (an in-doc hash collision merging two
+    // bigram counts is ~2⁻⁶⁴ per pair — the content-hashing trade
+    // documented at Dedup.exact)
     val top = base.select(col("doc_id"), explode(col("bigrams")).as("bg"))
-      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), xxhash64(col("bg")).as("bk")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id")).agg(max(col("c")).as("top_bigram_n"))
     base.select(col("doc_id"), col("n_tokens"), col("n_distinct"))
       .join(top, Seq("doc_id"), "left").na.fill(0L, Seq("top_bigram_n"))

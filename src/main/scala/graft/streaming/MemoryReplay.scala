@@ -35,15 +35,26 @@ object MemoryReplay {
     * the complete append-mode output as a batch DataFrame.
     */
   def replay[I: Encoder, O: Encoder](spark: SparkSession, tape: Seq[I],
-      nBatches: Int)(f: Dataset[I] => Dataset[O]): DataFrame = {
+      nBatches: Int, statePartitions: Int = 8)(f: Dataset[I] => Dataset[O]): DataFrame = {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[I]
     val name = s"graft_replay_${runId.incrementAndGet()}"
-    val query = f(input.toDS()).writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(OutputMode.Append())
-      .start()
+    // a stateful query pins its state-store partition count from
+    // shuffle.partitions at FIRST start; a replay's micro-batches are small,
+    // so the session default (sized for batch scans) only multiplies
+    // state-store file overhead per batch. Set it for the start() call and
+    // restore immediately — never leaked across the session (the round-2
+    // ADVICE lesson on session-wide conf mutation).
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val query =
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+        f(input.toDS()).writeStream
+          .format("memory")
+          .queryName(name)
+          .outputMode(OutputMode.Append())
+          .start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     try {
       val chunk = math.max(1, (tape.size + nBatches - 1) / nBatches)
       // processAllAvailable per chunk forces a micro-batch boundary, so the
