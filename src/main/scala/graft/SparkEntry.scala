@@ -615,22 +615,26 @@ object SparkEntry {
         col("doc_id"), col("norm"))
         .orderBy(col("canonical_id"))),
 
-    // Approximate quantiles, rank-gated (the 100 TB path beside exact q39:
-    // percentile() sorts every group; percentile_approx is a bounded-memory
-    // sketch with ~1/accuracy rank error). The sketch value is
-    // engine-specific, so the gate is rank-based: the approx p50 must land
-    // between the exact p40 and p60 — at accuracy 10000 the rank error is
-    // 0.01%, so the boolean cannot flap while a broken sketch trips it.
-    "q46_approx_quantile" -> ((s, d) =>
-      t(s, d, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          expr("percentile(l_extendedprice, array(0.4D, 0.5D, 0.6D))").as("p"),
-          expr("percentile_approx(l_extendedprice, 0.5D, 10000)").as("ap"))
-        .select(col("l_returnflag"), element_at(col("p"), 2).as("p50_exact"),
-          (col("ap") >= element_at(col("p"), 1) && col("ap") <= element_at(col("p"), 3))
-            .as("approx_ok"))
-        .orderBy(col("l_returnflag"))),
+    // Approximate quantiles, rank-gated (the 100 TB sketch path beside
+    // exact q39). The sketch value is engine-specific, so the gate is
+    // rank-based: the approx p50 must land between the exact p40 and p60 —
+    // at accuracy 10000 the rank error is 0.01%, so the boolean cannot
+    // flap while a broken sketch trips it. The exact side runs through
+    // Percentiles.exact too, so NO declared query buffers a full group in
+    // an aggregation buffer anymore.
+    "q46_approx_quantile" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val exact = graft.operators.Percentiles.exact(li,
+          col("l_returnflag"), col("l_extendedprice"),
+          Seq(("p40", 0.4), ("p50", 0.5), ("p60", 0.6)))
+        .select(col("g").as("l_returnflag"), col("p40"), col("p50"), col("p60"))
+      val approx = li.groupBy(col("l_returnflag"))
+        .agg(expr("percentile_approx(l_extendedprice, 0.5D, 10000)").as("ap"))
+      exact.join(approx, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("p50").as("p50_exact"),
+          (col("ap") >= col("p40") && col("ap") <= col("p60")).as("approx_ok"))
+        .orderBy(col("l_returnflag"))
+    }),
 
     // Analytic window-function family (lag/lead/rank/dense_rank/cume_dist)
     // over one WindowExec pass — the OLAP surface beyond plain row_number

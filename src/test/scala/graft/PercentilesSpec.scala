@@ -51,12 +51,14 @@ class PercentilesSpec extends AnyFunSuite {
       Seq(("pmin", 0.0), ("p10", 0.1), ("p50", 0.5), ("p99", 0.99), ("pmax", 1.0)))
   }
 
-  test("q39's plan carries no full-value percentile buffer") {
-    val plan = SparkEntry.queries("q39_percentiles")(spark, "/root/testdata/sf0.001")
-      .queryExecution.explainString(
-        org.apache.spark.sql.execution.ExplainMode.fromString("extended"))
-    assert(!plan.contains("percentile("),
-      "exact percentile (per-group full-value buffer) must not appear; " +
-        "only percentile_approx brackets are allowed")
+  test("q39's and q46's plans carry no full-value percentile buffer") {
+    Seq("q39_percentiles", "q46_approx_quantile").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("extended"))
+      assert(!plan.contains("percentile("),
+        s"$q: exact percentile (per-group full-value buffer) must not appear; " +
+          "only percentile_approx brackets are allowed")
+    }
   }
 }
