@@ -881,6 +881,32 @@ object SparkEntry {
       Corpus.repetitionStats(t(s, d, "documents"), col("doc_id"), col("text"))
         .orderBy(col("doc_id"))),
 
+    // K-means assignment step over embeddings (the clustering pass IVF
+    // builds on, as a first-class op): nearest centroid by squared L2 via
+    // the dot-product identity |a−c|² = a·a − 2a·c + c·c (graft_dot is
+    // codegen'd and bit-identical to DuckDB's list_dot_product — proven by
+    // q22/q26 score matches), per-cluster counts + exact inertia through
+    // DECIMAL. Centroids = vectors 0..3 (deterministic, broadcast); ties
+    // break on the lower centroid id via lexicographic struct min.
+    "q61_kmeans_assign" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+      val cents = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val dist2 = (Similarity.dot(col("v"), col("v"))
+        - lit(2.0) * Similarity.dot(col("v"), col("cv"))) +
+        Similarity.dot(col("cv"), col("cv"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), struct(dist2.as("d"), col("cid")).as("dc"))
+        .groupBy(col("vec_id"))
+        .agg(min(col("dc")).as("best"))
+        .select(col("vec_id"), col("best.cid").as("cluster"), col("best.d").as("dist2"))
+      assigned.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("dist2").cast("decimal(28,6)")).cast("double").as("inertia"))
+        .orderBy(col("cluster"))
+    }),
+
     // latest-3 per user via graft_topk — the bounded-buffer aggregate
     // replacement for row_number() <= k: partial aggregation means the
     // exchange carries ≤ k rows per group per partition, no full-group sort
@@ -1225,6 +1251,21 @@ object SparkEntry {
         |                          / count(DISTINCT o_custkey)
         |                   FROM orders)
         |ORDER BY c_custkey""".stripMargin,
+
+    "q61_kmeans_assign" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4),
+        |d AS (SELECT e.vec_id, c.cid,
+        |        list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.cv)
+        |          + list_dot_product(c.cv, c.cv) AS dist2
+        |      FROM e CROSS JOIN c),
+        |a AS (SELECT vec_id, cid AS cluster, dist2,
+        |        row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+        |      FROM d)
+        |SELECT cluster, count(*) AS n,
+        |       CAST(sum(CAST(dist2 AS DECIMAL(28,6))) AS DOUBLE) AS inertia
+        |FROM a WHERE rn = 1
+        |GROUP BY cluster ORDER BY cluster""".stripMargin,
 
     "q58_decontaminate" ->
       """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks

@@ -57,4 +57,37 @@ class WarehouseSpec extends AnyFunSuite {
     // and a partition column round-trips (moved to directory, read back)
     assert(q.columns.contains("event_type"))
   }
+
+  test("compact collapses a fragmented sink directory without changing data") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val path = s"$root/events_sink"
+    // simulate 5 micro-batch appends x 20 tasks = 100 tiny files
+    val df = Tables.events(spark, dir).select(col("event_id"), col("user_id"), col("value"))
+    (0 until 5).foreach(_ => df.repartition(20).write.mode("append").parquet(path))
+    def parquetFiles() = Option(new java.io.File(path).listFiles())
+      .get.count(_.getName.endsWith(".parquet"))
+    val before = parquetFiles()
+    assert(before >= 100, s"fixture must be fragmented, got $before files")
+    val want = spark.read.parquet(path).collect().map(_.toString).sorted
+    Warehouse.compact(spark, path, targetBytes = 64L << 20)
+    val afterFiles = parquetFiles()
+    assert(afterFiles < before / 10, s"compaction must collapse files: $before -> $afterFiles")
+    val got = spark.read.parquet(path).collect().map(_.toString).sorted
+    assert(got.sameElements(want), "compaction must not change the data")
+    // range-clustered variant: files carry tight, non-overlapping event_id
+    // ranges so footer min/max stats skip files on point/range filters
+    Warehouse.compact(spark, path, targetBytes = 1L << 18, sortCol = Some("event_id"))
+    val got2 = spark.read.parquet(path).collect().map(_.toString).sorted
+    assert(got2.sameElements(want), "range compaction must not change the data")
+    val perFile = spark.read.parquet(path)
+      .select(col("event_id"), input_file_name().as("f"))
+      .groupBy(col("f")).agg(min(col("event_id")).as("lo"), max(col("event_id")).as("hi"))
+      .collect().map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi"))).sortBy(_._1)
+    if (perFile.length > 1) {
+      perFile.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"file ranges must not overlap: $hi1 vs $lo2")
+      }
+    }
+  }
 }
