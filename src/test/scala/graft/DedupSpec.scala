@@ -47,20 +47,23 @@ class DedupSpec extends AnyFunSuite {
 
   test("hot band buckets are capped: a boilerplate cluster cannot go quadratic") {
     import spark.implicits._
-    // 300 identical docs: every band bucket holds all 300 -> 300² pair blowup
-    // without the cap; with maxBucket=100 every bucket is dropped and the
-    // candidate set is empty, while the default cap keeps exact behavior
-    val boiler = (0L until 300L).map(i => (i, "all these documents share the " +
+    // 5000 near-identical docs: every band bucket holds ~all of them ->
+    // 12.5M candidate pairs without the cap; with maxBucket=1000 every hot
+    // bucket is dropped and the join completes with an empty candidate set
+    val boiler = (0L until 5000L).map(i => (i, "all these documents share the " +
       "same boilerplate body text repeated verbatim across the whole cluster"))
       .toDF("doc_id", "text")
     val capped = Dedup.minhashNearDups(boiler, col("doc_id"), col("text"),
-      maxBucket = 100)
+      maxBucket = 1000)
     assert(capped.count() == 0, "over-cap buckets must be dropped")
     val cappedSim = Dedup.simhashPairs(boiler, col("doc_id"), col("text"),
-      maxBucket = 100)
+      maxBucket = 1000)
     assert(cappedSim.count() == 0, "over-cap simhash chunks must be dropped")
     // cap far above bucket size: behavior unchanged (all 300·299/2 pairs)
-    val uncapped = Dedup.minhashNearDups(boiler, col("doc_id"), col("text"))
+    val small = (0L until 300L).map(i => (i, "all these documents share the " +
+      "same boilerplate body text repeated verbatim across the whole cluster"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.minhashNearDups(small, col("doc_id"), col("text"))
     assert(uncapped.count() == 300L * 299L / 2)
   }
 

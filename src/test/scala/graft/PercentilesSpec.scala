@@ -51,6 +51,25 @@ class PercentilesSpec extends AnyFunSuite {
       Seq(("pmin", 0.0), ("p10", 0.1), ("p50", 0.5), ("p99", 0.99), ("pmax", 1.0)))
   }
 
+  test("property: bit-identity holds across seeded random distributions") {
+    import spark.implicits._
+    val ps = Seq(("p01", 0.01), ("p25", 0.25), ("p50", 0.5), ("p75", 0.75), ("p999", 0.999))
+    for (seed <- 0 until 5) {
+      val rng = new scala.util.Random(seed)
+      val rows = Seq.newBuilder[(String, Double)]
+      // heavy duplicates (10 distinct values over 3000 rows)
+      (0 until 3000).foreach(_ => rows += (("dup", (rng.nextInt(10) * 7).toDouble)))
+      // log-skewed magnitudes spanning 12 orders of magnitude
+      (0 until 2000).foreach(_ => rows += (("skew", math.pow(10, rng.nextDouble() * 12 - 6))))
+      // negatives + zeros mixed
+      (0 until 1000).foreach(_ => rows += (("neg", rng.nextDouble() * 200 - 100)))
+      rows += (("neg", 0.0)); rows += (("neg", -0.0))
+      // group sizes 1..4 around the rank edges
+      (0 until 1 + seed % 4).foreach(i => rows += (("tiny", i * 3.25)))
+      check(rows.result().toDF("g", "v"), "g", "v", ps)
+    }
+  }
+
   test("q39's and q46's plans carry no full-value percentile buffer") {
     Seq("q39_percentiles", "q46_approx_quantile").foreach { q =>
       val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
