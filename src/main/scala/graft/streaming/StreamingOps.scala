@@ -203,10 +203,16 @@ object StreamingOps {
     * exactly like the batch pipeline's `distinct()` + exact-verify step.
     * Bucket state grows with the corpus, which IS the inverted index's
     * size; at scale it lives in the state store (RocksDB), and the sketch
-    * parameters bound the bucket fan-out per doc.
+    * parameters bound the bucket fan-out per doc. A bucket that reaches
+    * `maxBucket` members goes COLD: arrivals into it stop emitting pairs
+    * and stop growing its state — the streaming face of the batch
+    * operators' too-common-to-be-informative cap (Dedup.capBuckets), which
+    * keeps one boilerplate cluster from emitting B² pairs over the stream's
+    * lifetime.
     */
   def nearDupCandidatesStream(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, numHashes: Int = 32, numBands: Int = 8): Dataset[(Long, Long)] = {
+      shingleN: Int = 3, numHashes: Int = 32, numBands: Int = 8,
+      maxBucket: Int = 10000): Dataset[(Long, Long)] = {
     import org.apache.spark.sql.functions._
     val r = numHashes / numBands
     require(numBands * r == numHashes, "numBands must divide numHashes")
@@ -230,7 +236,7 @@ object StreamingOps {
           val member = scala.collection.mutable.HashSet.from(seen)
           val out = Vector.newBuilder[(Long, Long)]
           it.map(_._2).toVector.sorted.foreach { id =>
-            if (member.add(id)) {
+            if (seen.size < maxBucket && member.add(id)) {
               seen.foreach(prev => out += ((math.min(prev, id), math.max(prev, id))))
               seen = seen :+ id
             }

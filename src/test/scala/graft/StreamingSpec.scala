@@ -122,6 +122,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup cold bucket: cap bounds emissions and state growth") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // 60 identical docs through a cap of 10: each band bucket goes cold at
+    // 10 members, so pair emissions stop at C(10,2) per bucket instead of
+    // growing C(60,2)
+    val docs = (0L until 60L).map(i => (i, "identical boilerplate body shared " +
+      "verbatim by every single document in this synthetic hot cluster"))
+    val input = MemoryStream[(Long, String)]
+    val stream = StreamingOps.nearDupCandidatesStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", maxBucket = 10)
+    val q = stream.toDF().toDF("doc_a", "doc_b")
+      .writeStream.format("memory").queryName("coldbucket_out").outputMode("append").start()
+    try {
+      docs.grouped(20).foreach { chunk => input.addData(chunk); q.processAllAvailable() }
+      val pairs = spark.table("coldbucket_out").distinct().collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      assert(pairs.nonEmpty, "pre-cap arrivals must still pair")
+      assert(pairs.length <= 10 * 9 / 2,
+        s"cold buckets must stop emitting: got ${pairs.length} pairs")
+      assert(pairs.forall { case (a, b) => a < 10 && b < 10 },
+        "only the first maxBucket members may appear in pairs")
+    } finally q.stop()
+  }
+
   test("driver-gate q55/q56 streaming entries equal their batch counterparts") {
     val d = "/root/testdata/sf0.001"
     def rowsOf(name: String): Seq[String] =
