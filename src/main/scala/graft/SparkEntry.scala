@@ -907,6 +907,19 @@ object SparkEntry {
         .orderBy(col("cluster"))
     }),
 
+    // Near-dup CLUSTERS (pipeline op): minhash-LSH candidate pairs closed
+    // under transitivity — connected components via log-round min-label
+    // propagation with pointer jumping — then every doc mapped to its
+    // component's canonical min id plus the keep flag a pipeline filters on.
+    // The oracle recomputes components from the exact all-pairs near-dup
+    // graph with a recursive CTE, so both the pair generation AND the
+    // clustering are hash-gated.
+    "q62_dup_clusters" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.minhashNearDups(docs, col("doc_id"), col("text"))
+      Dedup.dupGroups(docs, col("doc_id"), pairs).orderBy(col("doc_id"))
+    }),
+
     // latest-3 per user via graft_topk — the bounded-buffer aggregate
     // replacement for row_number() <= k: partial aggregation means the
     // exchange carries ≤ k rows per group per partition, no full-group sort
@@ -1266,6 +1279,42 @@ object SparkEntry {
         |       CAST(sum(CAST(dist2 AS DECIMAL(28,6))) AS DOUBLE) AS inertia
         |FROM a WHERE rn = 1
         |GROUP BY cluster ORDER BY cluster""".stripMargin,
+
+    // Components of the EXACT near-dup graph (same pair predicate as q23's
+    // all-pairs oracle) via recursive reachability: min reachable id =
+    // component id. Matching the Spark side needs (a) LSH pair recall ~1
+    // (q23's banding argument) and (b) the CC fixpoint to be exact.
+    "q62_dup_clusters" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_distinct(list_transform(range(1, length(toks) - 2 + 1),
+        |                i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+        |    END AS sh
+        |  FROM tk),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE length(a.sh) > 0 AND length(b.sh) > 0
+        |    AND CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |          / (length(a.sh) + length(b.sh) - length(list_intersect(a.sh, b.sh))) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS id, doc_b AS nbr FROM pairs
+        |  UNION
+        |  SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT id, id AS r FROM (SELECT DISTINCT id FROM edges) n
+        |  UNION
+        |  SELECT e.id, reach.r FROM edges e JOIN reach ON reach.id = e.nbr),
+        |comp AS (SELECT id, min(r) AS component_id FROM reach GROUP BY id)
+        |SELECT d.doc_id,
+        |  COALESCE(comp.component_id, d.doc_id) AS component_id,
+        |  d.doc_id = COALESCE(comp.component_id, d.doc_id) AS keep
+        |FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q58_decontaminate" ->
       """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks

@@ -192,6 +192,82 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over an undirected near-duplicate edge list —
+    * the step that turns pairwise candidates (minhashNearDups, simhashPairs,
+    * cosineDupPairs) into dedup GROUPS: every doc gets the min doc id of its
+    * component as `component_id`, so "keep one per cluster" is a single
+    * equality test. Input: (doc_a, doc_b); output: (doc_id, component_id),
+    * one row per node that appears in ≥ 1 pair.
+    *
+    * Algorithm: iterative min-label propagation with pointer jumping
+    * (hash-to-min family — Rastogi et al., "Finding Connected Components in
+    * Map-Reduce in Logarithmic Rounds"). Each round every node takes
+    *   lbl ← min(lbl, min over neighbors' lbl, lbl(lbl))
+    * The neighbor step moves the min one hop; the lbl(lbl) jump doubles the
+    * path already covered, so rounds are O(log diameter), not O(diameter) —
+    * a chain of n docs converges in ~log₂ n rounds. Labels only decrease and
+    * are bounded below by the component min, so the fixpoint is exact.
+    *
+    * Scale shape: the edge list is symmetrized, pre-partitioned on the join
+    * key, and materialized ONCE (localCheckpoint — also cuts the growing
+    * lineage that would otherwise re-run all prior rounds each iteration; a
+    * multi-executor deploy would use a reliable checkpoint dir, same plan
+    * shape). Per round: one equi-join edges⋈labels + partial-aggregated min
+    * (never materializes neighborhoods), one labels self-join, one bounded
+    * label table rewrite. Everything that shuffles is pairs of 8-byte ids.
+    * Near-dup graphs are additionally benign: components are boilerplate
+    * clusters whose size the LSH bucket caps already bound, so 2-3 rounds is
+    * typical. Convergence is checked (cheap agg on the checkpointed result)
+    * and non-convergence throws rather than returning a wrong partition.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("id"), col("doc_b").as("nbr"))
+      .union(pairs.select(col("doc_b").as("id"), col("doc_a").as("nbr")))
+      .distinct()
+      .repartition(col("nbr")) // the per-round join key: edges side never re-shuffles
+      .localCheckpoint()
+    var labels = edges.groupBy(col("id")).agg(min(col("nbr")).as("nmin"))
+      .select(col("id"), least(col("id"), col("nmin")).as("lbl"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // min label over direct neighbors (partial agg before the exchange)
+      val viaNbr = edges
+        .join(labels.select(col("id").as("nbr"), col("lbl").as("nlbl")), Seq("nbr"))
+        .groupBy(col("id")).agg(min(col("nlbl")).as("nbr_min"))
+      // pointer jump: my label's label (labels are always node ids, so the
+      // self-join always hits)
+      val step = labels
+        .join(labels.select(col("id").as("lbl"), col("lbl").as("jump")), Seq("lbl"))
+        .join(viaNbr, Seq("id"))
+        .select(col("id"), col("lbl"),
+          least(col("lbl"), col("jump"), col("nbr_min")).as("next"))
+        .select(col("id"), col("next").as("lbl"), (col("next") < col("lbl")).as("chg"))
+        .localCheckpoint()
+      converged = step.filter(col("chg")).isEmpty
+      labels = step.drop("chg")
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds")
+    labels.select(col("id").as("doc_id"), col("lbl").as("component_id"))
+  }
+
+  /** Full dedup-group assignment: every doc of `docs` mapped to its near-dup
+    * component (singletons map to themselves) plus the `keep` flag a
+    * training-data pipeline filters on — `keep` ⇔ the doc IS its component's
+    * canonical (min-id) member. One broadcast-or-shuffle left join over the
+    * (small) component table; `docs` itself is never shuffled wide.
+    */
+  def dupGroups(docs: DataFrame, idCol: Column, pairs: DataFrame): DataFrame =
+    docs.select(idCol.as("doc_id"))
+      .join(connectedComponents(pairs), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component_id"), col("doc_id")).as("component_id"))
+      .withColumn("keep", col("doc_id") === col("component_id"))
+
   /** Exact n-gram Jaccard similarity for pairs blocked on `blockCol` (e.g.
     * `source`): |A∩B| / |A∪B| over distinct n-token shingle sets. All-integer
     * set sizes make the score reproducible bit-for-bit in any engine.

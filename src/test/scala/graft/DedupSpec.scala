@@ -213,4 +213,40 @@ class DedupSpec extends AnyFunSuite {
     val again = Multimodal.resize(media, 64, 64).collect().sortBy(_.media_id)
     assert(img.bytes.toSeq == again(0).bytes.toSeq)
   }
+
+  test("connected components: chain + triangle + isolated pair resolve to component mins") {
+    import spark.implicits._
+    // chain 10-11-12-13-14 (diameter 4 exercises >1 round), triangle
+    // 20-21-22, pair 30-31; ids deliberately non-contiguous
+    val pairs = Seq(
+      (11L, 10L), (11L, 12L), (13L, 12L), (14L, 13L),
+      (20L, 21L), (21L, 22L), (20L, 22L),
+      (31L, 30L)
+    ).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("component_id"))).toMap
+    assert((10L to 14L).forall(cc(_) == 10L), s"chain: $cc")
+    assert((20L to 22L).forall(cc(_) == 20L), s"triangle: $cc")
+    assert(cc(30L) == 30L && cc(31L) == 30L, s"pair: $cc")
+    assert(cc.size == 10)
+  }
+
+  test("connected components converge in log rounds on a long path graph") {
+    import spark.implicits._
+    // worst case for plain min-propagation: a 300-node path needs ~300
+    // rounds without pointer jumping; with it, well under the 25-round cap
+    val path = (0L until 299L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(path).collect()
+    assert(cc.length == 300 && cc.forall(_.getAs[Long]("component_id") == 0L))
+  }
+
+  test("dupGroups maps singletons to themselves and flags canonical docs") {
+    val pairs = Dedup.minhashNearDups(docs(), col("doc_id"), col("text"))
+    val g = Dedup.dupGroups(docs(), col("doc_id"), pairs).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("component_id"), r.getAs[Boolean]("keep")))).toMap
+    // 0,1,3 are one near-dup cluster (exact dup + one-token edit); 2 is alone
+    assert(g(0L) == ((0L, true)) && g(1L) == ((0L, false)) && g(3L) == ((0L, false)))
+    assert(g(2L) == ((2L, true)))
+  }
 }
