@@ -43,5 +43,9 @@ object GraftExtensions {
     ("graft_shingles", "graft_shingles(text, n) - distinct space-joined n-token shingles",
       (es: Seq[Expression]) => ShingleSet(es(0), es(1))),
     ("graft_topk", "graft_topk(expr, k) - k largest values per group, sorted descending",
-      (es: Seq[Expression]) => graft.functions.TopKOrdered(es(0), es(1))))
+      (es: Seq[Expression]) => graft.functions.TopKOrdered(es(0), es(1))),
+    ("graft_bottomk", "graft_bottomk(expr, k) - k smallest values per group, sorted ascending",
+      (es: Seq[Expression]) => graft.functions.TopKOrdered(es(0), es(1), asc = true)),
+    ("graft_heavyhitters", "graft_heavyhitters(item, k) - Misra-Gries frequent items sketch",
+      (es: Seq[Expression]) => graft.functions.MisraGries(es(0), es(1))))
 }

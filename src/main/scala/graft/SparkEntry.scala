@@ -920,6 +920,193 @@ object SparkEntry {
       Dedup.dupGroups(docs, col("doc_id"), pairs).orderBy(col("doc_id"))
     }),
 
+    // Streaming tumbling-window aggregation in the gate (D13's streaming
+    // twin): the events tape replayed in 4 ordered micro-batches through the
+    // watermarked window plan. A sentinel tick 20 min past the tape's end
+    // advances the watermark so every real window closes and appends in
+    // OutputMode.Append; the sentinel's own window never closes, so it
+    // cannot leak into the sink. Checked against the same epoch-aligned
+    // GROUP BY oracle family as q14 — streaming ≡ batch for the
+    // watermark/window machinery, inside the official gate.
+    "q63_streaming_window" -> ((s, d) => {
+      import s.implicits._
+      val tape = ev(s, d)
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        .as[graft.streaming.TimedEvent].collect().toSeq
+        .sortBy(e => (e.ts.getTime, e.event_id))
+      val flush = graft.streaming.TimedEvent(-1L,
+        new java.sql.Timestamp(tape.last.ts.getTime + 20 * 60 * 1000L),
+        "__flush", 0.0)
+      graft.streaming.MemoryReplay.replay(s, tape :+ flush, nBatches = 4)(ds =>
+          graft.streaming.StreamingOps.windowedAgg(ds.toDF(), "ts", "event_type",
+            "value", "10 minutes", None, "0 seconds")
+            .as[graft.streaming.WindowAggRow])
+        .filter(col("event_type") =!= "__flush")
+        .select(unix_timestamp(col("window_start")).as("bucket_start_s"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("bucket_start_s"), col("event_type"))
+    }),
+
+    // Per-source quota cap (training-data mixing): keep at most 20 docs per
+    // source, chosen by the PORTABLE multiplicative hash of doc_id (same h
+    // as Corpus.hashSample — re-runnable and engine-reproducible, unlike
+    // rand()). graft_bottomk is the ascending twin of graft_topk: a bounded
+    // ≤20-row buffer with map-side partial aggregation, so the exchange
+    // carries ~20·sources rows at any corpus size — vs the oracle's full
+    // row_number window, which would shuffle and sort the whole corpus.
+    "q64_domain_quota" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val h = ((col("doc_id") * lit(2654435761L) + lit(40503L))
+        % lit(4294967296L)).cast("long")
+      t(s, d, "documents").select(col("doc_id"), col("source"), h.as("h"))
+        .groupBy(col("source"))
+        .agg(call_function("graft_bottomk",
+          struct(col("h"), col("doc_id")), lit(20)).as("keep"))
+        .select(col("source"), posexplode(col("keep")))
+        .select(col("source"), (col("pos") + 1).cast("long").as("rn"),
+          col("col.h").as("h"), col("col.doc_id").as("doc_id"))
+        .orderBy(col("source"), col("rn"))
+    }),
+
+    // TF-IDF top-5 terms per doc (feature extraction): tf and df are pure
+    // integer aggregates; the double idf = ln(N/df) is a VALUE column, never
+    // the ranking key — ranking is (tf DESC, df ASC, term ASC), integers +
+    // string, so the top-5 selection is bit-reproducible across engines and
+    // the only double compared is the 6-dp-hashed score. Corpus size N is a
+    // broadcast 1-row aggregate, not a driver count. The per-doc window
+    // sorts groups bounded by document length (partition key = doc_id), so
+    // no group outgrows a document at any corpus size.
+    "q65_tfidf" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val tf = docs
+        .select(col("doc_id"),
+          explode(graft.functions.Text.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+      tf.join(dft, Seq("term"))
+        .crossJoin(broadcast(n))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("doc_id"), col("rn").cast("long").as("rn"), col("term"),
+          col("tf"), col("df"),
+          (col("tf").cast("double") *
+            log(col("n_docs").cast("double") / col("df").cast("double")))
+            .as("tfidf"))
+        .orderBy(col("doc_id"), col("rn"))
+    }),
+
+    // Distributed k-means FIT (one full Lloyd update from the seeded
+    // centroids, then re-assign): the clustering pass behind
+    // cluster-then-sample corpus curation. assign is a broadcast-centroid
+    // scan + partial-aggregated argmin; update's per-dimension means are
+    // exact DECIMAL(28,12) sums through posexplode + map-side combine (the
+    // exchange is O(k·dim·partitions), corpus-size-independent), so the new
+    // centroids — and therefore every downstream distance — are
+    // bit-identical to the oracle's unrolled-CTE replay of the same step.
+    "q66_kmeans_fit" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+      val cents0 = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      graft.operators.Kmeans.fitSummary(e, cents0, steps = 1)
+    }),
+
+    // Heavy hitters over the token stream via the Misra-Gries sketch
+    // (graft_heavyhitters, k = 50): ≤ 50 counters per partition buffer, ≤ 50
+    // rows per partition through the exchange — the vocabulary's fat tail
+    // never shuffles (vs exact groupBy: one row per distinct token). The
+    // sketch's estimates depend on merge order, so the GATE asserts its
+    // order-independent guarantees against the exact counts, q44-style:
+    // superset (every token with count > n/(k+1) present), underestimate
+    // (est ≤ true, all items), bounded error (true − est ≤ n/(k+1)), and
+    // size ≤ k. Oracle = literal TRUEs; any guarantee break turns the row.
+    "q67_heavy_hitters" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val toks = t(s, d, "documents")
+        .select(explode(graft.functions.Text.tokens(col("text"))).as("term"))
+      val mg = toks
+        .agg(call_function("graft_heavyhitters", col("term"), lit(50)).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.item").as("term"), col("e.est").as("est"))
+      val exact = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      val tot = toks.agg(count(lit(1)).as("n_tok"))
+      val joined = exact.join(mg, Seq("term"), "full_outer")
+        .crossJoin(broadcast(tot))
+      val thresh = col("n_tok").cast("double") / 51.0
+      joined.agg(
+          count(when(col("c").cast("double") > thresh && col("est").isNull, 1))
+            .as("missed"),
+          count(when(col("est").isNotNull && col("est") > col("c"), 1))
+            .as("over"),
+          count(when(col("est").isNotNull &&
+            (col("c") - col("est")).cast("double") > thresh, 1)).as("loose"),
+          count(col("est")).as("sz"))
+        .select(explode(array(
+          struct(lit("mg_superset").as("metric"), (col("missed") === 0).as("ok")),
+          struct(lit("mg_underestimate").as("metric"), (col("over") === 0).as("ok")),
+          struct(lit("mg_error_bound").as("metric"), (col("loose") === 0).as("ok")),
+          struct(lit("mg_size_bound").as("metric"), (col("sz") <= 50).as("ok")))))
+        .select(col("col.metric").as("metric"), col("col.ok").as("ok"))
+        .orderBy(col("metric"))
+    }),
+
+    // Streaming SESSION windows in the gate (the third streaming family
+    // after q55's stateful fold and q63's tumbling windows): per-user
+    // gap-30-min sessions over the events tape, replayed in 4 ordered
+    // micro-batches so sessions genuinely split and MERGE across state
+    // boundaries. The flush sentinel (user −1, 90 min past the end) drives
+    // the watermark beyond every real session's end+gap so append mode
+    // finalizes them; the sentinel's own session never closes. Oracle =
+    // q35's gaps-and-islands SQL re-keyed — streaming ≡ batch for
+    // session-window semantics inside the official gate.
+    "q68_streaming_session" -> ((s, d) => {
+      import s.implicits._
+      val tape = ev(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+        .as[graft.streaming.UserEvent].collect().toSeq
+        .sortBy(e => (e.ts.getTime, e.event_id))
+      val flush = graft.streaming.UserEvent(-1L,
+        new java.sql.Timestamp(tape.last.ts.getTime + 90 * 60 * 1000L), -1L, 0.0)
+      graft.streaming.MemoryReplay.replay(s, tape :+ flush, nBatches = 4)(ds =>
+          graft.streaming.StreamingOps.sessionAgg(ds.toDF(), "ts", "user_id",
+            "value", "30 minutes", "0 seconds")
+            .as[graft.streaming.SessionAggRow])
+        .filter(col("user_id") >= 0)
+        .select(unix_timestamp(col("sess_start")).as("sess_start_s"),
+          unix_timestamp(col("sess_end")).as("sess_end_s"),
+          col("user_id"), col("n"), col("sum_value"))
+        .orderBy(col("user_id"), col("sess_start_s"))
+    }),
+
+    // The standard two-pass heavy-hitters pipeline on top of q67's sketch:
+    // pass 1 sketches candidates (≤ k per partition through the exchange),
+    // pass 2 exact-counts ONLY the ≤ k broadcast candidates via a semi join
+    // — the vocabulary tail never shuffles in either pass. The MG superset
+    // guarantee makes the final answer EXACT and merge-order-independent:
+    // every token above n/(k+1) is guaranteed into the candidate set, so
+    // filtering the exact counts at that threshold equals the full groupBy
+    // — which is precisely what the oracle computes.
+    "q69_heavy_hitters_exact" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val toks = t(s, d, "documents")
+        .select(explode(graft.functions.Text.tokens(col("text"))).as("term"))
+      val cand = toks
+        .agg(call_function("graft_heavyhitters", col("term"), lit(50)).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.item").as("term"))
+      val tot = toks.agg(count(lit(1)).as("n_tok"))
+      toks.join(broadcast(cand), Seq("term"), "left_semi")
+        .groupBy(col("term")).agg(count(lit(1)).as("c"))
+        .crossJoin(broadcast(tot))
+        .filter(col("c").cast("double") >
+          col("n_tok").cast("double") / 51.0)
+        .select(col("term"), col("c"))
+        .orderBy(col("c").desc, col("term"))
+    }),
+
     // latest-3 per user via graft_topk — the bounded-buffer aggregate
     // replacement for row_number() <= k: partial aggregation means the
     // exchange carries ≤ k rows per group per partition, no full-group sort
@@ -1315,6 +1502,106 @@ object SparkEntry {
         |  d.doc_id = COALESCE(comp.component_id, d.doc_id) AS keep
         |FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Same epoch-aligned bucketing as q14's oracle; sum instead of avg so
+    // the streaming partial-aggregation path is exercised on a running sum.
+    "q63_streaming_window" ->
+      """SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 600) * 600 AS BIGINT) AS bucket_start_s,
+        |  event_type, count(*) AS n, sum(value) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY bucket_start_s, event_type""".stripMargin,
+
+    "q64_domain_quota" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |         (doc_id * 2654435761 + 40503) % 4294967296 AS h
+        |  FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+        |      FROM h)
+        |SELECT source, rn, h, doc_id FROM r WHERE rn <= 20
+        |ORDER BY source, rn""".stripMargin,
+
+    "q65_tfidf" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |r AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |         CAST(tf.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)) AS tfidf,
+        |         row_number() OVER (PARTITION BY tf.doc_id
+        |                            ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rn
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, rn, term, tf, df, tfidf FROM r WHERE rn <= 5
+        |ORDER BY doc_id, rn""".stripMargin,
+
+    // Unrolled replay of one Lloyd step: assign to seeded centroids, mean
+    // per (cluster, dimension) through exact DECIMAL(28,12) sums (order-
+    // independent, so it matches Spark's partial-aggregated sums exactly),
+    // rebuild centroid lists ordered by position, re-assign, summarize.
+    "q66_kmeans_fit" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4),
+        |d0 AS (SELECT e.vec_id, e.v, c0.cid,
+        |        list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c0.cv)
+        |          + list_dot_product(c0.cv, c0.cv) AS dist2
+        |       FROM e CROSS JOIN c0),
+        |a0 AS (SELECT vec_id, v, cid AS cluster,
+        |        row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+        |       FROM d0),
+        |m AS (SELECT vec_id, v, cluster FROM a0 WHERE rn = 1),
+        |ux AS (SELECT cluster, u.pos, CAST(u.x AS DECIMAL(28,12)) AS xd
+        |       FROM m, unnest(list_transform(v, (x, i) -> struct_pack(pos := i, x := x))) AS t(u)),
+        |cs AS (SELECT cluster, pos, CAST(sum(xd) AS DOUBLE) / count(*) AS c
+        |       FROM ux GROUP BY 1, 2),
+        |c1 AS (SELECT cluster AS cid, list(c ORDER BY pos) AS cv FROM cs GROUP BY 1),
+        |d1 AS (SELECT e.vec_id, c1.cid,
+        |        list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c1.cv)
+        |          + list_dot_product(c1.cv, c1.cv) AS dist2
+        |       FROM e CROSS JOIN c1),
+        |a1 AS (SELECT vec_id, cid AS cluster, dist2,
+        |        row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+        |       FROM d1)
+        |SELECT cluster, count(*) AS n,
+        |       CAST(sum(CAST(dist2 AS DECIMAL(28,6))) AS DOUBLE) AS inertia
+        |FROM a1 WHERE rn = 1
+        |GROUP BY cluster ORDER BY cluster""".stripMargin,
+
+    "q67_heavy_hitters" ->
+      """SELECT * FROM (VALUES
+        |  ('mg_error_bound', TRUE),
+        |  ('mg_size_bound', TRUE),
+        |  ('mg_superset', TRUE),
+        |  ('mg_underestimate', TRUE)) AS t(metric, ok)
+        |ORDER BY metric""".stripMargin,
+
+    // q35's gaps-and-islands session reconstruction; plain double sum
+    // (sessions are per-user and small, so FP order differences sit far
+    // below the 6-dp hash).
+    "q68_streaming_session" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |g AS (SELECT *, CASE WHEN lag(ts) OVER win IS NULL
+        |                     OR ts - lag(ts) OVER win >= INTERVAL 30 MINUTE
+        |                THEN 1 ELSE 0 END AS brk
+        |      FROM e WINDOW win AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+        |SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start_s,
+        |       CAST(floor(epoch(max(ts) + INTERVAL 30 MINUTE)) AS BIGINT) AS sess_end_s,
+        |       user_id, count(*) AS n, sum(value) AS sum_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, sess_start_s""".stripMargin,
+
+    // The full exact groupBy at the same n/(k+1) threshold — equal to the
+    // sketch-then-exact-count pipeline by the MG superset guarantee.
+    "q69_heavy_hitters_exact" ->
+      """WITH tk AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        |  FROM documents),
+        |n AS (SELECT count(*) AS n_tok FROM tk),
+        |c AS (SELECT term, count(*) AS c FROM tk GROUP BY 1)
+        |SELECT term, c FROM c, n
+        |WHERE CAST(c AS DOUBLE) > CAST(n_tok AS DOUBLE) / 51.0
+        |ORDER BY c DESC, term""".stripMargin,
 
     "q58_decontaminate" ->
       """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed k-means (Lloyd's algorithm) building blocks over an embedding
+  * table — the clustering pass a training-data pipeline runs for corpus
+  * mixing / domain discovery (cluster-then-sample curation).
+  *
+  * Scale shape, per iteration:
+  *   - ASSIGN: centroids are a k-row broadcast; distance is the codegen'd
+  *     expansion ‖v‖² − 2·v·c + ‖c‖² ([[Similarity.dot]]) and the argmin is
+  *     a partial-aggregated `min(struct(dist, cid))` — one scan, no shuffle
+  *     of the vectors, exchange carries one row per vector.
+  *   - UPDATE: per-dimension sums go through `posexplode` + `groupBy
+  *     (cluster, pos)` — the explode is map-side only, partial aggregation
+  *     collapses it to k·dim rows per input partition before the exchange,
+  *     so the shuffle is O(k·dim·partitions) regardless of corpus size. The
+  *     new centroid table (k·dim rows) is reassembled with
+  *     `array_sort(collect_list(struct(pos, c)))` — deterministic because
+  *     `pos` is a total order within each cluster.
+  *
+  * Determinism (the driver gate hashes doubles at 6 dp): per-dimension sums
+  * are DECIMAL(28,12) — exact, order-independent — so centroids are
+  * bit-identical to the oracle's; distances then reuse the same sequential
+  * dot product on both sides ([[graft.functions.DotProductD]] vs DuckDB's
+  * `list_dot_product`), and inertia is a DECIMAL(28,6) sum. Nothing depends
+  * on float summation order anywhere in the loop.
+  */
+object Kmeans {
+
+  /** Nearest-centroid assignment: (vec_id, v, cluster, dist2), ties broken
+    * by smallest centroid id. `cents` must be (cid, cv) and small (k rows).
+    */
+  def assign(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val dist2 = (Similarity.dot(col("v"), col("v"))
+      - lit(2.0) * Similarity.dot(col("v"), col("cv"))) +
+      Similarity.dot(col("cv"), col("cv"))
+    vecs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"),
+        struct(dist2.as("d"), col("cid")).as("dc"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("dc")).as("best"), first(col("v")).as("v"))
+      .select(col("vec_id"), col("v"),
+        col("best.cid").as("cluster"), col("best.d").as("dist2"))
+  }
+
+  /** One Lloyd update: recompute centroids as the per-cluster mean of the
+    * assigned vectors (exact decimal sums — see class doc). Returns the new
+    * (cid, cv) centroid table, k rows.
+    */
+  def update(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cluster"), posexplode(col("v")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg((sum(col("col").cast("decimal(28,12)")).cast("double")
+        / count(lit(1))).as("c"))
+      .groupBy(col("cluster"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("cluster").as("cid"),
+        transform(col("pc"), p => p.getField("c")).as("cv"))
+
+  /** Per-cluster fit summary after `steps` Lloyd iterations from `cents0`:
+    * (cluster, n, inertia) with inertia an exact DECIMAL(28,6) sum of the
+    * squared distances — the convergence metric a fit loop watches.
+    */
+  def fitSummary(vecs: DataFrame, cents0: DataFrame, steps: Int): DataFrame = {
+    var cents = cents0
+    for (_ <- 1 to steps) cents = update(assign(vecs, cents))
+    assign(vecs, cents)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("dist2").cast("decimal(28,6)")).cast("double").as("inertia"))
+      .orderBy(col("cluster"))
+  }
+}

@@ -16,6 +16,34 @@ final case class SmaState(window: Seq[Double])
 /** Doc ids seen in one LSH band bucket (streaming near-dup state). */
 final case class BandBucket(ids: Seq[Long])
 
+/** Raw timed event for the windowed-agg replay tape (SparkEntry q63). */
+final case class TimedEvent(
+    event_id: Long, ts: Timestamp, event_type: String, value: Double)
+
+/** Per-user event for the session-window replay tape (SparkEntry q68). */
+final case class UserEvent(
+    event_id: Long, ts: Timestamp, user_id: Long, value: Double)
+
+/** One closed session from [[StreamingOps.sessionAgg]], typed for the
+  * memory-sink replay harness (SparkEntry q68).
+  */
+final case class SessionAggRow(
+    sess_start: Timestamp,
+    sess_end: Timestamp,
+    user_id: Long,
+    n: Long,
+    sum_value: Double)
+
+/** One closed window from [[StreamingOps.windowedAgg]], typed so the
+  * memory-sink replay harness can carry it (SparkEntry q63).
+  */
+final case class WindowAggRow(
+    window_start: Timestamp,
+    window_end: Timestamp,
+    event_type: String,
+    n: Long,
+    sum_value: Double)
+
 /** One forecast per input tick (reference ForecastsJob.java:82-85). */
 final case class ForecastRow(
     seq: Long,

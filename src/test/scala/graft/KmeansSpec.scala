@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Kmeans, Similarity}
+
+class KmeansSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def vecs = Tables.load(spark, sf, "embeddings")
+    .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+
+  private def cents0 = vecs.filter(col("vec_id") < 4)
+    .select(col("vec_id").as("cid"), col("v").as("cv"))
+
+  test("assign puts every vector in exactly one cluster, seeds at distance 0") {
+    val a = Kmeans.assign(vecs, cents0)
+    assert(a.count() == vecs.count())
+    // each seed vector is its own centroid: dist2 == 0, cluster == own id
+    val seeds = a.filter(col("vec_id") < 4)
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Long]("cluster"), r.getAs[Double]("dist2")))
+    assert(seeds.length == 4 &&
+      seeds.forall { case (id, cl, d) => cl == id && math.abs(d) < 1e-9 })
+  }
+
+  test("update computes the per-cluster arithmetic mean, dimension-exact") {
+    val a = Kmeans.assign(vecs, cents0)
+    val got = Kmeans.update(a).collect()
+      .map(r => r.getAs[Long]("cid") -> r.getAs[collection.Seq[Double]]("cv")).toMap
+    // recompute locally: decimal-rounded component sums / count, like the op
+    val rows = a.select(col("cluster"), col("v")).collect()
+      .map(r => (r.getAs[Long]("cluster"), r.getAs[collection.Seq[Double]]("v")))
+    val dim = rows.head._2.size
+    rows.groupBy(_._1).foreach { case (cl, vs) =>
+      val n = vs.size
+      val mean = (0 until dim).map { i =>
+        val s = vs.map(v => BigDecimal(v._2(i)).setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum
+        (s.toDouble / n)
+      }
+      got(cl).zip(mean).zipWithIndex.foreach { case ((g, m), i) =>
+        assert(math.abs(g - m) < 1e-12, s"cluster $cl dim $i: $g vs $m")
+      }
+      assert(got(cl).size == dim)
+    }
+  }
+
+  test("one Lloyd step never increases total inertia") {
+    def inertia(steps: Int): Double =
+      Kmeans.fitSummary(vecs, cents0, steps).agg(sum(col("inertia")))
+        .collect()(0).getDouble(0)
+    val i0 = inertia(0)
+    val i1 = inertia(1)
+    assert(i1 <= i0 + 1e-6, s"inertia rose: $i0 -> $i1")
+    assert(i0 > 0.0)
+  }
+}
