@@ -1107,6 +1107,58 @@ object SparkEntry {
         .orderBy(col("c").desc, col("term"))
     }),
 
+    // Streaming SLIDING windows in the gate (q37's streaming twin): every
+    // event lands in two 10-min/5-min-slide windows; the flush sentinel
+    // (+20 min — past the last event's final window end) closes them all.
+    // Same replay harness and oracle family as q63.
+    "q70_streaming_sliding" -> ((s, d) => {
+      import s.implicits._
+      val tape = ev(s, d)
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        .as[graft.streaming.TimedEvent].collect().toSeq
+        .sortBy(e => (e.ts.getTime, e.event_id))
+      val flush = graft.streaming.TimedEvent(-1L,
+        new java.sql.Timestamp(tape.last.ts.getTime + 20 * 60 * 1000L),
+        "__flush", 0.0)
+      graft.streaming.MemoryReplay.replay(s, tape :+ flush, nBatches = 4)(ds =>
+          graft.streaming.StreamingOps.windowedAgg(ds.toDF(), "ts", "event_type",
+            "value", "10 minutes", Some("5 minutes"), "0 seconds")
+            .as[graft.streaming.WindowAggRow])
+        .filter(col("event_type") =!= "__flush")
+        .select(unix_timestamp(col("window_start")).as("bucket_start_s"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("bucket_start_s"), col("event_type"))
+    }),
+
+    // Streaming stream-stream INTERVAL JOIN in the gate (the declarative
+    // cousin of the PnL trade→recent-prices CoProcess): the market tape
+    // split into its trade and price streams, replayed in index-lockstep
+    // micro-batches through the watermarked interval join — each trade
+    // pairs with the same-hub prices of the preceding 5 minutes. The
+    // 10-min watermark delay is an eviction cushion only (inner-join
+    // matches emit on arrival); the global watermark is the min across
+    // both sources, so state outlives every still-possible match. Oracle =
+    // the equivalent range-predicate self-join over the frozen mapping.
+    "q71_streaming_interval_join" -> ((s, d) => {
+      import s.implicits._
+      val all = Pnl.eventsAsMarket(ev(s, d)).collect().toSeq
+        .sortBy(e => (e.ts.getTime, e.seq))
+      val trades = all.filter(_.kind == "trade")
+      val prices = all.filter(_.kind == "price")
+      graft.streaming.MemoryReplay.replay2(s, trades, prices, nBatches = 4)(
+          (tl, pr) => graft.streaming.StreamingOps.intervalJoinStream(
+            tl.toDF().select(col("seq").as("t_seq"), col("ts").as("t_ts"),
+              col("hub")),
+            pr.toDF().select(col("seq").as("p_seq"), col("ts").as("p_ts"),
+              col("hub").as("p_hub"), col("price_mwh").as("p_px")),
+            leftKey = "hub", rightKey = "p_hub",
+            leftTs = "t_ts", rightTs = "p_ts",
+            lookback = "5 MINUTES", watermarkDelay = "10 minutes")
+            .select(col("t_seq"), col("hub"), col("p_seq"), col("p_px"))
+            .as[graft.streaming.IntervalPair])
+        .orderBy(col("t_seq"), col("p_seq"))
+    }),
+
     // latest-3 per user via graft_topk — the bounded-buffer aggregate
     // replacement for row_number() <= k: partial aggregation means the
     // exchange carries ≤ k rows per group per partition, no full-group sort
@@ -1602,6 +1654,26 @@ object SparkEntry {
         |SELECT term, c FROM c, n
         |WHERE CAST(c AS DOUBLE) > CAST(n_tok AS DOUBLE) / 51.0
         |ORDER BY c DESC, term""".stripMargin,
+
+    // q37's two-windows-per-event expansion, plain double sum (mirrors the
+    // streaming plan's sum; per-window FP drift sits far below 6 dp).
+    "q70_streaming_sliding" ->
+      """SELECT bucket_start_s, event_type, count(*) AS n, sum(value) AS sum_value
+        |FROM (
+        |  SELECT unnest(generate_series(
+        |      CAST(floor((epoch(CAST(ts AS TIMESTAMP)) - 600) / 300) AS BIGINT) + 1,
+        |      CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 300) AS BIGINT))) * 300 AS bucket_start_s,
+        |    event_type, value
+        |  FROM events)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q71_streaming_interval_join" ->
+      s"""WITH $M_CTE
+         |SELECT t.seq AS t_seq, t.hub, p.seq AS p_seq, p.price_mwh AS p_px
+         |FROM m t JOIN m p
+         |  ON t.kind = 'trade' AND p.kind = 'price' AND p.hub = t.hub
+         | AND p.ts >= t.ts - INTERVAL 5 MINUTE AND p.ts <= t.ts
+         |ORDER BY t_seq, p_seq""".stripMargin,
 
     "q58_decontaminate" ->
       """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks

@@ -68,4 +68,41 @@ object MemoryReplay {
     } finally query.stop()
     spark.table(name)
   }
+
+  /** Two-stream replay for stream-stream operators (interval join): both
+    * tapes advance in index-lockstep chunks — for time-sorted tapes of the
+    * same span that keeps the two event-time fronts roughly aligned, and
+    * the global watermark (the MIN across sources) trails the slower side,
+    * so join state is never evicted ahead of a still-arriving match.
+    */
+  def replay2[L: Encoder, R: Encoder, O: Encoder](spark: SparkSession,
+      tapeL: Seq[L], tapeR: Seq[R], nBatches: Int, statePartitions: Int = 8)(
+      f: (Dataset[L], Dataset[R]) => Dataset[O]): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val inL = MemoryStream[L]
+    val inR = MemoryStream[R]
+    val name = s"graft_replay_${runId.incrementAndGet()}"
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val query =
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+        f(inL.toDS(), inR.toDS()).writeStream
+          .format("memory")
+          .queryName(name)
+          .outputMode(OutputMode.Append())
+          .start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    try {
+      val chunkL = math.max(1, (tapeL.size + nBatches - 1) / nBatches)
+      val chunkR = math.max(1, (tapeR.size + nBatches - 1) / nBatches)
+      tapeL.grouped(chunkL).toSeq.zipAll(
+          tapeR.grouped(chunkR).toSeq, Seq.empty[L], Seq.empty[R])
+        .foreach { case (cl, cr) =>
+          if (cl.nonEmpty) inL.addData(cl)
+          if (cr.nonEmpty) inR.addData(cr)
+          query.processAllAvailable()
+        }
+    } finally query.stop()
+    spark.table(name)
+  }
 }

@@ -24,6 +24,12 @@ final case class TimedEvent(
 final case class UserEvent(
     event_id: Long, ts: Timestamp, user_id: Long, value: Double)
 
+/** One matched (trade, price) pair from the streaming interval join,
+  * typed for the memory-sink replay harness (SparkEntry q71).
+  */
+final case class IntervalPair(
+    t_seq: Long, hub: String, p_seq: Long, p_px: Double)
+
 /** One closed session from [[StreamingOps.sessionAgg]], typed for the
   * memory-sink replay harness (SparkEntry q68).
   */

@@ -240,6 +240,36 @@ class DedupSpec extends AnyFunSuite {
     assert(cc.length == 300 && cc.forall(_.getAs[Long]("component_id") == 0L))
   }
 
+  test("connected components match a union-find oracle on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val n = 120 + trial * 40
+      val edges = Seq.fill(n) {
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      // local union-find reference
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(x => x -> find(x)).toMap
+      // find() uses min-root union, so the root IS the component min
+      val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component_id"))
+        .toMap
+      assert(got == expect, s"trial $trial: ${got.size} vs ${expect.size}")
+    }
+  }
+
   test("dupGroups maps singletons to themselves and flags canonical docs") {
     val pairs = Dedup.minhashNearDups(docs(), col("doc_id"), col("text"))
     val g = Dedup.dupGroups(docs(), col("doc_id"), pairs).collect()

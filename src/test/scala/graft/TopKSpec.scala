@@ -61,4 +61,15 @@ class TopKSpec extends AnyFunSuite {
       .head().getSeq[Long](1).toSeq
     assert(got == Seq(10000L, 9999L, 9998L, 9997L, 9996L))
   }
+
+  test("graft_bottomk is the ascending twin across partial aggregation") {
+    GraftFunctions.register(spark)
+    val sp = spark
+    import sp.implicits._
+    val df = (1 to 10000).map(i => ("g", i.toLong)).toDF("g", "v").repartition(16)
+    val got = df.groupBy(col("g"))
+      .agg(call_function("graft_bottomk", col("v"), lit(4)).as("bot"))
+      .head().getSeq[Long](1).toSeq
+    assert(got == Seq(1L, 2L, 3L, 4L))
+  }
 }
