@@ -1032,7 +1032,10 @@ object SparkEntry {
         .select(explode(col("hh")).as("e"))
         .select(col("e.item").as("term"), col("e.est").as("est"))
       val exact = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
-      val tot = toks.agg(count(lit(1)).as("n_tok"))
+      // total tokens without a second explode: sum of per-doc token counts
+      val tot = t(s, d, "documents")
+        .agg(sum(size(graft.functions.Text.tokens(col("text"))))
+          .cast("long").as("n_tok"))
       val joined = exact.join(mg, Seq("term"), "full_outer")
         .crossJoin(broadcast(tot))
       val thresh = col("n_tok").cast("double") / 51.0
@@ -1097,7 +1100,9 @@ object SparkEntry {
         .agg(call_function("graft_heavyhitters", col("term"), lit(50)).as("hh"))
         .select(explode(col("hh")).as("e"))
         .select(col("e.item").as("term"))
-      val tot = toks.agg(count(lit(1)).as("n_tok"))
+      val tot = t(s, d, "documents")
+        .agg(sum(size(graft.functions.Text.tokens(col("text"))))
+          .cast("long").as("n_tok"))
       toks.join(broadcast(cand), Seq("term"), "left_semi")
         .groupBy(col("term")).agg(count(lit(1)).as("c"))
         .crossJoin(broadcast(tot))
@@ -1158,6 +1163,18 @@ object SparkEntry {
             .as[graft.streaming.IntervalPair])
         .orderBy(col("t_seq"), col("p_seq"))
     }),
+
+    // Token-budgeted corpus sharding (training-file packing): docs in id
+    // order, shard = floor(exclusive-prefix-sum(tokens) / budget). The
+    // global prefix sum is a two-pass distributed scan (deterministic
+    // id-proportional partitioner + per-partition subtotals + offset
+    // broadcast — Corpus.packShards), NEVER a single-partition window; the
+    // oracle's one-task cumsum window is exactly the plan this operator
+    // exists to avoid at scale. All integers — bit-reproducible.
+    "q72_pack_shards" -> ((s, d) =>
+      Corpus.packShards(t(s, d, "documents"), col("doc_id"), col("text"),
+          budgetTokens = 2000L)
+        .orderBy(col("doc_id"))),
 
     // latest-3 per user via graft_topk — the bounded-buffer aggregate
     // replacement for row_number() <= k: partial aggregation means the
@@ -1674,6 +1691,18 @@ object SparkEntry {
          |  ON t.kind = 'trade' AND p.kind = 'price' AND p.hub = t.hub
          | AND p.ts >= t.ts - INTERVAL 5 MINUTE AND p.ts <= t.ts
          |ORDER BY t_seq, p_seq""".stripMargin,
+
+    "q72_pack_shards" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         CAST(length(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tok,
+        |        sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_tok
+        |      FROM tk)
+        |SELECT doc_id, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok,
+        |       CAST((cum_tok - n_tok) // 2000 AS BIGINT) AS shard
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q58_decontaminate" ->
       """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks

@@ -116,4 +116,70 @@ object Corpus {
           .otherwise(col("top_bigram_n").cast("double") / (col("n_tokens") - 1))
           .as("bigram_frac"))
   }
+
+  /** Pack the corpus into token-budgeted shards: docs in `idCol` order are
+    * assigned `shard = floor(exclusive-prefix-sum(tokens) / budgetTokens)` —
+    * the deterministic sharding that turns a corpus into ~equal training
+    * files without a shuffle-the-world sort.
+    *
+    * The global prefix sum is the textbook two-pass scan, NOT a
+    * single-partition window (`Window.orderBy` with no partition key drags
+    * the whole corpus through one task):
+    *   1. range-partition by id (Spark samples split points, so partitions
+    *      are balanced and id-ordered across partition boundaries);
+    *   2. one tiny job collects per-partition token subtotals (one row per
+    *      partition — KBs on any cluster);
+    *   3. the driver prefix-sums those into per-partition offsets
+    *      (broadcast back inside the closure);
+    *   4. a per-partition running sum + offset emits every doc's exclusive
+    *      prefix — pure sequential arithmetic, no further exchange.
+    * `mapPartitions` is warranted here: a running sum over an ordered
+    * partition is genuine per-partition imperative logic (the same reason
+    * the PnL fold uses it).
+    *
+    * Output: (doc_id, n_tok, cum_tok, shard) where cum_tok is the INCLUSIVE
+    * prefix sum — all integers, bit-reproducible in any engine.
+    */
+  def packShards(docs: DataFrame, idCol: Column, textCol: Column,
+      budgetTokens: Long, numParts: Int = 0): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val parts =
+      if (numParts > 0) numParts
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val maxId = docs.agg(max(idCol.cast("long"))).head().getLong(0)
+    // id-proportional partitioner: DETERMINISTIC (unlike range-partitioner
+    // sampling), so pass 1 and pass 2 agree on placement by construction,
+    // and the shared RDD object means pass 2 reuses pass 1's shuffle files
+    // instead of re-shuffling. Balanced when ids are ~dense (fixture ids
+    // are); correctness never depends on balance.
+    val nPart = math.max(1, parts)
+    val partitioner = new org.apache.spark.Partitioner {
+      override def numPartitions: Int = nPart
+      override def getPartition(key: Any): Int = {
+        val id = key.asInstanceOf[Long]
+        math.min(nPart - 1, (id * nPart / (maxId + 1)).toInt)
+      }
+    }
+    val parted = docs
+      .select(idCol.cast("long").as("doc_id"),
+        size(Text.tokens(textCol)).cast("long").as("n_tok"))
+      .as[(Long, Long)].rdd
+      .map { case (id, n) => (id, n) }
+      .repartitionAndSortWithinPartitions(partitioner)
+    // pass 1: per-partition subtotals (one row per partition — KBs)
+    val subtotals = parted
+      .mapPartitionsWithIndex { case (pid, it) =>
+        var s = 0L; it.foreach(s += _._2); Iterator((pid, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = subtotals.scanLeft(0L)(_ + _) // exclusive, length parts+1
+    // pass 2: running sum + partition offset (shuffle files reused)
+    parted.mapPartitionsWithIndex { case (pid, it) =>
+      var run = offsets(pid)
+      it.map { case (id, n) =>
+        val excl = run; run += n; (id, n, run, excl / budgetTokens)
+      }
+    }.toDF("doc_id", "n_tok", "cum_tok", "shard")
+  }
 }

@@ -45,6 +45,35 @@ class CorpusSpec extends AnyFunSuite {
     assert(!a.exists(_._2 == "s3"), "strata absent from rates are dropped")
   }
 
+  test("packShards equals the sequential prefix sum at any partition count") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    // sparse, shuffled ids — placement balance degrades but correctness
+    // must not; token counts 1..40
+    val docs = rnd.shuffle((0 until 400).toList)
+      .map(i => (i * 7L + 3, Seq.fill(1 + rnd.nextInt(40))("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val budget = 500L
+    // sequential reference in id order
+    val seq = docs.collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").length.toLong))
+      .sortBy(_._1)
+    var run = 0L
+    val expect = seq.map { case (id, n) =>
+      val excl = run; run += n; (id, n, run, excl / budget)
+    }.toSeq
+    for (parts <- Seq(1, 7, 32)) {
+      val got = Corpus.packShards(docs, col("doc_id"), col("text"), budget, parts)
+        .orderBy(col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got == expect, s"parts=$parts")
+    }
+    // shard invariant: contiguous, non-decreasing, each shard's span covers
+    // at most budget tokens of exclusive prefix
+    val shards = expect.map(_._4)
+    assert(shards == shards.sorted && shards.distinct == (0L to shards.max).toSeq)
+  }
+
   test("repetitionStats: planted repetition and diversity score exactly") {
     import spark.implicits._
     val docs = Seq(
