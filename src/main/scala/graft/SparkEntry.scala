@@ -1150,7 +1150,7 @@ object SparkEntry {
         .sortBy(e => (e.ts.getTime, e.seq))
       val trades = all.filter(_.kind == "trade")
       val prices = all.filter(_.kind == "price")
-      graft.streaming.MemoryReplay.replay2(s, trades, prices, nBatches = 4)(
+      graft.streaming.MemoryReplay.replay2(s, trades, prices, nBatches = 4, statePartitions = 4)(
           (tl, pr) => graft.streaming.StreamingOps.intervalJoinStream(
             tl.toDF().select(col("seq").as("t_seq"), col("ts").as("t_ts"),
               col("hub")),
@@ -1158,7 +1158,7 @@ object SparkEntry {
               col("hub").as("p_hub"), col("price_mwh").as("p_px")),
             leftKey = "hub", rightKey = "p_hub",
             leftTs = "t_ts", rightTs = "p_ts",
-            lookback = "5 MINUTES", watermarkDelay = "10 minutes")
+            lookbackSec = 300L, watermarkDelay = "10 minutes")
             .select(col("t_seq"), col("hub"), col("p_seq"), col("p_px"))
             .as[graft.streaming.IntervalPair])
         .orderBy(col("t_seq"), col("p_seq"))
@@ -1175,6 +1175,50 @@ object SparkEntry {
       Corpus.packShards(t(s, d, "documents"), col("doc_id"), col("text"),
           budgetTokens = 2000L)
         .orderBy(col("doc_id"))),
+
+    // Denylist scrubbing (the PII-redaction shape: the fixture corpus has
+    // no emails/phones, so the denylist stands in for the pattern bank):
+    // every match replaced, per-doc hit count kept as the audit metric.
+    // Pure codegen'd column map — no shuffle, scales with the scan. The
+    // \b word-boundary subset of regex behaves identically in Java and
+    // RE2, which is what makes the oracle comparable.
+    "q73_redact" -> ((s, d) => {
+      val pat = "\\b(customer|vector|stream)\\b"
+      t(s, d, "documents").select(col("doc_id"),
+          regexp_count(col("text"), lit(pat)).cast("long").as("n_hits"),
+          regexp_replace(col("text"), pat, "[X]").as("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Incremental dedup: a NEW batch (source src0) checked against the
+    // standing corpus (every other source) for near-duplicates — the
+    // "don't re-ingest what you already have" pipeline step. Candidates
+    // come from the same verified MinHash-LSH band join as q23 (recall
+    // ~1−1e-8, so the oracle can be the exact cross-source all-pairs);
+    // production keeps the band index persisted and probes only the new
+    // batch's buckets (StreamingOps.nearDupCandidatesStream IS that index,
+    // maintained incrementally). Output: every src0 doc + is_dup flag.
+    "q74_incremental_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.minhashNearDups(docs, col("doc_id"), col("text"))
+      val src = docs.select(col("doc_id"), col("source"))
+      val flagged = pairs
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")),
+          Seq("doc_a"))
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")),
+          Seq("doc_b"))
+      val dupNew = flagged
+        .filter(col("src_a") === "src0" && col("src_b") =!= "src0")
+        .select(col("doc_a").as("doc_id"))
+        .union(flagged
+          .filter(col("src_b") === "src0" && col("src_a") =!= "src0")
+          .select(col("doc_b").as("doc_id")))
+        .distinct()
+      docs.filter(col("source") === "src0").select(col("doc_id"))
+        .join(dupNew.withColumn("is_dup", lit(true)), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("is_dup"), lit(false)).as("is_dup"))
+        .orderBy(col("doc_id"))
+    }),
 
     // latest-3 per user via graft_topk — the bounded-buffer aggregate
     // replacement for row_number() <= k: partial aggregation means the
@@ -1703,6 +1747,36 @@ object SparkEntry {
         |SELECT doc_id, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok,
         |       CAST((cum_tok - n_tok) // 2000 AS BIGINT) AS shard
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q73_redact" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\b(customer|vector|stream)\b')) AS BIGINT) AS n_hits,
+        |  regexp_replace(text, '\b(customer|vector|stream)\b', '[X]', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Exact cross-source near-dup check for the src0 batch (same shingle/
+    // Jaccard predicate as q23's oracle).
+    "q74_incremental_dedup" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN length(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_distinct(list_transform(range(1, length(toks) - 2 + 1),
+        |                i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+        |    END AS sh
+        |  FROM tk),
+        |dup AS (
+        |  SELECT DISTINCT a.doc_id
+        |  FROM sh a JOIN sh b
+        |    ON a.source = 'src0' AND b.source <> 'src0' AND a.doc_id <> b.doc_id
+        |  WHERE length(a.sh) > 0 AND length(b.sh) > 0
+        |    AND CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |          / (length(a.sh) + length(b.sh) - length(list_intersect(a.sh, b.sh))) >= 0.5)
+        |SELECT d.doc_id, d.doc_id IN (SELECT doc_id FROM dup) AS is_dup
+        |FROM documents d WHERE d.source = 'src0'
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q58_decontaminate" ->
       """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks

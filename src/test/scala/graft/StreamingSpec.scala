@@ -201,7 +201,7 @@ class StreamingSpec extends AnyFunSuite {
       trades.toDS().toDF("hub", "t_ts", "t_px"),
       prices.toDS().toDF("p_hub", "p_ts", "p_px"),
       leftKey = "hub", rightKey = "p_hub", leftTs = "t_ts", rightTs = "p_ts",
-      lookback = "5 MINUTES", watermarkDelay = "0 seconds")
+      lookbackSec = 300L, watermarkDelay = "0 seconds")
     val q = out.select(col("hub"), col("t_ts"), col("p_ts"), col("p_px"))
       .writeStream.format("memory").queryName("ij_out").outputMode("append").start()
     try {
