@@ -1220,6 +1220,42 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Sixth streaming family in the gate: the streaming near-dup BAND
+    // INDEX (nearDupCandidatesStream — each LSH band bucket's state is the
+    // inverted index, maintained incrementally). The corpus replayed in 4
+    // micro-batches must emit, after dedup of the at-least-once stream,
+    // EXACTLY the batch band join's candidate set — asserted as booleans
+    // (covers ∧ subset ∧ non-empty) the oracle pins true. This is the
+    // equality StreamingSpec proves, promoted into the official gate.
+    "q75_streaming_neardup" -> ((s, d) => {
+      import s.implicits._
+      val docsDf = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val tape = docsDf.as[(Long, String)].collect().toSeq.sortBy(_._1)
+      val stream = graft.streaming.MemoryReplay.replay(s, tape, nBatches = 4)(
+          ds => graft.streaming.StreamingOps.nearDupCandidatesStream(
+            ds.toDF("doc_id", "text"), "doc_id", "text"))
+        .toDF("doc_a", "doc_b").distinct()
+      val batch = Dedup.minhashLsh(docsDf, col("doc_id"), col("text"),
+          threshold = 0.0)
+        .select(col("doc_a"), col("doc_b"))
+      batch.withColumn("b", lit(1))
+        .join(stream.withColumn("st", lit(1)), Seq("doc_a", "doc_b"),
+          "full_outer")
+        .agg(
+          count(when(col("b").isNotNull && col("st").isNull, 1)).as("missing"),
+          count(when(col("st").isNotNull && col("b").isNull, 1)).as("extra"),
+          count(col("b")).as("n_batch"))
+        .select(explode(array(
+          struct(lit("stream_covers_batch").as("metric"),
+            (col("missing") === 0).as("ok")),
+          struct(lit("stream_subset_of_batch").as("metric"),
+            (col("extra") === 0).as("ok")),
+          struct(lit("candidates_nonempty").as("metric"),
+            (col("n_batch") > 0).as("ok")))))
+        .select(col("col.metric").as("metric"), col("col.ok").as("ok"))
+        .orderBy(col("metric"))
+    }),
+
     // latest-3 per user via graft_topk — the bounded-buffer aggregate
     // replacement for row_number() <= k: partial aggregation means the
     // exchange carries ≤ k rows per group per partition, no full-group sort
@@ -1777,6 +1813,13 @@ object SparkEntry {
         |SELECT d.doc_id, d.doc_id IN (SELECT doc_id FROM dup) AS is_dup
         |FROM documents d WHERE d.source = 'src0'
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q75_streaming_neardup" ->
+      """SELECT * FROM (VALUES
+        |  ('candidates_nonempty', TRUE),
+        |  ('stream_covers_batch', TRUE),
+        |  ('stream_subset_of_batch', TRUE)) AS t(metric, ok)
+        |ORDER BY metric""".stripMargin,
 
     "q58_decontaminate" ->
       """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
