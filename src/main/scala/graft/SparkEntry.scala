@@ -1256,6 +1256,23 @@ object SparkEntry {
         .orderBy(col("metric"))
     }),
 
+    // The SQL entry path exercising the INJECTED native function surface:
+    // a pure-SQL user (spark.sql over temp views, GraftExtensions
+    // registration) writes graft_topk + LATERAL VIEW posexplode and gets
+    // the same bounded-buffer plan as the DataFrame API — proving the
+    // extension functions are first-class SQL, not Scala-only.
+    "q76_sql_native_funcs" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      ev(s, d).createOrReplaceTempView("v_events")
+      s.sql("""
+        WITH t AS (SELECT user_id, graft_topk(struct(ts, event_id, value), 3) AS top
+                   FROM v_events GROUP BY user_id)
+        SELECT user_id, CAST(pos + 1 AS BIGINT) AS rn,
+               c.ts AS ts, c.event_id AS event_id, c.value AS value
+        FROM t LATERAL VIEW posexplode(top) x AS pos, c
+        ORDER BY user_id, rn""")
+    }),
+
     // latest-3 per user via graft_topk — the bounded-buffer aggregate
     // replacement for row_number() <= k: partial aggregation means the
     // exchange carries ≤ k rows per group per partition, no full-group sort
@@ -1820,6 +1837,13 @@ object SparkEntry {
         |  ('stream_covers_batch', TRUE),
         |  ('stream_subset_of_batch', TRUE)) AS t(metric, ok)
         |ORDER BY metric""".stripMargin,
+
+    "q76_sql_native_funcs" ->
+      """SELECT user_id, CAST(rn AS BIGINT) AS rn, ts, event_id, value FROM (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events) x
+        |WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin,
 
     "q58_decontaminate" ->
       """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks

@@ -218,6 +218,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bucketed interval join equals the reference predicate on a random tape") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val base = java.sql.Timestamp.valueOf("2024-01-15 08:00:00").getTime
+    def ts(offSec: Long) = new java.sql.Timestamp(base + offSec * 1000)
+    val trades = Seq.tabulate(60) { i =>
+      ("H" + rnd.nextInt(3), ts(rnd.nextInt(7200).toLong), i.toLong)
+    }.sortBy(_._2.getTime)
+    val prices = Seq.tabulate(200) { i =>
+      ("H" + rnd.nextInt(3), ts(rnd.nextInt(7200).toLong), 1000L + i)
+    }.sortBy(_._2.getTime)
+    val got = graft.streaming.MemoryReplay.replay2(spark, trades, prices, nBatches = 3)(
+        (tl, pr) => StreamingOps.intervalJoinStream(
+          tl.toDF("hub", "t_ts", "t_id"), pr.toDF("p_hub", "p_ts", "p_id"),
+          leftKey = "hub", rightKey = "p_hub", leftTs = "t_ts", rightTs = "p_ts",
+          lookbackSec = 300L, watermarkDelay = "10 minutes")
+          .select(col("t_id"), col("p_id")).as[(Long, Long)])
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      (h, tt, tid) <- trades
+      (ph, pt, pid) <- prices
+      if h == ph && pt.getTime >= tt.getTime - 300000 && pt.getTime <= tt.getTime
+    } yield (tid, pid)).toSet
+    assert(want.nonEmpty && got == want,
+      s"got ${got.size} want ${want.size}; missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
   test("streaming session windows finalize per gap behind the watermark") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
