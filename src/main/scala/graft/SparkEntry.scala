@@ -1256,6 +1256,34 @@ object SparkEntry {
         .orderBy(col("metric"))
     }),
 
+    // Document CHUNKING (embedding prep): overlapping token windows of 50
+    // with stride 40, one row per chunk — the split an embedding/indexing
+    // stage runs before ANN. Pure codegen'd HOFs (sequence + posexplode +
+    // slice): the explode multiplies rows ~len/stride ON the scan side with
+    // no shuffle at all (the ORDER BY is gate-only); each slice references
+    // the token array a constant number of times (the
+    // [[spark-hof-projection-collapse]] O(n²) pitfall doesn't bite).
+    "q77_chunk" -> ((s, d) => {
+      val stride = 40
+      val chunkLen = 50
+      val base = t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.functions.Text.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("toks"),
+          size(col("toks")).cast("long").as("len"))
+        .filter(col("len") > 0)
+      base
+        .select(col("doc_id"), col("toks"), col("len"),
+          posexplode(sequence(lit(0L), expr("(len - 1) div 40"))))
+        .select(col("doc_id"), col("col").cast("long").as("chunk_id"),
+          least(lit(chunkLen.toLong),
+            col("len") - col("col") * stride).as("n_tok"),
+          concat_ws(" ",
+            slice(col("toks"), (col("col") * stride + 1).cast("int"),
+              lit(chunkLen))).as("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     // The SQL entry path exercising the INJECTED native function surface:
     // a pure-SQL user (spark.sql over temp views, GraftExtensions
     // registration) writes graft_topk + LATERAL VIEW posexplode and gets
@@ -1837,6 +1865,20 @@ object SparkEntry {
         |  ('stream_covers_batch', TRUE),
         |  ('stream_subset_of_batch', TRUE)) AS t(metric, ok)
         |ORDER BY metric""".stripMargin,
+
+    "q77_chunk" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |l AS (SELECT doc_id, toks, CAST(length(toks) AS BIGINT) AS len
+        |      FROM tk WHERE length(toks) > 0),
+        |c AS (SELECT doc_id, len, i AS chunk_id
+        |      FROM l, range(0, (len - 1) // 40 + 1) r(i))
+        |SELECT c.doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |       CAST(least(50, c.len - chunk_id * 40) AS BIGINT) AS n_tok,
+        |       array_to_string(list_slice(l.toks, chunk_id * 40 + 1, chunk_id * 40 + 50), ' ') AS chunk_text
+        |FROM c JOIN l USING (doc_id)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q76_sql_native_funcs" ->
       """SELECT user_id, CAST(rn AS BIGINT) AS rn, ts, event_id, value FROM (
