@@ -956,8 +956,10 @@ object SparkEntry {
     // row_number window, which would shuffle and sort the whole corpus.
     "q64_domain_quota" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
-      val h = ((col("doc_id") * lit(2654435761L) + lit(40503L))
-        % lit(4294967296L)).cast("long")
+      // pmod, not %: the wrapped product would go negative for ids ≳ 3.47e9
+      // (see Corpus.hashSample — 2³² | 2⁶⁴ makes pmod of the wrap exact)
+      val h = pmod(col("doc_id") * lit(2654435761L) + lit(40503L),
+        lit(4294967296L)).cast("long")
       t(s, d, "documents").select(col("doc_id"), col("source"), h.as("h"))
         .groupBy(col("source"))
         .agg(call_function("graft_bottomk",
@@ -1866,18 +1868,23 @@ object SparkEntry {
         |  ('stream_subset_of_batch', TRUE)) AS t(metric, ok)
         |ORDER BY metric""".stripMargin,
 
+    // NOTE: unnest(range(...)) in scalar context, NOT `FROM l, range(len)` —
+    // DuckDB's range TABLE function rejects lateral column parameters
+    // ("does not support lateral join column parameters"); the scalar list
+    // form accepts them.
     "q77_chunk" ->
       """WITH tk AS (
         |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
         |  FROM documents),
         |l AS (SELECT doc_id, toks, CAST(length(toks) AS BIGINT) AS len
         |      FROM tk WHERE length(toks) > 0),
-        |c AS (SELECT doc_id, len, i AS chunk_id
-        |      FROM l, range(0, (len - 1) // 40 + 1) r(i))
-        |SELECT c.doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
-        |       CAST(least(50, c.len - chunk_id * 40) AS BIGINT) AS n_tok,
-        |       array_to_string(list_slice(l.toks, chunk_id * 40 + 1, chunk_id * 40 + 50), ' ') AS chunk_text
-        |FROM c JOIN l USING (doc_id)
+        |c AS (SELECT doc_id, len, toks,
+        |        unnest(range(0, (len - 1) // 40 + 1)) AS chunk_id
+        |      FROM l)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |       CAST(least(50, len - chunk_id * 40) AS BIGINT) AS n_tok,
+        |       array_to_string(list_slice(toks, chunk_id * 40 + 1, chunk_id * 40 + 50), ' ') AS chunk_text
+        |FROM c
         |ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q76_sql_native_funcs" ->

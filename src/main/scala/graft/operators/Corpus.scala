@@ -60,10 +60,20 @@ object Corpus {
     * `rates` maps stratum → keep fraction (broadcast dimension join); rows
     * in strata absent from `rates` are dropped. The hash is a pure codegen'd
     * column map; no shuffle beyond the broadcast.
+    *
+    * pmod, NOT `%`: for ids ≳ 3.47e9 the product wraps Long negative, and
+    * `%` of a negative is negative — the keep filter `h < rate·2³²` would
+    * then pass EVERY high-id row regardless of rate. Because 2³² divides
+    * 2⁶⁴, pmod of the wrapped product still equals the true mathematical
+    * hash, so the sampled set is unchanged for small ids and correct for
+    * large ones. (Oracle-side caveat: DuckDB raises on the BIGINT overflow
+    * instead of wrapping — any-engine reproducibility of the SQL spelling
+    * holds for ids < 2⁶³/2654435761 ≈ 3.47e9; beyond that, engines need the
+    * 128-bit or wrapped-arithmetic spelling of the same hash.)
     */
   def hashSample(df: DataFrame, idCol: Column, stratumCol: Column,
       rates: DataFrame): DataFrame = {
-    val h = (idCol * lit(2654435761L) + lit(40503L)) % lit(4294967296L)
+    val h = pmod(idCol * lit(2654435761L) + lit(40503L), lit(4294967296L))
     df.select(idCol.as("id"), stratumCol.as("stratum"), h.cast("long").as("h"))
       .join(broadcast(rates.select(col("stratum"), col("rate"))), Seq("stratum"))
       .filter(col("h").cast("double") < col("rate") * 4294967296.0)

@@ -39,18 +39,24 @@ object Dedup {
       .agg(min(idCol).as("canonical_id"), count(lit(1)).as("n_copies"))
       .select(col("canonical_id"), col("n_copies"))
 
-  /** Drop band buckets larger than `maxBucket` — the standard
-    * "too-common-to-be-informative" guard: one boilerplate cluster of B docs
-    * in a single bucket creates B² candidate pairs, and no cap means one hot
-    * key can dominate the whole join (AQE skew-split shares the work but
-    * cannot shrink it). Docs in a dropped bucket still pair through their
-    * other bands, so recall loss is bounded by the per-band miss rate. The
-    * count rides the band partitioning already in place (window over the
-    * repartition key — no extra exchange).
+  /** Cap hot band buckets at their first `maxBucket` members in doc_id
+    * order — the standard "too-common-to-be-informative" guard: one
+    * boilerplate cluster of B docs in a single bucket creates B² candidate
+    * pairs, and no cap means one hot key can dominate the whole join (AQE
+    * skew-split shares the work but cannot shrink it). Keep-first-K (not
+    * drop-the-bucket) so the batch cap is the SAME contract as the streaming
+    * cold-bucket cap (StreamingOps.nearDupCandidatesStream: a bucket at
+    * maxBucket members stops admitting) — when arrival order is id order,
+    * stream and batch emit identical capped candidate sets, which is what
+    * the q75 gate asserts. Docs beyond the cap still pair through their
+    * other, colder bands, so recall loss is bounded by the per-band miss
+    * rate. The row_number rides the band partitioning already in place
+    * (window over the repartition key — no extra exchange).
     */
   private def capBuckets(banded: DataFrame, maxBucket: Int, keys: Column*): DataFrame =
     banded
-      .withColumn("_bn", count(lit(1)).over(Window.partitionBy(keys: _*)))
+      .withColumn("_bn", row_number().over(
+        Window.partitionBy(keys: _*).orderBy(col("doc_id"))))
       .filter(col("_bn") <= maxBucket)
       .drop("_bn")
 
@@ -165,9 +171,10 @@ object Dedup {
 
   /** SimHash near-dup pairs: 64-bit sketches, 4×16-bit pigeonhole blocking,
     * exact hamming verify ≤ maxHamming (≤ 3 guarantees no false negatives
-    * from blocking; a chunk bucket hotter than `maxBucket` is dropped, which
-    * can only lose pairs whose every shared chunk is that hot — the
-    * too-common-to-be-informative trade). Output: (doc_a, doc_b, hamming).
+    * from blocking; a chunk bucket hotter than `maxBucket` keeps only its
+    * first maxBucket members by id, which can only lose pairs whose every
+    * shared chunk is that hot — the too-common-to-be-informative trade).
+    * Output: (doc_a, doc_b, hamming).
     */
   def simhashPairs(
       df: DataFrame,

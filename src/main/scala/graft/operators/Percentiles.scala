@@ -80,14 +80,24 @@ object Percentiles {
       .groupBy(col("g"), col("i"))
       .agg(min(when(col("g0") === col("r"), col("v"))).as("lo_c"),
         min(when(col("g0") === col("r2"), col("v"))).as("hi_c"))
+    // if the sketch's rank-error bound were ever violated beyond the
+    // one-neighbor fallback (below > r+1 or r outside [below-1,
+    // below+cnt_in]), the when-chains yield NULL — fail LOUDLY instead of
+    // quietly emitting a NULL percentile for the group: a broken sketch
+    // contract is a bug, not a data condition
+    def checked(c: Column, which: String): Column =
+      when(c.isNotNull, c).otherwise(raise_error(concat(
+        lit(s"graft percentile bracket miss ($which) for group "),
+        col("g").cast("string"),
+        lit(" — percentile_approx rank-error contract violated"))).cast("double"))
     val res = brackets.join(broadcast(stats), Seq("g", "i"))
       .join(broadcast(pickedAgg), Seq("g", "i"), "left")
-      .withColumn("lo", coalesce(col("lo_c"),
+      .withColumn("lo", checked(coalesce(col("lo_c"),
         when(col("r") === col("below") - 1, col("next_down"))
-          .when(col("r") === col("below") + col("cnt_in"), col("next_up"))))
-      .withColumn("hi", coalesce(col("hi_c"),
+          .when(col("r") === col("below") + col("cnt_in"), col("next_up"))), "lo"))
+      .withColumn("hi", checked(coalesce(col("hi_c"),
         when(col("r2") === col("below") - 1, col("next_down"))
-          .when(col("r2") === col("below") + col("cnt_in"), col("next_up"))))
+          .when(col("r2") === col("below") + col("cnt_in"), col("next_up"))), "hi"))
       // Spark Percentile's own arithmetic, replicated exactly for bit
       // parity: integral position returns the lower value; otherwise the
       // TWO-SIDED weighted form (higher−position)·lo + (position−lower)·hi

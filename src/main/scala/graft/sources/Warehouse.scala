@@ -46,13 +46,35 @@ object Warehouse {
     * ~`targetBytes` files (no shuffle beyond AQE's rebalance); Some(col) →
     * `repartitionByRange` on that column, so each output file covers a tight
     * key range and min/max footer stats turn point/range filters into file
-    * skips (poor man's clustering). Writes to a temp sibling then swaps, so
-    * a reader never sees a half-compacted directory; the swap is the same
-    * last-wins visibility contract as the dynamic-partition-overwrite sinks.
+    * skips (poor man's clustering).
+    *
+    * Visibility contract — honest version: the write goes to a temp sibling
+    * and is published by a two-rename swap (path→__old, __compacting→path),
+    * so a reader never sees a HALF-compacted directory — but between the two
+    * renames there is a window where the directory does not exist at all and
+    * a concurrent reader errors, and `java.io.File.renameTo` limits this
+    * implementation to the local filesystem. On a real deployment the flip
+    * belongs behind a metastore/table-format pointer swap (the atomic-commit
+    * problem Iceberg/Delta exist to solve); this local form is the
+    * maintenance pass for the sandbox warehouse. A crash between the renames
+    * leaves only `__old`; the next compact run recovers it (restore-then-
+    * compact) and clears any stale `__compacting`/`__old` leftovers.
     */
   def compact(spark: SparkSession, path: String, targetBytes: Long = 128L << 20,
       sortCol: Option[String] = None): Unit = {
     import org.apache.spark.sql.functions.col
+    // crash recovery from a previous interrupted swap: if only the __old
+    // backup survives, restore it before compacting; stale temp/backup dirs
+    // from completed or failed runs are cleared so the renames can't collide
+    locally {
+      val cur = new java.io.File(path)
+      val oldBak = new java.io.File(path + "__old")
+      val stale = new java.io.File(path + "__compacting")
+      if (!cur.exists() && oldBak.exists() && !oldBak.renameTo(cur))
+        throw new java.io.IOException(s"cannot restore $path from __old backup")
+      if (stale.exists()) rmTree(stale)
+      if (oldBak.exists() && cur.exists()) rmTree(oldBak)
+    }
     val df = spark.read.parquet(path)
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val n = math.max(1, (bytes / BigInt(targetBytes)).toInt +
@@ -67,9 +89,10 @@ object Warehouse {
       bak.renameTo(fs) // roll back visibility before failing
       throw new java.io.IOException(s"cannot publish compacted $path")
     }
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(bak)
+    rmTree(bak)
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
   }
 }

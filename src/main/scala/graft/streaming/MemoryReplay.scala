@@ -66,7 +66,20 @@ object MemoryReplay {
         query.processAllAvailable()
       }
     } finally query.stop()
-    spark.table(name)
+    detach(spark, name)
+  }
+
+  /** Materialize the memory sink's rows off the catalog, then drop its temp
+    * view: every replay otherwise leaves a `graft_replay_N` table pinning its
+    * full output in driver memory for the life of the session — Bench at
+    * reps=3 runs ~21 replays per session. localCheckpoint copies the rows to
+    * executor block storage (freed by the ContextCleaner when the returned
+    * frame is collected), so dropping the view loses nothing.
+    */
+  private def detach(spark: SparkSession, name: String): DataFrame = {
+    val out = spark.table(name).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    out
   }
 
   /** Two-stream replay for stream-stream operators (interval join): both
@@ -103,6 +116,6 @@ object MemoryReplay {
           query.processAllAvailable()
         }
     } finally query.stop()
-    spark.table(name)
+    detach(spark, name)
   }
 }

@@ -256,10 +256,11 @@ object StreamingOps {
     * size; at scale it lives in the state store (RocksDB), and the sketch
     * parameters bound the bucket fan-out per doc. A bucket that reaches
     * `maxBucket` members goes COLD: arrivals into it stop emitting pairs
-    * and stop growing its state — the streaming face of the batch
-    * operators' too-common-to-be-informative cap (Dedup.capBuckets), which
-    * keeps one boilerplate cluster from emitting B² pairs over the stream's
-    * lifetime.
+    * and stop growing its state — the SAME contract as the batch cap
+    * (Dedup.capBuckets keeps a hot bucket's first maxBucket members by id),
+    * so when arrival order is id order the stream's capped candidate set
+    * equals the batch join's exactly (the q75 gate), and one boilerplate
+    * cluster can never emit B² pairs over the stream's lifetime.
     */
   def nearDupCandidatesStream(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 32, numBands: Int = 8,

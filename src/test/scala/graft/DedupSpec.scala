@@ -48,17 +48,23 @@ class DedupSpec extends AnyFunSuite {
   test("hot band buckets are capped: a boilerplate cluster cannot go quadratic") {
     import spark.implicits._
     // 5000 near-identical docs: every band bucket holds ~all of them ->
-    // 12.5M candidate pairs without the cap; with maxBucket=1000 every hot
-    // bucket is dropped and the join completes with an empty candidate set
+    // 12.5M candidate pairs without the cap; with maxBucket=1000 each hot
+    // bucket keeps only its first 1000 members by id (the same contract as
+    // the streaming cold-bucket cap), so the candidate set is exactly the
+    // pairs among docs 0..999 — bounded at K(K-1)/2, not B(B-1)/2
     val boiler = (0L until 5000L).map(i => (i, "all these documents share the " +
       "same boilerplate body text repeated verbatim across the whole cluster"))
       .toDF("doc_id", "text")
     val capped = Dedup.minhashNearDups(boiler, col("doc_id"), col("text"),
       maxBucket = 1000)
-    assert(capped.count() == 0, "over-cap buckets must be dropped")
+    assert(capped.count() == 1000L * 999L / 2,
+      "cap must keep exactly the pairs among the first 1000 ids")
+    assert(capped.agg(max(greatest(col("doc_a"), col("doc_b")))).head().getLong(0) < 1000L,
+      "no doc beyond the cap may appear in any pair")
     val cappedSim = Dedup.simhashPairs(boiler, col("doc_id"), col("text"),
       maxBucket = 1000)
-    assert(cappedSim.count() == 0, "over-cap simhash chunks must be dropped")
+    assert(cappedSim.count() == 1000L * 999L / 2,
+      "simhash cap keeps pairs among the first 1000 ids")
     // cap far above bucket size: behavior unchanged (all 300·299/2 pairs)
     val small = (0L until 300L).map(i => (i, "all these documents share the " +
       "same boilerplate body text repeated verbatim across the whole cluster"))
