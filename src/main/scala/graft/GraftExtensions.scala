@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProductD, MinHashSig, PolyFingerprint, ShingleSet, SimHash64}
+import graft.functions.{DotProductD, DotProductL, MinHashSig, PolyFingerprint, ShingleSet, SimHash64}
 
 /** Spark extension entry point: `--conf
   * spark.sql.extensions=graft.GraftExtensions` (or
@@ -34,6 +34,8 @@ object GraftExtensions {
   private[graft] val injected: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("graft_dot", "dot product of two array<double>",
       (es: Seq[Expression]) => DotProductD(es(0), es(1))),
+    ("graft_doti", "exact integer dot product of two array<bigint>",
+      (es: Seq[Expression]) => DotProductL(es(0), es(1))),
     ("graft_minhash", "graft_minhash(shingles, k) - k-lane minhash signature",
       (es: Seq[Expression]) => MinHashSig(es(0), es(1))),
     ("graft_simhash", "64-bit simhash of array<string> tokens",

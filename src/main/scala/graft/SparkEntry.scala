@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Corpus, Dedup, Joins, LatestPerGroup, MediaRecord, Multimodal, Pnl, Similarity, Sma}
+import graft.operators.{Corpus, Dedup, Joins, LatestPerGroup, MediaRecord, Multimodal, Pnl, Quantize, Retrieval, Similarity, Sma}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -956,10 +956,10 @@ object SparkEntry {
     // row_number window, which would shuffle and sort the whole corpus.
     "q64_domain_quota" -> ((s, d) => {
       graft.functions.GraftFunctions.register(s)
-      // pmod, not %: the wrapped product would go negative for ids ≳ 3.47e9
-      // (see Corpus.hashSample — 2³² | 2⁶⁴ makes pmod of the wrap exact)
-      val h = pmod(col("doc_id") * lit(2654435761L) + lit(40503L),
-        lit(4294967296L)).cast("long")
+      // overflow-free split-multiply form (Corpus.portableHash): equals the
+      // oracle's one-multiply spelling for fixture-sized ids, and never
+      // overflows ANSI engines for large ones
+      val h = Corpus.portableHash(col("doc_id")).cast("long")
       t(s, d, "documents").select(col("doc_id"), col("source"), h.as("h"))
         .groupBy(col("source"))
         .agg(call_function("graft_bottomk",
@@ -1285,6 +1285,108 @@ object SparkEntry {
               lit(chunkLen))).as("chunk_text"))
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
+
+    // Int8 scalar quantization of the embedding corpus (Quantize.quantize):
+    // per-vector scale + codes as a pure codegen'd column map — the 4×
+    // smaller at-rest/in-shuffle representation the quantized ANN path
+    // scores against. The gate hashes integer code stats (exact, portable)
+    // plus the 6-dp scale; the codec arithmetic (amax/127 scale,
+    // floor(x/scale + 0.5) round-half-up codes) is mirrored op-for-op by
+    // the oracle, so a codec drift of a single code flips the hash.
+    "q78_quantize_int8" -> ((s, d) => {
+      val q = Quantize.quantize(t(s, d, "embeddings"), col("vec_id"),
+        col("embedding"))
+      q.select(col("vec_id"), col("scale"),
+          size(col("codes")).cast("long").as("n_dim"),
+          aggregate(col("codes"), lit(0L), (acc, x) => acc + x).as("sum_code"),
+          array_min(col("codes")).as("min_code"),
+          array_max(col("codes")).as("max_code"),
+          size(filter(col("codes"), _ === 0L)).cast("long").as("n_zero"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Quantized-ANN quality gate (q44-style): int8-scored candidates with
+    // 4× oversampling, exact-rescored, must recover ≥ 0.8 of brute force's
+    // top-10 AND return bit-identical cosines on every overlapping pair
+    // (the rescore runs the same graft_dot arithmetic) — the contract that
+    // makes the 4×-smaller scan trustworthy.
+    "q79_quantized_ann_quality" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val bf = Similarity.bruteForceKnn(e, col("vec_id") < 5, k = 10)
+        .select(col("qid"), col("vec_id"), col("score"))
+      val qz = Quantize.quantizedKnn(e, col("vec_id") < 5, k = 10)
+        .select(col("qid"), col("vec_id"), col("score").as("score_q"))
+      bf.join(qz, Seq("qid", "vec_id"), "full_outer")
+        .agg(
+          count(col("score")).as("t"),
+          count(when(col("score").isNotNull && col("score_q").isNotNull, 1))
+            .as("h"),
+          count(when(col("score").isNotNull && col("score_q").isNotNull &&
+            col("score") =!= col("score_q"), 1)).as("badscore"))
+        .select(explode(array(
+          struct(lit("int8_knn_recall10").as("metric"),
+            (col("h") >= col("t") * 0.8).as("ok")),
+          struct(lit("int8_scores_exact").as("metric"),
+            (col("badscore") === 0).as("ok")),
+          struct(lit("nonempty").as("metric"), (col("t") > 0).as("ok")))))
+        .select(col("col.metric").as("metric"), col("col.ok").as("ok"))
+        .orderBy(col("metric"))
+    }),
+
+    // Seventh streaming family in the gate: streaming exact dedup by
+    // content fingerprint (StreamingOps.exactDedupStream — state is the
+    // dedup index, one long per distinct fingerprint). The id-ordered tape
+    // replayed in 4 micro-batches must keep exactly the batch dedup's
+    // canonical min-id-per-content set — the oracle recomputes it with a
+    // plain GROUP BY over text.
+    "q80_streaming_dedup" -> ((s, d) => {
+      import s.implicits._
+      val tape = t(s, d, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().toSeq.sortBy(_._1)
+      graft.streaming.MemoryReplay.replay(s, tape, nBatches = 4)(ds =>
+          graft.streaming.StreamingOps.exactDedupStream(
+            ds.toDF("doc_id", "text"), "doc_id", "text"))
+        .toDF("doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // BM25 keyword scoring (Retrieval.bm25) — the lexical retrieval /
+    // seed-query quality-filter op. Fixed 3-term query pivoted to columns
+    // so the total is a FIXED-order double sum (s_spark + s_vector +
+    // s_customer, left-assoc on both sides); nothing ranks by a double.
+    "q81_bm25" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val sc = Retrieval.bm25(docs, col("doc_id"), col("text"),
+        Seq("spark", "vector", "customer"))
+      val agg = sc.groupBy(col("doc_id")).agg(
+        max(when(col("term") === "spark", col("score"))).as("s_spark"),
+        max(when(col("term") === "vector", col("score"))).as("s_vector"),
+        max(when(col("term") === "customer", col("score"))).as("s_customer"))
+      docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("s_spark"), lit(0.0)).as("s_spark"),
+          coalesce(col("s_vector"), lit(0.0)).as("s_vector"),
+          coalesce(col("s_customer"), lit(0.0)).as("s_customer"))
+        .withColumn("bm25",
+          col("s_spark") + col("s_vector") + col("s_customer"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Temperature-based source mixing plan (Corpus.mixWeights, α = 0.5):
+    // per-source √n weights normalized by an EXACT decimal sum, budget
+    // allocation by ⌊weight·budget⌋ — the domain-rebalancing step of
+    // training-data assembly as one tiny oracle-checked aggregate.
+    "q82_source_mix" -> ((s, d) =>
+      Corpus.mixWeights(t(s, d, "documents"), col("source"), budget = 1000L)
+        .orderBy(col("source"))),
+
+    // Per-doc mean token surprisal under the add-one-smoothed corpus
+    // unigram LM (Corpus.unigramSurprisal) — the perplexity-style quality
+    // score. Per-token ln rounded to 6 dp and summed as DECIMAL, so the
+    // per-doc mean is independent of aggregation order on both engines.
+    "q83_unigram_lm" -> ((s, d) =>
+      Corpus.unigramSurprisal(t(s, d, "documents"), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))),
 
     // The SQL entry path exercising the INJECTED native function surface:
     // a pure-SQL user (spark.sql over temp views, GraftExtensions
@@ -1886,6 +1988,100 @@ object SparkEntry {
         |       array_to_string(list_slice(toks, chunk_id * 40 + 1, chunk_id * 40 + 50), ' ') AS chunk_text
         |FROM c
         |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // mirrors Quantize.quantize's codec op-for-op: amax from exact
+    // float→double casts, scale = amax/127.0, codes = floor(x/scale + 0.5)
+    "q78_quantize_int8" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT vec_id,
+        |         CASE WHEN amax = 0 THEN 0.0 ELSE amax / 127.0 END AS scale,
+        |         CASE WHEN amax = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |              ELSE list_transform(v, x -> CAST(floor(x / (amax / 127.0) + 0.5) AS BIGINT))
+        |         END AS codes
+        |  FROM q)
+        |SELECT vec_id, scale,
+        |       CAST(length(codes) AS BIGINT) AS n_dim,
+        |       CAST(list_sum(codes) AS BIGINT) AS sum_code,
+        |       CAST(list_min(codes) AS BIGINT) AS min_code,
+        |       CAST(list_max(codes) AS BIGINT) AS max_code,
+        |       CAST(length(list_filter(codes, x -> x = 0)) AS BIGINT) AS n_zero
+        |FROM c
+        |ORDER BY vec_id""".stripMargin,
+
+    "q79_quantized_ann_quality" ->
+      """SELECT * FROM (VALUES
+        |  ('int8_knn_recall10', TRUE),
+        |  ('int8_scores_exact', TRUE),
+        |  ('nonempty', TRUE)) AS t(metric, ok)
+        |ORDER BY metric""".stripMargin,
+
+    "q80_streaming_dedup" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+        |FROM documents GROUP BY text ORDER BY 1""".stripMargin,
+
+    // BM25 arithmetic mirrored op-for-op (left-assoc, same cast points):
+    // idf = ln(1 + ((N - df) + 0.5)/(df + 0.5)); avgdl = sum_tok/n_docs
+    "q81_bm25" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |            FROM documents),
+        |base AS (SELECT doc_id, toks, CAST(length(toks) AS BIGINT) AS n_tok FROM tk),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |                 CAST(sum(n_tok) AS BIGINT) AS sum_tok FROM base),
+        |tf AS (SELECT doc_id, n_tok, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM (SELECT doc_id, n_tok, unnest(toks) AS term FROM base) u
+        |       WHERE term IN ('spark', 'vector', 'customer')
+        |       GROUP BY 1, 2, 3),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id, tf.term,
+        |         ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+        |           * (CAST(tf AS DOUBLE) * 2.2)
+        |           / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + (0.75 * CAST(tf.n_tok AS DOUBLE)) / (CAST(sum_tok AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS score
+        |       FROM tf JOIN df USING (term), stats),
+        |p AS (SELECT doc_id,
+        |        max(CASE WHEN term = 'spark' THEN score END) AS s_spark,
+        |        max(CASE WHEN term = 'vector' THEN score END) AS s_vector,
+        |        max(CASE WHEN term = 'customer' THEN score END) AS s_customer
+        |      FROM sc GROUP BY 1)
+        |SELECT d.doc_id,
+        |       COALESCE(s_spark, 0.0) AS s_spark,
+        |       COALESCE(s_vector, 0.0) AS s_vector,
+        |       COALESCE(s_customer, 0.0) AS s_customer,
+        |       COALESCE(s_spark, 0.0) + COALESCE(s_vector, 0.0) + COALESCE(s_customer, 0.0) AS bm25
+        |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // √n weights (sqrt is IEEE-exact), 6-dp-rounded and summed as DECIMAL
+    // so the normalizer is aggregation-order-independent
+    "q82_source_mix" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |           FROM documents GROUP BY 1),
+        |w AS (SELECT source, n_docs,
+        |        CAST(round(sqrt(CAST(n_docs AS DOUBLE)), 6) AS DECIMAL(18,6)) AS w_raw
+        |      FROM c),
+        |tot AS (SELECT sum(w_raw) AS w_sum FROM w)
+        |SELECT source, n_docs,
+        |       CAST(w_raw AS DOUBLE) / CAST(w_sum AS DOUBLE) AS weight,
+        |       CAST(floor(CAST(w_raw AS DOUBLE) / CAST(w_sum AS DOUBLE) * 1000.0) AS BIGINT) AS target_n
+        |FROM w, tot
+        |ORDER BY source""".stripMargin,
+
+    "q83_unigram_lm" ->
+      """WITH tk AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        |            FROM documents),
+        |tc AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t_tok, CAST(count(*) AS BIGINT) AS v_size FROM tc),
+        |dtf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tk GROUP BY 1, 2),
+        |j AS (SELECT doc_id, tf,
+        |        CAST(round(ln((CAST(c AS DOUBLE) + 1.0) / (CAST(t_tok AS DOUBLE) + CAST(v_size AS DOUBLE))), 6) AS DECIMAL(18,6)) AS logp
+        |      FROM dtf JOIN tc USING (term), tot)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |       -CAST(sum(tf * logp) AS DOUBLE) / CAST(sum(tf) AS DOUBLE) AS mean_surprisal
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q76_sql_native_funcs" ->
       """SELECT user_id, CAST(rn AS BIGINT) AS rn, ts, event_id, value FROM (

@@ -106,6 +106,62 @@ case class DotProductD(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Integer dot product of two array<long> with a long accumulator — the
+  * quantized-similarity hot loop (Quantize.quantizedKnn scores candidate
+  * pairs as scale_a·scale_b·Σ codes). Integer adds are associative, so this
+  * is order-independent AND exact (int8 codes bound each term by 127² and a
+  * 100k-dim vector by ~2⁴¹ — no overflow); codegen'd like [[DotProductD]]
+  * because it runs per candidate pair, not per document.
+  */
+case class DotProductL(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        TypeCheckResult.TypeCheckFailure("graft_doti expects two array<bigint>")
+    }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var acc = 0L
+      var i = 0
+      while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+      acc
+    }
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    acc += $x.getLong($i) * $y.getLong($i);
+         |  }
+         |  ${ev.value} = acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** k-lane MinHash signature over an array<string> shingle set. Lane i of
   * shingle s = xxhash64(s, i) — identical to the HOF construction
   * `transform(sequence(0, k-1), i -> array_min(transform(sh, s -> xxhash64(s, i))))`

@@ -14,6 +14,26 @@ import graft.functions.Text
   */
 object Corpus {
 
+  /** The portable multiplicative hash `(id·2654435761 + 40503) mod 2³²`,
+    * computed WITHOUT 64-bit overflow for any id: the naive `id * b`
+    * overflows Long for ids ≳ 2⁶³/b ≈ 3.47e9 — ANSI engines (Spark 4
+    * default, DuckDB) raise on it, and non-ANSI `%` of the wrapped negative
+    * silently breaks the keep filter. The 16-bit split works mod 2³²:
+    *   a = id mod 2³²,  a = aHi·2¹⁶ + aLo
+    *   h = (aLo·b mod 2³² + (aHi·b mod 2³²)·2¹⁶ + 40503) mod 2³²
+    * every intermediate < 2⁴⁹, so the SAME spelling runs exactly in any
+    * 64-bit engine. For ids < 2³² this equals the one-multiply form the
+    * fixture oracles use.
+    */
+  private[graft] def portableHash(idCol: Column): Column = {
+    val m = lit(4294967296L)
+    val b = lit(2654435761L)
+    val a = pmod(idCol.cast("long"), m)
+    val aHi = shiftright(a, 16)
+    val aLo = a.bitwiseAND(lit(65535L))
+    pmod(pmod(aLo * b, m) + pmod(aHi * b, m) * lit(65536L) % m + lit(40503L), m)
+  }
+
   /** Benchmark decontamination: for every eval doc (rows where `evalPred`),
     * the fraction of its distinct `shingleN`-gram shingles that appear in
     * ANY train doc (the rest of the corpus) — the GPT-3/C4-style n-gram
@@ -60,20 +80,10 @@ object Corpus {
     * `rates` maps stratum → keep fraction (broadcast dimension join); rows
     * in strata absent from `rates` are dropped. The hash is a pure codegen'd
     * column map; no shuffle beyond the broadcast.
-    *
-    * pmod, NOT `%`: for ids ≳ 3.47e9 the product wraps Long negative, and
-    * `%` of a negative is negative — the keep filter `h < rate·2³²` would
-    * then pass EVERY high-id row regardless of rate. Because 2³² divides
-    * 2⁶⁴, pmod of the wrapped product still equals the true mathematical
-    * hash, so the sampled set is unchanged for small ids and correct for
-    * large ones. (Oracle-side caveat: DuckDB raises on the BIGINT overflow
-    * instead of wrapping — any-engine reproducibility of the SQL spelling
-    * holds for ids < 2⁶³/2654435761 ≈ 3.47e9; beyond that, engines need the
-    * 128-bit or wrapped-arithmetic spelling of the same hash.)
     */
   def hashSample(df: DataFrame, idCol: Column, stratumCol: Column,
       rates: DataFrame): DataFrame = {
-    val h = pmod(idCol * lit(2654435761L) + lit(40503L), lit(4294967296L))
+    val h = portableHash(idCol)
     df.select(idCol.as("id"), stratumCol.as("stratum"), h.cast("long").as("h"))
       .join(broadcast(rates.select(col("stratum"), col("rate"))), Seq("stratum"))
       .filter(col("h").cast("double") < col("rate") * 4294967296.0)
@@ -125,6 +135,73 @@ object Corpus {
         when(col("n_tokens") < 2, lit(0.0))
           .otherwise(col("top_bigram_n").cast("double") / (col("n_tokens") - 1))
           .as("bigram_frac"))
+  }
+
+  /** Temperature-based source mixing plan (the "how much of each domain"
+    * step of training-data assembly): per-source doc counts reweighted by
+    * exponent α — α = 1 keeps natural proportions, α → 0 flattens toward
+    * uniform (the multilingual/domain rebalancing everyone does) — then a
+    * `budget`-sized allocation per source.
+    *
+    * α is fixed at 0.5 (√n): sqrt is IEEE-correctly-rounded, so the weights
+    * are bit-reproducible in any engine, unlike pow(n, α) whose libm
+    * varies. The normalizer Σ√n is summed EXACTLY — each √n rounded to 6 dp
+    * and cast DECIMAL(18,6) first — so the result never depends on float
+    * aggregation order (the FIXTURES.md decimal-sum rule).
+    *
+    * Output: (source, n_docs, weight, target_n) — weight = √n/Σ√n,
+    * target_n = ⌊weight·budget⌋. One tiny aggregate; nothing scales with
+    * corpus size but the count scan.
+    */
+  def mixWeights(docs: DataFrame, sourceCol: Column, budget: Long): DataFrame = {
+    val counts = docs.groupBy(sourceCol.as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_raw", round(sqrt(col("n_docs").cast("double")), 6)
+        .cast("decimal(18,6)"))
+    val total = counts.agg(sum(col("w_raw")).as("w_sum")) // exact decimal sum
+    counts.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"),
+        (col("w_raw").cast("double") / col("w_sum").cast("double")).as("weight"),
+        floor(col("w_raw").cast("double") / col("w_sum").cast("double") *
+          lit(budget.toDouble)).cast("long").as("target_n"))
+  }
+
+  /** Per-doc mean token surprisal under an add-one-smoothed corpus unigram
+    * LM — the cheapest "perplexity-style" quality score (docs of rare or
+    * misfit vocabulary score high, repetitive boilerplate scores low), the
+    * stand-in for the KenLM pass real pipelines run.
+    *
+    *   p(t) = (c(t) + 1) / (T + V)   (T = total tokens, V = vocab size)
+    *   surprisal(doc) = −Σ ln p(t) / n_tokens
+    *
+    * The per-token ln is rounded to 6 dp and summed as DECIMAL(18,6) — the
+    * sum is exact, so the per-doc mean never depends on aggregation order.
+    * Scale shape: token explode → (doc, term) counts with map-side partial
+    * agg; the unigram table joins on the term (broadcast at sane vocab
+    * sizes); corpus totals are one broadcast row.
+    *
+    * Output: (doc_id, n_tokens, mean_surprisal), one row per doc with ≥1
+    * token.
+    */
+  def unigramSurprisal(docs: DataFrame, idCol: Column, textCol: Column): DataFrame = {
+    val toks = docs.select(idCol.as("doc_id"),
+      explode(Text.tokens(textCol)).as("term"))
+    val termCounts = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val totals = termCounts.agg(
+      sum(col("c")).as("t_tok"), count(lit(1)).as("v_size"))
+    val docTf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val logp = round(log((col("c").cast("double") + lit(1.0)) /
+      (col("t_tok").cast("double") + col("v_size").cast("double"))), 6)
+      .cast("decimal(18,6)")
+    docTf.join(termCounts, Seq("term"))
+      .crossJoin(broadcast(totals))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * logp).as("sum_logp"))
+      .select(col("doc_id"), col("n_tokens"),
+        (-col("sum_logp").cast("double") / col("n_tokens").cast("double"))
+          .as("mean_surprisal"))
   }
 
   /** Pack the corpus into token-budgeted shards: docs in `idCol` order are

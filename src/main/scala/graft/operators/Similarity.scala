@@ -52,7 +52,7 @@ object Similarity {
     * ordering struct turns the aggregate's descending order into the
     * ascending-id tie-break.
     */
-  private def topkPerQuery(cand: DataFrame, k: Int): DataFrame =
+  private[operators] def topkOf(cand: DataFrame, k: Int): DataFrame =
     cand
       .groupBy(col("qid"))
       .agg(call_function("graft_topk",
@@ -76,7 +76,7 @@ object Similarity {
     // never shuffles
     val cand = broadcast(q).join(e, col("vec_id") =!= col("qid"))
       .withColumn("score", cosine(col("qv"), col("v"), col("qnrm"), col("nrm")))
-    topkPerQuery(cand, k)
+    topkOf(cand, k)
   }
 
   /** Deterministic ±1 hyperplane `planeId`: component j = ±1 from bit 0 of
@@ -150,7 +150,7 @@ object Similarity {
       .select(col("qid"), col("vec_id")).distinct()
     val q = e.filter(queryPred)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
-    topkPerQuery(cand
+    topkOf(cand
       .join(broadcast(q), Seq("qid"))
       .join(e, Seq("vec_id"))
       .withColumn("score", cosine(col("qv"), col("v"), col("qnrm"), col("nrm"))), k)
@@ -201,7 +201,7 @@ object Similarity {
         slice(reverse(array_sort(cellScores(col("v"), col("nrm")))), 1, nprobe).as("pr"))
       .withColumn("cell", explode(transform(col("pr"), _.getField("cid"))))
       .drop("pr")
-    topkPerQuery(broadcast(probes).join(assigned, Seq("cell"))
+    topkOf(broadcast(probes).join(assigned, Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("score", cosine(col("qv"), col("v"), col("qnrm"), col("nrm"))), k)
   }

@@ -16,6 +16,9 @@ final case class SmaState(window: Seq[Double])
 /** Doc ids seen in one LSH band bucket (streaming near-dup state). */
 final case class BandBucket(ids: Seq[Long])
 
+/** Winning doc id for one content fingerprint (streaming exact dedup). */
+final case class FirstSeen(docId: Long)
+
 /** Raw timed event for the windowed-agg replay tape (SparkEntry q63). */
 final case class TimedEvent(
     event_id: Long, ts: Timestamp, event_type: String, value: Double)
@@ -202,6 +205,40 @@ object StreamingOps {
       watermarkDelay: String): DataFrame =
     events.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(idCols)
+
+  /** Streaming exact dedup by CONTENT (the streaming face of Dedup.exact):
+    * emits each arriving doc's id the first time its content fingerprint
+    * (xxhash64 + length — the same 16-byte key the batch exchange carries)
+    * is seen; later copies are swallowed. Within a micro-batch the min id
+    * wins, so when the tape arrives in id order the kept set is exactly
+    * Dedup.exact's canonical min-id-per-group — the q80 gate hash-checks
+    * that equality against the batch oracle.
+    *
+    * State is one long per distinct fingerprint — the streaming dedup
+    * index; unbounded by design, like the batch dedup's group count (use
+    * [[dedupStream]]'s watermarked form when ids stop arriving after a
+    * bounded delay). builtin `dropDuplicates` would keep a partition-order-
+    * dependent row per key within a batch; the explicit min fold is what
+    * pins determinism.
+    */
+  def exactDedupStream(docs: DataFrame, idCol: String, textCol: String): Dataset[Long] = {
+    import org.apache.spark.sql.functions._
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        xxhash64(col(textCol)).as("fp_hash"),
+        length(col(textCol)).cast("long").as("fp_len"))
+      .as[(Long, Long, Long)]
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState[FirstSeen, Long](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, it, state) =>
+          val minId = it.map(_._1).min
+          if (state.exists) Iterator.empty
+          else { state.update(FirstSeen(minId)); Iterator.single(minId) }
+      }
+  }
 
   /** Reference R3/R4 ("DISTINCT ON … ORDER BY ts DESC") as a live view:
     * the latest row per key maintained incrementally with

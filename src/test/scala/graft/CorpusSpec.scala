@@ -45,6 +45,49 @@ class CorpusSpec extends AnyFunSuite {
     assert(!a.exists(_._2 == "s3"), "strata absent from rates are dropped")
   }
 
+  test("hashSample keeps high ids proportional to rate (pmod overflow guard)") {
+    import spark.implicits._
+    // ids past 2^63 / 2654435761 wrap the product negative: `%` would keep
+    // 100% of them at any rate; pmod must keep ~rate
+    val base = 4_000_000_000L
+    val rows = (0L until 1000L).map(i => (base + i, "hot")).toDF("doc_id", "src")
+    val rates = Seq(("hot", 0.1)).toDF("stratum", "rate")
+    val kept = Corpus.hashSample(rows, col("doc_id"), col("src"), rates).count()
+    assert(kept > 0 && kept < 300,
+      s"rate 0.1 over wrapped ids must not keep everything: kept $kept/1000")
+  }
+
+  test("mixWeights: weights normalize to 1, targets under budget, α flattens") {
+    import spark.implicits._
+    val docs = (0L until 500L).map(i =>
+      (i, if (i < 400) "big" else if (i < 480) "mid" else "small"))
+      .toDF("doc_id", "source")
+    val out = Corpus.mixWeights(docs, col("source"), budget = 1000L)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Double]("weight"),
+          r.getAs[Long]("target_n")))).toMap
+    assert(out("big")._1 == 400 && out("small")._1 == 20)
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-9)
+    assert(out.values.map(_._3).sum <= 1000L, "floor keeps total under budget")
+    // α=0.5 flattens: big's weight < natural share, small's > natural share
+    assert(out("big")._2 < 0.8 && out("small")._2 > 0.04)
+  }
+
+  test("unigramSurprisal: rare-vocabulary doc scores above common-vocabulary doc") {
+    import spark.implicits._
+    val common = "the the the the the the the the the the"
+    val docs = Seq(
+      (0L, common), (1L, common), (2L, common),
+      (3L, "zyx wvu tsr qpo nml kji")).toDF("doc_id", "text")
+    val out = Corpus.unigramSurprisal(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("mean_surprisal")))).toMap
+    assert(out(0L)._1 == 10 && out(3L)._1 == 6)
+    assert(out(3L)._2 > out(0L)._2,
+      "six hapax tokens must be more surprising than 'the' repeated")
+    assert(out(0L)._2 == out(1L)._2, "identical docs score identically")
+  }
+
   test("packShards equals the sequential prefix sum at any partition count") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Quantize, Retrieval, Similarity}
+
+/** Int8 quantization codec contracts + quantized-ANN quality, over the real
+  * sf0.001 embeddings fixture, plus BM25 scoring sanity on a hand corpus.
+  */
+class QuantizeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def emb = Tables.load(spark, dir, "embeddings")
+
+  test("codec: codes bounded by ±127 and reconstruction error within scale/2") {
+    val q = Quantize.quantize(emb, col("vec_id"), col("embedding"))
+    val bad = q
+      .select(col("vec_id"), col("scale"),
+        array_max(transform(col("codes"), c => abs(c))).as("amax_code"))
+      .filter(col("amax_code") > 127)
+    assert(bad.count() == 0, "codes must stay in int8 range")
+    // max |v_j - code_j*scale| <= scale/2 per vector (round-half-up bound)
+    val err = emb.select(col("vec_id"),
+        Similarity.toDouble(col("embedding")).as("v"))
+      .join(q, Seq("vec_id"))
+      .select(col("scale"), array_max(zip_with(col("v"), col("codes"),
+        (x, c) => abs(x - c.cast("double") * col("scale")))).as("maxerr"))
+      .filter(col("maxerr") > col("scale") * 0.5 + lit(1e-12))
+    assert(err.count() == 0, "dequantization error must be within scale/2")
+  }
+
+  test("codec: quantizing a zero vector yields zero codes and zero scale") {
+    import spark.implicits._
+    val z = Seq((0L, Array(0f, 0f, 0f)), (1L, Array(1f, -2f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val rows = Quantize.quantize(z, col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).collect()
+    assert(rows(0).getAs[Double]("scale") == 0.0)
+    assert(rows(0).getSeq[Long](2).forall(_ == 0L))
+    // amax component maps to ±127 exactly
+    assert(rows(1).getSeq[Long](2).contains(-127L))
+  }
+
+  test("quantizedKnn: recall@10 >= 0.8 vs brute force, scores bit-identical") {
+    val exact = Similarity.bruteForceKnn(emb, col("vec_id") < 5, k = 10)
+      .select(col("qid"), col("vec_id"), col("score"))
+    val quant = Quantize.quantizedKnn(emb, col("vec_id") < 5, k = 10)
+      .select(col("qid"), col("vec_id"), col("score").as("score_q"))
+    val j = exact.join(quant, Seq("qid", "vec_id"), "inner")
+    val n = exact.count()
+    val hit = j.count()
+    assert(n > 0 && hit >= n * 0.8, s"recall ${hit.toDouble / n} below 0.8")
+    assert(j.filter(col("score") =!= col("score_q")).count() == 0,
+      "rescored cosines must equal brute-force scores bit-for-bit")
+  }
+
+  test("bm25: higher tf scores higher; absent term contributes no row") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "spark spark spark row row"),
+      (1L, "spark row row row row"),
+      (2L, "table table table table table")).toDF("doc_id", "text")
+    val sc = Retrieval.bm25(docs, col("doc_id"), col("text"), Seq("spark"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(sc.contains(0L) && sc.contains(1L) && !sc.contains(2L))
+    assert(sc(0L) > sc(1L), "tf=3 must outscore tf=1 at equal length")
+    assert(sc.values.forall(_ > 0), "Lucene-form idf is always positive")
+  }
+}

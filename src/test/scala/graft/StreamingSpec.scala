@@ -147,6 +147,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("exactDedupStream keeps min-id per content across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // content A appears in batches 1+2 (ids 0, 3), B in batch 1 (id 1),
+    // C only in batch 2 (id 5); duplicate of C in batch 3 (id 7)
+    val b1 = Seq((0L, "alpha body"), (1L, "beta body"), (3L, "alpha body"))
+    val b2 = Seq((5L, "gamma body"), (6L, "alpha body"))
+    val b3 = Seq((7L, "gamma body"), (8L, "delta body"))
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.exactDedupStream(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("dedup_stream_out")
+      .outputMode("append").start()
+    try {
+      Seq(b1, b2, b3).foreach { c => input.addData(c); q.processAllAvailable() }
+      val kept = spark.table("dedup_stream_out").collect()
+        .map(_.getLong(0)).toSet
+      assert(kept == Set(0L, 1L, 5L, 8L),
+        s"first-seen min id per content must win: $kept")
+    } finally q.stop()
+  }
+
   test("driver-gate q55/q56 streaming entries equal their batch counterparts") {
     val d = "/root/testdata/sf0.001"
     def rowsOf(name: String): Seq[String] =
