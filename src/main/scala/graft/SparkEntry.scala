@@ -1388,6 +1388,45 @@ object SparkEntry {
       Corpus.unigramSurprisal(t(s, d, "documents"), col("doc_id"), col("text"))
         .orderBy(col("doc_id"))),
 
+    // JSONL round-trip (the reference's wire format is JSON — README.md:147
+    // "producers currently publish JSON"): write the documents table as
+    // JSON lines, read it back through spark.read with an explicit schema
+    // (schema-on-read, no inference job), hash-match the parquet original —
+    // gating the JSON codec path end-to-end, string escaping included.
+    "q84_jsonl_roundtrip" -> ((s, d) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_" +
+        new java.io.File(d).getName
+      t(s, d, "documents").select(col("doc_id"), col("source"), col("text"))
+        .write.mode("overwrite").json(out)
+      s.read.schema("doc_id LONG, source STRING, text STRING").json(out)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Eighth streaming family in the gate, and the first UPDATE-mode one:
+    // the reference's DISTINCT ON live view (R1/R3) maintained
+    // incrementally by latestPerGroupStream (mapGroupsWithState — state is
+    // one row per key). The price tape replayed in 4 micro-batches emits
+    // per-batch updates; the update stream's max-(ts,seq) row per hub must
+    // equal the batch latest-per-group — and since the true latest is
+    // necessarily the stream's LAST emission for its key, this pins both
+    // that it was emitted and that nothing later displaced it.
+    "q85_streaming_latest" -> ((s, d) => {
+      import s.implicits._
+      val tape = Pnl.eventsAsMarket(ev(s, d)).filter(_.kind == "price")
+        .collect().toSeq.sortBy(e => (e.ts.getTime, e.seq))
+      val sink = graft.streaming.MemoryReplay.replay(s, tape, nBatches = 4,
+          mode = org.apache.spark.sql.streaming.OutputMode.Update())(ds =>
+        graft.streaming.StreamingOps.latestPerGroupStream(ds,
+          (e: graft.operators.MarketEvent) => e.hub,
+          (e: graft.operators.MarketEvent) => (e.ts.getTime, e.seq)))
+      sink.groupBy(col("hub"))
+        .agg(max_by(struct(col("seq"), col("ts"), col("price_mwh")),
+          struct(col("ts"), col("seq"))).as("m"))
+        .select(col("hub"), col("m.seq").as("seq"), ntz(col("m.ts")).as("ts"),
+          col("m.price_mwh").as("price_mwh"))
+        .orderBy(col("hub"))
+    }),
+
     // The SQL entry path exercising the INJECTED native function surface:
     // a pure-SQL user (spark.sql over temp views, GraftExtensions
     // registration) writes graft_topk + LATERAL VIEW posexplode and gets
@@ -2069,6 +2108,18 @@ object SparkEntry {
         |       CAST(floor(CAST(w_raw AS DOUBLE) / CAST(w_sum AS DOUBLE) * 1000.0) AS BIGINT) AS target_n
         |FROM w, tot
         |ORDER BY source""".stripMargin,
+
+    "q84_jsonl_roundtrip" ->
+      """SELECT doc_id, source, text FROM documents ORDER BY doc_id""",
+
+    "q85_streaming_latest" ->
+      (s"""WITH $M_CTE,
+        |p AS (SELECT seq, ts, hub, price_mwh FROM m WHERE kind = 'price')
+        |SELECT hub, seq, ts, price_mwh FROM (
+        |  SELECT hub, seq, ts, price_mwh,
+        |         row_number() OVER (PARTITION BY hub ORDER BY ts DESC, seq DESC) AS rn
+        |  FROM p) x
+        |WHERE rn = 1 ORDER BY hub""").stripMargin,
 
     "q83_unigram_lm" ->
       """WITH tk AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term

@@ -32,10 +32,14 @@ object MemoryReplay {
   private val runId = new AtomicInteger(0)
 
   /** Replay `tape` through `f` in `nBatches` ordered micro-batches; returns
-    * the complete append-mode output as a batch DataFrame.
+    * the complete output as a batch DataFrame. `mode` defaults to Append;
+    * Update-mode operators (mapGroupsWithState) pass OutputMode.Update() —
+    * the memory sink then accumulates every batch's emitted updates, so the
+    * caller sees the full update stream, not just finals.
     */
   def replay[I: Encoder, O: Encoder](spark: SparkSession, tape: Seq[I],
-      nBatches: Int, statePartitions: Int = 8)(f: Dataset[I] => Dataset[O]): DataFrame = {
+      nBatches: Int, statePartitions: Int = 8,
+      mode: OutputMode = OutputMode.Append())(f: Dataset[I] => Dataset[O]): DataFrame = {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[I]
     val name = s"graft_replay_${runId.incrementAndGet()}"
@@ -52,7 +56,7 @@ object MemoryReplay {
         f(input.toDS()).writeStream
           .format("memory")
           .queryName(name)
-          .outputMode(OutputMode.Append())
+          .outputMode(mode)
           .start()
       } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     try {
