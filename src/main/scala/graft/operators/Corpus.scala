@@ -176,21 +176,43 @@ object Corpus {
     *
     * The per-token ln is rounded to 6 dp and summed as DECIMAL(18,6) — the
     * sum is exact, so the per-doc mean never depends on aggregation order.
-    * Scale shape: token explode → (doc, term) counts with map-side partial
-    * agg; the unigram table joins on the term (broadcast at sane vocab
-    * sizes); corpus totals are one broadcast row.
+    *
+    * Shape: the token explode feeds the (doc, term) tf aggregate (map-side
+    * partial); the unigram table derives from that frame (c(t) = Σ_doc tf)
+    * and its totals from the table. Column pruning keeps the branches from
+    * sharing one scan, so the inline composition re-explodes the corpus —
+    * the one-shot-query cost. At scale the unigram table IS the LM (built
+    * once per corpus via [[unigramTable]], refreshed on ingest); scoring
+    * against the prebuilt table is a single corpus pass. The unigram join
+    * runs on the term key (broadcast at sane vocab sizes, shuffle join +
+    * AQE beyond); corpus totals are one broadcast row.
     *
     * Output: (doc_id, n_tokens, mean_surprisal), one row per doc with ≥1
     * token.
     */
-  def unigramSurprisal(docs: DataFrame, idCol: Column, textCol: Column): DataFrame = {
-    val toks = docs.select(idCol.as("doc_id"),
-      explode(Text.tokens(textCol)).as("term"))
-    val termCounts = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+  def unigramSurprisal(docs: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    unigramSurprisal(docs, idCol, textCol,
+      unigramTable(docs, idCol, textCol))
+
+  /** The corpus unigram LM table (term, c): one corpus pass, vocab-sized
+    * output — the artifact a production pipeline materializes once and
+    * scores every batch against.
+    */
+  def unigramTable(docs: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    docs.select(explode(Text.tokens(textCol)).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+
+  /** Score `docs` against a prebuilt [[unigramTable]] — the amortized
+    * production path (one corpus pass per scored batch).
+    */
+  def unigramSurprisal(docs: DataFrame, idCol: Column, textCol: Column,
+      termCounts: DataFrame): DataFrame = {
+    val docTf = docs.select(idCol.as("doc_id"),
+        explode(Text.tokens(textCol)).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
     val totals = termCounts.agg(
       sum(col("c")).as("t_tok"), count(lit(1)).as("v_size"))
-    val docTf = toks.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
     val logp = round(log((col("c").cast("double") + lit(1.0)) /
       (col("t_tok").cast("double") + col("v_size").cast("double"))), 6)
       .cast("decimal(18,6)")

@@ -30,30 +30,52 @@ object Retrieval {
     * always positive, unlike the raw log-odds which goes negative for terms
     * in more than half the corpus)
     * score = idf · tf·(k1+1) / (tf + k1·(1 − b + b·len/avgdl))
+    *
+    * Shape: the token explode feeds a per-doc conditional-sum aggregate
+    * (tf per query term + n_tok in one pass, map-side combined — the
+    * exchange carries ~one row per doc, never the token stream). The
+    * corpus stats (N, Σlen, per-term df) are a second aggregate over the
+    * same frame; Spark's column pruning gives the two branches different
+    * canonical forms, so the inline composition pays a second tokenize
+    * pass — which is the honest cost of a one-shot query. At scale the
+    * stats ARE the index (Lucene stores df/avgdl; they change only on
+    * ingest): build them once per corpus and every query's plan is the
+    * single scoring pass.
     */
   def bm25(docs: DataFrame, idCol: Column, textCol: Column,
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty)
-    val base = docs.select(idCol.as("doc_id"), Text.tokens(textCol).as("toks"))
-      .select(col("doc_id"), col("toks"),
-        size(col("toks")).cast("long").as("n_tok"))
-    // corpus stats: exact integer sums, one broadcast row
-    val stats = base.agg(
-      count(lit(1)).as("n_docs"),
-      sum(col("n_tok")).as("sum_tok"))
-    val termSet = array(terms.map(lit): _*)
-    val tf = base
-      .select(col("doc_id"), col("n_tok"), explode(col("toks")).as("term"))
-      .filter(array_contains(termSet, col("term")))
-      .groupBy(col("doc_id"), col("n_tok"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tfCols = terms.zipWithIndex.map { case (tm, i) =>
+      sum(when(col("term") === tm, 1L).otherwise(0L)).as(s"tf$i")
+    }
+    // explode_outer keeps zero-token docs in N/Σlen (as the doc-level
+    // aggregate would); their null term matches no query term. The explicit
+    // isNotNull mirrors the filter a downstream equi-join would INFER into
+    // its branch — with it already in the shared subtree, both the tf
+    // branch and the stats branch canonicalize identically and the per-doc
+    // exchange is computed once (ReusedExchange), not per consumer.
+    val perDoc = docs.select(idCol.as("doc_id"), Text.tokens(textCol).as("toks"))
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"),
+        explode_outer(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("n_tok"))
+      .agg(tfCols.head, tfCols.tail: _*)
+    val statCols = count(lit(1)).as("n_docs") +: sum(col("n_tok")).as("sum_tok") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
     val avgdl = col("sum_tok").cast("double") / col("n_docs").cast("double")
     val idf = log(lit(1.0) +
       (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
         (col("df").cast("double") + lit(0.5)))
-    tf.join(broadcast(df), Seq("term"))
-      .crossJoin(broadcast(stats))
+    perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("n_tok"), col("n_docs"), col("sum_tok"),
+        explode(array(terms.zipWithIndex.map { case (tm, i) =>
+          struct(lit(tm).as("term"), col(s"tf$i").as("tf"), col(s"df$i").as("df"))
+        }: _*)).as("e"))
+      .select(col("doc_id"), col("n_tok"), col("n_docs"), col("sum_tok"),
+        col("e.term").as("term"), col("e.tf").as("tf"), col("e.df").as("df"))
+      .filter(col("tf") > 0)
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("n_tok"),
         (idf * (col("tf").cast("double") * lit(k1 + 1.0)) /
           (col("tf").cast("double") + lit(k1) *
