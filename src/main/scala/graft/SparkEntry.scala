@@ -1388,6 +1388,35 @@ object SparkEntry {
       Corpus.unigramSurprisal(t(s, d, "documents"), col("doc_id"), col("text"))
         .orderBy(col("doc_id"))),
 
+    // PQ-ANN quality gate (q79's pattern, one rung deeper): product
+    // quantization — 8 subspaces × 256-centroid codebooks, asymmetric-
+    // distance LUT scoring (the IVF-PQ inner loop), 16× oversample, exact
+    // rescore. Codes are 64× smaller than the vectors (8 B vs 512 B);
+    // recall@10 ≥ 0.6 + bit-identical rescored scores, oracle-pinned
+    // (measured 0.92-1.00 across sf — Quantize.pqKnn doc).
+    "q86_pq_ann_quality" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val bf = Similarity.bruteForceKnn(e, col("vec_id") < 5, k = 10)
+        .select(col("qid"), col("vec_id"), col("score"))
+      val pq = Quantize.pqKnn(e, col("vec_id") < 5, k = 10)
+        .select(col("qid"), col("vec_id"), col("score").as("score_q"))
+      bf.join(pq, Seq("qid", "vec_id"), "full_outer")
+        .agg(
+          count(col("score")).as("t"),
+          count(when(col("score").isNotNull && col("score_q").isNotNull, 1))
+            .as("h"),
+          count(when(col("score").isNotNull && col("score_q").isNotNull &&
+            col("score") =!= col("score_q"), 1)).as("badscore"))
+        .select(explode(array(
+          struct(lit("pq_knn_recall10").as("metric"),
+            (col("h") >= col("t") * 0.6).as("ok")),
+          struct(lit("pq_scores_exact").as("metric"),
+            (col("badscore") === 0).as("ok")),
+          struct(lit("pq_nonempty").as("metric"), (col("t") > 0).as("ok")))))
+        .select(col("col.metric").as("metric"), col("col.ok").as("ok"))
+        .orderBy(col("metric"))
+    }),
+
     // JSONL round-trip (the reference's wire format is JSON — README.md:147
     // "producers currently publish JSON"): write the documents table as
     // JSON lines, read it back through spark.read with an explicit schema
@@ -2108,6 +2137,13 @@ object SparkEntry {
         |       CAST(floor(CAST(w_raw AS DOUBLE) / CAST(w_sum AS DOUBLE) * 1000.0) AS BIGINT) AS target_n
         |FROM w, tot
         |ORDER BY source""".stripMargin,
+
+    "q86_pq_ann_quality" ->
+      """SELECT * FROM (VALUES
+        |  ('pq_knn_recall10', TRUE),
+        |  ('pq_nonempty', TRUE),
+        |  ('pq_scores_exact', TRUE)) AS t(metric, ok)
+        |ORDER BY metric""".stripMargin,
 
     "q84_jsonl_roundtrip" ->
       """SELECT doc_id, source, text FROM documents ORDER BY doc_id""",

@@ -39,6 +39,112 @@ object Quantize {
         .as("codes"))
   }
 
+  /** Product-quantization codebooks: the embedding space split into `m`
+    * contiguous subspaces of dim/m dims; each subspace gets `k` centroids —
+    * the subvectors of the k hash-smallest rows (xxhash64(vec_id): the same
+    * seedless deterministic sample ivfKnn's coarse quantizer uses — no
+    * training iteration, bit-reproducible). Collected once driver-side:
+    * m·k·(dim/m) doubles ≈ KBs at any corpus size.
+    */
+  private[graft] def pqCodebooks(emb: DataFrame, m: Int, k: Int): Array[Array[Seq[Double]]] = {
+    val sample = emb
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy(col("h")).limit(k)
+      .select(col("v")).collect().map(_.getSeq[Double](0))
+    val sub = sample.head.size / m
+    Array.tabulate(m, k)((s, c) => sample(c).slice(s * sub, (s + 1) * sub))
+  }
+
+  /** PQ-encode every vector: code_s = index of the L2-nearest centroid of
+    * subvector s (ties → lowest index; squared-L2 compared via the exact
+    * |x−c|² = |x|² − 2⟨x,c⟩ + |c|² expansion with codegen'd graft_dot).
+    * Output: (vec_id, codes array<int> of length m) — dim doubles become m
+    * small ints: a 64-dim vector compresses 64× (512 B → 8 B) vs int8's 4×.
+    * Pure map over the scan; centroids are inlined literals.
+    */
+  def pqEncode(emb: DataFrame, idCol: Column, vecCol: Column,
+      codebooks: Array[Array[Seq[Double]]]): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val m = codebooks.length
+    val sub = codebooks(0)(0).size
+    val v = Similarity.toDouble(vecCol)
+    val codeCols = (0 until m).map { s =>
+      val xs = slice(v, s * sub + 1, sub)
+      // (dist², code) structs; array_min = lexicographic min = nearest
+      // centroid with lowest-index tie-break, inside codegen
+      val scored = array(codebooks(s).zipWithIndex.map { case (c, ci) =>
+        val cLit = typedLit(c).cast("array<double>")
+        val cNorm2 = lit(c.iterator.map(x => x * x).sum)
+        struct((Similarity.dot(xs, xs) - lit(2.0) * Similarity.dot(xs, cLit) +
+          cNorm2).as("d2"), lit(ci).as("ci"))
+      }.toIndexedSeq: _*)
+      array_min(scored).getField("ci")
+    }
+    emb.select(idCol.as("vec_id"), array(codeCols: _*).as("codes"))
+  }
+
+  /** PQ approximate top-k with asymmetric-distance scoring and exact
+    * rescore — the IVF-PQ inner loop as a Spark plan. Per query, a lookup
+    * table lut[s][c] = ⟨q_s, centroid_s,c⟩ (m·k dots of dim/m — computed
+    * once per query, broadcast with it); a candidate's approximate score is
+    * Σ_s lut[s][code_s] = ⟨q, reconstruction(codes)⟩ — m array lookups per
+    * pair instead of a dim-length dot over data that is 64× smaller at
+    * rest. Top k·oversample survive to the exact cosine rescore (fetched by
+    * id, bit-identical scores — same contract as [[quantizedKnn]]).
+    *
+    * The LUT lookup is an interpreted HOF fold (m=8 steps per pair): if it
+    * ever dominates a profile, it is the next graft_* native-expression
+    * candidate; the candidate set is already bounded by the broadcast query
+    * side and the map-side graft_topk partial, so the exchange carries
+    * ≤ k·oversample rows per query per partition.
+    *
+    * Defaults (m=8, 256-entry codebooks, 16× oversample) measured: recall@10
+    * vs brute force = 0.98 / 1.00 / 0.92 at sf0.001/0.01/0.1 (PqProbe).
+    * Codebook resolution must grow with corpus density — 16-entry books
+    * that score 0.82 on 2.5k vectors score 0.34 on 25k; 256 entries is the
+    * probe-backed default for these fixtures, and a real deployment trains
+    * books per corpus (k-means on a sample — Kmeans.fit here) instead of
+    * sampling rows.
+    */
+  def pqKnn(emb: DataFrame, queryPred: Column, k: Int,
+      m: Int = 8, codebookSize: Int = 256, oversample: Int = 16): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val books = pqCodebooks(emb, m, codebookSize)
+    val codes = pqEncode(emb, col("vec_id"), col("embedding"), books)
+    val e = emb.select(col("vec_id"),
+        Similarity.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    val sub = books(0)(0).size
+    // per-query LUT, flattened [s*k + c]: m·k small dots on the (few) query
+    // rows only
+    val lutCol = array((0 until m).flatMap { s =>
+      val xs = slice(col("v"), s * sub + 1, sub)
+      books(s).map(c => Similarity.dot(xs, typedLit(c).cast("array<double>")))
+    }: _*)
+    val q = e.where(queryPred)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"),
+        lutCol.as("lut"))
+    val approx = broadcast(q.select(col("qid"), col("lut")))
+      .join(codes, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        aggregate(
+          zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+            (c, s) => element_at(col("lut"), (s * codebookSize + c + 1).cast("int"))),
+          lit(0.0), (acc, x) => acc + x).as("score"))
+    val cand = approx
+      .groupBy(col("qid"))
+      .agg(call_function("graft_topk",
+        struct(col("score"), (-col("vec_id")).as("nid"), col("vec_id").as("vec_id")),
+        lit(k * oversample)).as("top"))
+      .select(col("qid"), explode(col("top.vec_id")).as("vec_id"))
+    Similarity.topkOf(cand
+      .join(broadcast(q.select(col("qid"), col("qv"), col("qnrm"))), Seq("qid"))
+      .join(e, Seq("vec_id"))
+      .withColumn("score", Similarity.cosine(col("qv"), col("v"),
+        col("qnrm"), col("nrm"))), k)
+  }
+
   /** Approximate top-k by quantized score, exact-rescored: per query, the
     * top `k·oversample` candidates by `scale_q·scale_v·graft_doti(codes)`
     * (integer dot — exact, order-independent) survive to an exact cosine

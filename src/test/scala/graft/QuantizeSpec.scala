@@ -56,6 +56,30 @@ class QuantizeSpec extends AnyFunSuite {
       "rescored cosines must equal brute-force scores bit-for-bit")
   }
 
+  test("pqEncode: codes in range, deterministic, and reconstruction-nearest") {
+    val books = Quantize.pqCodebooks(emb, m = 8, k = 16)
+    assert(books.length == 8 && books.forall(_.length == 16))
+    val codes = Quantize.pqEncode(emb, col("vec_id"), col("embedding"), books)
+    val rows = codes.collect()
+    assert(rows.forall(_.getSeq[Int](1).forall(c => c >= 0 && c < 16)))
+    val again = Quantize.pqEncode(emb, col("vec_id"), col("embedding"), books)
+      .collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted),
+      "encoding must be deterministic")
+  }
+
+  test("pqKnn: recall@10 >= 0.6 vs brute force, rescored scores bit-identical") {
+    val exact = Similarity.bruteForceKnn(emb, col("vec_id") < 5, k = 10)
+      .select(col("qid"), col("vec_id"), col("score"))
+    val pq = Quantize.pqKnn(emb, col("vec_id") < 5, k = 10)
+      .select(col("qid"), col("vec_id"), col("score").as("score_q"))
+    val j = exact.join(pq, Seq("qid", "vec_id"), "inner")
+    val n = exact.count()
+    val hit = j.count()
+    assert(n > 0 && hit >= n * 0.6, s"recall ${hit.toDouble / n} below 0.6")
+    assert(j.filter(col("score") =!= col("score_q")).count() == 0)
+  }
+
   test("bm25: higher tf scores higher; absent term contributes no row") {
     import spark.implicits._
     val docs = Seq(
