@@ -507,6 +507,22 @@ object SparkEntry {
         .orderBy(col("seq"))
     }),
 
+    // The forward as-of direction: each trade's NEXT price tick per hub
+    // (the slippage-estimation lookup) — same one-exchange tagged-union
+    // window plan as q34, scanning the order descending.
+    "q87_asof_forward" -> ((s, d) => {
+      val m = Pnl.eventsAsMarket(ev(s, d)).toDF()
+      val trades = m.filter(col("kind") === "trade")
+        .select(col("seq"), col("ts"), col("hub"), col("account"), col("side"),
+          col("mw"), col("price_mwh"))
+      val prices = m.filter(col("kind") === "price")
+        .select(col("hub"), col("ts"), col("seq"), col("price_mwh"))
+      Joins.asOfJoin(trades, prices, keys = Seq("hub"), orderCols = Seq("ts", "seq"),
+          rightVals = Map("price_mwh" -> "next_px", "seq" -> "next_px_seq"),
+          direction = "forward")
+        .orderBy(col("seq"))
+    }),
+
     // §2.7 extension — session window (30-min gap) per user; sum goes
     // through DECIMAL so both engines add exactly
     "q35_session_window" -> ((s, d) =>
@@ -2277,6 +2293,17 @@ object SparkEntry {
          |  FROM m
          |  WINDOW win AS (PARTITION BY hub ORDER BY ts, seq ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
          |SELECT seq, ts, hub, account, side, mw, price_mwh, last_px, last_px_seq
+         |FROM w WHERE kind = 'trade' ORDER BY seq""".stripMargin,
+
+    "q87_asof_forward" ->
+      s"""WITH $M_CTE,
+         |w AS (
+         |  SELECT *,
+         |    last_value(CASE WHEN kind = 'price' THEN price_mwh END IGNORE NULLS) OVER win AS next_px,
+         |    last_value(CASE WHEN kind = 'price' THEN seq END IGNORE NULLS) OVER win AS next_px_seq
+         |  FROM m
+         |  WINDOW win AS (PARTITION BY hub ORDER BY ts DESC, seq DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT seq, ts, hub, account, side, mw, price_mwh, next_px, next_px_seq
          |FROM w WHERE kind = 'trade' ORDER BY seq""".stripMargin,
 
     "q35_session_window" ->

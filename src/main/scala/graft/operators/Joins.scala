@@ -15,24 +15,30 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
-  /** As-of join: for every `left` row, the single latest `right` row with
-    * order key ≤ the left row's (per `keys`); right payload columns come
-    * back null when no such row exists.
+  /** As-of join: for every `left` row, the single nearest `right` row at or
+    * before it in the order (`direction = "backward"`, the default — order
+    * key ≤ the left row's) or at or after it (`direction = "forward"` —
+    * order key ≥, the next-tick/slippage lookup); right payload columns
+    * come back null when no such row exists.
     *
     * Implementation is a tagged union + one window pass, NOT a range join:
     * both sides shuffle once on `keys`, sort within partitions by
     * (orderCols, tag) — right rows (tag 0) before left rows (tag 1) at
-    * equal order keys, giving inclusive ≤ semantics — and a running
-    * `last(_, ignoreNulls)` carries the most recent right payload forward.
-    * O(n log n) in the partition sort, O(1) state per key; at 100 TB this
-    * is one exchange over the combined inputs, the same shape as the PnL
-    * secondary sort. No pair blow-up, no per-key collect.
+    * equal order keys, giving inclusive semantics in either direction
+    * (forward simply scans the order descending) — and a running
+    * `last(_, ignoreNulls)` carries the nearest right payload along the
+    * scan. O(n log n) in the partition sort, O(1) state per key; at 100 TB
+    * this is one exchange over the combined inputs, the same shape as the
+    * PnL secondary sort. No pair blow-up, no per-key collect.
     *
     * `rightVals` maps right-side column name → output name; output names
     * must not collide with left columns.
     */
   def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-               orderCols: Seq[String], rightVals: Map[String, String]): DataFrame = {
+               orderCols: Seq[String], rightVals: Map[String, String],
+               direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"unknown as-of direction: $direction")
     val payloadT = org.apache.spark.sql.types.StructType(
       right.select(rightVals.keys.toSeq.map(col): _*).schema.fields)
     val leftCols = left.columns
@@ -46,8 +52,11 @@ object Joins {
       if (df.columns.contains(c)) df
       else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }.withColumn("_tag", lit(0)).select(l.columns.map(col): _*)
+    val ordered =
+      if (direction == "backward") orderCols.map(col)
+      else orderCols.map(c => col(c).desc)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy((orderCols.map(col) :+ col("_tag")): _*)
+      .orderBy((ordered :+ col("_tag")): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val joined = l.unionByName(r)
       .withColumn("_rv", last(col("_rv"), ignoreNulls = true).over(w))

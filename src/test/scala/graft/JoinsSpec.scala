@@ -35,6 +35,26 @@ class JoinsSpec extends AnyFunSuite {
     assert(out(5L) == ((None, None)))           // key c has no right rows
   }
 
+  test("asOfJoin forward picks the earliest right row at-or-after") {
+    val sp = spark
+    import sp.implicits._
+    val left = Seq(("a", 5L, 1L), ("a", 10L, 2L), ("a", 20L, 3L),
+      ("b", 7L, 4L), ("c", 1L, 5L)).toDF("k", "t", "lseq")
+    val right = Seq(("a", 5L, 10L, 1.5), ("a", 15L, 11L, 2.5),
+      ("b", 3L, 12L, 3.5), ("b", 7L, 13L, 4.5), ("d", 1L, 14L, 9.9))
+      .toDF("k", "t", "rseq", "px")
+    val out = Joins.asOfJoin(left, right, keys = Seq("k"),
+        orderCols = Seq("t"), rightVals = Map("px" -> "px", "rseq" -> "src"),
+        direction = "forward")
+      .select(col("lseq"), col("px"), col("src"))
+      .collect().map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(out(1L) == ((Some(1.5), Some(10L)))) // tie at t=5 counts (>=)
+    assert(out(2L) == ((Some(2.5), Some(11L)))) // t=10: next is (a,15)
+    assert(out(3L) == ((None, None)))           // t=20: nothing after
+    assert(out(4L) == ((Some(4.5), Some(13L)))) // tie at t=7 counts (>=)
+    assert(out(5L) == ((None, None)))           // key c has no right rows
+  }
+
   test("asOfJoin over market events matches a window-computed expectation") {
     val m = operators.Pnl.eventsAsMarket(Tables.events(spark, dir)).toDF().cache()
     val trades = m.filter(col("kind") === "trade")
