@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProductD, DotProductL, MinHashSig, PolyFingerprint, ShingleSet, SimHash64}
+import graft.functions.{DotProductD, DotProductL, MinHashSig, PolyFingerprint, PqEncodeCodes, PqLut, ShingleSet, SimHash64}
 
 /** Spark extension entry point: `--conf
   * spark.sql.extensions=graft.GraftExtensions` (or
@@ -36,6 +36,10 @@ object GraftExtensions {
       (es: Seq[Expression]) => DotProductD(es(0), es(1))),
     ("graft_doti", "exact integer dot product of two array<bigint>",
       (es: Seq[Expression]) => DotProductL(es(0), es(1))),
+    ("graft_pqencode", "graft_pqencode(vec, flatBooks, sub, k) - PQ codes (argmin L2 per subspace)",
+      (es: Seq[Expression]) => PqEncodeCodes(es(0), es(1), es(2), es(3))),
+    ("graft_pqlut", "graft_pqlut(vec, flatBooks, sub, k) - PQ asymmetric-distance lookup table",
+      (es: Seq[Expression]) => PqLut(es(0), es(1), es(2), es(3))),
     ("graft_minhash", "graft_minhash(shingles, k) - k-lane minhash signature",
       (es: Seq[Expression]) => MinHashSig(es(0), es(1))),
     ("graft_simhash", "64-bit simhash of array<string> tokens",

@@ -523,6 +523,28 @@ object SparkEntry {
         .orderBy(col("seq"))
     }),
 
+    // Skew-salted equi-join (Joins.saltedJoin): event_type has 5 values —
+    // the classic hot-key shape where a plain shuffle join lands each
+    // type's whole volume on one reducer. The dim side (per-type counts)
+    // replicates ×8; facts spread by a deterministic hash salt; result
+    // hash-matches the plain join.
+    "q88_salted_join" -> ((s, d) => {
+      val e = ev(s, d)
+      val dim = e.groupBy(col("event_type")).agg(count(lit(1)).as("type_n"))
+      Joins.saltedJoin(e.select(col("event_id"), col("event_type"), col("value")),
+          dim, keys = Seq("event_type"), salts = 8, saltBy = col("event_id"))
+        .select(col("event_id"), col("event_type"), col("value"), col("type_n"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Full global sort (no limit): RangePartitioning end-to-end — sampled
+    // split points, range exchange, per-partition sort — the plan behind
+    // every ORDER BY-writes-a-table job (q03's TakeOrdered only covers the
+    // top-k form). Double sort key with a unique integer tiebreaker.
+    "q89_global_sort" -> ((s, d) =>
+      ev(s, d).select(col("event_id"), col("event_type"), col("value"))
+        .orderBy(col("value"), col("event_id"))),
+
     // §2.7 extension — session window (30-min gap) per user; sum goes
     // through DECIMAL so both engines add exactly
     "q35_session_window" -> ((s, d) =>
@@ -2305,6 +2327,17 @@ object SparkEntry {
          |  WINDOW win AS (PARTITION BY hub ORDER BY ts DESC, seq DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
          |SELECT seq, ts, hub, account, side, mw, price_mwh, next_px, next_px_seq
          |FROM w WHERE kind = 'trade' ORDER BY seq""".stripMargin,
+
+    "q88_salted_join" ->
+      """WITH dim AS (SELECT event_type, CAST(count(*) AS BIGINT) AS type_n
+        |             FROM events GROUP BY 1)
+        |SELECT event_id, e.event_type, value, type_n
+        |FROM events e JOIN dim USING (event_type)
+        |ORDER BY event_id""".stripMargin,
+
+    "q89_global_sort" ->
+      """SELECT event_id, event_type, value FROM events
+        |ORDER BY value, event_id""".stripMargin,
 
     "q35_session_window" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),

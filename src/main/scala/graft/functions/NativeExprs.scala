@@ -209,6 +209,104 @@ case class MinHashSig(child: Expression, kExpr: Expression)
     copy(child = l, kExpr = r)
 }
 
+/** Product-quantization kernels. Both take the codebook as ONE flat
+  * array<double> literal laid out [(s·k + c)·sub + j] (s = subspace,
+  * c = centroid, j = component): the expression-tree alternative — m·k
+  * inlined literal-vector dot nodes — serialized an ~11 MiB task binary
+  * and dominated q86's wall time; one literal + a tight loop is the same
+  * arithmetic at a 128 KB plan cost.
+  *
+  * [[PqEncodeCodes]]: codes[s] = argmin_c Σ_j (x[s·sub+j] − book[s,c,j])²
+  * (lowest index wins ties — matches the lexicographic struct-min of the
+  * expression form). [[PqLut]]: lut[s·k + c] = Σ_j x[s·sub+j]·book[s,c,j],
+  * the per-query asymmetric-distance table.
+  */
+abstract class PqKernel extends Expression with CodegenFallback {
+  def vec: Expression
+  def books: Expression
+  def subExpr: Expression
+  def kExpr: Expression
+  override def children: Seq[Expression] = Seq(vec, books, subExpr, kExpr)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    (vec.dataType, books.dataType, subExpr.dataType, kExpr.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _),
+            IntegerType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "pq kernel expects (array<double>, array<double>, int, int)")
+    }
+  // codebook literal decoded once per task, not per row
+  @transient protected lazy val flatBooks: Array[Double] =
+    books.eval(null).asInstanceOf[ArrayData].toDoubleArray()
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = vec.eval(input)
+    if (v == null) return null
+    val x = v.asInstanceOf[ArrayData].toDoubleArray()
+    val sub = subExpr.eval(input).asInstanceOf[Int]
+    val k = kExpr.eval(input).asInstanceOf[Int]
+    val m = flatBooks.length / (k * sub)
+    if (x.length != m * sub) return null
+    compute(x, sub, k, m)
+  }
+  protected def compute(x: Array[Double], sub: Int, k: Int, m: Int): Any
+}
+
+case class PqEncodeCodes(vec: Expression, books: Expression,
+    subExpr: Expression, kExpr: Expression) extends PqKernel {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def compute(x: Array[Double], sub: Int, k: Int, m: Int): Any = {
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        var d = 0.0
+        var j = 0
+        val base = (s * k + c) * sub
+        while (j < sub) {
+          val diff = x(s * sub + j) - flatBooks(base + j)
+          d += diff * diff
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    new GenericArrayData(codes)
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(vec = cs(0), books = cs(1), subExpr = cs(2), kExpr = cs(3))
+}
+
+case class PqLut(vec: Expression, books: Expression,
+    subExpr: Expression, kExpr: Expression) extends PqKernel {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def compute(x: Array[Double], sub: Int, k: Int, m: Int): Any = {
+    val lut = new Array[Double](m * k)
+    var s = 0
+    while (s < m) {
+      var c = 0
+      while (c < k) {
+        var d = 0.0
+        var j = 0
+        val base = (s * k + c) * sub
+        while (j < sub) { d += x(s * sub + j) * flatBooks(base + j); j += 1 }
+        lut(s * k + c) = d
+        c += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(lut)
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(vec = cs(0), books = cs(1), subExpr = cs(2), kExpr = cs(3))
+}
+
 /** 64-bit SimHash over array<string> tokens; bit j = sign of
   * Σ_tokens (bit j of xxhash64(token) ? +1 : -1). Equals
   * [[graft.functions.Text.simhash]] (asserted in NativeExprSpec).

@@ -67,6 +67,29 @@ object Joins {
     joined.select(leftCols.map(col) ++ outVals: _*)
   }
 
+  /** Skew-salted equi-join: when the join key has a few hot values (a
+    * 5-value event_type, the 4-hub domain), a plain shuffle join lands each
+    * hot key's entire fact volume on ONE reducer. Salting spreads it:
+    * every fact row picks a deterministic salt from `saltBy` (a
+    * high-cardinality fact column — hash-based, so the plan is
+    * re-runnable, unlike rand()), the (small) `right` side replicates
+    * ×`salts` with one copy per salt, and the join runs on (keys, salt) —
+    * each hot key now occupies `salts` reducers. Replication cost is
+    * |right|·salts, the deliberate price; result is exactly the plain
+    * inner join (JoinsSpec property). AQE's skew split handles the
+    * post-hoc case; salting is the a-priori form that also helps the
+    * aggregate-after-join pattern.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      salts: Int, saltBy: Column): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val l = left.withColumn("_salt", pmod(xxhash64(saltBy), lit(salts)).cast("int"))
+    val r = right
+      .withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
+      .withColumn("_salt", col("_salt").cast("int"))
+    l.join(r, keys :+ "_salt").drop("_salt")
+  }
+
   /** Range join `fact.point ∈ [interval.lo, interval.hi)` as an equi-join:
     * both sides key on `floor(value / bucketWidth)` — the interval side
     * explodes to every bucket its range overlaps — then the exact predicate

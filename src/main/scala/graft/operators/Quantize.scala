@@ -56,32 +56,31 @@ object Quantize {
     Array.tabulate(m, k)((s, c) => sample(c).slice(s * sub, (s + 1) * sub))
   }
 
+  /** Flatten codebooks to the [(s·k + c)·sub + j] layout the native PQ
+    * kernels take as one literal.
+    */
+  private def flatBooks(codebooks: Array[Array[Seq[Double]]]): Seq[Double] =
+    codebooks.iterator.flatMap(_.iterator.flatMap(_.iterator)).toSeq
+
   /** PQ-encode every vector: code_s = index of the L2-nearest centroid of
-    * subvector s (ties → lowest index; squared-L2 compared via the exact
-    * |x−c|² = |x|² − 2⟨x,c⟩ + |c|² expansion with codegen'd graft_dot).
+    * subvector s (ties → lowest index), via the native graft_pqencode
+    * kernel — ONE expression carrying the whole codebook as a flat literal
+    * and running the m·k·(dim/m) multiply-adds in a tight loop. The
+    * expression-tree alternative (m·k literal-vector dot nodes) shipped an
+    * ~11 MiB task binary and took 10× the wall time at 256-entry books.
     * Output: (vec_id, codes array<int> of length m) — dim doubles become m
     * small ints: a 64-dim vector compresses 64× (512 B → 8 B) vs int8's 4×.
-    * Pure map over the scan; centroids are inlined literals.
+    * Pure map over the scan.
     */
   def pqEncode(emb: DataFrame, idCol: Column, vecCol: Column,
       codebooks: Array[Array[Seq[Double]]]): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
-    val m = codebooks.length
+    val k = codebooks(0).length
     val sub = codebooks(0)(0).size
-    val v = Similarity.toDouble(vecCol)
-    val codeCols = (0 until m).map { s =>
-      val xs = slice(v, s * sub + 1, sub)
-      // (dist², code) structs; array_min = lexicographic min = nearest
-      // centroid with lowest-index tie-break, inside codegen
-      val scored = array(codebooks(s).zipWithIndex.map { case (c, ci) =>
-        val cLit = typedLit(c).cast("array<double>")
-        val cNorm2 = lit(c.iterator.map(x => x * x).sum)
-        struct((Similarity.dot(xs, xs) - lit(2.0) * Similarity.dot(xs, cLit) +
-          cNorm2).as("d2"), lit(ci).as("ci"))
-      }.toIndexedSeq: _*)
-      array_min(scored).getField("ci")
-    }
-    emb.select(idCol.as("vec_id"), array(codeCols: _*).as("codes"))
+    emb.select(idCol.as("vec_id"),
+      call_function("graft_pqencode", Similarity.toDouble(vecCol),
+        typedLit(flatBooks(codebooks)).cast("array<double>"),
+        lit(sub), lit(k)).as("codes"))
   }
 
   /** PQ approximate top-k with asymmetric-distance scoring and exact
@@ -116,12 +115,11 @@ object Quantize {
         Similarity.toDouble(col("embedding")).as("v"))
       .withColumn("nrm", Similarity.norm(col("v")))
     val sub = books(0)(0).size
-    // per-query LUT, flattened [s*k + c]: m·k small dots on the (few) query
-    // rows only
-    val lutCol = array((0 until m).flatMap { s =>
-      val xs = slice(col("v"), s * sub + 1, sub)
-      books(s).map(c => Similarity.dot(xs, typedLit(c).cast("array<double>")))
-    }: _*)
+    // per-query LUT, flattened [s*k + c]: the native kernel computes the
+    // m·k small dots in one loop on the (few) query rows only
+    val lutCol = call_function("graft_pqlut", col("v"),
+      typedLit(flatBooks(books)).cast("array<double>"), lit(sub),
+      lit(codebookSize))
     val q = e.where(queryPred)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"),
         lutCol.as("lut"))

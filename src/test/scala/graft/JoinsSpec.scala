@@ -55,6 +55,25 @@ class JoinsSpec extends AnyFunSuite {
     assert(out(5L) == ((None, None)))           // key c has no right rows
   }
 
+  test("saltedJoin equals the plain join and spreads hot keys over salts") {
+    val sp = spark
+    import sp.implicits._
+    // one hot key carrying 90% of the facts
+    val fact = (0L until 1000L).map(i =>
+      (i, if (i < 900) "hot" else s"cold${i % 7}", i * 1.5)).toDF("id", "k", "v")
+    val dim = fact.select(col("k")).distinct().withColumn("dlen", length(col("k")))
+    val plain = fact.join(dim, Seq("k")).select(col("id"), col("k"), col("v"), col("dlen"))
+    val salted = Joins.saltedJoin(fact, dim, Seq("k"), salts = 8, saltBy = col("id"))
+      .select(col("id"), col("k"), col("v"), col("dlen"))
+    assert(salted.count() == 1000)
+    assert(plain.exceptAll(salted).count() == 0 && salted.exceptAll(plain).count() == 0,
+      "salted join must equal the plain join exactly")
+    // the hot key's rows really occupy multiple salt buckets
+    val spread = fact.filter(col("k") === "hot")
+      .select(pmod(xxhash64(col("id")), lit(8)).as("s")).distinct().count()
+    assert(spread == 8, "hash salt must spread the hot key across all buckets")
+  }
+
   test("asOfJoin over market events matches a window-computed expectation") {
     val m = operators.Pnl.eventsAsMarket(Tables.events(spark, dir)).toDF().cache()
     val trades = m.filter(col("kind") === "trade")
