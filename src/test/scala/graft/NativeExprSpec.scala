@@ -16,6 +16,26 @@ class NativeExprSpec extends AnyFunSuite {
     Tables.load(spark, "/root/testdata/sf0.001", "documents")
   }
 
+  test("graft_pqencode/graft_pqlut match hand-computed codes and table") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // 2 subspaces of 2 dims, 2 centroids each, laid out [(s*k+c)*sub+j]:
+    // s0: c0=(0,0) c1=(10,10); s1: c0=(1,0) c1=(0,1)
+    val books = Seq(0.0, 0.0, 10.0, 10.0, 1.0, 0.0, 0.0, 1.0)
+    val df = Seq((1L, Seq(9.0, 9.0, 0.1, 0.9)), (2L, Seq(1.0, 1.0, 0.9, 0.1)))
+      .toDF("id", "v")
+      .select(col("id"),
+        call_function("graft_pqencode", col("v"), typedLit(books), lit(2), lit(2)).as("codes"),
+        call_function("graft_pqlut", col("v"), typedLit(books), lit(2), lit(2)).as("lut"))
+    val rows = df.orderBy(col("id")).collect()
+    // row 1: (9,9) nearest (10,10) -> 1; (0.1,0.9) nearest (0,1) -> 1
+    assert(rows(0).getSeq[Int](1) == Seq(1, 1))
+    // row 2: (1,1) nearest (0,0) -> 0; (0.9,0.1) nearest (1,0) -> 0
+    assert(rows(1).getSeq[Int](1) == Seq(0, 0))
+    // lut[s*k+c] = <x_s, c>: row 1 -> (0, 180, 0.1, 0.9)
+    assert(rows(0).getSeq[Double](2) == Seq(0.0, 180.0, 0.1, 0.9))
+  }
+
   test("graft_dot equals the zip_with/aggregate fold bit-for-bit") {
     GraftFunctions.register(spark)
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
