@@ -1469,6 +1469,31 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // CSV round-trip (header + explicit schema — no inference job): the
+    // interchange format every ingestion surface still meets. The fixture
+    // text is space-separated tokens, so the quoting path stays trivial —
+    // the gate covers the codec wiring, not quote-escaping corners (those
+    // live in Spark itself).
+    "q90_csv_roundtrip" -> ((s, d) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_" +
+        new java.io.File(d).getName
+      t(s, d, "documents").select(col("doc_id"), col("source"), col("text"))
+        .write.mode("overwrite").option("header", "true").csv(out)
+      s.read.schema("doc_id LONG, source STRING, text STRING")
+        .option("header", "true").csv(out)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ORC round-trip — the second columnar format (schema preserved in the
+    // file footer, so read back with no schema hint).
+    "q91_orc_roundtrip" -> ((s, d) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_" +
+        new java.io.File(d).getName
+      t(s, d, "documents").select(col("doc_id"), col("source"), col("text"))
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out).orderBy(col("doc_id"))
+    }),
+
     // Eighth streaming family in the gate, and the first UPDATE-mode one:
     // the reference's DISTINCT ON live view (R1/R3) maintained
     // incrementally by latestPerGroupStream (mapGroupsWithState — state is
@@ -2184,6 +2209,12 @@ object SparkEntry {
         |ORDER BY metric""".stripMargin,
 
     "q84_jsonl_roundtrip" ->
+      """SELECT doc_id, source, text FROM documents ORDER BY doc_id""",
+
+    "q90_csv_roundtrip" ->
+      """SELECT doc_id, source, text FROM documents ORDER BY doc_id""",
+
+    "q91_orc_roundtrip" ->
       """SELECT doc_id, source, text FROM documents ORDER BY doc_id""",
 
     "q85_streaming_latest" ->
