@@ -53,5 +53,9 @@ object GraftExtensions {
     ("graft_bottomk", "graft_bottomk(expr, k) - k smallest values per group, sorted ascending",
       (es: Seq[Expression]) => graft.functions.TopKOrdered(es(0), es(1), asc = true)),
     ("graft_heavyhitters", "graft_heavyhitters(item, k) - Misra-Gries frequent items sketch",
-      (es: Seq[Expression]) => graft.functions.MisraGries(es(0), es(1))))
+      (es: Seq[Expression]) => graft.functions.MisraGries(es(0), es(1))),
+    ("graft_bloom", "graft_bloom(key, nBits, numHashes) - mergeable Bloom filter over bigint keys",
+      (es: Seq[Expression]) => graft.functions.BloomAgg(es(0), es(1), es(2))),
+    ("graft_bloom_contains", "graft_bloom_contains(sketch, key) - Bloom membership probe",
+      (es: Seq[Expression]) => graft.functions.BloomContains(es(0), es(1))))
 }

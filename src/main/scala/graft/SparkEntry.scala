@@ -1469,6 +1469,43 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Bloom-filter decontamination gate: the train shingle set collapsed
+    // to a 512 KB graft_bloom sketch (corpus-size-independent broadcast;
+    // bitwise-OR merge is order-independent) probed by a pure map on the
+    // eval side — no join. One-sided error, asserted against the exact
+    // inverted-index pass (q58's operator) as oracle booleans: no eval
+    // doc loses a hit (no false negatives), every exactly-contaminated
+    // doc stays flagged, and the false-positive inflation stays under 2%
+    // of probes at the 2²²-bit sizing.
+    "q92_bloom_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val exact = Corpus.decontaminate(docs, col("doc_id"), col("text"),
+          evalPred = col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("n_sh"), col("n_hit").as("x_hit"),
+          col("contaminated").as("x_flag"))
+      val bloom = Corpus.decontaminateBloom(docs, col("doc_id"), col("text"),
+          evalPred = col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("n_hit").as("b_hit"),
+          col("contaminated").as("b_flag"))
+      exact.join(bloom, Seq("doc_id"))
+        .agg(
+          count(lit(1)).as("n"),
+          count(when(col("b_hit") < col("x_hit"), 1)).as("lost"),
+          count(when(col("x_flag") && !col("b_flag"), 1)).as("unflagged"),
+          sum(col("b_hit") - col("x_hit")).as("extra"),
+          sum(col("n_sh") - col("x_hit")).as("clean"))
+        .select(explode(array(
+          struct(lit("bloom_no_false_negatives").as("metric"),
+            (col("lost") === 0).as("ok")),
+          struct(lit("bloom_flags_superset").as("metric"),
+            (col("unflagged") === 0).as("ok")),
+          struct(lit("bloom_fpp_under_2pct").as("metric"),
+            (col("extra") <= col("clean") * 0.02).as("ok")),
+          struct(lit("bloom_nonempty").as("metric"), (col("n") > 0).as("ok")))))
+        .select(col("col.metric").as("metric"), col("col.ok").as("ok"))
+        .orderBy(col("metric"))
+    }),
+
     // CSV round-trip (header + explicit schema — no inference job): the
     // interchange format every ingestion surface still meets. The fixture
     // text is space-separated tokens, so the quoting path stays trivial —
@@ -2213,6 +2250,14 @@ object SparkEntry {
 
     "q90_csv_roundtrip" ->
       """SELECT doc_id, source, text FROM documents ORDER BY doc_id""",
+
+    "q92_bloom_decontaminate" ->
+      """SELECT * FROM (VALUES
+        |  ('bloom_flags_superset', TRUE),
+        |  ('bloom_fpp_under_2pct', TRUE),
+        |  ('bloom_no_false_negatives', TRUE),
+        |  ('bloom_nonempty', TRUE)) AS t(metric, ok)
+        |ORDER BY metric""".stripMargin,
 
     "q91_orc_roundtrip" ->
       """SELECT doc_id, source, text FROM documents ORDER BY doc_id""",

@@ -70,6 +70,46 @@ object Corpus {
         frac.as("frac"), (frac >= threshold).as("contaminated"))
   }
 
+  /** [[decontaminate]] with the train side collapsed to a Bloom filter
+    * (graft_bloom — functions/Bloom.scala) instead of a distinct-key
+    * semi-join table: the sketch is nBits/8 bytes REGARDLESS of corpus
+    * size (512 KB at the 2²² default), so the eval side needs no join at
+    * all — membership is a pure broadcast-constant map over its exploded
+    * shingles. At 100 TB that replaces a billions-row distinct build +
+    * shuffle join with one mergeable aggregate (bitwise-OR merge —
+    * order-independent) and a scan.
+    *
+    * Error contract (q92 gates it): one-sided. A shingle the train set
+    * contains is NEVER missed, so `frac` ≥ the exact fraction and every
+    * exactly-contaminated doc is flagged — false positives only inflate,
+    * at ≈ (1 − e^(−k·n/m))^k. Size nBits ≈ 10× the expected distinct
+    * shingle count for ~1% fpp.
+    */
+  def decontaminateBloom(docs: DataFrame, idCol: Column, textCol: Column,
+      evalPred: Column, shingleN: Int = 3, threshold: Double = 0.5,
+      nBits: Int = 1 << 22, numHashes: Int = 7): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sh = docs.select(idCol.as("doc_id"), evalPred.as("is_eval"),
+      call_function("graft_shingles", textCol, lit(shingleN)).as("sh"))
+    val sketch = sh.filter(!col("is_eval"))
+      .select(explode(col("sh")).as("s"))
+      .agg(call_function("graft_bloom", xxhash64(col("s")),
+        lit(nBits), lit(numHashes)).as("bf"))
+    val evalDocs = sh.filter(col("is_eval"))
+      .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("n_sh"))
+    val hits = evalDocs
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .crossJoin(broadcast(sketch))
+      .filter(call_function("graft_bloom_contains", col("bf"), xxhash64(col("s"))))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    val frac = when(col("n_sh") === 0, lit(0.0))
+      .otherwise(col("n_hit").cast("double") / col("n_sh"))
+    evalDocs.select(col("doc_id"), col("n_sh"))
+      .join(hits, Seq("doc_id"), "left").na.fill(0L, Seq("n_hit"))
+      .select(col("doc_id"), col("n_sh"), col("n_hit"),
+        frac.as("frac"), (frac >= threshold).as("contaminated"))
+  }
+
   /** Deterministic stratified sampling: keep a per-stratum fraction of rows
     * chosen by a PORTABLE multiplicative hash of the id — Knuth's 2654435761
     * with an offset, mod 2³², expressible identically in any engine (unlike

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions
+import graft.operators.Corpus
+
+/** Bloom filter aggregate contracts: no false negatives ever, bounded
+  * false-positive rate at the documented sizing, merge-order independence.
+  */
+class BloomSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("every inserted key is contained; fpp on fresh keys stays near theory") {
+    val sp = spark
+    import sp.implicits._
+    GraftFunctions.register(spark)
+    val n = 10000
+    val inserted = (0L until n).toDF("k")
+    val sketch = inserted.agg(
+      call_function("graft_bloom", col("k"), lit(1 << 17), lit(7)).as("bf"))
+    // no false negatives: all n inserted keys probe true
+    val fn = inserted.crossJoin(broadcast(sketch))
+      .filter(!call_function("graft_bloom_contains", col("bf"), col("k")))
+      .count()
+    assert(fn == 0, "a Bloom filter must never miss an inserted key")
+    // false positives on 10k fresh keys: m/n ≈ 13 bits/key, k=7 → ~0.5%
+    val fresh = (1000000L until 1000000L + n).toDF("k")
+    val fp = fresh.crossJoin(broadcast(sketch))
+      .filter(call_function("graft_bloom_contains", col("bf"), col("k")))
+      .count()
+    assert(fp < n * 0.03, s"fpp ${fp.toDouble / n} far above theory (~0.005)")
+  }
+
+  test("merge is order-independent: sharded build equals single-partition build") {
+    val sp = spark
+    import sp.implicits._
+    GraftFunctions.register(spark)
+    val keys = (0L until 5000L).toDF("k")
+    def bytesOf(parts: Int): Seq[Byte] =
+      keys.repartition(parts).agg(
+        call_function("graft_bloom", col("k"), lit(1 << 16), lit(5)).as("bf"))
+        .head().getAs[Array[Byte]](0).toSeq
+    assert(bytesOf(1) == bytesOf(13),
+      "bitwise-OR merge must make partitioning invisible")
+  }
+
+  test("decontaminateBloom upper-bounds the exact pass and flags a superset") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val exact = Corpus.decontaminate(docs, col("doc_id"), col("text"),
+        evalPred = col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("n_hit").as("x"), col("contaminated").as("xf"))
+    val bloom = Corpus.decontaminateBloom(docs, col("doc_id"), col("text"),
+        evalPred = col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("n_hit").as("b"), col("contaminated").as("bf"))
+    val j = exact.join(bloom, Seq("doc_id")).cache()
+    assert(j.count() > 0)
+    assert(j.filter(col("b") < col("x")).count() == 0, "no false negatives")
+    assert(j.filter(col("xf") && !col("bf")).count() == 0, "flag superset")
+  }
+}
