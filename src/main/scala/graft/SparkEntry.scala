@@ -1469,6 +1469,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Z-order clustering key (Warehouse.zValue/scaleToBits): user_id and
+    // value min/max-scaled to 16-bit ints, bits interleaved — sorting by
+    // the result gives 2-d locality, so parquet footer min/max on BOTH
+    // columns turn box predicates into file skips (the Delta/Iceberg
+    // OPTIMIZE ZORDER key; skip effect asserted on real footers in
+    // WarehouseSpec). Pure shift/mask arithmetic, mirrored bit-for-bit by
+    // the oracle.
+    "q93_zorder_key" -> ((s, d) => {
+      val e = ev(s, d)
+      val r = e.agg(min(col("user_id").cast("double")),
+        max(col("user_id").cast("double")),
+        min(col("value")), max(col("value"))).head()
+      val za = graft.sources.Warehouse.scaleToBits(col("user_id"),
+        r.getDouble(0), r.getDouble(1))
+      val zb = graft.sources.Warehouse.scaleToBits(col("value"),
+        r.getDouble(2), r.getDouble(3))
+      e.select(col("event_id"), za.as("za"), zb.as("zb"),
+          graft.sources.Warehouse.zValue(za, zb).as("z"))
+        .orderBy(col("event_id"))
+    }),
+
     // Bloom-filter decontamination gate: the train shingle set collapsed
     // to a 512 KB graft_bloom sketch (corpus-size-independent broadcast;
     // bitwise-OR merge is order-independent) probed by a pure map on the
@@ -2250,6 +2271,20 @@ object SparkEntry {
 
     "q90_csv_roundtrip" ->
       """SELECT doc_id, source, text FROM documents ORDER BY doc_id""",
+
+    "q93_zorder_key" -> {
+      val interleave = (0 until 16).map(i =>
+        s"(((za >> $i) & 1) << ${2 * i}) | (((zb >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" | ")
+      s"""WITH r AS (SELECT min(CAST(user_id AS DOUBLE)) AS alo, max(CAST(user_id AS DOUBLE)) AS ahi,
+         |                  min(value) AS blo, max(value) AS bhi FROM events),
+         |sc AS (SELECT event_id,
+         |         CAST(least(floor((CAST(user_id AS DOUBLE) - alo) / (ahi - alo) * 65535.0), 65535) AS BIGINT) AS za,
+         |         CAST(least(floor((value - blo) / (bhi - blo) * 65535.0), 65535) AS BIGINT) AS zb
+         |       FROM events, r)
+         |SELECT event_id, za, zb, CAST($interleave AS BIGINT) AS z
+         |FROM sc ORDER BY event_id""".stripMargin
+    },
 
     "q92_bloom_decontaminate" ->
       """SELECT * FROM (VALUES

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Bucketed warehouse tables — the co-located-join path for keys that are
   * joined repeatedly (SURVEY §4: orders⋈customer, fold tables keyed by
@@ -63,23 +63,19 @@ object Warehouse {
   def compact(spark: SparkSession, path: String, targetBytes: Long = 128L << 20,
       sortCol: Option[String] = None): Unit = {
     import org.apache.spark.sql.functions.col
-    // crash recovery from a previous interrupted swap: if only the __old
-    // backup survives, restore it before compacting; stale temp/backup dirs
-    // from completed or failed runs are cleared so the renames can't collide
-    locally {
-      val cur = new java.io.File(path)
-      val oldBak = new java.io.File(path + "__old")
-      val stale = new java.io.File(path + "__compacting")
-      if (!cur.exists() && oldBak.exists() && !oldBak.renameTo(cur))
-        throw new java.io.IOException(s"cannot restore $path from __old backup")
-      if (stale.exists()) rmTree(stale)
-      if (oldBak.exists() && cur.exists()) rmTree(oldBak)
-    }
+    recoverSwap(path)
     val df = spark.read.parquet(path)
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val n = math.max(1, (bytes / BigInt(targetBytes)).toInt +
       (if (bytes % BigInt(targetBytes) > 0) 1 else 0))
     val arranged = sortCol.fold(df.repartition(n))(c => df.repartitionByRange(n, col(c)))
+    publishSwap(arranged, path)
+  }
+
+  /** Write `arranged` to the temp sibling and publish via the two-rename
+    * swap (see [[compact]]'s scaladoc for the visibility contract).
+    */
+  private def publishSwap(arranged: DataFrame, path: String): Unit = {
     val tmp = path + "__compacting"
     arranged.write.mode("overwrite").parquet(tmp)
     val fs = new java.io.File(path)
@@ -92,7 +88,77 @@ object Warehouse {
     rmTree(bak)
   }
 
+  /** Crash recovery from a previous interrupted swap: if only the __old
+    * backup survives, restore it; clear stale temp/backup dirs so the
+    * renames can't collide.
+    */
+  private def recoverSwap(path: String): Unit = {
+    val cur = new java.io.File(path)
+    val oldBak = new java.io.File(path + "__old")
+    val stale = new java.io.File(path + "__compacting")
+    if (!cur.exists() && oldBak.exists() && !oldBak.renameTo(cur))
+      throw new java.io.IOException(s"cannot restore $path from __old backup")
+    if (stale.exists()) rmTree(stale)
+    if (oldBak.exists() && cur.exists()) rmTree(oldBak)
+  }
+
   private def rmTree(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+  }
+
+  /** Morton/Z-value of two columns already scaled to `[0, 2^bits)` ints:
+    * interleaves their low `bits` bits (a in the even positions, b in the
+    * odd), so sorting by the result gives locality in BOTH dimensions —
+    * the standard multi-column clustering key (Delta/Iceberg OPTIMIZE
+    * ZORDER) that single-column range clustering can't provide. Pure
+    * shift/mask arithmetic — codegen'd, and expressible identically in any
+    * engine (the q93 oracle mirrors it).
+    */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column = {
+    import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    (0 until bits).map { i =>
+      val abit = shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
+      val bbit = shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
+      abit.bitwiseOR(bbit)
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Min/max-scale `c` to an integer in `[0, 2^bits)` given the column's
+    * (lo, hi) range (one tiny agg to fetch; constant-width buckets — swap
+    * in quantile boundaries for heavily skewed columns).
+    */
+  def scaleToBits(c: Column, lo: Double, hi: Double, bits: Int = 16): Column = {
+    import org.apache.spark.sql.functions.{floor, least, lit}
+    val span = hi - lo
+    if (span <= 0) lit(0L)
+    else least(floor((c.cast("double") - lit(lo)) / lit(span) *
+      lit((1L << bits).toDouble - 1.0)), lit((1L << bits) - 1L)).cast("long")
+  }
+
+  /** [[compact]] with TWO-dimensional clustering: rows are range-partitioned
+    * by their z-value, so each output file covers a tight box in (colA,
+    * colB) space and parquet footer min/max stats on BOTH columns turn 2-d
+    * box predicates into file skips — single-column `sortCol` clustering
+    * only ever skips on one axis. WarehouseSpec asserts the skip effect on
+    * real footer ranges.
+    */
+  def compactZOrdered(spark: SparkSession, path: String,
+      colA: String, colB: String, targetBytes: Long = 128L << 20,
+      bits: Int = 16): Unit = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    recoverSwap(path)
+    val df = spark.read.parquet(path)
+    val r = df.agg(min(col(colA).cast("double")), max(col(colA).cast("double")),
+      min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = math.max(1, (bytes / BigInt(targetBytes)).toInt +
+      (if (bytes % BigInt(targetBytes) > 0) 1 else 0))
+    val z = zValue(
+      scaleToBits(col(colA), r.getDouble(0), r.getDouble(1), bits),
+      scaleToBits(col(colB), r.getDouble(2), r.getDouble(3), bits), bits)
+    val arranged = df.withColumn("__z", z)
+      .repartitionByRange(n, col("__z")).drop("__z")
+    publishSwap(arranged, path)
   }
 }

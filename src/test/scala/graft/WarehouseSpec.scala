@@ -58,6 +58,35 @@ class WarehouseSpec extends AnyFunSuite {
     assert(q.columns.contains("event_type"))
   }
 
+  test("z-ordered compaction: 2-d box predicates skip most files on footer stats") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val path = s"$root/grid"
+    // 40k rows on a 200x200 grid, written in shuffled (locality-free) order
+    val grid = (0 until 40000).map { i => (i.toLong, (i % 200).toLong, (i / 200).toDouble) }
+    scala.util.Random.shuffle(grid).toDF("id", "x", "y")
+      .repartition(16).write.mode("overwrite").parquet(path)
+    val want = spark.read.parquet(path).collect().map(_.toString).sorted
+    Warehouse.compactZOrdered(spark, path, "x", "y", targetBytes = 16L << 10)
+    val got = spark.read.parquet(path).collect().map(_.toString).sorted
+    assert(got.sameElements(want), "z-order compaction must not change the data")
+    // per-file footer-equivalent ranges on BOTH dimensions
+    val perFile = spark.read.parquet(path)
+      .select(input_file_name().as("f"), col("x"), col("y"))
+      .groupBy(col("f")).agg(
+        min(col("x")).as("xlo"), max(col("x")).as("xhi"),
+        min(col("y")).as("ylo"), max(col("y")).as("yhi"))
+      .collect()
+    assert(perFile.length >= 8, s"need several files, got ${perFile.length}")
+    // a small 2-d box (10% of each axis): most files' min/max boxes miss it
+    val hit = perFile.count { r =>
+      !(r.getAs[Long]("xhi") < 60L || r.getAs[Long]("xlo") > 80L ||
+        r.getAs[Double]("yhi") < 60.0 || r.getAs[Double]("ylo") > 80.0)
+    }
+    assert(hit <= perFile.length / 2,
+      s"z-clustering must localize a 2-d box: $hit of ${perFile.length} files intersect")
+  }
+
   test("compact collapses a fragmented sink directory without changing data") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_compact").toString
