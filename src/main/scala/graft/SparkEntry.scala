@@ -1469,6 +1469,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic train/val/test split (Corpus.splitAssign): the
+    // portable hash against cumulative 0.8/0.1/0.1 thresholds — every
+    // rebuild (and every engine) puts each doc in the SAME split, the
+    // property that keeps eval sets stable; rand() splits reshuffle.
+    "q94_train_split" -> ((s, d) =>
+      Corpus.splitAssign(t(s, d, "documents"), col("doc_id"),
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .orderBy(col("id"))),
+
     // Z-order clustering key (Warehouse.zValue/scaleToBits): user_id and
     // value min/max-scaled to 16-bit ints, bits interleaved — sorting by
     // the result gives 2-d locality, so parquet footer min/max on BOTH
@@ -2271,6 +2280,18 @@ object SparkEntry {
 
     "q90_csv_roundtrip" ->
       """SELECT doc_id, source, text FROM documents ORDER BY doc_id""",
+
+    // thresholds spelled as the same double accumulation Spark performs
+    // (0.8 then 0.8 + 0.1), so the boundary arithmetic is bit-identical
+    "q94_train_split" ->
+      """WITH h AS (SELECT doc_id AS id,
+        |             (doc_id * 2654435761 + 40503) % 4294967296 AS h
+        |           FROM documents)
+        |SELECT id, h,
+        |       CASE WHEN CAST(h AS DOUBLE) < 0.8 * 4294967296.0 THEN 'train'
+        |            WHEN CAST(h AS DOUBLE) < (0.8 + 0.1) * 4294967296.0 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM h ORDER BY id""".stripMargin,
 
     "q93_zorder_key" -> {
       val interleave = (0 until 16).map(i =>

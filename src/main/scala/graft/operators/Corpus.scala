@@ -130,6 +130,28 @@ object Corpus {
       .select(col("id"), col("stratum"), col("h"))
   }
 
+  /** Deterministic train/val/test split: each row's split label comes from
+    * its [[portableHash]] against cumulative fraction thresholds, so the
+    * assignment is a pure column map — re-running the pipeline, or running
+    * it in another engine, puts every document in the SAME split (the
+    * property that keeps eval sets stable across corpus rebuilds; rand()
+    * splits silently reshuffle). Fractions must sum to ≤ 1; the remainder
+    * falls into the last label.
+    *
+    * Output: (id, h, split).
+    */
+  def splitAssign(df: DataFrame, idCol: Column,
+      fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.nonEmpty && fractions.map(_._2).sum <= 1.0 + 1e-9)
+    val h = portableHash(idCol).cast("long")
+    val cuts = fractions.scanLeft(0.0)(_ + _._2).tail
+    val expr = fractions.zip(cuts).init.foldRight(
+        lit(fractions.last._1): Column) { case (((name, _), cut), rest) =>
+      when(h.cast("double") < lit(cut * 4294967296.0), lit(name)).otherwise(rest)
+    }
+    df.select(idCol.as("id"), h.as("h"), expr.as("split"))
+  }
+
   /** Gopher-style repetition/diversity quality signals per doc:
     * type-token ratio (distinct/total tokens) and top-bigram fraction (most
     * frequent bigram / total bigrams). High repetition → low-quality

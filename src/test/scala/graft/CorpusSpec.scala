@@ -88,6 +88,21 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(0L)._2 == out(1L)._2, "identical docs score identically")
   }
 
+  test("splitAssign: deterministic, exhaustive, proportions near fractions") {
+    import spark.implicits._
+    val rows = (0L until 10000L).toDF("doc_id")
+    def run() = Corpus.splitAssign(rows, col("doc_id"),
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("split")).toMap
+    val a = run()
+    assert(a == run(), "same ids must land in the same split every run")
+    val byS = a.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byS.keySet == Set("train", "val", "test"))
+    assert(byS("train") > 7700 && byS("train") < 8300, s"train ${byS("train")}")
+    assert(byS("val") > 700 && byS("val") < 1300)
+    assert(byS.values.sum == 10000, "every row gets exactly one split")
+  }
+
   test("packShards equals the sequential prefix sum at any partition count") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
