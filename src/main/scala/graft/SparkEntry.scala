@@ -1469,6 +1469,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic weighted sampling (Corpus.weightedSample — E-S A-Res
+    // keyed by the portable hash, doc length as the weight): longer docs
+    // proportionally likelier, selection auditable and engine-identical;
+    // bounded graft_topk selection, never a full sort.
+    "q95_weighted_sample" -> ((s, d) =>
+      Corpus.weightedSample(t(s, d, "documents"), col("doc_id"),
+        length(col("text")), k = 50)),
+
     // Deterministic train/val/test split (Corpus.splitAssign): the
     // portable hash against cumulative 0.8/0.1/0.1 thresholds — every
     // rebuild (and every engine) puts each doc in the SAME split, the
@@ -2280,6 +2288,17 @@ object SparkEntry {
 
     "q90_csv_roundtrip" ->
       """SELECT doc_id, source, text FROM documents ORDER BY doc_id""",
+
+    "q95_weighted_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id, CAST(length(text) AS BIGINT) AS w,
+        |         round(ln((CAST((doc_id * 2654435761 + 40503) % 4294967296 AS DOUBLE) + 0.5) / 4294967296.0)
+        |               / CAST(length(text) AS DOUBLE), 6) AS key
+        |  FROM documents)
+        |SELECT rank, id, w, key FROM (
+        |  SELECT CAST(row_number() OVER (ORDER BY key DESC, id) AS BIGINT) AS rank, id, w, key
+        |  FROM t) x
+        |WHERE rank <= 50 ORDER BY rank""".stripMargin,
 
     // thresholds spelled as the same double accumulation Spark performs
     // (0.8 then 0.8 + 0.1), so the boundary arithmetic is bit-identical

@@ -161,6 +161,35 @@ object Corpus {
     df.select(idCol.as("id"), h.as("h"), expr.as("split"))
   }
 
+  /** Deterministic weighted sampling without replacement (Efraimidis–
+    * Spirakis A-Res): each row gets priority key ln(u)/w with
+    * u = (portableHash(id) + 0.5)/2³² standing in for the random draw, and
+    * the k LARGEST keys win — inclusion odds scale with the weight
+    * (quality score, importance), but the selection is a pure function of
+    * the ids: re-runs and other engines pick the SAME sample (rand()-based
+    * sampling cannot be audited). Keys are rounded to 6 dp before ranking
+    * with an id tie-break, so the order — not just the values — is
+    * engine-reproducible under the same 6-dp ln agreement every hashed
+    * double in the gate already relies on.
+    *
+    * Selection runs through the bounded graft_topk aggregate (map-side
+    * partial, ≤ k rows per partition on the exchange) — never a full sort.
+    * Output: (rank, id, w, key), rank 1..k.
+    */
+  def weightedSample(df: DataFrame, idCol: Column, weightCol: Column,
+      k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val u = (portableHash(idCol).cast("double") + lit(0.5)) / lit(4294967296.0)
+    val key = round(log(u) / weightCol.cast("double"), 6)
+    df.select(idCol.as("id"), weightCol.cast("long").as("w"), key.as("key"))
+      .agg(call_function("graft_topk",
+        struct(col("key"), (-col("id")).as("nid"), col("id").as("id"),
+          col("w").as("w")), lit(k)).as("top"))
+      .select(posexplode(col("top")))
+      .select((col("pos") + 1).cast("long").as("rank"), col("col.id").as("id"),
+        col("col.w").as("w"), col("col.key").as("key"))
+  }
+
   /** Gopher-style repetition/diversity quality signals per doc:
     * type-token ratio (distinct/total tokens) and top-bigram fraction (most
     * frequent bigram / total bigrams). High repetition → low-quality

@@ -103,6 +103,21 @@ class CorpusSpec extends AnyFunSuite {
     assert(byS.values.sum == 10000, "every row gets exactly one split")
   }
 
+  test("weightedSample: deterministic, k rows, heavy weights overrepresented") {
+    import spark.implicits._
+    // 200 heavy rows (w=500) among 800 light (w=5): heavies should take
+    // most of a k=100 sample despite being 20% of the corpus
+    val rows = (0L until 1000L).map(i => (i, if (i < 200) 500 else 5))
+      .toDF("doc_id", "w")
+    def run() = Corpus.weightedSample(rows, col("doc_id"), col("w"), k = 100)
+      .collect().map(r => (r.getAs[Long]("rank"), r.getAs[Long]("id")))
+    val a = run()
+    assert(a.length == 100 && a.map(_._1).toSeq == (1L to 100L))
+    assert(a.sameElements(run()), "same input must select the same sample")
+    val heavies = a.count(_._2 < 200L)
+    assert(heavies > 60, s"w=500 rows must dominate the sample: got $heavies/100")
+  }
+
   test("packShards equals the sequential prefix sum at any partition count") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
