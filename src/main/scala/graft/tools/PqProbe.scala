@@ -17,11 +17,11 @@ object PqProbe {
       val emb = graft.Tables.load(spark, s"/root/testdata/$sf", "embeddings")
       val bf = Similarity.bruteForceKnn(emb, col("vec_id") < 5, k = 10)
         .select(col("qid"), col("vec_id"))
-      for ((cb, os) <- Seq((64, 8), (64, 16), (256, 8), (256, 16))) {
-        val pq = Quantize.pqKnn(emb, col("vec_id") < 5, k = 10, codebookSize = cb, oversample = os)
+      for ((cb, os, ti) <- Seq((256, 16, 0), (256, 16, 5), (256, 8, 5))) {
+        val pq = Quantize.pqKnn(emb, col("vec_id") < 5, k = 10, codebookSize = cb, oversample = os, trainIters = ti)
           .select(col("qid"), col("vec_id"))
         val n = bf.count(); val hit = bf.join(pq, Seq("qid", "vec_id")).count()
-        println(f"$sf cb=$cb os=$os recall@10 = ${hit.toDouble / n}%.3f ($hit/$n)")
+        println(f"$sf cb=$cb os=$os ti=$ti recall@10 = ${hit.toDouble / n}%.3f ($hit/$n)")
       }
     }
     spark.stop()
