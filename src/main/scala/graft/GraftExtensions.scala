@@ -57,5 +57,9 @@ object GraftExtensions {
     ("graft_bloom", "graft_bloom(key, nBits, numHashes) - mergeable Bloom filter over bigint keys",
       (es: Seq[Expression]) => graft.functions.BloomAgg(es(0), es(1), es(2))),
     ("graft_bloom_contains", "graft_bloom_contains(sketch, key) - Bloom membership probe",
-      (es: Seq[Expression]) => graft.functions.BloomContains(es(0), es(1))))
+      (es: Seq[Expression]) => graft.functions.BloomContains(es(0), es(1))),
+    ("graft_cms", "graft_cms(key, depth, width) - count-min sketch over bigint keys",
+      (es: Seq[Expression]) => graft.functions.CmsAgg(es(0), es(1), es(2))),
+    ("graft_cms_est", "graft_cms_est(sketch, key) - count-min point-frequency estimate",
+      (es: Seq[Expression]) => graft.functions.CmsEstimate(es(0), es(1))))
 }

@@ -1469,6 +1469,42 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Count-min sketch quality gate (graft_cms/graft_cms_est — the
+    // point-frequency companion to q67's Misra-Gries): the corpus token
+    // stream sketched into 4×16384 counters (collected once, probed as a
+    // literal — the Bloom/centroid constant pattern), estimates checked
+    // against exact counts for EVERY distinct token: never an
+    // underestimate (structural), overcount ≤ 4·N/width (measured slack
+    // on the e·N/width expectation), non-empty.
+    "q96_cms_quality" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val depth = 4
+      val width = 16384
+      val toks = t(s, d, "documents")
+        .select(explode(graft.functions.Text.tokens(col("text"))).as("term"))
+        .select(xxhash64(col("term")).as("tk"))
+      val sketch: Array[Byte] = toks
+        .agg(call_function("graft_cms", col("tk"), lit(depth), lit(width)))
+        .head().getAs[Array[Byte]](0)
+      toks.groupBy(col("tk")).agg(count(lit(1)).as("c"))
+        .select(col("tk"), col("c"),
+          call_function("graft_cms_est", lit(sketch), col("tk")).as("est"))
+        .agg(
+          count(when(col("est") < col("c"), 1)).as("under"),
+          max(col("est") - col("c")).as("max_over"),
+          sum(col("c")).as("n_tok"),
+          count(lit(1)).as("n_terms"))
+        .select(explode(array(
+          struct(lit("cms_no_underestimate").as("metric"),
+            (col("under") === 0).as("ok")),
+          struct(lit("cms_overcount_bounded").as("metric"),
+            (col("max_over").cast("double") <=
+              col("n_tok").cast("double") * 4.0 / width).as("ok")),
+          struct(lit("cms_nonempty").as("metric"), (col("n_terms") > 0).as("ok")))))
+        .select(col("col.metric").as("metric"), col("col.ok").as("ok"))
+        .orderBy(col("metric"))
+    }),
+
     // Deterministic weighted sampling (Corpus.weightedSample — E-S A-Res
     // keyed by the portable hash, doc length as the weight): longer docs
     // proportionally likelier, selection auditable and engine-identical;
@@ -2288,6 +2324,13 @@ object SparkEntry {
 
     "q90_csv_roundtrip" ->
       """SELECT doc_id, source, text FROM documents ORDER BY doc_id""",
+
+    "q96_cms_quality" ->
+      """SELECT * FROM (VALUES
+        |  ('cms_no_underestimate', TRUE),
+        |  ('cms_nonempty', TRUE),
+        |  ('cms_overcount_bounded', TRUE)) AS t(metric, ok)
+        |ORDER BY metric""".stripMargin,
 
     "q95_weighted_sample" ->
       """WITH t AS (

@@ -46,6 +46,30 @@ class BloomSpec extends AnyFunSuite {
       "bitwise-OR merge must make partitioning invisible")
   }
 
+  test("cms: never undercounts, exact on a sparse key set, merge-order independent") {
+    val sp = spark
+    import sp.implicits._
+    GraftFunctions.register(spark)
+    // 100 distinct keys with known multiplicities i+1, far under width:
+    // no collisions expected -> estimates exactly equal counts
+    val rows = (0L until 100L).flatMap(i => Seq.fill(i.toInt + 1)(i)).toDF("k")
+    def sketchOf(parts: Int): Array[Byte] =
+      rows.repartition(parts).agg(
+        call_function("graft_cms", col("k"), lit(4), lit(1 << 14)))
+        .head().getAs[Array[Byte]](0)
+    val bytes = sketchOf(1)
+    assert(bytes.toSeq == sketchOf(11).toSeq,
+      "counter addition must make partitioning invisible")
+    val est = rows.distinct()
+      .select(col("k"),
+        call_function("graft_cms_est", lit(bytes), col("k")).as("est"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 100L).foreach { i =>
+      assert(est(i) >= i + 1, "cms must never undercount")
+      assert(est(i) == i + 1, s"sparse keys must estimate exactly: $i -> ${est(i)}")
+    }
+  }
+
   test("decontaminateBloom upper-bounds the exact pass and flags a superset") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val exact = Corpus.decontaminate(docs, col("doc_id"), col("text"),
