@@ -105,6 +105,13 @@ class NativeExprSpec extends AnyFunSuite {
           |  CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % 1000000007) AS f""".stripMargin)
         .head().getLong(0)
       assert(fp == hof)
+      // every injected function — present and future — must resolve in the
+      // SQL-only session, not just the two spot-checked above
+      graft.GraftExtensions.injected.foreach { case (name, _, _) =>
+        assert(s2.sessionState.functionRegistry.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)),
+          s"$name not injected into the SQL-only session")
+      }
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
