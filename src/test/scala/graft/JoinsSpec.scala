@@ -55,6 +55,32 @@ class JoinsSpec extends AnyFunSuite {
     assert(out(5L) == ((None, None)))           // key c has no right rows
   }
 
+  test("operator argument contracts fail fast, not deep in a job") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((1L, "a")).toDF("id", "k")
+    intercept[IllegalArgumentException] {
+      Joins.asOfJoin(df, df, Seq("k"), Seq("id"), Map("id" -> "x"),
+        direction = "sideways")
+    }
+    intercept[IllegalArgumentException] {
+      Joins.saltedJoin(df, df, Seq("k"), salts = 0, saltBy = col("id"))
+    }
+    intercept[IllegalArgumentException] {
+      Joins.rangeJoinBucketed(df, "id", df, "id", "id", bucketWidth = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.sources.Warehouse.zValue(col("id"), col("id"), bits = 40)
+    }
+    intercept[IllegalArgumentException] {
+      operators.Percentiles.exact(df, col("k"), col("id"), Seq(("p", 1.5)))
+    }
+    intercept[IllegalArgumentException] {
+      operators.Corpus.splitAssign(df, col("id"),
+        Seq(("a", 0.8), ("b", 0.4))) // fractions sum over 1
+    }
+  }
+
   test("saltedJoin equals the plain join and spreads hot keys over salts") {
     val sp = spark
     import sp.implicits._
