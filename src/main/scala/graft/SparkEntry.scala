@@ -108,14 +108,14 @@ object SparkEntry {
        |  FROM (SELECT DISTINCT hub, account FROM t) base
        |  UNION ALL
        |  SELECT t.hub, t.account, t.rn,
-       |    f.pos + $SGN AS pos,
+       |    CASE WHEN f.pos = 0 OR (f.pos > 0) = ($SGN > 0) THEN f.pos + $SGN
+       |         WHEN abs($SGN) <= abs(f.pos) THEN 0
+       |         ELSE f.pos + $SGN END AS pos,
        |    CASE WHEN f.pos = 0 OR (f.pos > 0) = ($SGN > 0)
        |         THEN CASE WHEN f.pos + $SGN = 0 THEN 0.0
        |              ELSE (abs(f.pos) * f.avg + abs($SGN) * t.price_mwh) / abs(f.pos + $SGN) END
-       |         ELSE CASE WHEN f.pos + $SGN = 0 THEN 0.0
-       |                   WHEN (f.pos + $SGN > 0) <> (f.pos > 0) THEN t.price_mwh
-       |                   ELSE f.avg END
-       |    END AS avg,
+       |         WHEN abs($SGN) <= abs(f.pos) THEN 0.0
+       |         ELSE t.price_mwh END AS avg,
        |    CASE WHEN f.pos = 0 OR (f.pos > 0) = ($SGN > 0) THEN f.realized
        |         ELSE f.realized + least(abs(f.pos), abs($SGN)) *
        |              (CASE WHEN f.pos > 0 THEN t.price_mwh - f.avg ELSE f.avg - t.price_mwh END)

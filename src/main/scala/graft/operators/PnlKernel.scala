@@ -78,8 +78,17 @@ object HubState {
   *   - Same-direction (or flat) trade: weighted-average cost
   *     `(|pos|*avg + |qty|*px) / |pos+qty|` (ref :117-120).
   *   - Opposite direction: `closing = min(|pos|,|qty|)` realizes
-  *     `closing * (pos>0 ? px-avg : avg-px)`; residual flips the position
-  *     with `avg = trade px`; a full close zeroes both (ref :121-127).
+  *     `closing * (pos>0 ? px-avg : avg-px)`; then
+  *     `residual = |qty| - closing` — when `residual == 0` (i.e. `|qty| <=
+  *     |pos|`, which covers PARTIAL closes as well as full closes) the
+  *     reference zeroes BOTH position and avg (ref :125-126: `if (residual
+  *     == 0) { positionMw = 0; avgPriceMwh = 0.0; }`); a SELL 5 into +10
+  *     leaves position 0, not +5. Only `residual > 0` (a flip) keeps a
+  *     position: `sign(qty) * residual` at `avg = trade px` (ref :127).
+  *     This is NOT standard average-cost netting (a partial close vaporizes
+  *     the remaining position) but it is what the reference computes, and
+  *     parity is the contract — see SURVEY.md §2.5 "partial-close
+  *     semantics".
   *   - A trade emits one row; `last_price` falls back to the trade's own
   *     price until a tick has been seen (ref :130-131).
   *   - A price tick updates `lastPrice` then emits one row per account in
@@ -101,14 +110,14 @@ object PnlKernel {
         else (math.abs(pos) * acc.avg_price_mwh + math.abs(signed) * px) / math.abs(newPos)
       AccState(newPos, newAvg, acc.realized_pnl)
     } else {
-      // reduce / close / flip
+      // reduce / close / flip — reference-exact (PnlAndExposureJob.java:121-127):
+      // residual == 0 covers BOTH full and partial closes, zeroing position+avg.
       val closing = math.min(math.abs(pos), math.abs(signed))
       val pnlPerUnit = if (pos > 0) px - acc.avg_price_mwh else acc.avg_price_mwh - px
       val realized = acc.realized_pnl + closing * pnlPerUnit
-      val newPos = pos + signed
-      if (newPos == 0) AccState(0, 0.0, realized)
-      else if ((newPos > 0) != (pos > 0)) AccState(newPos, px, realized) // flip: avg = trade px
-      else AccState(newPos, acc.avg_price_mwh, realized) // partial close: avg unchanged
+      val residual = math.abs(signed) - closing
+      if (residual == 0) AccState(0, 0.0, realized)
+      else AccState(Integer.signum(signed) * residual, px, realized) // flip: avg = trade px
     }
   }
 

@@ -39,11 +39,26 @@ class PnlKernelSpec extends AnyFunSuite {
     assert(r.realized_pnl == 0.0)
   }
 
-  test("partial close realizes at closing qty, keeps avg") {
+  test("partial close realizes at closing qty AND zeroes position+avg (ref :125-126)") {
+    // Reference-exact: residual = |qty| - closing == 0 for ANY |qty| <= |pos|,
+    // and the residual==0 branch zeroes both position and avg
+    // (PnlAndExposureJob.java:125-126) — partial closes included, not just
+    // full closes. SELL 5 into +20 leaves position 0, not +15.
     val out = run(trade("BUY", 20, 55.0), trade("SELL", 5, 70.0))
     val r = out.last
-    assert(r.position_mw == 15 && r.avg_price_mwh == 55.0)
+    assert(r.position_mw == 0 && r.avg_price_mwh == 0.0)
     assert(r.realized_pnl == 5 * (70.0 - 55.0))
+  }
+
+  test("SELL 5 into +10 zeroes the position (ref :125-126 residual==0 branch)") {
+    val out = run(trade("BUY", 10, 50.0), trade("SELL", 5, 60.0))
+    val r = out.last
+    assert(r.position_mw == 0 && r.avg_price_mwh == 0.0)
+    assert(r.realized_pnl == 5 * (60.0 - 50.0))
+    // subsequent BUY reopens from flat at the new trade's px
+    val out2 = run(trade("BUY", 10, 50.0), trade("SELL", 5, 60.0), trade("BUY", 8, 52.0))
+    val r2 = out2.last
+    assert(r2.position_mw == 8 && r2.avg_price_mwh == 52.0)
   }
 
   test("full close zeroes both position and avg (ref :126)") {
@@ -60,10 +75,10 @@ class PnlKernelSpec extends AnyFunSuite {
     assert(r.realized_pnl == 10 * (40.0 - 50.0))
   }
 
-  test("short side: realized uses avg - px (ref :123)") {
+  test("short side: realized uses avg - px; partial cover zeroes too (ref :123,:125-126)") {
     val out = run(trade("SELL", 10, 50.0), trade("BUY", 4, 45.0))
     val r = out.last
-    assert(r.position_mw == -6 && r.avg_price_mwh == 50.0)
+    assert(r.position_mw == 0 && r.avg_price_mwh == 0.0) // residual==0 zeroes (ref :125-126)
     assert(r.realized_pnl == 4 * (50.0 - 45.0))
   }
 

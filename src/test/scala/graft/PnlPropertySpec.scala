@@ -25,20 +25,50 @@ class PnlPropertySpec extends AnyFunSuite {
     }
   }
 
-  test("position = sum of signed trade quantities per account") {
+  /** Independent straight transliteration of the reference's trade branch
+    * (PnlAndExposureJob.java:113-128), kept deliberately separate from
+    * PnlKernel so the two implementations check each other. Note position is
+    * NOT sum-of-signed-qty under these semantics: the residual==0 branch
+    * (ref :125-126) zeroes the position on partial closes too.
+    */
+  private def modelFold(trades: Seq[MarketEvent]): (Int, Double, Double) = {
+    var pos = 0; var avg = 0.0; var realized = 0.0
+    trades.foreach { e =>
+      val signed = if (e.side.equalsIgnoreCase("BUY")) e.mw else -e.mw
+      if (pos == 0 || Integer.signum(pos) == Integer.signum(signed)) {
+        val newPos = pos + signed
+        avg =
+          if (newPos != 0) (math.abs(pos) * avg + math.abs(signed) * e.price_mwh) / math.abs(newPos)
+          else 0.0
+        pos = newPos
+      } else {
+        val closing = math.min(math.abs(pos), math.abs(signed))
+        realized += closing * (if (pos > 0) e.price_mwh - avg else avg - e.price_mwh)
+        val residual = math.abs(signed) - closing
+        if (residual == 0) { pos = 0; avg = 0.0 }
+        else { pos = Integer.signum(signed) * residual; avg = e.price_mwh }
+      }
+    }
+    (pos, avg, realized)
+  }
+
+  test("final per-account state matches an independent reference-fold model") {
     for (seed <- 0L until 50L) {
       val events = randomTape(seed, 200)
       val out = PnlKernel.runHub(events.iterator).toVector
-      val expected = events.filter(_.kind == "trade").groupBy(_.account).map {
-        case (acc, ts) =>
-          acc -> ts.map(e => if (e.side.equalsIgnoreCase("BUY")) e.mw else -e.mw).sum
+      events.filter(_.kind == "trade").groupBy(_.account).foreach { case (acc, ts) =>
+        val (pos, avg, realized) = modelFold(ts.sortBy(_.seq))
+        val last = out.filter(r => r.account == acc && tradeSeqsOf(events).contains(r.seq))
+          .maxBy(_.seq)
+        assert(last.position_mw == pos, s"seed=$seed account=$acc pos")
+        assert(last.avg_price_mwh == avg, s"seed=$seed account=$acc avg")
+        assert(last.realized_pnl == realized, s"seed=$seed account=$acc realized")
       }
-      val finalPos = out.groupBy(_.account).map { case (a, rows) =>
-        a -> rows.maxBy(_.seq).position_mw
-      }
-      expected.foreach { case (a, p) => assert(finalPos(a) == p, s"seed=$seed account=$a") }
     }
   }
+
+  private def tradeSeqsOf(events: Seq[MarketEvent]): Set[Long] =
+    events.filter(_.kind == "trade").map(_.seq).toSet
 
   test("total = realized + unrealized bit-exactly on every emitted row") {
     for (seed <- 0L until 50L) {
