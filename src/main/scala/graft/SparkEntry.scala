@@ -409,7 +409,12 @@ object SparkEntry {
       Dedup.minhashNearDups(t(s, d, "documents"), col("doc_id"), col("text"))
         .orderBy(col("doc_a"), col("doc_b"))),
 
-    // SimHash near-dup pairs (rows-only; covered by DedupSpec)
+    // SimHash near-dup pairs — hash-gated: the sketch uses the PORTABLE
+    // token-hash family (two prime-mod polynomial rolls + one multiply-add
+    // scramble, GraftFunctions.portableTokenHash), so the DuckDB oracle
+    // recomputes the identical 64-bit sketches and the exact pair set.
+    // The pigeonhole blocking (4x16-bit chunks) guarantees no false
+    // negatives at hamming <= 3, so blocked Spark == all-pairs oracle.
     "q24_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(t(s, d, "documents"), col("doc_id"), col("text"))
         .orderBy(col("doc_a"), col("doc_b"))),
@@ -862,10 +867,10 @@ object SparkEntry {
         .orderBy(col("seq"))
     }),
 
-    // SimHash quality gate — q24's pairs are rows-only by nature (the 64-bit
-    // sketch follows the engine's hash family), so this query turns its
-    // quality contract into oracle-checked booleans, the same way q44 gates
-    // the ANN paths: recall against the exact-verified near-dup ground truth
+    // SimHash quality gate — q24's pair set is hash-gated (portable sketch
+    // family), but that only proves the sketch is computed as specified;
+    // this query gates whether the sketch is any GOOD, the same way q44
+    // gates the ANN paths: recall against the exact-verified near-dup truth
     // (q23's J ≥ 0.9 pairs — near-identical docs must collide within
     // hamming ≤ 3) plus a non-emptiness floor. Measured recall at
     // sf0.001/0.01/0.1 is 0.78/0.60/0.76; the 0.3 floor keeps ~2× margin so
@@ -1882,6 +1887,54 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
         |WHERE CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |        / (length(a.sh) + length(b.sh) - length(list_intersect(a.sh, b.sh))) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Full recomputation of the portable simhash sketches (same arithmetic
+    // as GraftFunctions.portableTokenHash / SimHash64, spelled in SQL: the
+    // two prime-mod polynomial rolls stay < 2^30 so every multiply fits
+    // BIGINT) followed by exact all-pairs hamming <= 3. The sketch is split
+    // into two 32-bit halves (s1, s2) because the packed 64-bit value would
+    // need wrap-around arithmetic; hamming = popcount(xor) per half summed.
+    "q24_simhash_pairs" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(tok) + 1),
+        |        i -> CAST(ascii(substr(tok, CAST(i AS INTEGER), 1)) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 1000000007) AS fp1,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(tok) + 1),
+        |        i -> CAST(ascii(substr(tok, CAST(i AS INTEGER), 1)) AS BIGINT))),
+        |      (a, b) -> (a * 131 + b) % 998244353) AS fp2
+        |  FROM tk, unnest(toks) AS u(tok)),
+        |hh AS (
+        |  SELECT doc_id,
+        |    (fp1 * 2654435761 + 40503) % 4294967296 AS h1,
+        |    (fp2 * 2246822519 + 3266489917) % 4294967296 AS h2
+        |  FROM th),
+        |bits AS (
+        |  SELECT doc_id, r.j,
+        |    sum(CASE WHEN ((CASE WHEN r.j < 32 THEN h1 >> r.j
+        |                        ELSE h2 >> (r.j - 32) END) % 2) = 1
+        |        THEN 1 ELSE -1 END) AS c
+        |  FROM hh, range(0, 64) AS r(j) GROUP BY doc_id, r.j),
+        |sk0 AS (
+        |  SELECT doc_id,
+        |    coalesce(sum(CASE WHEN j < 32 AND c > 0
+        |                      THEN CAST(1 AS BIGINT) << j END), 0) AS s1,
+        |    coalesce(sum(CASE WHEN j >= 32 AND c > 0
+        |                      THEN CAST(1 AS BIGINT) << (j - 32) END), 0) AS s2
+        |  FROM bits GROUP BY doc_id),
+        |sk AS (
+        |  SELECT d.doc_id, coalesce(s.s1, 0) AS s1, coalesce(s.s2, 0) AS s2
+        |  FROM documents d LEFT JOIN sk0 s USING (doc_id))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       bit_count(xor(a.s1, b.s1)) + bit_count(xor(a.s2, b.s2)) AS hamming
+        |FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.s1, b.s1)) + bit_count(xor(a.s2, b.s2)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // Exact global all-pairs n-gram Jaccard — the verified-LSH plan must

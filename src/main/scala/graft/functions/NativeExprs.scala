@@ -48,6 +48,31 @@ object GraftFunctions {
   /** xxhash64(s, i): the builtin folds columns left-to-right. */
   private[functions] def hashStrLane(inner: Long, lane: Long): Long =
     XxHash64Function.hash(lane, LongType, inner)
+
+  /** PORTABLE 64-bit token hash (the simhash family): two prime-mod
+    * polynomial rolls over the codepoints ((acc*31+cp) % 1e9+7 and
+    * (acc*131+cp) % 998244353 — the q21 fingerprint family), each scrambled
+    * to 32 bits by one multiply-add mod 2^32, packed low|high. Every
+    * intermediate stays < 2^63 (fp < 2^30, fp*2654435761 < 2^62), so the
+    * IDENTICAL spelling runs exactly in any 64-bit engine — DuckDB included
+    * — which is what lets q24's pair set be hash-gated against the oracle
+    * (xxhash64 is not reproducible in SQL engines; this family is).
+    */
+  private[functions] def portableTokenHash(s: UTF8String): Long = {
+    val str = s.toString
+    var fp1 = 0L
+    var fp2 = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      fp1 = (fp1 * 31 + cp) % 1000000007L
+      fp2 = (fp2 * 131 + cp) % 998244353L
+      i += Character.charCount(cp)
+    }
+    val h1 = (fp1 * 2654435761L + 40503L) % 4294967296L
+    val h2 = (fp2 * 2246822519L + 3266489917L) % 4294967296L
+    h1 | (h2 << 32)
+  }
 }
 
 /** Exact dot product of two array<double>; null on null input or length
@@ -308,8 +333,10 @@ case class PqLut(vec: Expression, books: Expression,
 }
 
 /** 64-bit SimHash over array<string> tokens; bit j = sign of
-  * Σ_tokens (bit j of xxhash64(token) ? +1 : -1). Equals
-  * [[graft.functions.Text.simhash]] (asserted in NativeExprSpec).
+  * Σ_tokens (bit j of portableTokenHash(token) ? +1 : -1). Equals
+  * [[graft.functions.Text.simhash]] (asserted in NativeExprSpec), and the
+  * q24 DuckDB oracle recomputes the identical sketch — the portable hash
+  * family is the whole point (see [[GraftFunctions.portableTokenHash]]).
   */
 case class SimHash64(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -330,7 +357,7 @@ case class SimHash64(child: Expression)
     var t = 0
     val n = arr.numElements()
     while (t < n) {
-      val h = GraftFunctions.hashStr(arr.getUTF8String(t))
+      val h = GraftFunctions.portableTokenHash(arr.getUTF8String(t))
       var j = 0
       while (j < 64) {
         if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1

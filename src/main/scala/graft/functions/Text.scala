@@ -53,14 +53,32 @@ object Text {
       when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, lit(1)).otherwise(lit(-1))
     }: _*)
 
+  /** Column mirror of [[GraftFunctions.portableTokenHash]] (the simhash
+    * token-hash family): two prime-mod polynomial rolls over the codepoints,
+    * each scrambled to 32 bits, packed low|high. Used only as the spec-side
+    * cross-check of the native kernel; the per-char HOF chain is too slow
+    * for hot paths.
+    */
+  private def polyFold(tok: Column, base: Long, mod: Long): Column =
+    aggregate(
+      transform(sequence(lit(1), length(tok)), i => ascii(tok.substr(i, lit(1))).cast("long")),
+      lit(0L),
+      (acc, c) => (acc * lit(base) + c) % lit(mod))
+
+  def portableTokenHash(tok: Column): Column = {
+    val h1 = (polyFold(tok, 31L, 1000000007L) * lit(2654435761L) + lit(40503L)) % lit(4294967296L)
+    val h2 = (polyFold(tok, 131L, 998244353L) * lit(2246822519L) + lit(3266489917L)) % lit(4294967296L)
+    h1.bitwiseOR(shiftleft(h2, 32))
+  }
+
   /** 64-bit SimHash over a token array: bit j is the sign of
-    * Σ_tokens (bit j of xxhash64(token) ? +1 : -1).
+    * Σ_tokens (bit j of portableTokenHash(token) ? +1 : -1).
     */
   def simhash(toks: Column): Column = {
     val counts = aggregate(
       toks,
       array_repeat(lit(0), 64),
-      (acc, t) => zip_with(acc, bitSigns(xxhash64(t)), (a, b) => a + b))
+      (acc, t) => zip_with(acc, bitSigns(portableTokenHash(t)), (a, b) => a + b))
     val masks = array((0 until 64).map(j => lit(1L << j)): _*)
     aggregate(
       zip_with(counts, masks, (c, m) => when(c > 0, m).otherwise(lit(0L))),
