@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProductD, DotProductL, MinHashSig, PolyFingerprint, PqEncodeCodes, PqLut, ShingleSet, SimHash64}
+import graft.functions.{DotProductD, DotProductL, MinHashSig, PolyFingerprint, PqEncodeCodes, PqLut, PqScore, ShingleSet, SimHash64}
 
 /** Spark extension entry point: `--conf
   * spark.sql.extensions=graft.GraftExtensions` (or
@@ -40,6 +40,8 @@ object GraftExtensions {
       (es: Seq[Expression]) => PqEncodeCodes(es(0), es(1), es(2), es(3))),
     ("graft_pqlut", "graft_pqlut(vec, flatBooks, sub, k) - PQ asymmetric-distance lookup table",
       (es: Seq[Expression]) => PqLut(es(0), es(1), es(2), es(3))),
+    ("graft_pqscore", "graft_pqscore(codes, lut, k) - PQ asymmetric-distance score sum(lut[s*k+codes[s]])",
+      (es: Seq[Expression]) => PqScore(es(0), es(1), es(2))),
     ("graft_minhash", "graft_minhash(shingles, k) - k-lane minhash signature",
       (es: Seq[Expression]) => MinHashSig(es(0), es(1))),
     ("graft_simhash", "64-bit simhash of array<string> tokens",

@@ -25,6 +25,16 @@ object SparkEntry {
   /** events with ts normalized to microsecond precision (Tables.events). */
   private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
 
+  /** Per-session-unique tmp dir for the q84/q90/q91 round-trip gates: keyed
+    * by the Spark application id so two concurrent sessions benchmarking the
+    * same fixture cannot overwrite each other's files mid-read; reps within
+    * one session reuse the dir (mode overwrite). The dirs are small
+    * (one table) and land in java.io.tmpdir.
+    */
+  private def rtDir(s: SparkSession, dir: String, codec: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${codec}_" +
+      s"${s.sparkContext.applicationId}_${new java.io.File(dir).getName}"
+
   private val ntz: Column => Column = _.cast("timestamp_ntz")
 
   // ---------------------------------------------------------------------------
@@ -1417,8 +1427,9 @@ object SparkEntry {
 
     // Temperature-based source mixing plan (Corpus.mixWeights, α = 0.5):
     // per-source √n weights normalized by an EXACT decimal sum, budget
-    // allocation by ⌊weight·budget⌋ — the domain-rebalancing step of
-    // training-data assembly as one tiny oracle-checked aggregate.
+    // allocation by largest-remainder rounding (Σ target_n == budget
+    // exactly) — the domain-rebalancing step of training-data assembly as
+    // one tiny oracle-checked aggregate.
     "q82_source_mix" -> ((s, d) =>
       Corpus.mixWeights(t(s, d, "documents"), col("source"), budget = 1000L)
         .orderBy(col("source"))),
@@ -1466,8 +1477,7 @@ object SparkEntry {
     // (schema-on-read, no inference job), hash-match the parquet original —
     // gating the JSON codec path end-to-end, string escaping included.
     "q84_jsonl_roundtrip" -> ((s, d) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_" +
-        new java.io.File(d).getName
+      val out = rtDir(s, d, "jsonl")
       t(s, d, "documents").select(col("doc_id"), col("source"), col("text"))
         .write.mode("overwrite").json(out)
       s.read.schema("doc_id LONG, source STRING, text STRING").json(out)
@@ -1591,8 +1601,7 @@ object SparkEntry {
     // the gate covers the codec wiring, not quote-escaping corners (those
     // live in Spark itself).
     "q90_csv_roundtrip" -> ((s, d) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_" +
-        new java.io.File(d).getName
+      val out = rtDir(s, d, "csv")
       t(s, d, "documents").select(col("doc_id"), col("source"), col("text"))
         .write.mode("overwrite").option("header", "true").csv(out)
       s.read.schema("doc_id LONG, source STRING, text STRING")
@@ -1603,8 +1612,7 @@ object SparkEntry {
     // ORC round-trip — the second columnar format (schema preserved in the
     // file footer, so read back with no schema hint).
     "q91_orc_roundtrip" -> ((s, d) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_" +
-        new java.io.File(d).getName
+      val out = rtDir(s, d, "orc")
       t(s, d, "documents").select(col("doc_id"), col("source"), col("text"))
         .write.mode("overwrite").orc(out)
       s.read.orc(out).orderBy(col("doc_id"))
@@ -2351,18 +2359,28 @@ object SparkEntry {
         |ORDER BY d.doc_id""".stripMargin,
 
     // √n weights (sqrt is IEEE-exact), 6-dp-rounded and summed as DECIMAL
-    // so the normalizer is aggregation-order-independent
+    // so the normalizer is aggregation-order-independent; target_n by
+    // largest-remainder rounding, mirroring Corpus.mixWeights op-for-op
+    // (identical doubles -> identical remainders -> identical row_number)
     "q82_source_mix" ->
       """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
         |           FROM documents GROUP BY 1),
         |w AS (SELECT source, n_docs,
         |        CAST(round(sqrt(CAST(n_docs AS DOUBLE)), 6) AS DECIMAL(18,6)) AS w_raw
         |      FROM c),
-        |tot AS (SELECT sum(w_raw) AS w_sum FROM w)
-        |SELECT source, n_docs,
-        |       CAST(w_raw AS DOUBLE) / CAST(w_sum AS DOUBLE) AS weight,
-        |       CAST(floor(CAST(w_raw AS DOUBLE) / CAST(w_sum AS DOUBLE) * 1000.0) AS BIGINT) AS target_n
-        |FROM w, tot
+        |tot AS (SELECT sum(w_raw) AS w_sum FROM w),
+        |sized AS (
+        |  SELECT source, n_docs,
+        |         CAST(w_raw AS DOUBLE) / CAST(w_sum AS DOUBLE) AS weight,
+        |         CAST(floor(CAST(w_raw AS DOUBLE) / CAST(w_sum AS DOUBLE) * 1000.0) AS BIGINT) AS base,
+        |         CAST(w_raw AS DOUBLE) / CAST(w_sum AS DOUBLE) * 1000.0
+        |           - CAST(CAST(floor(CAST(w_raw AS DOUBLE) / CAST(w_sum AS DOUBLE) * 1000.0) AS BIGINT) AS DOUBLE) AS rem
+        |  FROM w, tot),
+        |d AS (SELECT 1000 - sum(base) AS deficit FROM sized)
+        |SELECT source, n_docs, weight,
+        |       base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source) <= deficit
+        |                   THEN 1 ELSE 0 END AS target_n
+        |FROM sized, d
         |ORDER BY source""".stripMargin,
 
     "q86_pq_ann_quality" ->

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -113,16 +113,17 @@ case class DotProductD(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (x, y) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
       s"""
          |int $n = $x.numElements();
          |if ($n != $y.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  double acc = 0.0;
+         |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    acc += $x.getDouble($i) * $y.getDouble($i);
+         |    $acc += $x.getDouble($i) * $y.getDouble($i);
          |  }
-         |  ${ev.value} = acc;
+         |  ${ev.value} = $acc;
          |}
        """.stripMargin
     })
@@ -169,16 +170,17 @@ case class DotProductL(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (x, y) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
       s"""
          |int $n = $x.numElements();
          |if ($n != $y.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
-         |  long acc = 0L;
+         |  long $acc = 0L;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    acc += $x.getLong($i) * $y.getLong($i);
+         |    $acc += $x.getLong($i) * $y.getLong($i);
          |  }
-         |  ${ev.value} = acc;
+         |  ${ev.value} = $acc;
          |}
        """.stripMargin
     })
@@ -256,7 +258,17 @@ abstract class PqKernel extends Expression with CodegenFallback {
   override def checkInputDataTypes(): TypeCheckResult =
     (vec.dataType, books.dataType, subExpr.dataType, kExpr.dataType) match {
       case (ArrayType(DoubleType, _), ArrayType(DoubleType, _),
-            IntegerType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+            IntegerType, IntegerType) =>
+        // the codebook (and layout params) must be literal: flatBooks
+        // decodes it once per task via eval(null) — a non-foldable column
+        // would crash with an unbound attribute deep in a job, so fail at
+        // analysis with a usable message instead (same contract as
+        // BloomContains/CmsEstimate sketch args)
+        if (!books.foldable) TypeCheckResult.TypeCheckFailure(
+          "pq kernel codebook (flatBooks) must be a literal/foldable array<double>")
+        else if (!subExpr.foldable || !kExpr.foldable) TypeCheckResult.TypeCheckFailure(
+          "pq kernel sub and k must be literal ints")
+        else TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
         "pq kernel expects (array<double>, array<double>, int, int)")
     }
@@ -330,6 +342,64 @@ case class PqLut(vec: Expression, books: Expression,
   }
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
     copy(vec = cs(0), books = cs(1), subExpr = cs(2), kExpr = cs(3))
+}
+
+/** Asymmetric-distance PQ score: Σ_s lut[s·k + codes[s]] — the per-pair
+  * LUT fold of [[graft.operators.Quantize.pqKnn]] as one codegen'd loop.
+  * Unlike the PqKernel pair, BOTH inputs are per-row columns (codes from
+  * the corpus scan, lut from the broadcast-joined query row), so this is a
+  * plain ternary expression that stays inside whole-stage codegen — it runs
+  * per candidate PAIR, where the interpreted
+  * `aggregate(zip_with(codes, sequence, ...), element_at(lut, ...))` chain
+  * was the last interpreted inner loop on the ANN hot paths. Sequential
+  * adds in subspace order — bit-identical to the HOF fold.
+  */
+case class PqScore(codes: Expression, lut: Expression, kExpr: Expression)
+    extends TernaryExpression {
+
+  override def first: Expression = codes
+  override def second: Expression = lut
+  override def third: Expression = kExpr
+  override def checkInputDataTypes(): TypeCheckResult =
+    (codes.dataType, lut.dataType, kExpr.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(DoubleType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "graft_pqscore expects (array<int>, array<double>, int)")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(cAny: Any, lAny: Any, kAny: Any): Any = {
+    val c = cAny.asInstanceOf[ArrayData]
+    val l = lAny.asInstanceOf[ArrayData]
+    val k = kAny.asInstanceOf[Int]
+    var acc = 0.0
+    var s = 0
+    val m = c.numElements()
+    while (s < m) { acc += l.getDouble(s * k + c.getInt(s)); s += 1 }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, l, k) => {
+      val s = ctx.freshName("s")
+      val m = ctx.freshName("m")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $m = $c.numElements();
+         |double $acc = 0.0;
+         |for (int $s = 0; $s < $m; $s++) {
+         |  $acc += $l.getDouble($s * $k + $c.getInt($s));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, sE: Expression, t: Expression): Expression =
+    copy(codes = f, lut = sE, kExpr = t)
 }
 
 /** 64-bit SimHash over array<string> tokens; bit j = sign of

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
@@ -250,8 +251,13 @@ object Corpus {
     * aggregation order (the FIXTURES.md decimal-sum rule).
     *
     * Output: (source, n_docs, weight, target_n) — weight = √n/Σ√n,
-    * target_n = ⌊weight·budget⌋. One tiny aggregate; nothing scales with
-    * corpus size but the count scan.
+    * target_n by largest-remainder rounding of weight·budget, so
+    * Σ target_n == budget EXACTLY (plain ⌊weight·budget⌋ under-allocates by
+    * up to #sources−1 docs): each source gets ⌊weight·budget⌋, and the
+    * budget−Σ⌊·⌋ leftover docs go to the largest fractional remainders
+    * (ties broken by source name — deterministic, oracle-reproducible).
+    * One tiny aggregate; nothing scales with corpus size but the count
+    * scan; the windows run over the #sources-row subtotal, not data.
     */
   def mixWeights(docs: DataFrame, sourceCol: Column, budget: Long): DataFrame = {
     val counts = docs.groupBy(sourceCol.as("source"))
@@ -259,11 +265,19 @@ object Corpus {
       .withColumn("w_raw", round(sqrt(col("n_docs").cast("double")), 6)
         .cast("decimal(18,6)"))
     val total = counts.agg(sum(col("w_raw")).as("w_sum")) // exact decimal sum
-    counts.crossJoin(broadcast(total))
+    val sized = counts.crossJoin(broadcast(total))
       .select(col("source"), col("n_docs"),
-        (col("w_raw").cast("double") / col("w_sum").cast("double")).as("weight"),
-        floor(col("w_raw").cast("double") / col("w_sum").cast("double") *
-          lit(budget.toDouble)).cast("long").as("target_n"))
+        (col("w_raw").cast("double") / col("w_sum").cast("double")).as("weight"))
+      .withColumn("exact", col("weight") * lit(budget.toDouble))
+      .withColumn("base", floor(col("exact")).cast("long"))
+      .withColumn("rem", col("exact") - col("base").cast("double"))
+    val deficit = sized.agg((lit(budget) - sum(col("base"))).as("deficit"))
+    sized.crossJoin(broadcast(deficit))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("rem").desc, col("source"))))
+      .select(col("source"), col("n_docs"), col("weight"),
+        (col("base") + when(col("rk") <= col("deficit"), 1L).otherwise(0L))
+          .as("target_n"))
   }
 
   /** Per-doc mean token surprisal under an add-one-smoothed corpus unigram

@@ -216,10 +216,11 @@ object Dedup {
     * are bounded below by the component min, so the fixpoint is exact.
     *
     * Scale shape: the edge list is symmetrized, pre-partitioned on the join
-    * key, and materialized ONCE (localCheckpoint — also cuts the growing
-    * lineage that would otherwise re-run all prior rounds each iteration; a
-    * multi-executor deploy would use a reliable checkpoint dir, same plan
-    * shape). Per round: one equi-join edges⋈labels + partial-aggregated min
+    * key, and materialized ONCE. Materialization is localCheckpoint by
+    * default (single-JVM stand-in) or a RELIABLE `checkpoint()` when
+    * `checkpointDir` is given — the multi-executor deploy path; identical
+    * labels either way (asserted in DedupSpec). Per round: one equi-join
+    * edges⋈labels + partial-aggregated min
     * (never materializes neighborhoods), one labels self-join, one bounded
     * label table rewrite. Everything that shuffles is pairs of 8-byte ids.
     * Near-dup graphs are additionally benign: components are boilerplate
@@ -227,15 +228,26 @@ object Dedup {
     * typical. Convergence is checked (cheap agg on the checkpointed result)
     * and non-convergence throws rather than returning a wrong partition.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("id"), col("doc_b").as("nbr"))
-      .union(pairs.select(col("doc_b").as("id"), col("doc_a").as("nbr")))
-      .distinct()
-      .repartition(col("nbr")) // the per-round join key: edges side never re-shuffles
-      .localCheckpoint()
-    var labels = edges.groupBy(col("id")).agg(min(col("nbr")).as("nmin"))
-      .select(col("id"), least(col("id"), col("nmin")).as("lbl"))
-      .localCheckpoint()
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+      checkpointDir: Option[String] = None): DataFrame = {
+    // Materialization per round: with `checkpointDir` set, a RELIABLE
+    // checkpoint (survives executor loss — the multi-executor deploy path:
+    // point it at HDFS/S3); default is localCheckpoint, the single-JVM
+    // stand-in (blocks cached on the one executor — fine on local[n],
+    // lost-block-fatal on a real cluster). Both cut the growing lineage
+    // that would otherwise re-run all prior rounds each iteration.
+    val sc = pairs.sparkSession.sparkContext
+    checkpointDir.foreach(sc.setCheckpointDir)
+    def materialize(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val edges = materialize(
+      pairs.select(col("doc_a").as("id"), col("doc_b").as("nbr"))
+        .union(pairs.select(col("doc_b").as("id"), col("doc_a").as("nbr")))
+        .distinct()
+        .repartition(col("nbr"))) // the per-round join key: edges side never re-shuffles
+    var labels = materialize(
+      edges.groupBy(col("id")).agg(min(col("nbr")).as("nmin"))
+        .select(col("id"), least(col("id"), col("nmin")).as("lbl")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -245,13 +257,12 @@ object Dedup {
         .groupBy(col("id")).agg(min(col("nlbl")).as("nbr_min"))
       // pointer jump: my label's label (labels are always node ids, so the
       // self-join always hits)
-      val step = labels
+      val step = materialize(labels
         .join(labels.select(col("id").as("lbl"), col("lbl").as("jump")), Seq("lbl"))
         .join(viaNbr, Seq("id"))
         .select(col("id"), col("lbl"),
           least(col("lbl"), col("jump"), col("nbr_min")).as("next"))
-        .select(col("id"), col("next").as("lbl"), (col("next") < col("lbl")).as("chg"))
-        .localCheckpoint()
+        .select(col("id"), col("next").as("lbl"), (col("next") < col("lbl")).as("chg")))
       converged = step.filter(col("chg")).isEmpty
       labels = step.drop("chg")
       iter += 1

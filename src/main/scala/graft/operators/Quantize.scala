@@ -52,6 +52,10 @@ object Quantize {
       .withColumn("h", xxhash64(col("vec_id")))
       .orderBy(col("h")).limit(k)
       .select(col("v")).collect().map(_.getSeq[Double](0))
+    // fail fast with a usable message (operator argument contract) instead
+    // of an ArrayIndexOutOfBounds deep inside plan build
+    require(sample.length >= k,
+      s"pq codebooks need >= $k corpus vectors (codebookSize), got ${sample.length}")
     val sub = sample.head.size / m
     Array.tabulate(m, k)((s, c) => sample(c).slice(s * sub, (s + 1) * sub))
   }
@@ -105,6 +109,8 @@ object Quantize {
       .withColumn("h", xxhash64(col("vec_id")))
       .orderBy(col("h")).limit(sampleSize)
       .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+    require(sample.length >= k,
+      s"pq trained codebooks need >= $k sample vectors, got ${sample.length}")
     val dim = sample.head.length
     val sub = dim / m
     Array.tabulate(m) { s =>
@@ -145,11 +151,12 @@ object Quantize {
     * rest. Top k·oversample survive to the exact cosine rescore (fetched by
     * id, bit-identical scores — same contract as [[quantizedKnn]]).
     *
-    * The LUT lookup is an interpreted HOF fold (m=8 steps per pair): if it
-    * ever dominates a profile, it is the next graft_* native-expression
-    * candidate; the candidate set is already bounded by the broadcast query
-    * side and the map-side graft_topk partial, so the exchange carries
-    * ≤ k·oversample rows per query per partition.
+    * The LUT lookup runs through the native [[graft.functions.PqScore]]
+    * kernel (codegen'd — the interpreted HOF fold it replaced was the last
+    * interpreted inner loop on the ANN hot paths); the candidate set is
+    * bounded by the broadcast query side and the map-side graft_topk
+    * partial, so the exchange carries ≤ k·oversample rows per query per
+    * partition.
     *
     * Defaults (m=8, 256-entry codebooks, 16× oversample) measured: recall@10
     * vs brute force = 0.98 / 1.00 / 0.92 at sf0.001/0.01/0.1 (PqProbe).
@@ -182,10 +189,8 @@ object Quantize {
     val approx = broadcast(q.select(col("qid"), col("lut")))
       .join(codes, col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        aggregate(
-          zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
-            (c, s) => element_at(col("lut"), (s * codebookSize + c + 1).cast("int"))),
-          lit(0.0), (acc, x) => acc + x).as("score"))
+        call_function("graft_pqscore", col("codes"), col("lut"),
+          lit(codebookSize)).as("score"))
     val cand = approx
       .groupBy(col("qid"))
       .agg(call_function("graft_topk",

@@ -57,7 +57,7 @@ class CorpusSpec extends AnyFunSuite {
       s"rate 0.1 over wrapped ids must not keep everything: kept $kept/1000")
   }
 
-  test("mixWeights: weights normalize to 1, targets under budget, α flattens") {
+  test("mixWeights: weights normalize to 1, targets hit budget exactly, α flattens") {
     import spark.implicits._
     val docs = (0L until 500L).map(i =>
       (i, if (i < 400) "big" else if (i < 480) "mid" else "small"))
@@ -68,7 +68,13 @@ class CorpusSpec extends AnyFunSuite {
           r.getAs[Long]("target_n")))).toMap
     assert(out("big")._1 == 400 && out("small")._1 == 20)
     assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-9)
-    assert(out.values.map(_._3).sum <= 1000L, "floor keeps total under budget")
+    assert(out.values.map(_._3).sum == 1000L,
+      "largest-remainder rounding must allocate the budget exactly")
+    // every target within 1 of its exact share (the rounding never moves a
+    // source by more than one doc)
+    out.values.foreach { case (_, w, tn) =>
+      assert(math.abs(tn - w * 1000.0) < 1.0, s"target $tn vs exact ${w * 1000.0}")
+    }
     // α=0.5 flattens: big's weight < natural share, small's > natural share
     assert(out("big")._2 < 0.8 && out("small")._2 > 0.04)
   }

@@ -237,6 +237,27 @@ class DedupSpec extends AnyFunSuite {
     assert(cc.size == 10)
   }
 
+  test("connected components: reliable checkpoint dir yields identical labels") {
+    import spark.implicits._
+    val pairs = Seq(
+      (11L, 10L), (11L, 12L), (13L, 12L), (14L, 13L),
+      (20L, 21L), (21L, 22L), (31L, 30L)).toDF("doc_a", "doc_b")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    try {
+      val local = Dedup.connectedComponents(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val reliable = Dedup.connectedComponents(pairs, checkpointDir = Some(dir))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(reliable == local)
+      // the reliable path actually wrote checkpoint data
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "checkpoint dir must contain materialized RDD data")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("connected components converge in log rounds on a long path graph") {
     import spark.implicits._
     // worst case for plain min-propagation: a 300-node path needs ~300

@@ -36,6 +36,35 @@ class NativeExprSpec extends AnyFunSuite {
     assert(rows(0).getSeq[Double](2) == Seq(0.0, 180.0, 0.1, 0.9))
   }
 
+  test("graft_pqscore equals the element_at HOF fold and hand-computed sums") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // k=2: lut [s0c0, s0c1, s1c0, s1c1]; codes pick one entry per subspace
+    val df = Seq(
+      (1L, Seq(1, 1), Seq(0.0, 180.0, 0.1, 0.9)),
+      (2L, Seq(0, 0), Seq(2.0, 180.0, 0.5, 0.9)),
+      (3L, Seq(1, 0), Seq(-1.5, 4.0, 0.25, 7.0))).toDF("id", "codes", "lut")
+    val both = df.select(col("id"),
+      call_function("graft_pqscore", col("codes"), col("lut"), lit(2)).as("native"),
+      expr("""aggregate(zip_with(codes, sequence(0, 1),
+             |  (c, s) -> element_at(lut, CAST(s * 2 + c + 1 AS INT))),
+             |  0.0D, (acc, x) -> acc + x)""".stripMargin).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    val byId = both.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(byId(1L) == 180.0 + 0.9 && byId(2L) == 2.0 + 0.5 && byId(3L) == 4.0 + 0.25)
+  }
+
+  test("pq kernels reject a non-foldable codebook at analysis time") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq((Seq(1.0, 2.0), Seq(0.0, 0.0))).toDF("v", "notabook")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(call_function("graft_pqlut", col("v"), col("notabook"),
+        lit(1), lit(2))).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("foldable"))
+  }
+
   test("graft_dot equals the zip_with/aggregate fold bit-for-bit") {
     GraftFunctions.register(spark)
     val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")

@@ -147,6 +147,92 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("shuffled arrival: exactDedupStream keeps exactly one valid representative per content") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // The q80 equality gate replays in id order, where first-seen == min id
+    // globally. The operator's own contract is weaker and order-proof: ONE
+    // representative per distinct content, drawn from that content's id
+    // group (the min of the batch where the content first appeared). Pin
+    // that contract under a shuffled tape so the gate never silently
+    // depends on arrival order.
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val shuffled = new scala.util.Random(13).shuffle(docs)
+    val groups = docs.groupBy(_._2).map { case (text, g) => text -> g.map(_._1).toSet }
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingOps.exactDedupStream(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+      .writeStream.format("memory").queryName("dedup_shuffled_out")
+      .outputMode("append").start()
+    try {
+      shuffled.grouped(math.max(1, shuffled.size / 3 + 1)).foreach { c =>
+        input.addData(c); q.processAllAvailable()
+      }
+      val kept = spark.table("dedup_shuffled_out").collect().map(_.getLong(0)).toSet
+      assert(kept.size == groups.size,
+        s"exactly one representative per distinct content: ${kept.size} vs ${groups.size}")
+      val byId = docs.toMap
+      val keptContents = kept.map(byId)
+      assert(keptContents.size == groups.size, "no two representatives share content")
+    } finally q.stop()
+  }
+
+  test("shuffled arrival: uncapped near-dup candidate set is order-invariant; capped stays a first-K-arrivals subset") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // Uncapped, the bucket index accumulates every member eventually, so
+    // the candidate set equals the batch band join in ANY arrival order —
+    // the q75 gate's id-ordered replay is a convenience, not a dependency.
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val shuffled = new scala.util.Random(29).shuffle(docs)
+    val input = MemoryStream[(Long, String)]
+    val stream = StreamingOps.nearDupCandidatesStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = stream.toDF().toDF("doc_a", "doc_b")
+      .writeStream.format("memory").queryName("neardup_shuffled_out")
+      .outputMode("append").start()
+    try {
+      shuffled.grouped(math.max(1, shuffled.size / 3 + 1)).foreach { c =>
+        input.addData(c); q.processAllAvailable()
+      }
+      val got = spark.table("neardup_shuffled_out").distinct().collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      val want = graft.operators.Dedup.minhashLsh(
+          docs.toDF("doc_id", "text"), col("doc_id"), col("text"), threshold = 0.0)
+        .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      assert(want.nonEmpty && got == want,
+        s"uncapped candidates must be arrival-order-invariant: stream=${got.size} batch=${want.size}")
+    } finally q.stop()
+
+    // With a binding cap, cold buckets keep their first maxBucket ARRIVALS
+    // (ids sorted within a micro-batch), not the globally-lowest ids the
+    // id-ordered batch cap keeps — the documented at-least-once/subset
+    // contract: pairs only among the first-K arrivals, bounded by C(K,2).
+    val hot = (0L until 60L).map(i => (i, "identical boilerplate body shared " +
+      "verbatim by every single document in this synthetic hot cluster"))
+    val hotShuffled = new scala.util.Random(31).shuffle(hot)
+    // members = lowest 10 ids of the FIRST batch (within-batch sort fills
+    // the bucket before batch 2 arrives)
+    val expectedMembers = hotShuffled.take(20).map(_._1).sorted.take(10).toSet
+    val input2 = MemoryStream[(Long, String)]
+    val stream2 = StreamingOps.nearDupCandidatesStream(
+      input2.toDF().toDF("doc_id", "text"), "doc_id", "text", maxBucket = 10)
+    val q2 = stream2.toDF().toDF("doc_a", "doc_b")
+      .writeStream.format("memory").queryName("neardup_shuffled_cap_out")
+      .outputMode("append").start()
+    try {
+      hotShuffled.grouped(20).foreach { c => input2.addData(c); q2.processAllAvailable() }
+      val pairs = spark.table("neardup_shuffled_cap_out").distinct().collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      assert(pairs.nonEmpty && pairs.length <= 10 * 9 / 2)
+      assert(pairs.forall { case (a, b) =>
+        expectedMembers.contains(a) && expectedMembers.contains(b)
+      }, s"pairs must stay among the first-K arrivals $expectedMembers: ${pairs.toSeq}")
+    } finally q2.stop()
+  }
+
   test("exactDedupStream keeps min-id per content across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
