@@ -1471,6 +1471,45 @@ object SparkEntry {
         .orderBy(col("metric"))
     }),
 
+    // IVF-PQ quality gate (q86's pattern on the full composition): coarse
+    // quantizer prunes the scan to nprobe/cells of the corpus, PQ codes +
+    // LUT scoring inside the probed cells, exact rescore. Four booleans:
+    // recall@10 ≥ 0.3 vs brute force (measured 0.52-0.60 at nprobe=16
+    // across sf — the coarse quantizer limits recall on this near-uniform
+    // fixture, see Quantize.ivfPqKnn doc), rescored scores bit-identical,
+    // non-emptiness, and recall within 0.1 of plain ivfKnn at the SAME
+    // nprobe — pinning that the PQ stage itself is (near-)loss-free, the
+    // property that makes the 64× code compression safe to deploy.
+    "q97_ivfpq_ann_quality" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val bf = Similarity.bruteForceKnn(e, col("vec_id") < 5, k = 10)
+        .select(col("qid"), col("vec_id"), col("score"))
+      val ivfpq = Quantize.ivfPqKnn(e, col("vec_id") < 5, k = 10, nprobe = 16)
+        .select(col("qid"), col("vec_id"), col("score").as("score_q"))
+      val ivf = Similarity.ivfKnn(e, col("vec_id") < 5, k = 10, nprobe = 16)
+        .select(col("qid"), col("vec_id"), lit(1).as("ivf_hit"))
+      bf.join(ivfpq, Seq("qid", "vec_id"), "full_outer")
+        .join(ivf, Seq("qid", "vec_id"), "left")
+        .agg(
+          count(col("score")).as("t"),
+          count(when(col("score").isNotNull && col("score_q").isNotNull, 1))
+            .as("h"),
+          count(when(col("score").isNotNull && col("ivf_hit").isNotNull, 1))
+            .as("h_ivf"),
+          count(when(col("score").isNotNull && col("score_q").isNotNull &&
+            col("score") =!= col("score_q"), 1)).as("badscore"))
+        .select(explode(array(
+          struct(lit("ivfpq_knn_recall10").as("metric"),
+            (col("h") >= col("t") * 0.3).as("ok")),
+          struct(lit("ivfpq_no_pq_stage_loss").as("metric"),
+            (col("h") >= col("h_ivf") - col("t") * 0.1).as("ok")),
+          struct(lit("ivfpq_nonempty").as("metric"), (col("t") > 0).as("ok")),
+          struct(lit("ivfpq_scores_exact").as("metric"),
+            (col("badscore") === 0).as("ok")))))
+        .select(col("col.metric").as("metric"), col("col.ok").as("ok"))
+        .orderBy(col("metric"))
+    }),
+
     // JSONL round-trip (the reference's wire format is JSON — README.md:147
     // "producers currently publish JSON"): write the documents table as
     // JSON lines, read it back through spark.read with an explicit schema
@@ -2382,6 +2421,14 @@ object SparkEntry {
         |                   THEN 1 ELSE 0 END AS target_n
         |FROM sized, d
         |ORDER BY source""".stripMargin,
+
+    "q97_ivfpq_ann_quality" ->
+      """SELECT * FROM (VALUES
+        |  ('ivfpq_knn_recall10', TRUE),
+        |  ('ivfpq_no_pq_stage_loss', TRUE),
+        |  ('ivfpq_nonempty', TRUE),
+        |  ('ivfpq_scores_exact', TRUE)) AS t(metric, ok)
+        |ORDER BY metric""".stripMargin,
 
     "q86_pq_ann_quality" ->
       """SELECT * FROM (VALUES

@@ -23,6 +23,12 @@ object PqProbe {
         val n = bf.count(); val hit = bf.join(pq, Seq("qid", "vec_id")).count()
         println(f"$sf cb=$cb os=$os ti=$ti recall@10 = ${hit.toDouble / n}%.3f ($hit/$n)")
       }
+      for ((cells, np) <- Seq((64, 8), (64, 16))) {
+        val ivfpq = Quantize.ivfPqKnn(emb, col("vec_id") < 5, k = 10,
+            cells = cells, nprobe = np).select(col("qid"), col("vec_id"))
+        val n = bf.count(); val hit = bf.join(ivfpq, Seq("qid", "vec_id")).count()
+        println(f"$sf ivfpq cells=$cells nprobe=$np recall@10 = ${hit.toDouble / n}%.3f ($hit/$n)")
+      }
     }
     spark.stop()
   }

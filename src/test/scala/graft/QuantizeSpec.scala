@@ -80,6 +80,27 @@ class QuantizeSpec extends AnyFunSuite {
     assert(j.filter(col("score") =!= col("score_q")).count() == 0)
   }
 
+  test("ivfPqKnn: PQ stage loss-free vs same-nprobe ivfKnn, scores bit-identical") {
+    val exact = Similarity.bruteForceKnn(emb, col("vec_id") < 5, k = 10)
+      .select(col("qid"), col("vec_id"), col("score"))
+    val ivfpq = Quantize.ivfPqKnn(emb, col("vec_id") < 5, k = 10, nprobe = 16)
+      .select(col("qid"), col("vec_id"), col("score").as("score_q"))
+    val ivf = Similarity.ivfKnn(emb, col("vec_id") < 5, k = 10, nprobe = 16)
+      .select(col("qid"), col("vec_id"))
+    val n = exact.count()
+    val hitPq = exact.join(ivfpq, Seq("qid", "vec_id")).count()
+    val hitIvf = exact.join(ivf, Seq("qid", "vec_id")).count()
+    // the coarse quantizer limits recall on this fixture; the contract is
+    // that the PQ stage (codes + LUT + oversampled rescore) gives back
+    // nearly everything its own coarse quantizer admits
+    assert(n > 0 && hitPq >= n * 0.3, s"recall ${hitPq.toDouble / n} below 0.3")
+    assert(hitPq >= hitIvf - n * 0.1,
+      s"PQ stage lost more than 0.1 recall: ivfpq=$hitPq ivf=$hitIvf n=$n")
+    val j = exact.join(ivfpq, Seq("qid", "vec_id"))
+    assert(j.filter(col("score") =!= col("score_q")).count() == 0,
+      "rescored scores must be bit-identical to brute force")
+  }
+
   test("bm25: higher tf scores higher; absent term contributes no row") {
     import spark.implicits._
     val docs = Seq(
