@@ -264,15 +264,24 @@ object Corpus {
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("w_raw", round(sqrt(col("n_docs").cast("double")), 6)
         .cast("decimal(18,6)"))
-    val total = counts.agg(sum(col("w_raw")).as("w_sum")) // exact decimal sum
-    val sized = counts.crossJoin(broadcast(total))
+    // the normalizer as a global window over the subtotal frame (DECIMAL →
+    // exact in any order); an agg + crossJoin would re-run the corpus
+    // count scan once per consumer of its lineage
+    val wTot = Window.orderBy(col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val sized = counts
+      .withColumn("w_sum", sum(col("w_raw")).over(wTot))
       .select(col("source"), col("n_docs"),
         (col("w_raw").cast("double") / col("w_sum").cast("double")).as("weight"))
       .withColumn("exact", col("weight") * lit(budget.toDouble))
       .withColumn("base", floor(col("exact")).cast("long"))
       .withColumn("rem", col("exact") - col("base").cast("double"))
-    val deficit = sized.agg((lit(budget) - sum(col("base"))).as("deficit"))
-    sized.crossJoin(broadcast(deficit))
+    // deficit as a global window over the same tiny frame — an agg +
+    // crossJoin here would re-run the corpus count scan for its lineage
+    val wAll = Window.orderBy(col("rem").desc, col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    sized
+      .withColumn("deficit", lit(budget) - sum(col("base")).over(wAll))
       .withColumn("rk",
         row_number().over(Window.orderBy(col("rem").desc, col("source"))))
       .select(col("source"), col("n_docs"), col("weight"),
