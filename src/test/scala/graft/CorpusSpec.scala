@@ -79,6 +79,18 @@ class CorpusSpec extends AnyFunSuite {
     assert(out("big")._2 < 0.8 && out("small")._2 > 0.04)
   }
 
+  test("mixWeights plan reads the corpus exactly once") {
+    // the normalizer and deficit are windows over the per-source subtotal
+    // frame; an agg + crossJoin formulation re-ran the corpus count scan
+    // per consumer (4 scans in the q82 plan before round 6)
+    val df = graft.SparkEntry.queries("q82_source_mix")(
+      spark, "/root/testdata/sf0.001")
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(scans.size == 1, s"expected 1 corpus scan, got ${scans.size}")
+  }
+
   test("unigramSurprisal: rare-vocabulary doc scores above common-vocabulary doc") {
     import spark.implicits._
     val common = "the the the the the the the the the the"
