@@ -79,6 +79,13 @@ class JoinsSpec extends AnyFunSuite {
       operators.Corpus.splitAssign(df, col("id"),
         Seq(("a", 0.8), ("b", 0.4))) // fractions sum over 1
     }
+    intercept[IllegalArgumentException] {
+      // corpus smaller than codebookSize: fail with a message, not an
+      // ArrayIndexOutOfBounds deep inside plan build
+      val tiny = Seq((1L, Seq(0.1f, 0.2f)), (2L, Seq(0.3f, 0.4f)))
+        .toDF("vec_id", "embedding")
+      operators.Quantize.pqCodebooks(tiny, m = 2, k = 256)
+    }
   }
 
   test("saltedJoin equals the plain join and spreads hot keys over salts") {
