@@ -240,21 +240,28 @@ object Quantize {
       cells: Int = 64, nprobe: Int = 8,
       m: Int = 8, codebookSize: Int = 256, oversample: Int = 16): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
-    val books = pqCodebooks(emb, m, codebookSize)
-    val sub = books(0)(0).size
+    // ONE plan-build sample scan feeds both codebooks and coarse centroids:
+    // the hash-smallest `cells` rows are a prefix of the hash-smallest
+    // max(cells, codebookSize) sample, so the derivations are identical to
+    // pqCodebooks + ivfKnn's separate collections at half the scans
+    val sample: Array[(Long, Seq[Double])] = emb
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy(col("h")).limit(math.max(cells, codebookSize))
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    require(sample.length >= codebookSize,
+      s"ivfpq codebooks need >= $codebookSize corpus vectors, got ${sample.length}")
+    val sub = sample.head._2.size / m
+    val books: Array[Array[Seq[Double]]] =
+      Array.tabulate(m, codebookSize)((s, c) => sample(c)._2.slice(s * sub, (s + 1) * sub))
     val booksLit = typedLit(flatBooks(books)).cast("array<double>")
     val e = emb.select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
       .withColumn("nrm", Similarity.norm(col("v")))
-    // coarse centroids: deterministic hash-smallest rows, collected once
-    // (cells × dim doubles — KBs; norms computed driver-side on the sample)
-    val cents: Array[(Long, Seq[Double], Double)] = emb
-      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
-      .withColumn("h", xxhash64(col("vec_id")))
-      .orderBy(col("h")).limit(cells)
-      .select(col("vec_id"), col("v")).collect()
-      .map { r =>
-        val v = r.getSeq[Double](1)
-        (r.getLong(0), v, math.sqrt(v.iterator.map(x => x * x).sum))
+    // norms computed driver-side on the sample (cells × dim doubles — KBs)
+    val cents: Array[(Long, Seq[Double], Double)] = sample.take(cells)
+      .map { case (cid, v) =>
+        (cid, v, math.sqrt(v.iterator.map(x => x * x).sum))
       }
     def cellScores(v: Column, nrm: Column): Column = array(cents.map {
       case (cid, cv, cnrm) => struct(
