@@ -883,9 +883,10 @@ object SparkEntry {
     // gates the ANN paths: recall against the exact-verified near-dup truth
     // (q23's J ≥ 0.9 pairs — near-identical docs must collide within
     // hamming ≤ 3) plus a non-emptiness floor. Measured recall at
-    // sf0.001/0.01/0.1 is 0.78/0.60/0.76; the 0.3 floor keeps ~2× margin so
-    // a silent sketch regression turns the round red while fixture variance
-    // cannot.
+    // sf0.001/0.01/0.1 is 0.70/0.72/0.71 with the portable token-hash
+    // family (Scratch probe, r6; the xxhash family scored 0.78/0.60/0.76);
+    // the 0.3 floor keeps >2× margin so a silent sketch regression turns
+    // the round red while fixture variance cannot.
     "q57_simhash_quality" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val sp = Dedup.simhashPairs(docs, col("doc_id"), col("text"))
