@@ -974,6 +974,48 @@ object SparkEntry {
       Dedup.dupGroups(docs, col("doc_id"), pairs).orderBy(col("doc_id"))
     }),
 
+    // Quality-policy dedup (Dedup.dupGroupsBest): each near-dup cluster
+    // keeps its LONGEST member (ties -> min id) instead of the min-id one —
+    // the keep rule real training-data dedup applies. Both the clustering
+    // AND the per-component argmax are hash-gated: the oracle recomputes
+    // components from the exact all-pairs graph (q62's recursive CTE) and
+    // the canonical via the same (quality desc, id asc) ranking.
+    "q99_dup_keep_best" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.minhashNearDups(docs, col("doc_id"), col("text"))
+      Dedup.dupGroupsBest(docs, col("doc_id"),
+          length(col("text")).cast("long"), pairs)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Mergeable distinct-count sketches (Spark's DataSketches HLL builtins
+    // — hll_sketch_agg / hll_union_agg): the incremental-distinct pattern a
+    // sharded 100 TB corpus needs (per-shard sketches built independently,
+    // merged without recount — KBs per sketch regardless of cardinality).
+    // Booleans: the merged per-source estimate within 5% of exact distinct,
+    // merge-invariance (union of per-source sketches == one global sketch,
+    // identical estimate), non-emptiness.
+    "q98_hll_incremental_distinct" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("source"), explode(graft.functions.Text.tokens(col("text"))).as("term"))
+      val perSource = toks.groupBy(col("source"))
+        .agg(hll_sketch_agg(col("term"), lit(12)).as("sk"))
+      val merged = perSource
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))
+      val global = toks
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("term"), lit(12))).as("est_global"))
+      val exact = toks.agg(countDistinct(col("term")).as("exact"))
+      merged.crossJoin(global).crossJoin(exact)
+        .select(explode(array(
+          struct(lit("hll_error_ok").as("metric"),
+            (abs(col("est_merged") - col("exact")) <= col("exact") * 0.05).as("ok")),
+          struct(lit("hll_merge_invariant").as("metric"),
+            (col("est_merged") === col("est_global")).as("ok")),
+          struct(lit("hll_nonempty").as("metric"), (col("exact") > 0).as("ok")))))
+        .select(col("col.metric").as("metric"), col("col.ok").as("ok"))
+        .orderBy(col("metric"))
+    }),
+
     // Streaming tumbling-window aggregation in the gate (D13's streaming
     // twin): the events tape replayed in 4 ordered micro-batches through the
     // watermarked window plan. A sentinel tick 20 min past the tape's end
@@ -2143,6 +2185,61 @@ object SparkEntry {
         |  d.doc_id = COALESCE(comp.component_id, d.doc_id) AS keep
         |FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // q62's exact all-pairs + recursive-CTE component closure, extended
+    // with the (quality desc, id asc) canonical ranking — mirrors
+    // Dedup.dupGroupsBest's max_by(doc_id, (q, -doc_id)) exactly
+    "q99_dup_keep_best" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_distinct(list_transform(range(1, length(toks) - 2 + 1),
+        |                i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+        |    END AS sh
+        |  FROM tk),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE length(a.sh) > 0 AND length(b.sh) > 0
+        |    AND CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |          / (length(a.sh) + length(b.sh) - length(list_intersect(a.sh, b.sh))) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS id, doc_b AS nbr FROM pairs
+        |  UNION
+        |  SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT id, id AS r FROM (SELECT DISTINCT id FROM edges) n
+        |  UNION
+        |  SELECT e.id, reach.r FROM edges e JOIN reach ON reach.id = e.nbr),
+        |comp AS (SELECT id, min(r) AS component_id FROM reach GROUP BY id),
+        |ca AS (
+        |  SELECT d.doc_id, COALESCE(comp.component_id, d.doc_id) AS component_id,
+        |         CAST(length(d.text) AS BIGINT) AS q
+        |  FROM documents d LEFT JOIN comp ON comp.id = d.doc_id),
+        |canon AS (
+        |  SELECT component_id, doc_id AS canonical_id FROM (
+        |    SELECT component_id, doc_id,
+        |           row_number() OVER (PARTITION BY component_id
+        |                              ORDER BY q DESC, doc_id) AS rn
+        |    FROM ca) z
+        |  WHERE rn = 1)
+        |SELECT ca.doc_id, ca.component_id, canon.canonical_id,
+        |       ca.doc_id = canon.canonical_id AS keep
+        |FROM ca JOIN canon USING (component_id)
+        |ORDER BY ca.doc_id""".stripMargin,
+
+    // HLL booleans are computed Spark-side (DataSketches estimates are not
+    // reproducible in DuckDB); the oracle pins the contract outcome — the
+    // q44/q86 quality-gate pattern
+    "q98_hll_incremental_distinct" ->
+      """SELECT * FROM (VALUES
+        |  ('hll_error_ok', TRUE),
+        |  ('hll_merge_invariant', TRUE),
+        |  ('hll_nonempty', TRUE)) AS t(metric, ok)
+        |ORDER BY metric""".stripMargin,
 
     // Same epoch-aligned bucketing as q14's oracle; sum instead of avg so
     // the streaming partial-aggregation path is exercised on a running sum.

@@ -286,6 +286,35 @@ object Dedup {
         coalesce(col("component_id"), col("doc_id")).as("component_id"))
       .withColumn("keep", col("doc_id") === col("component_id"))
 
+  /** [[dupGroups]] with a QUALITY keep policy — the production variant:
+    * each component keeps its highest-`quality` member (ties → min doc id)
+    * instead of the min-id one — the "keep the longest / highest-scoring
+    * copy" rule training-data dedup actually applies (quality is any
+    * per-doc score: length, LM surprisal, a classifier). Output:
+    * (doc_id, component_id, canonical_id, keep); singletons keep
+    * themselves.
+    *
+    * Scale shape: everything [[dupGroups]] does plus one per-component
+    * argmax — `max_by(doc_id, (quality, -doc_id))` partial-aggregates
+    * map-side, so the extra exchange carries one row per component; the
+    * canonical table joins back on component_id (broadcast at sane
+    * cluster sizes). Deterministic: the (quality, -doc_id) order key is
+    * unique per doc.
+    */
+  def dupGroupsBest(docs: DataFrame, idCol: Column, qualityCol: Column,
+      pairs: DataFrame): DataFrame = {
+    val comp = docs.select(idCol.as("doc_id"), qualityCol.as("q"))
+      .join(connectedComponents(pairs), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("q"),
+        coalesce(col("component_id"), col("doc_id")).as("component_id"))
+    val canon = comp.groupBy(col("component_id"))
+      .agg(max_by(col("doc_id"),
+        struct(col("q"), (-col("doc_id")).as("nid"))).as("canonical_id"))
+    comp.join(canon, Seq("component_id"))
+      .select(col("doc_id"), col("component_id"), col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).as("keep"))
+  }
+
   /** Exact n-gram Jaccard similarity for pairs blocked on `blockCol` (e.g.
     * `source`): |A∩B| / |A∪B| over distinct n-token shingle sets. All-integer
     * set sizes make the score reproducible bit-for-bit in any engine.

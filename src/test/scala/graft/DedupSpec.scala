@@ -306,4 +306,21 @@ class DedupSpec extends AnyFunSuite {
     assert(g(0L) == ((0L, true)) && g(1L) == ((0L, false)) && g(3L) == ((0L, false)))
     assert(g(2L) == ((2L, true)))
   }
+
+  test("dupGroupsBest keeps the highest-quality member, min-id on ties") {
+    import spark.implicits._
+    val pairs = Dedup.minhashNearDups(docs(), col("doc_id"), col("text"))
+    // quality: doc 1 (the one-token edit) scores highest in the 0/1/3 cluster
+    val quality = when(col("doc_id") === 1L, 10L).otherwise(5L)
+    val g = Dedup.dupGroupsBest(docs(), col("doc_id"), quality, pairs).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("canonical_id"), r.getAs[Boolean]("keep")))).toMap
+    assert(g(1L) == ((1L, true)) && g(0L) == ((1L, false)) && g(3L) == ((1L, false)))
+    assert(g(2L) == ((2L, true))) // singleton keeps itself
+    // equal quality everywhere -> ties break to the MIN doc id (0), matching
+    // dupGroups' canonical choice
+    val tied = Dedup.dupGroupsBest(docs(), col("doc_id"), lit(1L), pairs)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("canonical_id"))).toMap
+    assert(tied(0L) == 0L && tied(1L) == 0L && tied(3L) == 0L && tied(2L) == 2L)
+  }
 }
