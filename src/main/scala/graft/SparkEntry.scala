@@ -1016,6 +1016,17 @@ object SparkEntry {
         .orderBy(col("metric"))
     }),
 
+    // The composed curation pipeline (Pipeline.curate): lang-id → quality
+    // → exact dedup → near-dup keep-best → benchmark decontamination as
+    // ONE plan, doc_id % 10 = 0 as the held-out benchmark split. Every
+    // stage flag (NULL = eliminated before the stage ran) plus the final
+    // kept bit is hash-gated against a full SQL re-derivation — the
+    // whole-funnel integration gate over the library's gated primitives.
+    "q100_curation_pipeline" -> ((s, d) =>
+      operators.Pipeline.curate(t(s, d, "documents"), col("doc_id"),
+          col("text"), benchPred = col("doc_id") % 10 === 0)
+        .orderBy(col("doc_id"))),
+
     // Streaming tumbling-window aggregation in the gate (D13's streaming
     // twin): the events tape replayed in 4 ordered micro-batches through the
     // watermarked window plan. A sentinel tick 20 min past the tape's end
@@ -2240,6 +2251,91 @@ object SparkEntry {
         |  ('hll_merge_invariant', TRUE),
         |  ('hll_nonempty', TRUE)) AS t(metric, ok)
         |ORDER BY metric""".stripMargin,
+
+    // Full SQL re-derivation of the five-stage funnel: q19's lang-id +
+    // q18's quality screen, min-id-per-text exact dedup (group by text IS
+    // the fingerprint semantics), q99's exact all-pairs jaccard graph +
+    // recursive-CTE components + (n_tokens desc, id asc) keep-best, and
+    // q58's shingle-containment decontamination vs the benchmark split
+    "q100_curation_pipeline" ->
+      """WITH RECURSIVE
+        |base AS (SELECT doc_id, text, doc_id % 10 = 0 AS is_bench FROM documents),
+        |st AS (SELECT doc_id, text, is_bench,
+        |  CAST(length(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+        |  CAST(length(list_filter(string_split(text, ' '), x -> list_contains(['the','a','of','and','to','in','is'], x))) AS BIGINT) AS n_stop,
+        |  CAST(length(list_filter(string_split(lower(text), ' '), x -> list_contains(['the','and','of','is','to'], x))) AS BIGINT) AS en_hits,
+        |  CAST(length(list_filter(string_split(lower(text), ' '), x -> list_contains(['el','la','de','que','y','los'], x))) AS BIGINT) AS es_hits,
+        |  CAST(length(list_filter(string_split(lower(text), ' '), x -> list_contains(['der','die','das','und','ist'], x))) AS BIGINT) AS de_hits
+        |  FROM base),
+        |flags AS (SELECT *,
+        |  (en_hits >= es_hits AND en_hits >= de_hits AND en_hits > 0) AS lang_ok,
+        |  (n_tokens BETWEEN 5 AND 10000 AND
+        |   (CASE WHEN n_tokens = 0 THEN 0.0
+        |         ELSE CAST(n_stop AS DOUBLE) / n_tokens END) >= 0.01) AS quality_ok
+        |  FROM st),
+        |s1 AS (SELECT * FROM flags WHERE NOT is_bench AND lang_ok AND quality_ok),
+        |ex AS (SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY text) AS exact_keep FROM s1),
+        |s2 AS (SELECT s1.* FROM s1 JOIN ex USING (doc_id) WHERE ex.exact_keep),
+        |sh2 AS (SELECT doc_id, n_tokens,
+        |  CASE WHEN length(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |       ELSE list_distinct(list_transform(range(1, length(toks) - 2 + 1),
+        |              i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+        |  END AS sh
+        |  FROM (SELECT doc_id, n_tokens,
+        |          list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM s2)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+        |  WHERE length(a.sh) > 0 AND length(b.sh) > 0
+        |    AND CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |          / (length(a.sh) + length(b.sh) - length(list_intersect(a.sh, b.sh))) >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS id, doc_b AS nbr FROM pairs
+        |  UNION
+        |  SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT id, id AS r FROM (SELECT DISTINCT id FROM edges) n
+        |  UNION
+        |  SELECT e.id, reach.r FROM edges e JOIN reach ON reach.id = e.nbr),
+        |comp AS (SELECT id, min(r) AS component_id FROM reach GROUP BY id),
+        |ca AS (SELECT s2.doc_id, COALESCE(comp.component_id, s2.doc_id) AS component_id,
+        |         s2.n_tokens AS q
+        |       FROM s2 LEFT JOIN comp ON comp.id = s2.doc_id),
+        |canon AS (
+        |  SELECT component_id, doc_id AS canonical_id FROM (
+        |    SELECT component_id, doc_id,
+        |           row_number() OVER (PARTITION BY component_id
+        |                              ORDER BY q DESC, doc_id) AS rn
+        |    FROM ca) z
+        |  WHERE rn = 1),
+        |nd AS (SELECT ca.doc_id, ca.doc_id = canon.canonical_id AS neardup_keep
+        |       FROM ca JOIN canon USING (component_id)),
+        |s3 AS (SELECT sh2.doc_id, sh2.sh, CAST(length(sh2.sh) AS BIGINT) AS n_sh
+        |       FROM sh2 JOIN nd USING (doc_id) WHERE nd.neardup_keep),
+        |bsh AS (SELECT DISTINCT unnest(
+        |    CASE WHEN length(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_distinct(list_transform(range(1, length(toks) - 2 + 1),
+        |                i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+        |    END) AS s
+        |  FROM (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |        FROM base WHERE is_bench)),
+        |es AS (SELECT doc_id, unnest(sh) AS s FROM s3),
+        |hits AS (SELECT es.doc_id, count(*) AS n_hit FROM es JOIN bsh USING (s) GROUP BY 1),
+        |dec AS (SELECT s3.doc_id,
+        |         NOT ((CASE WHEN s3.n_sh = 0 THEN 0.0
+        |                    ELSE CAST(COALESCE(hits.n_hit, 0) AS DOUBLE) / s3.n_sh END)
+        |              >= 0.5) AS decontam_ok
+        |       FROM s3 LEFT JOIN hits USING (doc_id))
+        |SELECT f.doc_id, f.lang_ok, f.quality_ok, ex.exact_keep, nd.neardup_keep,
+        |  dec.decontam_ok,
+        |  COALESCE(f.lang_ok AND f.quality_ok AND ex.exact_keep AND nd.neardup_keep
+        |           AND dec.decontam_ok, FALSE) AS kept
+        |FROM flags f
+        |LEFT JOIN ex USING (doc_id)
+        |LEFT JOIN nd USING (doc_id)
+        |LEFT JOIN dec USING (doc_id)
+        |WHERE NOT f.is_bench
+        |ORDER BY f.doc_id""".stripMargin,
 
     // Same epoch-aligned bucketing as q14's oracle; sum instead of avg so
     // the streaming partial-aggregation path is exercised on a running sum.

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The end-to-end training-data curation pipeline — the composition every
+  * stage in this library exists for, run as ONE declarative plan:
+  *
+  *   lang-id filter → quality filter → exact dedup → near-dup dedup
+  *   (keep-best) → benchmark decontamination
+  *
+  * Mirrors the standard C4/Gopher/GPT-3-style curation recipe: heuristic
+  * language ID and quality screens first (cheap scan-side maps eliminate
+  * most rows before anything shuffles), content-fingerprint exact dedup
+  * next (collapses the copy mass), MinHash-LSH near-dup clustering with a
+  * keep-the-best-quality policy on the survivors, and an n-gram-overlap
+  * decontamination pass against a held-out benchmark split last (the
+  * smallest input, the most expensive per-doc check).
+  *
+  * Scale shape, stage by stage: the lang/quality flags are pure
+  * whole-stage-codegen column maps over the scan (no exchange); exact
+  * dedup shuffles `(doc_id, 48-byte fingerprint)` once (a window min over
+  * the fingerprint — never the text); the near-dup stage runs only on
+  * exact-canonical survivors (band-bucket joins, ids-only exchanges,
+  * capped buckets — see [[Dedup.minhashNearDups]]); decontamination is an
+  * inverted-index semi-join on 8-byte hashed shingles ([[Corpus.decontaminate]]).
+  * No stage ever exchanges document text, and each stage's input is the
+  * previous stage's (strictly smaller) survivor set.
+  */
+object Pipeline {
+
+  /** Run the full curation pipeline over `docs`. `benchPred` marks the
+    * held-out benchmark/eval split: those rows are excluded from the
+    * output and serve as the decontamination index.
+    *
+    * Output: one row per NON-benchmark doc —
+    * `(doc_id, lang_ok, quality_ok, exact_keep, neardup_keep, decontam_ok,
+    * kept)` — where each stage flag is NULL if the doc was eliminated
+    * before that stage ran (the stage never saw it), and
+    * `kept = every flag true`. The flags make the funnel auditable:
+    * `count(*) FILTER (lang_ok)` etc. is the per-stage survival curve.
+    *
+    * Heuristics are pinned to the library's gated primitives: q19's
+    * stopword-hit language ID, q18's token-count/stop-ratio quality
+    * screen, [[Dedup.exact]]'s fingerprint dedup, q99's
+    * [[Dedup.dupGroupsBest]] with token count as the quality score, and
+    * q58's shingle-containment decontamination at `contamThreshold`.
+    */
+  def curate(docs: DataFrame, idCol: Column, textCol: Column,
+      benchPred: Column, contamThreshold: Double = 0.5): DataFrame = {
+    val base = docs.select(idCol.as("doc_id"), textCol.as("text"),
+      benchPred.as("is_bench"))
+
+    // Stage 1 — scan-side flags (q19 lang-id + q18 quality, op-for-op)
+    val nTokens =
+      expr("CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT)")
+    val nStop =
+      expr("CAST(size(filter(split(text, ' '), x -> array_contains(array('the','a','of','and','to','in','is'), x))) AS BIGINT)")
+    val enHits =
+      expr("CAST(size(filter(split(lower(text), ' '), x -> array_contains(array('the','and','of','is','to'), x))) AS BIGINT)")
+    val esHits =
+      expr("CAST(size(filter(split(lower(text), ' '), x -> array_contains(array('el','la','de','que','y','los'), x))) AS BIGINT)")
+    val deHits =
+      expr("CAST(size(filter(split(lower(text), ' '), x -> array_contains(array('der','die','das','und','ist'), x))) AS BIGINT)")
+    val flagged = base.select(col("doc_id"), col("text"), col("is_bench"),
+        nTokens.as("n_tokens"), nStop.as("n_stop"),
+        enHits.as("en_hits"), esHits.as("es_hits"), deHits.as("de_hits"))
+      .withColumn("stop_ratio",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(col("n_stop").cast("double") / col("n_tokens")))
+      .withColumn("lang_ok",
+        col("en_hits") >= col("es_hits") && col("en_hits") >= col("de_hits") &&
+          col("en_hits") > 0)
+      .withColumn("quality_ok",
+        col("n_tokens") >= 5 && col("n_tokens") <= 10000 &&
+          col("stop_ratio") >= 0.01)
+    val candidates = flagged.filter(!col("is_bench"))
+
+    // Stage 2 — exact dedup among stage-1 survivors: min id per content
+    // fingerprint (one (id, fingerprint) exchange — the window key is
+    // Dedup.exact's 48-byte fingerprint, never the text)
+    val s1 = candidates.filter(col("lang_ok") && col("quality_ok"))
+    val fpWindow = Window.partitionBy(
+      xxhash64(col("text")), length(col("text")), sha2(col("text"), 256))
+    val exactFlags = s1.select(col("doc_id"),
+      (col("doc_id") === min(col("doc_id")).over(fpWindow)).as("exact_keep"))
+
+    // Stage 3 — near-dup clusters among exact-canonical survivors; keep
+    // the highest-token-count member of each cluster (ties → min id)
+    val s2 = s1.join(exactFlags.filter(col("exact_keep")).select("doc_id"),
+      Seq("doc_id"))
+    val pairs = Dedup.minhashNearDups(s2, col("doc_id"), col("text"))
+    val nearFlags = Dedup.dupGroupsBest(s2, col("doc_id"), col("n_tokens"), pairs)
+      .select(col("doc_id"), col("keep").as("neardup_keep"))
+
+    // Stage 4 — decontamination: survivors scored against the benchmark
+    // split's shingle set (inverted index on hashed shingles, no doc×doc)
+    val s3 = s2.join(nearFlags.filter(col("neardup_keep")).select("doc_id"),
+      Seq("doc_id"))
+    val deconFrame = base.filter(col("is_bench"))
+      .unionByName(s3.select(col("doc_id"), col("text"), col("is_bench")))
+    val deconFlags = Corpus.decontaminate(deconFrame, col("doc_id"),
+        col("text"), evalPred = !col("is_bench"), threshold = contamThreshold)
+      .select(col("doc_id"), (!col("contaminated")).as("decontam_ok"))
+
+    candidates.select(col("doc_id"), col("lang_ok"), col("quality_ok"))
+      .join(exactFlags, Seq("doc_id"), "left")
+      .join(nearFlags, Seq("doc_id"), "left")
+      .join(deconFlags, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang_ok"), col("quality_ok"),
+        col("exact_keep"), col("neardup_keep"), col("decontam_ok"),
+        coalesce(col("lang_ok") && col("quality_ok") && col("exact_keep") &&
+          col("neardup_keep") && col("decontam_ok"), lit(false)).as("kept"))
+  }
+}
