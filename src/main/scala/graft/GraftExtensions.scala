@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProductD, DotProductL, MinHashSig, PolyFingerprint, PqEncodeCodes, PqLut, PqScore, ShingleSet, SimHash64}
+import graft.functions.{DotProductD, DotProductL, HashFeatScore, MinHashSig, PolyFingerprint, PqEncodeCodes, PqLut, PqScore, ShingleSet, SimHash64}
 
 /** Spark extension entry point: `--conf
   * spark.sql.extensions=graft.GraftExtensions` (or
@@ -63,5 +63,7 @@ object GraftExtensions {
     ("graft_cms", "graft_cms(key, depth, width) - count-min sketch over bigint keys",
       (es: Seq[Expression]) => graft.functions.CmsAgg(es(0), es(1), es(2))),
     ("graft_cms_est", "graft_cms_est(sketch, key) - count-min point-frequency estimate",
-      (es: Seq[Expression]) => graft.functions.CmsEstimate(es(0), es(1))))
+      (es: Seq[Expression]) => graft.functions.CmsEstimate(es(0), es(1))),
+    ("graft_hashscore", "graft_hashscore(tokens, weights) - hashing-trick linear score sum(weights[h(tok) % dim])",
+      (es: Seq[Expression]) => HashFeatScore(es(0), es(1))))
 }

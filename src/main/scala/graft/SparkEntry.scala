@@ -1027,6 +1027,24 @@ object SparkEntry {
           col("text"), benchPred = col("doc_id") % 10 === 0)
         .orderBy(col("doc_id"))),
 
+    // Model-based quality filter (Corpus.hashedLinearScore): hashing-trick
+    // linear scorer — feature id = portable token hash mod dim (pure
+    // arithmetic, NO vocabulary join), weights one foldable literal, the
+    // native graft_hashscore kernel folds in token order so the double sum
+    // is engine-identical. The weight vector here is the deterministic
+    // scramble w(j) = ((j·2654435761+40503) mod 2^32)/2^32 − 0.5 — the
+    // PLUMBING is the deliverable (a trained model is just a different
+    // literal), and with portable hashes + pinned fold order the oracle
+    // recomputes every feature id and the exact score
+    "q101_quality_classifier" -> ((s, d) => {
+      val w = (0 until 1024).map(j =>
+        ((j.toLong * 2654435761L + 40503L) % 4294967296L).toDouble
+          / 4294967296.0 - 0.5)
+      operators.Corpus.hashedLinearScore(t(s, d, "documents"),
+          col("doc_id"), col("text"), w)
+        .orderBy(col("doc_id"))
+    }),
+
     // Streaming tumbling-window aggregation in the gate (D13's streaming
     // twin): the events tape replayed in 4 ordered micro-batches through the
     // watermarked window plan. A sentinel tick 20 min past the tape's end
@@ -2336,6 +2354,33 @@ object SparkEntry {
         |LEFT JOIN dec USING (doc_id)
         |WHERE NOT f.is_bench
         |ORDER BY f.doc_id""".stripMargin,
+
+    // Full recomputation of the hashed-linear score: the q24-family
+    // portable poly roll per token (base 31 mod 1e9+7, scrambled to 32
+    // bits), mod-1024 feature id, the same deterministic weight scramble,
+    // and a seeded left-to-right list_reduce mirroring the kernel's fold
+    // order — the score hash-matches to the last IEEE bit
+    "q101_quality_classifier" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, CAST(length(toks) AS BIGINT) AS n_tokens,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(toks, tok ->
+        |        CAST((((list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |                 list_transform(range(1, length(tok) + 1),
+        |                   i -> CAST(ascii(substr(tok, CAST(i AS INTEGER), 1)) AS BIGINT))),
+        |                 (a, b) -> (a * 31 + b) % 1000000007)
+        |               * 2654435761 + 40503) % 4294967296 % 1024)
+        |              * 2654435761 + 40503) % 4294967296 AS DOUBLE)
+        |          / 4294967296.0 - 0.5)),
+        |      (a, b) -> a + b) AS score
+        |  FROM tk)
+        |SELECT doc_id, n_tokens, score,
+        |  CASE WHEN n_tokens = 0 THEN 0.0 ELSE score / n_tokens END AS mean_score,
+        |  (CASE WHEN n_tokens = 0 THEN 0.0 ELSE score / n_tokens END) > 0.0 AS keep
+        |FROM sc ORDER BY doc_id""".stripMargin,
 
     // Same epoch-aligned bucketing as q14's oracle; sum instead of avg so
     // the streaming partial-aggregation path is exercised on a running sum.

@@ -534,3 +534,53 @@ case class PolyFingerprint(child: Expression, maxCharsExpr: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(child = l, maxCharsExpr = r)
 }
+
+/** Hashing-trick linear scorer: Σ_tokens weights[h1(token) mod dim] folded
+  * in token order — the fastText-style model-based quality filter's scoring
+  * pass, with the feature map as pure arithmetic (no vocabulary join at any
+  * corpus size; dim = weights.length is the only model state). h1 is the
+  * low 32 bits of [[GraftFunctions.portableTokenHash]] (the q21/q24
+  * DuckDB-reproducible family — an oracle can recompute every feature id),
+  * and the left-to-right fold pins the IEEE sum order so the score is
+  * engine-identical. Weights must be a foldable literal (the trained model
+  * ships broadcast-inline, the PqKernel codebook contract): decoded once
+  * per task, never per row.
+  */
+case class HashFeatScore(toks: Expression, weights: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def left: Expression = toks
+  override def right: Expression = weights
+  override def checkInputDataTypes(): TypeCheckResult =
+    (toks.dataType, weights.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(DoubleType, _)) =>
+        if (!weights.foldable) TypeCheckResult.TypeCheckFailure(
+          "graft_hashscore weights must be a literal/foldable array<double>")
+        else TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "graft_hashscore expects (array<string>, array<double>)")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  // weight vector literal decoded once per task, not per row
+  @transient private lazy val w: Array[Double] =
+    weights.eval(null).asInstanceOf[ArrayData].toDoubleArray()
+
+  override def nullSafeEval(a: Any, wAny: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val dim = w.length
+    var acc = 0.0
+    var t = 0
+    val n = arr.numElements()
+    while (t < n) {
+      val h1 = GraftFunctions.portableTokenHash(arr.getUTF8String(t)) & 0xFFFFFFFFL
+      acc += w((h1 % dim).toInt)
+      t += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(toks = l, weights = r)
+}

@@ -202,6 +202,37 @@ object Corpus {
     *
     * Output: (doc_id, n_tokens, n_distinct, ttr, top_bigram_n, bigram_frac).
     */
+  /** Hashing-trick linear quality scorer (the fastText-style model-based
+    * filter's scoring pass): score = Σ_tokens weights[h(token) mod dim],
+    * mean-normalized, thresholded at 0. The feature map is pure arithmetic
+    * — h is the portable token hash (q21/q24 family), so there is NO
+    * vocabulary join at any corpus size and an oracle can recompute every
+    * feature id — and the trained weight vector ships as one broadcast
+    * foldable literal (the PqKernel codebook contract), decoded once per
+    * task by the native [[graft.functions.HashFeatScore]] kernel. The
+    * left-to-right token fold pins the IEEE sum order, so scores are
+    * engine-identical and the keep/drop bit is oracle-gateable.
+    *
+    * Scale shape: one scan-side map inside the projection, no exchange,
+    * no state — the cheapest possible shape for a per-doc model score.
+    *
+    * Output: (doc_id, n_tokens, score, mean_score, keep).
+    */
+  def hashedLinearScore(docs: DataFrame, idCol: Column, textCol: Column,
+      weights: Seq[Double]): DataFrame = {
+    require(weights.nonEmpty, "hashedLinearScore needs a non-empty weight vector")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val score = call_function("graft_hashscore", Text.tokens(textCol),
+      typedLit(weights).cast("array<double>"))
+    docs.select(idCol.as("doc_id"),
+        size(Text.tokens(textCol)).cast("long").as("n_tokens"),
+        score.as("score"))
+      .withColumn("mean_score",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(col("score") / col("n_tokens")))
+      .withColumn("keep", col("mean_score") > 0.0)
+  }
+
   def repetitionStats(docs: DataFrame, idCol: Column, textCol: Column): DataFrame = {
     val toks = Text.tokens(textCol)
     val base = docs.select(idCol.as("doc_id"), toks.as("toks"))

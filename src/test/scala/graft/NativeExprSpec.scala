@@ -113,6 +113,43 @@ class NativeExprSpec extends AnyFunSuite {
     assert(both.filter(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("graft_hashscore equals the HOF fold bit-for-bit and handles empties") {
+    val w = (0 until 1024).map(j =>
+      ((j.toLong * 2654435761L + 40503L) % 4294967296L).toDouble
+        / 4294967296.0 - 0.5)
+    val wCol = typedLit(w).cast("array<double>")
+    // HOF reference: the portable h1 (low 32 bits of the token hash) mod
+    // dim indexes the weight literal; aggregate folds in token order
+    val hof = expr(
+      """aggregate(filter(split(text, ' '), x -> x != ''), CAST(0.0 AS DOUBLE),
+        |  (acc, tok) -> acc + element_at(w,
+        |    CAST((((aggregate(transform(sequence(1, length(tok)), i -> CAST(ascii(substr(tok, i, 1)) AS BIGINT)),
+        |            CAST(0 AS BIGINT), (a, c) -> (a * 31 + c) % 1000000007)
+        |          * 2654435761 + 40503) % 4294967296) % 1024) AS INT) + 1))"""
+        .stripMargin)
+    val both = docs().withColumn("w", wCol).select(
+      call_function("graft_hashscore", Text.tokens(col("text")), wCol).as("native"),
+      hof.as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    // empty token array -> 0.0 (the fold seed), not null
+    import spark.implicits._
+    val empty = Seq("").toDF("text").select(
+      call_function("graft_hashscore", Text.tokens(col("text")), wCol).as("s"))
+      .head()
+    assert(empty.getDouble(0) == 0.0)
+  }
+
+  test("graft_hashscore rejects non-foldable weights at analysis time") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq((Seq("a", "b"), Seq(0.1, 0.2))).toDF("tk", "notweights")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(call_function("graft_hashscore", col("tk"), col("notweights")))
+        .collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("foldable"))
+  }
+
   test("GraftExtensions injects graft_* into a SQL-only session") {
     import org.apache.spark.sql.SparkSession
     val base = TestSpark.spark // ensure the shared SparkContext exists
