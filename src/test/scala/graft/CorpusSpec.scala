@@ -91,6 +91,43 @@ class CorpusSpec extends AnyFunSuite {
     assert(scans.size == 1, s"expected 1 corpus scan, got ${scans.size}")
   }
 
+  test("hashedLinearScore plan: one scan, zero exchanges before the output sort") {
+    // the scorer's claim is "scan-side map, no exchange, no state": the
+    // only Exchange in q101's physical plan must be the final ORDER BY's
+    // range partitioning, and the corpus must be read exactly once
+    val df = graft.SparkEntry.queries("q101_quality_classifier")(
+      spark, "/root/testdata/sf0.001")
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(scans.size == 1, s"expected 1 corpus scan, got ${scans.size}")
+    val exchanges = df.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("Exchange")).toList
+    assert(exchanges.size == 1 && exchanges.head.contains("rangepartitioning"),
+      s"expected only the output-sort range exchange, got: $exchanges")
+  }
+
+  test("hashedLinearScore: planted weights give the hand-computed score") {
+    import spark.implicits._
+    // dim-4 weight vector; token feature ids recomputed in Scala with the
+    // same portable-hash arithmetic the kernel uses
+    val w = Seq(1.0, 10.0, 100.0, 1000.0)
+    def h1(tok: String): Long = {
+      var fp = 0L
+      tok.foreach(c => fp = (fp * 31 + c.toLong) % 1000000007L)
+      ((fp * 2654435761L + 40503L) % 4294967296L) & 0xFFFFFFFFL
+    }
+    val text = "alpha beta gamma alpha"
+    val expect = text.split(' ').map(t => w((h1(t) % 4).toInt)).sum
+    val out = graft.operators.Corpus.hashedLinearScore(
+      Seq((1L, text)).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), w).head()
+    assert(out.getAs[Double]("score") == expect)
+    assert(out.getAs[Long]("n_tokens") == 4L)
+    assert(out.getAs[Double]("mean_score") == expect / 4)
+    assert(out.getAs[Boolean]("keep"))
+  }
+
   test("unigramSurprisal: rare-vocabulary doc scores above common-vocabulary doc") {
     import spark.implicits._
     val common = "the the the the the the the the the the"
