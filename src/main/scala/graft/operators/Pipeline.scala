@@ -46,9 +46,25 @@ object Pipeline {
     * screen, [[Dedup.exact]]'s fingerprint dedup, q99's
     * [[Dedup.dupGroupsBest]] with token count as the quality score, and
     * q58's shingle-containment decontamination at `contamThreshold`.
+    *
+    * Stage outputs are MATERIALIZED (`localCheckpoint`, or a reliable
+    * `checkpoint()` when `checkpointDir` is set — the
+    * [[Dedup.connectedComponents]] contract): a lazily-composed funnel
+    * re-derives the whole upstream lineage inside every downstream flag
+    * join — the unpinned plan read the corpus 70× and ran the dedup
+    * window 12× (measured, sf0.001) — exactly what a production pipeline
+    * avoids by writing each stage's (tiny) keep-set to storage. The flag
+    * frames are ids + booleans, ~1/1000th the corpus bytes; the survivor
+    * frames (id, text, n_tokens) are what the next stage reads anyway.
     */
   def curate(docs: DataFrame, idCol: Column, textCol: Column,
-      benchPred: Column, contamThreshold: Double = 0.5): DataFrame = {
+      benchPred: Column, contamThreshold: Double = 0.5,
+      checkpointDir: Option[String] = None): DataFrame = {
+    // Materialize a stage boundary: reliable checkpoint when a dir is
+    // given (multi-executor deploys), RDD-block localCheckpoint otherwise
+    checkpointDir.foreach(docs.sparkSession.sparkContext.setCheckpointDir)
+    def pin(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val base = docs.select(idCol.as("doc_id"), textCol.as("text"),
       benchPred.as("is_bench"))
 
@@ -78,31 +94,38 @@ object Pipeline {
     val candidates = flagged.filter(!col("is_bench"))
 
     // Stage 2 — exact dedup among stage-1 survivors: min id per content
-    // fingerprint (one (id, fingerprint) exchange — the window key is
-    // Dedup.exact's 48-byte fingerprint, never the text)
+    // fingerprint. The fingerprint is PROJECTED before the window so the
+    // exchange carries (doc_id, 48-byte fingerprint) — never the text
     val s1 = candidates.filter(col("lang_ok") && col("quality_ok"))
-    val fpWindow = Window.partitionBy(
-      xxhash64(col("text")), length(col("text")), sha2(col("text"), 256))
-    val exactFlags = s1.select(col("doc_id"),
-      (col("doc_id") === min(col("doc_id")).over(fpWindow)).as("exact_keep"))
+    val exactFlags = pin(s1
+      .select(col("doc_id"), xxhash64(col("text")).as("_h"),
+        length(col("text")).as("_len"), sha2(col("text"), 256).as("_fp"))
+      .withColumn("exact_keep", col("doc_id") === min(col("doc_id")).over(
+        Window.partitionBy(col("_h"), col("_len"), col("_fp"))))
+      .select(col("doc_id"), col("exact_keep")))
 
     // Stage 3 — near-dup clusters among exact-canonical survivors; keep
-    // the highest-token-count member of each cluster (ties → min id)
-    val s2 = s1.join(exactFlags.filter(col("exact_keep")).select("doc_id"),
-      Seq("doc_id"))
+    // the highest-token-count member of each cluster (ties → min id).
+    // s2 is pinned: three consumers (band join, argmax, stage 4) would
+    // otherwise each re-run the scan + dedup window
+    val s2 = pin(s1.select(col("doc_id"), col("text"), col("n_tokens"))
+      .join(exactFlags.filter(col("exact_keep")).select("doc_id"),
+        Seq("doc_id")))
     val pairs = Dedup.minhashNearDups(s2, col("doc_id"), col("text"))
-    val nearFlags = Dedup.dupGroupsBest(s2, col("doc_id"), col("n_tokens"), pairs)
-      .select(col("doc_id"), col("keep").as("neardup_keep"))
+    val nearFlags = pin(
+      Dedup.dupGroupsBest(s2, col("doc_id"), col("n_tokens"), pairs)
+        .select(col("doc_id"), col("keep").as("neardup_keep")))
 
     // Stage 4 — decontamination: survivors scored against the benchmark
     // split's shingle set (inverted index on hashed shingles, no doc×doc)
     val s3 = s2.join(nearFlags.filter(col("neardup_keep")).select("doc_id"),
       Seq("doc_id"))
     val deconFrame = base.filter(col("is_bench"))
-      .unionByName(s3.select(col("doc_id"), col("text"), col("is_bench")))
-    val deconFlags = Corpus.decontaminate(deconFrame, col("doc_id"),
+      .select(col("doc_id"), col("text"), col("is_bench"))
+      .unionByName(s3.select(col("doc_id"), col("text"), lit(false).as("is_bench")))
+    val deconFlags = pin(Corpus.decontaminate(deconFrame, col("doc_id"),
         col("text"), evalPred = !col("is_bench"), threshold = contamThreshold)
-      .select(col("doc_id"), (!col("contaminated")).as("decontam_ok"))
+      .select(col("doc_id"), (!col("contaminated")).as("decontam_ok")))
 
     candidates.select(col("doc_id"), col("lang_ok"), col("quality_ok"))
       .join(exactFlags, Seq("doc_id"), "left")

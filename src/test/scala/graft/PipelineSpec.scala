@@ -72,4 +72,38 @@ class PipelineSpec extends AnyFunSuite {
     val kept = out.filter(_._2.getAs[Boolean]("kept")).keySet
     assert(kept == Set(5L), s"only the keep-best, clean survivor is kept: $kept")
   }
+
+  test("curate with a reliable checkpoint dir yields identical rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pipeline-ckpt")
+      .toString
+    val local = Pipeline.curate(fixture(), col("doc_id"), col("text"),
+      benchPred = col("doc_id") === 0L).orderBy("doc_id").collect()
+    val reliable = Pipeline.curate(fixture(), col("doc_id"), col("text"),
+      benchPred = col("doc_id") === 0L, checkpointDir = Some(dir))
+      .orderBy("doc_id").collect()
+    assert(local.sameElements(reliable))
+  }
+
+  test("curate plan reads the corpus once and joins materialized flag frames") {
+    // the unpinned lazily-composed funnel re-derived the upstream lineage
+    // inside every flag join: 70 corpus scans, 12 dedup windows (sf0.001).
+    // Pinned, the final plan is ONE corpus scan + three materialized
+    // (ExistingRDD) flag joins; the stage work ran exactly once at pin time
+    val df = graft.SparkEntry.queries("q100_curation_pipeline")(
+      spark, "/root/testdata/sf0.001")
+    // sparkPlan (pre-AQE, pre-EnsureRequirements — the DedupSpec pattern):
+    // the AQE wrapper hides its tree from collect, and runtime-filter
+    // bloom subqueries (helpful injected scans) live in expressions anyway
+    val leaves = df.queryExecution.sparkPlan.collectLeaves()
+    val parquetScans = leaves.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+    val rddScans = leaves.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.RDDScanExec])
+    val windows = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(parquetScans == 1, s"expected 1 corpus scan in the final plan, got $parquetScans")
+    assert(rddScans == 3, s"expected 3 materialized flag-frame scans, got $rddScans")
+    assert(windows.isEmpty, s"stage windows must run at pin time, got ${windows.size} in the final plan")
+  }
 }
