@@ -1045,6 +1045,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // SemDeDup (Similarity.semDedup, arXiv:2303.09540): semantic dedup —
+    // k-means clusters bound the pair search, within-cluster cosine >= 0.4
+    // pairs close under transitivity, each component keeps its min-id
+    // member. Centroids = vectors 0..7 (deterministic, the q61 contract).
+    // The oracle recomputes the assignment argmin, every within-cluster
+    // cosine, and the components via recursive reachability — clustering,
+    // pair generation AND closure are all hash-gated.
+    "q102_semdedup" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+      Similarity.semDedup(t(s, d, "embeddings"),
+          e.filter(col("vec_id") < 8).select(col("vec_id").as("cid"), col("v").as("cv")),
+          threshold = 0.4)
+        .orderBy(col("vec_id"))
+    }),
+
     // Streaming tumbling-window aggregation in the gate (D13's streaming
     // twin): the events tape replayed in 4 ordered micro-batches through the
     // watermarked window plan. A sentinel tick 20 min past the tape's end
@@ -2381,6 +2397,42 @@ object SparkEntry {
         |  CASE WHEN n_tokens = 0 THEN 0.0 ELSE score / n_tokens END AS mean_score,
         |  (CASE WHEN n_tokens = 0 THEN 0.0 ELSE score / n_tokens END) > 0.0 AS keep
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // SemDeDup: q61's assignment argmin + q26's cosine predicate restricted
+    // to same-cluster pairs + q62's recursive min-reachable-id closure.
+    "q102_semdedup" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |d AS (SELECT n.vec_id, c.cid,
+        |        list_dot_product(n.v, n.v) - 2.0 * list_dot_product(n.v, c.cv)
+        |          + list_dot_product(c.cv, c.cv) AS dist2
+        |      FROM n CROSS JOIN c),
+        |a AS (SELECT vec_id, cid AS cluster FROM (
+        |        SELECT vec_id, cid,
+        |               row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+        |        FROM d) z WHERE rn = 1),
+        |pairs AS (
+        |  SELECT x.vec_id AS doc_a, y.vec_id AS doc_b
+        |  FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+        |  JOIN n xn ON xn.vec_id = x.vec_id
+        |  JOIN n yn ON yn.vec_id = y.vec_id
+        |  WHERE list_dot_product(xn.v, yn.v) / (xn.nrm * yn.nrm) >= 0.4),
+        |edges AS (
+        |  SELECT doc_a AS id, doc_b AS nbr FROM pairs
+        |  UNION
+        |  SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT id, id AS r FROM (SELECT DISTINCT id FROM edges) z
+        |  UNION
+        |  SELECT e2.id, reach.r FROM edges e2 JOIN reach ON reach.id = e2.nbr),
+        |comp AS (SELECT id, min(r) AS component_id FROM reach GROUP BY id)
+        |SELECT a.vec_id, a.cluster,
+        |       COALESCE(comp.component_id, a.vec_id) AS component_id,
+        |       a.vec_id = COALESCE(comp.component_id, a.vec_id) AS keep
+        |FROM a LEFT JOIN comp ON comp.id = a.vec_id
+        |ORDER BY a.vec_id""".stripMargin,
 
     // Same epoch-aligned bucketing as q14's oracle; sum instead of avg so
     // the streaming partial-aggregation path is exercised on a running sum.

@@ -296,4 +296,55 @@ object Similarity {
         cosine(col("v_a"), col("v_b"), col("n_a"), col("n_b")).as("score"))
       .filter(col("score") >= threshold)
   }
+
+  /** SemDeDup — SEMANTIC deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): coarse k-means clustering bounds the pair search,
+    * then a within-cluster cosine dup graph is closed under transitivity
+    * and each component keeps one canonical (min-id) member. This is the
+    * embedding-space analogue of [[Dedup.dupGroups]]'s MinHash pipeline —
+    * the curation pass that removes *semantically* redundant documents
+    * exact/near text dedup cannot see.
+    *
+    * Scale shape: the paper's own contract is that k grows with the corpus
+    * so clusters stay O(corpus/k) bounded — within-cluster all-pairs is the
+    * affordable quadratic. Here that is a plain shuffle equi-join on the
+    * cluster id (both sides partial-projected to (cluster, id, v, norm)),
+    * never a corpus-wide BNLJ; a pathological giant cluster is AQE
+    * skew-split territory and, at the extreme, the cue to raise k.
+    * Assignment is [[Kmeans.assign]]'s broadcast-centroid argmin (one
+    * scan, exchange carries one row per vector); component closure is
+    * [[Dedup.connectedComponents]]' log-round pointer jumping over id
+    * pairs. Ties on equal distance break to the lower centroid id, ties on
+    * quality don't exist (min id is unique).
+    *
+    * `cents` must be small (k rows of (cid, cv)). Output: (vec_id,
+    * cluster, component_id, keep) — `keep` ⇔ the vector is its semantic
+    * component's canonical member; singletons keep themselves. Scores are
+    * the shared native [[graft.functions.DotProductD]] cosine, so the dup
+    * graph is bit-reproducible in any engine with a sequential dot.
+    */
+  def semDedup(emb: DataFrame, cents: DataFrame, threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val dist2 = (dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("cv"))) +
+      dot(col("cv"), col("cv"))
+    val assigned = emb
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), struct(dist2.as("d"), col("cid")).as("dc"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("dc")).as("best"), first(col("v")).as("v"))
+      .select(col("vec_id"), col("v"), norm(col("v")).as("nrm"),
+        col("best.cid").as("cluster"))
+    val x = assigned.select(col("cluster"), col("vec_id").as("doc_a"),
+      col("v").as("v_a"), col("nrm").as("n_a"))
+    val y = assigned.select(col("cluster"), col("vec_id").as("doc_b"),
+      col("v").as("v_b"), col("nrm").as("n_b"))
+    val pairs = x.join(y, Seq("cluster"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(cosine(col("v_a"), col("v_b"), col("n_a"), col("n_b")) >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+    assigned.select(col("vec_id"), col("cluster"))
+      .join(Dedup.dupGroups(assigned, col("vec_id"), pairs)
+        .withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"))
+  }
 }

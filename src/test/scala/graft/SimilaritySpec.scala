@@ -98,4 +98,26 @@ class SimilaritySpec extends AnyFunSuite {
         s"cosine must be bit-identical on both paths for (${r.get(0)}, ${r.get(1)})")
     }
   }
+
+  test("semDedup: components are same-cluster, keep = min id, cover all vectors") {
+    val e = emb.select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val out = Similarity.semDedup(emb, cents, threshold = 0.4).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster"),
+        r.getAs[Long]("component_id"), r.getAs[Boolean]("keep")))
+    assert(out.length == emb.count(), "every vector gets a verdict")
+    val cluster = out.map(r => r._1 -> r._2).toMap
+    val byComp = out.groupBy(_._3)
+    byComp.foreach { case (comp, members) =>
+      assert(members.map(m => cluster(m._1)).toSet.size == 1,
+        s"component $comp spans clusters — pairs must be within-cluster only")
+      assert(members.map(_._1).min == comp,
+        s"component id must be the min member id for $comp")
+      assert(members.count(_._4) == 1 && members.find(_._4).get._1 == comp,
+        s"exactly the canonical min-id member keeps for $comp")
+    }
+    assert(byComp.exists(_._2.length > 1),
+      "fixture must contain at least one non-trivial semantic dup group")
+  }
 }
