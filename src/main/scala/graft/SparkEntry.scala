@@ -1061,6 +1061,14 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // OHLC + VWAP bars (Bars.ohlcVwap): the hourly market rollup — one
+    // partial-aggregated groupBy per side (open/close via lexicographic
+    // min/max(struct(ts, seq, px)) — seq-unique, so deterministic), exact
+    // DECIMAL VWAP numerator, full-outer reunion on (hub, bar).
+    "q103_ohlc_vwap_bars" -> ((s, d) =>
+      operators.Bars.ohlcVwap(Pnl.eventsAsMarket(ev(s, d)).toDF())
+        .orderBy(col("hub"), col("bucket_start_s"))),
+
     // Streaming tumbling-window aggregation in the gate (D13's streaming
     // twin): the events tape replayed in 4 ordered micro-batches through the
     // watermarked window plan. A sentinel tick 20 min past the tape's end
@@ -2433,6 +2441,27 @@ object SparkEntry {
         |       a.vec_id = COALESCE(comp.component_id, a.vec_id) AS keep
         |FROM a LEFT JOIN comp ON comp.id = a.vec_id
         |ORDER BY a.vec_id""".stripMargin,
+
+    "q103_ohlc_vwap_bars" ->
+      s"""WITH $M_CTE,
+         |px AS (
+         |  SELECT hub, CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_start_s,
+         |         (min({'ts': ts, 'seq': seq, 'px': price_mwh})).px AS open,
+         |         max(price_mwh) AS high, min(price_mwh) AS low,
+         |         (max({'ts': ts, 'seq': seq, 'px': price_mwh})).px AS close,
+         |         count(*) AS n_ticks
+         |  FROM m WHERE kind = 'price' GROUP BY 1, 2),
+         |tr AS (
+         |  SELECT hub, CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_start_s,
+         |         CAST(sum(CAST(price_mwh * mw AS DECIMAL(28,12))) AS DOUBLE) / sum(mw) AS vwap,
+         |         sum(mw) AS mw_total, count(*) AS n_trades
+         |  FROM m WHERE kind = 'trade' GROUP BY 1, 2)
+         |SELECT COALESCE(px.hub, tr.hub) AS hub,
+         |       COALESCE(px.bucket_start_s, tr.bucket_start_s) AS bucket_start_s,
+         |       open, high, low, close, n_ticks, vwap, mw_total, n_trades
+         |FROM px FULL OUTER JOIN tr
+         |  ON px.hub = tr.hub AND px.bucket_start_s = tr.bucket_start_s
+         |ORDER BY 1, 2""".stripMargin,
 
     // Same epoch-aligned bucketing as q14's oracle; sum instead of avg so
     // the streaming partial-aggregation path is exercised on a running sum.

@@ -1,0 +1,69 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Bars
+
+/** Hand-built-tape semantics test for the OHLC+VWAP bar rollup: two hubs,
+  * two hourly bars, out-of-order inserts so open/close really test the
+  * (ts, seq) arg-min/arg-max and not arrival order.
+  */
+class BarsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // hour-aligned base (1700002800 = 23:00:00 UTC) so minute offsets < 60
+  // stay inside one hourly bar
+  private def ts(m: Int) = new Timestamp(1700002800000L + m * 60000L)
+
+  // (seq, ts, hub, kind, side, mw, price_mwh) — the eventsAsMarket shape
+  private def tape() = {
+    import spark.implicits._
+    Seq(
+      // H0, bar 1: ticks out of arrival order; open = seq 2 @ min ts
+      (5L, ts(30), "H0", "price", "", 0, 50.0),
+      (2L, ts(1), "H0", "price", "", 0, 10.0),
+      (9L, ts(55), "H0", "price", "", 0, 20.0),
+      // same ts as seq 9 — seq breaks the close tie deterministically
+      (8L, ts(55), "H0", "price", "", 0, 99.0),
+      // H0, bar 1 trades: vwap = (10*100 + 30*20) / 30
+      (3L, ts(5), "H0", "trade", "BUY", 10, 100.0),
+      (4L, ts(6), "H0", "trade", "SELL", 20, 30.0),
+      // H0, bar 2: single tick, no trades → NULL trade stats
+      (11L, ts(70), "H0", "price", "", 0, 77.0),
+      // H1: trades only → NULL price stats
+      (6L, ts(10), "H1", "trade", "BUY", 5, 40.0)
+    ).toDF("seq", "ts", "hub", "kind", "side", "mw", "price_mwh")
+  }
+
+  test("open/close follow (ts, seq) order; vwap exact; outer bars keep nulls") {
+    val rows = Bars.ohlcVwap(tape()).orderBy("hub", "bucket_start_s").collect()
+    assert(rows.length == 3)
+
+    val b1 = rows(0) // H0 bar 1
+    assert(b1.getAs[Double]("open") == 10.0, "open is the earliest (ts, seq) tick")
+    assert(b1.getAs[Double]("close") == 20.0, "close ties on ts break to higher seq")
+    assert(b1.getAs[Double]("high") == 99.0 && b1.getAs[Double]("low") == 10.0)
+    assert(b1.getAs[Long]("n_ticks") == 4)
+    assert(b1.getAs[Double]("vwap") == (10 * 100.0 + 20 * 30.0) / 30.0)
+    assert(b1.getAs[Long]("mw_total") == 30 && b1.getAs[Long]("n_trades") == 2)
+
+    val b2 = rows(1) // H0 bar 2: price side only
+    assert(b2.getAs[Double]("open") == 77.0 && b2.getAs[Double]("close") == 77.0)
+    assert(b2.isNullAt(b2.fieldIndex("vwap")) && b2.isNullAt(b2.fieldIndex("n_trades")))
+
+    val b3 = rows(2) // H1: trade side only
+    assert(b3.getAs[String]("hub") == "H1")
+    assert(b3.isNullAt(b3.fieldIndex("open")) && b3.isNullAt(b3.fieldIndex("n_ticks")))
+    assert(b3.getAs[Double]("vwap") == 40.0)
+  }
+
+  test("bar boundaries respect the requested length") {
+    val out = Bars.ohlcVwap(tape(), barLen = "30 minutes")
+      .filter(col("hub") === "H0").collect()
+    // H0 ticks span minutes 1..70 → 30-minute bars: [0,30), [30,60), [60,90)
+    assert(out.length == 3)
+  }
+}
