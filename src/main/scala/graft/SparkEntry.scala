@@ -53,6 +53,27 @@ object SparkEntry {
       |         value AS price_mwh
       |  FROM events)""".stripMargin
 
+  /** Shared q104/q105 oracle: the per-hub EWMA recurrence replayed exactly —
+    * the recursion advances every hub one (ts, seq)-ordered tick per round;
+    * 0.25/0.75 are exact binary fractions and the update is the same
+    * two-multiply-one-add sequence as Sma.ewmaStep, so every double matches
+    * the fold bit-for-bit.
+    */
+  private val EWMA_SQL =
+    s"""WITH RECURSIVE $M_CTE,
+       |p AS (
+       |  SELECT hub, ts, seq, price_mwh,
+       |         row_number() OVER (PARTITION BY hub ORDER BY ts, seq) AS rn
+       |  FROM m WHERE kind = 'price'),
+       |r AS (
+       |  SELECT hub, ts, seq, price_mwh, rn, price_mwh AS ewma
+       |  FROM p WHERE rn = 1
+       |  UNION ALL
+       |  SELECT p.hub, p.ts, p.seq, p.price_mwh, p.rn,
+       |         0.25 * p.price_mwh + 0.75 * r.ewma
+       |  FROM r JOIN p ON p.hub = r.hub AND p.rn = r.rn + 1)
+       |SELECT seq, ts, hub, price_mwh, ewma FROM r ORDER BY seq""".stripMargin
+
   /** Frozen events→DA/RT mapping (reference query surface R5/R6,
     * README.md:99-100): every 10th event is a day-ahead LMP print, every
     * event a real-time print (mirroring producer_da_rt.py's 10:1 cadence);
@@ -1068,6 +1089,32 @@ object SparkEntry {
     "q103_ohlc_vwap_bars" -> ((s, d) =>
       operators.Bars.ohlcVwap(Pnl.eventsAsMarket(ev(s, d)).toDF())
         .orderBy(col("hub"), col("bucket_start_s"))),
+
+    // Per-hub EWMA (Sma.ewma, α = 0.25): an order-dependent recurrence —
+    // the same keyed mapPartitions fold shape as the PnL replay. α and 1−α
+    // are exact binary fractions and the fold order is pinned (ts, seq),
+    // so the oracle's recursive CTE reproduces every double bit-for-bit.
+    "q104_ewma" -> ((s, d) => {
+      import s.implicits._
+      Sma.ewma(Pnl.eventsAsMarket(ev(s, d)).filter(_.kind == "price"), alpha = 0.25)
+        .select(col("seq"), ntz(col("ts")).as("ts"), col("hub"),
+          col("price_mwh"), col("ewma"))
+        .orderBy(col("seq"))
+    }),
+
+    // Streaming EWMA ≡ batch ≡ oracle: the tape replayed in 4 ordered
+    // micro-batches through flatMapGroupsWithState carrying ONE double of
+    // state per hub — same kernel as q104, gated on the same recursive CTE.
+    "q105_streaming_ewma" -> ((s, d) => {
+      import s.implicits._
+      val tape = Pnl.eventsAsMarket(ev(s, d)).filter(_.kind == "price").collect()
+        .toSeq.sortBy(e => (e.ts.getTime, e.seq))
+      graft.streaming.MemoryReplay.replay(s, tape, nBatches = 4)(
+          graft.streaming.StreamingOps.ewmaStream(_, alpha = 0.25))
+        .select(col("seq"), ntz(col("ts")).as("ts"), col("hub"),
+          col("price_mwh"), col("ewma"))
+        .orderBy(col("seq"))
+    }),
 
     // Streaming tumbling-window aggregation in the gate (D13's streaming
     // twin): the events tape replayed in 4 ordered micro-batches through the
@@ -2462,6 +2509,9 @@ object SparkEntry {
          |FROM px FULL OUTER JOIN tr
          |  ON px.hub = tr.hub AND px.bucket_start_s = tr.bucket_start_s
          |ORDER BY 1, 2""".stripMargin,
+
+    "q104_ewma" -> EWMA_SQL,
+    "q105_streaming_ewma" -> EWMA_SQL,
 
     // Same epoch-aligned bucketing as q14's oracle; sum instead of avg so
     // the streaming partial-aggregation path is exercised on a running sum.

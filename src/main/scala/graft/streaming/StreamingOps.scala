@@ -13,6 +13,11 @@ import graft.operators.{HubState, MarketEvent, PnlKernel, PnlRow}
   */
 final case class SmaState(window: Seq[Double])
 
+/** EWMA running value per key — ONE double of state forever, the whole
+  * point of the exponential family at scale.
+  */
+final case class EwmaState(s: Double)
+
 /** Doc ids seen in one LSH band bucket (streaming near-dup state). */
 final case class BandBucket(ids: Seq[Long])
 
@@ -95,6 +100,31 @@ object StreamingOps {
             ForecastRow(e.seq, e.ts, hub, e.price_mwh, sma5, sma20, sma5)
           }
           state.update(SmaState(w))
+          out.iterator
+      }
+  }
+
+  /** Streaming EWMA per hub — [[graft.operators.Sma.ewmaStep]] under
+    * `flatMapGroupsWithState`, batch-equivalent by construction (same
+    * kernel, same pinned per-batch `(ts, seq)` order, state carries the
+    * single running double across micro-batches).
+    */
+  def ewmaStream(events: Dataset[MarketEvent], alpha: Double):
+      Dataset[graft.operators.EwmaRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.hub)
+      .flatMapGroupsWithState[EwmaState, graft.operators.EwmaRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (hub, it, state) =>
+          var s: Option[Double] = state.getOption.map(_.s)
+          val out = it.toVector.sortBy(sortedKey).map { e =>
+            val v = graft.operators.Sma.ewmaStep(s, e.price_mwh, alpha)
+            s = Some(v)
+            graft.operators.EwmaRow(e.seq, e.ts, hub, e.price_mwh, v)
+          }
+          s.foreach(v => state.update(EwmaState(v)))
           out.iterator
       }
   }

@@ -94,6 +94,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming EWMA over 3 micro-batches equals batch fold bit-for-bit") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prices = marketEvents.filter(_.kind == "price")
+    val input = MemoryStream[MarketEvent]
+    val q = StreamingOps.ewmaStream(input.toDS(), alpha = 0.25)
+      .writeStream.format("memory").queryName("ewma_out").outputMode("append").start()
+    try {
+      prices.grouped(math.max(1, prices.size / 3 + 1)).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      val got = spark.table("ewma_out").as[graft.operators.EwmaRow]
+        .collect().sortBy(_.seq)
+      val want = graft.operators.Sma.ewma(prices.toDS(), alpha = 0.25)
+        .collect().sortBy(_.seq)
+      assert(got.length == want.length && got.nonEmpty)
+      // == on doubles: the fold must be BIT-identical across the state cut
+      got.zip(want).foreach { case (g, w) => assert(g == w) }
+    } finally q.stop()
+  }
+
   test("streaming SMA forecast over 4 micro-batches matches batch window op") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
