@@ -1102,6 +1102,18 @@ object SparkEntry {
         .orderBy(col("seq"))
     }),
 
+    // Passage-level exact dedup (Corpus.dedupPassages, arXiv:2107.06499's
+    // ExactSubstr on fixed 8-token windows): cross-document repeated
+    // passages removed (first (doc_id, pos) occurrence wins), docs
+    // reassembled from survivors. Winner election groups by the portable
+    // passage fingerprint — an 8-byte exchange with map-side partial
+    // min(struct) — and the oracle recomputes hash, election, and
+    // reassembly, so all three layers hash-gate.
+    "q106_passage_dedup" -> ((s, d) =>
+      operators.Corpus.dedupPassages(t(s, d, "documents"), col("doc_id"),
+          col("text"))
+        .orderBy(col("doc_id"))),
+
     // Streaming EWMA ≡ batch ≡ oracle: the tape replayed in 4 ordered
     // micro-batches through flatMapGroupsWithState carrying ONE double of
     // state per hub — same kernel as q104, gated on the same recursive CTE.
@@ -2512,6 +2524,39 @@ object SparkEntry {
 
     "q104_ewma" -> EWMA_SQL,
     "q105_streaming_ewma" -> EWMA_SQL,
+
+    // mirrors Corpus.dedupPassages: q77's chunk explode at k=8, the q21
+    // polynomial fingerprint per passage, min-(doc_id,pos) election,
+    // filtered ordered reassembly (COALESCE: a doc whose every passage is
+    // a dup reassembles to the empty string, like Spark's empty array).
+    "q106_passage_dedup" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |l AS (SELECT doc_id, toks, CAST(length(toks) AS BIGINT) AS len
+        |      FROM tk WHERE length(toks) > 0),
+        |c AS (SELECT doc_id, toks, unnest(range(0, (len - 1) // 8 + 1)) AS pos
+        |      FROM l),
+        |ch AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |         array_to_string(list_slice(toks, pos * 8 + 1, pos * 8 + 8), ' ') AS passage
+        |       FROM c),
+        |hh AS (SELECT doc_id, pos, passage,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(range(1, length(passage) + 1),
+        |             i -> CAST(ascii(substr(passage, CAST(i AS INTEGER), 1)) AS BIGINT))),
+        |           (a, b) -> (a * 31 + b) % 1000000007) AS h
+        |       FROM ch),
+        |w AS (SELECT h, min({'doc_id': doc_id, 'pos': pos}) AS win
+        |      FROM hh GROUP BY h),
+        |j AS (SELECT hh.doc_id, hh.pos, hh.passage,
+        |        (hh.doc_id = (w.win).doc_id AND hh.pos = (w.win).pos) AS keep
+        |      FROM hh JOIN w ON hh.h = w.h)
+        |SELECT doc_id, count(*) AS n_passages,
+        |  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dup_passages,
+        |  COALESCE(array_to_string(list_transform(
+        |    list_sort(COALESCE(list({'pos': pos, 'passage': passage}) FILTER (keep), [])),
+        |    x -> x.passage), ' '), '') AS text_dedup
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Same epoch-aligned bucketing as q14's oracle; sum instead of avg so
     // the streaming partial-aggregation path is exercised on a running sum.

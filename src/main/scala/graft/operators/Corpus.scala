@@ -445,4 +445,55 @@ object Corpus {
       }
     }.toDF("doc_id", "n_tok", "cum_tok", "shard")
   }
+
+  /** Passage-level exact dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better", arXiv:2107.06499 — their ExactSubstr
+    * adapted to fixed token windows): every doc splits into consecutive
+    * `k`-token passages; a passage that already occurred anywhere in the
+    * corpus (first occurrence = lexicographic min (doc_id, pos)) is removed,
+    * and each doc is reassembled from its surviving passages. This removes
+    * boilerplate repeated ACROSS documents that whole-doc dedup cannot see.
+    *
+    * Scale shape: the chunk explode is scan-side (sequence + posexplode,
+    * no shuffle); the winner election groups by the passage HASH — an
+    * 8-byte key with map-side partial `min(struct(doc_id, pos))`, so the
+    * election exchange never carries passage text. The join back and the
+    * per-doc reassembly shuffle passage text by doc_id — intrinsic to
+    * rewriting documents (the output IS the text). The hash is the
+    * portable polynomial fingerprint ([[graft.functions.PolyFingerprint]],
+    * the q21 family) so the oracle recomputes it; a production run swaps in
+    * the 48-byte [[Dedup.exact]] fingerprint — same plan, stronger key
+    * (mod-1e9+7 collisions merge passages at ~n²/2e9 odds, which the gate
+    * tolerates because both engines hash identically).
+    *
+    * Output: (doc_id, n_passages, n_dup_passages, text_dedup) — docs with
+    * no tokens are dropped (they have no passages).
+    */
+  def dedupPassages(df: DataFrame, idCol: Column, textCol: Column,
+      k: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val ch = df
+      .select(idCol.as("doc_id"), Text.tokens(textCol).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("len"))
+      .filter(col("len") > 0)
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0L), expr(s"(len - 1) div $k"))))
+      .select(col("doc_id"), col("col").cast("long").as("pos"),
+        concat_ws(" ", slice(col("toks"),
+          (col("col") * k + 1).cast("int"), lit(k))).as("passage"))
+      .withColumn("h", call_function("graft_fp", col("passage"), lit(0)))
+    val firstSeen = ch.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("w"))
+      .select(col("h"), col("w.doc_id").as("w_doc"), col("w.pos").as("w_pos"))
+    ch.join(firstSeen, Seq("h"))
+      .withColumn("keep",
+        col("doc_id") === col("w_doc") && col("pos") === col("w_pos"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dup_passages"),
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("keep"), struct(col("pos"), col("passage"))))),
+          p => p.getField("passage")), " ").as("text_dedup"))
+  }
 }

@@ -219,4 +219,28 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(3L).getAs[Long]("top_bigram_n") == 0 && out(3L).getAs[Double]("bigram_frac") == 0.0)
     assert(out(4L).getAs[Long]("n_tokens") == 0 && out(4L).getAs[Double]("ttr") == 0.0)
   }
+
+  test("dedupPassages: first occurrence wins across and within docs") {
+    import spark.implicits._
+    // k=2 passages: doc 1 owns [a b][c d]; doc 2 repeats [a b] then its own
+    // [x y]; doc 3 is a verbatim copy of doc 1 (all passages dup -> empty);
+    // doc 4 repeats ITS OWN first passage ([p q][p q] -> second removed);
+    // doc 5 has a short tail passage [z]
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b x y"),
+      (3L, "a b c d"),
+      (4L, "p q p q"),
+      (5L, "m n z")
+    ).toDF("doc_id", "text")
+    val out = Corpus.dedupPassages(docs, col("doc_id"), col("text"), k = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_passages"), r.getAs[Long]("n_dup_passages"),
+          r.getAs[String]("text_dedup")))).toMap
+    assert(out(1L) == ((2L, 0L, "a b c d")), "owner keeps everything")
+    assert(out(2L) == ((2L, 1L, "x y")), "cross-doc repeated passage removed")
+    assert(out(3L) == ((2L, 2L, "")), "full copy reassembles to empty")
+    assert(out(4L) == ((2L, 1L, "p q")), "within-doc repeat: first pos wins")
+    assert(out(5L) == ((2L, 0L, "m n z")), "short tail passage survives")
+  }
 }
