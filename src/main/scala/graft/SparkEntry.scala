@@ -1102,6 +1102,31 @@ object SparkEntry {
         .orderBy(col("seq"))
     }),
 
+    // Ordered conversion funnel view → click → purchase (Behavior.funnel):
+    // per-user earliest stage chain under the pinned (ts, seq) order —
+    // three partial-aggregated struct arg-mins + user-keyed equi-joins, no
+    // per-user sort or fold anywhere. Strictly-after rides the struct
+    // comparison; the oracle mirrors it with named-struct ROW ordering.
+    "q107_funnel" -> ((s, d) =>
+      operators.Behavior.funnel(
+          ev(s, d).select(col("user_id"), col("event_type"), col("ts"),
+            col("event_id").as("seq")),
+          "view", "click", "purchase")
+        .select(col("user_id"),
+          ntz(col("s1_ts")).as("s1_ts"), col("s1_seq"),
+          ntz(col("s2_ts")).as("s2_ts"), col("s2_seq"),
+          ntz(col("s3_ts")).as("s3_ts"), col("s3_seq"))
+        .orderBy(col("user_id"))),
+
+    // Weekly cohort retention (Behavior.retention): epoch-aligned cohort
+    // week of each user's first event × active-week offsets, exact counts
+    // and the retention ratio — the product-analytics rollup, all
+    // user-keyed partial aggregates.
+    "q108_retention" -> ((s, d) =>
+      operators.Behavior.retention(
+          ev(s, d).select(col("user_id"), col("ts")))
+        .orderBy(col("cohort_week"), col("week_offset"))),
+
     // Passage-level exact dedup (Corpus.dedupPassages, arXiv:2107.06499's
     // ExactSubstr on fixed 8-token windows): cross-document repeated
     // passages removed (first (doc_id, pos) occurrence wins), docs
@@ -2524,6 +2549,43 @@ object SparkEntry {
 
     "q104_ewma" -> EWMA_SQL,
     "q105_streaming_ewma" -> EWMA_SQL,
+
+    "q107_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+        |                  event_id AS seq FROM events),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |v AS (SELECT user_id, min({'ts': ts, 'seq': seq}) AS k1
+        |      FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min({'ts': e.ts, 'seq': e.seq}) AS k2
+        |      FROM e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND {'ts': e.ts, 'seq': e.seq} > v.k1
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min({'ts': e.ts, 'seq': e.seq}) AS k3
+        |      FROM e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND {'ts': e.ts, 'seq': e.seq} > c.k2
+        |      GROUP BY e.user_id)
+        |SELECT u.user_id, (v.k1).ts AS s1_ts, (v.k1).seq AS s1_seq,
+        |       (c.k2).ts AS s2_ts, (c.k2).seq AS s2_seq,
+        |       (p.k3).ts AS s3_ts, (p.k3).seq AS s3_seq
+        |FROM u LEFT JOIN v ON u.user_id = v.user_id
+        |       LEFT JOIN c ON u.user_id = c.user_id
+        |       LEFT JOIN p ON u.user_id = p.user_id
+        |ORDER BY u.user_id""".stripMargin,
+
+    "q108_retention" ->
+      """WITH e AS (SELECT user_id,
+        |             CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 604800) AS BIGINT) AS wk
+        |           FROM events),
+        |f AS (SELECT user_id, min(wk) AS cohort_week FROM e GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, wk AS active_week FROM e),
+        |sz AS (SELECT cohort_week, count(*) AS n_cohort FROM f GROUP BY cohort_week),
+        |r AS (SELECT f.cohort_week, a.active_week - f.cohort_week AS week_offset,
+        |             count(*) AS n_active
+        |      FROM a JOIN f ON a.user_id = f.user_id GROUP BY 1, 2)
+        |SELECT r.cohort_week, r.week_offset, r.n_active, sz.n_cohort,
+        |       CAST(r.n_active AS DOUBLE) / sz.n_cohort AS retention
+        |FROM r JOIN sz ON r.cohort_week = sz.cohort_week
+        |ORDER BY r.cohort_week, week_offset""".stripMargin,
 
     // mirrors Corpus.dedupPassages: q77's chunk explode at k=8, the q21
     // polynomial fingerprint per passage, min-(doc_id,pos) election,
