@@ -2537,7 +2537,7 @@ object SparkEntry {
          |  FROM m WHERE kind = 'price' GROUP BY 1, 2),
          |tr AS (
          |  SELECT hub, CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_start_s,
-         |         CAST(sum(CAST(price_mwh * mw AS DECIMAL(28,12))) AS DOUBLE) / sum(mw) AS vwap,
+         |         CAST(sum(CAST(price_mwh AS DECIMAL(18,6)) * mw) AS DOUBLE) / sum(mw) AS vwap,
          |         sum(mw) AS mw_total, count(*) AS n_trades
          |  FROM m WHERE kind = 'trade' GROUP BY 1, 2)
          |SELECT COALESCE(px.hub, tr.hub) AS hub,

@@ -39,9 +39,12 @@ object Bars {
       .select(col("hub"), unix_timestamp(col("w.start")).as("bucket_start_s"),
         col("o.px").as("open"), col("high"), col("low"),
         col("c.px").as("close"), col("n_ticks"))
+    // decimal-cast the PRICE, then multiply by the integer mw in decimal:
+    // casting the double PRODUCT instead can land exactly on a half-way
+    // digit and round differently across engines (seen at sf0.1)
     val tr = market.filter(col("kind") === "trade")
       .groupBy(col("hub"), window(col("ts"), barLen).as("w"))
-      .agg((sum((col("price_mwh") * col("mw")).cast("decimal(28,12)"))
+      .agg((sum(col("price_mwh").cast("decimal(18,6)") * col("mw"))
           .cast("double") / sum(col("mw"))).as("vwap"),
         sum(col("mw")).as("mw_total"), count(lit(1)).as("n_trades"))
       .select(col("hub"), unix_timestamp(col("w.start")).as("bucket_start_s"),
