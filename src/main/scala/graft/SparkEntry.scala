@@ -1102,6 +1102,20 @@ object SparkEntry {
         .orderBy(col("seq"))
     }),
 
+    // SCD2 history build (Scd.scd2): each user's event_type stream
+    // collapsed into validity intervals — change detection (lag) + interval
+    // closing (lead) over ONE key exchange + ONE sort (the filter preserves
+    // distribution/order, so EnsureRequirements inserts nothing for the
+    // second window). Open intervals keep NULL valid_to + is_current.
+    "q109_scd2" -> ((s, d) =>
+      operators.Scd.scd2(
+          ev(s, d).select(col("user_id").as("key"),
+            col("event_type").as("attr"), col("ts"), col("event_id").as("seq")))
+        .select(col("key"), col("attr"),
+          ntz(col("valid_from_ts")).as("valid_from_ts"), col("valid_from_seq"),
+          ntz(col("valid_to_ts")).as("valid_to_ts"), col("is_current"))
+        .orderBy(col("key"), col("valid_from_seq"))),
+
     // Ordered conversion funnel view → click → purchase (Behavior.funnel):
     // per-user earliest stage chain under the pinned (ts, seq) order —
     // three partial-aggregated struct arg-mins + user-keyed equi-joins, no
@@ -2549,6 +2563,23 @@ object SparkEntry {
 
     "q104_ewma" -> EWMA_SQL,
     "q105_streaming_ewma" -> EWMA_SQL,
+
+    "q109_scd2" ->
+      """WITH e AS (SELECT user_id AS key, event_type AS attr,
+        |             CAST(ts AS TIMESTAMP) AS ts, event_id AS seq FROM events),
+        |chg AS (
+        |  SELECT * FROM (
+        |    SELECT key, attr, ts, seq,
+        |           lag(attr) OVER (PARTITION BY key ORDER BY ts, seq) AS prev
+        |    FROM e) z
+        |  WHERE prev IS NULL OR prev <> attr),
+        |iv AS (
+        |  SELECT key, attr, ts AS valid_from_ts, seq AS valid_from_seq,
+        |         lead(ts) OVER (PARTITION BY key ORDER BY ts, seq) AS valid_to_ts
+        |  FROM chg)
+        |SELECT key, attr, valid_from_ts, valid_from_seq, valid_to_ts,
+        |       valid_to_ts IS NULL AS is_current
+        |FROM iv ORDER BY key, valid_from_seq""".stripMargin,
 
     "q107_funnel" ->
       """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
