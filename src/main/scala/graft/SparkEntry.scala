@@ -53,6 +53,31 @@ object SparkEntry {
       |         value AS price_mwh
       |  FROM events)""".stripMargin
 
+  /** Shared q103/q110 oracle: hourly OHLC+VWAP bars — struct arg-min/max
+    * open/close, exact-decimal VWAP, full-outer reunion (the streaming twin
+    * reaches the identical shape via conditional aggregation).
+    */
+  private val BARS_SQL =
+    s"""WITH $M_CTE,
+       |px AS (
+       |  SELECT hub, CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_start_s,
+       |         (min({'ts': ts, 'seq': seq, 'px': price_mwh})).px AS open,
+       |         max(price_mwh) AS high, min(price_mwh) AS low,
+       |         (max({'ts': ts, 'seq': seq, 'px': price_mwh})).px AS close,
+       |         count(*) AS n_ticks
+       |  FROM m WHERE kind = 'price' GROUP BY 1, 2),
+       |tr AS (
+       |  SELECT hub, CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_start_s,
+       |         CAST(sum(CAST(price_mwh AS DECIMAL(18,6)) * mw) AS DOUBLE) / sum(mw) AS vwap,
+       |         sum(mw) AS mw_total, count(*) AS n_trades
+       |  FROM m WHERE kind = 'trade' GROUP BY 1, 2)
+       |SELECT COALESCE(px.hub, tr.hub) AS hub,
+       |       COALESCE(px.bucket_start_s, tr.bucket_start_s) AS bucket_start_s,
+       |       open, high, low, close, n_ticks, vwap, mw_total, n_trades
+       |FROM px FULL OUTER JOIN tr
+       |  ON px.hub = tr.hub AND px.bucket_start_s = tr.bucket_start_s
+       |ORDER BY 1, 2""".stripMargin
+
   /** Shared q104/q105 oracle: the per-hub EWMA recurrence replayed exactly —
     * the recursion advances every hub one (ts, seq)-ordered tick per round;
     * 0.25/0.75 are exact binary fractions and the update is the same
@@ -1100,6 +1125,25 @@ object SparkEntry {
         .select(col("seq"), ntz(col("ts")).as("ts"), col("hub"),
           col("price_mwh"), col("ewma"))
         .orderBy(col("seq"))
+    }),
+
+    // Streaming OHLC+VWAP bars ≡ batch ≡ oracle: the tape replayed in 4
+    // micro-batches through ONE watermarked conditional aggregate (no
+    // stream full-outer join — the batch reunion becomes when()-guarded
+    // aggregation); a flush tick 2 bars past the tape's end closes every
+    // real bar in Append mode, its own bar never closes.
+    "q110_streaming_bars" -> ((s, d) => {
+      import s.implicits._
+      val tape = Pnl.eventsAsMarket(ev(s, d)).collect()
+        .toSeq.sortBy(e => (e.ts.getTime, e.seq))
+      val flush = graft.operators.MarketEvent(-1L,
+        new java.sql.Timestamp(tape.last.ts.getTime + 2 * 3600 * 1000L),
+        "__flush", "price", "", "", 0, 0.0)
+      graft.streaming.MemoryReplay.replay(s, tape :+ flush, nBatches = 4)(ds =>
+          graft.streaming.StreamingOps.barsStream(ds.toDF(), "1 hour", "0 seconds")
+            .as[graft.streaming.BarRow])
+        .filter(col("hub") =!= "__flush")
+        .orderBy(col("hub"), col("bucket_start_s"))
     }),
 
     // SCD2 history build (Scd.scd2): each user's event_type stream
@@ -2540,26 +2584,8 @@ object SparkEntry {
         |FROM a LEFT JOIN comp ON comp.id = a.vec_id
         |ORDER BY a.vec_id""".stripMargin,
 
-    "q103_ohlc_vwap_bars" ->
-      s"""WITH $M_CTE,
-         |px AS (
-         |  SELECT hub, CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_start_s,
-         |         (min({'ts': ts, 'seq': seq, 'px': price_mwh})).px AS open,
-         |         max(price_mwh) AS high, min(price_mwh) AS low,
-         |         (max({'ts': ts, 'seq': seq, 'px': price_mwh})).px AS close,
-         |         count(*) AS n_ticks
-         |  FROM m WHERE kind = 'price' GROUP BY 1, 2),
-         |tr AS (
-         |  SELECT hub, CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_start_s,
-         |         CAST(sum(CAST(price_mwh AS DECIMAL(18,6)) * mw) AS DOUBLE) / sum(mw) AS vwap,
-         |         sum(mw) AS mw_total, count(*) AS n_trades
-         |  FROM m WHERE kind = 'trade' GROUP BY 1, 2)
-         |SELECT COALESCE(px.hub, tr.hub) AS hub,
-         |       COALESCE(px.bucket_start_s, tr.bucket_start_s) AS bucket_start_s,
-         |       open, high, low, close, n_ticks, vwap, mw_total, n_trades
-         |FROM px FULL OUTER JOIN tr
-         |  ON px.hub = tr.hub AND px.bucket_start_s = tr.bucket_start_s
-         |ORDER BY 1, 2""".stripMargin,
+    "q103_ohlc_vwap_bars" -> BARS_SQL,
+    "q110_streaming_bars" -> BARS_SQL,
 
     "q104_ewma" -> EWMA_SQL,
     "q105_streaming_ewma" -> EWMA_SQL,

@@ -58,6 +58,23 @@ final case class WindowAggRow(
     n: Long,
     sum_value: Double)
 
+/** One closed OHLC+VWAP bar from [[StreamingOps.barsStream]], typed for
+  * the memory-sink replay harness (SparkEntry q110). Option fields mirror
+  * the batch full-outer shape: a bar that saw no prices (or no trades)
+  * carries NULLs on that side.
+  */
+final case class BarRow(
+    hub: String,
+    bucket_start_s: Long,
+    open: Option[Double],
+    high: Option[Double],
+    low: Option[Double],
+    close: Option[Double],
+    n_ticks: Option[Long],
+    vwap: Option[Double],
+    mw_total: Option[Long],
+    n_trades: Option[Long])
+
 /** One forecast per input tick (reference ForecastsJob.java:82-85). */
 final case class ForecastRow(
     seq: Long,
@@ -170,6 +187,41 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col(keyCol), col("n"), col("sum_value"))
+  }
+
+  /** Streaming OHLC+VWAP bars — [[graft.operators.Bars.ohlcVwap]]'s twin
+    * as ONE watermarked conditional aggregate: both market kinds fold in a
+    * single `groupBy(window, hub)` (price ticks feed the struct arg-min/max
+    * and high/low, trades feed the exact-decimal VWAP sums), so no
+    * stream-stream full-outer join exists — the batch version's reunion
+    * join becomes conditional aggregation, which streaming state handles
+    * natively. Bars close exactly once when the watermark passes the
+    * window end (OutputMode.Append); `when(count > 0)` nullification keeps
+    * the output shape identical to the batch full-outer result, so the
+    * same oracle gates both.
+    */
+  def barsStream(events: DataFrame, barLen: String,
+      watermarkDelay: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tick = struct(col("ts"), col("seq"), col("price_mwh").as("px"))
+    val isP = col("kind") === "price"
+    val isT = col("kind") === "trade"
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), barLen), col("hub"))
+      .agg(min(when(isP, tick)).as("o"),
+        max(when(isP, col("price_mwh"))).as("high"),
+        min(when(isP, col("price_mwh"))).as("low"),
+        max(when(isP, tick)).as("c"),
+        count(when(isP, lit(1))).as("np"),
+        sum(when(isT, col("price_mwh").cast("decimal(18,6)") * col("mw"))).as("pv"),
+        sum(when(isT, col("mw"))).as("mwt"),
+        count(when(isT, lit(1))).as("nt"))
+      .select(col("hub"), unix_timestamp(col("window.start")).as("bucket_start_s"),
+        col("o.px").as("open"), col("high"), col("low"), col("c.px").as("close"),
+        when(col("np") > 0, col("np")).as("n_ticks"),
+        (col("pv").cast("double") / col("mwt")).as("vwap"),
+        col("mwt").cast("long").as("mw_total"),
+        when(col("nt") > 0, col("nt")).as("n_trades"))
   }
 
   /** §2.7 extension — streaming session windows (gap-based) behind a

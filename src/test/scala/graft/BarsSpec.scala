@@ -60,6 +60,30 @@ class BarsSpec extends AnyFunSuite {
     assert(b3.getAs[Double]("vwap") == 40.0)
   }
 
+  test("streaming bars equal batch bars on the planted tape, nulls included") {
+    import spark.implicits._
+    val rows = tape().collect().map(r => graft.operators.MarketEvent(
+        r.getAs[Long]("seq"), r.getAs[Timestamp]("ts"), r.getAs[String]("hub"),
+        r.getAs[String]("kind"), "", r.getAs[String]("side"),
+        r.getAs[Int]("mw"), r.getAs[Double]("price_mwh")))
+      .sortBy(e => (e.ts.getTime, e.seq)).toSeq
+    val flush = graft.operators.MarketEvent(-1L,
+      new Timestamp(rows.last.ts.getTime + 2 * 3600 * 1000L),
+      "__flush", "price", "", "", 0, 0.0)
+    val got = graft.streaming.MemoryReplay.replay(spark, rows :+ flush, nBatches = 3)(
+        ds => graft.streaming.StreamingOps.barsStream(ds.toDF(), "1 hour", "0 seconds")
+          .as[graft.streaming.BarRow])
+      .filter(col("hub") =!= "__flush")
+      .orderBy("hub", "bucket_start_s").collect()
+    val want = Bars.ohlcVwap(tape()).orderBy("hub", "bucket_start_s").collect()
+    assert(got.length == want.length && got.nonEmpty)
+    got.zip(want).foreach { case (g, w) =>
+      w.schema.fieldNames.foreach { f =>
+        assert(g.getAs[Any](f) == w.getAs[Any](f), s"field $f: $g vs $w")
+      }
+    }
+  }
+
   test("bar boundaries respect the requested length") {
     val out = Bars.ohlcVwap(tape(), barLen = "30 minutes")
       .filter(col("hub") === "H0").collect()
