@@ -53,6 +53,28 @@ object SparkEntry {
       |         value AS price_mwh
       |  FROM events)""".stripMargin
 
+  /** Shared DuckDB CTE chain (q62, q111): the EXACT all-pairs near-dup
+    * graph at 3-token-shingle Jaccard ≥ 0.5 — the ground truth the LSH
+    * plan's pair set hash-matches (q23's banding argument).
+    */
+  private val NEARDUP_PAIRS_CTE =
+    """tk AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(toks) < 3 THEN CAST([] AS VARCHAR[])
+      |         ELSE list_distinct(list_transform(range(1, length(toks) - 2 + 1),
+      |                i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+      |    END AS sh
+      |  FROM tk),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE length(a.sh) > 0 AND length(b.sh) > 0
+      |    AND CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |          / (length(a.sh) + length(b.sh) - length(list_intersect(a.sh, b.sh))) >= 0.5)""".stripMargin
+
   /** Shared q103/q110 oracle: hourly OHLC+VWAP bars — struct arg-min/max
     * open/close, exact-decimal VWAP, full-outer reunion (the streaming twin
     * reaches the identical shape via conditional aggregation).
@@ -1125,6 +1147,19 @@ object SparkEntry {
         .select(col("seq"), ntz(col("ts")).as("ts"), col("hub"),
           col("price_mwh"), col("ewma"))
         .orderBy(col("seq"))
+    }),
+
+    // Fixed-point PageRank (Graph.pagerank, 5 rounds, damping 85/100) over
+    // the near-dup graph: the Pregel-shaped iterative join+agg loop with
+    // ALL-INTEGER arithmetic (rank div deg shares, div-100 damping), so
+    // sums are order-independent and the oracle reproduces every rank
+    // exactly — pair generation AND all 5 rounds hash-gate.
+    "q111_pagerank" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.minhashNearDups(docs, col("doc_id"), col("text"))
+        .select(col("doc_a"), col("doc_b"))
+      operators.Graph.pagerank(docs.select(col("doc_id")), pairs)
+        .orderBy(col("doc_id"))
     }),
 
     // Streaming OHLC+VWAP bars ≡ batch ≡ oracle: the tape replayed in 4
@@ -2350,22 +2385,7 @@ object SparkEntry {
     // component id. Matching the Spark side needs (a) LSH pair recall ~1
     // (q23's banding argument) and (b) the CC fixpoint to be exact.
     "q62_dup_clusters" ->
-      """WITH RECURSIVE tk AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
-        |  FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |    CASE WHEN length(toks) < 3 THEN CAST([] AS VARCHAR[])
-        |         ELSE list_distinct(list_transform(range(1, length(toks) - 2 + 1),
-        |                i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
-        |    END AS sh
-        |  FROM tk),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE length(a.sh) > 0 AND length(b.sh) > 0
-        |    AND CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |          / (length(a.sh) + length(b.sh) - length(list_intersect(a.sh, b.sh))) >= 0.5),
+      s"""WITH RECURSIVE $NEARDUP_PAIRS_CTE,
         |edges AS (
         |  SELECT doc_a AS id, doc_b AS nbr FROM pairs
         |  UNION
@@ -2589,6 +2609,29 @@ object SparkEntry {
 
     "q104_ewma" -> EWMA_SQL,
     "q105_streaming_ewma" -> EWMA_SQL,
+
+    // mirrors Graph.pagerank: q62's exact pair graph, then 5 unrolled
+    // integer fixed-point rounds (// is DuckDB floor division ≡ Spark div
+    // on the non-negative ranks/shares here)
+    "q111_pagerank" -> {
+      def round(i: Int) =
+        s"""r$i AS (
+           |  SELECT n.doc_id,
+           |         CAST(150000000000 + (85 * COALESCE(s.inflow, 0)) // 100 AS BIGINT) AS rank
+           |  FROM n LEFT JOIN (
+           |    SELECT e.dst AS doc_id, sum(r.rank // dg.deg) AS inflow
+           |    FROM e JOIN r${i - 1} r ON r.doc_id = e.src
+           |           JOIN dg ON dg.src = e.src
+           |    GROUP BY e.dst) s ON s.doc_id = n.doc_id)""".stripMargin
+      s"""WITH $NEARDUP_PAIRS_CTE,
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |dg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |n AS (SELECT doc_id FROM documents),
+         |r0 AS (SELECT doc_id, CAST(1000000000000 AS BIGINT) AS rank FROM n),
+         |${(1 to 5).map(round).mkString(",\n")}
+         |SELECT doc_id, rank FROM r5 ORDER BY doc_id""".stripMargin
+    },
 
     "q109_scd2" ->
       """WITH e AS (SELECT user_id AS key, event_type AS attr,

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics beyond [[Dedup.connectedComponents]] — the
+  * Pregel-shaped fixed-point loop (PageRank here) expressed as per-round
+  * join + aggregate plans.
+  *
+  * Determinism contract: ranks are FIXED-POINT BIGINTs (initial mass
+  * `scale` = 10¹² per node), every step is integer arithmetic —
+  * `share = rank div deg`, `rank' = (15·scale) div 100 + (85·inflow) div
+  * 100` — so sums are order-independent and every engine reproduces the
+  * exact same integers (no float summation order, no decimal division
+  * scale rules). This is the same move as the k-means DECIMAL sums and the
+  * q78 integer codes: make the arithmetic exact, then hash-gate it.
+  */
+object Graph {
+
+  /** Damped PageRank over an UNDIRECTED edge list, `iters` synchronous
+    * rounds of the fixed-point integer recurrence. `nodes` = (doc_id) —
+    * every node appears in the output; isolated nodes hold the teleport
+    * mass. Dangling nodes (none on an undirected graph with degree ≥ 1)
+    * would simply leak their mass — the standard simplification.
+    *
+    * Scale shape, per round: one equi-join of the edge list against the
+    * (node, rank) table on src — both shuffled by src, and AQE reuses the
+    * edge side's exchange across all rounds since the edge list never
+    * changes — then one partial-aggregated sum by dst; the exchange
+    * carries (id, 8-byte rank) only. Degrees are computed once. Rounds are
+    * a driver loop over lazy plans (the Pregel superstep barrier); for
+    * deep iteration counts callers should checkpoint every few rounds like
+    * [[Dedup.connectedComponents]] does.
+    *
+    * Output: (doc_id, rank) — fixed-point BIGINT, Σ ≈ n·scale minus
+    * rounding drift.
+    */
+  def pagerank(nodes: DataFrame, edges: DataFrame, iters: Int = 5,
+      scale: Long = 1000000000000L): DataFrame = {
+    val dir = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val dirDeg = dir.join(deg, Seq("src"))
+    val base = nodes.select(col("doc_id"))
+    var rank = base.select(col("doc_id"), lit(scale).as("rank"))
+    val teleport = 15L * scale / 100L
+    for (_ <- 1 to iters) {
+      val inflow = dirDeg
+        .join(rank.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .select(col("dst").as("doc_id"), expr("rank div deg").as("share"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("share")).as("inflow"))
+      rank = base.join(inflow, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (lit(teleport) +
+            expr("(85 * coalesce(inflow, CAST(0 AS BIGINT))) div 100")).as("rank"))
+    }
+    rank
+  }
+}
