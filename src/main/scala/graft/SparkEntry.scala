@@ -100,6 +100,26 @@ object SparkEntry {
        |  ON px.hub = tr.hub AND px.bucket_start_s = tr.bucket_start_s
        |ORDER BY 1, 2""".stripMargin
 
+  /** Shared q109/q112 oracle: the SCD2 lag/lead interval chain over each
+    * user's event_type stream.
+    */
+  private val SCD2_SQL =
+    """WITH e AS (SELECT user_id AS key, event_type AS attr,
+      |             CAST(ts AS TIMESTAMP) AS ts, event_id AS seq FROM events),
+      |chg AS (
+      |  SELECT * FROM (
+      |    SELECT key, attr, ts, seq,
+      |           lag(attr) OVER (PARTITION BY key ORDER BY ts, seq) AS prev
+      |    FROM e) z
+      |  WHERE prev IS NULL OR prev <> attr),
+      |iv AS (
+      |  SELECT key, attr, ts AS valid_from_ts, seq AS valid_from_seq,
+      |         lead(ts) OVER (PARTITION BY key ORDER BY ts, seq) AS valid_to_ts
+      |  FROM chg)
+      |SELECT key, attr, valid_from_ts, valid_from_seq, valid_to_ts,
+      |       valid_to_ts IS NULL AS is_current
+      |FROM iv ORDER BY key, valid_from_seq""".stripMargin
+
   /** Shared q104/q105 oracle: the per-hub EWMA recurrence replayed exactly —
     * the recursion advances every hub one (ts, seq)-ordered tick per round;
     * 0.25/0.75 are exact binary fractions and the update is the same
@@ -1147,6 +1167,34 @@ object SparkEntry {
         .select(col("seq"), ntz(col("ts")).as("ts"), col("hub"),
           col("price_mwh"), col("ewma"))
         .orderBy(col("seq"))
+    }),
+
+    // Streaming SCD2 ≡ batch ≡ oracle (CDC-style history maintenance): the
+    // tape replayed in Update mode through flatMapGroupsWithState — each
+    // change emits its CLOSED predecessor exactly once, the open run is
+    // re-emitted per batch; `latest per (key, from_seq), closed supersedes
+    // open` reconstructs the batch scd2 table exactly. No flush sentinel:
+    // Update mode surfaces open intervals naturally.
+    "q112_streaming_scd2" -> ((s, d) => {
+      import s.implicits._
+      val tape = ev(s, d)
+        .select(col("user_id").as("key"), col("event_type").as("attr"),
+          col("ts"), col("event_id").as("seq"))
+        .as[graft.streaming.KeyedUpdate].collect()
+        .toSeq.sortBy(e => (e.ts.getTime, e.seq))
+      val raw = graft.streaming.MemoryReplay.replay(s, tape, nBatches = 4,
+          mode = org.apache.spark.sql.streaming.OutputMode.Update())(
+          graft.streaming.StreamingOps.scd2Stream(_))
+      raw.groupBy(col("key"), col("valid_from_seq"))
+        .agg(max_by(
+          struct(col("attr"), col("valid_from_ts"), col("valid_to_ts"),
+            col("is_current")),
+          struct((!col("is_current")).as("closed"))).as("r"))
+        .select(col("key"), col("r.attr").as("attr"),
+          ntz(col("r.valid_from_ts")).as("valid_from_ts"), col("valid_from_seq"),
+          ntz(col("r.valid_to_ts")).as("valid_to_ts"),
+          col("r.is_current").as("is_current"))
+        .orderBy(col("key"), col("valid_from_seq"))
     }),
 
     // Fixed-point PageRank (Graph.pagerank, 5 rounds, damping 85/100) over
@@ -2633,22 +2681,8 @@ object SparkEntry {
          |SELECT doc_id, rank FROM r5 ORDER BY doc_id""".stripMargin
     },
 
-    "q109_scd2" ->
-      """WITH e AS (SELECT user_id AS key, event_type AS attr,
-        |             CAST(ts AS TIMESTAMP) AS ts, event_id AS seq FROM events),
-        |chg AS (
-        |  SELECT * FROM (
-        |    SELECT key, attr, ts, seq,
-        |           lag(attr) OVER (PARTITION BY key ORDER BY ts, seq) AS prev
-        |    FROM e) z
-        |  WHERE prev IS NULL OR prev <> attr),
-        |iv AS (
-        |  SELECT key, attr, ts AS valid_from_ts, seq AS valid_from_seq,
-        |         lead(ts) OVER (PARTITION BY key ORDER BY ts, seq) AS valid_to_ts
-        |  FROM chg)
-        |SELECT key, attr, valid_from_ts, valid_from_seq, valid_to_ts,
-        |       valid_to_ts IS NULL AS is_current
-        |FROM iv ORDER BY key, valid_from_seq""".stripMargin,
+    "q109_scd2" -> SCD2_SQL,
+    "q112_streaming_scd2" -> SCD2_SQL,
 
     "q107_funnel" ->
       """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,

@@ -75,6 +75,25 @@ final case class BarRow(
     mw_total: Option[Long],
     n_trades: Option[Long])
 
+/** One keyed attribute observation for the SCD2 replay tape (q112). */
+final case class KeyedUpdate(key: Long, attr: String, ts: Timestamp, seq: Long)
+
+/** Open-run state for streaming SCD2: the current attribute value and when
+  * it started — one small row per key, forever.
+  */
+final case class ScdState(attr: String, fromTs: Timestamp, fromSeq: Long)
+
+/** One SCD2 interval emission (closed or current-open) from
+  * [[StreamingOps.scd2Stream]].
+  */
+final case class ScdRow(
+    key: Long,
+    attr: String,
+    valid_from_ts: Timestamp,
+    valid_from_seq: Long,
+    valid_to_ts: Option[Timestamp],
+    is_current: Boolean)
+
 /** One forecast per input tick (reference ForecastsJob.java:82-85). */
 final case class ForecastRow(
     seq: Long,
@@ -187,6 +206,44 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col(keyCol), col("n"), col("sum_value"))
+  }
+
+  /** Streaming SCD2 maintenance — [[graft.operators.Scd.scd2]]'s twin as a
+    * CDC-style `flatMapGroupsWithState` operator (Update mode): each key
+    * carries its open run (attr, from) as state; an attribute change emits
+    * the CLOSED predecessor interval exactly once, and the current open
+    * interval is (re-)emitted every batch it could have changed in — the
+    * upsert stream a warehouse MERGEs into its dimension table. The final
+    * table is `latest emission per (key, valid_from_seq)` with closed
+    * superseding open — which equals the batch scd2 output exactly (gated
+    * on the same oracle, q112).
+    */
+  def scd2Stream(updates: Dataset[KeyedUpdate]): Dataset[ScdRow] = {
+    val spark = updates.sparkSession
+    import spark.implicits._
+    updates
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[ScdState, ScdRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (key, it, state) =>
+          var st = state.getOption
+          val out = Vector.newBuilder[ScdRow]
+          it.toVector.sortBy(e => (e.ts.getTime, e.seq)).foreach { e =>
+            st match {
+              case None =>
+                st = Some(ScdState(e.attr, e.ts, e.seq))
+              case Some(s) if s.attr != e.attr =>
+                out += ScdRow(key, s.attr, s.fromTs, s.fromSeq, Some(e.ts), is_current = false)
+                st = Some(ScdState(e.attr, e.ts, e.seq))
+              case _ => () // run continues — nothing to emit
+            }
+          }
+          st.foreach { s =>
+            state.update(s)
+            out += ScdRow(key, s.attr, s.fromTs, s.fromSeq, None, is_current = true)
+          }
+          out.result().iterator
+      }
   }
 
   /** Streaming OHLC+VWAP bars — [[graft.operators.Bars.ohlcVwap]]'s twin

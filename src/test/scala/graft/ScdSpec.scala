@@ -39,6 +39,36 @@ class ScdSpec extends AnyFunSuite {
       (2L, "X", 20L, None, true)))
   }
 
+  test("streaming SCD2 reconstructs the batch table across state cuts") {
+    import spark.implicits._
+    // 3 micro-batches over 6 updates: key 1's B-run OPENS in batch 1 and
+    // CLOSES in batch 3 — the closed emission must carry state across cuts
+    val tape = Seq(
+      graft.streaming.KeyedUpdate(1L, "A", ts(1), 10L),
+      graft.streaming.KeyedUpdate(1L, "B", ts(2), 11L),
+      graft.streaming.KeyedUpdate(2L, "X", ts(2), 20L),
+      graft.streaming.KeyedUpdate(1L, "B", ts(3), 12L),
+      graft.streaming.KeyedUpdate(2L, "X", ts(4), 21L),
+      graft.streaming.KeyedUpdate(1L, "C", ts(5), 13L))
+    val raw = graft.streaming.MemoryReplay.replay(spark, tape, nBatches = 3,
+        mode = org.apache.spark.sql.streaming.OutputMode.Update())(
+        graft.streaming.StreamingOps.scd2Stream(_))
+    val got = raw.groupBy(col("key"), col("valid_from_seq"))
+      .agg(max_by(struct(col("attr"), col("valid_from_ts"), col("valid_to_ts"),
+          col("is_current")), struct((!col("is_current")).as("closed"))).as("r"))
+      .select(col("key"), col("r.attr").as("attr"),
+        col("r.valid_from_ts").as("valid_from_ts"), col("valid_from_seq"),
+        col("r.valid_to_ts").as("valid_to_ts"), col("r.is_current").as("is_current"))
+      .orderBy("key", "valid_from_seq").collect().toSeq.map(_.toSeq)
+    val want = Scd.scd2(tape.toDF("key", "attr", "ts", "seq")
+        .select(col("key"), col("attr"), col("ts"), col("seq")))
+      .orderBy("key", "valid_from_seq").collect().toSeq.map(_.toSeq)
+    assert(got == want)
+    // the closed B-interval was emitted exactly once, despite spanning cuts
+    val closedB = raw.filter(col("attr") === "B" && !col("is_current")).count()
+    assert(closedB == 1L)
+  }
+
   test("plan runs one non-gate exchange: the filter preserves the window partitioning") {
     // key = id % 3 so Range's order-aligned partitioning can't satisfy the
     // window distribution by accident — the exchange must be real
