@@ -1169,6 +1169,33 @@ object SparkEntry {
         .orderBy(col("seq"))
     }),
 
+    // Curriculum quality binning (composition: Corpus.hashedLinearScore ×
+    // Percentiles.exact): q101's model scores bracketed into exact global
+    // quartile bins — the curriculum/stratification pass training
+    // pipelines run after scoring. Brackets are a 1×3 broadcast frame
+    // (Percentiles' exchange is KB-sized by construction); bin assignment
+    // is a scan-side when-chain, zero extra shuffle. The oracle recomputes
+    // scores token-exactly AND the quantile_cont brackets (q39's proven
+    // bit-parity) AND every bin.
+    "q113_curriculum_bins" -> ((s, d) => {
+      val w = (0 until 1024).map(j =>
+        ((j.toLong * 2654435761L + 40503L) % 4294967296L).toDouble
+          / 4294967296.0 - 0.5)
+      val scored = operators.Corpus.hashedLinearScore(t(s, d, "documents"),
+          col("doc_id"), col("text"), w)
+        .select(col("doc_id"), col("mean_score"))
+      val br = operators.Percentiles.exact(scored, lit(1), col("mean_score"),
+          Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
+        .select(col("p25"), col("p50"), col("p75"))
+      scored.crossJoin(broadcast(br))
+        .select(col("doc_id"), col("mean_score"),
+          when(col("mean_score") < col("p25"), 0L)
+            .when(col("mean_score") < col("p50"), 1L)
+            .when(col("mean_score") < col("p75"), 2L)
+            .otherwise(3L).as("bin"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Streaming SCD2 ≡ batch ≡ oracle (CDC-style history maintenance): the
     // tape replayed in Update mode through flatMapGroupsWithState — each
     // change emits its CLOSED predecessor exactly once, the open run is
@@ -2657,6 +2684,37 @@ object SparkEntry {
 
     "q104_ewma" -> EWMA_SQL,
     "q105_streaming_ewma" -> EWMA_SQL,
+
+    // q101's exact score recomputation + quantile_cont brackets + the same
+    // strict-less bin case
+    "q113_curriculum_bins" ->
+      """WITH tk AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, CAST(length(toks) AS BIGINT) AS n_tokens,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(toks, tok ->
+        |        CAST((((list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |                 list_transform(range(1, length(tok) + 1),
+        |                   i -> CAST(ascii(substr(tok, CAST(i AS INTEGER), 1)) AS BIGINT))),
+        |                 (a, b) -> (a * 31 + b) % 1000000007)
+        |               * 2654435761 + 40503) % 4294967296 % 1024)
+        |              * 2654435761 + 40503) % 4294967296 AS DOUBLE)
+        |          / 4294967296.0 - 0.5)),
+        |      (a, b) -> a + b) AS score
+        |  FROM tk),
+        |ms AS (SELECT doc_id,
+        |         CASE WHEN n_tokens = 0 THEN 0.0 ELSE score / n_tokens END AS mean_score
+        |       FROM sc),
+        |q AS (SELECT quantile_cont(mean_score, 0.25) AS p25,
+        |             quantile_cont(mean_score, 0.5) AS p50,
+        |             quantile_cont(mean_score, 0.75) AS p75 FROM ms)
+        |SELECT doc_id, mean_score,
+        |  CAST(CASE WHEN mean_score < p25 THEN 0
+        |            WHEN mean_score < p50 THEN 1
+        |            WHEN mean_score < p75 THEN 2 ELSE 3 END AS BIGINT) AS bin
+        |FROM ms CROSS JOIN q ORDER BY doc_id""".stripMargin,
 
     // mirrors Graph.pagerank: q62's exact pair graph, then 5 unrolled
     // integer fixed-point rounds (// is DuckDB floor division ≡ Spark div

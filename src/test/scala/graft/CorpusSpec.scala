@@ -220,6 +220,15 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(4L).getAs[Long]("n_tokens") == 0 && out(4L).getAs[Double]("ttr") == 0.0)
   }
 
+  test("curriculum bins split the fixture corpus into near-quarters") {
+    val out = graft.SparkEntry.queries("q113_curriculum_bins")(
+      spark, "/root/testdata/sf0.001")
+    val byBin = out.collect().groupBy(_.getAs[Long]("bin")).view.mapValues(_.length)
+    assert(byBin.keySet == Set(0L, 1L, 2L, 3L))
+    // exact quartile brackets on 500 distinct-ish scores: every bin 25%±2%
+    byBin.values.foreach(n => assert(math.abs(n - 125) <= 10, byBin.toMap))
+  }
+
   test("dedupPassages: first occurrence wins across and within docs") {
     import spark.implicits._
     // k=2 passages: doc 1 owns [a b][c d]; doc 2 repeats [a b] then its own
