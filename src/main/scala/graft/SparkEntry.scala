@@ -1169,6 +1169,24 @@ object SparkEntry {
         .orderBy(col("seq"))
     }),
 
+    // Class-separability scatter (Kmeans.labelScatter): per-label n,
+    // within-class SS, between-class SS — the Fisher/LDA decomposition over
+    // the labelled embeddings, DECIMAL-exact centroids + shared dot
+    // identity so every double matches the oracle bit-for-bit.
+    "q115_label_scatter" -> ((s, d) =>
+      operators.Kmeans.labelScatter(t(s, d, "embeddings"))
+        .orderBy(col("label"))),
+
+    // Fair round-robin interleave (Corpus.fairInterleave, budget 200): a
+    // deterministic global training ORDER alternating sources one doc at a
+    // time — position (rn−1)·k + src_idx from a per-source hash-rank
+    // window + a k-row broadcast source index. The order-aware counterpart
+    // to q82's how-many mixing.
+    "q114_fair_interleave" -> ((s, d) =>
+      operators.Corpus.fairInterleave(t(s, d, "documents"), col("doc_id"),
+          col("source"), budget = 200L)
+        .orderBy(col("pos"))),
+
     // Curriculum quality binning (composition: Corpus.hashedLinearScore ×
     // Percentiles.exact): q101's model scores bracketed into exact global
     // quartile bins — the curriculum/stratification pass training
@@ -2684,6 +2702,49 @@ object SparkEntry {
 
     "q104_ewma" -> EWMA_SQL,
     "q105_streaming_ewma" -> EWMA_SQL,
+
+    // mirrors Kmeans.labelScatter: q66's struct_pack explode for the
+    // decimal centroid sums, the shared dot identity, decimal within-SS
+    "q115_label_scatter" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ex AS (SELECT label, u.pos, CAST(u.x AS DECIMAL(28,12)) AS xd
+        |       FROM e, unnest(list_transform(v, (x, i) -> struct_pack(pos := i, x := x))) AS t(u)),
+        |cd AS (SELECT label, pos, CAST(sum(xd) AS DOUBLE) / count(*) AS c
+        |       FROM ex GROUP BY 1, 2),
+        |cl AS (SELECT label, list(c ORDER BY pos) AS cv FROM cd GROUP BY 1),
+        |gd AS (SELECT pos, CAST(sum(xd) AS DOUBLE) / count(*) AS c
+        |       FROM ex GROUP BY 1),
+        |g AS (SELECT list(c ORDER BY pos) AS gv FROM gd),
+        |w AS (SELECT e.label, count(*) AS n,
+        |        CAST(sum(CAST(
+        |          list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, cl.cv)
+        |            + list_dot_product(cl.cv, cl.cv) AS DECIMAL(28,6))) AS DOUBLE) AS within_ss
+        |      FROM e JOIN cl ON e.label = cl.label GROUP BY e.label)
+        |SELECT w.label, w.n, w.within_ss,
+        |       w.n * (list_dot_product(cl.cv, cl.cv) - 2.0 * list_dot_product(cl.cv, g.gv)
+        |              + list_dot_product(g.gv, g.gv)) AS between_ss
+        |FROM w JOIN cl ON w.label = cl.label CROSS JOIN g
+        |ORDER BY w.label""".stripMargin,
+
+    // q64's one-multiply portable hash (ids < 2³²), per-source rank,
+    // alphabetical source index, the same position arithmetic
+    "q114_fair_interleave" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |         (doc_id * 2654435761 + 40503) % 4294967296 AS h
+        |  FROM documents),
+        |r AS (SELECT doc_id, source,
+        |        row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+        |      FROM h),
+        |s AS (SELECT source,
+        |        row_number() OVER (ORDER BY source) - 1 AS src_idx,
+        |        (SELECT count(DISTINCT source) FROM documents) AS k
+        |      FROM (SELECT DISTINCT source FROM documents) z)
+        |SELECT CAST((r.rn - 1) * s.k + s.src_idx AS BIGINT) AS pos,
+        |       r.source, r.doc_id
+        |FROM r JOIN s ON r.source = s.source
+        |WHERE (r.rn - 1) * s.k + s.src_idx < 200
+        |ORDER BY pos""".stripMargin,
 
     // q101's exact score recomputation + quantile_cont brackets + the same
     // strict-less bin case

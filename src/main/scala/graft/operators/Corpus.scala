@@ -446,6 +446,37 @@ object Corpus {
     }.toDF("doc_id", "n_tok", "cum_tok", "shard")
   }
 
+  /** Fair round-robin interleave — a deterministic GLOBAL TRAINING ORDER
+    * that alternates sources one document at a time: position
+    * `(rn−1)·k + src_idx` where `rn` is the doc's portable-hash rank
+    * within its source and `src_idx` the source's alphabetical index.
+    * This is the order-aware counterpart to [[mixWeights]] (which decides
+    * HOW MANY per source, not WHEN): consecutive training batches see
+    * every source before any source repeats — the standard interleaving
+    * guard against source-correlated gradient drift.
+    *
+    * Scale shape: one per-source window (hash exchange on `source`) for
+    * `rn`; the source index/count frame is k rows, broadcast; the position
+    * arithmetic is scan-side. `budget` caps the emitted prefix; the output
+    * sort is the gate's, not the operator's (a training loader range-reads
+    * by `pos`).
+    */
+  def fairInterleave(df: DataFrame, idCol: Column, srcCol: Column,
+      budget: Long): DataFrame = {
+    val ranked = df.select(idCol.as("doc_id"), srcCol.as("source"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(portableHash(col("doc_id")), col("doc_id"))))
+    val srcIdx = df.select(srcCol.as("source")).distinct()
+      .withColumn("src_idx",
+        row_number().over(Window.orderBy(col("source"))) - 1)
+      .withColumn("k", count(lit(1)).over(Window.partitionBy(lit(1))))
+    ranked.join(broadcast(srcIdx), Seq("source"))
+      .select(((col("rn") - 1) * col("k") + col("src_idx")).cast("long").as("pos"),
+        col("source"), col("doc_id"))
+      .filter(col("pos") < budget)
+  }
+
   /** Passage-level exact dedup (Lee et al. 2022, "Deduplicating Training
     * Data Makes Language Models Better", arXiv:2107.06499 — their ExactSubstr
     * adapted to fixed token windows): every doc splits into consecutive

@@ -60,6 +60,48 @@ object Kmeans {
       .select(col("cluster").as("cid"),
         transform(col("pc"), p => p.getField("c")).as("cv"))
 
+  /** Per-LABEL scatter diagnostics over a labelled embedding table — the
+    * class-separability statistics (within-class and between-class sum of
+    * squares, the LDA/Fisher decomposition) an embedding-quality audit
+    * computes before trusting labels for clustering-based curation.
+    *
+    * Arithmetic is the class's exactness contract end-to-end: per-label and
+    * global centroids from DECIMAL(28,12) per-dimension sums (order-free ⇒
+    * engine-exact doubles), distances via the shared sequential-dot
+    * identity, within-SS through a DECIMAL(28,6) sum. Exchanges carry
+    * O(labels·dim) centroid rows and one (label, 2 doubles) row per label —
+    * never vectors.
+    *
+    * Output: (label, n, within_ss, between_ss), one row per label.
+    */
+  def labelScatter(emb: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val e = emb.select(col("label"),
+      Similarity.toDouble(col("embedding")).as("v"))
+    def centroidOf(grouped: DataFrame, keys: Column*): DataFrame = grouped
+      .groupBy((keys :+ col("pos")): _*)
+      .agg((sum(col("col").cast("decimal(28,12)")).cast("double")
+        / count(lit(1))).as("c"))
+      .groupBy(keys: _*)
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select((keys :+ transform(col("pc"), p => p.getField("c")).as("cv")): _*)
+    val cents = centroidOf(e.select(col("label"), posexplode(col("v"))), col("label"))
+    val global = centroidOf(e.select(lit(1).as("g"), posexplode(col("v"))), col("g"))
+      .select(col("cv").as("gv"))
+    def dist2(a: Column, b: Column): Column =
+      (Similarity.dot(a, a) - lit(2.0) * Similarity.dot(a, b)) + Similarity.dot(b, b)
+    val within = e.join(cents, Seq("label"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(dist2(col("v"), col("cv")).cast("decimal(28,6)"))
+          .cast("double").as("within_ss"))
+    within
+      .join(cents, Seq("label"))
+      .crossJoin(broadcast(global))
+      .select(col("label"), col("n"), col("within_ss"),
+        (col("n") * dist2(col("cv"), col("gv"))).as("between_ss"))
+  }
+
   /** Per-cluster fit summary after `steps` Lloyd iterations from `cents0`:
     * (cluster, n, inertia) with inertia an exact DECIMAL(28,6) sum of the
     * squared distances — the convergence metric a fit loop watches.

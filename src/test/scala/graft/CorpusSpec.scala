@@ -220,6 +220,24 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(4L).getAs[Long]("n_tokens") == 0 && out(4L).getAs[Double]("ttr") == 0.0)
   }
 
+  test("fairInterleave: every source appears once per round, deterministic") {
+    import spark.implicits._
+    val docs = (1L to 30L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "source")
+    val out = Corpus.fairInterleave(docs, col("doc_id"), col("source"), budget = 18L)
+      .orderBy("pos").collect()
+      .map(r => (r.getAs[Long]("pos"), r.getAs[String]("source"), r.getAs[Long]("doc_id")))
+    assert(out.length == 18 && out.map(_._1).toSeq == (0L until 18L))
+    // strict round-robin: every consecutive block of k=3 holds all 3 sources
+    out.grouped(3).foreach { round =>
+      assert(round.map(_._2).toSet == Set("s0", "s1", "s2"), round.toSeq)
+    }
+    // deterministic: a second run emits the identical order
+    val again = Corpus.fairInterleave(docs, col("doc_id"), col("source"), budget = 18L)
+      .orderBy("pos").collect()
+      .map(r => (r.getAs[Long]("pos"), r.getAs[String]("source"), r.getAs[Long]("doc_id")))
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("curriculum bins split the fixture corpus into near-quarters") {
     val out = graft.SparkEntry.queries("q113_curriculum_bins")(
       spark, "/root/testdata/sf0.001")

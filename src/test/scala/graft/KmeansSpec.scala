@@ -56,4 +56,19 @@ class KmeansSpec extends AnyFunSuite {
     assert(i1 <= i0 + 1e-6, s"inertia rose: $i0 -> $i1")
     assert(i0 > 0.0)
   }
+
+  test("labelScatter matches the hand-computed Fisher decomposition") {
+    import spark.implicits._
+    // label 0: (0,0),(2,0) -> centroid (1,0), within = 1+1 = 2
+    // label 1: (10,0),(12,0) -> centroid (11,0), within = 2
+    // global (6,0): between = 2*25 + 2*25 per label
+    val emb = Seq(
+      (1L, 0, Array(0f, 0f)), (2L, 0, Array(2f, 0f)),
+      (3L, 1, Array(10f, 0f)), (4L, 1, Array(12f, 0f))
+    ).toDF("vec_id", "label", "embedding")
+    val out = Kmeans.labelScatter(emb).orderBy("label").collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Long]("n"),
+        r.getAs[Double]("within_ss"), r.getAs[Double]("between_ss")))
+    assert(out.toSeq == Seq((0, 2L, 2.0, 50.0), (1, 2L, 2.0, 50.0)))
+  }
 }
