@@ -1177,6 +1177,25 @@ object SparkEntry {
       operators.Kmeans.labelScatter(t(s, d, "embeddings"))
         .orderBy(col("label"))),
 
+    // Exact ROC AUC (Eval.aucROC): the tie-aware Mann-Whitney rank
+    // statistic of "dot-with-vector-0 predicts label 0" over the labelled
+    // embeddings — the eval gate a scorer passes before its threshold is
+    // trusted to curate data. The rank sum is the packShards two-pass
+    // prefix-sum keyed by score (NEVER a global-window rank over the
+    // corpus); BigInteger accumulation + integer numerator/denominator
+    // keep it exact at any scale, and the oracle recomputes the same
+    // doubled average ranks in HUGEINT.
+    "q116_auc" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          Similarity.toDouble(col("embedding")).as("v"))
+      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val scored = e.crossJoin(broadcast(q))
+        .select(when(col("label") === 0, 1L).otherwise(0L).as("pos"),
+          Similarity.dot(col("v"), col("qv")).as("score"))
+      operators.Eval.aucROC(scored, col("pos"), col("score"))
+    }),
+
     // Fair round-robin interleave (Corpus.fairInterleave, budget 200): a
     // deterministic global training ORDER alternating sources one doc at a
     // time — position (rn−1)·k + src_idx from a per-source hash-rank
@@ -2725,6 +2744,32 @@ object SparkEntry {
         |              + list_dot_product(g.gv, g.gv)) AS between_ss
         |FROM w JOIN cl ON w.label = cl.label CROSS JOIN g
         |ORDER BY w.label""".stripMargin,
+
+    // mirrors Eval.aucROC group-by-score + doubled-average-rank
+    // arithmetic: cum window over the DISTINCT-score frame stands in for
+    // the two-pass prefix sum, HUGEINT for the BigInteger accumulator
+    "q116_auc" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |s AS (SELECT CASE WHEN e.label = 0 THEN 1 ELSE 0 END AS pos,
+        |             list_dot_product(e.v, q.qv) AS score
+        |      FROM e CROSS JOIN q),
+        |g AS (SELECT score, CAST(sum(pos) AS BIGINT) AS p,
+        |             CAST(count(*) AS BIGINT) AS c
+        |      FROM s GROUP BY score),
+        |o AS (SELECT p, c, CAST(sum(c) OVER (ORDER BY score) AS BIGINT) AS cum FROM g),
+        |t AS (SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+        |             CAST(sum(c) AS BIGINT) AS n_tot,
+        |             sum(CAST(p AS HUGEINT) * (2 * (cum - c) + c + 1)) AS contrib
+        |      FROM o)
+        |SELECT n_pos, n_tot - n_pos AS n_neg,
+        |  CAST(contrib - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DECIMAL(38,0)) AS auc_num,
+        |  CAST(2 * CAST(n_pos AS HUGEINT) * (n_tot - n_pos) AS DECIMAL(38,0)) AS auc_den,
+        |  CASE WHEN n_pos > 0 AND n_tot - n_pos > 0 THEN
+        |    round(CAST(contrib - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DOUBLE)
+        |          / CAST(2 * CAST(n_pos AS HUGEINT) * (n_tot - n_pos) AS DOUBLE), 6)
+        |  END AS auc
+        |FROM t""".stripMargin,
 
     // q64's one-multiply portable hash (ids < 2³²), per-source rank,
     // alphabetical source index, the same position arithmetic

@@ -1,0 +1,106 @@
+package graft.operators
+
+import java.math.{BigDecimal => JBigDecimal, BigInteger}
+
+import org.apache.spark.RangePartitioner
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Model-evaluation metrics over scored datasets — the audit step after a
+  * quality / relevance scorer runs and before its threshold is trusted to
+  * curate 100 TB. The flagship is exact ROC AUC via the tie-aware
+  * Mann-Whitney rank statistic:
+  *
+  *   AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺ · n⁻)
+  *
+  * where R⁺ is the sum of AVERAGE ranks of the positive examples under an
+  * ascending score order (average ranks make ties exact, not approximated).
+  *
+  * Scale shape — the naive spelling is `rank() OVER (ORDER BY score)`, a
+  * single-task window over the whole corpus. Instead:
+  *   1. group by score → (score, n_pos, n_total) — partial-aggregated, so
+  *      the exchange carries one row per DISTINCT score per partition;
+  *   2. range-partition the group frame by score and sort within
+  *      partitions — Spark's sampling RangePartitioner, the same engine
+  *      `ORDER BY` uses, so partitions are score-ordered end to end;
+  *   3. one tiny pass collects per-partition row counts (one row per
+  *      partition), the driver prefix-sums them into rank offsets;
+  *   4. a per-partition running count turns each tied group into its exact
+  *      doubled average rank `2·cumBefore + c + 1` and its contribution
+  *      `p · (2·cumBefore + c + 1)` to 2·R⁺ — pure sequential arithmetic,
+  *      no further exchange (the [[Corpus.packShards]] two-pass prefix-sum
+  *      idiom, keyed by score instead of id).
+  *
+  * Contributions accumulate in BigInteger: at 10¹¹ rows the doubled rank
+  * sum reaches ~10²², past Long but far inside DECIMAL(38,0) — the result
+  * is EXACT at any scale, and the integer numerator/denominator hash-gate
+  * against the oracle engine-for-engine.
+  */
+object Eval {
+
+  private val outSchema = StructType(Seq(
+    StructField("part_pos", LongType, nullable = false),
+    StructField("part_tot", LongType, nullable = false),
+    StructField("part_contrib", DecimalType(38, 0), nullable = false)))
+
+  /** Exact ROC AUC of `scoreCol` predicting `posCol` (1 = positive, 0 =
+    * negative). One output row:
+    * (n_pos, n_neg, auc_num DECIMAL(38,0), auc_den DECIMAL(38,0), auc) with
+    * auc_num = 2·R⁺ − n⁺(n⁺+1), auc_den = 2·n⁺·n⁻ and
+    * auc = round(num/den, 6). NULL auc when a class is empty.
+    */
+  def aucROC(scored: DataFrame, posCol: org.apache.spark.sql.Column,
+      scoreCol: org.apache.spark.sql.Column, numParts: Int = 0): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val parts =
+      if (numParts > 0) numParts
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val grouped = scored
+      .select(posCol.cast("long").as("pos"), scoreCol.cast("double").as("score"))
+      .groupBy(col("score"))
+      .agg(sum(col("pos")).as("p"), count(lit(1)).as("c"))
+      .as[(Double, Long, Long)].rdd
+      .map { case (score, p, c) => (score, (p, c)) }
+    // one RangePartitioner instance serves both passes: the sorted RDD is
+    // shuffled once and its shuffle files are reused by pass 2.
+    val nPart = math.max(1, math.min(parts, 32))
+    val sorted = grouped.repartitionAndSortWithinPartitions(
+      new RangePartitioner(nPart, grouped))
+    // pass 1: per-partition total counts (one Long per partition — KBs)
+    val subtotals = sorted
+      .mapPartitionsWithIndex { case (pid, it) =>
+        var s = 0L; it.foreach(s += _._2._2); Iterator((pid, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = subtotals.scanLeft(0L)(_ + _)
+    // pass 2: running rank + BigInteger contribution, one output row per
+    // partition (sum of p, sum of c, sum of p·(2·cumBefore + c + 1))
+    val partRows = sorted.mapPartitionsWithIndex { case (pid, it) =>
+      var cum = offsets(pid)
+      var sumP = 0L; var sumC = 0L; var contrib = BigInteger.ZERO
+      it.foreach { case (_, (p, c)) =>
+        val rank2 = BigInteger.valueOf(2L * cum + c + 1)
+        contrib = contrib.add(BigInteger.valueOf(p).multiply(rank2))
+        sumP += p; sumC += c; cum += c
+      }
+      Iterator(Row(sumP, sumC, new JBigDecimal(contrib)))
+    }
+    val perPart = spark.createDataFrame(partRows, outSchema)
+    val d38 = DecimalType(38, 0)
+    perPart.agg(
+        sum(col("part_pos")).as("n_pos"),
+        (sum(col("part_tot")) - sum(col("part_pos"))).as("n_neg"),
+        sum(col("part_contrib")).as("contrib"))
+      .select(col("n_pos"), col("n_neg"),
+        (col("contrib") - col("n_pos").cast(d38) * (col("n_pos") + 1).cast(d38))
+          .cast(d38).as("auc_num"),
+        (lit(2).cast(d38) * col("n_pos").cast(d38) * col("n_neg").cast(d38))
+          .cast(d38).as("auc_den"))
+      .select(col("n_pos"), col("n_neg"), col("auc_num"), col("auc_den"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(col("auc_num").cast("double") / col("auc_den").cast("double"), 6))
+          .as("auc"))
+  }
+}
