@@ -1177,6 +1177,16 @@ object SparkEntry {
       operators.Kmeans.labelScatter(t(s, d, "embeddings"))
         .orderBy(col("label"))),
 
+    // Dataset profiling (Profile.profile): per-column row/null/distinct
+    // counts + lexicographic min/max + total string length in ONE scan —
+    // the data-health report each curation stage is audited with. Exact
+    // distincts plan as a k-column Expand with map-side partial agg; the
+    // wide→long stack is scan-side over the single aggregated row.
+    "q117_profile" -> ((s, d) =>
+      operators.Profile.profile(t(s, d, "documents"),
+          Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .orderBy(col("col_name"))),
+
     // Exact ROC AUC (Eval.aucROC): the tie-aware Mann-Whitney rank
     // statistic of "dot-with-vector-0 predicts label 0" over the labelled
     // embeddings — the eval gate a scorer passes before its threshold is
@@ -2744,6 +2754,20 @@ object SparkEntry {
         |              + list_dot_product(g.gv, g.gv)) AS between_ss
         |FROM w JOIN cl ON w.label = cl.label CROSS JOIN g
         |ORDER BY w.label""".stripMargin,
+
+    // mirrors Profile.profile: per-column metrics over the string cast,
+    // one UNION ALL branch per column (DuckDB's planner happily rescans;
+    // the Spark side is the one-scan Expand)
+    "q117_profile" ->
+      (Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN CAST($c AS VARCHAR) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT CAST($c AS VARCHAR)) AS BIGINT) AS n_distinct,
+           |  substr(min(CAST($c AS VARCHAR)), 1, 32) AS min_val,
+           |  substr(max(CAST($c AS VARCHAR)), 1, 32) AS max_val,
+           |  CAST(sum(length(CAST($c AS VARCHAR))) AS BIGINT) AS sum_len
+           |FROM documents""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
 
     // mirrors Eval.aucROC group-by-score + doubled-average-rank
     // arithmetic: cum window over the DISTINCT-score frame stands in for
