@@ -1177,6 +1177,14 @@ object SparkEntry {
       operators.Kmeans.labelScatter(t(s, d, "embeddings"))
         .orderBy(col("label"))),
 
+    // PMI collocations (Corpus.pmiCollocations): top-50 word pairs by
+    // association lift c₁₂N²/(Mc₁c₂) — collocation mining over the corpus
+    // vocabulary. Log-free ranking (log is monotone in lift) keeps every
+    // compared value engine-exact; explode→partial-agg counts, vocab-sized
+    // hash joins, broadcast totals, bounded TakeOrdered top-k.
+    "q118_pmi" -> ((s, d) =>
+      operators.Corpus.pmiCollocations(t(s, d, "documents"), col("text"))),
+
     // Dataset profiling (Profile.profile): per-column row/null/distinct
     // counts + lexicographic min/max + total string length in ONE scan —
     // the data-health report each curation stage is audited with. Exact
@@ -2754,6 +2762,31 @@ object SparkEntry {
         |              + list_dot_product(g.gv, g.gv)) AS between_ss
         |FROM w JOIN cl ON w.label = cl.label CROSS JOIN g
         |ORDER BY w.label""".stripMargin,
+
+    // mirrors Corpus.pmiCollocations: q60's tokenization, zip-shifted
+    // bigrams, the same left-assoc per-factor double product
+    "q118_pmi" ->
+      """WITH tk AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |            FROM documents),
+        |tot AS (SELECT CAST(sum(length(toks)) AS BIGINT) AS n_tok,
+        |               CAST(sum(greatest(length(toks) - 1, 0)) AS BIGINT) AS n_bi
+        |        FROM tk),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+        |        FROM (SELECT unnest(toks) AS w FROM tk) GROUP BY w),
+        |bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_pair FROM (
+        |         SELECT unnest(list_transform(range(1, length(toks)),
+        |                  i -> struct_pack(w1 := toks[CAST(i AS INTEGER)],
+        |                                   w2 := toks[CAST(i AS INTEGER) + 1]))) AS p
+        |         FROM tk WHERE length(toks) >= 2) x
+        |       CROSS JOIN LATERAL (SELECT p.w1 AS w1, p.w2 AS w2) u
+        |       GROUP BY w1, w2 HAVING count(*) >= 20)
+        |SELECT bg.w1, bg.w2, c_pair, u1.c AS c_w1, u2.c AS c_w2,
+        |  round(CAST(c_pair AS DOUBLE) * CAST(n_tok AS DOUBLE) * CAST(n_tok AS DOUBLE)
+        |    / (CAST(n_bi AS DOUBLE) * CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)), 6) AS lift
+        |FROM bg JOIN uni u1 ON bg.w1 = u1.w JOIN uni u2 ON bg.w2 = u2.w
+        |CROSS JOIN tot
+        |ORDER BY lift DESC, bg.w1, bg.w2
+        |LIMIT 50""".stripMargin,
 
     // mirrors Profile.profile: per-column metrics over the string cast,
     // one UNION ALL branch per column (DuckDB's planner happily rescans;

@@ -527,4 +527,59 @@ object Corpus {
             when(col("keep"), struct(col("pos"), col("passage"))))),
           p => p.getField("passage")), " ").as("text_dedup"))
   }
+
+  /** PMI collocations — the top-k word pairs that co-occur far more than
+    * chance predicts: lift = p(w1w2) / (p(w1)·p(w2)) = c₁₂·N² / (M·c₁·c₂)
+    * with unigram total N and bigram total M. PMI = log(lift), and log is
+    * monotone, so ranking by lift IS ranking by PMI while staying in
+    * engine-exact arithmetic: counts are integers, the single
+    * cast-to-double division is IEEE-identical everywhere, and the result
+    * is rounded before the ordering ever matters.
+    *
+    * Scale shape: one explode→partial-agg for bigram counts, one for
+    * unigram counts (vocab-sized frames); the two count lookups are hash
+    * joins on the word; N and M ride in on a broadcast 1-row crossJoin;
+    * the top-k is a global sort-limit (TakeOrdered — k rows per partition
+    * travel, never the vocabulary). `minCount` prunes the noise floor
+    * BEFORE the joins — rare bigrams have huge-variance lift and are the
+    * bulk of the frame.
+    *
+    * Output: (w1, w2, c_pair, c_w1, c_w2, lift) — top `k` by
+    * (lift desc, w1, w2), lift rounded to 6 dp.
+    */
+  def pmiCollocations(docs: DataFrame, textCol: Column,
+      minCount: Long = 20L, k: Int = 50): DataFrame = {
+    val toks = docs.select(Text.tokens(textCol).as("toks"))
+    val totals = toks.agg(
+      sum(size(col("toks")).cast("long")).as("n_tok"),
+      sum(greatest(size(col("toks")) - 1, lit(0)).cast("long")).as("n_bi"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val pairs = toks
+      .select(explode(
+        when(size(col("toks")) < 2,
+          array().cast("array<struct<w1:string,w2:string>>"))
+          .otherwise(zip_with(
+            slice(col("toks"), lit(1), size(col("toks")) - 1),
+            slice(col("toks"), lit(2), size(col("toks")) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2"))))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_pair"))
+      .filter(col("c_pair") >= minCount)
+    pairs
+      .join(uni.select(col("w").as("w1"), col("c").as("c_w1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c_w2")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("c_pair"), col("c_w1"), col("c_w2"),
+        // per-factor double casts, NOT an integer product: c·N² overflows
+        // Long near 10¹³ tokens; the left-assoc double product is
+        // IEEE-identical in any engine and the oracle spells it the same
+        round(col("c_pair").cast("double") * col("n_tok").cast("double")
+            * col("n_tok").cast("double")
+          / (col("n_bi").cast("double") * col("c_w1").cast("double")
+            * col("c_w2").cast("double")), 6)
+          .as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
 }

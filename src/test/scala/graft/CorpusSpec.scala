@@ -270,4 +270,22 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(4L) == ((2L, 1L, "p q")), "within-doc repeat: first pos wins")
     assert(out(5L) == ((2L, 0L, "m n z")), "short tail passage survives")
   }
+
+  test("pmiCollocations: hand-computed lifts, tie order, min-count prune") {
+    import spark.implicits._
+    // N=7 tokens, M=5 bigrams; uni a=3 b=3 c=1
+    // (a,b)x3: 3*49/(5*9)=3.266667 ; (b,c)x1: 49/15=3.266667 (TIE, a<b)
+    // (b,a)x1: 49/45=1.088889
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = Corpus.pmiCollocations(docs, col("text"), minCount = 1L, k = 10)
+      .collect().map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+        r.getAs[Long]("c_pair"), r.getAs[Double]("lift")))
+    assert(got.toSeq == Seq(
+      ("a", "b", 3L, 3.266667), ("b", "c", 1L, 3.266667),
+      ("b", "a", 1L, 1.088889)))
+    // min-count prunes BEFORE the joins: the singletons vanish
+    val pruned = Corpus.pmiCollocations(docs, col("text"), minCount = 2L, k = 10)
+      .collect()
+    assert(pruned.length == 1 && pruned.head.getAs[String]("w1") == "a")
+  }
 }
