@@ -1177,6 +1177,20 @@ object SparkEntry {
       operators.Kmeans.labelScatter(t(s, d, "embeddings"))
         .orderBy(col("label"))),
 
+    // Rolling z-score anomaly detection (Sma.rollingAnomalies): ticks more
+    // than 3 trailing sample-σ from their own 20-tick mean, tested entirely
+    // in integer cents arithmetic ((n−1)·dev² > 9n·(nQ−S²) — no sqrt, no
+    // division). Same one-exchange-one-sort window shape as the SMA family.
+    "q119_rolling_anomaly" -> ((s, d) => {
+      import s.implicits._
+      operators.Sma.rollingAnomalies(
+          Pnl.eventsAsMarket(ev(s, d)).filter(_.kind == "price").toDF(),
+          col("hub"), col("price_mwh"), Seq(col("ts"), col("seq")))
+        .select(col("seq"), ntz(col("ts")).as("ts"), col("hub"),
+          col("price_mwh"), col("dev2_scaled"), col("thr_scaled"))
+        .orderBy(col("seq"))
+    }),
+
     // PMI collocations (Corpus.pmiCollocations): top-50 word pairs by
     // association lift c₁₂N²/(Mc₁c₂) — collocation mining over the corpus
     // vocabulary. Log-free ranking (log is monotone in lift) keeps every
@@ -2762,6 +2776,27 @@ object SparkEntry {
         |              + list_dot_product(g.gv, g.gv)) AS between_ss
         |FROM w JOIN cl ON w.label = cl.label CROSS JOIN g
         |ORDER BY w.label""".stripMargin,
+
+    // mirrors Sma.rollingAnomalies: cents cast, trailing integer sums,
+    // the multiplied-through 3σ test
+    "q119_rolling_anomaly" ->
+      s"""WITH $M_CTE,
+         |p AS (SELECT hub, ts, seq, price_mwh,
+         |        CAST(round(price_mwh * 100, 0) AS BIGINT) AS pc
+         |      FROM m WHERE kind = 'price'),
+         |w AS (SELECT hub, ts, seq, price_mwh, pc,
+         |        CAST(count(*) OVER win AS BIGINT) AS n,
+         |        CAST(sum(pc) OVER win AS BIGINT) AS s,
+         |        CAST(sum(pc * pc) OVER win AS BIGINT) AS q
+         |      FROM p WINDOW win AS (PARTITION BY hub ORDER BY ts, seq
+         |        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+         |SELECT seq, ts, hub, price_mwh,
+         |  (n - 1) * (n * pc - s) * (n * pc - s) AS dev2_scaled,
+         |  9 * n * (n * q - s * s) AS thr_scaled
+         |FROM w
+         |WHERE n = 20
+         |  AND (n - 1) * (n * pc - s) * (n * pc - s) > 9 * n * (n * q - s * s)
+         |ORDER BY seq""".stripMargin,
 
     // mirrors Corpus.pmiCollocations: q60's tokenization, zip-shifted
     // bigrams, the same left-assoc per-factor double product

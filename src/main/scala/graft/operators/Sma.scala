@@ -85,4 +85,44 @@ object Sma {
         }
       }
   }
+
+  /** Rolling z-score anomaly flags — the spike detector a market (or any
+    * metric) stream runs continuously: a tick is anomalous when it sits
+    * more than `z` sample standard deviations from its own trailing
+    * `window`-tick mean.
+    *
+    * The whole test runs in INTEGER arithmetic — no sqrt, no division, no
+    * doubles to diverge between engines. With cents `pc = round(100·x)`,
+    * trailing sums `S = Σpc`, `Q = Σpc²` and `dev = n·pc − S`:
+    *
+    *   |x − μ| > z·σ   ⇔   (n−1)·dev² > z²·n·(n·Q − S²)
+    *
+    * (multiply through by n²·(n−1); σ² = (n·Q − S²)/(n·(n−1)) is the
+    * sample variance). Only FULL windows are tested — a 3-tick history has
+    * no meaningful σ. Long headroom: dev² and n·Q stay under 2⁶³ for
+    * |pc| < ~10⁸ cents (million-dollar prints) at window 20; past that,
+    * cast the two comparison sides to DECIMAL(38,0) — same plan shape.
+    *
+    * Scale shape: identical to [[withForecast]] — one hash exchange on the
+    * key, one sort serving both trailing frames, scan-side arithmetic,
+    * then a selective filter. Emits only the flagged ticks:
+    * (seq, ts, hub, price_mwh, dev2_scaled, thr_scaled).
+    */
+  def rollingAnomalies(prices: DataFrame, keyCol: Column, valueCol: Column,
+      orderCols: Seq[Column], window: Int = 20, z: Int = 3): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(orderCols: _*)
+      .rowsBetween(-(window - 1), 0)
+    prices
+      .withColumn("pc", round(valueCol * 100).cast("long"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum(col("pc")).over(w))
+      .withColumn("q", sum(col("pc") * col("pc")).over(w))
+      .filter(col("n") === window)
+      .withColumn("dev", col("n") * col("pc") - col("s"))
+      .withColumn("dev2_scaled", (col("n") - 1) * col("dev") * col("dev"))
+      .withColumn("thr_scaled",
+        lit(z.toLong * z) * col("n") * (col("n") * col("q") - col("s") * col("s")))
+      .filter(col("dev2_scaled") > col("thr_scaled"))
+      .drop("pc", "n", "s", "q", "dev")
+  }
 }
