@@ -1177,6 +1177,26 @@ object SparkEntry {
       operators.Kmeans.labelScatter(t(s, d, "embeddings"))
         .orderBy(col("label"))),
 
+    // Chi-square contingency (Stats.contingencyChi2): source × lang
+    // observed/expected/χ²-contribution cells — the independence audit
+    // between metadata dimensions. One partial-agg scan to the cell frame;
+    // margins re-aggregate CELLS (never the data) and broadcast back.
+    "q120_chi2" -> ((s, d) =>
+      operators.Stats.contingencyChi2(t(s, d, "documents"),
+          col("source"), col("lang"))
+        .orderBy(col("a"), col("b"))),
+
+    // Grouped OLS (Stats.olsByGroup): per-source regression of document
+    // length on token count — exact DECIMAL(38,0) slope/intercept
+    // numerators over integer sums, rounded double ratios for humans.
+    "q121_group_ols" -> ((s, d) =>
+      operators.Stats.olsByGroup(
+          t(s, d, "documents").select(col("source"),
+            size(graft.functions.Text.tokens(col("text"))).cast("long").as("n_tok"),
+            col("n_chars")),
+          col("source"), col("n_tok"), col("n_chars"))
+        .orderBy(col("grp"))),
+
     // Rolling z-score anomaly detection (Sma.rollingAnomalies): ticks more
     // than 3 trailing sample-σ from their own 20-tick mean, tested entirely
     // in integer cents arithmetic ((n−1)·dev² > 9n·(nQ−S²) — no sqrt, no
@@ -2776,6 +2796,52 @@ object SparkEntry {
         |              + list_dot_product(g.gv, g.gv)) AS between_ss
         |FROM w JOIN cl ON w.label = cl.label CROSS JOIN g
         |ORDER BY w.label""".stripMargin,
+
+    // mirrors Stats.contingencyChi2: same cell/margin aggregation, same
+    // left-assoc double expected/contribution arithmetic
+    "q120_chi2" ->
+      """WITH cells AS (SELECT source AS a, lang AS b, CAST(count(*) AS BIGINT) AS o
+        |               FROM documents GROUP BY 1, 2),
+        |rm AS (SELECT a, CAST(sum(o) AS BIGINT) AS r_total FROM cells GROUP BY a),
+        |cm AS (SELECT b, CAST(sum(o) AS BIGINT) AS c_total FROM cells GROUP BY b),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n_total FROM cells)
+        |SELECT cells.a, cells.b, o, r_total, c_total,
+        |  round(CAST(r_total AS DOUBLE) * CAST(c_total AS DOUBLE)
+        |        / CAST(n_total AS DOUBLE), 6) AS expected,
+        |  round((CAST(o AS DOUBLE) * CAST(n_total AS DOUBLE)
+        |           - CAST(r_total AS DOUBLE) * CAST(c_total AS DOUBLE))
+        |        * (CAST(o AS DOUBLE) * CAST(n_total AS DOUBLE)
+        |           - CAST(r_total AS DOUBLE) * CAST(c_total AS DOUBLE))
+        |        / (CAST(n_total AS DOUBLE) * CAST(r_total AS DOUBLE)
+        |           * CAST(c_total AS DOUBLE)), 6) AS contrib
+        |FROM cells JOIN rm ON cells.a = rm.a JOIN cm ON cells.b = cm.b
+        |CROSS JOIN tot
+        |ORDER BY cells.a, cells.b""".stripMargin,
+
+    // mirrors Stats.olsByGroup: q60's tokenization for x, HUGEINT sums
+    // cast to DECIMAL(38,0) for the closed-form products
+    "q121_group_ols" ->
+      """WITH d AS (SELECT source AS grp,
+        |             CAST(length(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS x,
+        |             n_chars AS y
+        |           FROM documents),
+        |a AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |        CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+        |      FROM d GROUP BY grp)
+        |SELECT grp, n,
+        |  CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DECIMAL(38,0)) AS slope_num,
+        |  CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DECIMAL(38,0)) AS slope_den,
+        |  CAST(CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy AS DECIMAL(38,0)) AS icept_num,
+        |  CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx <> 0 THEN
+        |    round(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |          / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE), 6)
+        |  END AS slope,
+        |  CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx <> 0 THEN
+        |    round(CAST(CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy AS DOUBLE)
+        |          / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE), 6)
+        |  END AS intercept
+        |FROM a ORDER BY grp""".stripMargin,
 
     // mirrors Sma.rollingAnomalies: cents cast, trailing integer sums,
     // the multiplied-through 3σ test

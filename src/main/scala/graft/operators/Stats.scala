@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Categorical-association and grouped-regression statistics — the
+  * relationship audits a curation pipeline runs between its metadata
+  * dimensions (is `lang` independent of `source`? does length scale with
+  * token count the same way per source?). Both operators aggregate to
+  * margin-sized frames first, so the expensive part is one partial-agg
+  * scan; the statistics themselves are arithmetic over KB-sized frames.
+  */
+object Stats {
+
+  /** Chi-square contingency table: observed cell counts for `aCol` × `bCol`
+    * plus row/column margins, the expected count under independence, and
+    * each cell's χ² contribution (o−e)²/e — the per-cell evidence display
+    * every independence test reads. (The χ² total is Σ of the UNROUNDED
+    * contributions — summing engine-rounded doubles is order-dependent, so
+    * the operator reports cells and leaves the scalar to the caller.)
+    *
+    * Engine-exact: expected and contribution are left-assoc double
+    * products/quotients of the integer counts — identical IEEE ops in any
+    * engine — rounded to 6 dp. `dev = o·N − r·c` is formed in doubles, not
+    * integers: the integer product overflows Long once o·N passes 2⁶³
+    * (~10¹¹ rows × 10¹¹ total), the doubles never do.
+    *
+    * Scale shape: one groupBy(a, b) partial-agg scan → cell frame
+    * (|a|·|b| rows); margins re-aggregate the CELL frame (never the data)
+    * and broadcast back; everything after is scan-side arithmetic on KBs.
+    */
+  def contingencyChi2(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val cells = df.groupBy(aCol.as("a"), bCol.as("b"))
+      .agg(count(lit(1)).as("o"))
+    val rm = cells.groupBy(col("a")).agg(sum(col("o")).as("r_total"))
+    val cm = cells.groupBy(col("b")).agg(sum(col("o")).as("c_total"))
+    val tot = cells.agg(sum(col("o")).as("n_total"))
+    val oD = col("o").cast("double"); val nD = col("n_total").cast("double")
+    val rD = col("r_total").cast("double"); val cD = col("c_total").cast("double")
+    val dev = oD * nD - rD * cD
+    cells
+      .join(broadcast(rm), Seq("a"))
+      .join(broadcast(cm), Seq("b"))
+      .crossJoin(broadcast(tot))
+      .select(col("a"), col("b"), col("o"), col("r_total"), col("c_total"),
+        round(rD * cD / nD, 6).as("expected"),
+        round(dev * dev / (nD * rD * cD), 6).as("contrib"))
+  }
+
+  /** Per-group ordinary-least-squares line y ~ x: exact DECIMAL(38,0)
+    * numerators/denominators from the closed form
+    *
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    *   intercept = (Σy·Σx² − Σx·Σxy) / (n·Σx² − (Σx)²)
+    *
+    * over INTEGER x/y. The sums accumulate in Long (Σxy needs x·y·rows
+    * < 2⁶³ — beyond that, cast the inputs to DECIMAL at the agg); the
+    * closed-form products run in DECIMAL(38,0), which holds n·Σxy up to
+    * 10³⁸ — exact at any realistic scale, and the integer num/den pair
+    * hash-gates engine-for-engine. The rounded double quotients ride along
+    * for humans. Degenerate groups (constant x → den 0) yield NULL ratios.
+    *
+    * Scale shape: one partial-agg scan to a |groups|-row frame; the rest
+    * is scan-side decimal arithmetic.
+    */
+  def olsByGroup(df: DataFrame, groupCol: Column, xCol: Column,
+      yCol: Column): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val x = xCol.cast("long"); val y = yCol.cast("long")
+    val agged = df.groupBy(groupCol.as("grp"))
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(x * y).as("sxy"))
+    val nD = col("n").cast(d38); val sxD = col("sx").cast(d38)
+    val syD = col("sy").cast(d38); val sxxD = col("sxx").cast(d38)
+    val sxyD = col("sxy").cast(d38)
+    agged.select(col("grp"), col("n"),
+        (nD * sxyD - sxD * syD).cast(d38).as("slope_num"),
+        (nD * sxxD - sxD * sxD).cast(d38).as("slope_den"),
+        (syD * sxxD - sxD * sxyD).cast(d38).as("icept_num"))
+      .select(col("grp"), col("n"), col("slope_num"), col("slope_den"),
+        col("icept_num"),
+        when(col("slope_den") =!= 0,
+          round(col("slope_num").cast("double") / col("slope_den").cast("double"), 6))
+          .as("slope"),
+        when(col("slope_den") =!= 0,
+          round(col("icept_num").cast("double") / col("slope_den").cast("double"), 6))
+          .as("intercept"))
+  }
+}
