@@ -141,6 +141,28 @@ object SparkEntry {
        |  FROM r JOIN p ON p.hub = r.hub AND p.rn = r.rn + 1)
        |SELECT seq, ts, hub, price_mwh, ewma FROM r ORDER BY seq""".stripMargin
 
+  /** Shared q119/q122 oracle: cents cast, trailing integer sums, the
+    * multiplied-through 3σ test over full 20-tick windows per hub.
+    */
+  private val ANOMALY_SQL =
+    s"""WITH $M_CTE,
+       |p AS (SELECT hub, ts, seq, price_mwh,
+       |        CAST(round(price_mwh * 100, 0) AS BIGINT) AS pc
+       |      FROM m WHERE kind = 'price'),
+       |w AS (SELECT hub, ts, seq, price_mwh, pc,
+       |        CAST(count(*) OVER win AS BIGINT) AS n,
+       |        CAST(sum(pc) OVER win AS BIGINT) AS s,
+       |        CAST(sum(pc * pc) OVER win AS BIGINT) AS q
+       |      FROM p WINDOW win AS (PARTITION BY hub ORDER BY ts, seq
+       |        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+       |SELECT seq, ts, hub, price_mwh,
+       |  (n - 1) * (n * pc - s) * (n * pc - s) AS dev2_scaled,
+       |  9 * n * (n * q - s * s) AS thr_scaled
+       |FROM w
+       |WHERE n = 20
+       |  AND (n - 1) * (n * pc - s) * (n * pc - s) > 9 * n * (n * q - s * s)
+       |ORDER BY seq""".stripMargin
+
   /** Frozen events→DA/RT mapping (reference query surface R5/R6,
     * README.md:99-100): every 10th event is a day-ahead LMP print, every
     * event a real-time print (mirroring producer_da_rt.py's 10:1 cadence);
@@ -1206,6 +1228,22 @@ object SparkEntry {
       operators.Sma.rollingAnomalies(
           Pnl.eventsAsMarket(ev(s, d)).filter(_.kind == "price").toDF(),
           col("hub"), col("price_mwh"), Seq(col("ts"), col("seq")))
+        .select(col("seq"), ntz(col("ts")).as("ts"), col("hub"),
+          col("price_mwh"), col("dev2_scaled"), col("thr_scaled"))
+        .orderBy(col("seq"))
+    }),
+
+    // Streaming anomaly detection ≡ batch ≡ oracle (q119's twin): the
+    // price tape replayed in 4 ordered micro-batches through a per-hub
+    // ring of the last 19 cents values; each tick completes its own
+    // 20-window and runs the SAME integer 3σ kernel. Append mode — only
+    // flagged ticks emit.
+    "q122_streaming_anomaly" -> ((s, d) => {
+      import s.implicits._
+      val tape = Pnl.eventsAsMarket(ev(s, d)).filter(_.kind == "price").collect()
+        .toSeq.sortBy(e => (e.ts.getTime, e.seq))
+      graft.streaming.MemoryReplay.replay(s, tape, nBatches = 4)(
+          graft.streaming.StreamingOps.anomalyStream(_))
         .select(col("seq"), ntz(col("ts")).as("ts"), col("hub"),
           col("price_mwh"), col("dev2_scaled"), col("thr_scaled"))
         .orderBy(col("seq"))
@@ -2843,26 +2881,8 @@ object SparkEntry {
         |  END AS intercept
         |FROM a ORDER BY grp""".stripMargin,
 
-    // mirrors Sma.rollingAnomalies: cents cast, trailing integer sums,
-    // the multiplied-through 3σ test
-    "q119_rolling_anomaly" ->
-      s"""WITH $M_CTE,
-         |p AS (SELECT hub, ts, seq, price_mwh,
-         |        CAST(round(price_mwh * 100, 0) AS BIGINT) AS pc
-         |      FROM m WHERE kind = 'price'),
-         |w AS (SELECT hub, ts, seq, price_mwh, pc,
-         |        CAST(count(*) OVER win AS BIGINT) AS n,
-         |        CAST(sum(pc) OVER win AS BIGINT) AS s,
-         |        CAST(sum(pc * pc) OVER win AS BIGINT) AS q
-         |      FROM p WINDOW win AS (PARTITION BY hub ORDER BY ts, seq
-         |        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
-         |SELECT seq, ts, hub, price_mwh,
-         |  (n - 1) * (n * pc - s) * (n * pc - s) AS dev2_scaled,
-         |  9 * n * (n * q - s * s) AS thr_scaled
-         |FROM w
-         |WHERE n = 20
-         |  AND (n - 1) * (n * pc - s) * (n * pc - s) > 9 * n * (n * q - s * s)
-         |ORDER BY seq""".stripMargin,
+    "q119_rolling_anomaly" -> ANOMALY_SQL,
+    "q122_streaming_anomaly" -> ANOMALY_SQL,
 
     // mirrors Corpus.pmiCollocations: q60's tokenization, zip-shifted
     // bigrams, the same left-assoc per-factor double product

@@ -15,6 +15,17 @@ final case class EwmaRow(
     price_mwh: Double,
     ewma: Double)
 
+/** One flagged tick from the rolling z-score anomaly detector (q119 batch,
+  * q122 streaming — identical integer test, identical oracle).
+  */
+final case class AnomalyRow(
+    seq: Long,
+    ts: java.sql.Timestamp,
+    hub: String,
+    price_mwh: Double,
+    dev2_scaled: Long,
+    thr_scaled: Long)
+
 /** Rolling simple-moving-average forecast (reference `ForecastFunction`,
   * ForecastsJob.java:76-88; SURVEY.md §2.4).
   *
@@ -108,6 +119,19 @@ object Sma {
     * then a selective filter. Emits only the flagged ticks:
     * (seq, ts, hub, price_mwh, dev2_scaled, thr_scaled).
     */
+  /** The q119 integer 3σ test over one FULL window of cents (last element
+    * is the tick under test) — the pure kernel shared by the batch window
+    * plan and [[graft.streaming.StreamingOps.anomalyStream]]'s ring state.
+    * Returns (dev2_scaled, thr_scaled); anomalous iff dev2 > thr.
+    */
+  private[graft] def anomalyScores(win: IndexedSeq[Long], z: Int): (Long, Long) = {
+    val n = win.length.toLong
+    var s = 0L; var q = 0L
+    win.foreach { v => s += v; q += v * v }
+    val dev = n * win.last - s
+    ((n - 1) * dev * dev, z.toLong * z * n * (n * q - s * s))
+  }
+
   def rollingAnomalies(prices: DataFrame, keyCol: Column, valueCol: Column,
       orderCols: Seq[Column], window: Int = 20, z: Int = 3): DataFrame = {
     val w = Window.partitionBy(keyCol).orderBy(orderCols: _*)

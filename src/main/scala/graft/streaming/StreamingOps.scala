@@ -18,6 +18,11 @@ final case class SmaState(window: Seq[Double])
   */
 final case class EwmaState(s: Double)
 
+/** Anomaly-detector ring state: the last ≤19 cents values per key, newest
+  * last (window−1 — the current tick completes the window on arrival).
+  */
+final case class AnomalyState(cents: Seq[Long])
+
 /** Doc ids seen in one LSH band bucket (streaming near-dup state). */
 final case class BandBucket(ids: Seq[Long])
 
@@ -161,6 +166,39 @@ object StreamingOps {
             graft.operators.EwmaRow(e.seq, e.ts, hub, e.price_mwh, v)
           }
           s.foreach(v => state.update(EwmaState(v)))
+          out.iterator
+      }
+  }
+
+  /** Streaming twin of [[graft.operators.Sma.rollingAnomalies]] (q119 ⇄
+    * q122): per-key ring of the last `window−1` cents values; each arriving
+    * tick completes its own 20-window, runs the SAME integer 3σ kernel
+    * ([[graft.operators.Sma.anomalyScores]]), and emits ONLY if flagged —
+    * Append mode, no watermark needed (the pinned (ts, seq) tape order is
+    * the §2.1 S5 contract). State is `window−1` longs per key, forever.
+    */
+  def anomalyStream(events: Dataset[MarketEvent], window: Int = 20,
+      z: Int = 3): Dataset[graft.operators.AnomalyRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.hub)
+      .flatMapGroupsWithState[AnomalyState, graft.operators.AnomalyRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (hub, it, state) =>
+          var ring = state.getOption.map(_.cents.toVector).getOrElse(Vector.empty)
+          val out = it.toVector.sortBy(sortedKey).flatMap { e =>
+            val pc = Math.round(e.price_mwh * 100)
+            val win = ring :+ pc
+            ring = win.takeRight(window - 1)
+            if (win.length == window) {
+              val (dev2, thr) = graft.operators.Sma.anomalyScores(win, z)
+              if (dev2 > thr)
+                Some(graft.operators.AnomalyRow(e.seq, e.ts, hub, e.price_mwh, dev2, thr))
+              else None
+            } else None
+          }
+          state.update(AnomalyState(ring))
           out.iterator
       }
   }

@@ -116,6 +116,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming anomaly ring survives micro-batch cuts: equals batch window plan") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prices = marketEvents.filter(_.kind == "price")
+    val input = MemoryStream[MarketEvent]
+    val q = StreamingOps.anomalyStream(input.toDS())
+      .writeStream.format("memory").queryName("anom_out").outputMode("append").start()
+    try {
+      // tiny chunks: many windows STRADDLE a state cut
+      prices.grouped(math.max(1, prices.size / 7 + 1)).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      val got = spark.table("anom_out").as[graft.operators.AnomalyRow]
+        .collect().sortBy(_.seq)
+      val want = graft.operators.Sma.rollingAnomalies(
+          prices.toDS().toDF(), org.apache.spark.sql.functions.col("hub"),
+          org.apache.spark.sql.functions.col("price_mwh"),
+          Seq(org.apache.spark.sql.functions.col("ts"),
+            org.apache.spark.sql.functions.col("seq")))
+        .as[graft.operators.AnomalyRow].collect().sortBy(_.seq)
+      assert(got.length == want.length && got.nonEmpty)
+      got.zip(want).foreach { case (g, w) => assert(g == w) }
+    } finally q.stop()
+  }
+
   test("streaming SMA forecast over 4 micro-batches matches batch window op") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
