@@ -1199,6 +1199,41 @@ object SparkEntry {
       operators.Kmeans.labelScatter(t(s, d, "embeddings"))
         .orderBy(col("label"))),
 
+    // Regular-grid resample + forward-fill (Bars.resampleFfill): the
+    // gap-free hourly series a model trains on — ticks collapse to bars,
+    // the grid explodes from the per-hub SPANS frame (never from ticks),
+    // empty buckets carry the last close via last() IGNORE NULLS.
+    "q123_resample_ffill" -> ((s, d) => {
+      import s.implicits._
+      operators.Bars.resampleFfill(Pnl.eventsAsMarket(ev(s, d)).toDF())
+        .orderBy(col("hub"), col("bucket_start_s"))
+    }),
+
+    // TPC-H Q3 shape (shipping-priority revenue): segment-filtered
+    // customer (broadcast dim) × date-filtered orders × lineitem, decimal
+    // revenue, bounded top-10 — the classic 3-table analytics join.
+    "q124_tpch_q3" -> ((s, d) =>
+      t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(t(s, d, "orders")
+            .filter(col("o_orderdate") < lit("1998-06-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, d, "lineitem")
+            .filter(col("l_shipdate") > lit("1998-06-01").cast("timestamp")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)),
+
+    // Equi-width histogram (Profile.histogram): value-distribution bins
+    // for a numeric column — the profiling companion every drift check
+    // reads. One partial-agg scan; bins are scan-side floor arithmetic.
+    "q125_histogram" -> ((s, d) =>
+      operators.Profile.histogram(t(s, d, "orders"), col("o_totalprice"),
+          width = 50000.0)
+        .orderBy(col("bin"))),
+
     // Chi-square contingency (Stats.contingencyChi2): source × lang
     // observed/expected/χ²-contribution cells — the independence audit
     // between metadata dimensions. One partial-agg scan to the cell frame;
@@ -2883,6 +2918,49 @@ object SparkEntry {
 
     "q119_rolling_anomaly" -> ANOMALY_SQL,
     "q122_streaming_anomaly" -> ANOMALY_SQL,
+
+    // mirrors Bars.resampleFfill: bars → spans → range-exploded grid →
+    // IGNORE NULLS forward fill (range end is exclusive, hence mx + step)
+    "q123_resample_ffill" ->
+      s"""WITH $M_CTE,
+         |bars AS (
+         |  SELECT hub, CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_start_s,
+         |         (max({'ts': ts, 'seq': seq, 'px': price_mwh})).px AS close,
+         |         CAST(count(*) AS BIGINT) AS n_ticks
+         |  FROM m WHERE kind = 'price' GROUP BY 1, 2),
+         |spans AS (SELECT hub, min(bucket_start_s) AS mn, max(bucket_start_s) AS mx
+         |          FROM bars GROUP BY 1),
+         |grid AS (SELECT hub, unnest(range(mn, mx + 3600, 3600)) AS bucket_start_s
+         |         FROM spans)
+         |SELECT g.hub, g.bucket_start_s,
+         |  COALESCE(n_ticks, 0) AS n_ticks,
+         |  bars.close IS NULL AS is_gap,
+         |  last_value(bars.close IGNORE NULLS) OVER (
+         |    PARTITION BY g.hub ORDER BY g.bucket_start_s
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_ffill
+         |FROM grid g LEFT JOIN bars
+         |  ON g.hub = bars.hub AND g.bucket_start_s = bars.bucket_start_s
+         |ORDER BY 1, 2""".stripMargin,
+
+    // mirrors q124: same q08 decimal-revenue idiom, same tie-broken top-10
+    "q124_tpch_q3" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    // mirrors Profile.histogram: floor-division bins over the double cast
+    "q125_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
+        |  CAST(floor(o_totalprice / 50000.0) AS BIGINT) * 50000.0 AS bin_lo,
+        |  count(*) AS n, min(o_totalprice) AS min_val, max(o_totalprice) AS max_val
+        |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin,
 
     // mirrors Corpus.pmiCollocations: q60's tokenization, zip-shifted
     // bigrams, the same left-assoc per-factor double product

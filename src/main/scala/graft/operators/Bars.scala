@@ -51,4 +51,41 @@ object Bars {
         col("vwap"), col("mw_total"), col("n_trades"))
     px.join(tr, Seq("hub", "bucket_start_s"), "full_outer")
   }
+
+  /** Regular-grid resample with forward-fill — the gap-free time series a
+    * downstream model trains on: one row per (hub, `stepSec` bucket) from
+    * each hub's first tick bucket to its last, carrying the last observed
+    * close through empty buckets (`is_gap` marks the filled rows).
+    *
+    * Scale shape: ticks collapse to bars first (one partial-agg exchange,
+    * one row per (hub, bucket)); the grid EXPLODES FROM THE SPANS frame
+    * (|hubs| rows → |hubs|·|buckets|), never from ticks; the forward fill
+    * is `last(close) IGNORE NULLS` over a per-hub bucket order — one hash
+    * exchange on hub over the BAR-sized frame. Nothing after the first
+    * aggregate ever touches a tick.
+    *
+    * Output: (hub, bucket_start_s, n_ticks, is_gap, close_ffill).
+    */
+  def resampleFfill(market: DataFrame, stepSec: Long = 3600L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tick = struct(col("ts"), col("seq"), col("price_mwh").as("px"))
+    val bars = market.filter(col("kind") === "price")
+      .groupBy(col("hub"),
+        (floor(unix_timestamp(col("ts")) / stepSec) * stepSec)
+          .cast("long").as("bucket_start_s"))
+      .agg(max(tick).as("c"), count(lit(1)).as("n_ticks"))
+      .select(col("hub"), col("bucket_start_s"),
+        col("c.px").as("close"), col("n_ticks"))
+    val spans = bars.groupBy(col("hub"))
+      .agg(min(col("bucket_start_s")).as("mn"), max(col("bucket_start_s")).as("mx"))
+    val grid = spans.select(col("hub"),
+      explode(sequence(col("mn"), col("mx"), lit(stepSec))).as("bucket_start_s"))
+    val w = Window.partitionBy(col("hub")).orderBy(col("bucket_start_s"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(bars, Seq("hub", "bucket_start_s"), "left")
+      .select(col("hub"), col("bucket_start_s"),
+        coalesce(col("n_ticks"), lit(0L)).as("n_ticks"),
+        col("close").isNull.as("is_gap"),
+        last(col("close"), ignoreNulls = true).over(w).as("close_ffill"))
+  }
 }

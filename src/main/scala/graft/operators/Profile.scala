@@ -45,4 +45,19 @@ object Profile {
       .select(col("col_name"), col("__n").as("n_rows"), col("n_null"),
         col("n_distinct"), col("min_val"), col("max_val"), col("sum_len"))
   }
+
+  /** Equi-width histogram of a numeric column: one row per occupied bin
+    * (empty bins are absent — at 100 TB the occupied-bin frame is what
+    * fits anywhere; grid-completing is a tiny left join the caller can
+    * add). `bin = floor(x / width)`, engine-exact for doubles; min/max
+    * ride along so each bar is self-describing.
+    * Output: (bin, bin_lo, n, min_val, max_val).
+    */
+  def histogram(df: DataFrame, valueCol: Column, width: Double): DataFrame =
+    df.select(valueCol.cast("double").as("x"))
+      .groupBy(floor(col("x") / width).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"), min(col("x")).as("min_val"),
+        max(col("x")).as("max_val"))
+      .select(col("bin"), (col("bin") * width).as("bin_lo"), col("n"),
+        col("min_val"), col("max_val"))
 }

@@ -90,4 +90,29 @@ class BarsSpec extends AnyFunSuite {
     // H0 ticks span minutes 1..70 → 30-minute bars: [0,30), [30,60), [60,90)
     assert(out.length == 3)
   }
+
+  test("resampleFfill completes the grid and carries the close through gaps") {
+    import spark.implicits._
+    // H0 price ticks in hour-buckets 0, 1 and 4 → gaps at 2 and 3
+    val df = Seq(
+      (1L, ts(5), "H0", "price", "", 0, 10.0),
+      (2L, ts(50), "H0", "price", "", 0, 12.0),  // bucket 0 close
+      (3L, ts(65), "H0", "price", "", 0, 20.0),  // bucket 1
+      (4L, ts(245), "H0", "price", "", 0, 30.0), // bucket 4
+      // trades must be invisible to the price resample
+      (5L, ts(125), "H0", "trade", "BUY", 5, 99.0)
+    ).toDF("seq", "ts", "hub", "kind", "side", "mw", "price_mwh")
+    val out = Bars.resampleFfill(df).orderBy("bucket_start_s").collect()
+    assert(out.length == 5) // buckets 0..4 inclusive
+    val byIdx = out.zipWithIndex.map(_.swap).toMap
+    assert(byIdx(0).getAs[Long]("n_ticks") == 2
+      && !byIdx(0).getAs[Boolean]("is_gap")
+      && byIdx(0).getAs[Double]("close_ffill") == 12.0)
+    assert(byIdx(2).getAs[Boolean]("is_gap")
+      && byIdx(2).getAs[Long]("n_ticks") == 0
+      && byIdx(2).getAs[Double]("close_ffill") == 20.0, "gap carries bucket-1 close")
+    assert(byIdx(3).getAs[Double]("close_ffill") == 20.0)
+    assert(!byIdx(4).getAs[Boolean]("is_gap")
+      && byIdx(4).getAs[Double]("close_ffill") == 30.0)
+  }
 }

@@ -33,6 +33,26 @@ class ProfileSpec extends AnyFunSuite {
     assert(r.getAs[Long]("sum_len") == 200) // sum_len is over FULL values
   }
 
+  test("histogram bins by floor division, empty bins absent") {
+    import spark.implicits._
+    val df = Seq(0.0, 5.0, 9.99, 10.0, 25.0, 25.0).toDF("v")
+    val rows = Profile.histogram(df, col("v"), width = 10.0).collect()
+      .map(r => r.getAs[Long]("bin") -> r).toMap
+    assert(rows.keySet == Set(0L, 1L, 2L)) // bin for 30s range absent
+    assert(rows(0L).getAs[Long]("n") == 3
+      && rows(0L).getAs[Double]("max_val") == 9.99)
+    assert(rows(1L).getAs[Long]("n") == 1
+      && rows(1L).getAs[Double]("bin_lo") == 10.0)
+    assert(rows(2L).getAs[Long]("n") == 2)
+  }
+
+  test("q124 plan broadcasts the filtered dims into the fact join") {
+    val df = graft.SparkEntry.queries("q124_tpch_q3")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+  }
+
   test("q117 plan reads the table exactly once (k-distinct Expand, no re-scan)") {
     val df = graft.SparkEntry.queries("q117_profile")(
       spark, "/root/testdata/sf0.001")
