@@ -1199,6 +1199,14 @@ object SparkEntry {
       operators.Kmeans.labelScatter(t(s, d, "embeddings"))
         .orderBy(col("label"))),
 
+    // Dimension covariance matrix (Kmeans.covarianceMatrix): the
+    // second-moment summary PCA starts from. Pair products are generated
+    // scan-side by an array lambda (no self-join); the exchange carries
+    // O(d²) partial sums per partition regardless of row count.
+    "q126_covariance" -> ((s, d) =>
+      operators.Kmeans.covarianceMatrix(t(s, d, "embeddings"))
+        .orderBy(col("i"), col("j"))),
+
     // Regular-grid resample + forward-fill (Bars.resampleFfill): the
     // gap-free hourly series a model trains on — ticks collapse to bars,
     // the grid explodes from the per-hub SPANS frame (never from ticks),
@@ -2918,6 +2926,26 @@ object SparkEntry {
 
     "q119_rolling_anomaly" -> ANOMALY_SQL,
     "q122_streaming_anomaly" -> ANOMALY_SQL,
+
+    // mirrors Kmeans.covarianceMatrix: DuckDB lambda indexes are 1-based
+    // (Spark's are 0-based), hence the -1 shifts; same decimal sums, same
+    // pinned closed-form double order
+    "q126_covariance" ->
+      """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |px AS (SELECT u.i, u.j, CAST(u.xy AS DECIMAL(28,12)) AS xy
+        |       FROM e, unnest(flatten(list_transform(v, (x, i0) ->
+        |         list_transform(v[i0:], (y, j0) ->
+        |           struct_pack(i := i0 - 1, j := i0 + j0 - 2, xy := x * y))))) AS t(u)),
+        |pairs AS (SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+        |            sum(xy) AS sxy FROM px GROUP BY i, j),
+        |mu AS (SELECT u.pos, CAST(sum(CAST(u.x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mu
+        |       FROM e, unnest(list_transform(v, (x, i0) ->
+        |         struct_pack(pos := i0 - 1, x := x))) AS t(u)
+        |       GROUP BY u.pos)
+        |SELECT i, j, n,
+        |  round((CAST(sxy AS DOUBLE) - n * mi.mu * mj.mu) / (n - 1), 6) + 0.0 AS cov
+        |FROM pairs JOIN mu mi ON pairs.i = mi.pos JOIN mu mj ON pairs.j = mj.pos
+        |ORDER BY i, j""".stripMargin,
 
     // mirrors Bars.resampleFfill: bars → spans → range-exploded grid →
     // IGNORE NULLS forward fill (range end is exclusive, hence mx + step)

@@ -102,6 +102,49 @@ object Kmeans {
         (col("n") * dist2(col("cv"), col("gv"))).as("between_ss"))
   }
 
+  /** Upper-triangle covariance matrix of the embedding dimensions — the
+    * second-moment summary PCA/whitening starts from, and the
+    * dimension-correlation audit an embedding space gets before anyone
+    * trusts distances in it.
+    *
+    *   cov(i,j) = (Σ xᵢxⱼ − n·μᵢ·μⱼ) / (n−1)
+    *
+    * Engine-exact: Σxᵢxⱼ and Σxᵢ accumulate in DECIMAL(28,12)
+    * (order-independent), the closed form then runs in doubles in a pinned
+    * op order, rounded to 6 dp.
+    *
+    * Scale shape: pair products are generated SCAN-SIDE by a lambda over
+    * each array (d(d+1)/2 structs per row, no self-join, no shuffle of
+    * vectors); one partial-agg exchange carries (i, j) partial sums — state
+    * is O(d²) per partition regardless of row count. The per-dim mean frame
+    * (d rows) broadcasts back into the d²-row pair frame.
+    *
+    * Output: (i, j, n, cov) for i ≤ j, ordered by (i, j).
+    */
+  def covarianceMatrix(emb: DataFrame): DataFrame = {
+    val e = emb.select(Similarity.toDouble(col("embedding")).as("v"))
+    val pairs = e.select(explode(expr(
+        "flatten(transform(v, (x, i) -> " +
+        "transform(slice(v, i + 1, size(v) - i), (y, j) -> " +
+        "struct(i AS i, i + j AS j, x * y AS xy))))")).as("p"))
+      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("p.xy").cast("decimal(28,12)")).as("sxy"))
+    val means = e.select(posexplode(col("v")))
+      .groupBy(col("pos"))
+      .agg((sum(col("col").cast("decimal(28,12)")).cast("double")
+        / count(lit(1))).as("mu"))
+    pairs
+      .join(broadcast(means.select(col("pos").as("i"), col("mu").as("mu_i"))), Seq("i"))
+      .join(broadcast(means.select(col("pos").as("j"), col("mu").as("mu_j"))), Seq("j"))
+      .select(col("i"), col("j"), col("n"),
+        // + 0.0 normalizes the signed zero a tiny negative covariance
+        // rounds to (-0.0 ≠ 0.0 under value-hash comparison)
+        (round((col("sxy").cast("double")
+          - col("n") * col("mu_i") * col("mu_j")) / (col("n") - 1), 6)
+          + lit(0.0)).as("cov"))
+  }
+
   /** Per-cluster fit summary after `steps` Lloyd iterations from `cents0`:
     * (cluster, n, inertia) with inertia an exact DECIMAL(28,6) sum of the
     * squared distances — the convergence metric a fit loop watches.

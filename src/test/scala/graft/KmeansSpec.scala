@@ -15,6 +15,20 @@ class KmeansSpec extends AnyFunSuite {
   private def cents0 = vecs.filter(col("vec_id") < 4)
     .select(col("vec_id").as("cid"), col("v").as("cv"))
 
+  test("covarianceMatrix: hand-computed 2-dim upper triangle") {
+    import spark.implicits._
+    // vectors (1,2) (3,4) (5,0): mu=(3,2)
+    // cov(0,0)=(35-27)/2=4  cov(0,1)=(14-18)/2=-2  cov(1,1)=(20-12)/2=4
+    val emb = Seq(Array(1f, 2f), Array(3f, 4f), Array(5f, 0f))
+      .toDF("embedding")
+    val got = Kmeans.covarianceMatrix(emb).collect()
+      .map(r => (r.getAs[Int]("i"), r.getAs[Int]("j")) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("cov")))).toMap
+    assert(got.keySet == Set((0, 0), (0, 1), (1, 1)), "upper triangle only")
+    assert(got((0, 0)) == ((3L, 4.0)) && got((0, 1)) == ((3L, -2.0))
+      && got((1, 1)) == ((3L, 4.0)))
+  }
+
   test("assign puts every vector in exactly one cluster, seeds at distance 0") {
     val a = Kmeans.assign(vecs, cents0)
     assert(a.count() == vecs.count())
