@@ -1199,6 +1199,29 @@ object SparkEntry {
       operators.Kmeans.labelScatter(t(s, d, "embeddings"))
         .orderBy(col("label"))),
 
+    // TPC-H Q5 shape (local supplier volume): the 6-table join tree with
+    // the c_nationkey = s_nationkey correlation predicate — region/nation/
+    // supplier/customer broadcast as dims, the lineitem⋈orders fact join
+    // is the only big shuffle, the year filter reaches the orders scan.
+    "q127_tpch_q5" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders")
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+              && col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "supplier"),
+          col("l_suppkey") === col("s_suppkey")
+            && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))),
+
     // Dimension covariance matrix (Kmeans.covarianceMatrix): the
     // second-moment summary PCA starts from. Pair products are generated
     // scan-side by an array lambda (no self-join); the exchange carries
@@ -2926,6 +2949,19 @@ object SparkEntry {
 
     "q119_rolling_anomaly" -> ANOMALY_SQL,
     "q122_streaming_anomaly" -> ANOMALY_SQL,
+
+    // mirrors q127: same join tree, same decimal-revenue idiom
+    "q127_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
 
     // mirrors Kmeans.covarianceMatrix: DuckDB lambda indexes are 1-based
     // (Spark's are 0-based), hence the -1 shifts; same decimal sums, same

@@ -187,6 +187,17 @@ class JoinsSpec extends AnyFunSuite {
     assert(viaBroadcast.nonEmpty && viaBroadcast == viaMerge)
   }
 
+  test("q127 deep join tree: dims broadcast, at most one big shuffle join") {
+    val df = graft.SparkEntry.queries("q127_tpch_q5")(
+      spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    val smj = "SortMergeJoin".r.findAllIn(p).length +
+      "ShuffledHashJoin".r.findAllIn(p).length
+    assert(bhj >= 3, s"expected >=3 broadcast joins, got $bhj:\n$p")
+    assert(smj <= 2, s"expected <=2 shuffle joins (fact side), got $smj")
+  }
+
   test("approx_count_distinct within 5% of exact (q40 backing bound)") {
     val got = Tables.events(spark, dir).groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id")).as("a"),
