@@ -1230,6 +1230,19 @@ object SparkEntry {
       operators.Kmeans.covarianceMatrix(t(s, d, "embeddings"))
         .orderBy(col("i"), col("j"))),
 
+    // PCA (Pca.fit/transform/qualityReport): eigen-decomposition of the
+    // q126 covariance on the DRIVER (d×d — KBs; the centroid/codebook
+    // train-small constant pattern), projection as k codegen'd graft_dot
+    // kernels over the mean-centered vector — zero exchange. Gate booleans:
+    // basis orthonormality, descending eigenvalues, trace preservation,
+    // eigenpair residual, variance-explained floor, and the DATA-side check
+    // that each component's projected sample variance equals its eigenvalue.
+    "q128_pca" -> ((s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      operators.Pca.qualityReport(t(s, d, "embeddings"), k = 8,
+        varFloor = 0.05)
+    }),
+
     // Regular-grid resample + forward-fill (Bars.resampleFfill): the
     // gap-free hourly series a model trains on — ticks collapse to bars,
     // the grid explodes from the per-hub SPANS frame (never from ticks),
@@ -3523,6 +3536,18 @@ object SparkEntry {
         |  ('ivfpq_no_pq_stage_loss', TRUE),
         |  ('ivfpq_nonempty', TRUE),
         |  ('ivfpq_scores_exact', TRUE)) AS t(metric, ok)
+        |ORDER BY metric""".stripMargin,
+
+    "q128_pca" ->
+      """SELECT * FROM (VALUES
+        |  ('pca_basis_orthonormal', TRUE),
+        |  ('pca_eigenpair_residual', TRUE),
+        |  ('pca_eigenvalues_descending', TRUE),
+        |  ('pca_nonempty', TRUE),
+        |  ('pca_projected_mean_zero', TRUE),
+        |  ('pca_projected_variance_matches', TRUE),
+        |  ('pca_trace_preserved', TRUE),
+        |  ('pca_variance_floor', TRUE)) AS t(metric, ok)
         |ORDER BY metric""".stripMargin,
 
     "q86_pq_ann_quality" ->
