@@ -22,9 +22,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the session (JVM/codegen/parquet footer caches) outside the clock
-    SparkEntry.queries.get("q01_scan_project")
-      .foreach(fn => fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+    // warm the session (JVM/codegen/parquet footer caches) outside the clock.
+    // try/catch: a broken warm-up query must not zero the whole round's bench
+    // signal (round 6: one loader analysis error → rc=1, no JSON at all).
+    SparkEntry.queries.get("q01_scan_project").foreach { fn =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] warm-up failed: $e") }
+    }
     // a failed query must be unmistakable in the JSON (value -1 + errors
     // list), never an ordinary-looking elapsed time.
     // min-of-3 runs per query: single-shot numbers at this scale carry

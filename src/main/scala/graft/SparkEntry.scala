@@ -617,6 +617,28 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // REAL image decode round-trip (Multimodal.decodeImageDims, JDK
+    // javax.imageio — no new dependency): the engine PNG-encodes a w×h
+    // image per doc with dims derived arithmetically from doc_id, then the
+    // decode path recovers width/height from the actual IHDR chunk. The
+    // oracle predicts the same dims from doc_id — if decode were fake, the
+    // recovered dims could not match. Header-only reads: O(header) per
+    // asset, the only decode shape that survives 100 TB of media.
+    "q129_image_decode" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 8 + (id % 32).toInt
+          val h = 8 + ((id / 32) % 32).toInt
+          MediaRecord(id, "image",
+            Multimodal.encodePng(w, h, (id * 2654435761L).toInt), Map.empty)
+        }
+      Multimodal.extractFeatures(media)
+        .select(col("media_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"))
+        .orderBy(col("media_id"))
+    }),
+
     // §2.7 extension — generic as-of join (the reference's trade → latest
     // price lookup, PnlAndExposureJob.java:134-137, as a standalone
     // operator): tagged union + one window pass, one shuffle, no range join
@@ -1359,9 +1381,14 @@ object SparkEntry {
         .select(col("vec_id"), col("label"),
           Similarity.toDouble(col("embedding")).as("v"))
       val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      // the score is quantized to DECIMAL(18,6) BEFORE the group-by: raw
+      // engine doubles were the one place the build ranked by a double, and
+      // the r6 hash-fail lived below 6dp. round() first makes the double →
+      // decimal conversion unambiguous on both engine and oracle.
       val scored = e.crossJoin(broadcast(q))
         .select(when(col("label") === 0, 1L).otherwise(0L).as("pos"),
-          Similarity.dot(col("v"), col("qv")).as("score"))
+          round(Similarity.dot(col("v"), col("qv")), 6)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("score"))
       operators.Eval.aucROC(scored, col("pos"), col("score"))
     }),
 
@@ -2951,12 +2978,14 @@ object SparkEntry {
         |  CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DECIMAL(38,0)) AS slope_den,
         |  CAST(CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy AS DECIMAL(38,0)) AS icept_num,
         |  CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx <> 0 THEN
-        |    round(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        |    CAST(round(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
         |          / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE), 6)
+        |      AS DECIMAL(18,6))
         |  END AS slope,
         |  CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx <> 0 THEN
-        |    round(CAST(CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy AS DOUBLE)
+        |    CAST(round(CAST(CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy AS DOUBLE)
         |          / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE), 6)
+        |      AS DECIMAL(18,6))
         |  END AS intercept
         |FROM a ORDER BY grp""".stripMargin,
 
@@ -3085,7 +3114,7 @@ object SparkEntry {
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
         |s AS (SELECT CASE WHEN e.label = 0 THEN 1 ELSE 0 END AS pos,
-        |             list_dot_product(e.v, q.qv) AS score
+        |             CAST(round(list_dot_product(e.v, q.qv), 6) AS DECIMAL(18,6)) AS score
         |      FROM e CROSS JOIN q),
         |g AS (SELECT score, CAST(sum(pos) AS BIGINT) AS p,
         |             CAST(count(*) AS BIGINT) AS c
@@ -3099,8 +3128,9 @@ object SparkEntry {
         |  CAST(contrib - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DECIMAL(38,0)) AS auc_num,
         |  CAST(2 * CAST(n_pos AS HUGEINT) * (n_tot - n_pos) AS DECIMAL(38,0)) AS auc_den,
         |  CASE WHEN n_pos > 0 AND n_tot - n_pos > 0 THEN
-        |    round(CAST(contrib - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DOUBLE)
+        |    CAST(round(CAST(contrib - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DOUBLE)
         |          / CAST(2 * CAST(n_pos AS HUGEINT) * (n_tot - n_pos) AS DOUBLE), 6)
+        |      AS DECIMAL(18,6))
         |  END AS auc
         |FROM t""".stripMargin,
 
@@ -3863,6 +3893,15 @@ object SparkEntry {
         |  CAST(16 * (1 + ascii(substr(text, 1, 1)) % 64) AS BIGINT) AS width,
         |  CAST(16 * (1 + ascii(substr(text, 2, 1)) % 64) AS BIGINT) AS height,
         |  CASE WHEN doc_id % 3 = 0 THEN CAST(0 AS BIGINT) ELSE CAST(length(text) AS BIGINT) END AS duration_ms
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // the engine encodes a real PNG per doc with these exact dims and
+    // decodes them back via javax.imageio; the oracle only has to predict
+    // the arithmetic the encoder used
+    "q129_image_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(8 + doc_id % 32 AS BIGINT) AS width,
+        |  CAST(8 + (doc_id // 32) % 32 AS BIGINT) AS height
         |FROM documents ORDER BY media_id""".stripMargin
   )
 }

@@ -48,7 +48,9 @@ object Eval {
     * negative). One output row:
     * (n_pos, n_neg, auc_num DECIMAL(38,0), auc_den DECIMAL(38,0), auc) with
     * auc_num = 2·R⁺ − n⁺(n⁺+1), auc_den = 2·n⁺·n⁻ and
-    * auc = round(num/den, 6). NULL auc when a class is empty.
+    * auc = round(num/den, 6) emitted as DECIMAL(18,6) — decimals hash
+    * byte-exactly in the driver's compare; a raw rounded double was the r6
+    * q116 hash-fail. NULL auc when a class is empty.
     */
   def aucROC(scored: DataFrame, posCol: org.apache.spark.sql.Column,
       scoreCol: org.apache.spark.sql.Column, numParts: Int = 0): DataFrame = {
@@ -100,7 +102,8 @@ object Eval {
           .cast(d38).as("auc_den"))
       .select(col("n_pos"), col("n_neg"), col("auc_num"), col("auc_den"),
         when(col("n_pos") > 0 && col("n_neg") > 0,
-          round(col("auc_num").cast("double") / col("auc_den").cast("double"), 6))
+          round(col("auc_num").cast("double") / col("auc_den").cast("double"), 6)
+            .cast(DecimalType(18, 6)))
           .as("auc"))
   }
 }

@@ -26,18 +26,75 @@ final case class MediaFeatures(
 /** Multimodal column plumbing: decode / feature-extract / frame-sample over
   * opaque binary columns.
   *
-  * The decode kernels are DETERMINISTIC STUBS — this container has no
-  * image/audio codecs, so `decodeStub` derives fake-but-stable features from
-  * the payload bytes (documented below). The Spark-side plumbing is real and
-  * is what this operator is graded on: typed Dataset in/out, per-partition
-  * batch processing (the Scala analogue of `mapInPandas` batches), explicit
-  * repartition control so huge payload rows spread evenly, and metadata-only
-  * fast paths that never deserialize bytes. Swapping the stub for a real
-  * codec is a one-function change.
+  * IMAGE decode is REAL as of round 7: payloads carrying a PNG or JPEG magic
+  * prefix are dimension-decoded through JDK `javax.imageio` (no new
+  * dependency — see [[decodeImageDims]]). Audio/video kernels remain
+  * DETERMINISTIC STUBS (no codecs in this container): `decodeOne` derives
+  * fake-but-stable features from the payload bytes (documented below). The
+  * Spark-side plumbing is the same either way: typed Dataset in/out,
+  * per-partition batch processing (the Scala analogue of `mapInPandas`
+  * batches), explicit repartition control so huge payload rows spread
+  * evenly, and metadata-only fast paths that never deserialize bytes.
   */
 object Multimodal {
 
-  /** STUB decode: features derived deterministically from the payload.
+  // ImageIO must never touch a display server; executors run headless.
+  System.setProperty("java.awt.headless", "true")
+
+  /** Real image dimension decode via JDK ImageIO (PNG/JPEG). Header-only:
+    * `ImageReader.getWidth/getHeight` parse the IHDR chunk / SOF marker and
+    * never the pixel data, so this is O(header) per asset — the shape that
+    * survives 100 TB of media (full-pixel decode would be the scale killer,
+    * and nothing downstream of dimensions needs it). Only attempted when the
+    * payload carries a PNG/JPEG magic prefix: a lax ImageIO reader (BMP
+    * accepts any "BM" prefix) fed arbitrary bytes can return garbage dims
+    * instead of throwing, which would silently diverge from the stub oracle.
+    */
+  def decodeImageDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    val isPng = bytes.length > 8 && (bytes(0) & 0xFF) == 0x89 &&
+      bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G'
+    val isJpeg = bytes.length > 3 && (bytes(0) & 0xFF) == 0xFF &&
+      (bytes(1) & 0xFF) == 0xD8 && (bytes(2) & 0xFF) == 0xFF
+    if (!isPng && !isJpeg) None
+    else try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try { r.setInput(iis); Some((r.getWidth(0), r.getHeight(0))) }
+          finally r.dispose()
+        }
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Deterministic PNG encoder (test/fixture helper): a w×h image whose
+    * pixels are a stable function of `seed`. Used by q129's round-trip gate —
+    * the engine encodes, [[decodeOne]] decodes, the oracle predicts the
+    * dimensions arithmetically.
+    */
+  def encodePng(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (seed + x * 31 + y * 131) & 0xFFFFFF)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode: REAL dimensions for PNG/JPEG image payloads (via
+    * [[decodeImageDims]]); otherwise the deterministic stub:
     *   n_bytes   = payload length
     *   head_hash = polynomial rolling hash of the first 16 bytes
     *   width     = 16 * (1 + byte0 % 64), height = 16 * (1 + byte1 % 64)
@@ -51,10 +108,11 @@ object Multimodal {
       h = (h * 31 + (r.bytes(i) & 0xFF)) % 1000000007L
       i += 1
     }
+    val real = if (r.kind == "image") decodeImageDims(r.bytes) else None
     val b0 = if (r.bytes.nonEmpty) r.bytes(0) & 0xFF else 0
     val b1 = if (r.bytes.length > 1) r.bytes(1) & 0xFF else 0
-    MediaFeatures(r.media_id, r.kind, n, h,
-      16 * (1 + b0 % 64), 16 * (1 + b1 % 64),
+    val (w, ht) = real.getOrElse((16 * (1 + b0 % 64), 16 * (1 + b1 % 64)))
+    MediaFeatures(r.media_id, r.kind, n, h, w, ht,
       if (r.kind == "image") 0L else n)
   }
 

@@ -57,8 +57,10 @@ object Stats {
     * < 2⁶³ — beyond that, cast the inputs to DECIMAL at the agg); the
     * closed-form products run in DECIMAL(38,0), which holds n·Σxy up to
     * 10³⁸ — exact at any realistic scale, and the integer num/den pair
-    * hash-gates engine-for-engine. The rounded double quotients ride along
-    * for humans. Degenerate groups (constant x → den 0) yield NULL ratios.
+    * hash-gates engine-for-engine. The rounded ratio columns ride along for
+    * humans as DECIMAL(18,6) — decimals hash byte-exactly in the driver's
+    * compare; raw rounded doubles were the r6 q121 hash-fail. Degenerate
+    * groups (constant x → den 0) yield NULL ratios.
     *
     * Scale shape: one partial-agg scan to a |groups|-row frame; the rest
     * is scan-side decimal arithmetic.
@@ -80,10 +82,12 @@ object Stats {
       .select(col("grp"), col("n"), col("slope_num"), col("slope_den"),
         col("icept_num"),
         when(col("slope_den") =!= 0,
-          round(col("slope_num").cast("double") / col("slope_den").cast("double"), 6))
+          round(col("slope_num").cast("double") / col("slope_den").cast("double"), 6)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
           .as("slope"),
         when(col("slope_den") =!= 0,
-          round(col("icept_num").cast("double") / col("slope_den").cast("double"), 6))
+          round(col("icept_num").cast("double") / col("slope_den").cast("double"), 6)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
           .as("intercept"))
   }
 }

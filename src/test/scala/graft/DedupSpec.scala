@@ -220,6 +220,20 @@ class DedupSpec extends AnyFunSuite {
     assert(img.bytes.toSeq == again(0).bytes.toSeq)
   }
 
+  test("real PNG decode: encodePng round-trips through decodeImageDims and decodeOne") {
+    val png = Multimodal.encodePng(24, 17, 42)
+    assert(Multimodal.decodeImageDims(png).contains((24, 17)))
+    val feats = Multimodal.decodeOne(MediaRecord(9L, "image", png, Map.empty))
+    assert(feats.width == 24 && feats.height == 17 && feats.duration_ms == 0L)
+    assert(feats.n_bytes == png.length.toLong)
+    // payloads without a PNG/JPEG magic prefix never reach ImageIO: the
+    // decode is None and decodeOne keeps the deterministic stub dims
+    val txt = "hello world payload".getBytes("UTF-8")
+    assert(Multimodal.decodeImageDims(txt).isEmpty)
+    val stub = Multimodal.decodeOne(MediaRecord(10L, "image", txt, Map.empty))
+    assert(stub.width == 16 * (1 + ('h' % 64)))
+  }
+
   test("connected components: chain + triangle + isolated pair resolve to component mins") {
     import spark.implicits._
     // chain 10-11-12-13-14 (diameter 4 exercises >1 round), triangle

@@ -14,11 +14,15 @@ class EvalSpec extends AnyFunSuite {
       .collect().head
   }
 
+  // auc is emitted as DECIMAL(18,6) (hash-exact for the driver compare)
+  private def aucVal(r: org.apache.spark.sql.Row): Double =
+    r.getAs[java.math.BigDecimal]("auc").doubleValue
+
   test("perfect separation gives AUC 1, inverted gives 0") {
     val sep = auc(Seq((0L, 0.1), (0L, 0.2), (1L, 0.8), (1L, 0.9)))
-    assert(sep.getAs[Double]("auc") == 1.0)
+    assert(aucVal(sep) == 1.0)
     val inv = auc(Seq((1L, 0.1), (1L, 0.2), (0L, 0.8), (0L, 0.9)))
-    assert(inv.getAs[Double]("auc") == 0.0)
+    assert(aucVal(inv) == 0.0)
   }
 
   test("hand-computed tie-aware Mann-Whitney on a 6-row set") {
@@ -32,7 +36,7 @@ class EvalSpec extends AnyFunSuite {
     // auc_num = 2R+ - n+(n++1) = 25 - 12 = 13 ; auc_den = 2*3*3 = 18
     assert(r.getAs[java.math.BigDecimal]("auc_num").longValueExact == 13L)
     assert(r.getAs[java.math.BigDecimal]("auc_den").longValueExact == 18L)
-    assert(r.getAs[Double]("auc") == 0.722222)
+    assert(aucVal(r) == 0.722222)
   }
 
   test("all-one-class yields NULL auc, not a crash") {
@@ -57,7 +61,7 @@ class EvalSpec extends AnyFunSuite {
     }
     val nPos = rows.count(_._1 == 1L); val nNeg = rows.size - nPos
     val want = (rPos - nPos * (nPos + 1) / 2.0) / (nPos.toDouble * nNeg)
-    assert(math.abs(r.getAs[Double]("auc") - want) < 1e-6)
-    assert(r.getAs[Double]("auc") > 0.4 && r.getAs[Double]("auc") < 0.6)
+    assert(math.abs(aucVal(r) - want) < 1e-6)
+    assert(aucVal(r) > 0.4 && aucVal(r) < 0.6)
   }
 }

@@ -36,7 +36,8 @@ class StatsSpec extends AnyFunSuite {
     val rows = Stats.olsByGroup(df, col("g"), col("x"), col("y"))
       .collect().map(r => r.getAs[String]("grp") -> r).toMap
     val g1 = rows("g1")
-    assert(g1.getAs[Double]("slope") == 3.0 && g1.getAs[Double]("intercept") == 2.0)
+    assert(g1.getAs[java.math.BigDecimal]("slope").doubleValue == 3.0 &&
+      g1.getAs[java.math.BigDecimal]("intercept").doubleValue == 2.0)
     // n=4 sx=10 sy=38 sxx=30 sxy=110: num=4*110-10*38=60, den=4*30-100=20
     assert(g1.getAs[java.math.BigDecimal]("slope_num").longValueExact == 60L)
     assert(g1.getAs[java.math.BigDecimal]("slope_den").longValueExact == 20L)
