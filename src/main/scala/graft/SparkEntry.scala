@@ -2500,6 +2500,108 @@ object SparkEntry {
         |  FROM scored) z
         |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
 
+    // FULL recomputation of the LSH tables (portable plane family,
+    // Similarity.planeVec round 7): 16 tables x 4 sign-planes, component j
+    // of plane pid = +/-1 from bit 13 of the scramble over the SQUARE of
+    // m = (pid+1)*131+(j+1) mod 998244353 (the squaring decorrelates
+    // planes; see planeVec scaladoc) — every intermediate < 2^63, so the
+    // identical arithmetic runs in DuckDB. (h>>13)&1 is spelled h//8192%2
+    // to dodge SQL shift/AND precedence. Candidates share any (table,
+    // bucket); exact cosine rerank mirrors q22.
+    "q27_lsh_knn" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |pv AS (SELECT r.pid, list_transform(range(0, 64),
+        |         j -> CASE WHEN ((((r.pid + 1) * 131 + (j + 1)) % 998244353)
+        |                         * (((r.pid + 1) * 131 + (j + 1)) % 998244353)
+        |                         % 998244353
+        |                         * 2654435761 + 40503) % 4294967296 // 8192 % 2 = 1
+        |              THEN 1.0 ELSE -1.0 END) AS plane
+        |       FROM range(0, 64) r(pid)),
+        |bk AS (SELECT n.vec_id, p.pid // 4 AS tbl,
+        |         sum(CASE WHEN list_dot_product(n.v, p.plane) >= 0
+        |                  THEN CAST(1 AS BIGINT) << CAST(p.pid % 4 AS INTEGER)
+        |                  ELSE 0 END) AS bucket
+        |       FROM n, pv p GROUP BY n.vec_id, p.pid // 4),
+        |cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id
+        |         FROM bk q JOIN bk c ON q.tbl = c.tbl AND q.bucket = c.bucket
+        |         WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+        |scored AS (SELECT cand.qid, cand.vec_id,
+        |             list_dot_product(qn.v, cn.v) / (qn.nrm * cn.nrm) AS score
+        |           FROM cand JOIN n qn ON qn.vec_id = cand.qid
+        |                     JOIN n cn ON cn.vec_id = cand.vec_id)
+        |SELECT qid, vec_id, score, rn FROM (
+        |  SELECT qid, vec_id, score,
+        |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+        |  FROM scored) z
+        |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
+
+    // same plane family; planes auto-sized from the corpus count with the
+    // same ceil(ln(n/64)/ln 2) spelling the engine uses (floor 4). Planes
+    // are generated to a 256 ceiling then filtered so range() keeps a
+    // constant argument. Pair candidates from any shared (table, bucket),
+    // exact cosine >= 0.4 verify — the verified subset the engine emits.
+    "q29_cosine_dups_lsh" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |par AS (SELECT greatest(4, CAST(ceil(ln(count(*) / 64.0) / ln(2)) AS BIGINT)) AS planes
+        |        FROM e),
+        |pv AS (SELECT r.pid, list_transform(range(0, 64),
+        |         j -> CASE WHEN ((((r.pid + 1) * 131 + (j + 1)) % 998244353)
+        |                         * (((r.pid + 1) * 131 + (j + 1)) % 998244353)
+        |                         % 998244353
+        |                         * 2654435761 + 40503) % 4294967296 // 8192 % 2 = 1
+        |              THEN 1.0 ELSE -1.0 END) AS plane
+        |       FROM range(0, 256) r(pid), par WHERE r.pid < 16 * par.planes),
+        |bk AS (SELECT n.vec_id, p.pid // par.planes AS tbl,
+        |         sum(CASE WHEN list_dot_product(n.v, p.plane) >= 0
+        |                  THEN CAST(1 AS BIGINT) << CAST(p.pid % par.planes AS INTEGER)
+        |                  ELSE 0 END) AS bucket
+        |       FROM n, pv p, par GROUP BY n.vec_id, p.pid // par.planes),
+        |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |         FROM bk a JOIN bk b ON a.tbl = b.tbl AND a.bucket = b.bucket
+        |         WHERE a.vec_id < b.vec_id)
+        |SELECT cand.id_a, cand.id_b,
+        |       list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS score
+        |FROM cand JOIN n a ON a.vec_id = cand.id_a
+        |          JOIN n b ON b.vec_id = cand.id_b
+        |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // FULL recomputation of the IVF index: centroids = the 64 rows with the
+    // smallest portable multiplicative hash of vec_id (injective < 2^32, the
+    // q59/q64 family — Similarity.ivfKnn round 7), assignment = max cosine
+    // with ties to the higher cid (the engine's lexicographic array_max),
+    // queries probe their 8 best cells, exact cosine rerank mirrors q22.
+    "q33_ivf_knn" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |cent AS (SELECT vec_id AS cid, v AS cv, sqrt(list_dot_product(v, v)) AS cnrm
+        |         FROM e ORDER BY (vec_id * 2654435761 + 40503) % 4294967296 LIMIT 64),
+        |sc AS (SELECT n.vec_id, c.cid,
+        |         list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) AS cs
+        |       FROM n, cent c),
+        |asg AS (SELECT vec_id, cid AS cell FROM (
+        |          SELECT vec_id, cid,
+        |                 row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid DESC) AS r
+        |          FROM sc) x WHERE r = 1),
+        |probes AS (SELECT vec_id AS qid, cid AS cell FROM (
+        |          SELECT vec_id, cid,
+        |                 row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid DESC) AS r
+        |          FROM sc WHERE vec_id < 5) x WHERE r <= 8),
+        |cand AS (SELECT p.qid, a.vec_id
+        |         FROM probes p JOIN asg a ON a.cell = p.cell
+        |         WHERE a.vec_id <> p.qid),
+        |scored AS (SELECT cand.qid, cand.vec_id,
+        |             list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS score
+        |           FROM cand JOIN n q ON q.vec_id = cand.qid
+        |                     JOIN n c ON c.vec_id = cand.vec_id)
+        |SELECT qid, vec_id, score, rn FROM (
+        |  SELECT qid, vec_id, score,
+        |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+        |  FROM scored) z
+        |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
+
     "q25_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT source AS blk, doc_id,

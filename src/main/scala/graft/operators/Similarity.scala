@@ -1,10 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.catalyst.expressions.XxHash64Function
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.IntegerType
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -79,18 +77,28 @@ object Similarity {
     topkOf(cand, k)
   }
 
-  /** Deterministic ±1 hyperplane `planeId`: component j = ±1 from bit 0 of
-    * xxhash64(planeId, j) — the same seed-42 left-to-right fold the Column
-    * builtin computes, evaluated once on the driver so the per-row projection
-    * is a constant-vector [[dot]] inside whole-stage codegen (the previous
-    * per-row HOF construction was interpreted and dominated bucketing cost).
+  /** Deterministic ±1 hyperplane `planeId`, PORTABLE arithmetic (round 7 —
+    * was xxhash64, which no SQL engine reproduces): component j's sign is
+    * bit 13 of the q24 hash family's scramble over a prime-mod mix of
+    * (planeId, j). Every intermediate stays < 2⁶³, so a DuckDB oracle
+    * recomputes the identical planes, buckets, and candidate sets — what
+    * promotes q27/q29 from rows-only to full hash-gated oracles. The mix
+    * `(pid+1)·131 + (j+1)` is injective for j < 130 (dims here are 64); the
+    * SQUARING step is load-bearing — without it the scramble is linear in
+    * (pid, j) and plane signs correlate across planes (measured recall@10
+    * on the sf0.01 fixture: 0.56 linear vs 0.96 squared vs 0.86-0.90 for
+    * the old xxhash family). m² < 9.97e17 and s·2654435761 < 2.66e18 both
+    * fit a signed 64-bit lane, so the identical spelling runs in DuckDB.
+    * Evaluated once on the driver so the per-row projection is a
+    * constant-vector [[dot]] inside whole-stage codegen.
     */
-  private[graft] def planeVec(planeId: Int, dim: Int): Seq[Double] = {
-    val inner = XxHash64Function.hash(planeId, IntegerType, graft.functions.GraftFunctions.XXSEED)
+  private[graft] def planeVec(planeId: Int, dim: Int): Seq[Double] =
     (0 until dim).map { j =>
-      if ((XxHash64Function.hash(j, IntegerType, inner) & 1L) == 1L) 1.0 else -1.0
+      val m = ((planeId + 1).toLong * 131L + (j + 1).toLong) % 998244353L
+      val s = (m * m) % 998244353L
+      val h = (s * 2654435761L + 40503L) % 4294967296L
+      if (((h >> 13) & 1L) == 1L) 1.0 else -1.0
     }
-  }
 
   /** Bucket id of `v` in hash table `tableId`: `planes` sign bits of
     * projections onto planes tableId*planes .. tableId*planes+planes-1.
@@ -158,8 +166,10 @@ object Similarity {
 
   /** IVF (inverted-file) approximate KNN — the coarse-quantizer scale path
     * beside [[lshKnn]]. `cells` centroids are a deterministic corpus sample
-    * (the rows with the smallest xxhash64(vec_id) — seedable, reproducible,
-    * no training iteration); every vector is assigned to its max-cosine
+    * (the rows with the smallest [[Corpus.portableHash]] of vec_id —
+    * seedable, reproducible, injective for ids < 2³², and recomputable in
+    * any SQL engine, which is what lets q33 carry a full hash-gated oracle;
+    * round 7 — was xxhash64); every vector is assigned to its max-cosine
     * centroid, queries probe their `nprobe` nearest cells, and candidates
     * rerank exactly.
     *
@@ -175,12 +185,13 @@ object Similarity {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-    // TakeOrdered over xxhash(vec_id): norms only for the `cells` sampled
-    // rows, computed driver-side — the sampling job must not pay a full dot
-    // product per corpus row
+    // TakeOrdered over portableHash(vec_id): norms only for the `cells`
+    // sampled rows, computed driver-side — the sampling job must not pay a
+    // full dot product per corpus row. The hash is injective below 2³², so
+    // the sample needs no tie-break.
     val cents: Array[(Long, Seq[Double], Double)] = emb
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      .withColumn("h", xxhash64(col("vec_id")))
+      .withColumn("h", Corpus.portableHash(col("vec_id")))
       .orderBy(col("h")).limit(cells)
       .select(col("vec_id"), col("v"))
       .collect()
