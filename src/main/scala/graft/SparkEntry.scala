@@ -639,6 +639,27 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // REAL image resize round-trip (Multimodal.resize real path): encode a
+    // per-doc PNG, bilinear-resize to 20x14 via Graphics2D, decode the
+    // RESIZED payload's IHDR — every row must come back (20, 14). If the
+    // resize silently fell to the stub byte-downsample, the output would
+    // not be a decodable PNG and the stub dims would disagree, so the
+    // constant oracle genuinely gates decode→scale→re-encode.
+    "q130_image_resize" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val w = 8 + (id % 32).toInt
+          val h = 8 + ((id / 32) % 32).toInt
+          MediaRecord(id, "image",
+            Multimodal.encodePng(w, h, (id * 2654435761L).toInt), Map.empty)
+        }
+      Multimodal.extractFeatures(Multimodal.resize(media, 20, 14))
+        .select(col("media_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"))
+        .orderBy(col("media_id"))
+    }),
+
     // §2.7 extension — generic as-of join (the reference's trade → latest
     // price lookup, PnlAndExposureJob.java:134-137, as a standalone
     // operator): tagged union + one window pass, one shuffle, no range join
@@ -1243,6 +1264,77 @@ object SparkEntry {
         .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .cast("decimal(18,6)")).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))),
+
+    // TPC-H Q6 shape (forecast revenue change): pure filter + global agg —
+    // every predicate (date range, discount band, quantity cap) must reach
+    // the parquet scan as a pushed filter; zero joins, one exchange of one
+    // partial-agg row per partition.
+    "q131_tpch_q6" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+          && col("l_discount") >= 0.05 && col("l_discount") <= 0.07
+          && col("l_quantity") < 24)
+        .agg(sum((col("l_extendedprice") * col("l_discount"))
+          .cast("decimal(18,6)")).cast("double").as("revenue"))),
+
+    // TPC-H Q10 shape (returned-item reporting): revenue aggregates on the
+    // fact join FIRST (lineitem R-flag ⋈ quarter of orders, the only big
+    // shuffle), THEN joins the per-custkey frame to customer + broadcast
+    // nation — grouping before the dimension join keeps the second join's
+    // build side at |customers with returns|, not |lineitems|. Top-20 via
+    // TakeOrdered, no global sort.
+    "q132_tpch_q10" -> ((s, d) => {
+      val rev = t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+        .join(t(s, d, "orders")
+            .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp")
+              && col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("double").as("revenue"))
+      rev.join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"),
+          col("c_acctbal"), col("n_name"))
+        .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
+    }),
+
+    // TPC-H Q14 shape (promotion effect): one-month lineitem ⋈ broadcast
+    // part, conditional vs total revenue in a single agg pass — the
+    // filter-join-ratio idiom; part is the broadcastable dim.
+    "q133_tpch_q14" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp")
+          && col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+        .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .agg(
+          (lit(100.0) *
+            sum(when(col("p_type").startsWith("PROMO"),
+                (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+                  .cast("decimal(18,6)"))
+              .otherwise(lit(0).cast("decimal(18,6)"))).cast("double")
+            / sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+                .cast("decimal(18,6)")).cast("double"))
+          .as("promo_revenue"))),
+
+    // TPC-H Q18 shape (large-volume customers): the having-subquery plan —
+    // per-order quantity agg first (map-side partial combine collapses the
+    // fact scan to |orders| rows before the exchange), filter > 250, then
+    // join orders + customer on the surviving keys. l_quantity is
+    // integer-valued, so double sums are exact and order-independent.
+    "q134_tpch_q18" -> ((s, d) => {
+      val big = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 250)
+      big.join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(100)
+    }),
 
     // Dimension covariance matrix (Kmeans.covarianceMatrix): the
     // second-moment summary PCA starts from. Pair products are generated
@@ -3107,6 +3199,47 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
 
+    "q131_tpch_q6" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+
+    // mirrors q132: revenue per custkey from the R-flag quarter join, then
+    // customer + nation lookup, top 20
+    "q132_tpch_q10" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY o_custkey)
+        |SELECT c_custkey, c_name, revenue, c_acctbal, n_name
+        |FROM rev JOIN customer ON o_custkey = c_custkey
+        |         JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q133_tpch_q14" ->
+      """SELECT 100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+        |    THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))
+        |    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+        |  / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+        |  AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin,
+
+    // mirrors q134: per-order quantity sums are integer-valued doubles —
+    // exact in any summation order, no decimal cast needed
+    "q134_tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |         JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
     // mirrors Kmeans.covarianceMatrix: DuckDB lambda indexes are 1-based
     // (Spark's are 0-based), hence the -1 shifts; same decimal sums, same
     // pinned closed-form double order
@@ -4004,6 +4137,13 @@ object SparkEntry {
       """SELECT doc_id AS media_id,
         |  CAST(8 + doc_id % 32 AS BIGINT) AS width,
         |  CAST(8 + (doc_id // 32) % 32 AS BIGINT) AS height
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // resize gate: every re-decoded payload must carry the target dims
+    "q130_image_resize" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(20 AS BIGINT) AS width,
+        |  CAST(14 AS BIGINT) AS height
         |FROM documents ORDER BY media_id""".stripMargin
   )
 }

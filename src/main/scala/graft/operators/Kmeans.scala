@@ -113,23 +113,74 @@ object Kmeans {
     * (order-independent), the closed form then runs in doubles in a pinned
     * op order, rounded to 6 dp.
     *
-    * Scale shape: pair products are generated SCAN-SIDE by a lambda over
-    * each array (d(d+1)/2 structs per row, no self-join, no shuffle of
-    * vectors); one partial-agg exchange carries (i, j) partial sums — state
-    * is O(d²) per partition regardless of row count. The per-dim mean frame
+    * Scale shape: pair products accumulate in a PER-PARTITION kernel
+    * (mapPartitions, primitive index loops) into d(d+1)/2 exact-decimal
+    * cells — state is O(d²) per partition regardless of row count, and the
+    * exchange carries one (i, j, n, subtotal) row per cell per partition
+    * (32 partitions × 2080 cells at d=64 — KBs). The per-dim mean frame
     * (d rows) broadcasts back into the d²-row pair frame.
+    *
+    * The kernel replaced a nested `transform`/`slice` array lambda (round
+    * 7): Spark's higher-order functions are CodegenFallback — interpreted,
+    * one boxed struct per pair per row — and the explode fed 4M rows to the
+    * aggregate at sf0.1. Measured 7.0 s → 0.5 s for the identical result.
+    * Per-element quantization `BigDecimal.valueOf(xy).setScale(12
+    * , HALF_UP)` is exactly Spark's double→DECIMAL(28,12) cast (shortest
+    * decimal representation, HALF_UP), so the oracle contract is unchanged;
+    * decimal addition is exact and therefore order/partitioning-independent.
     *
     * Output: (i, j, n, cov) for i ≤ j, ordered by (i, j).
     */
   def covarianceMatrix(emb: DataFrame): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val e = emb.select(Similarity.toDouble(col("embedding")).as("v"))
-    val pairs = e.select(explode(expr(
-        "flatten(transform(v, (x, i) -> " +
-        "transform(slice(v, i + 1, size(v) - i), (y, j) -> " +
-        "struct(i AS i, i + j AS j, x * y AS xy))))")).as("p"))
-      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("p.xy").cast("decimal(28,12)")).as("sxy"))
+    val parts = e.as[Seq[Double]].mapPartitions { it =>
+      var dim = -1
+      var n = 0L
+      var acc: Array[java.math.BigDecimal] = null
+      it.foreach { v =>
+        if (dim < 0) {
+          dim = v.length
+          acc = Array.fill(dim * (dim + 1) / 2)(java.math.BigDecimal.ZERO)
+        }
+        require(v.length == dim,
+          s"ragged embedding dims: saw $dim then ${v.length}")
+        var idx = 0
+        var i = 0
+        while (i < dim) {
+          val xi = v(i)
+          var j = i
+          while (j < dim) {
+            acc(idx) = acc(idx).add(java.math.BigDecimal.valueOf(xi * v(j))
+              .setScale(12, java.math.RoundingMode.HALF_UP))
+            idx += 1
+            j += 1
+          }
+          i += 1
+        }
+        n += 1
+      }
+      if (dim < 0) Iterator.empty
+      else {
+        val out = Array.newBuilder[(Int, Int, Long, BigDecimal)]
+        out.sizeHint(acc.length)
+        var idx = 0
+        var i = 0
+        while (i < dim) {
+          var j = i
+          while (j < dim) {
+            out += ((i, j, n, BigDecimal(acc(idx))))
+            idx += 1
+            j += 1
+          }
+          i += 1
+        }
+        out.result().iterator
+      }
+    }.toDF("i", "j", "pn", "psxy")
+    val pairs = parts.groupBy(col("i"), col("j"))
+      .agg(sum(col("pn")).as("n"), sum(col("psxy")).as("sxy"))
     val means = e.select(posexplode(col("v")))
       .groupBy(col("pos"))
       .agg((sum(col("col").cast("decimal(28,12)")).cast("double")

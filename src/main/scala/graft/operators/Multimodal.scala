@@ -36,7 +36,7 @@ final case class MediaFeatures(
   * batches), explicit repartition control so huge payload rows spread
   * evenly, and metadata-only fast paths that never deserialize bytes.
   */
-object Multimodal {
+object Multimodal extends Serializable {
 
   // ImageIO must never touch a display server; executors run headless.
   System.setProperty("java.awt.headless", "true")
@@ -143,25 +143,51 @@ object Multimodal {
       .withColumn("byte_offset", col("frame_idx") * everyNthByte)
   }
 
-  /** Image resize STUB: the kernel is a deterministic downsample of the
-    * payload (every ceil(len/target)-th byte — stable, size-bounded), the
-    * plumbing is real: typed map preserving the MediaRecord shape, target
-    * dimensions recorded in `meta` so downstream readers needn't decode.
-    * Swap `resizeBytes` for a real codec call to go live.
+  /** Image resize. REAL for PNG/JPEG payloads as of round 7: full ImageIO
+    * decode → `Graphics2D.drawImage` bilinear scale to w×h → PNG re-encode,
+    * all JDK, executor-side, headless. Non-image payloads and undecodable
+    * bytes keep the deterministic stub downsample (every
+    * ceil(len/target)-th byte — stable, size-bounded). Either way the
+    * plumbing is the same: typed map preserving the MediaRecord shape,
+    * target dimensions recorded in `meta` so downstream readers needn't
+    * decode. Full-pixel decode is intrinsically the expensive multimodal
+    * op — at 100 TB this runs exactly once per asset in the prep pass that
+    * writes the resized payload back to parquet, never repeatedly in
+    * queries (those read the `meta` fast path).
     */
   def resize(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
     val spark = media.sparkSession
     import spark.implicits._
     val target = math.max(1, w * h / 8) // stub: budget ~1 byte per 8 px
-    def resizeBytes(b: Array[Byte]): Array[Byte] =
+    def stubBytes(b: Array[Byte]): Array[Byte] =
       if (b.length <= target) b
       else {
         val step = math.max(1, (b.length + target - 1) / target)
         b.indices.by(step).map(b).toArray
       }
+    def realBytes(b: Array[Byte]): Option[Array[Byte]] =
+      if (decodeImageDims(b).isEmpty) None
+      else try {
+        val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+        if (src == null) None
+        else {
+          val dst = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(src, 0, 0, w, h, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(dst, "png", bos)
+          Some(bos.toByteArray)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
     media.map(r =>
       if (r.kind != "image") r
-      else r.copy(bytes = resizeBytes(r.bytes),
+      else r.copy(bytes = realBytes(r.bytes).getOrElse(stubBytes(r.bytes)),
         meta = r.meta + ("resized_w" -> w.toString, "resized_h" -> h.toString)))
   }
 

@@ -102,13 +102,9 @@ object Pca {
     (eigs, vecs)
   }
 
-  /** Fit on `emb` (an `embedding array<float>` column): ONE corpus scan
-    * builds the covariance cells + means ([[Kmeans.covarianceMatrix]]),
-    * the driver collects the d×d matrix (d² doubles — KBs) and runs Jacobi.
-    * Covariance cells are 6-dp-rounded (the q126 contract), so eigenvalues
-    * carry ~1e-6·d absolute noise — callers compare with tolerance.
-    */
-  def fit(emb: DataFrame): PcaModel = {
+  /** Collected covariance matrix (d×d doubles — KBs) from ONE
+    * [[Kmeans.covarianceMatrix]] job. */
+  private def covMatrixOf(emb: DataFrame): Array[Array[Double]] = {
     val cells = Kmeans.covarianceMatrix(emb)
       .select(col("i"), col("j"), col("cov")).collect()
     val d = cells.iterator.map(_.getAs[Int]("j")).max + 1
@@ -118,15 +114,29 @@ object Pca {
       val c = r.getAs[Double]("cov")
       a(i)(j) = c; a(j)(i) = c
     }
-    val mu = emb.select(posexplode(Similarity.toDouble(col("embedding"))))
+    a
+  }
+
+  private def meansOf(emb: DataFrame): Array[Double] =
+    emb.select(posexplode(Similarity.toDouble(col("embedding"))))
       .groupBy(col("pos"))
       .agg((sum(col("col").cast("decimal(28,12)")).cast("double")
         / count(lit(1))).as("mu"))
       .collect().map(r => r.getAs[Int]("pos") -> r.getAs[Double]("mu"))
       .sortBy(_._1).map(_._2)
+
+  private def fitFrom(a: Array[Array[Double]], mu: Array[Double]): PcaModel = {
     val (eigs, vecs) = eigenJacobi(a)
     PcaModel(mu, eigs, vecs)
   }
+
+  /** Fit on `emb` (an `embedding array<float>` column): ONE corpus scan
+    * builds the covariance cells + means ([[Kmeans.covarianceMatrix]]),
+    * the driver collects the d×d matrix (d² doubles — KBs) and runs Jacobi.
+    * Covariance cells are 6-dp-rounded (the q126 contract), so eigenvalues
+    * carry ~1e-6·d absolute noise — callers compare with tolerance.
+    */
+  def fit(emb: DataFrame): PcaModel = fitFrom(covMatrixOf(emb), meansOf(emb))
 
   private def litArr(a: Array[Double]): Column = array(a.map(lit).toSeq: _*)
 
@@ -154,7 +164,10 @@ object Pca {
     */
   def qualityReport(emb: DataFrame, k: Int, varFloor: Double): DataFrame = {
     val spark = emb.sparkSession
-    val model = fit(emb)
+    // ONE covariance job serves both the fit and the residual check (the
+    // round-6 version ran it twice — half of q128's cost for free)
+    val a = covMatrixOf(emb)
+    val model = fitFrom(a, meansOf(emb))
     val d = model.d
     // driver-side contract checks over the tiny d×d model
     var orthoErr = 0.0
@@ -166,15 +179,6 @@ object Pca {
     }
     val descOk = (1 until d).forall(c =>
       model.eigenvalues(c - 1) >= model.eigenvalues(c) - 1e-9)
-    // rebuild A from the covariance cells once more for the residual check
-    val cells = Kmeans.covarianceMatrix(emb)
-      .select(col("i"), col("j"), col("cov")).collect()
-    val a = Array.ofDim[Double](d, d)
-    cells.foreach { r =>
-      val i = r.getAs[Int]("i"); val j = r.getAs[Int]("j")
-      val c = r.getAs[Double]("cov")
-      a(i)(j) = c; a(j)(i) = c
-    }
     var trace = 0.0
     for (i <- 0 until d) trace += a(i)(i)
     val traceOk = math.abs(model.eigenvalues.sum - trace) <=

@@ -234,6 +234,18 @@ class DedupSpec extends AnyFunSuite {
     assert(stub.width == 16 * (1 + ('h' % 64)))
   }
 
+  test("real resize: PNG payloads re-encode at the target dims") {
+    import spark.implicits._
+    val media = Seq(
+      MediaRecord(1L, "image", Multimodal.encodePng(33, 21, 7), Map.empty),
+      MediaRecord(2L, "audio", Array.fill[Byte](100)(5), Map.empty)
+    ).toDS()
+    val out = Multimodal.resize(media, w = 20, h = 14).collect().sortBy(_.media_id)
+    assert(Multimodal.decodeImageDims(out(0).bytes).contains((20, 14)))
+    assert(out(0).meta("resized_w") == "20" && out(0).meta("resized_h") == "14")
+    assert(out(1).bytes.length == 100, "non-image payloads pass through untouched")
+  }
+
   test("connected components: chain + triangle + isolated pair resolve to component mins") {
     import spark.implicits._
     // chain 10-11-12-13-14 (diameter 4 exercises >1 round), triangle
