@@ -1336,6 +1336,35 @@ object SparkEntry {
         .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(100)
     }),
 
+    // Matryoshka truncation audit: L2-normalize, keep the 16-dim prefix,
+    // report the retained energy (‖prefix‖² of the unit vector) and the
+    // renormalized lead component — the check run before trusting a
+    // truncated index. Pure scan-side arithmetic over the shared
+    // sequential-dot identity; every double matches the oracle bit-for-bit.
+    "q135_matryoshka_energy" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), operators.Similarity.toDouble(col("embedding")).as("v"))
+        .withColumn("nrm", operators.Similarity.norm(col("v")))
+        .withColumn("uv", transform(col("v"), x => x / col("nrm")))
+        .withColumn("t16", slice(col("uv"), 1, 16))
+      e.select(col("vec_id"), col("nrm").as("full_norm"),
+          operators.Similarity.dot(col("t16"), col("t16")).as("energy16"),
+          (element_at(col("t16"), 1)
+            / sqrt(operators.Similarity.dot(col("t16"), col("t16"))))
+            .as("lead_component"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Matryoshka two-stage KNN (Similarity.matryoshkaKnn): coarse rank on
+    // the 32-dim prefix (the proportionally-cheaper scan at 100 TB), exact
+    // rerank of the 100-candidate shortlist on full vectors — the nested-
+    // representation retrieval funnel, reproduced decision-for-decision by
+    // the oracle.
+    "q136_matryoshka_knn" -> ((s, d) =>
+      operators.Similarity.matryoshkaKnn(t(s, d, "embeddings"),
+          col("vec_id") < 5, k = 10)
+        .orderBy(col("qid"), col("rn"))),
+
     // Dimension covariance matrix (Kmeans.covarianceMatrix): the
     // second-moment summary PCA starts from. Pair products are generated
     // scan-side by an array lambda (no self-join); the exchange carries
@@ -3228,6 +3257,42 @@ object SparkEntry {
         |  AS promo_revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin,
+
+    // unit-normalize, 16-dim prefix, retained energy + renormalized lead —
+    // same sequential list arithmetic as the engine
+    "q135_matryoshka_energy" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |u AS (SELECT vec_id, nrm, list_transform(v, x -> x / nrm)[1:16] AS t16 FROM n)
+        |SELECT vec_id, nrm AS full_norm,
+        |  list_dot_product(t16, t16) AS energy16,
+        |  t16[1] / sqrt(list_dot_product(t16, t16)) AS lead_component
+        |FROM u ORDER BY vec_id""".stripMargin,
+
+    // stage 1: prefix-cosine top-100 shortlist; stage 2: full-vector
+    // rerank top-10 — both ranked (score DESC, vec_id ASC) like topkOf
+    "q136_matryoshka_knn" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+        |             v[1:32] AS p, sqrt(list_dot_product(v[1:32], v[1:32])) AS pnrm
+        |      FROM e),
+        |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qnrm, p AS qp, pnrm AS qpnrm
+        |      FROM n WHERE vec_id < 5),
+        |s1 AS (SELECT q.qid, n.vec_id,
+        |         list_dot_product(q.qp, n.p) / (q.qpnrm * n.pnrm) AS score
+        |       FROM q JOIN n ON n.vec_id <> q.qid),
+        |c AS (SELECT qid, vec_id FROM (
+        |        SELECT qid, vec_id,
+        |               row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+        |        FROM s1) z WHERE rn <= 100),
+        |s2 AS (SELECT c.qid, c.vec_id,
+        |         list_dot_product(q.qv, n.v) / (q.qnrm * n.nrm) AS score
+        |       FROM c JOIN q ON q.qid = c.qid JOIN n ON n.vec_id = c.vec_id)
+        |SELECT qid, vec_id, score, rn FROM (
+        |  SELECT qid, vec_id, score,
+        |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+        |  FROM s2) z
+        |WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
 
     // mirrors q134: per-order quantity sums are integer-valued doubles —
     // exact in any summation order, no decimal cast needed

@@ -72,6 +72,25 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("matryoshkaKnn: shortlist recall floor + bit-identical rerank scores") {
+    val exact = Similarity.bruteForceKnn(emb, col("vec_id") < 5, k = 10)
+    val funnel = Similarity.matryoshkaKnn(emb, col("vec_id") < 5, k = 10)
+    val (bf, mk) = (topk(exact), topk(funnel))
+    val recall = bf.keys.toSeq.map(q =>
+      (bf(q) & mk.getOrElse(q, Set.empty)).size.toDouble / bf(q).size).sum / bf.size
+    // the fixture embeddings are NOT MRL-trained (isotropic), so the 32/64
+    // prefix + 100 shortlist is sized for them: measured 0.86, floor 0.7
+    assert(recall >= 0.7, s"matryoshka recall@10 $recall below floor")
+    val joined = exact.select(col("qid"), col("vec_id"), col("score"))
+      .join(funnel.select(col("qid"), col("vec_id"), col("score").as("score_mk")),
+        Seq("qid", "vec_id")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Double]("score") == r.getAs[Double]("score_mk"),
+        s"rerank cosine must be bit-identical for (${r.get(0)}, ${r.get(1)})")
+    }
+  }
+
   test("cosineDupPairsLsh is a subset of exact pairs, identical scores, recall >= 0.7") {
     val exact = Similarity.cosineDupPairs(emb, threshold = 0.4).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("score")).toMap
