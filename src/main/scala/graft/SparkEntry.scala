@@ -1336,6 +1336,16 @@ object SparkEntry {
         .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(100)
     }),
 
+    // Text → token-id encoding (Corpus.tokenizeIds): q53's top-100 vocab
+    // ranked into ids 1..100 (OOV 0), every doc re-emitted as its
+    // space-joined id sequence + OOV count — the curation→training bridge.
+    // Vocab ranking windows over the 100-row frame only; the lookup join
+    // broadcasts; per-doc assembly is a bounded sorted collect.
+    "q137_tokenize_ids" -> ((s, d) =>
+      operators.Corpus.tokenizeIds(t(s, d, "documents"),
+          col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))),
+
     // Matryoshka truncation audit: L2-normalize, keep the 16-dim prefix,
     // report the retained energy (‖prefix‖² of the unit vector) and the
     // renormalized lead component — the check run before trusting a
@@ -3257,6 +3267,25 @@ object SparkEntry {
         |  AS promo_revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin,
+
+    // q53's vocab ranked by row_number, indexed token structs unnested,
+    // ids re-joined in position order — same drop-empty-docs semantics
+    "q137_tokenize_ids" ->
+      """WITH tk AS (
+        |  SELECT doc_id, u.s.pos AS pos, u.s.tok AS tok
+        |  FROM (SELECT doc_id,
+        |          list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
+        |            (x, i) -> struct_pack(pos := i - 1, tok := x)) AS st
+        |        FROM documents) d, unnest(st) AS u(s)),
+        |vc AS (SELECT tok, CAST(row_number() OVER (ORDER BY n DESC, tok) AS INTEGER) AS id
+        |       FROM (SELECT tok, count(*) AS n FROM tk GROUP BY tok
+        |             ORDER BY n DESC, tok LIMIT 100) z),
+        |j AS (SELECT tk.doc_id, tk.pos, coalesce(vc.id, 0) AS id
+        |      FROM tk LEFT JOIN vc USING (tok))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |  CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  array_to_string(list(CAST(id AS VARCHAR) ORDER BY pos), ' ') AS ids
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // unit-normalize, 16-dim prefix, retained energy + renormalized lead —
     // same sequential list arithmetic as the engine

@@ -582,4 +582,42 @@ object Corpus {
       .orderBy(col("lift").desc, col("w1"), col("w2"))
       .limit(k)
   }
+
+  /** Text → token-id encoding against a corpus-derived vocabulary — the
+    * bridge from curation to training (the batches a trainer reads are ids,
+    * not text). Vocabulary = top `vocabSize` tokens by (count desc, token
+    * asc) — q53's contract — with ids 1..vocabSize in that order; OOV → 0.
+    * Output per doc: (doc_id, n_tok, n_oov, ids) with `ids` the
+    * space-joined id sequence in token order (a string, not an array: the
+    * driver's canonicalizer compares scalars, and array formatting is
+    * engine-specific where a string is neutral). Docs with zero tokens drop
+    * out (both engines' unnest semantics).
+    *
+    * Scale shape: the count frame partial-aggregates map-side (one row per
+    * distinct token per partition on the exchange); TakeOrdered picks the
+    * top-N with no global sort; the rank window runs over the N-row frame
+    * only; the id lookup is a BROADCAST join (N rows); per-doc re-assembly
+    * is a bounded collect_list sorted by position inside the doc's own
+    * group — nothing corpus-sized is ever windowed or sorted globally.
+    */
+  def tokenizeIds(docs: DataFrame, idCol: Column, textCol: Column,
+                  vocabSize: Int = 100): DataFrame = {
+    val toks = docs
+      .select(idCol.as("doc_id"), posexplode(Text.tokens(textCol)))
+      .select(col("doc_id"), col("pos"), col("col").as("tok"))
+    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(vocabSize)
+    val vocab = top
+      .withColumn("id",
+        row_number().over(Window.orderBy(col("n").desc, col("tok"))).cast("int"))
+      .select(col("tok"), col("id"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .select(col("doc_id"), col("pos"), coalesce(col("id"), lit(0)).as("id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        count(when(col("id") === 0, 1)).as("n_oov"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("id")))),
+            p => p.getField("id").cast("string")), " ").as("ids"))
+  }
 }

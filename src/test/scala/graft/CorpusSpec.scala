@@ -9,6 +9,22 @@ import graft.operators.Corpus
 class CorpusSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("tokenizeIds: rank-ordered vocab ids, OOV zero, position order preserved") {
+    import spark.implicits._
+    // counts: b=4, a=3, c=2, d=1 → vocab(3): b=1, a=2, c=3; d is OOV
+    val docs = Seq(
+      (1L, "a b c b"),
+      (2L, "b a d"),
+      (3L, "c b a")
+    ).toDF("doc_id", "text")
+    val out = Corpus.tokenizeIds(docs, col("doc_id"), col("text"), vocabSize = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tok"), r.getAs[Long]("n_oov"), r.getAs[String]("ids")))).toMap
+    assert(out(1L) == ((4L, 0L, "2 1 3 1")))
+    assert(out(2L) == ((3L, 1L, "1 2 0")), "d falls outside vocab → id 0")
+    assert(out(3L) == ((3L, 0L, "3 1 2")))
+  }
+
   test("decontaminate flags the eval doc copied from train, not the fresh one") {
     import spark.implicits._
     val train = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
