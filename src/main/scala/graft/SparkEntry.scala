@@ -1336,6 +1336,24 @@ object SparkEntry {
         .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(100)
     }),
 
+    // Hive-style partition-layout round-trip: write documents partitioned
+    // by source, read back with a partition predicate, aggregate — the
+    // layout every 100 TB corpus actually lives in. The predicate must
+    // resolve at PLAN time from directory names (PartitionFilters — a
+    // 1-of-20 directory listing), never as a data filter over all rows;
+    // WarehouseSpec asserts exactly that on this query's plan. Values are
+    // gated against the unpartitioned original by the oracle, so the
+    // write→prune→read loop also proves the layout preserves the data.
+    "q138_partition_pruning" -> ((s, d) => {
+      val dir = s"/tmp/graft_part_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      t(s, d, "documents").write.mode("overwrite")
+        .partitionBy("source").parquet(dir)
+      s.read.parquet(dir).filter(col("source") === "src7")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))
+    }),
+
     // Text → token-id encoding (Corpus.tokenizeIds): q53's top-100 vocab
     // ranked into ids 1..100 (OOV 0), every doc re-emitted as its
     // space-joined id sequence + OOV count — the curation→training bridge.
@@ -3267,6 +3285,14 @@ object SparkEntry {
         |  AS promo_revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin,
+
+    // the unpartitioned original must agree with the engine's
+    // partitioned-layout read — gates the write→prune→read loop
+    "q138_partition_pruning" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE source = 'src7'
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // q53's vocab ranked by row_number, indexed token structs unnested,
     // ids re-joined in position order — same drop-empty-docs semantics

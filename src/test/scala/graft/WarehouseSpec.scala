@@ -119,4 +119,21 @@ class WarehouseSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q138: the source predicate prunes partitions at plan time, not rows at run time") {
+    val df = graft.SparkEntry.queries("q138_partition_pruning")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    // the FileScan prints as ONE line; pull each filter list's brackets
+    def bracket(tag: String): String =
+      s"$tag: \\[[^\\]]*\\]".r.findFirstIn(plan).getOrElse("")
+    assert(bracket("PartitionFilters").contains("source"),
+      s"source must be a partition filter (directory pruning):\n$plan")
+    // the partition column must NOT survive as a data filter or pushed
+    // parquet filter — it no longer exists inside the files
+    assert(!bracket("PushedFilters").contains("source")
+        && !bracket("DataFilters").contains("source"),
+      s"source leaked past the partition filter:\n$plan")
+    assert(df.collect().nonEmpty)
+  }
 }
