@@ -1336,6 +1336,42 @@ object SparkEntry {
         .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(100)
     }),
 
+    // Bucketed co-located join: both sides written bucketBy(8, custkey) +
+    // sortBy, then joined AS TABLES — the bucketed reads carry
+    // HashPartitioning(custkey), so the sort-merge join needs NO exchange
+    // on either side (WarehouseSpec asserts exactly one Exchange in the
+    // whole plan: the post-join groupBy). This is pre-shuffling
+    // materialized: at 100 TB you pay the fact table's shuffle once at
+    // write time and every subsequent join on the bucket key is free.
+    // merge hint (not broadcast) so the plan exercises the bucket path at
+    // fixture scale too; the oracle gates values against the unbucketed
+    // originals.
+    "q139_bucketed_join" -> ((s, d) => {
+      val sfx = d.replaceAll("[^a-zA-Z0-9]", "_")
+      val (ot, ct) = (s"orders_bkt_$sfx", s"customer_bkt_$sfx")
+      // a stale warehouse dir from a previous session is invisible to the
+      // fresh in-memory catalog and fails CREATE with LOCATION_ALREADY_EXISTS
+      Seq(ot, ct).foreach { name =>
+        s.sql(s"DROP TABLE IF EXISTS $name")
+        val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")).getPath
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(new java.io.File(wh, name))
+      }
+      t(s, d, "orders").write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable(ot)
+      t(s, d, "customer").write.mode("overwrite").format("parquet")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(ct)
+      s.table(ot).hint("merge")
+        .join(s.table(ct), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).cast("double").as("total"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // Hive-style partition-layout round-trip: write documents partitioned
     // by source, read back with a partition predicate, aggregate — the
     // layout every 100 TB corpus actually lives in. The predicate must
@@ -3285,6 +3321,13 @@ object SparkEntry {
         |  AS promo_revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin,
+
+    // unbucketed originals must agree with the bucketed-table join
+    "q139_bucketed_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     // the unpartitioned original must agree with the engine's
     // partitioned-layout read — gates the write→prune→read loop

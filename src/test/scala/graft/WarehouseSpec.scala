@@ -120,6 +120,22 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("q139: bucketed join shuffles neither side — the only Exchange is the groupBy") {
+    val df = graft.SparkEntry.queries("q139_bucketed_join")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"merge hint must hold:\n$plan")
+    assert(plan.contains("SelectedBucketsCount"),
+      s"scans must be bucketed reads:\n$plan")
+    // the groupBy/orderBy above the join may exchange on c_mktsegment, but
+    // NO exchange may repartition on the join key — the bucketed layout
+    // already provides that distribution
+    val custkeyExchange = "Exchange [a-z]*partitioning\\([oc]_custkey".r
+    assert(custkeyExchange.findFirstIn(plan).isEmpty,
+      s"join inputs must not shuffle on the bucket key:\n$plan")
+    assert(df.collect().nonEmpty)
+  }
+
   test("q138: the source predicate prunes partitions at plan time, not rows at run time") {
     val df = graft.SparkEntry.queries("q138_partition_pruning")(
       spark, "/root/testdata/sf0.001")
