@@ -1336,6 +1336,23 @@ object SparkEntry {
         .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(100)
     }),
 
+    // RANGE-frame window (the time-based frame q47's ROWS family doesn't
+    // cover): per customer, each order's trailing-30-day revenue — frame
+    // bounds are VALUES (seconds), not row counts, so sparse/bursty order
+    // histories window correctly. One shuffle on custkey + per-key sort;
+    // the decimal sum inside the frame keeps the hash gate exact.
+    "q140_range_frame" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("ts_s"))
+        .rangeBetween(-2592000L, 0L)
+      t(s, d, "orders")
+        .withColumn("ts_s", unix_timestamp(col("o_orderdate")))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          sum(col("o_totalprice").cast("decimal(18,6)")).over(w)
+            .cast("double").as("trail_30d"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Bucketed co-located join: both sides written bucketBy(8, custkey) +
     // sortBy, then joined AS TABLES — the bucketed reads carry
     // HashPartitioning(custkey), so the sort-merge join needs NO exchange
@@ -3321,6 +3338,14 @@ object SparkEntry {
         |  AS promo_revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin,
+
+    // same numeric range frame over epoch seconds
+    "q140_range_frame" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+        |    PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+        |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trail_30d
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     // unbucketed originals must agree with the bucketed-table join
     "q139_bucketed_join" ->
