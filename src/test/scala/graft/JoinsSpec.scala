@@ -225,6 +225,15 @@ class JoinsSpec extends AnyFunSuite {
     assert(aggAt >= 0)
   }
 
+  test("q133 TPC-H Q14: part broadcasts, the month filter reaches the lineitem scan") {
+    val df = graft.SparkEntry.queries("q133_tpch_q14")(
+      spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"part must broadcast:\n$p")
+    val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(p).mkString("\n")
+    assert(pushed.contains("l_shipdate"), s"date filter not pushed:\n$pushed")
+  }
+
   test("q134 TPC-H Q18: partial agg collapses the fact scan before the exchange") {
     val df = graft.SparkEntry.queries("q134_tpch_q18")(
       spark, "/root/testdata/sf0.001")
