@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Bench main (driver contract): times every declared query at
   * SPARK_GRAFT_SF_DIR, one JSON line on stdout.
@@ -9,8 +9,40 @@ import org.apache.spark.sql.SparkSession
   * Catalyst prune every projected column, so expensive expressions (sketches,
   * fingerprints, window columns) would never execute and the numbers would be
   * fiction. `noop` materializes all output columns and discards them.
+  *
+  * The harness is un-killable by construction ([[run]], spec-tested in
+  * BenchSpec): the warm-up and every rep sit inside try/catch, a failed
+  * query records value -1 and joins the `errors` array, and the JSON line
+  * prints regardless — round 6 lost its entire bench signal to one analysis
+  * error that escaped before the line was emitted.
   */
 object Bench {
+
+  /** Time each query (min of `reps`, noop sink) and render the driver's
+    * one-line JSON. Pure besides Spark execution — unit-testable with a
+    * poisoned query map.
+    */
+  def run(spark: SparkSession, sfDir: String,
+          queries: Map[String, (SparkSession, String) => DataFrame],
+          reps: Int): String = {
+    val results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val times = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+              Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: $e"); None }
+      }
+      (name, if (times.size == reps) times.min else -1.0)
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"reps":$reps,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -38,22 +70,7 @@ object Bench {
     // (reps=2 still recorded double-bad samples — r3's q37 logged 13.9 s vs
     // a real 0.76 s; the third rep is the cheap insurance.)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-              Some((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: $e"); None }
-      }
-      (name, if (times.size == reps) times.min else -1.0)
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"reps":$reps,"sf":"$sfDir"}""")
+    println(run(spark, sfDir, SparkEntry.queries, reps))
     spark.stop()
   }
 }
