@@ -1336,6 +1336,46 @@ object SparkEntry {
         .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(100)
     }),
 
+    // TPC-H Q19 shape (discounted revenue, disjunctive predicates): the
+    // OR-of-ANDs mixes columns from BOTH join sides, so nothing prunes the
+    // scans individually — the filter must run post-join while the join
+    // itself stays a broadcast on the part dim. Exercises exactly the
+    // predicate shape that defeats naive pushdown.
+    "q141_tpch_q19" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5)
+            && col("l_quantity").between(1, 11))
+          || (col("p_brand") === "Brand#20" && col("p_size").between(1, 10)
+            && col("l_quantity").between(10, 20))
+          || (col("p_brand") === "Brand#13" && col("p_size").between(1, 15)
+            && col("l_quantity").between(20, 30)))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("double").as("revenue"))),
+
+    // TPC-H Q22 shape (global sales opportunity): above-average balances
+    // with NO recent orders — a broadcast 1-row scalar aggregate feeding a
+    // filter, then a left-anti join against the recent-order keys. The
+    // anti join's build side is the date-filtered order keys, not the
+    // customer table.
+    "q142_tpch_q22" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val avgBal = cust.filter(col("c_acctbal") > 0)
+        .agg((sum(col("c_acctbal").cast("decimal(18,6)")).cast("double")
+          / count(lit(1))).as("avg_bal"))
+      val recent = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("c_acctbal").cast("decimal(18,6)")).cast("double").as("totacctbal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // RANGE-frame window (the time-based frame q47's ROWS family doesn't
     // cover): per customer, each order's trailing-30-day revenue — frame
     // bounds are VALUES (seconds), not row counts, so sparse/bursty order
@@ -3338,6 +3378,25 @@ object SparkEntry {
         |  AS promo_revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin,
+
+    "q141_tpch_q19" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    // same scalar-average spelling; NOT IN over the date-filtered keys
+    "q142_tpch_q22" ->
+      """WITH ab AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_bal
+        |            FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+        |FROM customer, ab
+        |WHERE c_acctbal > ab.avg_bal
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                        WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     // same numeric range frame over epoch seconds
     "q140_range_frame" ->
