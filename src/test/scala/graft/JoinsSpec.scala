@@ -244,6 +244,37 @@ class JoinsSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q141 TPC-H Q19: part broadcasts; the disjunctive filter runs post-join by necessity") {
+    val df = graft.SparkEntry.queries("q141_tpch_q19")(
+      spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"part must broadcast:\n$p")
+    // the OR mixes l_quantity with p_brand/p_size, so it cannot be pushed
+    // into either scan — it must survive as a Filter above the join
+    assert("Filter .*l_quantity.*p_brand|Filter .*p_brand.*l_quantity".r
+      .findFirstIn(p.replaceAll("\n", " ")).isDefined,
+      s"cross-side disjunction must filter post-join:\n$p")
+  }
+
+  test("q136 matryoshka funnel: both stages rank through the bounded graft_topk aggregate") {
+    val df = graft.SparkEntry.queries("q136_matryoshka_knn")(
+      spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    // two funnel stages → two top-k aggregate pairs (partial+final each);
+    // ObjectHashAggregate hosts the TypedImperativeAggregate
+    val topkAggs = "ObjectHashAggregate".r.findAllIn(p).length
+    assert(topkAggs >= 4, s"expected two partial+final graft_topk stages, got $topkAggs:\n$p")
+    assert(!p.contains("Window"), s"no global-window ranking allowed:\n$p")
+  }
+
+  test("q137 tokenize: the vocab id lookup is a broadcast join") {
+    val df = graft.SparkEntry.queries("q137_tokenize_ids")(
+      spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 100-row vocab must broadcast, never shuffle the token stream:\n$p")
+  }
+
   test("approx_count_distinct within 5% of exact (q40 backing bound)") {
     val got = Tables.events(spark, dir).groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id")).as("a"),
