@@ -3312,31 +3312,34 @@ object SparkEntry {
         |ORDER BY cells.a, cells.b""".stripMargin,
 
     // mirrors Stats.olsByGroup: q60's tokenization for x, HUGEINT sums
-    // cast to DECIMAL(38,0) for the closed-form products
+    // cast to DECIMAL(38,0) for the closed-form products; ratio columns
+    // via the integer-space half-away derivation (IntRatio.duckRatio6) —
+    // NO double anywhere in the chain (the r6/r7 hash-fail lesson)
     "q121_group_ols" ->
-      """WITH d AS (SELECT source AS grp,
+      s"""WITH d AS (SELECT source AS grp,
         |             CAST(length(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS x,
         |             n_chars AS y
         |           FROM documents),
         |a AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
         |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
         |        CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
-        |      FROM d GROUP BY grp)
+        |      FROM d GROUP BY grp),
+        |b AS (SELECT grp, n,
+        |        CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS snum,
+        |        CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS sden,
+        |        CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy AS inum
+        |      FROM a)
         |SELECT grp, n,
-        |  CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DECIMAL(38,0)) AS slope_num,
-        |  CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DECIMAL(38,0)) AS slope_den,
-        |  CAST(CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy AS DECIMAL(38,0)) AS icept_num,
-        |  CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx <> 0 THEN
-        |    CAST(round(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
-        |          / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE), 6)
-        |      AS DECIMAL(18,6))
+        |  CAST(snum AS DECIMAL(38,0)) AS slope_num,
+        |  CAST(sden AS DECIMAL(38,0)) AS slope_den,
+        |  CAST(inum AS DECIMAL(38,0)) AS icept_num,
+        |  CASE WHEN sden <> 0 THEN
+        |    ${graft.functions.IntRatio.duckRatio6("snum", "sden")}
         |  END AS slope,
-        |  CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx <> 0 THEN
-        |    CAST(round(CAST(CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy AS DOUBLE)
-        |          / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE), 6)
-        |      AS DECIMAL(18,6))
+        |  CASE WHEN sden <> 0 THEN
+        |    ${graft.functions.IntRatio.duckRatio6("inum", "sden")}
         |  END AS intercept
-        |FROM a ORDER BY grp""".stripMargin,
+        |FROM b ORDER BY grp""".stripMargin,
 
     "q119_rolling_anomaly" -> ANOMALY_SQL,
     "q122_streaming_anomaly" -> ANOMALY_SQL,
@@ -3598,7 +3601,7 @@ object SparkEntry {
     // arithmetic: cum window over the DISTINCT-score frame stands in for
     // the two-pass prefix sum, HUGEINT for the BigInteger accumulator
     "q116_auc" ->
-      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
         |s AS (SELECT CASE WHEN e.label = 0 THEN 1 ELSE 0 END AS pos,
         |             CAST(round(list_dot_product(e.v, q.qv), 6) AS DECIMAL(18,6)) AS score
@@ -3610,16 +3613,18 @@ object SparkEntry {
         |t AS (SELECT CAST(sum(p) AS BIGINT) AS n_pos,
         |             CAST(sum(c) AS BIGINT) AS n_tot,
         |             sum(CAST(p AS HUGEINT) * (2 * (cum - c) + c + 1)) AS contrib
-        |      FROM o)
+        |      FROM o),
+        |u AS (SELECT n_pos, n_tot,
+        |        contrib - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS anum,
+        |        2 * CAST(n_pos AS HUGEINT) * (n_tot - n_pos) AS aden
+        |      FROM t)
         |SELECT n_pos, n_tot - n_pos AS n_neg,
-        |  CAST(contrib - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DECIMAL(38,0)) AS auc_num,
-        |  CAST(2 * CAST(n_pos AS HUGEINT) * (n_tot - n_pos) AS DECIMAL(38,0)) AS auc_den,
+        |  CAST(anum AS DECIMAL(38,0)) AS auc_num,
+        |  CAST(aden AS DECIMAL(38,0)) AS auc_den,
         |  CASE WHEN n_pos > 0 AND n_tot - n_pos > 0 THEN
-        |    CAST(round(CAST(contrib - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DOUBLE)
-        |          / CAST(2 * CAST(n_pos AS HUGEINT) * (n_tot - n_pos) AS DOUBLE), 6)
-        |      AS DECIMAL(18,6))
+        |    ${graft.functions.IntRatio.duckRatio6("anum", "aden")}
         |  END AS auc
-        |FROM t""".stripMargin,
+        |FROM u""".stripMargin,
 
     // q64's one-multiply portable hash (ids < 2³²), per-source rank,
     // alphabetical source index, the same position arithmetic

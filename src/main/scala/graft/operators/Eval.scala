@@ -48,9 +48,11 @@ object Eval {
     * negative). One output row:
     * (n_pos, n_neg, auc_num DECIMAL(38,0), auc_den DECIMAL(38,0), auc) with
     * auc_num = 2·R⁺ − n⁺(n⁺+1), auc_den = 2·n⁺·n⁻ and
-    * auc = round(num/den, 6) emitted as DECIMAL(18,6) — decimals hash
-    * byte-exactly in the driver's compare; a raw rounded double was the r6
-    * q116 hash-fail. NULL auc when a class is empty.
+    * auc = the 6-dp ratio DECIMAL(18,6) derived ENTIRELY in integer space
+    * ([[graft.functions.IntRatio.ratio6]]) — `round(num/den AS DOUBLE, 6)`
+    * was the r6/r7 q116 hash-fail: a halfway-boundary double rounds
+    * engine-version-dependently, so no double may appear anywhere in the
+    * derivation chain. NULL auc when a class is empty.
     */
   def aucROC(scored: DataFrame, posCol: org.apache.spark.sql.Column,
       scoreCol: org.apache.spark.sql.Column, numParts: Int = 0): DataFrame = {
@@ -102,8 +104,7 @@ object Eval {
           .cast(d38).as("auc_den"))
       .select(col("n_pos"), col("n_neg"), col("auc_num"), col("auc_den"),
         when(col("n_pos") > 0 && col("n_neg") > 0,
-          round(col("auc_num").cast("double") / col("auc_den").cast("double"), 6)
-            .cast(DecimalType(18, 6)))
+          graft.functions.IntRatio.ratio6("auc_num", "auc_den"))
           .as("auc"))
   }
 }

@@ -57,9 +57,11 @@ object Stats {
     * < 2⁶³ — beyond that, cast the inputs to DECIMAL at the agg); the
     * closed-form products run in DECIMAL(38,0), which holds n·Σxy up to
     * 10³⁸ — exact at any realistic scale, and the integer num/den pair
-    * hash-gates engine-for-engine. The rounded ratio columns ride along for
-    * humans as DECIMAL(18,6) — decimals hash byte-exactly in the driver's
-    * compare; raw rounded doubles were the r6 q121 hash-fail. Degenerate
+    * hash-gates engine-for-engine. The DECIMAL(18,6) ratio columns are
+    * derived entirely in integer space ([[graft.functions.IntRatio.ratio6]],
+    * half-away-from-zero — slope/intercept can be negative):
+    * `round(num/den AS DOUBLE, 6)` was the r6/r7 q121 hash-fail, because a
+    * halfway-boundary double rounds engine-version-dependently. Degenerate
     * groups (constant x → den 0) yield NULL ratios.
     *
     * Scale shape: one partial-agg scan to a |groups|-row frame; the rest
@@ -82,12 +84,10 @@ object Stats {
       .select(col("grp"), col("n"), col("slope_num"), col("slope_den"),
         col("icept_num"),
         when(col("slope_den") =!= 0,
-          round(col("slope_num").cast("double") / col("slope_den").cast("double"), 6)
-            .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          graft.functions.IntRatio.ratio6("slope_num", "slope_den"))
           .as("slope"),
         when(col("slope_den") =!= 0,
-          round(col("icept_num").cast("double") / col("slope_den").cast("double"), 6)
-            .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          graft.functions.IntRatio.ratio6("icept_num", "slope_den"))
           .as("intercept"))
   }
 }
