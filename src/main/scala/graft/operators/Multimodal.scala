@@ -28,9 +28,13 @@ final case class MediaFeatures(
   *
   * IMAGE decode is REAL as of round 7: payloads carrying a PNG or JPEG magic
   * prefix are dimension-decoded through JDK `javax.imageio` (no new
-  * dependency — see [[decodeImageDims]]). Audio/video kernels remain
-  * DETERMINISTIC STUBS (no codecs in this container): `decodeOne` derives
-  * fake-but-stable features from the payload bytes (documented below). The
+  * dependency — see [[decodeImageDims]]). AUDIO metadata is REAL as of
+  * round 8: WAV/RIFF payloads are parsed by a manual chunk walk
+  * ([[decodeWavMeta]]) recovering sample rate / channels / duration from
+  * the headers. VIDEO kernels remain the one DETERMINISTIC STUB (no
+  * container parser fits header-only semantics without a codec dep):
+  * `decodeOne` derives fake-but-stable features from the payload bytes
+  * (documented below). The
   * Spark-side plumbing is the same either way: typed Dataset in/out,
   * per-partition batch processing (the Scala analogue of `mapInPandas`
   * batches), explicit repartition control so huge payload rows spread
@@ -93,8 +97,108 @@ object Multimodal extends Serializable {
     bos.toByteArray
   }
 
+  /** Real audio metadata from a WAV/RIFF payload, header-only: a manual
+    * RIFF chunk walk (public file-format knowledge, pure JDK byte reads — no
+    * codec dependency) recovering (sample_rate, channels, n_samples,
+    * duration_ms) from the `fmt ` and `data` chunk HEADERS. The data chunk's
+    * samples are never touched — only its declared size — so this is
+    * O(header) per asset like [[decodeImageDims]]: the only decode shape
+    * that survives 100 TB of media. Returns None unless the payload starts
+    * with RIFF....WAVE and carries a parseable PCM `fmt ` chunk.
+    *
+    * duration_ms = n_samples · 1000 / sample_rate in truncating integer
+    * division — both engine and oracle must use the same integral divide
+    * (no doubles; the IntRatio lesson applies to any hashed derived value).
+    */
+  def decodeWavMeta(bytes: Array[Byte]): Option[(Int, Int, Long, Long)] = {
+    def u16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+    def u32(o: Int): Long = (bytes(o) & 0xFFL) | ((bytes(o + 1) & 0xFFL) << 8) |
+      ((bytes(o + 2) & 0xFFL) << 16) | ((bytes(o + 3) & 0xFFL) << 24)
+    def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+    if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var sampleRate = -1; var channels = -1; var bitsPerSample = -1
+    var dataSize = -1L
+    // chunk walk: 4CC + LE u32 size, then the payload, padded to even length
+    while (off + 8 <= bytes.length && (sampleRate < 0 || dataSize < 0)) {
+      val id = tag(off); val size = u32(off + 4)
+      if (id == "fmt " && size >= 16 && off + 8 + 16 <= bytes.length) {
+        val audioFormat = u16(off + 8)
+        if (audioFormat != 1) return None // PCM only
+        channels = u16(off + 10)
+        sampleRate = u32(off + 12).toInt
+        bitsPerSample = u16(off + 22)
+      } else if (id == "data") {
+        dataSize = size
+      }
+      off += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (sampleRate <= 0 || channels <= 0 || bitsPerSample <= 0 || dataSize < 0)
+      None
+    else {
+      val bytesPerFrame = channels * (bitsPerSample / 8)
+      if (bytesPerFrame <= 0) None
+      else {
+        val nSamples = dataSize / bytesPerFrame
+        Some((sampleRate, channels, nSamples, nSamples * 1000L / sampleRate))
+      }
+    }
+  }
+
+  /** Deterministic 16-bit PCM WAV encoder (test/fixture helper, the audio
+    * twin of [[encodePng]]): `nSamples` frames of `channels`-channel audio
+    * whose samples are a stable function of `seed`. A junk `LIST` chunk is
+    * deliberately placed between `fmt ` and `data` so a parser that assumes
+    * the canonical 44-byte layout (data at offset 36) fails — the round-trip
+    * gate then genuinely proves the chunk WALK, not a fixed-offset read.
+    */
+  def encodeWav(sampleRate: Int, channels: Int, nSamples: Int,
+      seed: Int): Array[Byte] = {
+    val junk = Array.tabulate[Byte](11)(i => ((seed + i) & 0x7F).toByte)
+    val junkPadded = junk.length + (junk.length & 1)
+    val dataSize = nSamples * channels * 2
+    val riffSize = 4 + (8 + 16) + (8 + junkPadded) + (8 + dataSize)
+    val buf = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort) // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort)  // block align
+      .putShort(16.toShort)              // bits per sample
+    buf.put("LIST".getBytes("US-ASCII")).putInt(junk.length).put(junk)
+    if ((junk.length & 1) == 1) buf.put(0.toByte) // RIFF even-size padding
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < nSamples * channels) {
+      buf.putShort(((seed + i * 2654435761L) & 0xFFFF).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Audio metadata extraction over a media Dataset: one row per decodable
+    * WAV payload with (media_id, sample_rate, channels, n_samples,
+    * duration_ms) — the audio analogue of the q129 image-dimension path.
+    * Header-only per [[decodeWavMeta]]; non-WAV payloads are dropped (the
+    * caller's curation filter decides what undecodable assets mean).
+    */
+  def audioMeta(media: Dataset[MediaRecord]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { r =>
+      decodeWavMeta(r.bytes).map { case (sr, ch, n, ms) =>
+        (r.media_id, sr.toLong, ch.toLong, n, ms)
+      }
+    }.toDF("media_id", "sample_rate", "channels", "n_samples", "duration_ms")
+  }
+
   /** Decode: REAL dimensions for PNG/JPEG image payloads (via
-    * [[decodeImageDims]]); otherwise the deterministic stub:
+    * [[decodeImageDims]]) and REAL duration for WAV audio payloads (via
+    * [[decodeWavMeta]]); otherwise the deterministic stub:
     *   n_bytes   = payload length
     *   head_hash = polynomial rolling hash of the first 16 bytes
     *   width     = 16 * (1 + byte0 % 64), height = 16 * (1 + byte1 % 64)
@@ -109,11 +213,14 @@ object Multimodal extends Serializable {
       i += 1
     }
     val real = if (r.kind == "image") decodeImageDims(r.bytes) else None
+    val wav = if (r.kind == "audio") decodeWavMeta(r.bytes) else None
     val b0 = if (r.bytes.nonEmpty) r.bytes(0) & 0xFF else 0
     val b1 = if (r.bytes.length > 1) r.bytes(1) & 0xFF else 0
     val (w, ht) = real.getOrElse((16 * (1 + b0 % 64), 16 * (1 + b1 % 64)))
-    MediaFeatures(r.media_id, r.kind, n, h, w, ht,
-      if (r.kind == "image") 0L else n)
+    val duration =
+      if (r.kind == "image") 0L
+      else wav.map(_._4).getOrElse(n)
+    MediaFeatures(r.media_id, r.kind, n, h, w, ht, duration)
   }
 
   /** Feature extraction over partition-sized batches. `partitions` spreads
