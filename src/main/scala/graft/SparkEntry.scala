@@ -665,6 +665,28 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // REAL audio metadata round-trip (Multimodal.decodeWavMeta, manual
+    // RIFF chunk walk — pure JDK, header-only): the engine synthesizes a
+    // 16-bit PCM WAV per doc with sample rate / channels / frame count
+    // derived arithmetically from doc_id (plus a junk LIST chunk so a
+    // fixed-offset reader would fail), then the decode path recovers the
+    // parameters from the actual fmt/data chunk headers. The oracle
+    // predicts the same values from doc_id — if the parse were fake, the
+    // recovered parameters could not match. duration_ms is truncating
+    // integer division on both sides (no doubles in a hashed column).
+    "q143_audio_decode" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val sr = Array(8000, 16000, 22050, 44100)((id % 4).toInt)
+          val ch = 1 + ((id / 4) % 2).toInt
+          val n = 400 + (id % 50).toInt * 7
+          MediaRecord(id, "audio",
+            Multimodal.encodeWav(sr, ch, n, (id * 40503L).toInt), Map.empty)
+        }
+      Multimodal.audioMeta(media).orderBy(col("media_id"))
+    }),
+
     // §2.7 extension — generic as-of join (the reference's trade → latest
     // price lookup, PnlAndExposureJob.java:134-137, as a standalone
     // operator): tagged union + one window pass, one shuffle, no range join
@@ -4401,6 +4423,19 @@ object SparkEntry {
       """SELECT doc_id AS media_id,
         |  CAST(20 AS BIGINT) AS width,
         |  CAST(14 AS BIGINT) AS height
-        |FROM documents WHERE doc_id % 5 = 0 ORDER BY media_id""".stripMargin
+        |FROM documents WHERE doc_id % 5 = 0 ORDER BY media_id""".stripMargin,
+
+    // the engine encodes a real PCM WAV per doc with these exact
+    // parameters and walks the RIFF chunks back; the oracle predicts the
+    // arithmetic the encoder used (duration via truncating integer div,
+    // mirroring the engine's Long division)
+    "q143_audio_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CAST([8000,16000,22050,44100][CAST(doc_id % 4 AS INTEGER) + 1] AS BIGINT) AS sample_rate,
+        |  CAST(1 + (doc_id // 4) % 2 AS BIGINT) AS channels,
+        |  CAST(400 + (doc_id % 50) * 7 AS BIGINT) AS n_samples,
+        |  CAST((400 + (doc_id % 50) * 7) * 1000
+        |       // [8000,16000,22050,44100][CAST(doc_id % 4 AS INTEGER) + 1] AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY media_id""".stripMargin
   )
 }
