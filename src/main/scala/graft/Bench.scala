@@ -70,7 +70,24 @@ object Bench {
     // (reps=2 still recorded double-bad samples — r3's q37 logged 13.9 s vs
     // a real 0.76 s; the third rep is the cheap insurance.)
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    println(run(spark, sfDir, SparkEntry.queries, reps))
+    // dev-only isolation knob (comma-separated names): measure a query solo,
+    // free of the 140-query session's GC/codegen-cache neighborhood — the
+    // driver sets no filter and times everything.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val qs = only match {
+      case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
+      case None => SparkEntry.queries
+    }
+    val line = run(spark, sfDir, qs, reps)
+    // stdout AND a file: the driver's log tail-capture truncated BENCH_r07's
+    // single JSON line mid-map (parsed: null, 83 of 142 per-query numbers
+    // lost) — the file artifact can't be truncated by log capture.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_out.json"), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_out.json write failed: $e") }
+    println(line)
     spark.stop()
   }
 }
