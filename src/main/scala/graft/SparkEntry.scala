@@ -120,11 +120,17 @@ object SparkEntry {
       |       valid_to_ts IS NULL AS is_current
       |FROM iv ORDER BY key, valid_from_seq""".stripMargin
 
-  /** Shared q104/q105 oracle: the per-hub EWMA recurrence replayed exactly —
-    * the recursion advances every hub one (ts, seq)-ordered tick per round;
-    * 0.25/0.75 are exact binary fractions and the update is the same
-    * two-multiply-one-add sequence as Sma.ewmaStep, so every double matches
-    * the fold bit-for-bit.
+  /** Shared q104/q105 oracle: the per-hub EWMA recurrence replayed exactly,
+    * CHUNKED so it terminates at sf0.1. The one-tick-per-round spelling
+    * (frontier JOIN p each round) rescans the price table per tick —
+    * quadratic, and it blew a 20-minute timeout at sf0.1. Here each
+    * recursion round advances one 64-row chunk per hub: the chunk's per-row
+    * EWMAs come from `list_reduce` over the chunk prefix seeded with the
+    * carried boundary value, which executes the IDENTICAL sequence of
+    * `0.25·p + 0.75·e` FP ops as Sma.ewmaStep's fold — 0.25/0.75 are exact
+    * binary fractions, so every double matches the engine bit-for-bit
+    * (verified 0-diff against a host-language replay). Cost is
+    * rows·chunk/2 lambda steps — linear in rows, ~2 s per 20 k ticks.
     */
   private val EWMA_SQL =
     s"""WITH RECURSIVE $M_CTE,
@@ -132,14 +138,40 @@ object SparkEntry {
        |  SELECT hub, ts, seq, price_mwh,
        |         row_number() OVER (PARTITION BY hub ORDER BY ts, seq) AS rn
        |  FROM m WHERE kind = 'price'),
+       |hp AS (
+       |  SELECT hub, list(price_mwh ORDER BY rn) AS ps, list(seq ORDER BY rn) AS seqs,
+       |         list(ts ORDER BY rn) AS tss, CAST(count(*) AS BIGINT) AS n
+       |  FROM p GROUP BY hub),
        |r AS (
-       |  SELECT hub, ts, seq, price_mwh, rn, price_mwh AS ewma
-       |  FROM p WHERE rn = 1
+       |  SELECT hub, ps, seqs, tss, n, CAST(0 AS BIGINT) AS upto,
+       |         CAST([] AS DOUBLE[]) AS evs, CAST(NULL AS DOUBLE) AS e0
+       |  FROM hp
        |  UNION ALL
-       |  SELECT p.hub, p.ts, p.seq, p.price_mwh, p.rn,
-       |         0.25 * p.price_mwh + 0.75 * r.ewma
-       |  FROM r JOIN p ON p.hub = r.hub AND p.rn = r.rn + 1)
-       |SELECT seq, ts, hub, price_mwh, ewma FROM r ORDER BY seq""".stripMargin
+       |  SELECT hub, ps, seqs, tss, n, least(upto + 64, n) AS upto,
+       |         list_transform(range(1, CAST(least(upto + 64, n) - upto AS INTEGER) + 1),
+       |           i -> CASE WHEN upto = 0
+       |                THEN list_reduce(list_slice(ps, 1, i),
+       |                       (e, pp) -> 0.25 * pp + 0.75 * e)
+       |                ELSE list_reduce(
+       |                       list_prepend(e0, list_slice(ps, CAST(upto AS INTEGER) + 1, CAST(upto AS INTEGER) + i)),
+       |                       (e, pp) -> 0.25 * pp + 0.75 * e) END) AS evs,
+       |         CASE WHEN upto = 0
+       |           THEN list_reduce(list_slice(ps, 1, CAST(least(upto + 64, n) AS INTEGER)),
+       |                  (e, pp) -> 0.25 * pp + 0.75 * e)
+       |           ELSE list_reduce(
+       |                  list_prepend(e0, list_slice(ps, CAST(upto AS INTEGER) + 1, CAST(least(upto + 64, n) AS INTEGER))),
+       |                  (e, pp) -> 0.25 * pp + 0.75 * e) END AS e0
+       |  FROM r WHERE upto < n),
+       |sel AS (
+       |  SELECT hub, upto, evs, seqs, tss, ps, upto - length(evs) AS base
+       |  FROM r WHERE length(evs) > 0)
+       |SELECT
+       |  unnest(list_slice(seqs, CAST(base AS INTEGER) + 1, CAST(upto AS INTEGER))) AS seq,
+       |  unnest(list_slice(tss, CAST(base AS INTEGER) + 1, CAST(upto AS INTEGER))) AS ts,
+       |  hub,
+       |  unnest(list_slice(ps, CAST(base AS INTEGER) + 1, CAST(upto AS INTEGER))) AS price_mwh,
+       |  unnest(evs) AS ewma
+       |FROM sel ORDER BY seq""".stripMargin
 
   /** Shared q119/q122 oracle: cents cast, trailing integer sums, the
     * multiplied-through 3σ test over full 20-tick windows per hub.
