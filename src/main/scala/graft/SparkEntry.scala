@@ -1546,9 +1546,11 @@ object SparkEntry {
         .orderBy(col("qid"), col("rn"))),
 
     // Dimension covariance matrix (Kmeans.covarianceMatrix): the
-    // second-moment summary PCA starts from. Pair products are generated
-    // scan-side by an array lambda (no self-join); the exchange carries
-    // O(d²) partial sums per partition regardless of row count.
+    // second-moment summary PCA starts from. Pair products accumulate in a
+    // per-partition primitive-loop kernel (mapPartitions, exact-decimal
+    // cells — no self-join, no HOF lambda); the exchange carries one
+    // (i, j, n, subtotal) row per upper-triangle cell per partition,
+    // O(d²) regardless of row count.
     "q126_covariance" -> ((s, d) =>
       operators.Kmeans.covarianceMatrix(t(s, d, "embeddings"))
         .orderBy(col("i"), col("j"))),
@@ -2845,8 +2847,9 @@ object SparkEntry {
     "q29_cosine_dups_lsh" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-        |par AS (SELECT greatest(4, CAST(ceil(ln(count(*) / 64.0) / ln(2)) AS BIGINT)) AS planes
-        |        FROM e),
+        |par AS (SELECT CAST(min(p.p) AS BIGINT) AS planes
+        |        FROM range(4, 57) p(p), (SELECT count(*) AS cnt FROM e) c
+        |        WHERE (CAST(64 AS BIGINT) << CAST(p.p AS INTEGER)) >= c.cnt),
         |pv AS (SELECT r.pid, list_transform(range(0, 64),
         |         j -> CASE WHEN ((((r.pid + 1) * 131 + (j + 1)) % 998244353)
         |                         * (((r.pid + 1) * 131 + (j + 1)) % 998244353)
@@ -3448,7 +3451,10 @@ object SparkEntry {
         |   OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
 
-    // same scalar-average spelling; NOT IN over the date-filtered keys
+    // same scalar-average spelling; NOT EXISTS (not NOT IN) so the oracle
+    // shares the engine's left_anti semantics even if o_custkey ever
+    // carried a NULL — NOT IN would then return zero rows while the anti
+    // join keeps non-matching customers
     "q142_tpch_q22" ->
       """WITH ab AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_bal
         |            FROM customer WHERE c_acctbal > 0)
@@ -3456,8 +3462,9 @@ object SparkEntry {
         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
         |FROM customer, ab
         |WHERE c_acctbal > ab.avg_bal
-        |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
-        |                        WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     // same numeric range frame over epoch seconds

@@ -139,38 +139,48 @@ object Kmeans {
       var dim = -1
       var n = 0L
       var acc: Array[java.math.BigDecimal] = null
+      // null vectors are SKIPPED, matching the explode-based spelling this
+      // kernel replaced (explode of a null array emits no rows) — a null
+      // must not NPE the whole job, and the means frame below drops the
+      // same rows, so n stays consistent.
       it.foreach { v =>
-        if (dim < 0) {
-          dim = v.length
-          acc = Array.fill(dim * (dim + 1) / 2)(java.math.BigDecimal.ZERO)
-        }
-        require(v.length == dim,
-          s"ragged embedding dims: saw $dim then ${v.length}")
-        var idx = 0
-        var i = 0
-        while (i < dim) {
-          val xi = v(i)
-          var j = i
-          while (j < dim) {
-            acc(idx) = acc(idx).add(java.math.BigDecimal.valueOf(xi * v(j))
-              .setScale(12, java.math.RoundingMode.HALF_UP))
-            idx += 1
-            j += 1
+        if (v != null) {
+          if (dim < 0) {
+            dim = v.length
+            acc = Array.fill(dim * (dim + 1) / 2)(java.math.BigDecimal.ZERO)
           }
-          i += 1
+          require(v.length == dim,
+            s"ragged embedding dims: saw $dim then ${v.length}")
+          var idx = 0
+          var i = 0
+          while (i < dim) {
+            val xi = v(i)
+            var j = i
+            while (j < dim) {
+              acc(idx) = acc(idx).add(java.math.BigDecimal.valueOf(xi * v(j))
+                .setScale(12, java.math.RoundingMode.HALF_UP))
+              idx += 1
+              j += 1
+            }
+            i += 1
+          }
+          n += 1
         }
-        n += 1
       }
       if (dim < 0) Iterator.empty
       else {
-        val out = Array.newBuilder[(Int, Int, Long, BigDecimal)]
+        val out = Array.newBuilder[(Int, Int, Long, BigDecimal, Int)]
         out.sizeHint(acc.length)
         var idx = 0
         var i = 0
         while (i < dim) {
           var j = i
           while (j < dim) {
-            out += ((i, j, n, BigDecimal(acc(idx))))
+            // pdim rides along so the groupBy can detect RAGGED DIMS ACROSS
+            // partitions — the in-partition require above can't see them,
+            // and without the check differing dims would silently merge
+            // into wrong per-cell n/sums.
+            out += ((i, j, n, BigDecimal(acc(idx)), dim))
             idx += 1
             j += 1
           }
@@ -178,9 +188,10 @@ object Kmeans {
         }
         out.result().iterator
       }
-    }.toDF("i", "j", "pn", "psxy")
+    }.toDF("i", "j", "pn", "psxy", "pdim")
     val pairs = parts.groupBy(col("i"), col("j"))
-      .agg(sum(col("pn")).as("n"), sum(col("psxy")).as("sxy"))
+      .agg(sum(col("pn")).as("n"), sum(col("psxy")).as("sxy"),
+        min(col("pdim")).as("dim_lo"), max(col("pdim")).as("dim_hi"))
     val means = e.select(posexplode(col("v")))
       .groupBy(col("pos"))
       .agg((sum(col("col").cast("decimal(28,12)")).cast("double")
@@ -190,10 +201,17 @@ object Kmeans {
       .join(broadcast(means.select(col("pos").as("j"), col("mu").as("mu_j"))), Seq("j"))
       .select(col("i"), col("j"), col("n"),
         // + 0.0 normalizes the signed zero a tiny negative covariance
-        // rounds to (-0.0 ≠ 0.0 under value-hash comparison)
-        (round((col("sxy").cast("double")
-          - col("n") * col("mu_i") * col("mu_j")) / (col("n") - 1), 6)
-          + lit(0.0)).as("cov"))
+        // rounds to (-0.0 ≠ 0.0 under value-hash comparison); the
+        // cross-partition ragged-dim check rides the cov expression so
+        // column pruning can never drop it
+        when(col("dim_lo") =!= col("dim_hi"),
+          raise_error(concat(lit("ragged embedding dims across partitions: "),
+            col("dim_lo").cast("string"), lit(" vs "),
+            col("dim_hi").cast("string"))).cast("double"))
+          .otherwise(
+            round((col("sxy").cast("double")
+              - col("n") * col("mu_i") * col("mu_j")) / (col("n") - 1), 6)
+              + lit(0.0)).as("cov"))
   }
 
   /** Per-cluster fit summary after `steps` Lloyd iterations from `cents0`:

@@ -122,14 +122,27 @@ object Similarity {
   private def dimOf(emb: DataFrame): Int =
     emb.select(size(col("embedding"))).head().getInt(0)
 
-  /** Corpus row count for auto-sizing: prefer the caller's known value, then
-    * catalog/plan statistics (free), and only then a count job — plan-build
-    * must not cost a full scan on the 100 TB path when metadata can answer.
+  /** Corpus row count for plane auto-sizing: the caller's known value or an
+    * EXACT count job. Plane count is correctness-bearing for the
+    * oracle-gated path (a different `planes` changes every bucket, so the
+    * whole candidate set diverges from an oracle that recomputes the
+    * sketch from `count(*)`) — catalog/CBO row estimates must never feed
+    * it. Scale callers avoid the count job by passing `planes` or
+    * `corpusSize` explicitly.
     */
   private def corpusRows(emb: DataFrame, known: Long): Long =
-    if (known > 0) known
-    else emb.queryExecution.optimizedPlan.stats.rowCount
-      .map(_.toLong).getOrElse(emb.count())
+    if (known > 0) known else emb.count()
+
+  /** Smallest p ≥ 4 with 64·2^p ≥ n — ceil(log₂(n/64)) in pure integer
+    * arithmetic. The FP spelling (`ceil(ln(n/64)/ln 2)`) can land either
+    * side of an exact power-of-two boundary depending on the libm, which
+    * would flip `planes` and desync engine and oracle.
+    */
+  private def autoPlanes(n: Long): Int = {
+    var p = 4
+    while ((64L << p) < n && p < 56) p += 1 // 64·2^56 = 2^62: no overflow
+    p
+  }
 
   /** Approximate top-k: candidates share an LSH bucket in any of `tables`
     * hash tables, dedup on bare id pairs (vectors are fetched back by id
@@ -325,8 +338,7 @@ object Similarity {
       .withColumn("nrm", norm(col("v")))
     val p =
       if (planes > 0) planes
-      else math.max(4, math.ceil(
-        math.log(corpusRows(emb, corpusSize) / 64.0) / math.log(2)).toInt)
+      else autoPlanes(corpusRows(emb, corpusSize))
     val eb = e
       .withColumn("tb", explode(allBuckets(col("v"), p, tables, d)))
       .select(col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"), col("vec_id"))

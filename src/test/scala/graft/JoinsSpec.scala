@@ -216,13 +216,30 @@ class JoinsSpec extends AnyFunSuite {
       s"nation (and at this scale customer) must broadcast:\n$p")
     assert(p.contains("TakeOrderedAndProject"),
       s"top-20 must be TakeOrdered, not a global sort:\n$p")
-    // the revenue aggregate must sit BELOW the customer join: the plan tree
-    // prints children indented after parents, so the first HashAggregate
-    // containing the revenue sum must appear after (deeper than) the last
-    // join only if grouping ran first — assert via the analyzed plan order
-    val analyzed = df.queryExecution.optimizedPlan.toString
-    val aggAt = analyzed.indexOf("o_custkey")
-    assert(aggAt >= 0)
+    // the revenue aggregate must sit BELOW the customer join — assert the
+    // tree structure, not a string: find the Aggregate grouping on
+    // o_custkey, check its subtree excludes the customer relation, and
+    // check some Join has that Aggregate on one side and customer columns
+    // on the other
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan}
+    val opt = df.queryExecution.optimizedPlan
+    val aggs = opt.collect { case a: Aggregate
+      if a.groupingExpressions.flatMap(_.references.toSeq)
+        .exists(_.name == "o_custkey") => a }
+    assert(aggs.nonEmpty, s"no Aggregate grouping on o_custkey:\n$opt")
+    val revAgg = aggs.head
+    assert(!revAgg.collectLeaves()
+        .exists(_.output.exists(_.name == "c_custkey")),
+      s"revenue aggregate subtree must not contain the customer relation:\n$opt")
+    def hasAgg(p: LogicalPlan): Boolean =
+      p.collect { case q if q eq revAgg => q }.nonEmpty
+    def hasCustomer(p: LogicalPlan): Boolean =
+      p.collectLeaves().exists(_.output.exists(_.name == "c_custkey"))
+    val joins = opt.collect { case j: Join => j }
+    assert(joins.exists(j =>
+        (hasAgg(j.left) && hasCustomer(j.right)) ||
+        (hasAgg(j.right) && hasCustomer(j.left))),
+      s"no Join with the o_custkey Aggregate on one side and customer on the other:\n$opt")
   }
 
   test("q133 TPC-H Q14: part broadcasts, the month filter reaches the lineitem scan") {

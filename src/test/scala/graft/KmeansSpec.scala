@@ -29,6 +29,34 @@ class KmeansSpec extends AnyFunSuite {
       && got((1, 1)) == ((3L, 4.0)))
   }
 
+  test("covarianceMatrix skips null vectors instead of NPEing") {
+    import spark.implicits._
+    val emb = Seq(Some(Array(1f, 2f)), None, Some(Array(3f, 4f)),
+      Some(Array(5f, 0f)))
+      .toDF("embedding")
+    val got = Kmeans.covarianceMatrix(emb).collect()
+      .map(r => (r.getAs[Int]("i"), r.getAs[Int]("j")) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("cov")))).toMap
+    // same three non-null vectors as the hand-computed case above
+    assert(got((0, 0)) == ((3L, 4.0)) && got((0, 1)) == ((3L, -2.0))
+      && got((1, 1)) == ((3L, 4.0)))
+  }
+
+  test("covarianceMatrix rejects ragged dims across partitions") {
+    import spark.implicits._
+    // one dim-2 vector in one partition, one dim-3 vector in the other:
+    // each partition's local require passes; only the cross-partition
+    // check can catch the mismatch
+    val emb = spark.createDataset(Seq(Array(1f, 2f), Array(1f, 2f, 3f)))
+      .repartition(2).toDF("embedding")
+    val ex = intercept[Exception] {
+      Kmeans.covarianceMatrix(emb).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("ragged")), msgs(ex).mkString(" | "))
+  }
+
   test("assign puts every vector in exactly one cluster, seeds at distance 0") {
     val a = Kmeans.assign(vecs, cents0)
     assert(a.count() == vecs.count())
