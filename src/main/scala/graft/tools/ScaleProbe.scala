@@ -1,0 +1,137 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Empirical scale probe for the flagship dedup family (dev tool, not a
+  * driver contract): synthesizes a corpus ~10× the sf0.1 fixtures with the
+  * same shape (31-word salad vocabulary, 20 sources, 5 langs, planted
+  * exact + near dup structure; embeddings as 10 cluster centers + per-dim
+  * jitter), then times q62 (LSH dup clusters), q99 (keep-best), q100
+  * (curation pipeline) and the q102 SemDeDup shape at BOTH scales in one
+  * session — the sf0.1→sf≈1 ratio is the evidence for BASELINE.md's
+  * "no super-linear blowup" claim.
+  *
+  * Usage: runMain graft.tools.ScaleProbe /tmp/scaleprobe
+  * (generates <dir>/documents.parquet + embeddings.parquet if absent).
+  *
+  * q102 note: SemDeDup's within-cluster pair search is quadratic in
+  * CLUSTER SIZE, so a fair corpus scale-up must scale the centroid count
+  * with the corpus (the paper's regime: cluster size roughly constant).
+  * The probe therefore runs q102's shape with k=8 at sf0.1 and k=80 at
+  * 10× — same expected cluster size — and ALSO reports the k=8-at-10×
+  * pathology for the record.
+  */
+object ScaleProbe {
+
+  private val vocab = Array("a", "agg", "batch", "big", "column", "customer",
+    "data", "dup", "fast", "filter", "group", "hash", "join", "key", "line",
+    "merge", "order", "part", "query", "row", "scan", "slow", "small",
+    "sort", "spark", "stream", "table", "the", "value", "vector", "window")
+  private val langs = Array("en", "en", "en", "en", "zh", "es", "fr", "de")
+
+  /** Deterministic word-salad text for doc `id` (pure function of id). */
+  private def textOf(id: Long): String = {
+    val rnd = new scala.util.Random(id * 2654435761L + 40503L)
+    val n = 8 + rnd.nextInt(105)
+    (0 until n).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+  }
+
+  def genDocs(spark: SparkSession, dir: String, n: Int): Unit = {
+    import spark.implicits._
+    spark.range(0, n, 1, 32).map { id =>
+      // dup planting mirrors the fixture's ~8% duplicate mass:
+      //  id%13==0 -> exact copy of an earlier doc; id%17==0 -> near-dup
+      //  (same base text + one appended word); else fresh text
+      val text =
+        if (id % 13 == 0 && id > 0) textOf(id / 13)
+        else if (id % 17 == 0 && id > 0) textOf(id / 17) + " spark"
+        else textOf(id)
+      val lang = langs(((id * 7919) % langs.length).toInt)
+      (id, text, lang, s"src${id % 20}", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  def genEmbeddings(spark: SparkSession, dir: String, n: Int): Unit = {
+    import spark.implicits._
+    spark.range(0, n, 1, 32).map { id =>
+      val label = ((id * 7919) % 10).toInt
+      val rnd = new scala.util.Random(id * 40503L + 7L)
+      val emb = Array.tabulate(64) { d =>
+        val center = math.sin(label * 64 + d).toFloat // stable per (label, dim)
+        center + (rnd.nextFloat() - 0.5f) * 0.3f
+      }
+      (id, emb, label)
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+
+  private def time(label: String)(f: => Long): Unit = {
+    // min of 2: first run pays codegen; the second is the signal
+    val (t, rows) = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      val r = f
+      ((System.nanoTime() - t0) / 1e9, r)
+    }.minBy(_._1)
+    println(f"[probe] $label%-28s ${t}%8.2f s  ($rows rows)")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/scaleprobe")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Dedup, Pipeline, Similarity}
+
+    if (!new java.io.File(s"$dir/documents.parquet").exists()) {
+      println(s"[probe] generating 10x corpus under $dir")
+      genDocs(spark, dir, 50000)
+      genEmbeddings(spark, dir, 20000)
+    }
+
+    def docsOf(d: String) = spark.read.parquet(s"$d/documents.parquet")
+    def embOf(d: String) = spark.read.parquet(s"$d/embeddings.parquet")
+
+    for ((label, d) <- Seq(("sf0.1", "/root/testdata/sf0.1"), ("10x", dir))) {
+      val docs = docsOf(d)
+      time(s"$label q62_dup_clusters") {
+        val pairs = Dedup.minhashNearDups(docs, col("doc_id"), col("text"))
+        Dedup.dupGroups(docs, col("doc_id"), pairs).count()
+      }
+      time(s"$label q99_keep_best") {
+        val pairs = Dedup.minhashNearDups(docs, col("doc_id"), col("text"))
+        Dedup.dupGroupsBest(docs, col("doc_id"),
+          length(col("text")).cast("long"), pairs).count()
+      }
+      time(s"$label q100_curation") {
+        Pipeline.curate(docs, col("doc_id"), col("text"),
+          benchPred = col("doc_id") % 10 === 0).count()
+      }
+      val emb = embOf(d)
+      val e = emb.select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+      val k = if (label == "10x") 80 else 8
+      time(s"$label q102_semdedup(k=$k)") {
+        Similarity.semDedup(emb,
+          e.filter(col("vec_id") < k).select(col("vec_id").as("cid"), col("v").as("cv")),
+          threshold = 0.4).count()
+      }
+    }
+    // the pathology for the record: fixed k=8 at 10x corpus — cluster size
+    // 10x, within-cluster pairs 100x
+    val emb10 = embOf(dir)
+    val e10 = emb10.select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+    time("10x q102_semdedup(k=8)") {
+      Similarity.semDedup(emb10,
+        e10.filter(col("vec_id") < 8).select(col("vec_id").as("cid"), col("v").as("cv")),
+        threshold = 0.4).count()
+    }
+    spark.stop()
+  }
+}
