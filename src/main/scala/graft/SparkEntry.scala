@@ -173,6 +173,54 @@ object SparkEntry {
        |  unnest(evs) AS ewma
        |FROM sel ORDER BY seq""".stripMargin
 
+  /** q144 oracle: the BPE merge loop UNROLLED — `n` CTE stages, each
+    * recomputing adjacent-pair counts from the current symbol frame
+    * (zipped-slice unnest), picking the (cnt desc, a, b) argmax, and
+    * applying the merge greedily left-to-right via a `list_reduce` string
+    * fold with explicit token-boundary checks (suffix = left symbol AND
+    * the char before it is a space or start-of-string — no LIKE patterns).
+    * All-integer/string arithmetic: nothing engine-version-sensitive.
+    */
+  private def BPE_SQL(n: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH w0 AS (
+        |  SELECT w AS word, CAST(count(*) AS BIGINT) AS c,
+        |         list_transform(range(1, length(w) + 1),
+        |           i -> substr(w, CAST(i AS INTEGER), 1)) AS syms
+        |  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        |        FROM documents)
+        |  GROUP BY w)""".stripMargin)
+    for (k <- 1 to n) {
+      sb.append(s""",
+        |p$k AS (
+        |  SELECT a, b, CAST(sum(c) AS BIGINT) AS cnt FROM (
+        |    SELECT c,
+        |      unnest(list_slice(syms, 1, length(syms) - 1)) AS a,
+        |      unnest(list_slice(syms, 2, length(syms))) AS b
+        |    FROM w${k - 1})
+        |  GROUP BY a, b),
+        |m$k AS (SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
+        |w$k AS (
+        |  SELECT word, c,
+        |    CASE WHEN m.a IS NULL THEN syms
+        |         ELSE string_split(
+        |           list_reduce(syms, (acc, y) ->
+        |             CASE WHEN y = m.b
+        |                       AND substr(acc, length(acc) - length(m.a) + 1) = m.a
+        |                       AND (length(acc) = length(m.a)
+        |                            OR substr(acc, length(acc) - length(m.a), 1) = ' ')
+        |                  THEN left(acc, length(acc) - length(m.a)) || m.a || m.b
+        |                  ELSE acc || ' ' || y END), ' ')
+        |    END AS syms
+        |  FROM w${k - 1} LEFT JOIN m$k m ON TRUE)""".stripMargin)
+    }
+    sb.append("\n" + (1 to n).map(k =>
+        s"SELECT CAST($k AS INTEGER) AS step, a AS left_sym, b AS right_sym, cnt FROM m$k")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY step"))
+    sb.toString
+  }
+
   /** Shared q119/q122 oracle: cents cast, trailing integer sums, the
     * multiplied-through 3σ test over full 20-tick windows per hub.
     */
@@ -1694,6 +1742,18 @@ object SparkEntry {
             .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("score"))
       operators.Eval.aucROC(scored, col("pos"), col("score"))
     }),
+
+    // BPE merge training (Corpus.bpeTrain, arXiv:1508.07909): the first 10
+    // byte-pair merges learned over the corpus — the tokenizer-training
+    // step between curation (q53 vocab, q137 token ids) and model
+    // training. ONE corpus scan builds the (word, count) frame; every
+    // merge round is vocab-sized (adjacent-pair explode + partial-agg +
+    // 1-row argmax with pinned ties). The oracle replays all 10 rounds
+    // unrolled — pair counts, argmax AND the greedy left-to-right merge
+    // application are hash-gated.
+    "q144_bpe_train" -> ((s, d) =>
+      operators.Corpus.bpeTrain(t(s, d, "documents"), col("text"), nMerges = 10)
+        .orderBy(col("step"))),
 
     // Fair round-robin interleave (Corpus.fairInterleave, budget 200): a
     // deterministic global training ORDER alternating sources one doc at a
@@ -3400,6 +3460,9 @@ object SparkEntry {
 
     "q119_rolling_anomaly" -> ANOMALY_SQL,
     "q122_streaming_anomaly" -> ANOMALY_SQL,
+
+    // mirrors Corpus.bpeTrain: 10 unrolled merge rounds (see BPE_SQL)
+    "q144_bpe_train" -> BPE_SQL(10),
 
     // mirrors q127: same join tree, same decimal-revenue idiom
     "q127_tpch_q5" ->

@@ -600,6 +600,87 @@ object Corpus {
     * is a bounded collect_list sorted by position inside the doc's own
     * group — nothing corpus-sized is ever windowed or sorted globally.
     */
+  /** BPE merge training (Sennrich et al. 2016, arXiv:1508.07909 — public
+    * algorithm): learn the first `nMerges` byte-pair merges over the
+    * corpus. Start from character-level symbol sequences per word; each
+    * round merges the globally most frequent ADJACENT symbol pair
+    * (tie-break: count desc, then (left, right) lexicographic — pinned so
+    * any engine picks the identical merge), applied greedily
+    * left-to-right within each word.
+    *
+    * Output: one row per learned merge — (step, left_sym, right_sym, cnt).
+    *
+    * Scale shape — the corpus is scanned ONCE, for word frequencies; BPE
+    * statistics are a pure function of the (word, count) frame, whose size
+    * is the DISTINCT-word vocabulary (bounded by language, not corpus —
+    * ~1e8 rows at 100 TB vs 1e11 docs). Every merge round is then a
+    * vocab-frame job: an adjacent-pair explode (zipped slices — scan-side),
+    * a partial-aggregated pair count, a 1-row TakeOrdered argmax, and a
+    * typed map applying the merge. Rounds persist their frame and
+    * unpersist the previous one, so no round recomputes the corpus scan.
+    * (The classic single-node optimization — incremental pair-count deltas
+    * instead of recounting — trades a full-frame pass for random-access
+    * state; at cluster scale the recount IS the cheap shape because it
+    * partial-aggregates map-side, while delta state would need a shuffle
+    * per merge anyway.)
+    */
+  def bpeTrain(docs: DataFrame, textCol: Column, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def applyMerge(s: Seq[String], a: String, b: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += s(i); i += 1 }
+      }
+      out.toSeq
+    }
+    var cur = docs
+      .select(explode(Text.tokens(textCol)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .as[(String, Long)]
+      .map { case (w, c) => (w, c, w.map(_.toString): Seq[String]) }
+      .persist()
+    // one materialization job per round: each round's argmax collect
+    // materializes the CURRENT frame into its cache, after which the
+    // previous round's cache is dropped — no separate count() job, and
+    // nothing ever recomputes back to the corpus scan.
+    var prev: Option[org.apache.spark.sql.Dataset[(String, Long, Seq[String])]] = None
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      val top = cur.toDF("word", "c", "syms")
+        .select(col("c"),
+          explode(arrays_zip(
+            slice(col("syms"), lit(1), size(col("syms")) - 1),
+            slice(col("syms"), lit(2), size(col("syms")) - 1))).as("p"))
+        .select(col("c"), col("p.0").as("a"), col("p.1").as("b"))
+        .groupBy(col("a"), col("b")).agg(sum(col("c")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+        .collect()
+      prev.foreach(_.unpersist()) // cur is materialized now; prev can go
+      prev = None
+      if (top.isEmpty) exhausted = true
+      else {
+        val a: String = top(0).getString(0)
+        val b: String = top(0).getString(1)
+        val cnt: Long = top(0).getLong(2)
+        merges += ((step, a, b, cnt))
+        val next = cur.map { case (w, c, s) => (w, c, applyMerge(s, a, b)) }
+          .persist()
+        prev = Some(cur) // keep cur cached until next's first job materializes it
+        cur = next
+        step += 1
+      }
+    }
+    prev.foreach(_.unpersist())
+    cur.unpersist()
+    merges.toSeq.toDF("step", "left_sym", "right_sym", "cnt")
+  }
+
   def tokenizeIds(docs: DataFrame, idCol: Column, textCol: Column,
                   vocabSize: Int = 100): DataFrame = {
     val toks = docs

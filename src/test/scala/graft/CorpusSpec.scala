@@ -304,4 +304,35 @@ class CorpusSpec extends AnyFunSuite {
       .collect()
     assert(pruned.length == 1 && pruned.head.getAs[String]("w1") == "a")
   }
+
+  test("bpeTrain: hand-computed merges, early stop when pairs run dry") {
+    import spark.implicits._
+    // words: ab x2, ac x1 -> round 1 merges (a,b) cnt 2; round 2 (a,c) 1;
+    // round 3 has no pairs left -> stops at 2 merges despite nMerges=10
+    val docs = Seq("ab ab ac").toDF("text")
+    val m = Corpus.bpeTrain(docs, col("text"), nMerges = 10)
+      .orderBy(col("step")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m.toSeq == Seq((1, "a", "b", 2L), (2, "a", "c", 1L)))
+  }
+
+  test("bpeTrain: count ties break lexicographically on (left, right)") {
+    import spark.implicits._
+    // (b,a) and (a,b) both count 2 -> (a,b) wins the tie
+    val docs = Seq("ba ba ab ab").toDF("text")
+    val m = Corpus.bpeTrain(docs, col("text"), nMerges = 1)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m.toSeq == Seq(("a", "b", 2L)))
+  }
+
+  test("bpeTrain: greedy left-to-right application on overlapping pairs") {
+    import spark.implicits._
+    // 'aaa': (a,a) counts 2; after merging greedily the word is [aa, a],
+    // so round 2's top pair is (aa, a) with count 1
+    val docs = Seq("aaa").toDF("text")
+    val m = Corpus.bpeTrain(docs, col("text"), nMerges = 2)
+      .orderBy(col("step")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m.toSeq == Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)))
+  }
 }
