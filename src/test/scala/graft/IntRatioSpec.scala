@@ -45,6 +45,32 @@ class IntRatioSpec extends AnyFunSuite {
     assert(ratio(-5L, 18L).toPlainString == "-0.277778")
   }
 
+  test("property: ratio6 == BigDecimal.setScale(6, HALF_UP) on 300 pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1234)
+    // random pairs + constructed exact-halfway pairs (den = 2e6 * k makes
+    // num/den land exactly on half-micro boundaries)
+    val cases = Seq.tabulate(250) { _ =>
+      (rnd.nextLong() % 1000000000L, math.abs(rnd.nextLong() % 999999L) + 1L)
+    } ++ Seq.tabulate(50) { i =>
+      val k = i + 1
+      ((2 * i + 1).toLong * (if (i % 2 == 0) 1 else -1), 2000000L * k)
+    }
+    val d38 = DecimalType(38, 0)
+    val got = cases.toDF("n", "d")
+      .select(col("n").cast(d38).as("num"), col("d").cast(d38).as("den"))
+      .select(col("num"), col("den"), IntRatio.ratio6("num", "den").as("r"))
+      .collect()
+    got.foreach { row =>
+      val n = row.getDecimal(0).toBigInteger.longValueExact
+      val d = row.getDecimal(1).toBigInteger.longValueExact
+      val want = new java.math.BigDecimal(n)
+        .divide(new java.math.BigDecimal(d), 6, java.math.RoundingMode.HALF_UP)
+      assert(row.getDecimal(2).compareTo(want) == 0,
+        s"$n / $d: got ${row.getDecimal(2)}, want $want")
+    }
+  }
+
   test("duckdb mirror produces the identical micro on the same inputs") {
     // The DuckDB spelling is string-templated SQL; assert the Spark SQL
     // translation of the same arithmetic (BIGINT stand-in for HUGEINT)
