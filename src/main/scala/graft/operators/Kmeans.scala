@@ -135,19 +135,23 @@ object Kmeans {
     val spark = emb.sparkSession
     import spark.implicits._
     val e = emb.select(Similarity.toDouble(col("embedding")).as("v"))
+    // ONE corpus scan: the kernel accumulates both the d(d+1)/2 pair-product
+    // cells AND the d per-dim sums (emitted as j = -1 rows), so the means
+    // frame below derives from the same exchange instead of re-scanning the
+    // corpus — at 100 TB that is the difference between 1 and 2 full passes.
     val parts = e.as[Seq[Double]].mapPartitions { it =>
       var dim = -1
       var n = 0L
       var acc: Array[java.math.BigDecimal] = null
+      var sums: Array[java.math.BigDecimal] = null
       // null vectors are SKIPPED, matching the explode-based spelling this
-      // kernel replaced (explode of a null array emits no rows) — a null
-      // must not NPE the whole job, and the means frame below drops the
-      // same rows, so n stays consistent.
+      // kernel replaced (explode of a null array emits no rows).
       it.foreach { v =>
         if (v != null) {
           if (dim < 0) {
             dim = v.length
             acc = Array.fill(dim * (dim + 1) / 2)(java.math.BigDecimal.ZERO)
+            sums = Array.fill(dim)(java.math.BigDecimal.ZERO)
           }
           require(v.length == dim,
             s"ragged embedding dims: saw $dim then ${v.length}")
@@ -155,6 +159,11 @@ object Kmeans {
           var i = 0
           while (i < dim) {
             val xi = v(i)
+            // per-element quantization = Spark's double→DECIMAL(28,12) cast
+            // (shortest-repr BigDecimal, HALF_UP), so the mean matches the
+            // old posexplode + decimal-sum spelling bit-for-bit
+            sums(i) = sums(i).add(java.math.BigDecimal.valueOf(xi)
+              .setScale(12, java.math.RoundingMode.HALF_UP))
             var j = i
             while (j < dim) {
               acc(idx) = acc(idx).add(java.math.BigDecimal.valueOf(xi * v(j))
@@ -170,10 +179,12 @@ object Kmeans {
       if (dim < 0) Iterator.empty
       else {
         val out = Array.newBuilder[(Int, Int, Long, BigDecimal, Int)]
-        out.sizeHint(acc.length)
+        out.sizeHint(acc.length + dim)
         var idx = 0
         var i = 0
         while (i < dim) {
+          // j = -1 marker row: this partition's Σxᵢ (for the mean)
+          out += ((i, -1, n, BigDecimal(sums(i)), dim))
           var j = i
           while (j < dim) {
             // pdim rides along so the groupBy can detect RAGGED DIMS ACROSS
@@ -189,29 +200,42 @@ object Kmeans {
         out.result().iterator
       }
     }.toDF("i", "j", "pn", "psxy", "pdim")
-    val pairs = parts.groupBy(col("i"), col("j"))
+    // ONE aggregation job over the kernel exchange; the result is d(d+1)/2
+    // pair cells + d sum rows — O(d²) ROWS REGARDLESS OF CORPUS SIZE — so
+    // the closed-form finish runs on the driver (the Pca-Jacobi precedent:
+    // KBs of corpus-independent arithmetic). Joining a means frame back
+    // instead would duplicate the kernel subtree per join branch (Spark
+    // has no DataFrame-level CTE sharing), re-scanning the corpus 3×.
+    val agged = parts.groupBy(col("i"), col("j"))
       .agg(sum(col("pn")).as("n"), sum(col("psxy")).as("sxy"),
         min(col("pdim")).as("dim_lo"), max(col("pdim")).as("dim_hi"))
-    val means = e.select(posexplode(col("v")))
-      .groupBy(col("pos"))
-      .agg((sum(col("col").cast("decimal(28,12)")).cast("double")
-        / count(lit(1))).as("mu"))
-    pairs
-      .join(broadcast(means.select(col("pos").as("i"), col("mu").as("mu_i"))), Seq("i"))
-      .join(broadcast(means.select(col("pos").as("j"), col("mu").as("mu_j"))), Seq("j"))
-      .select(col("i"), col("j"), col("n"),
-        // + 0.0 normalizes the signed zero a tiny negative covariance
-        // rounds to (-0.0 ≠ 0.0 under value-hash comparison); the
-        // cross-partition ragged-dim check rides the cov expression so
-        // column pruning can never drop it
-        when(col("dim_lo") =!= col("dim_hi"),
-          raise_error(concat(lit("ragged embedding dims across partitions: "),
-            col("dim_lo").cast("string"), lit(" vs "),
-            col("dim_hi").cast("string"))).cast("double"))
-          .otherwise(
-            round((col("sxy").cast("double")
-              - col("n") * col("mu_i") * col("mu_j")) / (col("n") - 1), 6)
-              + lit(0.0)).as("cov"))
+      .collect()
+    val dims = agged.iterator.flatMap(r =>
+      Iterator(r.getAs[Int]("dim_lo"), r.getAs[Int]("dim_hi"))).toSet
+    require(dims.size <= 1,
+      s"ragged embedding dims across partitions: ${dims.toSeq.sorted.mkString(" vs ")}")
+    // mu_i = Σxᵢ (exact decimal) as double / n — the identical op sequence
+    // as the old posexplode + decimal-sum + cast spelling
+    val mu: Map[Int, Double] = agged.iterator
+      .filter(_.getAs[Int]("j") == -1)
+      .map(r => r.getAs[Int]("i") ->
+        r.getAs[java.math.BigDecimal]("sxy").doubleValue / r.getAs[Long]("n"))
+      .toMap
+    val cells = agged.iterator
+      .filter(_.getAs[Int]("j") >= 0)
+      .map { r =>
+        val i = r.getAs[Int]("i"); val j = r.getAs[Int]("j")
+        val n = r.getAs[Long]("n")
+        val sxy = r.getAs[java.math.BigDecimal]("sxy").doubleValue
+        // same op order as the previous Column spelling:
+        // round((sxy − n·mu_i·mu_j)/(n−1), 6); + 0.0 normalizes -0.0
+        val cov = java.math.BigDecimal
+          .valueOf((sxy - n * mu(i) * mu(j)) / (n - 1))
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue + 0.0
+        (i, j, n, cov)
+      }
+      .toSeq.sortBy(c => (c._1, c._2))
+    cells.toDF("i", "j", "n", "cov")
   }
 
   /** Per-cluster fit summary after `steps` Lloyd iterations from `cents0`:
