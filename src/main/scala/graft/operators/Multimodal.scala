@@ -129,7 +129,9 @@ object Multimodal extends Serializable {
         sampleRate = u32(off + 12).toInt
         bitsPerSample = u16(off + 22)
       } else if (id == "data") {
-        dataSize = size
+        // clamp to the bytes actually present: a truncated file (or lying
+        // header) must not inflate the duration past the real payload
+        dataSize = math.max(0L, math.min(size, (bytes.length - off - 8).toLong))
       }
       off += 8 + size.toInt + (size.toInt & 1)
     }

@@ -40,6 +40,13 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeWavMeta(notWave).isEmpty)
   }
 
+  test("truncated data chunk: duration reflects present bytes, not the header") {
+    val wav = Multimodal.encodeWav(8000, 1, 1000, seed = 2) // declares 2000 data bytes
+    val cut = wav.take(wav.length - 1000) // drop 500 samples' worth
+    val got = Multimodal.decodeWavMeta(cut)
+    assert(got.contains((8000, 1, 500L, 62L)), got.toString)
+  }
+
   test("decodeOne uses the real WAV duration for audio payloads") {
     val wav = Multimodal.encodeWav(16000, 2, 8000, seed = 9) // 500 ms
     val f = Multimodal.decodeOne(MediaRecord(1L, "audio", wav, Map.empty))
