@@ -1594,11 +1594,13 @@ object SparkEntry {
         .orderBy(col("qid"), col("rn"))),
 
     // Dimension covariance matrix (Kmeans.covarianceMatrix): the
-    // second-moment summary PCA starts from. Pair products accumulate in a
+    // second-moment summary PCA starts from. ONE corpus scan: a
     // per-partition primitive-loop kernel (mapPartitions, exact-decimal
-    // cells — no self-join, no HOF lambda); the exchange carries one
-    // (i, j, n, subtotal) row per upper-triangle cell per partition,
-    // O(d²) regardless of row count.
+    // cells — no self-join, no HOF lambda) accumulates the d(d+1)/2 pair
+    // products AND the d per-dim sums; the exchange carries one
+    // (i, j, n, subtotal) row per cell per partition — O(d²) regardless
+    // of row count — and the closed-form finish runs driver-side on the
+    // collected KB-sized cell frame (the Pca-Jacobi precedent).
     "q126_covariance" -> ((s, d) =>
       operators.Kmeans.covarianceMatrix(t(s, d, "embeddings"))
         .orderBy(col("i"), col("j"))),
