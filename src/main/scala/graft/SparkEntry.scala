@@ -767,6 +767,53 @@ object SparkEntry {
       Multimodal.audioMeta(media).orderBy(col("media_id"))
     }),
 
+    // REAL video metadata round-trip (Multimodal.decodeMp4Meta, manual
+    // ISO-BMFF box walk — pure JDK, header-only): the engine synthesizes a
+    // minimal MP4 per doc with timescale / duration / dimensions / frame
+    // count derived arithmetically from doc_id (junk `free` boxes
+    // interleaved so a fixed-offset reader fails; stts split into two runs
+    // so frame count proves run summation), then the decode path recovers
+    // the parameters from the actual mvhd/tkhd/stts boxes. The oracle
+    // predicts the same values from doc_id — if the parse were fake, the
+    // recovered parameters could not match. duration_ms is truncating
+    // integer division on both sides (no doubles in a hashed column).
+    "q145_video_decode" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val ts = Array(600, 1000, 12288, 90000)((id % 4).toInt)
+          val dur = 1000L + (id % 77) * 13
+          val w = 16 * (1 + (id % 120).toInt)
+          val h = 16 * (1 + ((id / 3) % 68).toInt)
+          val nf = 24L + (id % 97) * 3
+          MediaRecord(id, "video",
+            Multimodal.encodeMp4(ts, dur, w, h, nf, (id * 48611L).toInt), Map.empty)
+        }
+      Multimodal.videoMeta(media).orderBy(col("media_id"))
+    }),
+
+    // REAL frame sampling over the same synthesized MP4s: every 10th frame
+    // index with its presentation time reconstructed from the two stts runs
+    // (run 1: ceil(n/2) frames at delta 100; run 2: the rest at delta 120).
+    // Frame payloads are never materialized — at 100 TB the sampled (id,
+    // frame_idx, pts) triple is what feeds downstream decoders, which seek
+    // by pts. The oracle replays the same run arithmetic per doc_id.
+    "q146_frame_sample" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val ts = Array(600, 1000, 12288, 90000)((id % 4).toInt)
+          val dur = 1000L + (id % 77) * 13
+          val w = 16 * (1 + (id % 120).toInt)
+          val h = 16 * (1 + ((id / 3) % 68).toInt)
+          val nf = 24L + (id % 97) * 3
+          MediaRecord(id, "video",
+            Multimodal.encodeMp4(ts, dur, w, h, nf, (id * 48611L).toInt), Map.empty)
+        }
+      Multimodal.sampleFramesMp4(media, everyNthFrame = 10)
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
     // §2.7 extension — generic as-of join (the reference's trade → latest
     // price lookup, PnlAndExposureJob.java:134-137, as a standalone
     // operator): tagged union + one window pass, one shuffle, no range join
@@ -4540,6 +4587,35 @@ object SparkEntry {
         |  CAST(400 + (doc_id % 50) * 7 AS BIGINT) AS n_samples,
         |  CAST((400 + (doc_id % 50) * 7) * 1000
         |       // [8000,16000,22050,44100][CAST(doc_id % 4 AS INTEGER) + 1] AS BIGINT) AS duration_ms
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // the engine encodes a minimal MP4 per doc with these exact parameters
+    // and walks the ISO-BMFF boxes back (mvhd/tkhd/stts); the oracle
+    // predicts the arithmetic the encoder used (duration via truncating
+    // integer div, mirroring the engine's Long division)
+    "q145_video_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CAST([600,1000,12288,90000][CAST(doc_id % 4 AS INTEGER) + 1] AS BIGINT) AS timescale,
+        |  CAST((1000 + (doc_id % 77) * 13) * 1000
+        |       // [600,1000,12288,90000][CAST(doc_id % 4 AS INTEGER) + 1] AS BIGINT) AS duration_ms,
+        |  CAST(16 * (1 + doc_id % 120) AS BIGINT) AS width,
+        |  CAST(16 * (1 + (doc_id // 3) % 68) AS BIGINT) AS height,
+        |  CAST(24 + (doc_id % 97) * 3 AS BIGINT) AS n_frames
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // frame pts replay: the encoder's stts is two runs — ceil(n/2) frames
+    // at delta 100 then the rest at delta 120 — so frame i's pts in units
+    // is a two-piece linear function; ms via truncating div by timescale
+    "q146_frame_sample" ->
+      """SELECT media_id, CAST(i * 10 AS BIGINT) AS frame_idx,
+        |  CAST((CASE WHEN i * 10 < (nf + 1) // 2 THEN i * 10 * 100
+        |        ELSE ((nf + 1) // 2) * 100 + (i * 10 - (nf + 1) // 2) * 120 END)
+        |       * 1000 // ts AS BIGINT) AS pts_ms
+        |FROM (SELECT doc_id AS media_id, nf, ts,
+        |        unnest(generate_series(0, (nf - 1) // 10)) AS i
+        |      FROM (SELECT doc_id, 24 + (doc_id % 97) * 3 AS nf,
+        |              [600,1000,12288,90000][CAST(doc_id % 4 AS INTEGER) + 1] AS ts
+        |            FROM documents))
+        |ORDER BY media_id, frame_idx""".stripMargin
   )
 }

@@ -31,10 +31,12 @@ final case class MediaFeatures(
   * dependency — see [[decodeImageDims]]). AUDIO metadata is REAL as of
   * round 8: WAV/RIFF payloads are parsed by a manual chunk walk
   * ([[decodeWavMeta]]) recovering sample rate / channels / duration from
-  * the headers. VIDEO kernels remain the one DETERMINISTIC STUB (no
-  * container parser fits header-only semantics without a codec dep):
-  * `decodeOne` derives fake-but-stable features from the payload bytes
-  * (documented below). The
+  * the headers. VIDEO metadata is REAL as of round 8: MP4/ISO-BMFF
+  * payloads are parsed by a manual box walk ([[decodeMp4Meta]]) recovering
+  * timescale / duration / dimensions / frame count from the moov header
+  * boxes. Payloads with no recognized container (neither PNG/JPEG magic,
+  * RIFF/WAVE, nor an ftyp box) fall back to the deterministic stub in
+  * `decodeOne` (documented below) so opaque bytes still flow. The
   * Spark-side plumbing is the same either way: typed Dataset in/out,
   * per-partition batch processing (the Scala analogue of `mapInPandas`
   * batches), explicit repartition control so huge payload rows spread
@@ -198,9 +200,211 @@ object Multimodal extends Serializable {
     }.toDF("media_id", "sample_rate", "channels", "n_samples", "duration_ms")
   }
 
+  /** Parsed MP4/ISO-BMFF header metadata. `stts` is the decoded
+    * time-to-sample table: (sample_count, sample_delta) runs in declaration
+    * order — `nFrames` and per-frame presentation times derive from it
+    * without ever touching sample payloads.
+    */
+  final case class Mp4Meta(
+      timescale: Long, durationUnits: Long, width: Int, height: Int,
+      stts: Seq[(Long, Long)]) {
+    def nFrames: Long = stts.iterator.map(_._1).sum
+    /** Truncating integer division — no doubles in a hashed column. */
+    def durationMs: Long = durationUnits * 1000L / timescale
+    /** Presentation time of frame `i` in timescale units: the prefix sum of
+      * stts deltas, O(runs) not O(frames).
+      */
+    def framePtsUnits(i: Long): Long = {
+      var left = i; var pts = 0L
+      stts.foreach { case (cnt, delta) =>
+        val take = math.min(left, cnt)
+        pts += take * delta
+        left -= take
+      }
+      pts
+    }
+    def framePtsMs(i: Long): Long = framePtsUnits(i) * 1000L / timescale
+  }
+
+  /** Real video metadata from an MP4/ISO-BMFF payload, header-only: a
+    * manual box walk (public file-format knowledge, pure JDK byte reads — no
+    * codec dependency) recovering movie timescale + duration from
+    * `moov/mvhd`, track pixel dimensions from `moov/trak/tkhd` (stored as
+    * 16.16 fixed-point), and the frame count from the
+    * `moov/trak/mdia/minf/stbl/stts` time-to-sample runs. The `mdat` box —
+    * which is ~100% of a real video's bytes — is never entered: like
+    * [[decodeImageDims]] and [[decodeWavMeta]] this is O(header) per asset,
+    * the only decode shape that survives 100 TB of media. Returns None
+    * unless the payload leads with an `ftyp` box and carries parseable
+    * mvhd + tkhd boxes. Handles 32-bit, 64-bit (`size==1` + largesize) and
+    * to-end-of-file (`size==0`) box sizes, and both version-0 and
+    * version-1 mvhd/tkhd layouts.
+    */
+  def decodeMp4Meta(bytes: Array[Byte]): Option[Mp4Meta] = {
+    def u32(o: Int): Long = ((bytes(o) & 0xFFL) << 24) | ((bytes(o + 1) & 0xFFL) << 16) |
+      ((bytes(o + 2) & 0xFFL) << 8) | (bytes(o + 3) & 0xFFL)
+    def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+    def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+    // first `id` child box in [start, end): (payloadStart, boxEnd)
+    def findChild(start: Int, end: Int, id: String): Option[(Int, Int)] = {
+      var off = start
+      while (off + 8 <= end) {
+        val size = u32(off); val typ = tag(off + 4)
+        var payloadStart = off + 8
+        var boxSize = size
+        if (size == 1L) {
+          if (off + 16 > end) return None
+          boxSize = u64(off + 8); payloadStart = off + 16
+        } else if (size == 0L) boxSize = (end - off).toLong
+        if (boxSize < (payloadStart - off).toLong) return None // malformed
+        val boxEnd = off + math.min(boxSize, (end - off).toLong).toInt
+        if (typ == id) return Some((payloadStart, boxEnd))
+        off = boxEnd
+      }
+      None
+    }
+    if (bytes.length < 16 || tag(4) != "ftyp") return None
+    for {
+      (moovS, moovE) <- findChild(0, bytes.length, "moov")
+      (mvhdS, mvhdE) <- findChild(moovS, moovE, "mvhd")
+      mvhdVer = bytes(mvhdS) & 0xFF
+      // v0: ver/flags(4) creation(4) mod(4) timescale(4) duration(4)
+      // v1: ver/flags(4) creation(8) mod(8) timescale(4) duration(8)
+      if mvhdE - mvhdS >= (if (mvhdVer == 1) 32 else 20)
+      timescale = if (mvhdVer == 1) u32(mvhdS + 20) else u32(mvhdS + 12)
+      if timescale > 0
+      duration = if (mvhdVer == 1) u64(mvhdS + 24) else u32(mvhdS + 16)
+      (trakS, trakE) <- findChild(moovS, moovE, "trak")
+      (tkhdS, tkhdE) <- findChild(trakS, trakE, "tkhd")
+      tkhdVer = bytes(tkhdS) & 0xFF
+      // width's payload offset: v0 = 4+4+4+4+4+4+8+2+2+2+2+36 = 76;
+      // v1's 64-bit creation/modification/duration add 12 → 88
+      wOff = if (tkhdVer == 1) 88 else 76
+      if tkhdE - tkhdS >= wOff + 8
+    } yield {
+      val w = (u32(tkhdS + wOff) >> 16).toInt // 16.16 fixed-point
+      val h = (u32(tkhdS + wOff + 4) >> 16).toInt
+      val stts = (for {
+        (mdiaS, mdiaE) <- findChild(trakS, trakE, "mdia")
+        (minfS, minfE) <- findChild(mdiaS, mdiaE, "minf")
+        (stblS, stblE) <- findChild(minfS, minfE, "stbl")
+        (sttsS, sttsE) <- findChild(stblS, stblE, "stts")
+        if sttsE - sttsS >= 8
+      } yield {
+        val declared = u32(sttsS + 4)
+        // clamp to entries actually present (truncated-file lesson, WAV parity)
+        val present = math.min(declared, ((sttsE - sttsS - 8) / 8).toLong).toInt
+        (0 until present).map(i =>
+          (u32(sttsS + 8 + i * 8), u32(sttsS + 12 + i * 8)))
+      }).getOrElse(Seq.empty)
+      Mp4Meta(timescale, duration, w, h, stts)
+    }
+  }
+
+  /** Deterministic minimal MP4 encoder (test/fixture helper, the video twin
+    * of [[encodePng]]/[[encodeWav]]): ftyp + moov{mvhd, trak{tkhd,
+    * mdia{minf{stbl{stts}}}}} + mdat with seeded payload bytes. Junk `free`
+    * boxes are deliberately interleaved before moov, before mvhd and before
+    * stts so a parser assuming canonical box offsets fails — the round-trip
+    * gate then genuinely proves the box WALK. The stts table is emitted as
+    * TWO runs with different deltas, so recovering `nFrames` proves run
+    * summation, not a single-field read.
+    */
+  def encodeMp4(timescale: Int, durationUnits: Long, w: Int, h: Int,
+      nFrames: Long, seed: Int): Array[Byte] = {
+    def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+      val total = 8 + payload.iterator.map(_.length).sum
+      val buf = java.nio.ByteBuffer.allocate(total) // big-endian by default
+      buf.putInt(total).put(typ.getBytes("US-ASCII"))
+      payload.foreach(buf.put)
+      buf.array()
+    }
+    def payload(n: Int)(f: java.nio.ByteBuffer => Unit): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(n); f(b); b.array()
+    }
+    def junk(salt: Int): Array[Byte] = box("free",
+      Array.tabulate[Byte](5 + ((seed + salt) & 7))(i => ((seed + salt * 31 + i) & 0x7F).toByte))
+    def identityMatrix(b: java.nio.ByteBuffer): Unit = {
+      b.putInt(0x00010000); b.putInt(0); b.putInt(0)
+      b.putInt(0); b.putInt(0x00010000); b.putInt(0)
+      b.putInt(0); b.putInt(0); b.putInt(0x40000000)
+    }
+    val ftyp = box("ftyp", payload(8) { b =>
+      b.put("isom".getBytes("US-ASCII")); b.putInt(512)
+    })
+    val mvhd = box("mvhd", payload(100) { b =>
+      b.putInt(0)                     // version 0 + flags
+      b.putInt(0); b.putInt(0)        // creation, modification
+      b.putInt(timescale)
+      b.putInt(durationUnits.toInt)
+      b.putInt(0x00010000)            // rate 1.0
+      b.putShort(0x0100.toShort)      // volume 1.0
+      b.putShort(0); b.putInt(0); b.putInt(0) // reserved
+      identityMatrix(b)
+      (0 until 6).foreach(_ => b.putInt(0))   // pre_defined
+      b.putInt(2)                     // next_track_ID
+    })
+    val tkhd = box("tkhd", payload(84) { b =>
+      b.putInt(7)                     // version 0, flags: enabled|in_movie|in_preview
+      b.putInt(0); b.putInt(0)        // creation, modification
+      b.putInt(1)                     // track_ID
+      b.putInt(0)                     // reserved
+      b.putInt(durationUnits.toInt)
+      b.putLong(0L)                   // reserved
+      b.putShort(0); b.putShort(0); b.putShort(0); b.putShort(0) // layer/alt/vol/res
+      identityMatrix(b)
+      b.putInt(w << 16); b.putInt(h << 16) // 16.16 fixed-point
+    })
+    val run1 = (nFrames + 1) / 2
+    val runs = Seq((run1, 100L), (nFrames - run1, 120L)).filter(_._1 > 0)
+    val stts = box("stts", payload(8 + runs.size * 8) { b =>
+      b.putInt(0); b.putInt(runs.size)
+      runs.foreach { case (c, d) => b.putInt(c.toInt); b.putInt(d.toInt) }
+    })
+    val stbl = box("stbl", junk(3), stts)
+    val mdat = box("mdat",
+      Array.tabulate[Byte](48 + (seed & 31))(i => ((seed * 131 + i * 7) & 0xFF).toByte))
+    Array.concat(ftyp, junk(1),
+      box("moov", junk(2), mvhd, box("trak", tkhd, box("mdia", box("minf", stbl)))),
+      mdat)
+  }
+
+  /** Video metadata extraction over a media Dataset: one row per decodable
+    * MP4 payload with (media_id, timescale, duration_ms, width, height,
+    * n_frames) — the video analogue of the q129/q143 paths. Header-only per
+    * [[decodeMp4Meta]]; non-MP4 payloads are dropped.
+    */
+  def videoMeta(media: Dataset[MediaRecord]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { r =>
+      decodeMp4Meta(r.bytes).map(m =>
+        (r.media_id, m.timescale, m.durationMs, m.width.toLong, m.height.toLong, m.nFrames))
+    }.toDF("media_id", "timescale", "duration_ms", "width", "height", "n_frames")
+  }
+
+  /** Real frame sampling for decodable MP4 payloads: every `everyNthFrame`-th
+    * frame index with its presentation time from the stts runs — the frame
+    * payloads are never materialized (at scale you never shuffle every frame
+    * of every video; downstream decoders seek by pts). Undecodable payloads
+    * are dropped; [[sampleFrames]] remains the byte-stub fallback for media
+    * without a parseable container.
+    */
+  def sampleFramesMp4(media: Dataset[MediaRecord], everyNthFrame: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { r =>
+      decodeMp4Meta(r.bytes).toSeq.flatMap { m =>
+        (0L until m.nFrames by everyNthFrame.toLong).map(i =>
+          (r.media_id, i, m.framePtsMs(i)))
+      }
+    }.toDF("media_id", "frame_idx", "pts_ms")
+  }
+
   /** Decode: REAL dimensions for PNG/JPEG image payloads (via
-    * [[decodeImageDims]]) and REAL duration for WAV audio payloads (via
-    * [[decodeWavMeta]]); otherwise the deterministic stub:
+    * [[decodeImageDims]]), REAL duration for WAV audio payloads (via
+    * [[decodeWavMeta]]) and REAL dimensions + duration for MP4 video
+    * payloads (via [[decodeMp4Meta]]); otherwise the deterministic stub:
     *   n_bytes   = payload length
     *   head_hash = polynomial rolling hash of the first 16 bytes
     *   width     = 16 * (1 + byte0 % 64), height = 16 * (1 + byte1 % 64)
@@ -214,14 +418,17 @@ object Multimodal extends Serializable {
       h = (h * 31 + (r.bytes(i) & 0xFF)) % 1000000007L
       i += 1
     }
-    val real = if (r.kind == "image") decodeImageDims(r.bytes) else None
+    val mp4 = if (r.kind == "video") decodeMp4Meta(r.bytes) else None
+    val real =
+      if (r.kind == "image") decodeImageDims(r.bytes)
+      else mp4.map(m => (m.width, m.height))
     val wav = if (r.kind == "audio") decodeWavMeta(r.bytes) else None
     val b0 = if (r.bytes.nonEmpty) r.bytes(0) & 0xFF else 0
     val b1 = if (r.bytes.length > 1) r.bytes(1) & 0xFF else 0
     val (w, ht) = real.getOrElse((16 * (1 + b0 % 64), 16 * (1 + b1 % 64)))
     val duration =
       if (r.kind == "image") 0L
-      else wav.map(_._4).getOrElse(n)
+      else wav.map(_._4).orElse(mp4.map(_.durationMs)).getOrElse(n)
     MediaFeatures(r.media_id, r.kind, n, h, w, ht, duration)
   }
 
@@ -235,9 +442,11 @@ object Multimodal extends Serializable {
     src.mapPartitions(_.map(decodeOne))
   }
 
-  /** Frame sampling STUB for video: one row per sampled frame index; the
-    * frame payload itself stays a (stubbed) slice reference, not a copy —
-    * at scale you never materialize every frame of every video in a shuffle.
+  /** Byte-granularity frame-sampling FALLBACK for video payloads without a
+    * parseable container (real MP4s go through [[sampleFramesMp4]]): one row
+    * per sampled byte offset; the payload itself stays a slice reference,
+    * not a copy — at scale you never materialize every frame of every video
+    * in a shuffle.
     */
   def sampleFrames(media: Dataset[MediaRecord], everyNthByte: Int): DataFrame = {
     val spark = media.sparkSession

@@ -57,6 +57,82 @@ class MultimodalSpec extends AnyFunSuite {
     assert(stub.duration_ms == 123L)
   }
 
+  test("MP4 round-trip recovers timescale/duration/dims/frames exactly") {
+    for ((ts, dur, w, h, nf) <- Seq((600, 3000L, 640, 360, 75L),
+        (90000, 90000L, 1920, 1080, 24L), (1000, 1L, 16, 16, 1L),
+        (12288, 999999L, 1280, 720, 1000L))) {
+      val bytes = Multimodal.encodeMp4(ts, dur, w, h, nf, seed = ts + nf.toInt)
+      val got = Multimodal.decodeMp4Meta(bytes)
+      assert(got.isDefined, s"($ts,$dur,$w,$h,$nf) failed to parse")
+      val m = got.get
+      assert((m.timescale, m.durationUnits, m.width, m.height, m.nFrames) ==
+        (ts.toLong, dur, w, h, nf))
+      assert(m.durationMs == dur * 1000L / ts)
+    }
+  }
+
+  test("MP4 frame pts follows the two stts runs (100 then 120 units)") {
+    val m = Multimodal.decodeMp4Meta(
+      Multimodal.encodeMp4(1000, 5000L, 320, 240, 9L, seed = 4)).get
+    // runs: 5 frames at delta 100, then 4 at delta 120
+    assert(m.stts == Seq((5L, 100L), (4L, 120L)))
+    assert(m.framePtsUnits(0) == 0L)
+    assert(m.framePtsUnits(4) == 400L)
+    assert(m.framePtsUnits(5) == 500L)   // first frame of run 2
+    assert(m.framePtsUnits(8) == 500L + 3 * 120L)
+    assert(m.framePtsMs(8) == (500L + 360L) * 1000L / 1000L)
+  }
+
+  test("MP4 junk free boxes defeat fixed-offset readers; walk survives") {
+    // the encoder interleaves free boxes before moov, mvhd and stts whose
+    // lengths vary with the seed — parse across several seeds
+    for (seed <- 0 until 8) {
+      val got = Multimodal.decodeMp4Meta(
+        Multimodal.encodeMp4(600, 1200L, 100, 50, 10L, seed))
+      assert(got.exists(m => m.width == 100 && m.height == 50 && m.nFrames == 10L),
+        s"seed $seed -> $got")
+    }
+  }
+
+  test("non-MP4 and malformed payloads yield None, never garbage") {
+    assert(Multimodal.decodeMp4Meta("not video at all".getBytes).isEmpty)
+    assert(Multimodal.decodeMp4Meta(Array.emptyByteArray).isEmpty)
+    val mp4 = Multimodal.encodeMp4(600, 600L, 64, 64, 5L, seed = 1)
+    assert(Multimodal.decodeMp4Meta(mp4.take(20)).isEmpty) // moov cut off
+    val notFtyp = mp4.clone(); notFtyp(4) = 'X'
+    assert(Multimodal.decodeMp4Meta(notFtyp).isEmpty)
+  }
+
+  test("MP4 truncated stts clamps to present runs (no declared-count trust)") {
+    val mp4 = Multimodal.encodeMp4(1000, 5000L, 320, 240, 9L, seed = 2)
+    // cut mid-way through the second stts run entry (mdat trails stts, so
+    // chop from the end until the stts payload loses its last 8 bytes)
+    val cut = mp4.take(mp4.length - (48 + (2 & 31)) - 8 - 8)
+    val got = Multimodal.decodeMp4Meta(cut)
+    assert(got.exists(_.stts == Seq((5L, 100L))), got.toString)
+  }
+
+  test("decodeOne uses the real MP4 dims and duration for video payloads") {
+    val mp4 = Multimodal.encodeMp4(600, 1500L, 640, 360, 60L, seed = 9)
+    val f = Multimodal.decodeOne(MediaRecord(1L, "video", mp4, Map.empty))
+    assert(f.width == 640 && f.height == 360 && f.duration_ms == 2500L)
+    // non-MP4 video payload falls back to the documented n_bytes stub
+    val stub = Multimodal.decodeOne(
+      MediaRecord(2L, "video", Array.fill[Byte](77)(7), Map.empty))
+    assert(stub.duration_ms == 77L)
+  }
+
+  test("sampleFramesMp4: every Nth frame with run-accurate pts, dropped if unparseable") {
+    import spark.implicits._
+    val media = spark.createDataset(Seq(
+      MediaRecord(1L, "video", Multimodal.encodeMp4(1000, 5000L, 320, 240, 25L, 3), Map.empty),
+      MediaRecord(2L, "video", "junk".getBytes, Map.empty)))
+    val rows = Multimodal.sampleFramesMp4(media, everyNthFrame = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(t => (t._1, t._2))
+    // runs: 13 at 100, 12 at 120; frame 20 pts = 1300 + 7*120 = 2140
+    assert(rows.toSeq == Seq((1L, 0L, 0L), (1L, 10L, 1000L), (1L, 20L, 2140L)))
+  }
+
   test("audioMeta Dataset path: per-row recovery, non-WAV rows dropped") {
     import spark.implicits._
     val media = spark.createDataset(Seq(
