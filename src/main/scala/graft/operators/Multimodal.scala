@@ -267,15 +267,17 @@ object Multimodal extends Serializable {
     for {
       (moovS, moovE) <- findChild(0, bytes.length, "moov")
       (mvhdS, mvhdE) <- findChild(moovS, moovE, "mvhd")
+      if mvhdE - mvhdS >= 20 // guard BEFORE reading the version byte
       mvhdVer = bytes(mvhdS) & 0xFF
       // v0: ver/flags(4) creation(4) mod(4) timescale(4) duration(4)
       // v1: ver/flags(4) creation(8) mod(8) timescale(4) duration(8)
-      if mvhdE - mvhdS >= (if (mvhdVer == 1) 32 else 20)
+      if mvhdVer != 1 || mvhdE - mvhdS >= 32
       timescale = if (mvhdVer == 1) u32(mvhdS + 20) else u32(mvhdS + 12)
       if timescale > 0
       duration = if (mvhdVer == 1) u64(mvhdS + 24) else u32(mvhdS + 16)
       (trakS, trakE) <- findChild(moovS, moovE, "trak")
       (tkhdS, tkhdE) <- findChild(trakS, trakE, "tkhd")
+      if tkhdE > tkhdS // guard BEFORE reading the version byte
       tkhdVer = bytes(tkhdS) & 0xFF
       // width's payload offset: v0 = 4+4+4+4+4+4+8+2+2+2+2+36 = 76;
       // v1's 64-bit creation/modification/duration add 12 → 88

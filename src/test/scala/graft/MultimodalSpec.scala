@@ -103,6 +103,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeMp4Meta(notFtyp).isEmpty)
   }
 
+  test("MP4 empty mvhd/tkhd boxes yield None, not an index exception") {
+    // ftyp + moov whose mvhd box is header-only (size 8, no payload): the
+    // version byte must not be read past the box end
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+      b.array()
+    }
+    val ftyp = box("ftyp", "isom0000".getBytes)
+    val emptyMvhd = Array.concat(ftyp, box("moov", box("mvhd", Array.emptyByteArray)))
+    assert(Multimodal.decodeMp4Meta(emptyMvhd).isEmpty)
+    val mvhd100 = box("mvhd", Array.fill[Byte](100)(0))
+    val emptyTkhd = Array.concat(ftyp,
+      box("moov", Array.concat(mvhd100, box("trak", box("tkhd", Array.emptyByteArray)))))
+    // mvhd with timescale 0 also rejects; patch a nonzero timescale in
+    val withTs = emptyTkhd.clone()
+    // timescale lives 12 bytes into mvhd payload; mvhd payload starts at
+    // ftyp(16) + moov header(8) + mvhd header(8)
+    withTs(16 + 8 + 8 + 12 + 3) = 1
+    assert(Multimodal.decodeMp4Meta(withTs).isEmpty)
+  }
+
   test("MP4 truncated stts clamps to present runs (no declared-count trust)") {
     val mp4 = Multimodal.encodeMp4(1000, 5000L, 320, 240, 9L, seed = 2)
     // cut mid-way through the second stts run entry (mdat trails stts, so
