@@ -679,8 +679,10 @@ object SparkEntry {
     }),
 
     // Multimodal plumbing: opaque binary payloads through the typed
-    // feature-extraction path (decode kernel is a deterministic stub —
-    // Multimodal.decodeOne; payload = utf-8 bytes of the fixture text)
+    // feature-extraction path. Payloads here are utf-8 bytes of the fixture
+    // text — no recognized container — so Multimodal.decodeOne exercises its
+    // documented deterministic FALLBACK (real PNG/WAV/MP4 parses are gated
+    // by q129/q143/q145); the oracle predicts the fallback arithmetic.
     "q28_media_features" -> ((s, d) => {
       import s.implicits._
       val media = t(s, d, "documents").select(

@@ -94,6 +94,27 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("MP4 round-trip property: 200 random parameter tuples all recover") {
+    val rnd = new scala.util.Random(0xC0FFEE)
+    for (_ <- 0 until 200) {
+      val ts = 1 + rnd.nextInt(100000)
+      val dur = rnd.nextLong(1L << 31)
+      val w = rnd.nextInt(4096); val h = rnd.nextInt(4096)
+      val nf = rnd.nextLong(100000L)
+      val m = Multimodal.decodeMp4Meta(
+        Multimodal.encodeMp4(ts, dur, w, h, nf, rnd.nextInt())).get
+      assert((m.timescale, m.durationUnits, m.width, m.height, m.nFrames) ==
+        (ts.toLong, dur, w, h, nf))
+      assert(m.durationMs == dur * 1000L / ts)
+      if (nf > 0) {
+        val i = rnd.nextLong(nf)
+        val run1 = (nf + 1) / 2
+        val expect = if (i < run1) i * 100L else run1 * 100L + (i - run1) * 120L
+        assert(m.framePtsUnits(i) == expect)
+      }
+    }
+  }
+
   test("non-MP4 and malformed payloads yield None, never garbage") {
     assert(Multimodal.decodeMp4Meta("not video at all".getBytes).isEmpty)
     assert(Multimodal.decodeMp4Meta(Array.emptyByteArray).isEmpty)
