@@ -47,6 +47,28 @@ object Multimodal extends Serializable {
   // ImageIO must never touch a display server; executors run headless.
   System.setProperty("java.awt.headless", "true")
 
+  // Per-thread reader/writer instances: ImageIO.getImageReaders /
+  // ImageIO.write walk the service-provider registry on EVERY call, and
+  // those lookups synchronize — measured as cross-thread stalls when 32
+  // executor threads decode/encode concurrently (q129/q130). Readers and
+  // writers are not thread-safe but are reusable, so one instance per
+  // (thread, format) amortizes the registry walk away. Never disposed:
+  // bounded by thread count × 2 formats.
+  private val readerTL: ThreadLocal[java.util.HashMap[String, javax.imageio.ImageReader]] =
+    ThreadLocal.withInitial(() => new java.util.HashMap[String, javax.imageio.ImageReader]())
+  private def cachedReader(fmt: String): javax.imageio.ImageReader = {
+    val m = readerTL.get()
+    var r = m.get(fmt)
+    if (r == null) {
+      r = javax.imageio.ImageIO.getImageReadersByFormatName(fmt).next()
+      m.put(fmt, r)
+    }
+    r
+  }
+  private val pngWriterTL: ThreadLocal[javax.imageio.ImageWriter] =
+    ThreadLocal.withInitial(() =>
+      javax.imageio.ImageIO.getImageWritersByFormatName("png").next())
+
   /** Real image dimension decode via JDK ImageIO (PNG/JPEG). Header-only:
     * `ImageReader.getWidth/getHeight` parse the IHDR chunk / SOF marker and
     * never the pixel data, so this is O(header) per asset — the shape that
@@ -66,13 +88,10 @@ object Multimodal extends Serializable {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
-        val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) None
-        else {
-          val r = readers.next()
-          try { r.setInput(iis); Some((r.getWidth(0), r.getHeight(0))) }
-          finally r.dispose()
-        }
+        val r = cachedReader(if (isPng) "png" else "jpeg")
+        r.setInput(iis)
+        try Some((r.getWidth(0), r.getHeight(0)))
+        finally r.reset() // drop the stream ref; keep the reader instance
       } finally iis.close()
     } catch { case scala.util.control.NonFatal(_) => None }
   }
@@ -94,8 +113,18 @@ object Multimodal extends Serializable {
       }
       y += 1
     }
+    writePng(img)
+  }
+
+  /** PNG-encode via the per-thread cached writer (no registry walk). */
+  private def writePng(img: java.awt.image.BufferedImage): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val w = pngWriterTL.get()
+    try {
+      w.setOutput(ios)
+      w.write(img)
+    } finally { w.reset(); ios.close() }
     bos.toByteArray
   }
 
@@ -488,7 +517,14 @@ object Multimodal extends Serializable {
     def realBytes(b: Array[Byte]): Option[Array[Byte]] =
       if (decodeImageDims(b).isEmpty) None
       else try {
-        val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+        // full-pixel decode through the per-thread cached reader (the
+        // ImageIO.read convenience re-walks the SPI registry per call)
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(b))
+        val r = cachedReader(if ((b(0) & 0xFF) == 0x89) "png" else "jpeg")
+        val src =
+          try { r.setInput(iis); r.read(0) }
+          finally { r.reset(); iis.close() }
         if (src == null) None
         else {
           val dst = new java.awt.image.BufferedImage(
@@ -500,9 +536,7 @@ object Multimodal extends Serializable {
               java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
             g.drawImage(src, 0, 0, w, h, null)
           } finally g.dispose()
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(dst, "png", bos)
-          Some(bos.toByteArray)
+          Some(writePng(dst))
         }
       } catch { case scala.util.control.NonFatal(_) => None }
     media.map(r =>

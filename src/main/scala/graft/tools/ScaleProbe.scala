@@ -7,7 +7,8 @@ import org.apache.spark.sql.SparkSession
   * same shape (31-word salad vocabulary, 20 sources, 5 langs, planted
   * exact + near dup structure; embeddings as 10 cluster centers + per-dim
   * jitter), then times q62 (LSH dup clusters), q99 (keep-best), q100
-  * (curation pipeline) and the q102 SemDeDup shape at BOTH scales in one
+  * (curation pipeline), the q102 SemDeDup shape and the ANN trio
+  * (q22 brute force / q27 LSH / q33 IVF) at BOTH scales in one
   * session — the sf0.1→sf≈1 ratio is the evidence for BASELINE.md's
   * "no super-linear blowup" claim.
   *
@@ -121,6 +122,18 @@ object ScaleProbe {
         Similarity.semDedup(emb,
           e.filter(col("vec_id") < k).select(col("vec_id").as("cid"), col("v").as("cv")),
           threshold = 0.4).count()
+      }
+      // ANN family at both scales: brute force is the linear yardstick;
+      // LSH buckets and IVF probed cells are the claimed scale paths. All
+      // three run the q22/q27/q33 gate shapes (5 queries, k=10) unchanged.
+      time(s"$label q22_brute_knn") {
+        Similarity.bruteForceKnn(emb, col("vec_id") < 5, k = 10).count()
+      }
+      time(s"$label q27_lsh_knn") {
+        Similarity.lshKnn(emb, col("vec_id") < 5, k = 10).count()
+      }
+      time(s"$label q33_ivf_knn") {
+        Similarity.ivfKnn(emb, col("vec_id") < 5, k = 10).count()
       }
     }
     // the pathology for the record: fixed k=8 at 10x corpus — cluster size
