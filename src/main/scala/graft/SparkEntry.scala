@@ -57,6 +57,11 @@ object SparkEntry {
     * graph at 3-token-shingle Jaccard ≥ 0.5 — the ground truth the LSH
     * plan's pair set hash-matches (q23's banding argument).
     */
+  // `pairs` is the O(n²) exact shingle-Jaccard join — MATERIALIZED so
+  // consumers referencing it more than once (q62's edge union, q111's
+  // in/out-degree spellings) evaluate it exactly once; DuckDB would
+  // otherwise inline a copy per reference (measured 3-4× oracle cost,
+  // identical rows).
   private val NEARDUP_PAIRS_CTE =
     """tk AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
@@ -68,7 +73,7 @@ object SparkEntry {
       |                i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
       |    END AS sh
       |  FROM tk),
-      |pairs AS (
+      |pairs AS MATERIALIZED (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       |  WHERE length(a.sh) > 0 AND length(b.sh) > 0
@@ -3240,7 +3245,7 @@ object SparkEntry {
         |                i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
         |    END AS sh
         |  FROM tk),
-        |pairs AS (
+        |pairs AS MATERIALIZED (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |  WHERE length(a.sh) > 0 AND length(b.sh) > 0
@@ -3855,6 +3860,10 @@ object SparkEntry {
     // mirrors Graph.pagerank: q62's exact pair graph, then 5 unrolled
     // integer fixed-point rounds (// is DuckDB floor division ≡ Spark div
     // on the non-negative ranks/shares here)
+    // MATERIALIZED hints: without them DuckDB inlines the CTEs, so the
+    // O(n²) shingle-Jaccard pair join would re-evaluate once per reference
+    // (2× in e × 5 unrolled rounds) — same answer, ~10× the oracle cost
+    // at sf0.1. Materializing pins each to ONE evaluation.
     "q111_pagerank" -> {
       def round(i: Int) =
         s"""r$i AS (
@@ -3866,9 +3875,11 @@ object SparkEntry {
            |           JOIN dg ON dg.src = e.src
            |    GROUP BY e.dst) s ON s.doc_id = n.doc_id)""".stripMargin
       s"""WITH $NEARDUP_PAIRS_CTE,
-         |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |      UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |dg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |p2 AS MATERIALIZED (SELECT doc_a, doc_b FROM pairs),
+         |e AS MATERIALIZED (
+         |      SELECT doc_a AS src, doc_b AS dst FROM p2
+         |      UNION ALL SELECT doc_b, doc_a FROM p2),
+         |dg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),
          |n AS (SELECT doc_id FROM documents),
          |r0 AS (SELECT doc_id, CAST(1000000000000 AS BIGINT) AS rank FROM n),
          |${(1 to 5).map(round).mkString(",\n")}
