@@ -190,7 +190,11 @@ object SparkEntry {
     * the char before it is a space or start-of-string — no LIKE patterns).
     * All-integer/string arithmetic: nothing engine-version-sensitive.
     */
-  private def BPE_SQL(n: Int): String = {
+  /** The shared CTE chain (w0 … w`n`): `w$k` is the distinct-word frame
+    * with symbols after k merges — BPE_SQL reads the merge rows, the
+    * q147 encode oracle reads the final frame's symbol counts.
+    */
+  private def BPE_CTES(n: Int): String = {
     val sb = new StringBuilder
     sb.append(
       """WITH w0 AS (
@@ -224,11 +228,27 @@ object SparkEntry {
         |    END AS syms
         |  FROM w${k - 1} LEFT JOIN m$k m ON TRUE)""".stripMargin)
     }
-    sb.append("\n" + (1 to n).map(k =>
-        s"SELECT CAST($k AS INTEGER) AS step, a AS left_sym, b AS right_sym, cnt FROM m$k")
-      .mkString("", "\nUNION ALL\n", "\nORDER BY step"))
     sb.toString
   }
+
+  private def BPE_SQL(n: Int): String =
+    BPE_CTES(n) + "\n" + (1 to n).map(k =>
+        s"SELECT CAST($k AS INTEGER) AS step, a AS left_sym, b AS right_sym, cnt FROM m$k")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY step")
+
+  /** q147 oracle: the trained w`n` frame IS the encoded vocabulary — join
+    * each document's tokens back to its post-merge symbol count.
+    */
+  private def BPE_ENCODE_SQL(n: Int): String =
+    BPE_CTES(n) + s""",
+      |enc AS (SELECT word, CAST(length(syms) AS BIGINT) AS n_syms FROM w$n)
+      |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+      |       CAST(sum(e.n_syms) AS BIGINT) AS n_syms
+      |FROM (SELECT doc_id,
+      |        unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      |      FROM documents) d
+      |JOIN enc e ON e.word = d.w
+      |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
   /** Shared q119/q122 oracle: cents cast, trailing integer sums, the
     * multiplied-through 3σ test over full 20-tick windows per hub.
@@ -1818,6 +1838,22 @@ object SparkEntry {
     "q144_bpe_train" -> ((s, d) =>
       operators.Corpus.bpeTrain(t(s, d, "documents"), col("text"), nMerges = 10)
         .orderBy(col("step"))),
+
+    // BPE train → ENCODE composition (Corpus.bpeEncode): the 10 learned
+    // merges (driver-collected, KBs) are applied once per DISTINCT word —
+    // vocabulary-factored, bounded by language not corpus — and documents
+    // broadcast-join the applied vocab for per-doc token/symbol counts.
+    // The oracle re-learns the same merges (BPE_CTES) and reads the final
+    // frame's symbol lengths, so the whole train→apply pipeline is
+    // hash-gated end to end.
+    "q147_bpe_encode" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = operators.Corpus.bpeTrain(docs, col("text"), nMerges = 10)
+        .orderBy(col("step")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      operators.Corpus.bpeEncode(docs, col("doc_id"), col("text"), merges)
+        .orderBy(col("doc_id"))
+    }),
 
     // Fair round-robin interleave (Corpus.fairInterleave, budget 200): a
     // deterministic global training ORDER alternating sources one doc at a
@@ -3527,6 +3563,9 @@ object SparkEntry {
 
     // mirrors Corpus.bpeTrain: 10 unrolled merge rounds (see BPE_SQL)
     "q144_bpe_train" -> BPE_SQL(10),
+
+    // train → encode: same 10 unrolled rounds, then the vocab join
+    "q147_bpe_encode" -> BPE_ENCODE_SQL(10),
 
     // mirrors q127: same join tree, same decimal-revenue idiom
     "q127_tpch_q5" ->

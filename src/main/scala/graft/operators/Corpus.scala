@@ -624,19 +624,23 @@ object Corpus {
     * partial-aggregates map-side, while delta state would need a shuffle
     * per merge anyway.)
     */
+  /** One greedy left-to-right BPE merge pass (shared by [[bpeTrain]]'s
+    * rounds and [[bpeEncode]]'s application of the learned table).
+    */
+  private[operators] def applyMerge(s: Seq[String], a: String, b: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += s(i); i += 1 }
+    }
+    out.toSeq
+  }
+
   def bpeTrain(docs: DataFrame, textCol: Column, nMerges: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    def applyMerge(s: Seq[String], a: String, b: String): Seq[String] = {
-      val out = scala.collection.mutable.ArrayBuffer[String]()
-      var i = 0
-      while (i < s.length) {
-        if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
-          out += (a + b); i += 2
-        } else { out += s(i); i += 1 }
-      }
-      out.toSeq
-    }
     var cur = docs
       .select(explode(Text.tokens(textCol)).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
@@ -679,6 +683,32 @@ object Corpus {
     prev.foreach(_.unpersist())
     cur.unpersist()
     merges.toSeq.toDF("step", "left_sym", "right_sym", "cnt")
+  }
+
+  /** BPE ENCODE — apply a learned merge table (from [[bpeTrain]], collected
+    * driver-side: nMerges rows, KBs) to every document: per-doc token count
+    * and total post-merge symbol count. Vocabulary-factored like training:
+    * the merges fold runs once per DISTINCT word (bounded by language, not
+    * corpus), and documents join the applied vocabulary by broadcast — at
+    * 100 TB the encode pass is a corpus scan + a broadcast hash join, with
+    * all merge work confined to the vocab frame. Docs with zero tokens
+    * produce no row (nothing to encode), matching the oracle's unnest.
+    */
+  def bpeEncode(docs: DataFrame, idCol: Column, textCol: Column,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val applied = docs.select(explode(Text.tokens(textCol)).as("w")).distinct()
+      .as[String]
+      .map { w =>
+        var s: Seq[String] = w.map(_.toString)
+        merges.foreach { case (a, b) => s = applyMerge(s, a, b) }
+        (w, s.length.toLong)
+      }.toDF("w", "n_syms")
+    docs.select(idCol.as("doc_id"), explode(Text.tokens(textCol)).as("w"))
+      .join(broadcast(applied), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("n_syms")).as("n_syms"))
   }
 
   def tokenizeIds(docs: DataFrame, idCol: Column, textCol: Column,

@@ -335,4 +335,32 @@ class CorpusSpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
     assert(m.toSeq == Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)))
   }
+
+  test("bpeEncode: hand-computed symbol counts from trained merges") {
+    import spark.implicits._
+    // corpus: "abab ac", "abab abab". Chars: abab=[a,b,a,b] ac=[a,c].
+    // round 1: (a,b) cnt 2+1+2·2=... per distinct-WORD counts: abab appears
+    // 3 times (c=3), ac once. pairs: (a,b) 2 per abab ·3 = 6, (b,a) 3,
+    // (a,c) 1 -> merge1 = (a,b). abab -> [ab, ab], ac -> [a, c].
+    // round 2: (ab,ab) 3, (a,c) 1 -> merge2 = (ab,ab). abab -> [abab].
+    val docs = Seq((1L, "abab ac"), (2L, "abab abab")).toDF("doc_id", "text")
+    val merges = Corpus.bpeTrain(docs, col("text"), nMerges = 2)
+      .orderBy(col("step")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges == Seq(("a", "b"), ("ab", "ab")))
+    val enc = Corpus.bpeEncode(docs, col("doc_id"), col("text"), merges)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 1: tokens [abab, ac] -> syms 1 + 2 = 3; doc 2: [abab, abab] -> 2
+    assert(enc.toSeq == Seq((1L, 2L, 3L), (2L, 2L, 2L)))
+  }
+
+  test("bpeEncode: empty-token docs yield no row; empty merge table = char counts") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab c"), (2L, "")).toDF("doc_id", "text")
+    val enc = Corpus.bpeEncode(docs, col("doc_id"), col("text"), Seq.empty)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(enc.toSeq == Seq((1L, 2L, 3L))) // [a,b] + [c]; doc 2 dropped
+  }
 }
