@@ -422,6 +422,7 @@ object Multimodal extends Serializable {
     * without a parseable container.
     */
   def sampleFramesMp4(media: Dataset[MediaRecord], everyNthFrame: Int): DataFrame = {
+    require(everyNthFrame > 0, s"everyNthFrame must be positive: $everyNthFrame")
     val spark = media.sparkSession
     import spark.implicits._
     media.flatMap { r =>
