@@ -194,10 +194,14 @@ object SparkEntry {
     * with symbols after k merges — BPE_SQL reads the merge rows, the
     * q147 encode oracle reads the final frame's symbol counts.
     */
+  // Every stage MATERIALIZED: w$k is read by both p$k+1 and w$k+1 (and m$k
+  // by w$k and the final select), so inlining re-derives the chain
+  // multiplicatively — measured 75× the oracle cost at sf0.01 with
+  // identical rows.
   private def BPE_CTES(n: Int): String = {
     val sb = new StringBuilder
     sb.append(
-      """WITH w0 AS (
+      """WITH w0 AS MATERIALIZED (
         |  SELECT w AS word, CAST(count(*) AS BIGINT) AS c,
         |         list_transform(range(1, length(w) + 1),
         |           i -> substr(w, CAST(i AS INTEGER), 1)) AS syms
@@ -206,15 +210,15 @@ object SparkEntry {
         |  GROUP BY w)""".stripMargin)
     for (k <- 1 to n) {
       sb.append(s""",
-        |p$k AS (
+        |p$k AS MATERIALIZED (
         |  SELECT a, b, CAST(sum(c) AS BIGINT) AS cnt FROM (
         |    SELECT c,
         |      unnest(list_slice(syms, 1, length(syms) - 1)) AS a,
         |      unnest(list_slice(syms, 2, length(syms))) AS b
         |    FROM w${k - 1})
         |  GROUP BY a, b),
-        |m$k AS (SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
-        |w$k AS (
+        |m$k AS MATERIALIZED (SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
+        |w$k AS MATERIALIZED (
         |  SELECT word, c,
         |    CASE WHEN m.a IS NULL THEN syms
         |         ELSE string_split(
@@ -3361,7 +3365,7 @@ object SparkEntry {
         |  END AS sh
         |  FROM (SELECT doc_id, n_tokens,
         |          list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM s2)),
-        |pairs AS (
+        |pairs AS MATERIALIZED (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
         |  WHERE length(a.sh) > 0 AND length(b.sh) > 0
@@ -3457,7 +3461,7 @@ object SparkEntry {
         |        SELECT vec_id, cid,
         |               row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
         |        FROM d) z WHERE rn = 1),
-        |pairs AS (
+        |pairs AS MATERIALIZED (
         |  SELECT x.vec_id AS doc_a, y.vec_id AS doc_b
         |  FROM a x JOIN a y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
         |  JOIN n xn ON xn.vec_id = x.vec_id
