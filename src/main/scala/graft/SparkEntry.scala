@@ -2760,6 +2760,326 @@ object SparkEntry {
           col("col.ts").as("ts"), col("col.event_id").as("event_id"),
           col("col.value").as("value"))
         .orderBy(col("user_id"), col("rn"))
+    }),
+
+    // TPC-H Q4 shape (order priority checking; late-shipment adaptation —
+    // the fixtures carry no l_commitdate/l_receiptdate, so "late" is
+    // l_shipdate > o_orderdate + 30 days). The EXISTS subquery is a LEFT
+    // SEMI join whose condition spans both sides, so the engine dedups
+    // lineitem matches inside the join instead of distinct-ing after; the
+    // quarter filter reaches the orders scan pushed.
+    "q148_tpch_q4" -> ((s, d) =>
+      t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp")
+          && col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+        .join(t(s, d, "lineitem").select(col("l_orderkey"), col("l_shipdate")),
+          col("l_orderkey") === col("o_orderkey")
+            && col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))),
+
+    // TPC-H Q7 shape (volume shipping between two nations): the nation
+    // filter is applied INSIDE the supplier/customer dim frames before the
+    // fact join — both dims shrink to the two nations' keys and broadcast,
+    // so the big lineitem⋈orders join only carries qualifying rows; the
+    // asymmetric pair condition is the one post-join filter.
+    "q149_tpch_q7" -> ((s, d) => {
+      val nat = t(s, d, "nation")
+        .filter(col("n_name").isin("NATION_3", "NATION_7"))
+      val sn = t(s, d, "supplier")
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cn = t(s, d, "customer")
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cn), col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("double").as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // TPC-H Q8 shape (national market share): all-region revenue for one
+    // part type over two years, the target nation's share per year via a
+    // conditional sum over the SAME aggregate pass — no second scan. The
+    // customer-side region membership prunes through broadcast dims; the
+    // supplier nation rides along as the CASE discriminator.
+    "q150_tpch_q8" -> ((s, d) => {
+      val amCust = t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region").filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"))
+      val suppNat = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val dec = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(18,6)")
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part").filter(col("p_type") === "ECONOMY")),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, d, "orders")
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+              && col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(amCust), col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg((sum(when(col("supp_nation") === "NATION_5", dec)
+              .otherwise(lit(0).cast("decimal(18,6)"))).cast("double")
+          / sum(dec).cast("double")).as("mkt_share"))
+        .orderBy(col("o_year"))
+    }),
+
+    // TPC-H Q9 shape (product-type profit; cost adaptation — the fixtures
+    // carry no partsupp/ps_supplycost, so unit cost is 0.6·p_retailprice).
+    // Per-row profit is decimal-cast BEFORE the sum so the hash gate never
+    // sees float summation order; part (name-filtered) and the supplier
+    // nation map broadcast; the only big shuffle is the final group-by.
+    "q151_tpch_q9" -> ((s, d) => {
+      val redPart = t(s, d, "part").filter(col("p_name").contains("red"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val suppNat = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      t(s, d, "lineitem")
+        .join(broadcast(redPart), col("l_partkey") === col("p_partkey"))
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            - lit(0.6) * col("p_retailprice") * col("l_quantity"))
+          .cast("decimal(18,6)")).cast("double").as("profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // TPC-H Q11 shape (important stock; adapted — no partsupp, so a part's
+    // "value" is its lineitem revenue through EUROPE-region suppliers).
+    // The scalar threshold (0.1% of total) comes from re-aggregating the
+    // per-part frame — KBs — and broadcasts as a 1-row cross join; the
+    // fact table is scanned once.
+    "q152_tpch_q11" -> ((s, d) => {
+      val euSupp = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region").filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"))
+      val vals = t(s, d, "lineitem")
+        .join(broadcast(euSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy(col("l_partkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")).as("value_dec"))
+      val thr = vals.agg((sum(col("value_dec")).cast("double") * 0.001).as("thr"))
+      vals.crossJoin(broadcast(thr))
+        .filter(col("value_dec").cast("double") > col("thr"))
+        .select(col("l_partkey"), col("value_dec").cast("double").as("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    }),
+
+    // TPC-H Q12 shape (shipping-priority classification; adapted — no
+    // l_shipmode/commit/receipt dates, so the group key is l_returnflag
+    // and "late" is l_shipdate > o_orderdate + 45 days). The CASE pair
+    // splits urgent vs other priorities in one conditional-agg pass.
+    "q153_tpch_q12" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 45 DAYS"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy(col("l_returnflag"))),
+
+    // TPC-H Q13 shape (customer order-count distribution): LEFT OUTER join
+    // with the priority predicate INSIDE the join condition (not a WHERE —
+    // that would turn the outer join inner and drop zero-order customers),
+    // per-customer count of matches, then a histogram of those counts.
+    // Two shuffles by construction: custkey, then c_count.
+    "q154_tpch_q13" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_orderpriority") =!= "5-LOW"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)),
+
+    // TPC-H Q15 shape (top supplier): quarterly revenue per supplier, the
+    // max-revenue scalar re-aggregated from that SAME frame and broadcast
+    // back as a 1-row cross join; equality on the double is exact because
+    // both sides carry the identical decimal-sum → double value. The
+    // explicit isNotNull on the key mirrors the filter the later supplier
+    // join pushes into the other branch — with both branches canonically
+    // identical, AQE REUSES the groupBy exchange and the fact is scanned
+    // once (JoinsSpec asserts ReusedExchange on the executed plan).
+    "q155_tpch_q15" -> ((s, d) => {
+      val rev = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1996-04-01").cast("timestamp")
+          && col("l_suppkey").isNotNull)
+        .groupBy(col("l_suppkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("double").as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("max_rev"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_revenue") === col("max_rev"))
+        .join(broadcast(t(s, d, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // TPC-H Q16 shape (part/supplier relationship; adapted — no partsupp,
+    // so the supplier-part relation is DISTINCT lineitem pairs; no
+    // s_comment, so the exclusion set is negative-balance suppliers). The
+    // anti join's build side is the tiny exclusion list, broadcast; part
+    // attribute filters push to the broadcast dim.
+    "q156_tpch_q16" -> ((s, d) => {
+      val badSupp = t(s, d, "supplier").filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      val pairs = t(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      pairs.join(broadcast(t(s, d, "part")
+            .filter(col("p_brand") =!= "Brand#13" && col("p_type") =!= "PROMO"
+              && col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    // TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    // per-part average becomes a WINDOW avg over the brand-filtered
+    // broadcast-join frame, partitioned by partkey — ONE fact scan and one
+    // exchange of only the brand-matched rows (a re-join spelling would
+    // scan the fact twice; partition sizes are |lineitems per part|,
+    // bounded). Quantities are integer-valued doubles, so the avg is
+    // exact in any order and the window avg equals the groupBy avg.
+    "q157_tpch_q17" -> ((s, d) => {
+      val pk = t(s, d, "part")
+        .filter(col("p_brand") === "Brand#3" && col("p_type") === "SMALL")
+        .select(col("p_partkey"))
+      t(s, d, "lineitem")
+        .join(broadcast(pk), col("l_partkey") === col("p_partkey"))
+        .withColumn("q_thresh",
+          lit(0.2) * avg(col("l_quantity")).over(Window.partitionBy(col("p_partkey"))))
+        .filter(col("l_quantity") < col("q_thresh"))
+        .agg((sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double")
+          / 7.0).as("avg_yearly"))
+    }),
+
+    // TPC-H Q20 shape (potential part promotion; adapted — no
+    // ps_availqty, so a supplier qualifies by having shipped > 50 units of
+    // some red part in 1996). Nested semi joins: shipped (partkey,
+    // suppkey) volumes → semi vs red parts → distinct suppkeys → semi into
+    // the ASIA supplier dim. Each stage shrinks before the next join.
+    "q158_tpch_q20" -> ((s, d) => {
+      val redPk = t(s, d, "part").filter(col("p_name").contains("red"))
+        .select(col("p_partkey"))
+      val qualSupp = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+        .filter(col("qty") > 30)
+        .join(broadcast(redPk), col("l_partkey") === col("p_partkey"), "left_semi")
+        .select(col("l_suppkey")).distinct()
+      t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region").filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(qualSupp), col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting; adapted — "late"
+    // is l_shipdate > o_orderdate + 60 days on F-status orders). The
+    // classic double correlation: EXISTS another supplier in the same
+    // order (semi join) AND NOT EXISTS another LATE supplier in the same
+    // order (anti join against the late frame itself, re-aliased). Both
+    // correlations key on l_orderkey, so the three joins share one
+    // exchange footprint.
+    "q159_tpch_q21" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val late = li
+        .join(t(s, d, "orders").filter(col("o_orderstatus") === "F")
+            .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val others = li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+      val lateOthers = late.select(col("l_orderkey").as("k3"),
+        col("l_suppkey").as("s3"))
+      late
+        .join(others, col("k2") === col("l_orderkey")
+          && col("s2") =!= col("l_suppkey"), "left_semi")
+        .join(lateOthers, col("k3") === col("l_orderkey")
+          && col("s3") =!= col("l_suppkey"), "left_anti")
+        .join(broadcast(t(s, d, "supplier")
+            .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+            .join(broadcast(t(s, d, "region").filter(col("r_name") === "AMERICA")),
+              col("n_regionkey") === col("r_regionkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name")).limit(100)
+    }),
+
+    // TPC-H Q2 shape (minimum-cost supplier; adapted — no
+    // ps_supplycost, so a supplier's unit cost for a part is the MINIMUM
+    // observed l_extendedprice/l_quantity across its lineitems). The
+    // correlated min-subquery becomes: per-(part, supplier) unit costs →
+    // restrict to EUROPE suppliers → per-part min re-aggregated from that
+    // SAME frame and joined back on (partkey, exact min) — one fact scan,
+    // dims broadcast, the part attribute filter pushed into the broadcast.
+    "q160_tpch_q2" -> ((s, d) => {
+      val euSupp = t(s, d, "supplier")
+        .join(broadcast(t(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region").filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+      val wantPart = t(s, d, "part")
+        .filter(col("p_size").between(10, 20) && col("p_type") === "LARGE")
+        .select(col("p_partkey"), col("p_type"))
+      val cost = t(s, d, "lineitem")
+        .join(broadcast(wantPart), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(euSupp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("p_partkey"), col("p_type"), col("l_suppkey"),
+          col("s_name"), col("s_acctbal"), col("n_name"))
+        .agg(min(col("l_extendedprice") / col("l_quantity")).as("ucost"))
+      val mn = cost.groupBy(col("p_partkey").as("m_partkey"))
+        .agg(min(col("ucost")).as("mcost"))
+      cost.join(broadcast(mn), col("p_partkey") === col("m_partkey")
+          && col("ucost") === col("mcost"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_type"), col("ucost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey")).limit(100)
     })
   )
 
@@ -4680,6 +5000,203 @@ object SparkEntry {
         |      FROM (SELECT doc_id, 24 + (doc_id % 97) * 3 AS nf,
         |              [600,1000,12288,90000][CAST(doc_id % 4 AS INTEGER) + 1] AS ts
         |            FROM documents))
-        |ORDER BY media_id, frame_idx""".stripMargin
+        |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // mirrors q148: EXISTS == the engine's left-semi; same 30-day lateness
+    "q148_tpch_q4" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q149_tpch_q7" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND sn.n_name IN ('NATION_3', 'NATION_7')
+        |  AND cn.n_name IN ('NATION_3', 'NATION_7')
+        |  AND sn.n_name <> cn.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // mirrors q150: the customer-region membership is EXISTS == left-semi;
+    // both share sums run over the identical decimal per-row values
+    "q150_tpch_q8" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CASE WHEN sn.n_name = 'NATION_5'
+        |      THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))
+        |      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+        |  / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+        |  AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE p_type = 'ECONOMY'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND EXISTS (SELECT 1 FROM customer
+        |              JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |              JOIN region ON cn.n_regionkey = r_regionkey
+        |              WHERE c_custkey = o_custkey AND r_name = 'AMERICA')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // per-row profit decimal-cast before the sum, same 0.6·retailprice cost
+    // adaptation and left-assoc product order as the engine
+    "q151_tpch_q9" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |    - 0.6 * p_retailprice * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    // per-part value through EUROPE suppliers, threshold 0.1% of the total
+    // re-aggregated from the same frame; compares in double on both sides
+    "q152_tpch_q11" ->
+      """WITH vals AS MATERIALIZED (
+        |  SELECT l_partkey,
+        |    sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS value_dec
+        |  FROM lineitem
+        |  WHERE EXISTS (SELECT 1 FROM supplier
+        |                JOIN nation ON s_nationkey = n_nationkey
+        |                JOIN region ON n_regionkey = r_regionkey
+        |                WHERE s_suppkey = l_suppkey AND r_name = 'EUROPE')
+        |  GROUP BY l_partkey)
+        |SELECT l_partkey, CAST(value_dec AS DOUBLE) AS value
+        |FROM vals, (SELECT CAST(sum(value_dec) AS DOUBLE) * 0.001 AS thr FROM vals) t
+        |WHERE CAST(value_dec AS DOUBLE) > thr
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+
+    "q153_tpch_q12" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate > o_orderdate + INTERVAL 45 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the priority predicate lives in the JOIN condition so zero-order
+    // customers keep their c_count = 0 bucket, exactly like the engine's
+    // left_outer condition
+    "q154_tpch_q13" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+        |      GROUP BY c_custkey) z
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    // equality on the double is exact: both engines compute the identical
+    // decimal-sum → double value, and max() picks one of those values
+    "q155_tpch_q15" ->
+      """WITH rev AS MATERIALIZED (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    // NOT EXISTS == the engine's left-anti against negative-balance
+    // suppliers; distinct (partkey, suppkey) pairs stand in for partsupp
+    "q156_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+        |  AND NOT EXISTS (SELECT 1 FROM supplier
+        |                  WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    // correlated per-part avg: quantities are integer-valued doubles, so
+    // sum and avg are exact in any order on both engines
+    "q157_tpch_q17" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#3' AND p_type = 'SMALL'
+        |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+        |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+
+    // nested EXISTS == the engine's semi-join chain: shipped volume > 30
+    // of some red part in 1996, suppliers restricted to ASIA
+    "q158_tpch_q20" ->
+      """SELECT s_suppkey, s_name
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND EXISTS (
+        |    SELECT 1 FROM (
+        |      SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+        |      FROM lineitem
+        |      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |      GROUP BY l_partkey, l_suppkey) sh
+        |    JOIN part ON p_partkey = sh.l_partkey
+        |    WHERE sh.l_suppkey = s_suppkey AND qty > 30 AND p_name LIKE '%red%')
+        |ORDER BY s_suppkey""".stripMargin,
+
+    // the late frame is MATERIALIZED (it feeds the outer rows AND the
+    // NOT EXISTS correlation); EXISTS/NOT EXISTS == the engine's
+    // semi/anti joins on the same (orderkey, other-supplier) conditions
+    "q159_tpch_q21" ->
+      """WITH late AS MATERIALIZED (
+        |  SELECT l_orderkey, l_suppkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM late l1
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'AMERICA'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+
+    // per-(part, supplier) min unit price stands in for ps_supplycost;
+    // the min-equality join is exact double comparison of identically
+    // computed values on both engines
+    "q160_tpch_q2" ->
+      """WITH cost AS MATERIALIZED (
+        |  SELECT p_partkey, p_type, l_suppkey, s_name, s_acctbal, n_name,
+        |         min(l_extendedprice / l_quantity) AS ucost
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE' AND p_size BETWEEN 10 AND 20 AND p_type = 'LARGE'
+        |  GROUP BY 1, 2, 3, 4, 5, 6),
+        |mn AS (SELECT p_partkey AS m_partkey, min(ucost) AS mcost
+        |       FROM cost GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_type, ucost
+        |FROM cost JOIN mn ON p_partkey = m_partkey AND ucost = mcost
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin
   )
 }

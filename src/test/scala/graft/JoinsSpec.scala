@@ -304,4 +304,84 @@ class JoinsSpec extends AnyFunSuite {
         s"${r.getString(0)}: approx $a vs exact $e off by ${math.abs(a - e) / e}")
     }
   }
+
+  test("q148 TPC-H Q4: EXISTS is a semi join, the quarter filter reaches the orders scan") {
+    val df = graft.SparkEntry.queries("q148_tpch_q4")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$p")
+    val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(p).mkString("\n")
+    assert(pushed.contains("o_orderdate"),
+      s"quarter filter not pushed to the orders scan:\n$pushed")
+  }
+
+  test("q149 TPC-H Q7: both nation-filtered dims broadcast; no cartesian product") {
+    val df = graft.SparkEntry.queries("q149_tpch_q7")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"supplier-nation and customer-nation dims must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q154 TPC-H Q13: the priority predicate stays inside the left-outer join") {
+    val df = graft.SparkEntry.queries("q154_tpch_q13")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftOuter"),
+      s"zero-order customers need the outer join preserved:\n$p")
+    // the predicate must prune the orders SIDE, not filter post-join
+    // (post-join filtering would drop the customers it exists to keep)
+    val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(p).mkString("\n")
+    assert(pushed.contains("o_orderpriority"),
+      s"priority predicate should prune the orders scan:\n$pushed")
+  }
+
+  test("q155 TPC-H Q15: the max-revenue scalar reuses the revenue exchange — one fact scan") {
+    val df = graft.SparkEntry.queries("q155_tpch_q15")(spark, dir)
+    df.collect() // AQE only materializes exchange reuse at runtime
+    val p = finalPlan(df)
+    assert(p.contains("ReusedExchange") || countLineitemScans(p) <= 1,
+      s"rev is referenced twice; the groupBy exchange must be reused, not the fact rescanned:\n$p")
+  }
+
+  test("q157 TPC-H Q17: the correlated avg is a window over one fact scan, not a re-join") {
+    val df = graft.SparkEntry.queries("q157_tpch_q17")(spark, dir)
+    df.collect()
+    val p = finalPlan(df)
+    assert(countLineitemScans(p) <= 1,
+      s"the per-part threshold must come from a window, not a second scan:\n$p")
+    assert(p.contains("Window"), s"expected the partitioned window avg:\n$p")
+  }
+
+  test("q156 TPC-H Q16: the exclusion set is a broadcast anti join") {
+    val df = graft.SparkEntry.queries("q156_tpch_q16")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must plan as an anti join:\n$p")
+    assert("BroadcastHashJoin.*LeftAnti|LeftAnti.*BroadcastHashJoin".r
+      .findFirstIn(p.replaceAll("\n", " ")).isDefined
+      || "BroadcastNestedLoop".r.findFirstIn(p).isEmpty,
+      s"the tiny exclusion list must broadcast:\n$p")
+  }
+
+  test("q159 TPC-H Q21: the double correlation plans as one semi and one anti join") {
+    val df = graft.SparkEntry.queries("q159_tpch_q21")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"), s"EXISTS must plan as a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must plan as an anti join:\n$p")
+  }
+
+  test("q160 TPC-H Q2: the per-part min reuses the cost exchange; dims broadcast") {
+    val df = graft.SparkEntry.queries("q160_tpch_q2")(spark, dir)
+    df.collect() // AQE only materializes exchange reuse at runtime
+    val p = finalPlan(df)
+    assert(p.contains("BroadcastHashJoin"), s"part/supplier dims must broadcast:\n$p")
+    assert(p.contains("ReusedExchange") || countLineitemScans(p) <= 1,
+      s"cost is referenced twice; its exchange must be reused, not the fact rescanned:\n$p")
+  }
+
+  /** The AQE final plan only (drops the `== Initial Plan ==` echo). */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+
+  /** Count FileScan references to the lineitem table in a physical plan. */
+  private def countLineitemScans(p: String): Int =
+    p.linesIterator.count(l => l.contains("FileScan") && l.contains("lineitem"))
 }
