@@ -3080,6 +3080,30 @@ object SparkEntry {
           col("p_partkey"), col("p_type"), col("ucost"))
         .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
           col("p_partkey")).limit(100)
+    }),
+
+    // Bloom-prefiltered fact⋈dim join (Joins.bloomPrefilterJoin): the dim
+    // (one month's URGENT orders) is sketched into a Bloom literal and the
+    // fact is filtered BEFORE its shuffle — only might-match rows enter
+    // the exchange; the exact equi-join then drops false positives, so
+    // the result is IDENTICAL to the plain join (plain-join oracle, full
+    // hash gate). The merge hint models the 100 TB case where the dim is
+    // too big to broadcast as a hash relation but its 512 KB sketch
+    // isn't. JoinsSpec asserts the probe filter sits under the join and
+    // that it actually prunes.
+    "q161_bloom_join" -> ((s, d) => {
+      val dim = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp")
+          && col("o_orderdate") < lit("1996-08-01").cast("timestamp")
+          && col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      Joins.bloomPrefilterJoin(t(s, d, "lineitem"), dim.hint("merge"),
+          "l_orderkey", "o_orderkey")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,6)")).cast("double").as("revenue"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
     })
   )
 
@@ -5197,6 +5221,16 @@ object SparkEntry {
         |       FROM cost GROUP BY 1)
         |SELECT s_acctbal, s_name, n_name, p_partkey, p_type, ucost
         |FROM cost JOIN mn ON p_partkey = m_partkey AND ucost = mcost
-        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
+
+    // the PLAIN join — the engine's Bloom prefilter must change nothing
+    // about the result, only the shuffled volume
+    "q161_bloom_join" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-08-01'
+        |  AND o_orderpriority = '1-URGENT'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -113,4 +113,39 @@ object Joins {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("_rb")
   }
+
+  /** Bloom-prefiltered equi-join: build a Bloom sketch of the dim side's
+    * join keys (nBits/8 bytes regardless of dim size), broadcast it as a
+    * LITERAL (the q92 decode-cache pattern), and filter the fact side
+    * BEFORE its shuffle — only fact rows whose key might match ever enter
+    * the exchange. The follow-up exact equi-join drops the sketch's false
+    * positives, so the result is IDENTICAL to the plain join (hash-gated,
+    * not quality-gated); the sketch only cuts shuffled volume.
+    *
+    * This is the 100 TB shape for selective fact⋈dim joins where the dim
+    * is too big to broadcast as a hash relation (100 M keys ≈ GBs) but its
+    * Bloom is not (≈512 KB at 2²² bits): a 1%-selective dim turns a full
+    * fact shuffle into a ~1% shuffle for one extra scan-side probe per
+    * row. Spark's own runtime row-level filters do this opportunistically;
+    * the explicit operator makes the plan deterministic and testable.
+    *
+    * The sketch is collected eagerly at plan-build (one aggregate job over
+    * the dim — same trade-off as the IVF centroid literals; production
+    * would materialize it next to the table). Inner joins only: a missing
+    * fact row can only be one the join would drop anyway.
+    */
+  def bloomPrefilterJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, nBits: Int = 1 << 22, numHashes: Int = 5): DataFrame = {
+    require(nBits > 0 && (nBits & 63) == 0, "nBits must be a positive multiple of 64")
+    require(numHashes > 0, "numHashes must be positive")
+    graft.functions.GraftFunctions.register(fact.sparkSession)
+    val bfBytes: Array[Byte] = dim
+      .agg(call_function("graft_bloom", xxhash64(col(dimKey)),
+        lit(nBits), lit(numHashes)).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    fact
+      .filter(call_function("graft_bloom_contains", lit(bfBytes),
+        xxhash64(col(factKey))))
+      .join(dim, col(factKey) === col(dimKey))
+  }
 }

@@ -53,6 +53,44 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
   }
 
+  /** 10× TPC-H tables by key-remapped replication: copy c ∈ [0, 10) maps
+    * every key k to k·10+c, so each fact row's foreign keys land on the
+    * SAME copy of its dimension rows — per-key fan-in (orders per
+    * customer, lineitems per part/supplier) is IDENTICAL to the original,
+    * only the table cardinalities grow 10×. That makes the probe a pure
+    * data-volume scale-up of the join shapes, not a skew change.
+    * nation/region are genuinely fixed-size dims and copy unchanged.
+    */
+  def genWarehouse(spark: SparkSession, src: String, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val copies = explode(sequence(lit(0L), lit(9L))).as("c")
+    def rd(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    def wr(df: org.apache.spark.sql.DataFrame, t: String) =
+      df.write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    def remap(k: String) = (col(k) * 10 + col("c")).as(k)
+
+    wr(rd("lineitem").select(col("*"), copies)
+      .select(remap("l_orderkey"), remap("l_partkey"), remap("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), col("l_shipdate")), "lineitem")
+    wr(rd("orders").select(col("*"), copies)
+      .select(remap("o_orderkey"), remap("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"), col("o_orderpriority")),
+      "orders")
+    wr(rd("customer").select(col("*"), copies)
+      .select(remap("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment")), "customer")
+    wr(rd("part").select(col("*"), copies)
+      .select(remap("p_partkey"), col("p_name"), col("p_brand"),
+        col("p_type"), col("p_size"), col("p_retailprice")), "part")
+    wr(rd("supplier").select(col("*"), copies)
+      .select(remap("s_suppkey"), col("s_name"), col("s_nationkey"),
+        col("s_acctbal")), "supplier")
+    wr(rd("nation"), "nation")
+    wr(rd("region"), "region")
+  }
+
   def genEmbeddings(spark: SparkSession, dir: String, n: Int): Unit = {
     import spark.implicits._
     spark.range(0, n, 1, 32).map { id =>
@@ -136,6 +174,21 @@ object ScaleProbe {
         Similarity.ivfKnn(emb, col("vec_id") < 5, k = 10).count()
       }
     }
+    // warehouse join family at 10x: the key-remapped replication keeps
+    // per-key fan-in identical, so these ratios isolate pure data-volume
+    // scaling of the join/agg shapes (expect ≈linear wall-clock; the
+    // semi/anti correlations of Q21 are the ones to watch)
+    val whDir = s"$dir/warehouse10x"
+    if (!new java.io.File(s"$whDir/lineitem.parquet").exists()) {
+      println(s"[probe] generating 10x warehouse under $whDir")
+      genWarehouse(spark, "/root/testdata/sf0.1", whDir)
+    }
+    for ((label, d) <- Seq(("sf0.1", "/root/testdata/sf0.1"), ("10x", whDir));
+         q <- Seq("q124_tpch_q3", "q127_tpch_q5", "q134_tpch_q18",
+           "q151_tpch_q9", "q154_tpch_q13", "q159_tpch_q21")) {
+      time(s"$label $q") { graft.SparkEntry.queries(q)(spark, d).count() }
+    }
+
     // the pathology for the record: fixed k=8 at 10x corpus — cluster size
     // 10x, within-cluster pairs 100x
     val emb10 = embOf(dir)

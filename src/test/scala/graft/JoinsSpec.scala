@@ -377,6 +377,44 @@ class JoinsSpec extends AnyFunSuite {
       s"cost is referenced twice; its exchange must be reused, not the fact rescanned:\n$p")
   }
 
+  test("bloomPrefilterJoin equals the plain join and actually prunes the fact side") {
+    val li = Tables.load(spark, dir, "lineitem")
+    val dim = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT"
+        && col("o_orderdate") < lit("1995-06-01").cast("timestamp"))
+      .select(col("o_orderkey"))
+    val got = Joins.bloomPrefilterJoin(li, dim, "l_orderkey", "o_orderkey")
+      .orderBy(col("l_orderkey"), col("l_linenumber")).collect()
+    val want = li.join(dim, col("l_orderkey") === col("o_orderkey"))
+      .orderBy(col("l_orderkey"), col("l_linenumber")).collect()
+    assert(got.toSeq == want.toSeq,
+      "the Bloom prefilter must not change the join result")
+    // the sketch must prune: with ~tens of keys in 2^22 bits the false
+    // positive rate is ~0, so the prefilter survivor count should be close
+    // to the true match count, far below the full fact table
+    graft.functions.GraftFunctions.register(spark)
+    val bf = dim.agg(call_function("graft_bloom",
+      xxhash64(col("o_orderkey")), lit(1 << 22), lit(5))).head.getAs[Array[Byte]](0)
+    val kept = li.filter(call_function("graft_bloom_contains", lit(bf),
+      xxhash64(col("l_orderkey")))).count()
+    val total = li.count()
+    assert(kept < total / 4,
+      s"prefilter kept $kept of $total fact rows — no real pruning")
+    assert(kept >= want.length / 7 /* lineitems per order ≥ 1 */,
+      s"prefilter kept $kept but the join returns ${want.length} rows")
+  }
+
+  test("q161: the bloom probe filters below the shuffle join, not above it") {
+    val df = graft.SparkEntry.queries("q161_bloom_join")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"),
+      s"the merge hint must hold (models the unbroadcastable dim):\n$p")
+    val joinIdx = p.indexOf("SortMergeJoin")
+    val probeIdx = p.indexOf("graft_bloom_contains")
+    assert(probeIdx > joinIdx && probeIdx >= 0,
+      s"the bloom probe must sit in the join's subtree (below it in the plan print):\n$p")
+  }
+
   /** The AQE final plan only (drops the `== Initial Plan ==` echo). */
   private def finalPlan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
