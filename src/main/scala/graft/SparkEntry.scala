@@ -3104,6 +3104,64 @@ object SparkEntry {
           sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             .cast("decimal(18,6)")).cast("double").as("revenue"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Ninth streaming family in the gate: per-source Misra-Gries heavy
+    // hitters maintained incrementally (StreamingOps.heavyHittersStream) —
+    // state is ≤ k counters per source forever, never the vocabulary. MG
+    // estimates are legitimately merge-order-dependent, so the gate checks
+    // the deterministic GUARANTEES of the final stream state against exact
+    // per-source counts (q67's bound style), plus that the stream's
+    // running token total exactly equals the batch total — the
+    // state-completeness proof across the 4 micro-batch boundaries.
+    "q162_streaming_heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      val k = 50
+      val tape = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .as[graft.streaming.DocTextEvent].collect().toSeq.sortBy(_.doc_id)
+      val sink = graft.streaming.MemoryReplay.replay(s, tape, nBatches = 4,
+          mode = org.apache.spark.sql.streaming.OutputMode.Update())(ds =>
+        graft.streaming.StreamingOps.heavyHittersStream(ds, k))
+      val fin = sink.groupBy(col("source"))
+        .agg(max_by(struct(col("items"), col("ests"), col("n_tok")),
+          col("batch")).as("m"))
+        .select(col("source"), col("m.items").as("items"),
+          col("m.ests").as("ests"), col("m.n_tok").as("n_tok"))
+      val sk = fin
+        .select(col("source"), explode(arrays_zip(col("items"), col("ests"))).as("e"))
+        .select(col("source"), col("e.items").as("term"), col("e.ests").as("est"))
+      val exact = t(s, d, "documents")
+        .select(col("source"),
+          explode(graft.functions.Text.tokens(col("text"))).as("term"))
+        .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+      val tot = t(s, d, "documents")
+        .groupBy(col("source"))
+        .agg(sum(size(graft.functions.Text.tokens(col("text"))))
+          .cast("long").as("n_src"))
+      val thresh = col("n_src").cast("double") / (k + 1).toDouble
+      val checks = exact.join(sk, Seq("source", "term"), "full_outer")
+        .join(broadcast(tot), Seq("source"))
+        .agg(
+          count(when(col("c").cast("double") > thresh && col("est").isNull, 1))
+            .as("missed"),
+          count(when(col("est").isNotNull && col("est") > col("c"), 1))
+            .as("over"),
+          count(when(col("est").isNotNull &&
+            (col("c") - col("est")).cast("double") > thresh, 1)).as("loose"))
+      val sizeTotal = fin.join(broadcast(tot), Seq("source"))
+        .agg(max(size(col("items"))).as("max_sz"),
+          count(when(col("n_tok") =!= col("n_src"), 1)).as("tot_mismatch"))
+      checks.crossJoin(sizeTotal)
+        .select(explode(array(
+          struct(lit("mg_error_bound").as("metric"), (col("loose") === 0).as("ok")),
+          struct(lit("mg_size_bound").as("metric"), (col("max_sz") <= k).as("ok")),
+          struct(lit("mg_stream_total").as("metric"),
+            (col("tot_mismatch") === 0).as("ok")),
+          struct(lit("mg_superset").as("metric"), (col("missed") === 0).as("ok")),
+          struct(lit("mg_underestimate").as("metric"), (col("over") === 0).as("ok")))))
+        .select(col("col.metric").as("metric"), col("col.ok").as("ok"))
+        .orderBy(col("metric"))
     })
   )
 
@@ -5231,6 +5289,17 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-08-01'
         |  AND o_orderpriority = '1-URGENT'
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q67's guarantee-boolean style for the streaming sketch, plus the
+    // stream-total equality — all five must hold for any valid MG state
+    "q162_streaming_heavy_hitters" ->
+      """SELECT * FROM (VALUES
+        |  ('mg_error_bound', TRUE),
+        |  ('mg_size_bound', TRUE),
+        |  ('mg_stream_total', TRUE),
+        |  ('mg_superset', TRUE),
+        |  ('mg_underestimate', TRUE)) AS t(metric, ok)
+        |ORDER BY metric""".stripMargin
   )
 }

@@ -99,6 +99,20 @@ final case class ScdRow(
     valid_to_ts: Option[Timestamp],
     is_current: Boolean)
 
+/** One document on the corpus tape ([[StreamingOps.heavyHittersStream]]). */
+final case class DocTextEvent(doc_id: Long, source: String, text: String)
+
+/** Per-source Misra-Gries state: parallel item/count vectors (≤ k entries),
+  * the running token total, and a batch counter so the LAST emission per
+  * source is identifiable in the update stream.
+  */
+final case class MgState(items: Seq[String], counts: Seq[Long],
+    nTok: Long, batch: Long)
+
+/** One per-batch sketch emission from [[StreamingOps.heavyHittersStream]]. */
+final case class MgRow(source: String, batch: Long, items: Seq[String],
+    ests: Seq[Long], n_tok: Long)
+
 /** One forecast per input tick (reference ForecastsJob.java:82-85). */
 final case class ForecastRow(
     seq: Long,
@@ -414,6 +428,64 @@ object StreamingOps {
           val minId = it.map(_._1).min
           if (state.exists) Iterator.empty
           else { state.update(FirstSeen(minId)); Iterator.single(minId) }
+      }
+  }
+
+  /** Folds one token into a Misra-Gries counter map in place: increment if
+    * tracked, insert if a slot is free, else decrement EVERY counter and
+    * drop zeros (the classic step — this is the branch that forgets tail
+    * items). Pure enough to unit-test directly; shared by the stream fold.
+    */
+  def mgAdd(m: scala.collection.mutable.LinkedHashMap[String, Long], k: Int,
+      tok: String): Unit = {
+    if (m.contains(tok)) m(tok) += 1
+    else if (m.size < k) m(tok) = 1L
+    else {
+      val ks = m.keys.toVector
+      ks.foreach { ky =>
+        val c = m(ky) - 1
+        if (c == 0L) m.remove(ky) else m(ky) = c
+      }
+    }
+  }
+
+  /** Streaming twin of the q67 Misra-Gries heavy-hitters sketch, keyed by
+    * document source: state per source is ≤ k counters + the running token
+    * total — bounded forever, never the vocabulary — and each micro-batch
+    * folds its documents' tokens in doc_id order through the SAME classic
+    * MG step as the batch aggregate ([[graft.functions.MisraGries]]'s
+    * update path, sequential form). Emits the full sketch per touched
+    * source per batch (Update mode); the last emission per source is the
+    * final state, and it carries the deterministic MG GUARANTEES
+    * (superset / underestimate / n/(k+1) error / size ≤ k) against the
+    * exact per-source counts — which is what the q162 gate checks, since
+    * raw MG estimates are legitimately merge-order-dependent.
+    *
+    * Tokenization mirrors [[graft.functions.Text.tokens]] (single-space
+    * split, empties dropped) so stream and exact counts see identical
+    * tokens.
+    */
+  def heavyHittersStream(docs: Dataset[DocTextEvent], k: Int): Dataset[MgRow] = {
+    require(k > 0, "k must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .groupByKey(_.source)
+      .mapGroupsWithState[MgState, MgRow](GroupStateTimeout.NoTimeout()) {
+        case (source, it, state) =>
+          val st = state.getOption.getOrElse(MgState(Nil, Nil, 0L, 0L))
+          val m = scala.collection.mutable.LinkedHashMap
+            .newBuilder[String, Long].addAll(st.items.zip(st.counts)).result()
+          var n = st.nTok
+          it.toVector.sortBy(_.doc_id).foreach { d =>
+            d.text.split(" ", -1).iterator.filter(_.nonEmpty).foreach { tok =>
+              n += 1
+              mgAdd(m, k, tok)
+            }
+          }
+          val batch = st.batch + 1
+          state.update(MgState(m.keys.toVector, m.values.toVector, n, batch))
+          MgRow(source, batch, m.keys.toVector, m.values.toVector, n)
       }
   }
 

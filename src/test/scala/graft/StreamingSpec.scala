@@ -581,4 +581,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(u.map(_.kind).toSeq == Seq("price", "trade"))
     assert(u(1).account == "A" && u(1).mw == 5)
   }
+
+  test("mgAdd runs the classic Misra-Gries step, incl. the decrement-all branch") {
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    Seq("a", "a", "b").foreach(StreamingOps.mgAdd(m, 2, _))
+    assert(m.toMap == Map("a" -> 2L, "b" -> 1L))
+    // full + unseen item: every counter decrements, zeros drop, c NOT added
+    StreamingOps.mgAdd(m, 2, "c")
+    assert(m.toMap == Map("a" -> 1L))
+    // a slot is free again, so the next unseen item takes it
+    StreamingOps.mgAdd(m, 2, "d")
+    assert(m.toMap == Map("a" -> 1L, "d" -> 1L))
+  }
+
+  test("heavyHittersStream: batch-split invariant, state carries, guarantees hold") {
+    import spark.implicits._
+    val tape = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[graft.streaming.DocTextEvent].collect().toSeq.sortBy(_.doc_id)
+    val k = 10
+    def finalStates(nBatches: Int): Map[String, (Seq[String], Seq[Long], Long)] =
+      graft.streaming.MemoryReplay.replay(spark, tape, nBatches,
+          mode = org.apache.spark.sql.streaming.OutputMode.Update())(ds =>
+          StreamingOps.heavyHittersStream(ds, k))
+        .groupBy(col("source"))
+        .agg(max_by(struct(col("items"), col("ests"), col("n_tok")),
+          col("batch")).as("m"))
+        .select(col("source"), col("m.items"), col("m.ests"), col("m.n_tok"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getSeq[String](1), r.getSeq[Long](2),
+          r.getLong(3))).toMap
+    // the fold is sequential in global doc order, so splitting the tape
+    // into 1 vs 4 ordered micro-batches must give the IDENTICAL end state —
+    // this is the state-carry-across-batches proof, exact not bound-based
+    val one = finalStates(1)
+    val four = finalStates(4)
+    assert(one == four, "final MG state must not depend on the batch split")
+    // guarantees of the final state vs exact counts, per source
+    val exact: Map[(String, String), Long] = tape
+      .flatMap(d => d.text.split(" ", -1).filter(_.nonEmpty).map(t => (d.source, t)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val totals: Map[String, Long] = exact.groupBy(_._1._1)
+      .view.mapValues(_.values.sum).toMap
+    for ((src, (items, ests, nTok)) <- four) {
+      assert(nTok == totals(src), s"$src: stream total $nTok != ${totals(src)}")
+      assert(items.size <= k)
+      val est = items.zip(ests).toMap
+      val bound = totals(src).toDouble / (k + 1)
+      est.foreach { case (t, e) =>
+        val c = exact((src, t))
+        assert(e <= c, s"$src/$t: est $e over-counts exact $c")
+        assert(c - e <= bound, s"$src/$t: error ${c - e} above n/(k+1)=$bound")
+      }
+      exact.collect { case ((`src`, t), c) if c > bound =>
+        assert(est.contains(t), s"$src: heavy item $t (count $c) missing from sketch")
+      }
+    }
+  }
 }
