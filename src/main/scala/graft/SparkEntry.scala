@@ -3106,6 +3106,19 @@ object SparkEntry {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
+    // Triangle count over the near-dup graph (Graph.triangles): the
+    // clustering-density audit of the q62 pair set, via degree-ordered
+    // orientation — out-degrees bounded O(√m), so the wedge join's
+    // per-key fan-out never goes quadratic on hub nodes. The count is
+    // orientation-invariant, so the oracle's ID-ordered 3-way pair join
+    // reproduces it exactly.
+    "q163_triangles" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.minhashNearDups(docs, col("doc_id"), col("text"))
+        .select(col("doc_a"), col("doc_b"))
+      operators.Graph.triangles(pairs)
+    }),
+
     // Ninth streaming family in the gate: per-source Misra-Gries heavy
     // hitters maintained incrementally (StreamingOps.heavyHittersStream) —
     // state is ≤ k counters per source forever, never the vocabulary. MG
@@ -5290,6 +5303,18 @@ object SparkEntry {
         |WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-08-01'
         |  AND o_orderpriority = '1-URGENT'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // ID-ordered 3-way join over the SAME exact pair set the engine's
+    // LSH pipeline reproduces (q62's equivalence) — triangle counts are
+    // orientation-invariant, so this equals the degree-oriented engine
+    // count exactly
+    "q163_triangles" -> {
+      s"""WITH $NEARDUP_PAIRS_CTE
+         |SELECT CAST(count(*) AS BIGINT) AS n_triangles
+         |FROM pairs p1
+         |JOIN pairs p2 ON p2.doc_a = p1.doc_a AND p2.doc_b > p1.doc_b
+         |JOIN pairs p3 ON p3.doc_a = p1.doc_b AND p3.doc_b = p2.doc_b""".stripMargin
+    },
 
     // q67's guarantee-boolean style for the streaming sketch, plus the
     // stream-total equality — all five must hold for any valid MG state

@@ -36,4 +36,36 @@ class GraphSpec extends AnyFunSuite {
     // damping keeps total mass <= n*scale; integer floors only shrink it
     assert(total <= 20L * 1000000000000L && total > 0L)
   }
+
+  test("triangles: hand-built graph with a hub counts exactly once per triangle") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles) + pendant 5-1 (no new triangle) +
+    // separate triangle {6,7,8} → 5 total; node 1 is the degree-4 hub
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L), (6L, 7L), (6L, 8L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val n = Graph.triangles(edges).collect()(0).getAs[Long]("n_triangles")
+    assert(n == 5L)
+  }
+
+  test("triangles: degree-oriented count equals the naive id-ordered 3-way join") {
+    import spark.implicits._
+    // seeded random graph with planted hubs (skew the orientation handles)
+    val rnd = new scala.util.Random(42)
+    val raw = (1 to 400).map { _ =>
+      val a = rnd.nextInt(40).toLong
+      // half the edges touch the 3 hub nodes
+      val b = if (rnd.nextBoolean()) rnd.nextInt(3).toLong else rnd.nextInt(40).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2).distinct
+    val edges = raw.toDF("doc_a", "doc_b")
+    val got = Graph.triangles(edges).collect()(0).getAs[Long]("n_triangles")
+    val e1 = edges.select(col("doc_a").as("x"), col("doc_b").as("y"))
+    val naive = e1
+      .join(edges.select(col("doc_a").as("x2"), col("doc_b").as("z")),
+        col("x2") === col("x") && col("z") > col("y"))
+      .join(edges.select(col("doc_a").as("y3"), col("doc_b").as("z3")),
+        col("y3") === col("y") && col("z3") === col("z"), "left_semi")
+      .count()
+    assert(got == naive, s"oriented $got vs naive $naive")
+  }
 }
