@@ -3106,6 +3106,31 @@ object SparkEntry {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
+    // Winsorized robust mean per group — the outlier-clipping step a
+    // quality/score pipeline runs before averaging anything fat-tailed:
+    // per-group exact p05/p95 caps (Percentiles.exact — the bounded-memory
+    // two-pass, bit-identical to the buffering built-in), broadcast back
+    // as a |groups|-row frame, values clamped scan-side, decimal-exact
+    // sum. The caps frame is KBs at any corpus size; one broadcast join,
+    // one group-by exchange.
+    "q164_winsorize" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val caps = graft.operators.Percentiles.exact(li, col("l_returnflag"),
+          col("l_extendedprice"), Seq(("lo", 0.05), ("hi", 0.95)))
+        .select(col("g").as("l_returnflag"), col("lo"), col("hi"))
+      li.join(broadcast(caps), Seq("l_returnflag"))
+        .select(col("l_returnflag"),
+          when(col("l_extendedprice") < col("lo"), col("lo"))
+            .when(col("l_extendedprice") > col("hi"), col("hi"))
+            .otherwise(col("l_extendedprice")).as("w"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("w").cast("decimal(18,6)")).cast("double").as("wsum"))
+        .select(col("l_returnflag"), col("n"), col("wsum"),
+          (col("wsum") / col("n")).as("wmean"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Triangle count over the near-dup graph (Graph.triangles): the
     // clustering-density audit of the q62 pair set, via degree-ordered
     // orientation — out-degrees bounded O(√m), so the wedge join's
@@ -5303,6 +5328,25 @@ object SparkEntry {
         |WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-08-01'
         |  AND o_orderpriority = '1-URGENT'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // same type-7 interpolated caps (quantile_cont ≡ Percentiles.exact,
+    // the q39 equivalence), same clamp + decimal sum + double division
+    "q164_winsorize" ->
+      """WITH caps AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.05) AS lo,
+        |    quantile_cont(l_extendedprice, 0.95) AS hi
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(CASE WHEN l_extendedprice < lo THEN lo
+        |                     WHEN l_extendedprice > hi THEN hi
+        |                     ELSE l_extendedprice END AS DECIMAL(18,6))) AS DOUBLE) AS wsum,
+        |  CAST(sum(CAST(CASE WHEN l_extendedprice < lo THEN lo
+        |                     WHEN l_extendedprice > hi THEN hi
+        |                     ELSE l_extendedprice END AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*) AS wmean
+        |FROM lineitem JOIN caps USING (l_returnflag)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // ID-ordered 3-way join over the SAME exact pair set the engine's
     // LSH pipeline reproduces (q62's equivalence) — triangle counts are

@@ -153,6 +153,11 @@ object ScaleProbe {
         Pipeline.curate(docs, col("doc_id"), col("text"),
           benchPred = col("doc_id") % 10 === 0).count()
       }
+      time(s"$label q163_triangles") {
+        val pairs = Dedup.minhashNearDups(docs, col("doc_id"), col("text"))
+          .select(col("doc_a"), col("doc_b"))
+        graft.operators.Graph.triangles(pairs).count()
+      }
       val emb = embOf(d)
       val e = emb.select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
       val k = if (label == "10x") 80 else 8

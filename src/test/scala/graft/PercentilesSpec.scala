@@ -80,4 +80,27 @@ class PercentilesSpec extends AnyFunSuite {
           "only percentile_approx brackets are allowed")
     }
   }
+
+  test("q164 winsorized mean actually clips: differs from the plain mean, stays in [p05, p95]") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q164_winsorize")(spark, dir).collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("wmean"))).toMap
+    val caps = Percentiles.exact(Tables.load(spark, dir, "lineitem"),
+        col("l_returnflag"), col("l_extendedprice"),
+        Seq(("lo", 0.05), ("hi", 0.95)))
+      .collect().map(r => r.getAs[String]("g") ->
+        (r.getAs[Double]("lo"), r.getAs[Double]("hi"))).toMap
+    val plain = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag")).agg(avg(col("l_extendedprice")).as("m"))
+      .collect().map(r => r.getAs[String]("l_returnflag") -> r.getAs[Double]("m")).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (g, (n, wmean)) =>
+      val (lo, hi) = caps(g)
+      assert(n > 0 && wmean >= lo && wmean <= hi,
+        s"$g: winsorized mean $wmean outside [$lo, $hi]")
+      assert(math.abs(wmean - plain(g)) > 1e-9,
+        s"$g: clipping never engaged — winsorized mean equals the plain mean")
+    }
+  }
 }
