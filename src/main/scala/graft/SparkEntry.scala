@@ -3106,6 +3106,20 @@ object SparkEntry {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
+    // 6-round 2-core peel of the near-dup graph (Graph.kCore): the
+    // iterative-delete fixpoint — each round drops degree-<2 nodes and
+    // their edges, work monotonically shrinking. Separates tight template
+    // clusters (cycles survive) from pendant near-dup chains (peeled).
+    // The oracle unrolls the identical 6 rounds over the shared exact
+    // pair set; set-valued and exact, so the gate is a full hash match.
+    "q165_kcore" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.minhashNearDups(docs, col("doc_id"), col("text"))
+        .select(col("doc_a"), col("doc_b"))
+      operators.Graph.kCore(pairs, k = 2, rounds = 6)
+        .orderBy(col("doc_id"))
+    }),
+
     // Winsorized robust mean per group — the outlier-clipping step a
     // quality/score pipeline runs before averaging anything fat-tailed:
     // per-group exact p05/p95 caps (Percentiles.exact — the bounded-memory
@@ -5328,6 +5342,26 @@ object SparkEntry {
         |WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-08-01'
         |  AND o_orderpriority = '1-URGENT'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the identical 6 peel rounds unrolled over the shared exact pair set;
+    // every round MATERIALIZED — each references its predecessor ~3×, so
+    // DuckDB's CTE inlining would otherwise re-evaluate the whole chain
+    // exponentially (the BPE-chain lesson in BASELINE.md)
+    "q165_kcore" -> {
+      def round(i: Int) =
+        s"""k$i AS MATERIALIZED (SELECT n FROM (
+           |  SELECT n, count(*) AS deg FROM (
+           |    SELECT doc_a AS n FROM e${i - 1} UNION ALL SELECT doc_b FROM e${i - 1}) u
+           |  GROUP BY n) d WHERE deg >= 2),
+           |e$i AS MATERIALIZED (SELECT doc_a, doc_b FROM e${i - 1}
+           |  WHERE doc_a IN (SELECT n FROM k$i) AND doc_b IN (SELECT n FROM k$i))""".stripMargin
+      s"""WITH $NEARDUP_PAIRS_CTE,
+         |e0 AS MATERIALIZED (SELECT doc_a, doc_b FROM pairs),
+         |${(1 to 6).map(round).mkString(",\n")}
+         |SELECT n AS doc_id, CAST(count(*) AS BIGINT) AS deg FROM (
+         |  SELECT doc_a AS n FROM e6 UNION ALL SELECT doc_b FROM e6) u
+         |GROUP BY n ORDER BY doc_id""".stripMargin
+    },
 
     // same type-7 interpolated caps (quantile_cont ≡ Percentiles.exact,
     // the q39 equivalence), same clamp + decimal sum + double division

@@ -109,4 +109,47 @@ object Graph {
       .join(oriented, col("s") === col("b") && col("t") === col("c"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** `rounds`-round k-core peel of an UNDIRECTED edge list: each round
+    * drops every node whose current degree is < k, then every edge touching
+    * a dropped node — the iterative-DELETE fixpoint loop (third loop shape
+    * beside [[pagerank]]'s fixed-point recurrence and
+    * [[Dedup.connectedComponents]]'s pointer jumping). The 2-core of the
+    * near-dup graph separates tight template clusters from pendant chains —
+    * the structures [[Dedup.dupGroupsBest]] should treat differently.
+    *
+    * `rounds` is part of the operator contract (like pagerank's `iters`):
+    * a chain of length L needs L rounds to peel fully, but real dup graphs
+    * converge in a handful — callers probe convergence by checking the
+    * round-over-round edge count. Scale shape per round: one partial-agg
+    * degree count (exchange carries (node, count)) and two semi joins of
+    * the SHRINKING edge list on its endpoints — work is monotonically
+    * non-increasing. Each round's edge list is MATERIALIZED
+    * (localCheckpoint, or a reliable `checkpoint()` via `checkpointDir` —
+    * the [[Dedup.connectedComponents]] pattern): the round body references
+    * its input ~5×, so lazy lineage would grow ~5^rounds plan nodes and
+    * stall Catalyst long before any data moved.
+    *
+    * Output: (doc_id, deg) — surviving nodes with their in-core degree.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(k > 0 && rounds > 0, "k and rounds must be positive")
+    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    def materialize(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    var e = materialize(edges.select(col("doc_a"), col("doc_b")))
+    for (_ <- 1 to rounds) {
+      val deg = e.select(col("doc_a").as("n"))
+        .unionByName(e.select(col("doc_b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k)
+      e = materialize(
+        e.join(keep.select(col("n").as("doc_a")), Seq("doc_a"), "left_semi")
+          .join(keep.select(col("n").as("doc_b")), Seq("doc_b"), "left_semi"))
+    }
+    e.select(col("doc_a").as("doc_id"))
+      .unionByName(e.select(col("doc_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("deg"))
+  }
 }

@@ -68,4 +68,21 @@ class GraphSpec extends AnyFunSuite {
       .count()
     assert(got == naive, s"oriented $got vs naive $naive")
   }
+
+  test("kCore peels pendant chains round by round, keeps the cycle") {
+    import spark.implicits._
+    // triangle {1,2,3} + chain 3-4-5: node 5 peels in round 1, node 4 only
+    // in round 2 (its degree drops to 1 after 5 leaves) — so rounds=1 must
+    // still see node 4, rounds>=2 must not
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("doc_a", "doc_b")
+    def nodes(rounds: Int): Map[Long, Long] =
+      Graph.kCore(edges, k = 2, rounds = rounds).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("deg")).toMap
+    val r1 = nodes(1)
+    assert(r1.keySet == Set(1L, 2L, 3L, 4L), s"round 1 keeps 4: $r1")
+    val r2 = nodes(2)
+    assert(r2 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L), s"round 2 is the 2-core: $r2")
+    assert(nodes(6) == r2, "further rounds are a fixpoint")
+  }
 }
