@@ -51,7 +51,7 @@ object Joins {
     val r = leftCols.foldLeft(r0) { (df, c) =>
       if (df.columns.contains(c)) df
       else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
-    }.withColumn("_tag", lit(0)).select(l.columns.map(col): _*)
+    }.withColumn("_tag", lit(0)).select(l.columns.toIndexedSeq.map(col): _*)
     val ordered =
       if (direction == "backward") orderCols.map(col)
       else orderCols.map(c => col(c).desc)
@@ -64,7 +64,7 @@ object Joins {
     val outVals = rightVals.toSeq.map { case (src, out) =>
       col("_rv").getField(src).as(out)
     }
-    joined.select(leftCols.map(col) ++ outVals: _*)
+    joined.select(leftCols.toIndexedSeq.map(col) ++ outVals: _*)
   }
 
   /** Skew-salted equi-join: when the join key has a few hot values (a

@@ -543,7 +543,7 @@ object Multimodal extends Serializable {
     media.map(r =>
       if (r.kind != "image") r
       else r.copy(bytes = realBytes(r.bytes).getOrElse(stubBytes(r.bytes)),
-        meta = r.meta + ("resized_w" -> w.toString, "resized_h" -> h.toString)))
+        meta = r.meta ++ Seq("resized_w" -> w.toString, "resized_h" -> h.toString)))
   }
 
   /** Metadata-only projection — must prune the bytes column at scan time
