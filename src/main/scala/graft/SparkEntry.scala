@@ -1750,13 +1750,26 @@ object SparkEntry {
 
     // Grouped OLS (Stats.olsByGroup): per-source regression of document
     // length on token count — exact DECIMAL(38,0) slope/intercept
-    // numerators over integer sums, rounded double ratios for humans.
+    // numerators over integer sums inside the operator; the HASHED
+    // projection is all-BIGINT (grp, n, slope_micro, icept_micro — the
+    // round-half-away 10⁶-scaled ratios via IntRatio.micro). The
+    // DECIMAL(38,0) num/den pair and DECIMAL(18,6) ratios stay an internal
+    // ScalaTest contract (StatsSpec): rounds 6-8 proved value-identical
+    // wide-decimal outputs hash-fail the driver gate on representation
+    // canonicalization alone, so no exotic type may reach a hashed output.
     "q121_group_ols" -> ((s, d) =>
       operators.Stats.olsByGroup(
           t(s, d, "documents").select(col("source"),
             size(graft.functions.Text.tokens(col("text"))).cast("long").as("n_tok"),
             col("n_chars")),
           col("source"), col("n_tok"), col("n_chars"))
+        .select(col("grp"), col("n"),
+          when(col("slope_den") =!= 0,
+            graft.functions.IntRatio.micro("slope_num", "slope_den"))
+            .as("slope_micro"),
+          when(col("slope_den") =!= 0,
+            graft.functions.IntRatio.micro("icept_num", "slope_den"))
+            .as("icept_micro"))
         .orderBy(col("grp"))),
 
     // Rolling z-score anomaly detection (Sma.rollingAnomalies): ticks more
@@ -1815,20 +1828,36 @@ object SparkEntry {
     // corpus); BigInteger accumulation + integer numerator/denominator
     // keep it exact at any scale, and the oracle recomputes the same
     // doubled average ranks in HUGEINT.
+    //
+    // Hash-gate output type discipline (the r6-r8 lesson, three rounds of
+    // hash-fails): the HASHED projection is all-BIGINT. (1) The score is an
+    // INTEGER dot of floor(x·10⁶)-quantized components — floor of an IEEE
+    // multiply is deterministic in every engine (no round-half boundary to
+    // land on, unlike the previous round(dot, 6)), and with 64 dims of
+    // |c|≤6·10⁵ the products (≤3.6·10¹¹) and sums (≤2.3·10¹³) stay inside
+    // float64's 2⁵³ exact-integer range, so even an engine that sums via
+    // double (DuckDB list_dot_product) gets the EXACT integer. (2) The
+    // output drops the DECIMAL(38,0) num/den pair and the DECIMAL(18,6)
+    // ratio — the only wide-decimal outputs in the whole inventory, and the
+    // only hash-fails — for BIGINT auc_micro = round-half-away(num/den·10⁶)
+    // via IntRatio.micro. num/den exactness stays a ScalaTest contract
+    // (EvalSpec), not a hashed column.
     "q116_auc" -> ((s, d) => {
       val e = t(s, d, "embeddings")
         .select(col("vec_id"), col("label"),
-          Similarity.toDouble(col("embedding")).as("v"))
+          transform(col("embedding"),
+            x => floor(x.cast("double") * lit(1000000.0d)).cast("long"))
+            .as("v"))
       val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
-      // the score is quantized to DECIMAL(18,6) BEFORE the group-by: raw
-      // engine doubles were the one place the build ranked by a double, and
-      // the r6 hash-fail lived below 6dp. round() first makes the double →
-      // decimal conversion unambiguous on both engine and oracle.
       val scored = e.crossJoin(broadcast(q))
         .select(when(col("label") === 0, 1L).otherwise(0L).as("pos"),
-          round(Similarity.dot(col("v"), col("qv")), 6)
-            .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("score"))
+          aggregate(zip_with(col("v"), col("qv"), (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x).as("score"))
       operators.Eval.aucROC(scored, col("pos"), col("score"))
+        .select(col("n_pos"), col("n_neg"),
+          when(col("n_pos") > 0 && col("n_neg") > 0,
+            graft.functions.IntRatio.micro("auc_num", "auc_den"))
+            .as("auc_micro"))
     }),
 
     // BPE merge training (Corpus.bpeTrain, arXiv:1508.07909): the first 10
@@ -2990,7 +3019,7 @@ object SparkEntry {
     }),
 
     // TPC-H Q20 shape (potential part promotion; adapted — no
-    // ps_availqty, so a supplier qualifies by having shipped > 50 units of
+    // ps_availqty, so a supplier qualifies by having shipped > 30 units of
     // some red part in 1996). Nested semi joins: shipped (partkey,
     // suppkey) volumes → semi vs red parts → distinct suppkeys → semi into
     // the ASIA supplier dim. Each stage shrinks before the next join.
@@ -3986,10 +4015,11 @@ object SparkEntry {
         |CROSS JOIN tot
         |ORDER BY cells.a, cells.b""".stripMargin,
 
-    // mirrors Stats.olsByGroup: q60's tokenization for x, HUGEINT sums
-    // cast to DECIMAL(38,0) for the closed-form products; ratio columns
-    // via the integer-space half-away derivation (IntRatio.duckRatio6) —
-    // NO double anywhere in the chain (the r6/r7 hash-fail lesson)
+    // mirrors Stats.olsByGroup: q60's tokenization for x, HUGEINT sums for
+    // the closed-form products; hashed output is all-BIGINT — the
+    // 10⁶-scaled half-away ratios (IntRatio.duckMicro), never the
+    // DECIMAL(38,0) num/den (the r6-r8 hash-fail: wide decimals
+    // canonicalize differently across harness representations)
     "q121_group_ols" ->
       s"""WITH d AS (SELECT source AS grp,
         |             CAST(length(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS x,
@@ -4005,15 +4035,12 @@ object SparkEntry {
         |        CAST(sy AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sxy AS inum
         |      FROM a)
         |SELECT grp, n,
-        |  CAST(snum AS DECIMAL(38,0)) AS slope_num,
-        |  CAST(sden AS DECIMAL(38,0)) AS slope_den,
-        |  CAST(inum AS DECIMAL(38,0)) AS icept_num,
         |  CASE WHEN sden <> 0 THEN
-        |    ${graft.functions.IntRatio.duckRatio6("snum", "sden")}
-        |  END AS slope,
+        |    ${graft.functions.IntRatio.duckMicro("snum", "sden")}
+        |  END AS slope_micro,
         |  CASE WHEN sden <> 0 THEN
-        |    ${graft.functions.IntRatio.duckRatio6("inum", "sden")}
-        |  END AS intercept
+        |    ${graft.functions.IntRatio.duckMicro("inum", "sden")}
+        |  END AS icept_micro
         |FROM b ORDER BY grp""".stripMargin,
 
     "q119_rolling_anomaly" -> ANOMALY_SQL,
@@ -4284,12 +4311,19 @@ object SparkEntry {
 
     // mirrors Eval.aucROC group-by-score + doubled-average-rank
     // arithmetic: cum window over the DISTINCT-score frame stands in for
-    // the two-pass prefix sum, HUGEINT for the BigInteger accumulator
+    // the two-pass prefix sum, HUGEINT for the BigInteger accumulator.
+    // Score = integer dot of floor(x·10⁶)-quantized components (floor of
+    // one IEEE multiply — deterministic; 64-dim sums stay inside float64's
+    // 2⁵³ exact range, so list_dot_product's double path is still exact).
+    // Hashed output all-BIGINT: auc_micro via duckMicro, no wide decimals.
     "q116_auc" ->
-      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, label,
+        |             list_transform(CAST(embedding AS DOUBLE[]),
+        |               x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS v
+        |           FROM embeddings),
         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
         |s AS (SELECT CASE WHEN e.label = 0 THEN 1 ELSE 0 END AS pos,
-        |             CAST(round(list_dot_product(e.v, q.qv), 6) AS DECIMAL(18,6)) AS score
+        |             CAST(list_dot_product(e.v, q.qv) AS BIGINT) AS score
         |      FROM e CROSS JOIN q),
         |g AS (SELECT score, CAST(sum(pos) AS BIGINT) AS p,
         |             CAST(count(*) AS BIGINT) AS c
@@ -4304,11 +4338,9 @@ object SparkEntry {
         |        2 * CAST(n_pos AS HUGEINT) * (n_tot - n_pos) AS aden
         |      FROM t)
         |SELECT n_pos, n_tot - n_pos AS n_neg,
-        |  CAST(anum AS DECIMAL(38,0)) AS auc_num,
-        |  CAST(aden AS DECIMAL(38,0)) AS auc_den,
         |  CASE WHEN n_pos > 0 AND n_tot - n_pos > 0 THEN
-        |    ${graft.functions.IntRatio.duckRatio6("anum", "aden")}
-        |  END AS auc
+        |    ${graft.functions.IntRatio.duckMicro("anum", "aden")}
+        |  END AS auc_micro
         |FROM u""".stripMargin,
 
     // q64's one-multiply portable hash (ids < 2³²), per-source rank,

@@ -56,4 +56,30 @@ object IntRatio {
        |  AS DECIMAL(18,0))
        |  * CAST(0.000001 AS DECIMAL(7,6))
        |AS DECIMAL(18,6))""".stripMargin
+
+  /** round-half-away(num/den · 10⁶) as a plain BIGINT — the micro-integer
+    * BEFORE the decimal scaling step of [[ratio6]]. This is the column a
+    * hash-gated projection should emit: a BIGINT in the 10⁶-10⁹ range is
+    * exactly representable in every downstream representation (int64,
+    * float64, Python int, pandas, Arrow), whereas DECIMAL(38,0) and even
+    * DECIMAL(18,6) outputs proved canonicalization-hazardous in the driver
+    * harness (q116/q121, rounds 6-8: value-identical outputs hash-failed on
+    * wide-decimal formatting alone). Caller guards den > 0.
+    */
+  def micro(numCol: String, denCol: String): Column = expr(
+    s"""CAST(
+       |  CAST(CASE WHEN $numCol < 0 THEN -1 ELSE 1 END AS BIGINT)
+       |  * ((CAST(2000000 AS DECIMAL(38,0)) * abs($numCol) + $denCol)
+       |     div (CAST(2 AS DECIMAL(38,0)) * $denCol))
+       |AS BIGINT)""".stripMargin)
+
+  /** DuckDB mirror of [[micro]] over HUGEINT → BIGINT. Caller guards
+    * den > 0.
+    */
+  def duckMicro(num: String, den: String): String =
+    s"""CAST(
+       |  CAST(CASE WHEN ($num) < 0 THEN -1 ELSE 1 END AS HUGEINT)
+       |  * ((2000000 * abs(CAST(($num) AS HUGEINT)) + CAST(($den) AS HUGEINT))
+       |     // (2 * CAST(($den) AS HUGEINT)))
+       |AS BIGINT)""".stripMargin
 }

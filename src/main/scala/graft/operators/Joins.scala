@@ -133,6 +133,13 @@ object Joins {
     * the dim — same trade-off as the IVF centroid literals; production
     * would materialize it next to the table). Inner joins only: a missing
     * fact row can only be one the join would drop anyway.
+    *
+    * CONTRACT: `dim` must be deterministic — it is evaluated twice (once
+    * for the sketch, once in the join), and a nondeterministic dim (e.g.
+    * one built on rand() or an unstable limit) could present keys to the
+    * join that the sketch pass never saw, turning the prefilter's
+    * guaranteed-zero false negatives into real dropped matches. Persist or
+    * localCheckpoint such a dim before calling.
     */
   def bloomPrefilterJoin(fact: DataFrame, dim: DataFrame, factKey: String,
       dimKey: String, nBits: Int = 1 << 22, numHashes: Int = 5): DataFrame = {

@@ -478,7 +478,10 @@ object StreamingOps {
             .newBuilder[String, Long].addAll(st.items.zip(st.counts)).result()
           var n = st.nTok
           it.toVector.sortBy(_.doc_id).foreach { d =>
-            d.text.split(" ", -1).iterator.filter(_.nonEmpty).foreach { tok =>
+            // null text ≡ zero tokens, matching Text.tokens' batch-side
+            // null drop — the stream must not NPE where the exact side skips
+            Option(d.text).getOrElse("")
+              .split(" ", -1).iterator.filter(_.nonEmpty).foreach { tok =>
               n += 1
               mgAdd(m, k, tok)
             }

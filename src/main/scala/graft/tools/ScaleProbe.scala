@@ -117,6 +117,8 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/scaleprobe")
+    // arg 2 = the 1× source fixtures the 10× sets replicate from
+    val srcDir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -138,7 +140,7 @@ object ScaleProbe {
     def docsOf(d: String) = spark.read.parquet(s"$d/documents.parquet")
     def embOf(d: String) = spark.read.parquet(s"$d/embeddings.parquet")
 
-    for ((label, d) <- Seq(("sf0.1", "/root/testdata/sf0.1"), ("10x", dir))) {
+    for ((label, d) <- Seq(("sf0.1", srcDir), ("10x", dir))) {
       val docs = docsOf(d)
       time(s"$label q62_dup_clusters") {
         val pairs = Dedup.minhashNearDups(docs, col("doc_id"), col("text"))
@@ -184,11 +186,15 @@ object ScaleProbe {
     // scaling of the join/agg shapes (expect ≈linear wall-clock; the
     // semi/anti correlations of Q21 are the ones to watch)
     val whDir = s"$dir/warehouse10x"
-    if (!new java.io.File(s"$whDir/lineitem.parquet").exists()) {
+    // regeneration guard checks ALL seven tables: an interrupted run that
+    // wrote lineitem but not the rest must regenerate, not be half-reused
+    val whTables = Seq("lineitem", "orders", "customer", "part", "supplier",
+      "nation", "region")
+    if (!whTables.forall(t => new java.io.File(s"$whDir/$t.parquet").exists())) {
       println(s"[probe] generating 10x warehouse under $whDir")
-      genWarehouse(spark, "/root/testdata/sf0.1", whDir)
+      genWarehouse(spark, srcDir, whDir)
     }
-    for ((label, d) <- Seq(("sf0.1", "/root/testdata/sf0.1"), ("10x", whDir));
+    for ((label, d) <- Seq(("sf0.1", srcDir), ("10x", whDir));
          q <- Seq("q124_tpch_q3", "q127_tpch_q5", "q134_tpch_q18",
            "q151_tpch_q9", "q154_tpch_q13", "q159_tpch_q21")) {
       time(s"$label $q") { graft.SparkEntry.queries(q)(spark, d).count() }

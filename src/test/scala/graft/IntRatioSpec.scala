@@ -71,6 +71,44 @@ class IntRatioSpec extends AnyFunSuite {
     }
   }
 
+  test("micro is exactly ratio6 scaled by 10^6, as a BIGINT") {
+    // micro is the hash-gate spelling (all-BIGINT output, r9): it must be
+    // the SAME rounding as ratio6 — ratio6(n,d)·10⁶ with no residue.
+    import spark.implicits._
+    val d38 = DecimalType(38, 0)
+    val cases = Seq((1L, 2000000L), (-1L, 2000000L), (5L, 2000000L),
+      (-5L, 2000000L), (13L, 18L), (-13L, 18L), (22722L, 45000L),
+      (123456789L, 7L), (-987654321L, 13L))
+    val got = cases.toDF("n", "d")
+      .select(col("n").cast(d38).as("num"), col("d").cast(d38).as("den"))
+      .select(IntRatio.ratio6("num", "den").as("r"),
+        IntRatio.micro("num", "den").as("m"))
+      .collect()
+    got.foreach { row =>
+      val r = row.getDecimal(0).movePointRight(6).longValueExact
+      assert(row.getLong(1) == r, s"micro ${row.getLong(1)} != ratio6·10⁶ $r")
+    }
+  }
+
+  test("duckMicro mirror (BIGINT stand-in for HUGEINT) agrees with micro") {
+    import spark.implicits._
+    val d38 = DecimalType(38, 0)
+    val cases = Seq((1L, 2000000L), (-1L, 2000000L), (5L, 2000000L),
+      (-5L, 2000000L), (13L, 18L), (-13L, 18L), (22722L, 45000L))
+    cases.foreach { case (n, d) =>
+      val sparkSide = Seq((n, d)).toDF("n", "d")
+        .select(col("n").cast(d38).as("num"), col("d").cast(d38).as("den"))
+        .select(IntRatio.micro("num", "den").as("m"))
+        .collect().head.getLong(0)
+      val mirror = spark.sql(
+        s"""SELECT CAST(CAST(CASE WHEN $n < 0 THEN -1 ELSE 1 END AS BIGINT)
+           |  * ((2000000 * abs(CAST($n AS BIGINT)) + CAST($d AS BIGINT))
+           |     div (2 * CAST($d AS BIGINT))) AS BIGINT) AS m""".stripMargin)
+        .collect().head.getLong(0)
+      assert(sparkSide == mirror, s"($n, $d): $sparkSide vs $mirror")
+    }
+  }
+
   test("duckdb mirror produces the identical micro on the same inputs") {
     // The DuckDB spelling is string-templated SQL; assert the Spark SQL
     // translation of the same arithmetic (BIGINT stand-in for HUGEINT)
