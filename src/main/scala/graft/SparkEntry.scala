@@ -3149,6 +3149,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // PII redaction gate (Redact.scrub over Redact.plantPii): deterministic
+    // synthetic emails / E.164 phones / IPv4s planted into the corpus
+    // (verified PII-free at every sf — zero accidental bank matches) by
+    // doc_id modulus rules, swept by the RE2-safe pattern bank, audited per
+    // source. The ORACLE NEVER RUNS A REGEX — it predicts every count
+    // arithmetically from the planting rule, so a false positive or false
+    // negative anywhere in the bank (or an incomplete replacement, via
+    // n_residual ≡ 0) breaks the hash gate exactly. Scan-side codegen'd
+    // column maps + one 20-row partial-agg exchange — redaction at 100 TB
+    // is corpus-read-bound by construction.
+    "q166_redact_pii" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val planted = docs.select(col("doc_id"), col("source"),
+        operators.Redact.plantPii(col("doc_id"), col("text")).as("ptext"))
+      operators.Redact.scrub(planted, col("doc_id"), col("ptext"), col("source"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_email")).as("n_email"),
+          sum(col("n_phone")).as("n_phone"),
+          sum(col("n_ipv4")).as("n_ipv4"),
+          sum(col("n_residual")).as("n_residual"))
+        .orderBy(col("source"))
+    }),
+
     // Winsorized robust mean per group — the outlier-clipping step a
     // quality/score pipeline runs before averaging anything fat-tailed:
     // per-group exact p05/p95 caps (Percentiles.exact — the bounded-memory
@@ -5394,6 +5418,19 @@ object SparkEntry {
          |  SELECT doc_a AS n FROM e6 UNION ALL SELECT doc_b FROM e6) u
          |GROUP BY n ORDER BY doc_id""".stripMargin
     },
+
+    // The planted-count PREDICTION: no regex anywhere — every column is
+    // implied arithmetically by Redact.plantPii's modulus rules over a
+    // corpus verified to contain zero accidental bank matches, and
+    // n_residual must be identically 0 (complete sweep). Equality with the
+    // engine's regex-recovered counts IS the redaction guarantee.
+    "q166_redact_pii" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) FILTER (doc_id % 7 = 0) AS BIGINT) AS n_email,
+        |  CAST(count(*) FILTER (doc_id % 11 = 0) AS BIGINT) AS n_phone,
+        |  CAST(count(*) FILTER (doc_id % 13 = 0) AS BIGINT) AS n_ipv4,
+        |  CAST(0 AS BIGINT) AS n_residual
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     // same type-7 interpolated caps (quantile_cont ≡ Percentiles.exact,
     // the q39 equivalence), same clamp + decimal sum + double division
