@@ -1868,8 +1868,12 @@ object SparkEntry {
     // 1-row argmax with pinned ties). The oracle replays all 10 rounds
     // unrolled — pair counts, argmax AND the greedy left-to-right merge
     // application are hash-gated.
+    // Ships the bpeTrainFast path (one corpus scan + local incremental
+    // merge loop — the real-merge-count architecture); row-for-row
+    // equality with the per-round distributed bpeTrain is CorpusBpeFastSpec.
     "q144_bpe_train" -> ((s, d) =>
-      operators.Corpus.bpeTrain(t(s, d, "documents"), col("text"), nMerges = 10)
+      operators.Corpus.bpeTrainFast(t(s, d, "documents"), col("text"),
+          nMerges = 10)
         .orderBy(col("step"))),
 
     // BPE train → ENCODE composition (Corpus.bpeEncode): the 10 learned
@@ -1881,7 +1885,7 @@ object SparkEntry {
     // hash-gated end to end.
     "q147_bpe_encode" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val merges = operators.Corpus.bpeTrain(docs, col("text"), nMerges = 10)
+      val merges = operators.Corpus.bpeTrainFast(docs, col("text"), nMerges = 10)
         .orderBy(col("step")).collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       operators.Corpus.bpeEncode(docs, col("doc_id"), col("text"), merges)

@@ -685,6 +685,97 @@ object Corpus {
     merges.toSeq.toDF("step", "left_sym", "right_sym", "cnt")
   }
 
+  /** BPE training, vocabulary-local variant — the SCALE path for real
+    * merge counts. [[bpeTrain]]'s one-Spark-job-per-round loop is exact but
+    * pays ~0.3 s of scheduling per merge; at a real tokenizer's 10⁴-10⁵
+    * merges the driver loop, not the data, is the bottleneck. The
+    * observation (same as every production tokenizer trainer): after the
+    * ONE distributed corpus scan, the state is a (word, count) frame
+    * bounded by VOCABULARY, not corpus — millions of rows at web scale,
+    * KBs-MBs in memory — and the merge recurrence is inherently sequential
+    * over that frame. So: scan distributed, collect the vocab frame, run
+    * the merge loop locally with incremental pair-count bookkeeping
+    * (touch only words containing the merged pair, O(affected) per round
+    * instead of O(vocab) Spark jobs).
+    *
+    * Semantics are IDENTICAL to [[bpeTrain]] — same greedy argmax, same
+    * (cnt desc, a asc, b asc) tie-break, same exhaustion — asserted
+    * row-for-row by CorpusBpeSpec across merge counts, which is what lets
+    * q144/q147 use this path with their replay oracles unchanged.
+    *
+    * `maxVocab` caps the collected frame (top-N words by count,
+    * deterministic tie-break) — the standard min-frequency/pruning
+    * contract of practical trainers, and the explicit bound that makes
+    * "collect the vocabulary" safe at 100 TB.
+    */
+  def bpeTrainFast(docs: DataFrame, textCol: Column, nMerges: Int,
+      maxVocab: Int = 1 << 20): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab: Array[(String, Long)] = docs
+      .select(explode(Text.tokens(textCol)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(maxVocab)
+      .as[(String, Long)].collect()
+    bpeMergeLoop(vocab, nMerges).toDF("step", "left_sym", "right_sym", "cnt")
+  }
+
+  /** The local merge recurrence over a collected (word, count) vocabulary:
+    * pair counts are maintained incrementally (remove a word's adjacent
+    * pairs, apply the merge, re-add) with a pair→words index so each round
+    * touches only the words that contain the winning pair. Pure function —
+    * unit-testable without Spark.
+    */
+  private[graft] def bpeMergeLoop(vocab: Array[(String, Long)],
+      nMerges: Int): Seq[(Int, String, String, Long)] = {
+    import scala.collection.mutable
+    val words: Array[Seq[String]] = vocab.map(_._1.map(_.toString): Seq[String])
+    val wCnt: Array[Long] = vocab.map(_._2)
+    val pairCnt = mutable.HashMap[(String, String), Long]()
+    val pairWords = mutable.HashMap[(String, String), mutable.Set[Int]]()
+    def addPairs(i: Int, sign: Long): Unit = {
+      val s = words(i)
+      var j = 0
+      while (j + 1 < s.length) {
+        val p = (s(j), s(j + 1))
+        val nc = pairCnt.getOrElse(p, 0L) + sign * wCnt(i)
+        if (nc == 0L) { pairCnt.remove(p) } else { pairCnt(p) = nc }
+        if (sign > 0) pairWords.getOrElseUpdate(p, mutable.Set.empty) += i
+        j += 1
+      }
+      if (sign < 0) {
+        // rebuild membership lazily: drop i from every pair of the OLD word
+        var k = 0
+        while (k + 1 < s.length) {
+          pairWords.get((s(k), s(k + 1))).foreach(_ -= i)
+          k += 1
+        }
+      }
+    }
+    words.indices.foreach(addPairs(_, 1L))
+    val out = mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var step = 1
+    while (step <= nMerges && pairCnt.nonEmpty) {
+      // argmax with bpeTrain's exact tie-break: cnt desc, then a asc, b asc
+      var best: ((String, String), Long) = null
+      pairCnt.foreach { case e @ (p, c) =>
+        if (best == null || c > best._2 ||
+            (c == best._2 && (p._1 < best._1._1 ||
+              (p._1 == best._1._1 && p._2 < best._1._2)))) best = e
+      }
+      val ((a, b), cnt) = best
+      out += ((step, a, b, cnt))
+      val affected = pairWords.getOrElse((a, b), mutable.Set.empty).toArray
+      affected.foreach { i =>
+        addPairs(i, -1L)
+        words(i) = applyMerge(words(i), a, b)
+        addPairs(i, 1L)
+      }
+      step += 1
+    }
+    out.toSeq
+  }
+
   /** BPE ENCODE — apply a learned merge table (from [[bpeTrain]], collected
     * driver-side: nMerges rows, KBs) to every document: per-doc token count
     * and total post-merge symbol count. Vocabulary-factored like training:
