@@ -387,10 +387,22 @@ object Similarity {
     * graph is bit-reproducible in any engine with a sequential dot.
     */
   def semDedup(emb: DataFrame, cents: DataFrame, threshold: Double): DataFrame = {
+    val assigned = semDedupAssign(emb, cents)
+    val pairs = semDedupPairs(assigned, threshold)
+    assigned.select(col("vec_id"), col("cluster"))
+      .join(Dedup.dupGroups(assigned, col("vec_id"), pairs)
+        .withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"))
+  }
+
+  /** [[semDedup]] stage 1: broadcast-centroid argmin assignment →
+    * (vec_id, v, nrm, cluster). Exposed package-private so ScaleProbe can
+    * drive the pair join in isolation (the skew-mitigation evidence).
+    */
+  private[graft] def semDedupAssign(emb: DataFrame, cents: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val dist2 = (dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), col("cv"))) +
       dot(col("cv"), col("cv"))
-    val assigned = emb
+    emb
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), struct(dist2.as("d"), col("cid")).as("dc"))
@@ -398,16 +410,20 @@ object Similarity {
       .agg(min(col("dc")).as("best"), first(col("v")).as("v"))
       .select(col("vec_id"), col("v"), norm(col("v")).as("nrm"),
         col("best.cid").as("cluster"))
+  }
+
+  /** [[semDedup]] stage 2: the within-cluster all-pairs cosine dup edges —
+    * the quadratic whose task-size balance the AQE skew-split governs when
+    * a cluster goes giant.
+    */
+  private[graft] def semDedupPairs(assigned: DataFrame, threshold: Double): DataFrame = {
     val x = assigned.select(col("cluster"), col("vec_id").as("doc_a"),
       col("v").as("v_a"), col("nrm").as("n_a"))
     val y = assigned.select(col("cluster"), col("vec_id").as("doc_b"),
       col("v").as("v_b"), col("nrm").as("n_b"))
-    val pairs = x.join(y, Seq("cluster"))
+    x.join(y, Seq("cluster"))
       .filter(col("doc_a") < col("doc_b"))
       .filter(cosine(col("v_a"), col("v_b"), col("n_a"), col("n_b")) >= threshold)
       .select(col("doc_a"), col("doc_b"))
-    assigned.select(col("vec_id"), col("cluster"))
-      .join(Dedup.dupGroups(assigned, col("vec_id"), pairs)
-        .withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"))
   }
 }

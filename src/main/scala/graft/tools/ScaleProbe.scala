@@ -140,6 +140,12 @@ object ScaleProbe {
     def docsOf(d: String) = spark.read.parquet(s"$d/documents.parquet")
     def embOf(d: String) = spark.read.parquet(s"$d/embeddings.parquet")
 
+    // --skew-only: jump straight to the SemDeDup pathology + AQE
+    // skew-split section (re-measuring one mitigation must not re-run the
+    // whole suite)
+    val skewOnly = args.contains("--skew-only")
+
+    if (!skewOnly)
     for ((label, d) <- Seq(("sf0.1", srcDir), ("10x", dir))) {
       val docs = docsOf(d)
       time(s"$label q62_dup_clusters") {
@@ -185,29 +191,81 @@ object ScaleProbe {
     // per-key fan-in identical, so these ratios isolate pure data-volume
     // scaling of the join/agg shapes (expect ≈linear wall-clock; the
     // semi/anti correlations of Q21 are the ones to watch)
-    val whDir = s"$dir/warehouse10x"
-    // regeneration guard checks ALL seven tables: an interrupted run that
-    // wrote lineitem but not the rest must regenerate, not be half-reused
-    val whTables = Seq("lineitem", "orders", "customer", "part", "supplier",
-      "nation", "region")
-    if (!whTables.forall(t => new java.io.File(s"$whDir/$t.parquet").exists())) {
-      println(s"[probe] generating 10x warehouse under $whDir")
-      genWarehouse(spark, srcDir, whDir)
-    }
-    for ((label, d) <- Seq(("sf0.1", srcDir), ("10x", whDir));
-         q <- Seq("q124_tpch_q3", "q127_tpch_q5", "q134_tpch_q18",
-           "q151_tpch_q9", "q154_tpch_q13", "q159_tpch_q21")) {
-      time(s"$label $q") { graft.SparkEntry.queries(q)(spark, d).count() }
+    if (!skewOnly) {
+      val whDir = s"$dir/warehouse10x"
+      // regeneration guard checks ALL seven tables: an interrupted run that
+      // wrote lineitem but not the rest must regenerate, not be half-reused
+      val whTables = Seq("lineitem", "orders", "customer", "part", "supplier",
+        "nation", "region")
+      if (!whTables.forall(t => new java.io.File(s"$whDir/$t.parquet").exists())) {
+        println(s"[probe] generating 10x warehouse under $whDir")
+        genWarehouse(spark, srcDir, whDir)
+      }
+      for ((label, d) <- Seq(("sf0.1", srcDir), ("10x", whDir));
+           q <- Seq("q124_tpch_q3", "q127_tpch_q5", "q134_tpch_q18",
+             "q151_tpch_q9", "q154_tpch_q13", "q159_tpch_q21")) {
+        time(s"$label $q") { graft.SparkEntry.queries(q)(spark, d).count() }
+      }
     }
 
     // the pathology for the record: fixed k=8 at 10x corpus — cluster size
     // 10x, within-cluster pairs 100x
     val emb10 = embOf(dir)
     val e10 = emb10.select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+    val cents8 = e10.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
     time("10x q102_semdedup(k=8)") {
-      Similarity.semDedup(emb10,
-        e10.filter(col("vec_id") < 8).select(col("vec_id").as("cid"), col("v").as("cv")),
-        threshold = 0.4).count()
+      Similarity.semDedup(emb10, cents8, threshold = 0.4).count()
+    }
+    // AQE skew-split mitigation on the SAME pathology (VERDICT r8 Next
+    // #6): with k=8 the cluster self-join has 8 keys across 32 shuffle
+    // partitions — a handful of giant tasks serialize the quadratic while
+    // most cores idle. AQE's OptimizeSkewedJoin splits any shuffle
+    // partition larger than factor×median (and the advisory size) into
+    // sub-chunks joined against replicas of the other side — the total
+    // pair work is unchanged, but it spreads over all cores. Thresholds
+    // here are sized to THIS data's MB-scale partitions (defaults are
+    // 256 MB — cluster-sized); broadcast is disabled so the join stays a
+    // splittable sort-merge, exactly the 100 TB regime where no side
+    // broadcasts.
+    // the pair join in isolation (semDedup's component closure
+    // materializes intermediates, hiding the join from the final plan),
+    // with broadcast off so the join shape is the 100 TB one — first under
+    // default AQE thresholds (no split), then with the thresholds sized to
+    // this data
+    def pairCount() = Similarity.semDedupPairs(
+      Similarity.semDedupAssign(emb10, cents8), 0.4).groupBy().count()
+    val skewConfs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "262144",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "131072")
+    val savedConfs = skewConfs.map { case (k, _) =>
+      k -> spark.conf.getOption(k) }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    time("10x semdedup pair join, default thresholds") {
+      pairCount().collect().head.getLong(0)
+    }
+    skewConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    // fresh frame per rep — re-collecting one Dataset would reuse its AQE
+    // query stages and time shuffle-file replay, not the join
+    time("10x semdedup pair join, +skew-split") {
+      pairCount().collect().head.getLong(0)
+    }
+    // the executed AQE plan must carry the skew markers — evidence the
+    // mitigation actually engaged, not just that the confs were set
+    val cdf = pairCount()
+    cdf.collect()
+    val plan = cdf.queryExecution.executedPlan.toString
+    println(s"[probe] skew-split engaged in pair-join plan: " +
+      s"${plan.contains("skew=true")} (AQEShuffleRead skewed: " +
+      s"${plan.contains("AQEShuffleRead skewed")})")
+    time("10x q102_semdedup(k=8) +skew-split") {
+      Similarity.semDedup(emb10, cents8, threshold = 0.4).count()
+    }
+    savedConfs.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
     spark.stop()
   }
