@@ -31,6 +31,23 @@ object MemoryReplay {
     */
   private val runId = new AtomicInteger(0)
 
+  /** State-store footprint of the LAST completed replay, captured from the
+    * final `StreamingQueryProgress.stateOperators` before `stop()`:
+    * (operatorName, numRowsTotal, memoryUsedBytes) per stateful operator.
+    * This is the 100 TB audit surface for the streaming families — which
+    * state grows with DISTINCT CONTENT (dedup fingerprints, band indexes)
+    * vs stays key-bounded (per-hub folds) — recorded per family in
+    * BASELINE.md by [[graft.tools.StreamStateProbe]]. Volatile single-slot:
+    * replays are sequential within a session (Verify/Bench/probe all run
+    * queries one at a time).
+    */
+  @volatile var lastStateStats: Seq[(String, Long, Long)] = Nil
+
+  private def captureState(query: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    lastStateStats = Option(query.lastProgress).toSeq
+      .flatMap(_.stateOperators.toSeq)
+      .map(so => (so.operatorName, so.numRowsTotal, so.memoryUsedBytes))
+
   /** Replay `tape` through `f` in `nBatches` ordered micro-batches; returns
     * the complete output as a batch DataFrame. `mode` defaults to Append;
     * Update-mode operators (mapGroupsWithState) pass OutputMode.Update() —
@@ -69,6 +86,7 @@ object MemoryReplay {
         input.addData(c)
         query.processAllAvailable()
       }
+      captureState(query)
     } finally query.stop()
     detach(spark, name)
   }
@@ -119,6 +137,7 @@ object MemoryReplay {
           if (cr.nonEmpty) inR.addData(cr)
           query.processAllAvailable()
         }
+      captureState(query)
     } finally query.stop()
     detach(spark, name)
   }
