@@ -3177,6 +3177,54 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // Training-window chunk plan (Corpus.chunkPlan): every document split
+    // into 32-token windows with 8-token overlap (sized so the fixture
+    // docs, max 100 tokens, genuinely split 1-5 ways) — the context-window
+    // packing step between curation and training. Pure per-doc integer
+    // arithmetic + sequence-explode, scan-side (no shuffle, no window
+    // function); the oracle replays the same ceil arithmetic over
+    // generate_series. All integers, bit-reproducible.
+    "q167_chunk_plan" -> ((s, d) =>
+      Corpus.chunkPlan(t(s, d, "documents"), col("doc_id"), col("text"),
+          chunkTokens = 32, overlap = 8)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    // Snapshot diff (Snapshots.diff): the data-versioning audit between
+    // two corpus cuts — old = documents; new = a deterministic mutation
+    // (drop id≡3 mod 17, append ' v2' to id≡0 mod 5, add id+10⁶ copies of
+    // id≡0 mod 23). Each side reduces to (id, md5) on the scan (~48 B/doc
+    // exchanged, the Dedup.exact fingerprint discipline) and one
+    // full-outer id join classifies added/removed/changed/unchanged; the
+    // oracle builds the identical mutation and predicts the same statuses.
+    "q168_snapshot_diff" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val oldSnap = docs.select(col("doc_id"), col("text"))
+      val newSnap = docs.filter(col("doc_id") % 17 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionAll(docs.filter(col("doc_id") % 23 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("new "), col("text")).as("text")))
+      operators.Snapshots.diff(oldSnap, newSnap, col("doc_id"), col("text"))
+        .groupBy(col("status")).agg(count(lit(1)).as("n"))
+        .orderBy(col("status"))
+    }),
+
+    // Cohen's kappa (Eval.cohensKappa): chance-corrected agreement between
+    // the reference labels and a deterministically perturbed rater (labels
+    // shifted for vec_id≡0 mod 7) — the annotation-audit statistic. All-
+    // integer closed form in DECIMAL(38,0); hashed output all-BIGINT
+    // (n/n_agree/kappa_micro — the q116/q121 type discipline).
+    "q169_cohens_kappa" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      operators.Eval.cohensKappa(
+        e.select(col("label").as("a"),
+          when(col("vec_id") % 7 === 0, (col("label") + 1) % 10)
+            .otherwise(col("label")).as("b")),
+        col("a"), col("b"))
+    }),
+
     // Winsorized robust mean per group — the outlier-clipping step a
     // quality/score pipeline runs before averaging anything fat-tailed:
     // per-group exact p05/p95 caps (Percentiles.exact — the bounded-memory
@@ -5422,6 +5470,69 @@ object SparkEntry {
          |  SELECT doc_a AS n FROM e6 UNION ALL SELECT doc_b FROM e6) u
          |GROUP BY n ORDER BY doc_id""".stripMargin
     },
+
+    // mirrors Corpus.chunkPlan: q60's tokenization, the same integer ceil,
+    // chunk spans via generate_series (range is exclusive-stop — +1)
+    "q167_chunk_plan" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    CAST(length(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tok,
+        |    CASE WHEN n_tok = 0 THEN 0
+        |         ELSE 1 + (greatest(n_tok - 32, 0) + 23) // 24 END AS n_chunks
+        |  FROM tk)
+        |SELECT doc_id, n_tok, n_chunks, CAST(i AS BIGINT) AS chunk_idx,
+        |  CAST(i * 24 AS BIGINT) AS tok_start,
+        |  CAST(least(i * 24 + 32, n_tok) AS BIGINT) AS tok_end
+        |FROM c, unnest(range(0, CAST(n_chunks AS BIGINT))) AS t(i)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // the same deterministic mutation + md5 fingerprints + full-outer id
+    // join; statuses predicted by construction
+    "q168_snapshot_diff" ->
+      """WITH old AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |new AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS h
+        |  FROM documents WHERE doc_id % 17 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, md5('new ' || text)
+        |  FROM documents WHERE doc_id % 23 = 0),
+        |j AS (SELECT o.h AS ho, new.h AS hn
+        |      FROM old o FULL OUTER JOIN new ON o.doc_id = new.doc_id)
+        |SELECT CASE WHEN ho IS NULL THEN 'added'
+        |            WHEN hn IS NULL THEN 'removed'
+        |            WHEN ho <> hn THEN 'changed'
+        |            ELSE 'unchanged' END AS status,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // mirrors Eval.cohensKappa: k x k cells, margins off the CELL frame,
+    // HUGEINT closed form, duckMicro ratio — all-BIGINT output
+    "q169_cohens_kappa" ->
+      s"""WITH r AS (SELECT CAST(label AS BIGINT) AS a,
+        |             CAST(CASE WHEN vec_id % 7 = 0 THEN (label + 1) % 10
+        |                       ELSE label END AS BIGINT) AS b
+        |           FROM embeddings),
+        |cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY a, b),
+        |am AS (SELECT a, CAST(sum(c) AS BIGINT) AS ca FROM cells GROUP BY a),
+        |bm AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM cells GROUP BY b),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+        |          CAST(coalesce(sum(CASE WHEN a = b THEN c END), 0) AS BIGINT) AS n_agree
+        |        FROM cells),
+        |marg AS (SELECT coalesce(sum(CAST(ca AS HUGEINT) * cb), 0) AS s_marg
+        |         FROM am JOIN bm ON am.a = bm.b),
+        |u AS (SELECT n, n_agree,
+        |        CAST(n AS HUGEINT) * n_agree - s_marg AS knum,
+        |        CAST(n AS HUGEINT) * n - s_marg AS kden
+        |      FROM tot CROSS JOIN marg)
+        |SELECT n, n_agree,
+        |  CASE WHEN kden <> 0 THEN
+        |    ${graft.functions.IntRatio.duckMicro("knum", "kden")}
+        |  END AS kappa_micro
+        |FROM u""".stripMargin,
 
     // The planted-count PREDICTION: no regex anywhere — every column is
     // implied arithmetically by Redact.plantPii's modulus rules over a

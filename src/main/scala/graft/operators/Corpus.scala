@@ -802,6 +802,48 @@ object Corpus {
       .agg(count(lit(1)).as("n_tok"), sum(col("n_syms")).as("n_syms"))
   }
 
+  /** Training-window chunk plan — split each document into fixed-token
+    * windows with overlap (the context-window packing step between
+    * curation and training: long docs become `chunkTokens`-sized training
+    * examples, consecutive windows sharing `overlap` tokens so no span
+    * loses its left context at a cut).
+    *
+    * Pure per-document integer arithmetic:
+    *   stride = chunkTokens − overlap
+    *   n_chunks(n_tok) = 0 if n_tok = 0; 1 + ceil(max(0, n_tok −
+    *   chunkTokens) / stride) otherwise  (one chunk covers a short doc;
+    *   each extra stride of tokens adds one window)
+    *   chunk i spans [i·stride, min(i·stride + chunkTokens, n_tok))
+    * emitted by exploding `sequence(0, n_chunks−1)` — scan-side, no
+    * shuffle, no window function; at 100 TB this is exactly as parallel
+    * as the corpus scan. All integers, bit-reproducible.
+    */
+  def chunkPlan(docs: DataFrame, idCol: Column, textCol: Column,
+      chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      "need 0 <= overlap < chunkTokens")
+    val stride = (chunkTokens - overlap).toLong
+    val base = docs.select(idCol.cast("long").as("doc_id"),
+      size(Text.tokens(textCol)).cast("long").as("n_tok"))
+    val extra = greatest(col("n_tok") - chunkTokens, lit(0L))
+    // ceil(extra / stride) in INTEGER space: Column `/` is double division
+    // (a hashed-output hazard), so spell the ceil as (extra + stride-1) div
+    // stride via floor-of-exact-quotient — exact for any Long < 2^53
+    val nChunks = when(col("n_tok") === 0, 0L)
+      .otherwise(lit(1L) +
+        floor((extra + (stride - 1)) / stride).cast("long"))
+    base.select(col("doc_id"), col("n_tok"), nChunks.cast("long").as("n_chunks"))
+      .select(col("doc_id"), col("n_tok"), col("n_chunks"),
+        // sequence(0, -1) counts DOWN (the shingles lesson) — an empty doc
+        // must yield zero rows, so guard the n_chunks = 0 case explicitly
+        explode(when(col("n_chunks") === 0, array().cast("array<long>"))
+          .otherwise(sequence(lit(0L), col("n_chunks") - 1))).as("chunk_idx"))
+      .select(col("doc_id"), col("n_tok"), col("n_chunks"), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("tok_start"),
+        least(col("chunk_idx") * stride + chunkTokens, col("n_tok"))
+          .as("tok_end"))
+  }
+
   def tokenizeIds(docs: DataFrame, idCol: Column, textCol: Column,
                   vocabSize: Int = 100): DataFrame = {
     val toks = docs

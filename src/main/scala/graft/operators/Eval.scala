@@ -107,4 +107,50 @@ object Eval {
           graft.functions.IntRatio.ratio6("auc_num", "auc_den"))
           .as("auc"))
   }
+
+  /** Cohen's kappa — chance-corrected agreement between two categorical
+    * raters (label columns): the audit between a model labeler and a
+    * reference labeler (or two annotation runs) before either is trusted.
+    *
+    *   κ = (p_o − p_e) / (1 − p_e)
+    *     = (n·Σ_k c_kk − Σ_k a_k·b_k) / (n² − Σ_k a_k·b_k)
+    *
+    * over the k×k contingency cells c (a_k/b_k the rater margins) — the
+    * all-integer closed form, so the statistic is exact at any scale.
+    * Products run in DECIMAL(38,0): at 10¹¹ rows n² reaches 10²², past
+    * Long but far inside 38 digits. Output is hash-gate-disciplined
+    * all-BIGINT: (n, n_agree, kappa_micro = round-half-away(κ·10⁶) via
+    * [[graft.functions.IntRatio.micro]]); NULL kappa_micro when p_e = 1
+    * (both raters constant — κ undefined). The num/den exactness is the
+    * EvalSpec contract, mirroring [[aucROC]].
+    *
+    * Scale shape: one groupBy(a, b) partial-agg scan → k² cells; margins
+    * re-aggregate the CELL frame (never the data); the closed form is
+    * arithmetic over three 1-row frames joined by broadcast.
+    */
+  def cohensKappa(df: DataFrame, aCol: org.apache.spark.sql.Column,
+      bCol: org.apache.spark.sql.Column): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val cells = df
+      .groupBy(aCol.cast("long").as("a"), bCol.cast("long").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val am = cells.groupBy(col("a")).agg(sum(col("c")).as("ca"))
+    val bm = cells.groupBy(col("b")).agg(sum(col("c")).as("cb"))
+    val tot = cells.agg(sum(col("c")).as("n"),
+      coalesce(sum(when(col("a") === col("b"), col("c"))), lit(0L))
+        .as("n_agree"))
+    val marg = am.join(bm, col("a") === col("b"))
+      .agg(coalesce(sum(col("ca").cast(d38) * col("cb").cast(d38)),
+        lit(0).cast(d38)).as("s_marg"))
+    tot.crossJoin(broadcast(marg))
+      .select(col("n"), col("n_agree"),
+        (col("n").cast(d38) * col("n_agree").cast(d38) - col("s_marg"))
+          .cast(d38).as("k_num"),
+        (col("n").cast(d38) * col("n").cast(d38) - col("s_marg"))
+          .cast(d38).as("k_den"))
+      .select(col("n"), col("n_agree"),
+        when(col("k_den") =!= 0,
+          graft.functions.IntRatio.micro("k_num", "k_den"))
+          .as("kappa_micro"))
+  }
 }

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Corpus, Eval, Snapshots}
+
+/** The round-9 pipeline additions: chunk planning, snapshot diff, Cohen's
+  * kappa — each pinned by hand-computed cases before its oracle gate.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // ---- Corpus.chunkPlan ----
+
+  private def chunksOf(text: String, chunk: Int, overlap: Int) = {
+    import spark.implicits._
+    Corpus.chunkPlan(Seq((1L, text)).toDF("doc_id", "text"),
+        col("doc_id"), col("text"), chunk, overlap)
+      .orderBy(col("chunk_idx"))
+      .collect().map(r => (r.getAs[Long]("chunk_idx"),
+        r.getAs[Long]("tok_start"), r.getAs[Long]("tok_end")))
+  }
+
+  test("chunkPlan: short doc = one whole-doc chunk") {
+    assert(chunksOf("a b c", 32, 8).toSeq == Seq((0L, 0L, 3L)))
+  }
+
+  test("chunkPlan: exact-boundary doc still one chunk") {
+    val text = (1 to 32).map(i => s"t$i").mkString(" ")
+    assert(chunksOf(text, 32, 8).toSeq == Seq((0L, 0L, 32L)))
+  }
+
+  test("chunkPlan: 33 tokens = 2 chunks sharing 8-token overlap window") {
+    val text = (1 to 33).map(i => s"t$i").mkString(" ")
+    // stride 24: [0,32) and [24,33) — 8 shared tokens at the seam
+    assert(chunksOf(text, 32, 8).toSeq == Seq((0L, 0L, 32L), (1L, 24L, 33L)))
+  }
+
+  test("chunkPlan: 100 tokens = 4 chunks, every token covered") {
+    val text = (1 to 100).map(i => s"t$i").mkString(" ")
+    val cs = chunksOf(text, 32, 8)
+    assert(cs.length == 4, cs.mkString(","))
+    assert(cs.head._2 == 0L && cs.last._3 == 100L)
+    // consecutive chunks overlap by exactly `overlap` except a short tail
+    cs.sliding(2).foreach { case Array((_, _, e1), (_, s2, _)) =>
+      assert(s2 < e1, "windows must overlap")
+    }
+  }
+
+  test("chunkPlan: empty text yields zero chunks, not a row") {
+    assert(chunksOf("", 32, 8).isEmpty)
+  }
+
+  // ---- Snapshots.diff ----
+
+  test("diff classifies added/removed/changed/unchanged on a hand case") {
+    import spark.implicits._
+    val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val newSnap = Seq((2L, "b"), (3L, "C!"), (4L, "d")).toDF("doc_id", "text")
+    val got = Snapshots.diff(oldSnap, newSnap, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed",
+      4L -> "added"))
+  }
+
+  // ---- Eval.cohensKappa ----
+
+  private def kappaOf(pairs: Seq[(Long, Long)]): (Long, Long, Option[Long]) = {
+    import spark.implicits._
+    val r = Eval.cohensKappa(pairs.toDF("a", "b"), col("a"), col("b"))
+      .collect().head
+    (r.getAs[Long]("n"), r.getAs[Long]("n_agree"),
+      if (r.isNullAt(2)) None else Some(r.getAs[Long]("kappa_micro")))
+  }
+
+  test("kappa: perfect agreement = 1.0") {
+    assert(kappaOf(Seq((0L, 0L), (1L, 1L), (2L, 2L), (0L, 0L))) ==
+      ((4L, 4L, Some(1000000L))))
+  }
+
+  test("kappa: hand-computed textbook 2x2 case") {
+    // the classic: a=20 yes-yes, 5 yes-no, 10 no-yes, 15 no-no
+    // po = 35/50; pe = (25*30 + 25*20)/2500 = 1250/2500
+    // kappa = (50*35 - 1250) / (2500 - 1250) = 500/1250 = 0.4
+    val pairs = Seq.fill(20)((1L, 1L)) ++ Seq.fill(5)((1L, 0L)) ++
+      Seq.fill(10)((0L, 1L)) ++ Seq.fill(15)((0L, 0L))
+    assert(kappaOf(pairs) == ((50L, 35L, Some(400000L))))
+  }
+
+  test("kappa: both raters constant -> NULL (pe = 1), not a crash") {
+    assert(kappaOf(Seq((1L, 1L), (1L, 1L))) == ((2L, 2L, None)))
+  }
+
+  test("kappa: agreement no better than chance sits at 0") {
+    // independent uniform raters over {0,1}, balanced: po = pe = 0.5
+    val pairs = Seq((0L, 0L), (0L, 1L), (1L, 0L), (1L, 1L))
+    assert(kappaOf(pairs) == ((4L, 2L, Some(0L))))
+  }
+}
