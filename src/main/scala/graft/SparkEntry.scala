@@ -3225,6 +3225,16 @@ object SparkEntry {
         col("a"), col("b"))
     }),
 
+    // Boilerplate-prefix audit (Corpus.boilerplatePrefix): per source, the
+    // most common leading 3-token prefix + its doc count — the injected
+    // header/banner detector. Prefix-sized exchange (never the text), two
+    // vocab-sized aggs, count-desc/prefix-asc tie-break via
+    // min(struct(-cnt, prefix)) — no window function anywhere.
+    "q170_boilerplate" -> ((s, d) =>
+      Corpus.boilerplatePrefix(t(s, d, "documents"), col("source"),
+          col("text"), k = 3)
+        .orderBy(col("source"))),
+
     // Winsorized robust mean per group — the outlier-clipping step a
     // quality/score pipeline runs before averaging anything fat-tailed:
     // per-group exact p05/p95 caps (Percentiles.exact — the bounded-memory
@@ -5470,6 +5480,24 @@ object SparkEntry {
          |  SELECT doc_a AS n FROM e6 UNION ALL SELECT doc_b FROM e6) u
          |GROUP BY n ORDER BY doc_id""".stripMargin
     },
+
+    // mirrors Corpus.boilerplatePrefix: 3-token prefixes, count-desc/
+    // prefix-asc argmax (window rn=1 stands in for the min-struct trick)
+    "q170_boilerplate" ->
+      """WITH p AS (
+        |  SELECT source,
+        |    array_to_string(list_slice(list_filter(string_split(text, ' '), x -> x <> ''), 1, 3), ' ') AS prefix
+        |  FROM documents),
+        |c AS (SELECT source, prefix, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM p GROUP BY source, prefix),
+        |t AS (SELECT source, prefix, cnt,
+        |        row_number() OVER (PARTITION BY source ORDER BY cnt DESC, prefix) AS rn
+        |      FROM c),
+        |n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |      FROM documents GROUP BY source)
+        |SELECT t.source, t.prefix AS top_prefix, t.cnt AS n_prefix_docs, n.n_docs
+        |FROM t JOIN n ON t.source = n.source
+        |WHERE rn = 1 ORDER BY t.source""".stripMargin,
 
     // mirrors Corpus.chunkPlan: q60's tokenization, the same integer ceil,
     // chunk spans via generate_series (range is exclusive-stop — +1)

@@ -844,6 +844,42 @@ object Corpus {
           .as("tok_end"))
   }
 
+  /** Boilerplate-prefix detection — per source, the most common leading
+    * k-token prefix and how many documents carry it (the crawl-curation
+    * audit for injected headers/banners: a prefix shared by a large share
+    * of one source is boilerplate, not content, and inflates every
+    * dedup/quality statistic downstream).
+    *
+    * Scale shape: one scan projects (source, prefix) — the prefix is k
+    * tokens, so the exchange carries ~bytes(k tokens)/doc, never the text;
+    * one partial-agg groupBy counts prefixes; the per-source argmax is a
+    * second agg over the PREFIX frame via min(struct(-cnt, prefix))
+    * (count-desc, prefix-asc tie-break without a window function); doc
+    * totals join in from a |sources|-row broadcast.
+    *
+    * Output: (source, top_prefix, n_prefix_docs, n_docs) — all
+    * BIGINT/STRING (hash-gate type discipline).
+    */
+  def boilerplatePrefix(docs: DataFrame, srcCol: Column, textCol: Column,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val pref = docs.select(srcCol.as("source"),
+      array_join(slice(Text.tokens(textCol), 1, k), " ").as("prefix"))
+    val counts = pref.groupBy(col("source"), col("prefix"))
+      .agg(count(lit(1)).as("cnt"))
+    val top = counts
+      .groupBy(col("source"))
+      .agg(min(struct((-col("cnt")).as("neg"), col("prefix").as("p")))
+        .as("best"))
+      .select(col("source"), col("best.p").as("top_prefix"),
+        (-col("best.neg")).cast("long").as("n_prefix_docs"))
+    val totals = docs.groupBy(srcCol.as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    top.join(broadcast(totals), Seq("source"))
+      .select(col("source"), col("top_prefix"), col("n_prefix_docs"),
+        col("n_docs"))
+  }
+
   def tokenizeIds(docs: DataFrame, idCol: Column, textCol: Column,
                   vocabSize: Int = 100): DataFrame = {
     val toks = docs

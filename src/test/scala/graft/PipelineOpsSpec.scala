@@ -97,4 +97,31 @@ class PipelineOpsSpec extends AnyFunSuite {
     val pairs = Seq((0L, 0L), (0L, 1L), (1L, 0L), (1L, 1L))
     assert(kappaOf(pairs) == ((4L, 2L, Some(0L))))
   }
+
+  // ---- Corpus.boilerplatePrefix ----
+
+  test("boilerplate: planted header wins per source, ties break to smaller prefix") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", "HEADER X Y body one"), ("s1", "HEADER X Y body two"),
+      ("s1", "free text here"),
+      // s2: two prefixes tied at 1 -> alphabetically smaller one wins
+      ("s2", "alpha beta gamma d"), ("s2", "zeta eta theta d")
+    ).toDF("source", "text")
+    val got = Corpus.boilerplatePrefix(docs, col("source"), col("text"), 3)
+      .orderBy(col("source"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("s1", "HEADER X Y", 2L, 3L),
+      ("s2", "alpha beta gamma", 1L, 2L)))
+  }
+
+  test("boilerplate: docs shorter than k use their whole text as prefix") {
+    import spark.implicits._
+    val docs = Seq(("s", "hi"), ("s", "hi"), ("s", "longer text here")).toDF("source", "text")
+    val got = Corpus.boilerplatePrefix(docs, col("source"), col("text"), 3)
+      .collect().head
+    assert(got.getString(1) == "hi" && got.getLong(2) == 2L)
+  }
 }
