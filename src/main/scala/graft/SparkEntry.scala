@@ -3225,6 +3225,18 @@ object SparkEntry {
         col("a"), col("b"))
     }),
 
+    // Leakage-free split (Pipeline.leakFreeSplit): q94's deterministic
+    // hash split hardened against near-dup leakage — any val/test doc
+    // adjacent to a train doc in the verified LSH dup graph is reassigned
+    // to 'leak' and excluded from both sides (an eval set containing
+    // near-dups of train measures memorization). LSH band join + id-sized
+    // semi join/distinct; the oracle substitutes the exact all-pairs dup
+    // graph (the q23-verified equivalence) over the same hash split.
+    "q171_leakage_split" -> ((s, d) =>
+      operators.Pipeline.leakFreeSplit(t(s, d, "documents"), col("doc_id"),
+          col("text"), Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .orderBy(col("id"))),
+
     // Boilerplate-prefix audit (Corpus.boilerplatePrefix): per source, the
     // most common leading 3-token prefix + its doc count — the injected
     // header/banner detector. Prefix-sized exchange (never the text), two
@@ -5480,6 +5492,29 @@ object SparkEntry {
          |  SELECT doc_a AS n FROM e6 UNION ALL SELECT doc_b FROM e6) u
          |GROUP BY n ORDER BY doc_id""".stripMargin
     },
+
+    // mirrors Pipeline.leakFreeSplit: q94's hash split + the exact
+    // all-pairs dup graph (NEARDUP_PAIRS_CTE, the q23 equivalence) — a
+    // non-train doc adjacent to any train doc becomes 'leak'
+    "q171_leakage_split" ->
+      s"""WITH $NEARDUP_PAIRS_CTE,
+        |a AS (SELECT doc_id AS id,
+        |        CASE WHEN CAST((doc_id * 2654435761 + 40503) % 4294967296 AS DOUBLE)
+        |                  < 0.8 * 4294967296.0 THEN 'train'
+        |             WHEN CAST((doc_id * 2654435761 + 40503) % 4294967296 AS DOUBLE)
+        |                  < (0.8 + 0.1) * 4294967296.0 THEN 'val'
+        |             ELSE 'test' END AS split
+        |      FROM documents),
+        |und AS (SELECT doc_a AS id, doc_b AS other FROM pairs
+        |        UNION ALL
+        |        SELECT doc_b AS id, doc_a AS other FROM pairs),
+        |leaky AS (SELECT DISTINCT und.id
+        |          FROM und JOIN a t ON und.other = t.id AND t.split = 'train')
+        |SELECT a.id,
+        |  CASE WHEN a.split = 'train' THEN 'train'
+        |       WHEN a.id IN (SELECT id FROM leaky) THEN 'leak'
+        |       ELSE a.split END AS split
+        |FROM a ORDER BY a.id""".stripMargin,
 
     // mirrors Corpus.boilerplatePrefix: 3-token prefixes, count-desc/
     // prefix-asc argmax (window rn=1 stands in for the min-struct trick)

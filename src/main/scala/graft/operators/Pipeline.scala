@@ -136,4 +136,39 @@ object Pipeline {
         coalesce(col("lang_ok") && col("quality_ok") && col("exact_keep") &&
           col("neardup_keep") && col("decontam_ok"), lit(false)).as("kept"))
   }
+
+  /** Leakage-free train/val/test split — [[Corpus.splitAssign]]'s
+    * deterministic hash split HARDENED against near-duplicate leakage: an
+    * eval document whose near-duplicate landed in train measures
+    * memorization, not generalization, so any non-train document adjacent
+    * (in the verified MinHash-LSH dup graph, [[Dedup.minhashNearDups]]) to
+    * a train document is reassigned to `leak` and excluded from both
+    * sides. Train docs stay train (their dups in train are ordinary
+    * duplication, handled by the dedup stages); val/test docs adjacent
+    * only to each other stay where they are (they leak nothing across the
+    * train boundary).
+    *
+    * Scale shape: the split is scan-side hash arithmetic; leak detection
+    * is the LSH band join (bucketed, never all-pairs) + one semi join of
+    * the undirected edge list against the train-id frame + one distinct —
+    * all id-sized exchanges. Output (id, split) with split ∈ {train, val,
+    * test, leak} — hash-gate types.
+    */
+  def leakFreeSplit(docs: DataFrame, idCol: Column, textCol: Column,
+      fractions: Seq[(String, Double)]): DataFrame = {
+    val assign = Corpus.splitAssign(docs, idCol, fractions)
+      .select(col("id"), col("split"))
+    val pairs = Dedup.minhashNearDups(docs, idCol, textCol)
+    val und = pairs.select(col("doc_a").as("id"), col("doc_b").as("other"))
+      .unionAll(pairs.select(col("doc_b").as("id"), col("doc_a").as("other")))
+    val trainIds = assign.filter(col("split") === "train")
+      .select(col("id").as("other"))
+    val leaky = und.join(trainIds, Seq("other"), "left_semi")
+      .select(col("id")).distinct().withColumn("adj_train", lit(true))
+    assign.join(leaky, Seq("id"), "left")
+      .select(col("id"),
+        when(col("split") === "train", lit("train"))
+          .when(coalesce(col("adj_train"), lit(false)), lit("leak"))
+          .otherwise(col("split")).as("split"))
+  }
 }

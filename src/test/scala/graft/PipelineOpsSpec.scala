@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Corpus, Eval, Snapshots}
+import graft.operators.{Corpus, Eval, Pipeline, Snapshots}
 
 /** The round-9 pipeline additions: chunk planning, snapshot diff, Cohen's
   * kappa — each pinned by hand-computed cases before its oracle gate.
@@ -123,5 +123,33 @@ class PipelineOpsSpec extends AnyFunSuite {
     val got = Corpus.boilerplatePrefix(docs, col("source"), col("text"), 3)
       .collect().head
     assert(got.getString(1) == "hi" && got.getLong(2) == 2L)
+  }
+
+  // ---- Pipeline.leakFreeSplit ----
+
+  test("leakFreeSplit: a test doc near-duplicating a train doc becomes leak") {
+    import spark.implicits._
+    // construct docs where the hash split is known, then plant a near-dup
+    // pair crossing the boundary; everything else is unique text
+    val base = (0L until 40L).map(i => (i, s"unique text body number $i with filler words $i"))
+    val assign = Corpus.splitAssign(base.toDF("doc_id", "text"), col("doc_id"),
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val trainId = assign.collectFirst { case (id, "train") => id }.get
+    val testId = assign.collectFirst { case (id, s) if s != "train" => id }.get
+    // make testId a near-dup of trainId (identical long text)
+    val dupText = "shared shingle text with many overlapping tokens across the pair " * 3
+    val docs = base.map { case (id, t) =>
+      if (id == trainId || id == testId) (id, dupText) else (id, t)
+    }.toDF("doc_id", "text")
+    val out = Pipeline.leakFreeSplit(docs, col("doc_id"), col("text"),
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(trainId) == "train", "train side keeps its assignment")
+    assert(out(testId) == "leak", s"cross-boundary near-dup must leak: ${out(testId)}")
+    // untouched docs keep their hash assignment
+    (out.keySet - trainId - testId).foreach { id =>
+      assert(out(id) == assign(id), s"doc $id reassigned without a dup edge")
+    }
   }
 }
