@@ -3225,6 +3225,41 @@ object SparkEntry {
         col("a"), col("b"))
     }),
 
+    // IVF index balance audit: the build-health report for the q33/q97
+    // index family — per-cell population of a 16-centroid assignment
+    // rolled into (n_cells, n_vecs, min/max cell, imbalance = max/avg as
+    // micro BIGINT). An imbalance factor far above 1 means probed-cell
+    // latency is governed by one hot cell and the centroid count (or
+    // re-clustering) needs attention BEFORE the index ships — at 100 TB
+    // this audit is one scan + a 16-row agg. Same bit-identical
+    // assignment arithmetic as q61; all-BIGINT output.
+    "q172_ivf_balance" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val dist2 = (Similarity.dot(col("v"), col("v"))
+        - lit(2.0) * Similarity.dot(col("v"), col("cv"))) +
+        Similarity.dot(col("cv"), col("cv"))
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), struct(dist2.as("d"), col("cid")).as("dc"))
+        .groupBy(col("vec_id")).agg(min(col("dc")).as("best"))
+        .select(col("best.cid").as("cluster"))
+        .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_cells"), sum(col("n")).as("n_vecs"),
+          min(col("n")).as("min_cell"), max(col("n")).as("max_cell"))
+        .select(col("n_cells"), col("n_vecs"), col("min_cell"),
+          col("max_cell"),
+          (col("max_cell").cast(d38) * col("n_cells").cast(d38)).as("i_num"),
+          col("n_vecs").cast(d38).as("i_den"))
+        .select(col("n_cells"), col("n_vecs"), col("min_cell"),
+          col("max_cell"),
+          when(col("i_den") > 0,
+            graft.functions.IntRatio.micro("i_num", "i_den"))
+            .as("imbalance_micro"))
+    }),
+
     // Leakage-free split (Pipeline.leakFreeSplit): q94's deterministic
     // hash split hardened against near-dup leakage — any val/test doc
     // adjacent to a train doc in the verified LSH dup graph is reassigned
@@ -5492,6 +5527,32 @@ object SparkEntry {
          |  SELECT doc_a AS n FROM e6 UNION ALL SELECT doc_b FROM e6) u
          |GROUP BY n ORDER BY doc_id""".stripMargin
     },
+
+    // mirrors q172: the q61 assignment arithmetic at 16 centroids, cell
+    // frame rollup, imbalance = max·n_cells/n_vecs via duckMicro
+    "q172_ivf_balance" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |d AS (SELECT e.vec_id, c.cid,
+        |        list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.cv)
+        |          + list_dot_product(c.cv, c.cv) AS dist2
+        |      FROM e CROSS JOIN c),
+        |a AS (SELECT vec_id, cid AS cluster,
+        |        row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
+        |      FROM d),
+        |cells AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n
+        |          FROM a WHERE rn = 1 GROUP BY cluster),
+        |u AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |        CAST(sum(n) AS BIGINT) AS n_vecs,
+        |        CAST(min(n) AS BIGINT) AS min_cell,
+        |        CAST(max(n) AS BIGINT) AS max_cell
+        |      FROM cells)
+        |SELECT n_cells, n_vecs, min_cell, max_cell,
+        |  CASE WHEN n_vecs > 0 THEN
+        |    ${graft.functions.IntRatio.duckMicro(
+               "CAST(max_cell AS HUGEINT) * n_cells", "n_vecs")}
+        |  END AS imbalance_micro
+        |FROM u""".stripMargin,
 
     // mirrors Pipeline.leakFreeSplit: q94's hash split + the exact
     // all-pairs dup graph (NEARDUP_PAIRS_CTE, the q23 equivalence) — a
