@@ -152,4 +152,27 @@ class PipelineOpsSpec extends AnyFunSuite {
       assert(out(id) == assign(id), s"doc $id reassigned without a dup edge")
     }
   }
+
+  // ---- plan-shape assertions (the 100 TB contracts) ----
+
+  test("chunkPlan plan: Generate (explode) runs scan-side, no Exchange below it") {
+    import spark.implicits._
+    val docs = (1L to 100L).map(i => (i, ("w " * 50).trim)).toDF("doc_id", "text")
+    val df = Corpus.chunkPlan(docs, col("doc_id"), col("text"), 32, 8)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Generate"), plan)
+    assert(!plan.contains("Exchange"), s"chunk planning must be shuffle-free:\n$plan")
+    assert(!plan.contains("Window"), s"no window function allowed:\n$plan")
+  }
+
+  test("boilerplatePrefix plan: no window function, totals broadcast back") {
+    import spark.implicits._
+    val docs = (1L to 100L).map(i => (s"s${i % 3}", s"a b c d $i")).toDF("source", "text")
+    val df = Corpus.boilerplatePrefix(docs, col("source"), col("text"), 3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"argmax must be the min-struct agg, not a window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"totals frame must broadcast:\n$plan")
+  }
 }
