@@ -3225,6 +3225,27 @@ object SparkEntry {
         col("a"), col("b"))
     }),
 
+    // Chunk → pack composition (Corpus.chunkPlan ☾ packShardsByCount): the
+    // full docs→training-files path — documents split into 32-token
+    // overlap windows (q167), each window a unit of cost (tok_end −
+    // tok_start), units packed into 256-token shards by the SAME two-pass
+    // distributed prefix sum as q72 (packShardsByCount, the composition
+    // surface: any unit stream with an integer cost packs through it).
+    // Composite unit_id = doc_id·8 + chunk_idx keeps (doc, window) order.
+    // All integers end to end; the oracle chains the q167 arithmetic into
+    // a cumsum window.
+    "q173_chunk_pack" -> ((s, d) => {
+      val chunks = Corpus.chunkPlan(t(s, d, "documents"), col("doc_id"),
+          col("text"), chunkTokens = 32, overlap = 8)
+        .select((col("doc_id") * 8 + col("chunk_idx")).as("unit_id"),
+          (col("tok_end") - col("tok_start")).as("cost"))
+      Corpus.packShardsByCount(chunks, col("unit_id"), col("cost"),
+          budgetTokens = 256L)
+        .select(col("doc_id").as("unit_id"), col("n_tok"), col("cum_tok"),
+          col("shard"))
+        .orderBy(col("unit_id"))
+    }),
+
     // IVF index balance audit: the build-health report for the q33/q97
     // index family — per-cell population of a 16-centroid assignment
     // rolled into (n_cells, n_vecs, min/max cell, imbalance = max/avg as
@@ -5527,6 +5548,31 @@ object SparkEntry {
          |  SELECT doc_a AS n FROM e6 UNION ALL SELECT doc_b FROM e6) u
          |GROUP BY n ORDER BY doc_id""".stripMargin
     },
+
+    // mirrors q173: the q167 chunk arithmetic chained into a cumsum
+    // window over the composite unit id (the oracle's one-task window
+    // stands in for the engine's two-pass distributed prefix sum)
+    "q173_chunk_pack" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    CAST(length(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tok,
+        |    CASE WHEN n_tok = 0 THEN 0
+        |         ELSE 1 + (greatest(n_tok - 32, 0) + 23) // 24 END AS n_chunks
+        |  FROM tk),
+        |u AS (
+        |  SELECT doc_id * 8 + i AS unit_id,
+        |    least(i * 24 + 32, n_tok) - i * 24 AS cost
+        |  FROM c, unnest(range(0, CAST(n_chunks AS BIGINT))) AS t(i)),
+        |p AS (
+        |  SELECT unit_id, CAST(cost AS BIGINT) AS n_tok,
+        |    CAST(sum(cost) OVER (ORDER BY unit_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+        |  FROM u)
+        |SELECT unit_id, n_tok, cum_tok,
+        |  CAST((cum_tok - n_tok) // 256 AS BIGINT) AS shard
+        |FROM p ORDER BY unit_id""".stripMargin,
 
     // mirrors q172: the q61 assignment arithmetic at 16 centroids, cell
     // frame rollup, imbalance = max·n_cells/n_vecs via duckMicro

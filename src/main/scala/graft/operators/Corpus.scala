@@ -404,13 +404,27 @@ object Corpus {
     * prefix sum — all integers, bit-reproducible in any engine.
     */
   def packShards(docs: DataFrame, idCol: Column, textCol: Column,
+      budgetTokens: Long, numParts: Int = 0): DataFrame =
+    packShardsByCount(
+      docs.select(idCol.cast("long").as("doc_id"),
+        size(Text.tokens(textCol)).cast("long").as("n_tok")),
+      col("doc_id"), col("n_tok"), budgetTokens, numParts)
+
+  /** [[packShards]] over a PRECOMPUTED (id, count) frame — the composition
+    * surface: any unit stream with an integer cost (documents by token
+    * count, chunk windows by window length, files by bytes) packs through
+    * the same two-pass prefix-sum machinery.
+    */
+  def packShardsByCount(units: DataFrame, idCol: Column, countCol: Column,
       budgetTokens: Long, numParts: Int = 0): DataFrame = {
-    val spark = docs.sparkSession
+    val spark = units.sparkSession
     import spark.implicits._
+    val docs = units.select(idCol.cast("long").as("doc_id"),
+      countCol.cast("long").as("n_tok"))
     val parts =
       if (numParts > 0) numParts
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val maxId = docs.agg(max(idCol.cast("long"))).head().getLong(0)
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
     // id-proportional partitioner: DETERMINISTIC (unlike range-partitioner
     // sampling), so pass 1 and pass 2 agree on placement by construction,
     // and the shared RDD object means pass 2 reuses pass 1's shuffle files
@@ -425,8 +439,6 @@ object Corpus {
       }
     }
     val parted = docs
-      .select(idCol.cast("long").as("doc_id"),
-        size(Text.tokens(textCol)).cast("long").as("n_tok"))
       .as[(Long, Long)].rdd
       .map { case (id, n) => (id, n) }
       .repartitionAndSortWithinPartitions(partitioner)
