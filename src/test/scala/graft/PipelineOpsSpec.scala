@@ -175,4 +175,44 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"totals frame must broadcast:\n$plan")
   }
+
+  test("chunkPlan property: windows tile [0, n_tok) at fixed stride for 60 random shapes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (1 to 60).foreach { _ =>
+      val chunk = 2 + rnd.nextInt(40)
+      val overlap = rnd.nextInt(chunk) // 0 <= overlap < chunk
+      val nTok = rnd.nextInt(150)
+      val text = (1 to nTok).map(i => s"t$i").mkString(" ")
+      val cs = Corpus.chunkPlan(Seq((1L, text)).toDF("doc_id", "text"),
+          col("doc_id"), col("text"), chunk, overlap)
+        .orderBy(col("chunk_idx"))
+        .collect().map(r => (r.getAs[Long]("tok_start"), r.getAs[Long]("tok_end")))
+      if (nTok == 0) assert(cs.isEmpty, s"($chunk,$overlap,$nTok)")
+      else {
+        val stride = chunk - overlap
+        assert(cs.head._1 == 0L && cs.last._2 == nTok, s"($chunk,$overlap,$nTok): ${cs.mkString}")
+        cs.zipWithIndex.foreach { case ((st, en), i) =>
+          assert(st == i.toLong * stride, s"start drift ($chunk,$overlap,$nTok)")
+          assert(en == math.min(st + chunk, nTok.toLong), s"end ($chunk,$overlap,$nTok)")
+        }
+        // no window starts at or past the end of the previous one's coverage
+        cs.sliding(2).foreach {
+          case Array((_, e1), (s2, _)) => assert(s2 <= e1, s"gap ($chunk,$overlap,$nTok)")
+          case _ =>
+        }
+      }
+    }
+  }
+
+  test("kappa property: invariant under consistent category relabeling") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val pairs = Seq.fill(200)((rnd.nextInt(4).toLong, rnd.nextInt(4).toLong))
+    val base = kappaOf(pairs)
+    // relabel k -> (k * 3 + 1) % 4 is a bijection on {0..3}; kappa is a
+    // function of the contingency structure, not the label values
+    val relabeled = pairs.map { case (a, b) => ((a * 3 + 1) % 4, (b * 3 + 1) % 4) }
+    assert(kappaOf(relabeled) == base)
+  }
 }
