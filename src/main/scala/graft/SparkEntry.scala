@@ -3225,6 +3225,58 @@ object SparkEntry {
         col("a"), col("b"))
     }),
 
+    // Edit-distance dup verification: the LSH near-dup candidates (q23's
+    // verified pair set) re-verified by LEVENSHTEIN distance ≤ 6 — the
+    // small-edit dup detector (shingle Jaccard sees token overlap;
+    // character edit distance catches the one-typo-apart pairs a
+    // token-level metric over-merges or misses). levenshtein is a
+    // codegen'd built-in in Spark and identically defined (unit-cost
+    // integer DP) in the oracle engine. COST contract: the O(len²)
+    // distance runs ONLY on candidate pairs — the band join keeps those
+    // sparse; never all-pairs.
+    "q174_edit_dups" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.minhashNearDups(docs, col("doc_id"), col("text"))
+        .select(col("doc_a"), col("doc_b"))
+      val txt = docs.select(col("doc_id"), col("text"))
+      pairs
+        .join(txt.select(col("doc_id").as("doc_a"), col("text").as("t_a")),
+          Seq("doc_a"))
+        .join(txt.select(col("doc_id").as("doc_b"), col("text").as("t_b")),
+          Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("t_a"), col("t_b")).cast("long").as("edit_dist"))
+        .filter(col("edit_dist") <= 6)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // MAD robust outliers (q164's winsorize sibling): per-group median +
+    // median-absolute-deviation via Percentiles.exact (bit-identical to
+    // the oracle's quantile_cont, the q39/q164 equivalence), outlier ⇔
+    // |x − med| > 3·1.4826·MAD (one literal multiply — IEEE-identical in
+    // any engine; comparisons of exact doubles are deterministic). Two
+    // bounded-memory percentile passes + KB-sized broadcast caps; counts
+    // BIGINT, med/mad the gated interpolated doubles q39 already proves.
+    "q175_mad_outliers" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val med = graft.operators.Percentiles.exact(li, col("l_returnflag"),
+          col("l_extendedprice"), Seq(("med", 0.5)))
+        .select(col("g").as("l_returnflag"), col("med"))
+      val dev = li.join(broadcast(med), Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("med"),
+          abs(col("l_extendedprice") - col("med")).as("adev"))
+      val mad = graft.operators.Percentiles.exact(dev, col("l_returnflag"),
+          col("adev"), Seq(("mad", 0.5)))
+        .select(col("g").as("l_returnflag"), col("mad"))
+      dev.join(broadcast(mad), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("adev") > lit(4.4478d) * col("mad"), 1))
+            .as("n_outliers"),
+          max(col("med")).as("med"), max(col("mad")).as("mad"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Chunk → pack composition (Corpus.chunkPlan ☾ packShardsByCount): the
     // full docs→training-files path — documents split into 32-token
     // overlap windows (q167), each window a unit of cost (tok_end −
@@ -5548,6 +5600,36 @@ object SparkEntry {
          |  SELECT doc_a AS n FROM e6 UNION ALL SELECT doc_b FROM e6) u
          |GROUP BY n ORDER BY doc_id""".stripMargin
     },
+
+    // mirrors q174: exact all-pairs Jaccard candidates (the q23
+    // equivalence) + the identical unit-cost levenshtein DP
+    "q174_edit_dups" ->
+      s"""WITH $NEARDUP_PAIRS_CTE
+        |SELECT doc_a, doc_b,
+        |  CAST(levenshtein(x.text, y.text) AS BIGINT) AS edit_dist
+        |FROM pairs JOIN documents x ON pairs.doc_a = x.doc_id
+        |           JOIN documents y ON pairs.doc_b = y.doc_id
+        |WHERE levenshtein(x.text, y.text) <= 6
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // mirrors q175: quantile_cont median + MAD (the q39/q164 type-7
+    // equivalence), the same single-literal 4.4478 multiply
+    "q175_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+        |  FROM lineitem GROUP BY 1),
+        |dev AS (
+        |  SELECT l.l_returnflag, med.med,
+        |    abs(l.l_extendedprice - med.med) AS adev
+        |  FROM lineitem l JOIN med USING (l_returnflag)),
+        |mad AS (
+        |  SELECT l_returnflag, quantile_cont(adev, 0.5) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT dev.l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(CASE WHEN dev.adev > 4.4478 * mad.mad THEN 1 END) AS BIGINT) AS n_outliers,
+        |  max(dev.med) AS med, max(mad.mad) AS mad
+        |FROM dev JOIN mad USING (l_returnflag)
+        |GROUP BY dev.l_returnflag ORDER BY dev.l_returnflag""".stripMargin,
 
     // mirrors q173: the q167 chunk arithmetic chained into a cumsum
     // window over the composite unit id (the oracle's one-task window
