@@ -147,7 +147,12 @@ object Bench {
       java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss")
         .withZone(java.time.ZoneOffset.UTC)
         .format(java.time.Instant.now()))
-    for (f <- Seq("bench_out.json", s"bench_out_$label.json")) {
+    // a BENCH_ONLY subset run must NOT overwrite bench_out.json — that file
+    // is the full-inventory requeue reference for the next driver run
+    val outFiles =
+      if (only.isDefined) Seq(s"bench_out_$label.json")
+      else Seq("bench_out.json", s"bench_out_$label.json")
+    for (f <- outFiles) {
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(f), line + "\n")
       catch { case e: Throwable =>
         System.err.println(s"[bench] $f write failed: $e") }
