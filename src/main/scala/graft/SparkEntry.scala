@@ -3234,6 +3234,84 @@ object SparkEntry {
     // integer DP) in the oracle engine. COST contract: the O(len²)
     // distance runs ONLY on candidate pairs — the band join keeps those
     // sparse; never all-pairs.
+    // Tick-gap audit (Sequential.tickGapAudit): per event stream, the
+    // missing-interval report a feed operator trusts before a tape —
+    // (n_ticks, span, max gap, gaps over 30 min). NOT a per-key lag window
+    // (one reducer per key at 100 TB): the two-pass sorted-range-partition
+    // idiom — a key's history spans many partitions, each fragment folds
+    // to O(1) state, fragments stitch on a KB-sized summary frame. Gaps
+    // are ts-deltas, so equal-ts ties are order-invariant. All BIGINT.
+    "q176_tick_gaps" -> ((s, d) =>
+      operators.Sequential.tickGapAudit(ev(s, d), col("event_type"),
+          unix_micros(col("ts")), col("event_id"), thresholdUs = 1800000000L)
+        .select(col("k").as("event_type"), col("n_ticks"), col("span_us"),
+          col("max_gap_us"), col("n_gaps_gt"))
+        .orderBy(col("event_type"))),
+
+    // Cross-source contamination matrix: the q23-verified near-dup pair
+    // graph rolled up by unordered source pair — which corpus sources leak
+    // into which (the dedup follow-up a training-data curator reads before
+    // weighting sources). Pair frame is id-sized; the id→source map joins
+    // by id (broadcastable at dim scale, AQE otherwise); the text never
+    // re-exchanges. Oracle: exact all-pairs Jaccard (NEARDUP_PAIRS_CTE).
+    "q177_source_contamination" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.minhashNearDups(docs, col("doc_id"), col("text"))
+        .select(col("doc_a"), col("doc_b"))
+      val srcs = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(srcs.select(col("doc_id").as("doc_a"), col("source").as("s_a")),
+          Seq("doc_a"))
+        .join(srcs.select(col("doc_id").as("doc_b"), col("source").as("s_b")),
+          Seq("doc_b"))
+        .select(least(col("s_a"), col("s_b")).as("src_a"),
+          greatest(col("s_a"), col("s_b")).as("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_dup_pairs"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
+    // Benford leading-digit audit: the digit-frequency fingerprint of a
+    // money column (synthetic/fabricated data skews it). cents =
+    // floor(x·100) — ONE IEEE multiply then floor, deterministic in every
+    // engine — and the leading digit via integer→string (exact rendering,
+    // unlike double→string). One scan, 9-row agg; share as IntRatio micro.
+    "q178_benford" -> ((s, d) => {
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val digits = t(s, d, "lineitem")
+        .select(substring((floor(col("l_extendedprice") * 100)).cast("long")
+          .cast("string"), 1, 1).as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val tot = digits.agg(sum(col("n")).as("n_total"))
+      digits.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n"), col("n_total"),
+          col("n").cast(d38).as("sh_num"), col("n_total").cast(d38).as("sh_den"))
+        .select(col("digit"), col("n"), col("n_total"),
+          graft.functions.IntRatio.micro("sh_num", "sh_den").as("share_micro"))
+        .orderBy(col("digit"))
+    }),
+
+    // Two-sample KS statistic (Eval.ksTest): distribution drift between
+    // the R and A return cohorts of l_extendedprice. max|ECDF diff| in
+    // INTEGER space (|c1·n2 − c2·n1|, BigInteger) via the q116 two-pass
+    // rank machinery with two counters — no global window, no double
+    // anywhere. Output all BIGINT (n1, n2, ks_micro).
+    "q179_ks_test" -> ((s, d) =>
+      operators.Eval.ksTest(
+        t(s, d, "lineitem").filter(col("l_returnflag").isin("R", "A")),
+        (col("l_returnflag") === "R").cast("long"), col("l_extendedprice"))),
+
+    // Longest strictly-increasing run per stream (Sequential.longestRuns):
+    // monotone-streak profile under the pinned (ts, seq) order. Fragment
+    // summaries carry the segment-combine algebra (n, best, prefix,
+    // suffix, boundary values) so runs merge EXACTLY across partition
+    // seams; doubles are only compared, never summed. All BIGINT output.
+    "q180_streaks" -> ((s, d) =>
+      operators.Sequential.longestRuns(ev(s, d), col("event_type"),
+          unix_micros(col("ts")), col("event_id"), col("value"))
+        .select(col("k").as("event_type"), col("n_ticks"), col("longest_run"))
+        .orderBy(col("event_type"))),
+
     "q174_edit_dups" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val pairs = Dedup.minhashNearDups(docs, col("doc_id"), col("text"))
@@ -5600,6 +5678,91 @@ object SparkEntry {
          |  SELECT doc_a AS n FROM e6 UNION ALL SELECT doc_b FROM e6) u
          |GROUP BY n ORDER BY doc_id""".stripMargin
     },
+
+    // mirrors q176: per-key lag window (the oracle's one-task spelling of
+    // the engine's two-pass fragment stitch), same 30-min threshold
+    "q176_tick_gaps" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS t, event_id FROM events),
+        |g AS (
+        |  SELECT event_type, t,
+        |    t - lag(t) OVER (PARTITION BY event_type ORDER BY t, event_id) AS gap
+        |  FROM e)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_ticks,
+        |  CAST(max(t) - min(t) AS BIGINT) AS span_us,
+        |  CAST(max(gap) AS BIGINT) AS max_gap_us,
+        |  CAST(count(CASE WHEN gap > 1800000000 THEN 1 END) AS BIGINT) AS n_gaps_gt
+        |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // mirrors q177: the exact all-pairs dup graph (the q23 equivalence)
+    // rolled up by unordered source pair
+    "q177_source_contamination" ->
+      s"""WITH $NEARDUP_PAIRS_CTE
+        |SELECT least(x.source, y.source) AS src_a,
+        |  greatest(x.source, y.source) AS src_b,
+        |  CAST(count(*) AS BIGINT) AS n_dup_pairs
+        |FROM pairs JOIN documents x ON pairs.doc_a = x.doc_id
+        |           JOIN documents y ON pairs.doc_b = y.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // mirrors q178: the same floor(x*100) cents + integer-string leading
+    // digit, share via duckMicro
+    "q178_benford" ->
+      s"""WITH c AS (
+        |  SELECT substr(CAST(CAST(floor(l_extendedprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS digit
+        |  FROM lineitem),
+        |d AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM d)
+        |SELECT digit, n, n_total,
+        |  ${graft.functions.IntRatio.duckMicro("d.n", "t.n_total")} AS share_micro
+        |FROM d, t ORDER BY digit""".stripMargin,
+
+    // mirrors q179: cumulative two-cohort counts over the distinct-value
+    // frame (window stands in for the engine's range-partition prefix
+    // sum), max |c1*n2 - c2*n1| in HUGEINT, duckMicro ratio
+    "q179_ks_test" ->
+      s"""WITH v AS (
+        |  SELECT l_extendedprice AS x,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS g
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'A')),
+        |n AS (SELECT CAST(sum(g) AS BIGINT) AS n1,
+        |        CAST(count(*) - sum(g) AS BIGINT) AS n2 FROM v),
+        |c AS (SELECT x, sum(g) AS c1, count(*) - sum(g) AS c2
+        |      FROM v GROUP BY x),
+        |cum AS (SELECT sum(c1) OVER (ORDER BY x) AS cc1,
+        |          sum(c2) OVER (ORDER BY x) AS cc2 FROM c),
+        |m AS (SELECT max(abs(CAST(cc1 AS HUGEINT) * (SELECT n2 FROM n)
+        |                 - CAST(cc2 AS HUGEINT) * (SELECT n1 FROM n))) AS ks_num
+        |      FROM cum)
+        |SELECT n.n1, n.n2,
+        |  CASE WHEN n.n1 > 0 AND n.n2 > 0 THEN
+        |    ${graft.functions.IntRatio.duckMicro(
+               "m.ks_num", "CAST(n.n1 AS HUGEINT) * n.n2")}
+        |  END AS ks_micro
+        |FROM n, m""".stripMargin,
+
+    // mirrors q180: gaps-and-islands (brk → island cumsum → island length
+    // → per-key max) under the same (ts, event_id) order, strict increase
+    "q180_streaks" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS t, event_id, value FROM events),
+        |o AS (
+        |  SELECT event_type, t, event_id, value,
+        |    lag(value) OVER (PARTITION BY event_type ORDER BY t, event_id) AS pv
+        |  FROM e),
+        |b AS (
+        |  SELECT event_type, t, event_id,
+        |    CASE WHEN pv IS NULL OR value <= pv THEN 1 ELSE 0 END AS brk
+        |  FROM o),
+        |i AS (
+        |  SELECT event_type,
+        |    sum(brk) OVER (PARTITION BY event_type ORDER BY t, event_id) AS island
+        |  FROM b),
+        |r AS (SELECT event_type, island, CAST(count(*) AS BIGINT) AS len
+        |      FROM i GROUP BY 1, 2)
+        |SELECT event_type, CAST(sum(len) AS BIGINT) AS n_ticks,
+        |  max(len) AS longest_run
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // mirrors q174: exact all-pairs Jaccard candidates (the q23
     // equivalence) + the identical unit-cost levenshtein DP

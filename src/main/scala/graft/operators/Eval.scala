@@ -153,4 +153,76 @@ object Eval {
           graft.functions.IntRatio.micro("k_num", "k_den"))
           .as("kappa_micro"))
   }
+
+  private val ksSchema = StructType(Seq(
+    StructField("part_max", DecimalType(38, 0), nullable = false)))
+
+  /** Two-sample Kolmogorov-Smirnov statistic — the distribution-drift
+    * test between two cohorts of one numeric column (did the quality-score
+    * distribution shift between two sources / two snapshots?):
+    *
+    *   KS = max_x |F₁(x) − F₂(x)| = max_x |c₁(x)·n₂ − c₂(x)·n₁| / (n₁·n₂)
+    *
+    * where c_i(x) is the running ≤-x count of cohort i — the numerator is
+    * ALL-INTEGER, so the statistic is exact at any scale (BigInteger
+    * accumulation; at 10¹¹ rows c·n reaches ~10²², past Long, inside
+    * DECIMAL(38,0)). Output is hash-gate-disciplined:
+    * (n1, n2, ks_micro BIGINT) — num/den exactness is the EvalSpec
+    * contract, mirroring [[aucROC]].
+    *
+    * Scale shape = [[aucROC]]'s two-pass rank machinery with two counters:
+    * group by value → (x, c1, c2) partial-agg'd; range-partition the
+    * DISTINCT-VALUE frame; per-partition offsets from one KB-sized
+    * subtotal collect (which also yields the global n₁/n₂ BEFORE pass 2);
+    * pass 2 scans each partition once emitting its local max |ECDF diff|.
+    * No global window anywhere.
+    */
+  def ksTest(df: DataFrame, in1Col: org.apache.spark.sql.Column,
+      valueCol: org.apache.spark.sql.Column, numParts: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts =
+      if (numParts > 0) numParts
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val grouped = df
+      .select(in1Col.cast("long").as("g1"), valueCol.cast("double").as("x"))
+      .groupBy(col("x"))
+      .agg(sum(col("g1")).as("c1"), (count(lit(1)) - sum(col("g1"))).as("c2"))
+      .as[(Double, Long, Long)].rdd
+      .map { case (x, c1, c2) => (x, (c1, c2)) }
+    val nPart = math.max(1, math.min(parts, 32))
+    val sorted = grouped.repartitionAndSortWithinPartitions(
+      new RangePartitioner(nPart, grouped))
+    val subtotals = sorted
+      .mapPartitionsWithIndex { case (pid, it) =>
+        var s1 = 0L; var s2 = 0L
+        it.foreach { case (_, (c1, c2)) => s1 += c1; s2 += c2 }
+        Iterator((pid, s1, s2))
+      }
+      .collect().sortBy(_._1)
+    val off1 = subtotals.map(_._2).scanLeft(0L)(_ + _)
+    val off2 = subtotals.map(_._3).scanLeft(0L)(_ + _)
+    val n1 = off1.last; val n2 = off2.last
+    val bN1 = BigInteger.valueOf(n1); val bN2 = BigInteger.valueOf(n2)
+    val partRows = sorted.mapPartitionsWithIndex { case (pid, it) =>
+      var cc1 = off1(pid); var cc2 = off2(pid)
+      var best = BigInteger.ZERO
+      it.foreach { case (_, (c1, c2)) =>
+        cc1 += c1; cc2 += c2
+        val d = BigInteger.valueOf(cc1).multiply(bN2)
+          .subtract(BigInteger.valueOf(cc2).multiply(bN1)).abs()
+        if (d.compareTo(best) > 0) best = d
+      }
+      Iterator(Row(new JBigDecimal(best)))
+    }
+    val d38 = DecimalType(38, 0)
+    spark.createDataFrame(partRows, ksSchema)
+      .agg(coalesce(max(col("part_max")), lit(0).cast(d38)).as("ks_num"))
+      .select(lit(n1).as("n1"), lit(n2).as("n2"), col("ks_num"),
+        (lit(n1).cast(d38) * lit(n2).cast(d38)).cast(d38).as("ks_den"))
+      .select(col("n1"), col("n2"),
+        when(col("ks_den") > 0,
+          graft.functions.IntRatio.micro("ks_num", "ks_den"))
+          .as("ks_micro"))
+  }
 }

@@ -1,0 +1,163 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sequential
+
+/** Sequential (tick gaps, longest runs) + Eval.ksTest: hand cases, a
+  * brute-force local oracle, and the partition-seam invariant — the result
+  * must be IDENTICAL at numParts = 1 (no seams) and numParts = 7 (every
+  * key's history fragmented), which is the whole correctness burden of the
+  * segment-combine/stitch design.
+  */
+class SequentialSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def df(rows: Seq[(String, Long, Long, Double)]) = {
+    import spark.implicits._
+    rows.toDF("k", "t", "q", "v")
+  }
+
+  /** Local oracle: per key, (n, span, maxGap orNull, nGt) under (t, q). */
+  private def gapOracle(rows: Seq[(String, Long, Long, Double)], thr: Long) =
+    rows.groupBy(_._1).map { case (k, rs) =>
+      val ts = rs.sortBy(r => (r._2, r._3)).map(_._2)
+      val gaps = ts.zip(ts.tail).map { case (a, b) => b - a }
+      (k, ts.size.toLong, ts.max - ts.min,
+        if (gaps.isEmpty) None else Some(gaps.max),
+        gaps.count(_ > thr).toLong)
+    }.toSeq.sortBy(_._1)
+
+  private def runsOracle(rows: Seq[(String, Long, Long, Double)]) =
+    rows.groupBy(_._1).map { case (k, rs) =>
+      val vs = rs.sortBy(r => (r._2, r._3)).map(_._4)
+      var best = 1L; var run = 1L
+      vs.zip(vs.tail).foreach { case (a, b) =>
+        run = if (b > a) run + 1 else 1L
+        best = math.max(best, run)
+      }
+      (k, vs.size.toLong, best)
+    }.toSeq.sortBy(_._1)
+
+  test("tickGapAudit matches a hand case incl. single-tick key") {
+    val rows = Seq(
+      ("a", 0L, 1L, 0.0), ("a", 10L, 2L, 0.0), ("a", 40L, 3L, 0.0),
+      ("a", 45L, 4L, 0.0),
+      ("b", 100L, 5L, 0.0)) // single tick: no gaps, NULL max_gap
+    val got = Sequential
+      .tickGapAudit(df(rows), col("k"), col("t"), col("q"), thresholdUs = 10L)
+      .orderBy("k").collect()
+    assert(got.length == 2)
+    val a = got(0)
+    assert(a.getString(0) == "a" && a.getLong(1) == 4 && a.getLong(2) == 45)
+    assert(a.getLong(3) == 30 && a.getLong(4) == 1) // only the 30-gap > 10
+    val b = got(1)
+    assert(b.getString(0) == "b" && b.getLong(1) == 1 && b.getLong(2) == 0)
+    assert(b.isNullAt(3) && b.getLong(4) == 0)
+  }
+
+  test("tickGapAudit: random tape equals local oracle at 1 and 7 partitions") {
+    val rnd = new Random(42)
+    val rows = (1 to 500).map { i =>
+      (s"k${rnd.nextInt(4)}", rnd.nextInt(10000).toLong, i.toLong, 0.0)
+    }
+    val want = gapOracle(rows, thr = 50L)
+    Seq(1, 7).foreach { np =>
+      val got = Sequential
+        .tickGapAudit(df(rows), col("k"), col("t"), col("q"), 50L, numParts = np)
+        .orderBy("k").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4)))
+        .toSeq
+      assert(got == want, s"numParts=$np")
+    }
+  }
+
+  test("longestRuns matches a hand case with a cross-boundary run") {
+    // k=a values 1,2,3,5,4,6,7,8,9 → longest strictly-increasing run = 5
+    val rows = Seq(1.0, 2.0, 3.0, 5.0, 4.0, 6.0, 7.0, 8.0, 9.0).zipWithIndex
+      .map { case (v, i) => ("a", i.toLong, i.toLong, v) }
+    Seq(1, 7).foreach { np =>
+      val got = Sequential
+        .longestRuns(df(rows), col("k"), col("t"), col("q"), col("v"), np)
+        .collect()
+      assert(got.length == 1)
+      assert(got(0).getLong(1) == 9 && got(0).getLong(2) == 5, s"numParts=$np")
+    }
+  }
+
+  test("longestRuns: random tape equals local oracle at 1 and 7 partitions") {
+    val rnd = new Random(7)
+    val rows = (1 to 400).map { i =>
+      (s"k${rnd.nextInt(3)}", (i / 2).toLong, i.toLong, rnd.nextInt(6).toDouble)
+    }
+    val want = runsOracle(rows)
+    Seq(1, 7).foreach { np =>
+      val got = Sequential
+        .longestRuns(df(rows), col("k"), col("t"), col("q"), col("v"), np)
+        .orderBy("k").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == want, s"numParts=$np")
+    }
+  }
+
+  test("segment combine algebra: fold equals whole-sequence scan") {
+    val rnd = new Random(11)
+    (1 to 50).foreach { _ =>
+      val vs = Seq.fill(1 + rnd.nextInt(30))(rnd.nextInt(5).toDouble)
+      def seg(xs: Seq[Double]): Sequential.RunSeg = {
+        var s = Sequential.RunSeg(1, 1, 1, 1, xs.head, xs.head); var run = 1L
+        xs.tail.foreach { v =>
+          run = if (v > s.lastV) run + 1 else 1L
+          s = Sequential.RunSeg(s.n + 1, math.max(s.best, run),
+            if (s.pre == s.n && v > s.lastV) s.pre + 1 else s.pre, run,
+            s.firstV, v)
+        }
+        s
+      }
+      val cut = 1 + rnd.nextInt(vs.size)
+      val (l, r) = vs.splitAt(cut)
+      val folded =
+        if (r.isEmpty) seg(l) else Sequential.combine(seg(l), seg(r))
+      assert(folded == seg(vs), s"vs=$vs cut=$cut")
+    }
+  }
+
+  test("ksTest: identical cohorts give 0, disjoint cohorts give 10^6") {
+    import spark.implicits._
+    val same = (1 to 50).flatMap(i => Seq((1L, i.toDouble), (0L, i.toDouble)))
+    val r0 = operators.Eval
+      .ksTest(same.toDF("g", "x"), col("g"), col("x")).collect().head
+    assert(r0.getLong(0) == 50 && r0.getLong(1) == 50 && r0.getLong(2) == 0L)
+    val disj = (1 to 40).map(i => (1L, i.toDouble)) ++
+      (1 to 60).map(i => (0L, 1000.0 + i))
+    val r1 = operators.Eval
+      .ksTest(disj.toDF("g", "x"), col("g"), col("x")).collect().head
+    assert(r1.getLong(0) == 40 && r1.getLong(1) == 60 &&
+      r1.getLong(2) == 1000000L)
+  }
+
+  test("ksTest matches a local ECDF oracle on random data") {
+    val rnd = new Random(3)
+    val rows = (1 to 300).map { _ =>
+      (rnd.nextInt(2).toLong, rnd.nextInt(40).toDouble)
+    }
+    val n1 = rows.count(_._1 == 1L).toLong
+    val n2 = rows.size - n1
+    val ksNum = rows.map(_._2).distinct.sorted.map { x =>
+      val c1 = rows.count(r => r._1 == 1L && r._2 <= x).toLong
+      val c2 = rows.count(r => r._1 == 0L && r._2 <= x).toLong
+      math.abs(c1 * n2 - c2 * n1)
+    }.max
+    val den = n1 * n2
+    val wantMicro = (2000000L * ksNum + den) / (2 * den) // round-half-away, pos
+    import spark.implicits._
+    val got = operators.Eval
+      .ksTest(rows.toDF("g", "x"), col("g"), col("x")).collect().head
+    assert(got.getLong(0) == n1 && got.getLong(1) == n2 &&
+      got.getLong(2) == wantMicro)
+  }
+}
