@@ -3248,6 +3248,61 @@ object SparkEntry {
           col("max_gap_us"), col("n_gaps_gt"))
         .orderBy(col("event_type"))),
 
+    // Key-skew audit (Profile.keySkew): the Gini concentration of
+    // l_partkey's frequency distribution — the pre-join audit that decides
+    // whether this key needs the q88 salting or AQE skew-split. Exact
+    // all-integer Gini over the (key, count) frame via the q116 two-pass
+    // rank machinery; one row, all BIGINT.
+    "q181_key_skew" -> ((s, d) =>
+      operators.Profile.keySkew(t(s, d, "lineitem"), col("l_partkey"))),
+
+    // Calibration curve (Eval.calibration): the reliability diagram for
+    // the q116 scorer — same integer dot-product scores and labels, banded
+    // into 10 equal-width integer bins; per band (n, n_pos, pos-rate
+    // micro). AUC (q116) grades ranking; this grades the score VALUE as a
+    // thresholding device. All-integer binning, all-BIGINT output.
+    "q182_calibration" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * lit(1000000.0d)).cast("long"))
+            .as("v"))
+      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val scored = e.crossJoin(broadcast(q))
+        .select(when(col("label") === 0, 1L).otherwise(0L).as("pos"),
+          aggregate(zip_with(col("v"), col("qv"), (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x).as("score"))
+      operators.Eval.calibration(scored, col("pos"), col("score"), nBins = 10)
+    }),
+
+    // Streaming twin of q176 (StreamingOps.tickGapStream): the gap audit
+    // maintained LIVE by mapGroupsWithState over the replayed event tape —
+    // state is one O(1) summary per stream (key-bounded, not
+    // history-bounded), each batch emits the refreshed row, and the final
+    // per-stream emission must equal the batch audit exactly (shared
+    // oracle with q176). Tape ordered by true MICROSECONDS (getTime alone
+    // truncates to millis and would split same-millisecond events across
+    // batch seams out of order).
+    "q183_streaming_gaps" -> ((s, d) => {
+      import s.implicits._
+      def us(e: graft.streaming.TimedEvent): Long =
+        (e.ts.getTime - e.ts.getNanos / 1000000) * 1000L + e.ts.getNanos / 1000
+      val tape = ev(s, d)
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        .as[graft.streaming.TimedEvent].collect().toSeq
+        .sortBy(e => (us(e), e.event_id))
+      val sink = graft.streaming.MemoryReplay.replay(s, tape, nBatches = 4,
+          mode = org.apache.spark.sql.streaming.OutputMode.Update())(ds =>
+        graft.streaming.StreamingOps.tickGapStream(ds, 1800000000L))
+      sink.groupBy(col("event_type"))
+        .agg(max_by(struct(col("n_ticks"), col("span_us"), col("max_gap_us"),
+          col("n_gaps_gt")), col("batch")).as("m"))
+        .select(col("event_type"), col("m.n_ticks").as("n_ticks"),
+          col("m.span_us").as("span_us"), col("m.max_gap_us").as("max_gap_us"),
+          col("m.n_gaps_gt").as("n_gaps_gt"))
+        .orderBy(col("event_type"))
+    }),
+
     // Cross-source contamination matrix: the q23-verified near-dup pair
     // graph rolled up by unordered source pair — which corpus sources leak
     // into which (the dedup follow-up a training-data curator reads before
@@ -5682,6 +5737,65 @@ object SparkEntry {
     // mirrors q176: per-key lag window (the oracle's one-task spelling of
     // the engine's two-pass fragment stitch), same 30-min threshold
     "q176_tick_gaps" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS t, event_id FROM events),
+        |g AS (
+        |  SELECT event_type, t,
+        |    t - lag(t) OVER (PARTITION BY event_type ORDER BY t, event_id) AS gap
+        |  FROM e)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_ticks,
+        |  CAST(max(t) - min(t) AS BIGINT) AS span_us,
+        |  CAST(max(gap) AS BIGINT) AS max_gap_us,
+        |  CAST(count(CASE WHEN gap > 1800000000 THEN 1 END) AS BIGINT) AS n_gaps_gt
+        |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // mirrors q181: row_number rank over the ascending (count, key) order
+    // (the oracle's window stands in for the engine's two-pass rank), the
+    // same all-integer Gini closed form via duckMicro
+    "q181_key_skew" ->
+      s"""WITH c AS (
+        |  SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c, k) AS rnk FROM c),
+        |u AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |        CAST(sum(c) AS BIGINT) AS n_rows,
+        |        CAST(max(c) AS BIGINT) AS max_count,
+        |        sum(CAST(rnk AS HUGEINT) * c) AS s_rc
+        |      FROM r)
+        |SELECT n_keys, n_rows, max_count,
+        |  CASE WHEN n_keys > 0 AND n_rows > 0 THEN
+        |    ${graft.functions.IntRatio.duckMicro(
+               "2 * s_rc - (CAST(n_keys AS HUGEINT) + 1) * n_rows",
+               "CAST(n_keys AS HUGEINT) * n_rows")}
+        |  END AS gini_micro
+        |FROM u""".stripMargin,
+
+    // mirrors q182: the q116 integer scores, the same all-integer
+    // equal-width binning ((score-lo)*10 // (hi-lo+1)), duckMicro rate
+    "q182_calibration" ->
+      s"""WITH e AS (SELECT vec_id, label,
+        |             list_transform(CAST(embedding AS DOUBLE[]),
+        |               x -> CAST(floor(x * 1000000.0) AS BIGINT)) AS v
+        |           FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |s AS (SELECT CASE WHEN e.label = 0 THEN 1 ELSE 0 END AS pos,
+        |             CAST(list_dot_product(e.v, q.qv) AS BIGINT) AS score
+        |      FROM e CROSS JOIN q),
+        |mm AS (SELECT min(score) AS lo, max(score) AS hi FROM s),
+        |b AS (SELECT pos,
+        |        CASE WHEN hi = lo THEN 0
+        |             ELSE ((score - lo) * 10) // (hi - lo + 1) END AS bin
+        |      FROM s, mm),
+        |g AS (SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(pos) AS BIGINT) AS n_pos
+        |      FROM b GROUP BY 1)
+        |SELECT bin, n, n_pos,
+        |  ${graft.functions.IntRatio.duckMicro("n_pos", "n")} AS pos_rate_micro
+        |FROM g ORDER BY bin""".stripMargin,
+
+    // mirrors q183: the streaming gap monitor's final per-stream state must
+    // equal the batch audit — same oracle as q176
+    "q183_streaming_gaps" ->
       """WITH e AS (
         |  SELECT event_type, epoch_us(ts) AS t, event_id FROM events),
         |g AS (

@@ -225,4 +225,44 @@ object Eval {
           graft.functions.IntRatio.micro("ks_num", "ks_den"))
           .as("ks_micro"))
   }
+
+  /** Calibration curve (reliability diagram) of an INTEGER score — the
+    * companion audit to [[aucROC]]: AUC says the scorer RANKS well,
+    * calibration says whether the score VALUE can be trusted as a
+    * threshold (per score band: how many examples, how many positive).
+    * Bands are equal-width over the observed [min, max]:
+    *
+    *   bin = (score − lo) · nBins div (hi − lo + 1)
+    *
+    * — all-integer (one subtraction, one multiply, one integral divide of
+    * non-negative operands), so the binning is engine-exact. Scores from
+    * the q116 dot-product family are ≤ ~10¹⁴; ·nBins stays far inside
+    * Long. Output per occupied bin (all BIGINT):
+    * (bin, n, n_pos, pos_rate_micro).
+    *
+    * Scale shape: one 1-row min/max agg broadcast into a scan-side bin
+    * expression, then one partial-agg'd groupBy over ≤ nBins rows — two
+    * scans, KB exchanges.
+    */
+  def calibration(scored: DataFrame, posCol: org.apache.spark.sql.Column,
+      scoreCol: org.apache.spark.sql.Column, nBins: Int): DataFrame = {
+    require(nBins > 0, "nBins must be positive")
+    val d38 = DecimalType(38, 0)
+    val s = scored.select(posCol.cast("long").as("pos"),
+      scoreCol.cast("long").as("score"))
+    val mm = s.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
+    s.crossJoin(broadcast(mm))
+      .select(col("pos"),
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(expr(s"((score - lo) * $nBins) div (hi - lo + 1)"))
+          .as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        col("n_pos").cast(d38).as("pr_num"), col("n").cast(d38).as("pr_den"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        graft.functions.IntRatio.micro("pr_num", "pr_den")
+          .as("pos_rate_micro"))
+      .orderBy(col("bin"))
+  }
 }

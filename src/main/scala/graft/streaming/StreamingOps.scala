@@ -113,6 +113,19 @@ final case class MgState(items: Seq[String], counts: Seq[Long],
 final case class MgRow(source: String, batch: Long, items: Seq[String],
     ests: Seq[Long], n_tok: Long)
 
+/** Per-stream tick-gap state for [[StreamingOps.tickGapStream]]: the O(1)
+  * summary the batch audit's partition fragments also carry (first/last
+  * ts-micros, tick count, max gap, gaps-over-threshold), plus a batch
+  * counter so the LAST emission per key is identifiable. maxGap = -1 is
+  * the "no gap yet" sentinel (single-tick key).
+  */
+final case class GapState(first: Long, last: Long, n: Long,
+    maxGap: Long, nGt: Long, batch: Long)
+
+/** One per-batch gap-audit emission from [[StreamingOps.tickGapStream]]. */
+final case class GapRow(event_type: String, batch: Long, n_ticks: Long,
+    span_us: Long, max_gap_us: Option[Long], n_gaps_gt: Long)
+
 /** One forecast per input tick (reference ForecastsJob.java:82-85). */
 final case class ForecastRow(
     seq: Long,
@@ -489,6 +502,51 @@ object StreamingOps {
           val batch = st.batch + 1
           state.update(MgState(m.keys.toVector, m.values.toVector, n, batch))
           MgRow(source, batch, m.keys.toVector, m.values.toVector, n)
+      }
+  }
+
+  /** Full-microsecond instant of a Timestamp (getTime alone truncates to
+    * millis; the tape's gaps are microsecond-grained).
+    */
+  private def tsMicros(ts: Timestamp): Long =
+    (ts.getTime - ts.getNanos / 1000000) * 1000L + ts.getNanos / 1000
+
+  /** Streaming twin of [[graft.operators.Sequential.tickGapAudit]]: the
+    * live missing-interval monitor a feed operator runs WHILE the tape
+    * lands, instead of auditing it afterwards. State per stream is the
+    * same O(1) summary the batch operator's partition fragments fold to
+    * (first/last micros, n, max gap, gaps > threshold) — the state store
+    * is key-bounded (one ~48 B row per stream), NOT history-bounded, so it
+    * holds at any tape length; each micro-batch emits the refreshed audit
+    * row for exactly the streams it touched (Update mode). Events must
+    * arrive in the pinned (ts, seq) order (the S5 no-watermark contract);
+    * within a batch the iterator is re-sorted because mapGroupsWithState
+    * guarantees grouping, not order.
+    */
+  def tickGapStream(events: Dataset[TimedEvent],
+      thresholdUs: Long): Dataset[GapRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[GapState, GapRow](GroupStateTimeout.NoTimeout()) {
+        case (key, it, state) =>
+          var st = state.getOption.getOrElse(
+            GapState(0L, 0L, 0L, -1L, 0L, 0L))
+          it.toVector.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
+            val t = tsMicros(e.ts)
+            if (st.n == 0) st = st.copy(first = t, last = t, n = 1)
+            else {
+              val g = t - st.last
+              st = st.copy(last = t, n = st.n + 1,
+                maxGap = math.max(st.maxGap, g),
+                nGt = if (g > thresholdUs) st.nGt + 1 else st.nGt)
+            }
+          }
+          st = st.copy(batch = st.batch + 1)
+          state.update(st)
+          GapRow(key, st.batch, st.n, st.last - st.first,
+            if (st.maxGap >= 0) Some(st.maxGap) else None, st.nGt)
       }
   }
 

@@ -64,4 +64,28 @@ class EvalSpec extends AnyFunSuite {
     assert(math.abs(aucVal(r) - want) < 1e-6)
     assert(aucVal(r) > 0.4 && aucVal(r) < 0.6)
   }
+
+  test("calibration bins integer scores into equal-width bands, exact rates") {
+    import spark.implicits._
+    // scores 0..9, nBins=5 over [0,9]: width hi-lo+1 = 10, bin = s*5 div 10
+    // → each bin holds scores {2b, 2b+1}: n = 2, n_pos = 1, rate 0.5
+    val rows = (0 to 9).map(s => ((s % 2).toLong, s.toLong))
+    val got = Eval
+      .calibration(rows.toDF("pos", "score"), col("pos"), col("score"), 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == (0 to 4).map(b => (b.toLong, 2L, 1L, 500000L)))
+  }
+
+  test("calibration degenerate range lands everything in bin 0") {
+    import spark.implicits._
+    val rows = Seq((1L, 7L), (0L, 7L), (1L, 7L))
+    val got = Eval
+      .calibration(rows.toDF("pos", "score"), col("pos"), col("score"), 10)
+      .collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(0) == 0 && got(0).getLong(1) == 3 &&
+      got(0).getLong(2) == 2)
+    assert(got(0).getLong(3) == 666667L) // round-half-away(2/3 · 10⁶)
+  }
 }

@@ -61,4 +61,35 @@ class ProfileSpec extends AnyFunSuite {
     }
     assert(scans.size == 1, s"expected 1 scan, got ${scans.size}")
   }
+
+  test("keySkew: uniform keys give Gini 0, concentrated keys the closed form") {
+    import spark.implicits._
+    val uni = Seq.tabulate(12)(i => (i % 4).toLong).toDF("k")
+    val r0 = Profile.keySkew(uni, col("k")).collect().head
+    assert(r0.getLong(0) == 4 && r0.getLong(1) == 12 && r0.getLong(2) == 3)
+    assert(r0.getLong(3) == 0L)
+    // counts (1,1,1,97): G = (2·394 − 5·100)/(4·100) = 288/400 = 0.72
+    val skew = (Seq(0L, 1L, 2L) ++ Seq.fill(97)(3L)).toDF("k")
+    val r1 = Profile.keySkew(skew, col("k")).collect().head
+    assert(r1.getLong(0) == 4 && r1.getLong(1) == 100 && r1.getLong(2) == 97)
+    assert(r1.getLong(3) == 720000L)
+  }
+
+  test("keySkew: partition-count invariant and matches a local oracle") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val keys = Seq.fill(800)(rnd.nextInt(30).toLong)
+    val cs = keys.groupBy(identity).values.map(_.size.toLong).toSeq.sorted
+    val k = cs.size.toLong; val s = cs.sum
+    val srcSum = cs.zipWithIndex.map { case (c, i) => (i + 1) * c }.sum
+    val gNum = 2 * srcSum - (k + 1) * s // ≥ 0: ascending ranks on ascending counts
+    val gDen = k * s
+    val want = (2000000L * gNum + gDen) / (2 * gDen)
+    Seq(1, 7).foreach { np =>
+      val r = Profile.keySkew(keys.toDF("k"), col("k"), numParts = np)
+        .collect().head
+      assert(r.getLong(0) == k && r.getLong(1) == s && r.getLong(3) == want,
+        s"numParts=$np")
+    }
+  }
 }

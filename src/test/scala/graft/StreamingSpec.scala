@@ -638,4 +638,41 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("tickGapStream: batch-split invariant and equals the batch audit") {
+    import spark.implicits._
+    def us(ts: java.sql.Timestamp): Long =
+      (ts.getTime - ts.getNanos / 1000000) * 1000L + ts.getNanos / 1000
+    val tape = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .as[graft.streaming.TimedEvent].collect().toSeq
+      .sortBy(e => (us(e.ts), e.event_id))
+    val thr = 1800000000L
+    def finals(nBatches: Int) =
+      graft.streaming.MemoryReplay.replay(spark, tape, nBatches,
+          mode = org.apache.spark.sql.streaming.OutputMode.Update())(ds =>
+          StreamingOps.tickGapStream(ds, thr))
+        .groupBy(col("event_type"))
+        .agg(max_by(struct(col("n_ticks"), col("span_us"), col("max_gap_us"),
+          col("n_gaps_gt")), col("batch")).as("m"))
+        .select(col("event_type"), col("m.n_ticks"), col("m.span_us"),
+          col("m.max_gap_us"), col("m.n_gaps_gt"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4)))
+        .toSet
+    // splitting the ordered tape 1 vs 5 ways must not change any final
+    // audit row — the state-carry proof
+    val one = finals(1); val five = finals(5)
+    assert(one == five, "final gap state must not depend on the batch split")
+    // and the stream's final state must equal the batch operator exactly
+    val batch = graft.operators.Sequential.tickGapAudit(
+        Tables.events(spark, "/root/testdata/sf0.001"), col("event_type"),
+        unix_micros(col("ts")), col("event_id"), thr)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(five == batch, "streaming audit must equal the batch audit")
+  }
 }
