@@ -3248,6 +3248,31 @@ object SparkEntry {
           col("max_gap_us"), col("n_gaps_gt"))
         .orderBy(col("event_type"))),
 
+    // Max drawdown per stream (Sequential.maxDrawdown): largest
+    // peak-to-trough drop of the value series in integer cents
+    // (floor(value·100) — one IEEE multiply + floor, engine-exact), under
+    // the pinned (ts, seq) order. Same two-pass fragment machinery; the
+    // seam algebra is best = max(inside-a, inside-b, a.max − b.min).
+    "q184_drawdown" -> ((s, d) =>
+      operators.Sequential.maxDrawdown(ev(s, d), col("event_type"),
+          unix_micros(col("ts")), col("event_id"),
+          floor(col("value") * 100).cast("long"))
+        .select(col("k").as("event_type"), col("n_ticks"), col("max_cents"),
+          col("min_cents"), col("max_drawdown_cents"))
+        .orderBy(col("event_type"))),
+
+    // Per-document percentile rank (Stats.percentRank): percent_rank of
+    // n_chars — the per-doc percentile a curriculum attaches before
+    // thresholding — WITHOUT a global one-task window: the rank map is
+    // built on the distinct-value frame by the q116 two-pass machinery and
+    // joined back on the value. pr_micro = micro((rank_min−1)/(n−1)).
+    "q185_percent_rank" -> ((s, d) =>
+      operators.Stats.percentRank(t(s, d, "documents"), col("doc_id"),
+          col("n_chars"))
+        .select(col("id").as("doc_id"), col("v").as("n_chars"),
+          col("pr_micro"))
+        .orderBy(col("doc_id"))),
+
     // Key-skew audit (Profile.keySkew): the Gini concentration of
     // l_partkey's frequency distribution — the pre-join audit that decides
     // whether this key needs the q88 salting or AQE skew-split. Exact
@@ -5748,6 +5773,38 @@ object SparkEntry {
         |  CAST(max(gap) AS BIGINT) AS max_gap_us,
         |  CAST(count(CASE WHEN gap > 1800000000 THEN 1 END) AS BIGINT) AS n_gaps_gt
         |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // mirrors q184: running-peak window (the oracle's one-task spelling of
+    // the engine's seam-combine), same floor(value*100) cents
+    "q184_drawdown" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS t, event_id,
+        |    CAST(floor(value * 100) AS BIGINT) AS c
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, c,
+        |    max(c) OVER (PARTITION BY event_type ORDER BY t, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS peak
+        |  FROM e)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_ticks,
+        |  CAST(max(c) AS BIGINT) AS max_cents,
+        |  CAST(min(c) AS BIGINT) AS min_cents,
+        |  CAST(max(peak - c) AS BIGINT) AS max_drawdown_cents
+        |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // mirrors q185: rank() (min-rank ties) − 1 over n_chars = the engine's
+    // cum-before; duckMicro over (n − 1)
+    "q185_percent_rank" ->
+      s"""WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |    rank() OVER (ORDER BY n_chars) - 1 AS cum_before,
+        |    count(*) OVER () AS n
+        |  FROM documents)
+        |SELECT doc_id, n_chars,
+        |  CASE WHEN n > 1 THEN
+        |    ${graft.functions.IntRatio.duckMicro("cum_before", "n - 1")}
+        |  END AS pr_micro
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // mirrors q181: row_number rank over the ascending (count, key) order
     // (the oracle's window stands in for the engine's two-pass rank), the

@@ -118,6 +118,69 @@ object Sequential {
       firstV = a.firstV, lastV = b.lastV)
   }
 
+  /** Per-fragment summary for [[maxDrawdown]]: (n, max, min, best
+    * peak-to-trough) — associative: a drawdown either lives inside one
+    * fragment or crosses the seam as (a's running max) − (b's min).
+    */
+  private[graft] final case class DdSeg(n: Long, maxV: Long, minV: Long,
+      best: Long)
+
+  private[graft] def combineDd(a: DdSeg, b: DdSeg): DdSeg =
+    DdSeg(a.n + b.n, math.max(a.maxV, b.maxV), math.min(a.minV, b.minV),
+      math.max(math.max(a.best, b.best), a.maxV - b.minV))
+
+  /** Maximum drawdown per key — the largest peak-to-trough drop of an
+    * integer value series (cents) under the (ts, seq) order: the risk
+    * audit a feed/strategy operator reads next to the [[longestRuns]]
+    * streak profile. All arithmetic is integer (caller quantizes, e.g.
+    * cents = floor(price·100) — one IEEE multiply then floor,
+    * engine-deterministic), so the result is exact at any scale.
+    * Output: (k STRING, n_ticks, max_cents, min_cents, max_drawdown_cents)
+    * — all BIGINT; drawdown is 0 for monotone-rising or single-tick keys.
+    *
+    * Same two-pass shape as [[longestRuns]]; the seam algebra is the
+    * classic max-subarray-style combine (best = max(inside a, inside b,
+    * a.max − b.min)), folded over the KB-sized fragment frame.
+    */
+  def maxDrawdown(df: DataFrame, keyCol: Column, tsUsCol: Column,
+      seqCol: Column, valueCentsCol: Column, numParts: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts =
+      if (numParts > 0) numParts
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val base = df
+      .select(keyCol.cast("string").as("k"), tsUsCol.cast("long").as("t"),
+        seqCol.cast("long").as("q"), valueCentsCol.cast("long").as("c"))
+      .as[(String, Long, Long, Long)].rdd
+      .map { case (k, t, q, c) => ((k, t, q), c) }
+    val nPart = math.max(1, math.min(parts, 32))
+    val sorted = base.repartitionAndSortWithinPartitions(
+      new RangePartitioner(nPart, base))
+    val frags = sorted
+      .mapPartitionsWithIndex { case (pid, it) =>
+        val out = ArrayBuffer.empty[(String, Int, DdSeg)]
+        var curK: String = null
+        var seg: DdSeg = null
+        def flush(): Unit = if (seg != null) out += ((curK, pid, seg))
+        it.foreach { case ((k, _, _), c) =>
+          if (k != curK) { flush(); curK = k; seg = DdSeg(1L, c, c, 0L) }
+          else seg = DdSeg(seg.n + 1, math.max(seg.maxV, c),
+            math.min(seg.minV, c), math.max(seg.best, seg.maxV - c))
+        }
+        flush(); out.iterator
+      }
+      .collect()
+    val merged = frags
+      .groupBy(_._1).toSeq
+      .map { case (k, fs) =>
+        val tot = fs.sortBy(_._2).map(_._3).reduceLeft(combineDd)
+        (k, tot.n, tot.maxV, tot.minV, tot.best)
+      }
+    spark.createDataFrame(merged)
+      .toDF("k", "n_ticks", "max_cents", "min_cents", "max_drawdown_cents")
+  }
+
   /** Longest strictly-increasing run of `valueCol` per key under the
     * (ts, seq) order — the monotone-streak profile (how long does a feed
     * trend before reversing; how long does a quality score climb).

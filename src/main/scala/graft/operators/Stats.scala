@@ -90,4 +90,59 @@ object Stats {
           graft.functions.IntRatio.ratio6("icept_num", "slope_den"))
           .as("intercept"))
   }
+
+  /** Percent rank of every row's integer value — `(rank_min − 1)/(n − 1)`
+    * (SQL `percent_rank` with min-rank ties), emitted as an exact
+    * micro-BIGINT: the per-document percentile a curriculum/quality
+    * pipeline attaches before thresholding or bucketing, without EVER
+    * running `percent_rank() OVER (ORDER BY …)` — the one-task global
+    * window that cannot exist at 100 TB.
+    *
+    * Scale shape: the rank map is built on the DISTINCT-VALUE frame with
+    * the [[Eval.aucROC]] two-pass machinery (groupBy(value) partial-agg →
+    * range-partition → KB subtotal collect → per-partition running
+    * cum-before), then joined back to the rows on the value — a
+    * value-keyed equi-join Catalyst broadcasts when the distinct-value
+    * frame is small (bounded metrics like doc length) and shuffles
+    * otherwise. NULL pr_micro when n < 2 (percent_rank undefined).
+    */
+  def percentRank(df: DataFrame, idCol: Column, valueCol: Column,
+      numParts: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts =
+      if (numParts > 0) numParts
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val rows = df.select(idCol.cast("long").as("id"),
+      valueCol.cast("long").as("v"))
+    val grouped = rows
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .as[(Long, Long)].rdd
+      .map { case (v, c) => (v, c) }
+    val nPart = math.max(1, math.min(parts, 32))
+    val sorted = grouped.repartitionAndSortWithinPartitions(
+      new org.apache.spark.RangePartitioner(nPart, grouped))
+    val subtotals = sorted
+      .mapPartitionsWithIndex { case (pid, it) =>
+        var s = 0L; it.foreach(s += _._2); Iterator((pid, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = subtotals.scanLeft(0L)(_ + _)
+    val n = offsets.last
+    val rankMap = sorted
+      .mapPartitionsWithIndex { case (pid, it) =>
+        var cum = offsets(pid)
+        it.map { case (v, c) => val before = cum; cum += c; (v, before) }
+      }
+      .toDF("v", "cum_before")
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    rows.join(rankMap, Seq("v"))
+      .select(col("id"), col("v"),
+        col("cum_before").cast(d38).as("pr_num"),
+        lit(n - 1).cast(d38).as("pr_den"))
+      .select(col("id"), col("v"),
+        when(col("pr_den") > 0,
+          graft.functions.IntRatio.micro("pr_num", "pr_den"))
+          .as("pr_micro"))
+  }
 }

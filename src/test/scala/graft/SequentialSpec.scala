@@ -126,6 +126,63 @@ class SequentialSpec extends AnyFunSuite {
     }
   }
 
+  test("maxDrawdown matches a hand case with a cross-boundary drop") {
+    // 10, 50, 40, 45, 20, 30: peak 50 → trough 20 ⇒ drawdown 30
+    val vs = Seq(10L, 50L, 40L, 45L, 20L, 30L)
+    val rows = vs.zipWithIndex.map { case (v, i) =>
+      ("a", i.toLong, i.toLong, v.toDouble)
+    }
+    Seq(1, 7).foreach { np =>
+      val got = Sequential.maxDrawdown(df(rows), col("k"), col("t"), col("q"),
+        col("v").cast("long"), numParts = np).collect()
+      assert(got.length == 1)
+      assert(got(0).getLong(1) == 6 && got(0).getLong(2) == 50 &&
+        got(0).getLong(3) == 10 && got(0).getLong(4) == 30, s"numParts=$np")
+    }
+  }
+
+  test("maxDrawdown: random tape equals local oracle at 1 and 7 partitions") {
+    val rnd = new Random(19)
+    val rows = (1 to 400).map { i =>
+      (s"k${rnd.nextInt(3)}", (i / 3).toLong, i.toLong,
+        rnd.nextInt(1000).toDouble)
+    }
+    val want = rows.groupBy(_._1).map { case (k, rs) =>
+      val vs = rs.sortBy(r => (r._2, r._3)).map(_._4.toLong)
+      var peak = Long.MinValue; var best = 0L
+      vs.foreach { v => peak = math.max(peak, v); best = math.max(best, peak - v) }
+      (k, vs.size.toLong, vs.max, vs.min, best)
+    }.toSeq.sortBy(_._1)
+    Seq(1, 7).foreach { np =>
+      val got = Sequential.maxDrawdown(df(rows), col("k"), col("t"), col("q"),
+          col("v").cast("long"), numParts = np)
+        .orderBy("k").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSeq
+      assert(got == want, s"numParts=$np")
+    }
+  }
+
+  test("drawdown combine algebra: fold equals whole-sequence scan") {
+    val rnd = new Random(23)
+    (1 to 50).foreach { _ =>
+      val vs = Seq.fill(1 + rnd.nextInt(30))(rnd.nextInt(100).toLong)
+      def seg(xs: Seq[Long]): Sequential.DdSeg = {
+        var s = Sequential.DdSeg(1, xs.head, xs.head, 0L)
+        xs.tail.foreach { v =>
+          s = Sequential.DdSeg(s.n + 1, math.max(s.maxV, v),
+            math.min(s.minV, v), math.max(s.best, s.maxV - v))
+        }
+        s
+      }
+      val cut = 1 + rnd.nextInt(vs.size)
+      val (l, r) = vs.splitAt(cut)
+      val folded =
+        if (r.isEmpty) seg(l) else Sequential.combineDd(seg(l), seg(r))
+      assert(folded == seg(vs), s"vs=$vs cut=$cut")
+    }
+  }
+
   test("ksTest: identical cohorts give 0, disjoint cohorts give 10^6") {
     import spark.implicits._
     val same = (1 to 50).flatMap(i => Seq((1L, i.toDouble), (0L, i.toDouble)))

@@ -64,4 +64,37 @@ class StatsSpec extends AnyFunSuite {
     }.sum
     assert(math.abs(got - want) < 1e-3)
   }
+
+  test("percentRank: min-rank tie semantics, endpoints, partition invariance") {
+    import spark.implicits._
+    // values 10,20,20,30: ranks 1,2,2,4 → pr 0, 1/3, 1/3, 1
+    val rows = Seq((1L, 10L), (2L, 20L), (3L, 20L), (4L, 30L))
+    Seq(1, 7).foreach { np =>
+      val got = Stats.percentRank(rows.toDF("id", "v"), col("id"), col("v"),
+          numParts = np)
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSeq
+      assert(got == Seq((1L, 0L), (2L, 333333L), (3L, 333333L),
+        (4L, 1000000L)), s"numParts=$np")
+    }
+    // n = 1: percent_rank undefined → NULL
+    val one = Stats.percentRank(Seq((9L, 5L)).toDF("id", "v"),
+      col("id"), col("v")).collect()
+    assert(one.length == 1 && one(0).isNullAt(2))
+  }
+
+  test("percentRank matches a local oracle on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = (1L to 300L).map(i => (i, rnd.nextInt(40).toLong))
+    val n = rows.size.toLong
+    val want = rows.map { case (id, v) =>
+      val below = rows.count(_._2 < v).toLong
+      (id, (2000000L * below + (n - 1)) / (2 * (n - 1)))
+    }
+    val got = Stats.percentRank(rows.toDF("id", "v"), col("id"), col("v"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(got == want)
+  }
 }
