@@ -91,6 +91,21 @@ object ScaleProbe {
     wr(rd("region"), "region")
   }
 
+  /** 10× events tape by copy-replication: copy c ∈ [0, 10) remaps
+    * event_id → id·10+c and nudges ts by c µs, so the 5 per-type streams
+    * keep their span but carry 10× the ticks — a pure volume scale-up of
+    * the ordered-scan (gap/run/drawdown) shapes.
+    */
+  def genEvents(spark: SparkSession, src: String, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    graft.Tables.events(spark, src)
+      .select(col("*"), explode(sequence(lit(0L), lit(9L))).as("c"))
+      .select((col("event_id") * 10 + col("c")).as("event_id"),
+        timestamp_micros(unix_micros(col("ts")) + col("c")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+  }
+
   def genEmbeddings(spark: SparkSession, dir: String, n: Int): Unit = {
     import spark.implicits._
     spark.range(0, n, 1, 32).map { id =>
@@ -144,6 +159,55 @@ object ScaleProbe {
     // skew-split section (re-measuring one mitigation must not re-run the
     // whole suite)
     val skewOnly = args.contains("--skew-only")
+
+    // ordered-scan + rank family at 10×: the two-pass
+    // range-partition/stitch operators (gaps, runs, drawdown, key-skew,
+    // KS, percent_rank) whose scale claim is "one sort-shuffle + KB
+    // stitch". --seq-only runs just this section.
+    def seqSection(): Unit = {
+      import graft.operators.{Eval, Profile, Sequential, Stats}
+      val ev10Dir = s"$dir/events10x"
+      if (!new java.io.File(s"$ev10Dir/events.parquet").exists()) {
+        println(s"[probe] generating 10x events under $ev10Dir")
+        genEvents(spark, srcDir, ev10Dir)
+      }
+      for ((label, d) <- Seq(("sf0.1", srcDir), ("10x", ev10Dir))) {
+        val e = graft.Tables.events(spark, d)
+        time(s"$label q176_tick_gaps") {
+          Sequential.tickGapAudit(e, col("event_type"),
+            unix_micros(col("ts")), col("event_id"), 1800000000L).count()
+        }
+        time(s"$label q180_streaks") {
+          Sequential.longestRuns(e, col("event_type"),
+            unix_micros(col("ts")), col("event_id"), col("value")).count()
+        }
+        time(s"$label q184_drawdown") {
+          Sequential.maxDrawdown(e, col("event_type"),
+            unix_micros(col("ts")), col("event_id"),
+            floor(col("value") * 100).cast("long")).count()
+        }
+      }
+      for ((label, d) <- Seq(("sf0.1", srcDir), ("10x", s"$dir/warehouse10x"))
+           if new java.io.File(s"$d/lineitem.parquet").exists()) {
+        val li = spark.read.parquet(s"$d/lineitem.parquet")
+        time(s"$label q181_key_skew") {
+          Profile.keySkew(li, col("l_partkey")).count()
+        }
+        time(s"$label q179_ks_test") {
+          Eval.ksTest(li.filter(col("l_returnflag").isin("R", "A")),
+            (col("l_returnflag") === "R").cast("long"),
+            col("l_extendedprice")).count()
+        }
+      }
+      for ((label, d) <- Seq(("sf0.1", srcDir), ("10x", dir))) {
+        time(s"$label q185_percent_rank") {
+          Stats.percentRank(docsOf(d), col("doc_id"), col("n_chars")).count()
+        }
+      }
+    }
+    if (args.contains("--seq-only")) {
+      seqSection(); spark.stop(); return
+    }
 
     if (!skewOnly)
     for ((label, d) <- Seq(("sf0.1", srcDir), ("10x", dir))) {
@@ -207,6 +271,8 @@ object ScaleProbe {
         time(s"$label $q") { graft.SparkEntry.queries(q)(spark, d).count() }
       }
     }
+
+    if (!skewOnly) seqSection()
 
     // the pathology for the record: fixed k=8 at 10x corpus — cluster size
     // 10x, within-cluster pairs 100x
