@@ -3261,6 +3261,31 @@ object SparkEntry {
           col("min_cents"), col("max_drawdown_cents"))
         .orderBy(col("event_type"))),
 
+    // Streaming twin of q184 (StreamingOps.drawdownStream): the
+    // peak-to-trough monitor maintained LIVE — the sequential drawdown
+    // fold needs only the running peak, so state is O(1) per stream;
+    // final emission must equal the batch operator (shared q184 oracle).
+    "q186_streaming_drawdown" -> ((s, d) => {
+      import s.implicits._
+      def us(e: graft.streaming.TimedEvent): Long =
+        (e.ts.getTime - e.ts.getNanos / 1000000) * 1000L + e.ts.getNanos / 1000
+      val tape = ev(s, d)
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        .as[graft.streaming.TimedEvent].collect().toSeq
+        .sortBy(e => (us(e), e.event_id))
+      val sink = graft.streaming.MemoryReplay.replay(s, tape, nBatches = 4,
+          mode = org.apache.spark.sql.streaming.OutputMode.Update())(ds =>
+        graft.streaming.StreamingOps.drawdownStream(ds))
+      sink.groupBy(col("event_type"))
+        .agg(max_by(struct(col("n_ticks"), col("max_cents"), col("min_cents"),
+          col("max_drawdown_cents")), col("batch")).as("m"))
+        .select(col("event_type"), col("m.n_ticks").as("n_ticks"),
+          col("m.max_cents").as("max_cents"),
+          col("m.min_cents").as("min_cents"),
+          col("m.max_drawdown_cents").as("max_drawdown_cents"))
+        .orderBy(col("event_type"))
+    }),
+
     // Per-document percentile rank (Stats.percentRank): percent_rank of
     // n_chars — the per-doc percentile a curriculum attaches before
     // thresholding — WITHOUT a global one-task window: the rank map is
@@ -5777,6 +5802,24 @@ object SparkEntry {
     // mirrors q184: running-peak window (the oracle's one-task spelling of
     // the engine's seam-combine), same floor(value*100) cents
     "q184_drawdown" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS t, event_id,
+        |    CAST(floor(value * 100) AS BIGINT) AS c
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type, c,
+        |    max(c) OVER (PARTITION BY event_type ORDER BY t, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS peak
+        |  FROM e)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_ticks,
+        |  CAST(max(c) AS BIGINT) AS max_cents,
+        |  CAST(min(c) AS BIGINT) AS min_cents,
+        |  CAST(max(peak - c) AS BIGINT) AS max_drawdown_cents
+        |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // mirrors q186: the streaming drawdown's final per-stream state must
+    // equal the batch audit — same oracle as q184
+    "q186_streaming_drawdown" ->
       """WITH e AS (
         |  SELECT event_type, epoch_us(ts) AS t, event_id,
         |    CAST(floor(value * 100) AS BIGINT) AS c

@@ -126,6 +126,18 @@ final case class GapState(first: Long, last: Long, n: Long,
 final case class GapRow(event_type: String, batch: Long, n_ticks: Long,
     span_us: Long, max_gap_us: Option[Long], n_gaps_gt: Long)
 
+/** Per-stream drawdown state for [[StreamingOps.drawdownStream]]: running
+  * peak, min, tick count and best peak-to-trough drop — the same O(1)
+  * summary [[graft.operators.Sequential.maxDrawdown]]'s fragments fold to,
+  * held live per stream.
+  */
+final case class DdState(n: Long, maxC: Long, minC: Long, best: Long,
+    batch: Long)
+
+/** One per-batch drawdown emission from [[StreamingOps.drawdownStream]]. */
+final case class DdRow(event_type: String, batch: Long, n_ticks: Long,
+    max_cents: Long, min_cents: Long, max_drawdown_cents: Long)
+
 /** One forecast per input tick (reference ForecastsJob.java:82-85). */
 final case class ForecastRow(
     seq: Long,
@@ -547,6 +559,33 @@ object StreamingOps {
           state.update(st)
           GapRow(key, st.batch, st.n, st.last - st.first,
             if (st.maxGap >= 0) Some(st.maxGap) else None, st.nGt)
+      }
+  }
+
+  /** Streaming twin of [[graft.operators.Sequential.maxDrawdown]]: the
+    * live peak-to-trough risk monitor. The sequential fold max(best,
+    * peak − c) needs only the running peak, so state is O(1) per stream
+    * (key-bounded at any tape length); value quantized to cents by the
+    * caller-matched floor(value·100) (one IEEE multiply + floor,
+    * deterministic). Same arrival contract as [[tickGapStream]].
+    */
+  def drawdownStream(events: Dataset[TimedEvent]): Dataset[DdRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState[DdState, DdRow](GroupStateTimeout.NoTimeout()) {
+        case (key, it, state) =>
+          var st = state.getOption.getOrElse(
+            DdState(0L, Long.MinValue, Long.MaxValue, 0L, 0L))
+          it.toVector.sortBy(e => (tsMicros(e.ts), e.event_id)).foreach { e =>
+            val c = math.floor(e.value * 100).toLong
+            st = DdState(st.n + 1, math.max(st.maxC, c), math.min(st.minC, c),
+              math.max(st.best, math.max(st.maxC, c) - c), st.batch)
+          }
+          st = st.copy(batch = st.batch + 1)
+          state.update(st)
+          DdRow(key, st.batch, st.n, st.maxC, st.minC, st.best)
       }
   }
 

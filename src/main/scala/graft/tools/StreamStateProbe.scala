@@ -23,7 +23,8 @@ object StreamStateProbe {
     "q71_streaming_interval_join", "q75_streaming_neardup",
     "q80_streaming_dedup", "q85_streaming_latest",
     "q105_streaming_ewma", "q110_streaming_bars", "q112_streaming_scd2",
-    "q122_streaming_anomaly", "q162_streaming_heavy_hitters")
+    "q122_streaming_anomaly", "q162_streaming_heavy_hitters",
+    "q183_streaming_gaps", "q186_streaming_drawdown")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -675,4 +675,38 @@ class StreamingSpec extends AnyFunSuite {
       .toSet
     assert(five == batch, "streaming audit must equal the batch audit")
   }
+
+  test("drawdownStream: batch-split invariant and equals the batch operator") {
+    import spark.implicits._
+    def us(ts: java.sql.Timestamp): Long =
+      (ts.getTime - ts.getNanos / 1000000) * 1000L + ts.getNanos / 1000
+    val tape = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .as[graft.streaming.TimedEvent].collect().toSeq
+      .sortBy(e => (us(e.ts), e.event_id))
+    def finals(nBatches: Int) =
+      graft.streaming.MemoryReplay.replay(spark, tape, nBatches,
+          mode = org.apache.spark.sql.streaming.OutputMode.Update())(ds =>
+          StreamingOps.drawdownStream(ds))
+        .groupBy(col("event_type"))
+        .agg(max_by(struct(col("n_ticks"), col("max_cents"), col("min_cents"),
+          col("max_drawdown_cents")), col("batch")).as("m"))
+        .select(col("event_type"), col("m.n_ticks"), col("m.max_cents"),
+          col("m.min_cents"), col("m.max_drawdown_cents"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+        .toSet
+    val one = finals(1); val five = finals(5)
+    assert(one == five, "final drawdown state must not depend on the split")
+    val batch = graft.operators.Sequential.maxDrawdown(
+        Tables.events(spark, "/root/testdata/sf0.001"), col("event_type"),
+        unix_micros(col("ts")), col("event_id"),
+        floor(col("value") * 100).cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .toSet
+    assert(five == batch, "streaming drawdown must equal the batch operator")
+  }
 }
