@@ -3261,6 +3261,18 @@ object SparkEntry {
           col("min_cents"), col("max_drawdown_cents"))
         .orderBy(col("event_type"))),
 
+    // Per-group KS drift (Eval.ksTestByGroup): q179 for EVERY source in
+    // ONE pass — does the en-cohort length distribution diverge from the
+    // rest, per source? groupBy(g, value) partial-agg, (g, value)
+    // range-sort, per-(partition, group) subtotal offsets (KBs), one scan
+    // with two counters per fragment — never a per-group job loop, never
+    // a window. All BIGINT; NULL where a cohort is empty.
+    "q187_ks_by_group" -> ((s, d) =>
+      operators.Eval.ksTestByGroup(t(s, d, "documents"), col("source"),
+          (col("lang") === "en").cast("long"), col("n_chars"))
+        .select(col("g").as("source"), col("n1"), col("n2"), col("ks_micro"))
+        .orderBy(col("source"))),
+
     // Streaming twin of q184 (StreamingOps.drawdownStream): the
     // peak-to-trough monitor maintained LIVE — the sequential drawdown
     // fold needs only the running peak, so state is O(1) per stream;
@@ -5816,6 +5828,31 @@ object SparkEntry {
         |  CAST(min(c) AS BIGINT) AS min_cents,
         |  CAST(max(peak - c) AS BIGINT) AS max_drawdown_cents
         |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // mirrors q187: per-group cumulative cohort counts (the window stands
+    // in for the per-(partition, group) offset machinery), HUGEINT max
+    "q187_ks_by_group" ->
+      s"""WITH v AS (
+        |  SELECT source AS g,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g1, n_chars AS x
+        |  FROM documents),
+        |n AS (SELECT g, CAST(sum(g1) AS BIGINT) AS n1,
+        |        CAST(count(*) - sum(g1) AS BIGINT) AS n2 FROM v GROUP BY g),
+        |c AS (SELECT g, x, sum(g1) AS c1, count(*) - sum(g1) AS c2
+        |      FROM v GROUP BY g, x),
+        |cum AS (SELECT g,
+        |          sum(c1) OVER (PARTITION BY g ORDER BY x) AS cc1,
+        |          sum(c2) OVER (PARTITION BY g ORDER BY x) AS cc2 FROM c),
+        |m AS (SELECT cum.g,
+        |        max(abs(CAST(cc1 AS HUGEINT) * n.n2
+        |            - CAST(cc2 AS HUGEINT) * n.n1)) AS ks_num
+        |      FROM cum JOIN n ON cum.g = n.g GROUP BY cum.g)
+        |SELECT m.g AS source, n.n1, n.n2,
+        |  CASE WHEN n.n1 > 0 AND n.n2 > 0 THEN
+        |    ${graft.functions.IntRatio.duckMicro(
+               "m.ks_num", "CAST(n.n1 AS HUGEINT) * n.n2")}
+        |  END AS ks_micro
+        |FROM m JOIN n ON m.g = n.g ORDER BY source""".stripMargin,
 
     // mirrors q186: the streaming drawdown's final per-stream state must
     // equal the batch audit — same oracle as q184

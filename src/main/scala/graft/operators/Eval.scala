@@ -226,6 +226,107 @@ object Eval {
           .as("ks_micro"))
   }
 
+  private val ksGroupSchema = StructType(Seq(
+    StructField("g", StringType, nullable = false),
+    StructField("part_max", DecimalType(38, 0), nullable = false)))
+
+  /** Per-group two-sample KS — [[ksTest]] run for EVERY group in one
+    * pass: the segment-level drift report (per source / per shard / per
+    * day: did cohort 1's value distribution diverge from cohort 2's?).
+    * One query, never a per-group job loop.
+    *
+    * Scale shape: group BY (g, value) partial-agg → the per-group
+    * distinct-value frames, range-partitioned and sorted on (g, value) so
+    * each group's frame is contiguous-ordered ACROSS partitions; pass 1
+    * collects per-(partition, group) subtotals (≤ partitions × groups
+    * rows — KBs), from which both the per-group totals and each
+    * partition's per-group starting offsets are exact; pass 2 scans each
+    * partition once with two running counters per group fragment. Output
+    * per group: (g, n1, n2, ks_micro) — NULL when a cohort is empty in
+    * that group. Numerators in BigInteger (exact past Long).
+    */
+  def ksTestByGroup(df: DataFrame, groupCol: org.apache.spark.sql.Column,
+      in1Col: org.apache.spark.sql.Column,
+      valueCol: org.apache.spark.sql.Column, numParts: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts =
+      if (numParts > 0) numParts
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val grouped = df
+      .select(groupCol.cast("string").as("g"), in1Col.cast("long").as("g1"),
+        valueCol.cast("double").as("x"))
+      .groupBy(col("g"), col("x"))
+      .agg(sum(col("g1")).as("c1"), (count(lit(1)) - sum(col("g1"))).as("c2"))
+      .as[(String, Double, Long, Long)].rdd
+      .map { case (g, x, c1, c2) => ((g, x), (c1, c2)) }
+    val nPart = math.max(1, math.min(parts, 32))
+    val sorted = grouped.repartitionAndSortWithinPartitions(
+      new RangePartitioner(nPart, grouped))
+    // pass 1: per-(partition, group) cohort subtotals — the offsets table
+    val subs = sorted
+      .mapPartitionsWithIndex { case (pid, it) =>
+        val m = scala.collection.mutable.LinkedHashMap
+          .empty[String, (Long, Long)]
+        it.foreach { case ((g, _), (c1, c2)) =>
+          val (s1, s2) = m.getOrElse(g, (0L, 0L))
+          m(g) = (s1 + c1, s2 + c2)
+        }
+        m.iterator.map { case (g, (s1, s2)) => (pid, g, s1, s2) }
+      }
+      .collect()
+    val totals: Map[String, (Long, Long)] = subs.groupBy(_._2).map {
+      case (g, rows) => g -> (rows.map(_._3).sum, rows.map(_._4).sum)
+    }
+    // group g's running counters entering partition p = sums over p' < p
+    val offsets: Map[(Int, String), (Long, Long)] = {
+      val byGroup = subs.groupBy(_._2)
+      byGroup.flatMap { case (g, rows) =>
+        val sorted = rows.sortBy(_._1)
+        var a = 0L; var b = 0L
+        sorted.map { case (pid, _, s1, s2) =>
+          val r = ((pid, g), (a, b)); a += s1; b += s2; r
+        }
+      }
+    }
+    val partRows = sorted.mapPartitionsWithIndex { case (pid, it) =>
+      val best = scala.collection.mutable.LinkedHashMap.empty[String, BigInteger]
+      var curG: String = null; var cc1 = 0L; var cc2 = 0L
+      var bN1 = BigInteger.ZERO; var bN2 = BigInteger.ZERO
+      it.foreach { case ((g, _), (c1, c2)) =>
+        if (g != curG) {
+          curG = g
+          val (o1, o2) = offsets.getOrElse((pid, g), (0L, 0L))
+          cc1 = o1; cc2 = o2
+          val (n1, n2) = totals(g)
+          bN1 = BigInteger.valueOf(n1); bN2 = BigInteger.valueOf(n2)
+          // seed so an all-zero-diff group (empty cohort) still emits a
+          // row — its NULL comes from the den guard, not from absence
+          if (!best.contains(g)) best(g) = BigInteger.ZERO
+        }
+        cc1 += c1; cc2 += c2
+        val d = BigInteger.valueOf(cc1).multiply(bN2)
+          .subtract(BigInteger.valueOf(cc2).multiply(bN1)).abs()
+        if (d.compareTo(best.getOrElse(g, BigInteger.ZERO)) > 0) best(g) = d
+      }
+      best.iterator.map { case (g, b) => Row(g, new JBigDecimal(b)) }
+    }
+    val d38 = DecimalType(38, 0)
+    val totalsDf = spark
+      .createDataFrame(totals.toSeq.map { case (g, (n1, n2)) => (g, n1, n2) })
+      .toDF("g", "n1", "n2")
+    spark.createDataFrame(partRows, ksGroupSchema)
+      .groupBy(col("g"))
+      .agg(max(col("part_max")).cast(d38).as("ks_num"))
+      .join(broadcast(totalsDf), Seq("g"))
+      .select(col("g"), col("n1"), col("n2"), col("ks_num"),
+        (col("n1").cast(d38) * col("n2").cast(d38)).cast(d38).as("ks_den"))
+      .select(col("g"), col("n1"), col("n2"),
+        when(col("ks_den") > 0,
+          graft.functions.IntRatio.micro("ks_num", "ks_den"))
+          .as("ks_micro"))
+  }
+
   /** Calibration curve (reliability diagram) of an INTEGER score — the
     * companion audit to [[aucROC]]: AUC says the scorer RANKS well,
     * calibration says whether the score VALUE can be trusted as a

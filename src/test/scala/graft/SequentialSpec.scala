@@ -197,6 +197,37 @@ class SequentialSpec extends AnyFunSuite {
       r1.getLong(2) == 1000000L)
   }
 
+  test("ksTestByGroup equals per-group ksTest at 1 and 7 partitions") {
+    import spark.implicits._
+    val rnd = new Random(29)
+    val rows = (1 to 600).map { _ =>
+      (s"g${rnd.nextInt(5)}", rnd.nextInt(2).toLong, rnd.nextInt(30).toDouble)
+    }
+    // per-group reference: the single-group operator run per group
+    val want = rows.map(_._1).distinct.sorted.map { g =>
+      val sub = rows.filter(_._1 == g).map(t => (t._2, t._3))
+      val r = operators.Eval
+        .ksTest(sub.toDF("g1", "x"), col("g1"), col("x")).collect().head
+      (g, r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))
+    }
+    Seq(1, 7).foreach { np =>
+      val got = operators.Eval
+        .ksTestByGroup(rows.toDF("g", "g1", "x"), col("g"), col("g1"),
+          col("x"), numParts = np)
+        .orderBy("g").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+      assert(got == want, s"numParts=$np")
+    }
+    // a group with an empty cohort yields NULL, not a crash or a zero
+    val oneSided = Seq(("h", 1L, 3.0), ("h", 1L, 4.0))
+    val r = operators.Eval
+      .ksTestByGroup(oneSided.toDF("g", "g1", "x"), col("g"), col("g1"),
+        col("x")).collect().head
+    assert(r.getLong(1) == 2 && r.getLong(2) == 0 && r.isNullAt(3))
+  }
+
   test("ksTest matches a local ECDF oracle on random data") {
     val rnd = new Random(3)
     val rows = (1 to 300).map { _ =>
