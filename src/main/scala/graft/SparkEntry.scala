@@ -3261,6 +3261,30 @@ object SparkEntry {
           col("min_cents"), col("max_drawdown_cents"))
         .orderBy(col("event_type"))),
 
+    // Conversion-lag percentiles: the funnel TIMING audit (q107 counts
+    // who converts; this measures how fast) — per user, first view →
+    // first subsequent purchase, lag in exact integer µs; p50/p90 via the
+    // bounded-memory Percentiles.exact (quantile_cont type-7 equivalence,
+    // the q39 gate discipline). Per-user aggs + one user-keyed join; the
+    // percentile passes scan the KB-sized lag frame.
+    "q188_conversion_lag" -> ((s, d) => {
+      val e = ev(s, d)
+      val views = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as("v_ts"))
+      val buys = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("p_ts"))
+      val lags = views.join(buys, Seq("user_id"))
+        .filter(col("p_ts") >= col("v_ts"))
+        .groupBy(col("user_id"), col("v_ts")).agg(min(col("p_ts")).as("p_ts"))
+        .select((col("p_ts") - col("v_ts")).as("lag_us"))
+      val counts = views.agg(count(lit(1)).as("n_viewers"))
+        .crossJoin(lags.agg(count(lit(1)).as("n_converted")))
+      val pct = operators.Percentiles.exact(lags, lit("all"), col("lag_us"),
+          Seq(("p50_lag", 0.5), ("p90_lag", 0.9)))
+        .select(col("p50_lag"), col("p90_lag"))
+      counts.crossJoin(broadcast(pct))
+    }),
+
     // Per-group KS drift (Eval.ksTestByGroup): q179 for EVERY source in
     // ONE pass — does the en-cohort length distribution diverge from the
     // rest, per source? groupBy(g, value) partial-agg, (g, value)
@@ -5828,6 +5852,24 @@ object SparkEntry {
         |  CAST(min(c) AS BIGINT) AS min_cents,
         |  CAST(max(peak - c) AS BIGINT) AS max_drawdown_cents
         |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // mirrors q188: first-view/first-subsequent-purchase lag per user,
+    // quantile_cont over the lag frame (the q39 type-7 equivalence)
+    "q188_conversion_lag" ->
+      """WITH v AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS v_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, v.v_ts, min(epoch_us(e.ts)) AS p_ts
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= v.v_ts
+        |  GROUP BY 1, 2),
+        |l AS (SELECT CAST(p_ts - v_ts AS DOUBLE) AS lag_us FROM p)
+        |SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_viewers,
+        |  CAST(count(*) AS BIGINT) AS n_converted,
+        |  quantile_cont(lag_us, 0.5) AS p50_lag,
+        |  quantile_cont(lag_us, 0.9) AS p90_lag
+        |FROM l""".stripMargin,
 
     // mirrors q187: per-group cumulative cohort counts (the window stands
     // in for the per-(partition, group) offset machinery), HUGEINT max
