@@ -3261,6 +3261,24 @@ object SparkEntry {
           col("min_cents"), col("max_drawdown_cents"))
         .orderBy(col("event_type"))),
 
+    // Self-join-size audit (second frequency moment F₂ = Σ c_k²): the
+    // join-bomb detector — the EXACT row count a self-equi-join on this
+    // key would produce, read before anyone runs it (the q181 Gini says
+    // "skewed"; this says "that join is 2·10⁷ rows"). One partial-agg'd
+    // groupBy + a 1-row rollup; all BIGINT (Σc² fits Long far past the
+    // probe scales; the DECIMAL(38,0) internal form is the overflow
+    // headroom).
+    "q189_join_fanout" -> ((s, d) => {
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      t(s, d, "lineitem")
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+          max(col("c")).as("max_count"),
+          sum(col("c").cast(d38) * col("c").cast(d38)).cast(d38).as("sj"))
+        .select(col("n_keys"), col("n_rows"), col("max_count"),
+          col("sj").cast("long").as("self_join_rows"))
+    }),
+
     // Conversion-lag percentiles: the funnel TIMING audit (q107 counts
     // who converts; this measures how fast) — per user, first view →
     // first subsequent purchase, lag in exact integer µs; p50/p90 via the
@@ -5852,6 +5870,17 @@ object SparkEntry {
         |  CAST(min(c) AS BIGINT) AS min_cents,
         |  CAST(max(peak - c) AS BIGINT) AS max_drawdown_cents
         |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // mirrors q189: Σ c² over the key's count frame in HUGEINT
+    "q189_join_fanout" ->
+      """WITH c AS (
+        |  SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(c) AS BIGINT) AS n_rows,
+        |  CAST(max(c) AS BIGINT) AS max_count,
+        |  CAST(sum(CAST(c AS HUGEINT) * c) AS BIGINT) AS self_join_rows
+        |FROM c""".stripMargin,
 
     // mirrors q188: first-view/first-subsequent-purchase lag per user,
     // quantile_cont over the lag frame (the q39 type-7 equivalence)
