@@ -239,9 +239,11 @@ object Eval {
     * distinct-value frames, range-partitioned and sorted on (g, value) so
     * each group's frame is contiguous-ordered ACROSS partitions; pass 1
     * collects per-(partition, group) subtotals (≤ partitions × groups
-    * rows — KBs), from which both the per-group totals and each
-    * partition's per-group starting offsets are exact; pass 2 scans each
-    * partition once with two running counters per group fragment. Output
+    * rows — KBs under this operator's bounded-group contract: groups are
+    * segments like sources/shards/days, not row-cardinality ids), from
+    * which both the per-group totals and each partition's per-group
+    * starting offsets are exact; pass 2 scans each partition once with
+    * two running counters per group fragment. Output
     * per group: (g, n1, n2, ks_micro) — NULL when a cohort is empty in
     * that group. Numerators in BigInteger (exact past Long).
     */

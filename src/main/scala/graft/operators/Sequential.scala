@@ -138,8 +138,9 @@ object Sequential {
     * Output: (k STRING, n_ticks, max_cents, min_cents, max_drawdown_cents)
     * — all BIGINT; drawdown is 0 for monotone-rising or single-tick keys.
     *
-    * Same two-pass shape as [[longestRuns]]; the seam algebra is the
-    * classic max-subarray-style combine (best = max(inside a, inside b,
+    * Same two-pass shape as [[longestRuns]] (including its bounded-key
+    * contract for the driver-side fold); the seam algebra is the classic
+    * max-subarray-style combine (best = max(inside a, inside b,
     * a.max − b.min)), folded over the KB-sized fragment frame.
     */
   def maxDrawdown(df: DataFrame, keyCol: Column, tsUsCol: Column,
@@ -189,8 +190,12 @@ object Sequential {
     * engine-exact.
     *
     * The per-key fold over fragment summaries runs on the driver: the
-    * summary frame is ≤ numPartitions·keys rows (KBs at any corpus size —
-    * the same bounded-collect contract as [[Eval.aucROC]]'s subtotals).
+    * summary frame is ≤ numPartitions·keys rows — KBs when the key is a
+    * bounded stream-id domain (feeds, event types, hubs), which is this
+    * operator's CONTRACT (same bounded-collect discipline as
+    * [[Eval.aucROC]]'s subtotals). For high-cardinality keys, stitch the
+    * fragment frame with a per-key window instead (it is summary-sized,
+    * so the window is cheap — the [[tickGapAudit]] spelling).
     */
   def longestRuns(df: DataFrame, keyCol: Column, tsUsCol: Column,
       seqCol: Column, valueCol: Column, numParts: Int = 0): DataFrame = {
