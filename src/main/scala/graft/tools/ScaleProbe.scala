@@ -203,6 +203,10 @@ object ScaleProbe {
         time(s"$label q185_percent_rank") {
           Stats.percentRank(docsOf(d), col("doc_id"), col("n_chars")).count()
         }
+        time(s"$label q187_ks_by_group") {
+          Eval.ksTestByGroup(docsOf(d), col("source"),
+            (col("lang") === "en").cast("long"), col("n_chars")).count()
+        }
       }
     }
     if (args.contains("--seq-only")) {
