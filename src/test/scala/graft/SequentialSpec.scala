@@ -183,6 +183,36 @@ class SequentialSpec extends AnyFunSuite {
     }
   }
 
+  test("combine algebras are associative on random triples") {
+    val rnd = new Random(31)
+    (1 to 100).foreach { _ =>
+      def runSeg(): Sequential.RunSeg = {
+        val n = 1 + rnd.nextInt(20)
+        val pre = 1 + rnd.nextInt(n)
+        val suf = 1 + rnd.nextInt(n)
+        // pre == n ⇔ suf == n ⇔ whole segment is one run: keep consistent
+        val (p, s2) = if (pre == n || suf == n) (n, n) else (pre, suf)
+        val best = math.max(math.max(p, s2), 1 + rnd.nextInt(n))
+        Sequential.RunSeg(n, math.min(best, n), p, s2,
+          rnd.nextInt(10).toDouble, rnd.nextInt(10).toDouble)
+      }
+      def ddSeg(): Sequential.DdSeg = {
+        val a = rnd.nextInt(100).toLong; val b = rnd.nextInt(100).toLong
+        val (mx, mn) = (math.max(a, b), math.min(a, b))
+        Sequential.DdSeg(1 + rnd.nextInt(20), mx, mn,
+          rnd.nextInt((mx - mn + 1).toInt).toLong)
+      }
+      val (x, y, z) = (runSeg(), runSeg(), runSeg())
+      assert(Sequential.combine(Sequential.combine(x, y), z) ==
+        Sequential.combine(x, Sequential.combine(y, z)),
+        s"runs combine not associative: $x $y $z")
+      val (a, b, c) = (ddSeg(), ddSeg(), ddSeg())
+      assert(Sequential.combineDd(Sequential.combineDd(a, b), c) ==
+        Sequential.combineDd(a, Sequential.combineDd(b, c)),
+        s"drawdown combine not associative: $a $b $c")
+    }
+  }
+
   test("ksTest: identical cohorts give 0, disjoint cohorts give 10^6") {
     import spark.implicits._
     val same = (1 to 50).flatMap(i => Seq((1L, i.toDouble), (0L, i.toDouble)))
