@@ -3261,6 +3261,64 @@ object SparkEntry {
           col("min_cents"), col("max_drawdown_cents"))
         .orderBy(col("event_type"))),
 
+    // Source vocabulary-overlap matrix: pairwise Jaccard of the DISTINCT
+    // token sets — the corpus-redundancy planner (two sources sharing 90%
+    // vocabulary probably need one cleaning config, not two). The
+    // exchange is the distinct (source, token) frame (vocab-sized, never
+    // documents); token-keyed self-join, partial-agg rollup; jaccard as
+    // IntRatio micro over |∩| and |∪| = |A|+|B|−|∩|. All BIGINT/STRING.
+    "q190_vocab_overlap" -> ((s, d) => {
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val toks = t(s, d, "documents")
+        .select(col("source"),
+          explode(graft.functions.Text.tokens(col("text"))).as("tok"))
+        .distinct()
+      val sizes = toks.groupBy(col("source")).agg(count(lit(1)).as("nv"))
+      toks.as("a")
+        .join(toks.as("b"),
+          col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(broadcast(sizes.select(col("source").as("src_a"),
+          col("nv").as("nv_a"))), Seq("src_a"))
+        .join(broadcast(sizes.select(col("source").as("src_b"),
+          col("nv").as("nv_b"))), Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("n_common"), col("nv_a"),
+          col("nv_b"),
+          col("n_common").cast(d38).as("j_num"),
+          (col("nv_a") + col("nv_b") - col("n_common")).cast(d38).as("j_den"))
+        .select(col("src_a"), col("src_b"), col("n_common"), col("nv_a"),
+          col("nv_b"),
+          graft.functions.IntRatio.micro("j_num", "j_den").as("jaccard_micro"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
+    // Distinctive terms by integer relative risk: which tokens
+    // characterize src0 against the rest — rr = (c_a/n_a)/(c_b/n_b)
+    // computed as the CROSS-MULTIPLIED integer micro (c_a·n_b over
+    // c_b·n_a: no division, no double, exact at any scale), min-support
+    // c_a ≥ 5 and c_b ≥ 1, top 20 by (rr desc, token asc) — pinned total
+    // order. One token-count scan + a 1-row totals broadcast.
+    "q191_distinctive_terms" -> ((s, d) => {
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val tc = t(s, d, "documents")
+        .select(when(col("source") === "src0", 1L).otherwise(0L).as("in_a"),
+          explode(graft.functions.Text.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok"))
+        .agg(sum(col("in_a")).as("ca"),
+          (count(lit(1)) - sum(col("in_a"))).as("cb"))
+      val totals = tc.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+      tc.crossJoin(broadcast(totals))
+        .filter(col("ca") >= 5 && col("cb") >= 1)
+        .select(col("tok"), col("ca"), col("cb"),
+          (col("ca").cast(d38) * col("nb").cast(d38)).as("rr_num"),
+          (col("cb").cast(d38) * col("na").cast(d38)).as("rr_den"))
+        .select(col("tok"), col("ca"), col("cb"),
+          graft.functions.IntRatio.micro("rr_num", "rr_den").as("rr_micro"))
+        .orderBy(col("rr_micro").desc, col("tok"))
+        .limit(20)
+    }),
+
     // Self-join-size audit (second frequency moment F₂ = Σ c_k²): the
     // join-bomb detector — the EXACT row count a self-equi-join on this
     // key would produce, read before anyone runs it (the q181 Gini says
@@ -5870,6 +5928,44 @@ object SparkEntry {
         |  CAST(min(c) AS BIGINT) AS min_cents,
         |  CAST(max(peak - c) AS BIGINT) AS max_drawdown_cents
         |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // mirrors q190: the same distinct (source, token) frame via unnest,
+    // token self-join, duckMicro jaccard
+    "q190_vocab_overlap" ->
+      s"""WITH tk AS (
+        |  SELECT DISTINCT source,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        |  FROM documents),
+        |s AS (SELECT source, CAST(count(*) AS BIGINT) AS nv FROM tk GROUP BY 1),
+        |i AS (SELECT a.source AS sa, b.source AS sb,
+        |        CAST(count(*) AS BIGINT) AS n_common
+        |      FROM tk a JOIN tk b ON a.tok = b.tok AND a.source < b.source
+        |      GROUP BY 1, 2)
+        |SELECT i.sa AS src_a, i.sb AS src_b, i.n_common,
+        |  x.nv AS nv_a, y.nv AS nv_b,
+        |  ${graft.functions.IntRatio.duckMicro(
+             "i.n_common", "x.nv + y.nv - i.n_common")} AS jaccard_micro
+        |FROM i JOIN s x ON i.sa = x.source JOIN s y ON i.sb = y.source
+        |ORDER BY src_a, src_b""".stripMargin,
+
+    // mirrors q191: cross-multiplied integer relative risk, same support
+    // floor and pinned (rr desc, token asc) top-20
+    "q191_distinctive_terms" ->
+      s"""WITH t AS (
+        |  SELECT CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS in_a,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, CAST(sum(in_a) AS BIGINT) AS ca,
+        |        CAST(count(*) - sum(in_a) AS BIGINT) AS cb
+        |      FROM t GROUP BY 1),
+        |n AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |        CAST(sum(cb) AS BIGINT) AS nb FROM c)
+        |SELECT c.tok, c.ca, c.cb,
+        |  ${graft.functions.IntRatio.duckMicro(
+             "CAST(c.ca AS HUGEINT) * n.nb", "CAST(c.cb AS HUGEINT) * n.na")}
+        |    AS rr_micro
+        |FROM c, n WHERE c.ca >= 5 AND c.cb >= 1
+        |ORDER BY rr_micro DESC, c.tok LIMIT 20""".stripMargin,
 
     // mirrors q189: Σ c² over the key's count frame in HUGEINT
     "q189_join_fanout" ->
