@@ -143,17 +143,30 @@ object Bench {
     // run) and a per-run bench_out_<label>.json — round 8's driver run
     // overwrote the builder's solo artifact and orphaned a BASELINE claim;
     // versioned artifacts make a claim and its evidence inseparable.
+    // default label carries the PID: a second-resolution timestamp alone
+    // let two invocations in the same second silently overwrite each
+    // other's artifact — the orphaned-BASELINE-claim problem the versioned
+    // artifacts exist to prevent. An explicit SPARK_GRAFT_BENCH_LABEL is
+    // taken as intent and left alone.
     val label = sys.env.getOrElse("SPARK_GRAFT_BENCH_LABEL",
       java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss")
         .withZone(java.time.ZoneOffset.UTC)
-        .format(java.time.Instant.now()))
-    // a BENCH_ONLY subset run must NOT overwrite bench_out.json — that file
-    // is the full-inventory requeue reference for the next driver run
+        .format(java.time.Instant.now()) +
+        s"_p${ProcessHandle.current().pid()}")
+    // per-run artifacts live under bench/artifacts/ (repo-root clutter was
+    // a round-9 verdict item); bench_out.json stays at root because it is
+    // the full-inventory requeue reference the next driver run reads.
+    // a BENCH_ONLY subset run must NOT overwrite bench_out.json.
+    val artDir = java.nio.file.Paths.get("bench", "artifacts")
+    try java.nio.file.Files.createDirectories(artDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] mkdir $artDir failed: $e") }
+    val labeled = artDir.resolve(s"bench_out_$label.json")
     val outFiles =
-      if (only.isDefined) Seq(s"bench_out_$label.json")
-      else Seq("bench_out.json", s"bench_out_$label.json")
+      if (only.isDefined) Seq(labeled)
+      else Seq(java.nio.file.Paths.get("bench_out.json"), labeled)
     for (f <- outFiles) {
-      try java.nio.file.Files.writeString(java.nio.file.Paths.get(f), line + "\n")
+      try java.nio.file.Files.writeString(f, line + "\n")
       catch { case e: Throwable =>
         System.err.println(s"[bench] $f write failed: $e") }
     }

@@ -3358,7 +3358,11 @@ object SparkEntry {
       val pct = operators.Percentiles.exact(lags, lit("all"), col("lag_us"),
           Seq(("p50_lag", 0.5), ("p90_lag", 0.9)))
         .select(col("p50_lag"), col("p90_lag"))
-      counts.crossJoin(broadcast(pct))
+      // left join on true, not crossJoin: Percentiles.exact over an EMPTY
+      // lag frame returns zero rows, and the oracle's aggregate-over-empty
+      // semantics are one row with n_converted=0 and NULL quantiles — the
+      // left join preserves the counts row with NULL p50/p90 in that case
+      counts.join(broadcast(pct), lit(true), "left")
     }),
 
     // Per-group KS drift (Eval.ksTestByGroup): q179 for EVERY source in
@@ -3578,13 +3582,16 @@ object SparkEntry {
     // tok_start), units packed into 256-token shards by the SAME two-pass
     // distributed prefix sum as q72 (packShardsByCount, the composition
     // surface: any unit stream with an integer cost packs through it).
-    // Composite unit_id = doc_id·8 + chunk_idx keeps (doc, window) order.
-    // All integers end to end; the oracle chains the q167 arithmetic into
-    // a cumsum window.
+    // Composite unit_id = doc_id·1024 + chunk_idx keeps (doc, window)
+    // order and cannot alias until a doc yields >1024 chunks (n_tok >
+    // ~24 500 at chunk=32/overlap=8 — far past any fixture scale; the
+    // old ·8 multiplier aliased at n_tok > 200 and would have made the
+    // pack order engine-nondeterministic on ties). All integers end to
+    // end; the oracle chains the q167 arithmetic into a cumsum window.
     "q173_chunk_pack" -> ((s, d) => {
       val chunks = Corpus.chunkPlan(t(s, d, "documents"), col("doc_id"),
           col("text"), chunkTokens = 32, overlap = 8)
-        .select((col("doc_id") * 8 + col("chunk_idx")).as("unit_id"),
+        .select((col("doc_id") * 1024 + col("chunk_idx")).as("unit_id"),
           (col("tok_end") - col("tok_start")).as("cost"))
       Corpus.packShardsByCount(chunks, col("unit_id"), col("cost"),
           budgetTokens = 256L)
@@ -6226,7 +6233,7 @@ object SparkEntry {
         |         ELSE 1 + (greatest(n_tok - 32, 0) + 23) // 24 END AS n_chunks
         |  FROM tk),
         |u AS (
-        |  SELECT doc_id * 8 + i AS unit_id,
+        |  SELECT doc_id * 1024 + i AS unit_id,
         |    least(i * 24 + 32, n_tok) - i * 24 AS cost
         |  FROM c, unnest(range(0, CAST(n_chunks AS BIGINT))) AS t(i)),
         |p AS (

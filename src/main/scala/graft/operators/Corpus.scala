@@ -837,13 +837,14 @@ object Corpus {
     val stride = (chunkTokens - overlap).toLong
     val base = docs.select(idCol.cast("long").as("doc_id"),
       size(Text.tokens(textCol)).cast("long").as("n_tok"))
-    val extra = greatest(col("n_tok") - chunkTokens, lit(0L))
     // ceil(extra / stride) in INTEGER space: Column `/` is double division
-    // (a hashed-output hazard), so spell the ceil as (extra + stride-1) div
-    // stride via floor-of-exact-quotient — exact for any Long < 2^53
+    // (a hashed-output hazard — floor(a/b) can exceed the true quotient
+    // once the numerator nears 2^52), so use SQL `div`, which is true
+    // integral division at any Long magnitude
     val nChunks = when(col("n_tok") === 0, 0L)
       .otherwise(lit(1L) +
-        floor((extra + (stride - 1)) / stride).cast("long"))
+        expr(s"(greatest(n_tok - ${chunkTokens}L, 0L) + ${stride - 1}L)" +
+          s" div ${stride}L"))
     base.select(col("doc_id"), col("n_tok"), nChunks.cast("long").as("n_chunks"))
       .select(col("doc_id"), col("n_tok"), col("n_chunks"),
         // sequence(0, -1) counts DOWN (the shingles lesson) — an empty doc

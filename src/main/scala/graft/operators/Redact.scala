@@ -43,20 +43,24 @@ object Redact {
     * iff the sweep is complete). Email is replaced first: it is the only
     * pattern that could contain characters of the others' alphabets, and
     * replacing the longest-alphabet pattern first means later patterns
-    * never see a partially-consumed match.
+    * never see a partially-consumed match. Each kind is COUNTED on the
+    * text remaining after the earlier kinds' replacements (email on the
+    * original, phone on the email-redacted text, IPv4 on the
+    * phone-redacted text) so the counts are a faithful audit of what was
+    * actually redacted — counting every kind on the original would
+    * double-count overlapping matches (e.g. `+` followed by 7+ digits
+    * inside an email local part) that the replacement cascade consumes
+    * only once.
     */
   def scrub(df: DataFrame, idCol: Column, textCol: Column,
       keep: Column*): DataFrame = {
-    val redacted =
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(textCol, lit(EMAIL), lit("[EMAIL]")),
-          lit(PHONE), lit("[PHONE]")),
-        lit(IPV4), lit("[IP]"))
+    val afterEmail = regexp_replace(textCol, lit(EMAIL), lit("[EMAIL]"))
+    val afterPhone = regexp_replace(afterEmail, lit(PHONE), lit("[PHONE]"))
+    val redacted = regexp_replace(afterPhone, lit(IPV4), lit("[IP]"))
     df.select(idCol.as("doc_id") +: keep :+
       regexp_count(textCol, lit(EMAIL)).cast("long").as("n_email") :+
-      regexp_count(textCol, lit(PHONE)).cast("long").as("n_phone") :+
-      regexp_count(textCol, lit(IPV4)).cast("long").as("n_ipv4") :+
+      regexp_count(afterEmail, lit(PHONE)).cast("long").as("n_phone") :+
+      regexp_count(afterPhone, lit(IPV4)).cast("long").as("n_ipv4") :+
       redacted.as("redacted") :+
       (regexp_count(redacted, lit(EMAIL))
         + regexp_count(redacted, lit(PHONE))

@@ -44,6 +44,18 @@ class RedactSpec extends AnyFunSuite {
     assert(r.getAs[String]("redacted") == "[EMAIL] [PHONE] [IP]")
   }
 
+  test("overlapping matches are counted once, by the kind that consumed them") {
+    // `+12345678` inside the email local part is in PHONE's language, but
+    // the email-first replacement consumes it — a faithful audit counts it
+    // as email only (counting each kind on the original would report
+    // n_phone=1 for a document whose redaction never touched a phone)
+    val r = scrubOne("mail a+12345678@b.co today")
+    assert(r.getAs[Long]("n_email") == 1L)
+    assert(r.getAs[Long]("n_phone") == 0L)
+    assert(r.getAs[Long]("n_residual") == 0L)
+    assert(r.getAs[String]("redacted") == "mail [EMAIL] today")
+  }
+
   test("phone length bounds: 6 digits too short, 16 too long") {
     assert(scrubOne("+123456").getAs[Long]("n_phone") == 0L)
     // 16 digits: the bank matches the first 15 (RE2/Java both greedy) —
