@@ -228,7 +228,25 @@ object Eval {
 
   private val ksGroupSchema = StructType(Seq(
     StructField("g", StringType, nullable = false),
-    StructField("part_max", DecimalType(38, 0), nullable = false)))
+    StructField("n1", LongType, nullable = false),
+    StructField("n2", LongType, nullable = false),
+    StructField("ks_num", DecimalType(38, 0), nullable = false)))
+
+  /** Per-fragment KS segment: the running signed diff D(i) = C1(i)·n2 −
+    * C2(i)·n1 is a prefix sum of per-row deltas, so a fragment summarizes
+    * to (total delta, prefix max, prefix min) — the same segment algebra
+    * as a max-prefix segment tree. `max`/`min` are over the D values AFTER
+    * each row of the fragment; the group's KS numerator is
+    * max(|mmax|, |mmin|) of the folded chain (D starts at 0 and ends at 0,
+    * so the global extremes ARE the max |D|). BigInteger throughout: |D| ≤
+    * 2·n², past Long at ~3·10⁹ rows.
+    */
+  private[graft] final case class KsSeg(t: BigInteger, mmax: BigInteger,
+      mmin: BigInteger)
+
+  private[graft] def combineKs(a: KsSeg, b: KsSeg): KsSeg =
+    KsSeg(a.t.add(b.t), a.mmax.max(a.t.add(b.mmax)),
+      a.mmin.min(a.t.add(b.mmin)))
 
   /** Per-group two-sample KS — [[ksTest]] run for EVERY group in one
     * pass: the segment-level drift report (per source / per shard / per
@@ -236,16 +254,18 @@ object Eval {
     * One query, never a per-group job loop.
     *
     * Scale shape: group BY (g, value) partial-agg → the per-group
-    * distinct-value frames, range-partitioned and sorted on (g, value) so
-    * each group's frame is contiguous-ordered ACROSS partitions; pass 1
-    * collects per-(partition, group) subtotals (≤ partitions × groups
-    * rows — KBs under this operator's bounded-group contract: groups are
-    * segments like sources/shards/days, not row-cardinality ids), from
-    * which both the per-group totals and each partition's per-group
-    * starting offsets are exact; pass 2 scans each partition once with
-    * two running counters per group fragment. Output
-    * per group: (g, n1, n2, ks_micro) — NULL when a cohort is empty in
-    * that group. Numerators in BigInteger (exact past Long).
+    * distinct-value frames; per-group totals (n1, n2) join back in (a
+    * distributed shuffle join — the totals frame is one row per group);
+    * the joined frame range-partitions and sorts on (g, value) so each
+    * group's frame is contiguous-ordered ACROSS partitions; one scan folds
+    * each (partition, group) fragment to an O(1) [[KsSeg]] (total signed
+    * diff, prefix max, prefix min); the fragments stitch DISTRIBUTED — a
+    * group has at most one fragment per partition, so a groupByKey moves
+    * ≤ partitions summaries per group and the pid-ordered associative
+    * [[combineKs]] fold runs on executors. Nothing touches the driver, so
+    * group cardinality is unbounded (per-source and per-day both fine).
+    * Output per group: (g, n1, n2, ks_micro) — NULL when a cohort is
+    * empty in that group. Numerators in BigInteger (exact past Long).
     */
   def ksTestByGroup(df: DataFrame, groupCol: org.apache.spark.sql.Column,
       in1Col: org.apache.spark.sql.Column,
@@ -260,67 +280,49 @@ object Eval {
         valueCol.cast("double").as("x"))
       .groupBy(col("g"), col("x"))
       .agg(sum(col("g1")).as("c1"), (count(lit(1)) - sum(col("g1"))).as("c2"))
-      .as[(String, Double, Long, Long)].rdd
-      .map { case (g, x, c1, c2) => ((g, x), (c1, c2)) }
+    val totals = grouped.groupBy(col("g"))
+      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    val joined = grouped.join(totals, Seq("g"))
+      .select(col("g"), col("x"), col("c1"), col("c2"), col("n1"), col("n2"))
+      .as[(String, Double, Long, Long, Long, Long)].rdd
+      .map { case (g, x, c1, c2, n1, n2) => ((g, x), (c1, c2, n1, n2)) }
     val nPart = math.max(1, math.min(parts, 32))
-    val sorted = grouped.repartitionAndSortWithinPartitions(
-      new RangePartitioner(nPart, grouped))
-    // pass 1: per-(partition, group) cohort subtotals — the offsets table
-    val subs = sorted
-      .mapPartitionsWithIndex { case (pid, it) =>
-        val m = scala.collection.mutable.LinkedHashMap
-          .empty[String, (Long, Long)]
-        it.foreach { case ((g, _), (c1, c2)) =>
-          val (s1, s2) = m.getOrElse(g, (0L, 0L))
-          m(g) = (s1 + c1, s2 + c2)
-        }
-        m.iterator.map { case (g, (s1, s2)) => (pid, g, s1, s2) }
-      }
-      .collect()
-    val totals: Map[String, (Long, Long)] = subs.groupBy(_._2).map {
-      case (g, rows) => g -> (rows.map(_._3).sum, rows.map(_._4).sum)
-    }
-    // group g's running counters entering partition p = sums over p' < p
-    val offsets: Map[(Int, String), (Long, Long)] = {
-      val byGroup = subs.groupBy(_._2)
-      byGroup.flatMap { case (g, rows) =>
-        val sorted = rows.sortBy(_._1)
-        var a = 0L; var b = 0L
-        sorted.map { case (pid, _, s1, s2) =>
-          val r = ((pid, g), (a, b)); a += s1; b += s2; r
-        }
-      }
-    }
-    val partRows = sorted.mapPartitionsWithIndex { case (pid, it) =>
-      val best = scala.collection.mutable.LinkedHashMap.empty[String, BigInteger]
-      var curG: String = null; var cc1 = 0L; var cc2 = 0L
+    val sorted = joined.repartitionAndSortWithinPartitions(
+      new RangePartitioner(nPart, joined))
+    // one scan: fold each (partition, group) fragment to a KsSeg
+    val frags = sorted.mapPartitionsWithIndex { case (pid, it) =>
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(String, (Int, KsSeg, Long, Long))]
+      var curG: String = null
       var bN1 = BigInteger.ZERO; var bN2 = BigInteger.ZERO
-      it.foreach { case ((g, _), (c1, c2)) =>
+      var n1 = 0L; var n2 = 0L
+      var seg: KsSeg = null
+      def flush(): Unit =
+        if (seg != null) out += ((curG, (pid, seg, n1, n2)))
+      it.foreach { case ((g, _), (c1, c2, t1, t2)) =>
         if (g != curG) {
-          curG = g
-          val (o1, o2) = offsets.getOrElse((pid, g), (0L, 0L))
-          cc1 = o1; cc2 = o2
-          val (n1, n2) = totals(g)
-          bN1 = BigInteger.valueOf(n1); bN2 = BigInteger.valueOf(n2)
-          // seed so an all-zero-diff group (empty cohort) still emits a
-          // row — its NULL comes from the den guard, not from absence
-          if (!best.contains(g)) best(g) = BigInteger.ZERO
+          flush(); curG = g; n1 = t1; n2 = t2
+          bN1 = BigInteger.valueOf(t1); bN2 = BigInteger.valueOf(t2)
+          seg = null
         }
-        cc1 += c1; cc2 += c2
-        val d = BigInteger.valueOf(cc1).multiply(bN2)
-          .subtract(BigInteger.valueOf(cc2).multiply(bN1)).abs()
-        if (d.compareTo(best.getOrElse(g, BigInteger.ZERO)) > 0) best(g) = d
+        val d = BigInteger.valueOf(c1).multiply(bN2)
+          .subtract(BigInteger.valueOf(c2).multiply(bN1))
+        seg =
+          if (seg == null) KsSeg(d, d, d)
+          else combineKs(seg, KsSeg(d, d, d))
       }
-      best.iterator.map { case (g, b) => Row(g, new JBigDecimal(b)) }
+      flush(); out.iterator
+    }
+    // distributed stitch: ≤ nPart fragments per group, folded in pid order
+    val rows = frags.groupByKey().map { case (g, fs) =>
+      val sortedFs = fs.toSeq.sortBy(_._1)
+      val tot = sortedFs.map(_._2).reduceLeft(combineKs)
+      val ksNum = tot.mmax.abs.max(tot.mmin.abs)
+      val (n1, n2) = (sortedFs.head._3, sortedFs.head._4)
+      Row(g, n1, n2, new JBigDecimal(ksNum))
     }
     val d38 = DecimalType(38, 0)
-    val totalsDf = spark
-      .createDataFrame(totals.toSeq.map { case (g, (n1, n2)) => (g, n1, n2) })
-      .toDF("g", "n1", "n2")
-    spark.createDataFrame(partRows, ksGroupSchema)
-      .groupBy(col("g"))
-      .agg(max(col("part_max")).cast(d38).as("ks_num"))
-      .join(broadcast(totalsDf), Seq("g"))
+    spark.createDataFrame(rows, ksGroupSchema)
       .select(col("g"), col("n1"), col("n2"), col("ks_num"),
         (col("n1").cast(d38) * col("n2").cast(d38)).cast(d38).as("ks_den"))
       .select(col("g"), col("n1"), col("n2"),

@@ -138,10 +138,11 @@ object Sequential {
     * Output: (k STRING, n_ticks, max_cents, min_cents, max_drawdown_cents)
     * — all BIGINT; drawdown is 0 for monotone-rising or single-tick keys.
     *
-    * Same two-pass shape as [[longestRuns]] (including its bounded-key
-    * contract for the driver-side fold); the seam algebra is the classic
+    * Same two-pass shape as [[longestRuns]], stitched distributively (a
+    * per-key executor-side fold over ≤ numPartitions summaries — no driver
+    * collect, no key-cardinality bound); the seam algebra is the classic
     * max-subarray-style combine (best = max(inside a, inside b,
-    * a.max − b.min)), folded over the KB-sized fragment frame.
+    * a.max − b.min)), folded over the summary-sized fragment frame.
     */
   def maxDrawdown(df: DataFrame, keyCol: Column, tsUsCol: Column,
       seqCol: Column, valueCentsCol: Column, numParts: Int = 0): DataFrame = {
@@ -171,11 +172,15 @@ object Sequential {
         }
         flush(); out.iterator
       }
-      .collect()
+    // stitch DISTRIBUTED: a key has at most one fragment per partition, so
+    // groupByKey moves ≤ nPart tiny summaries per key and the pid-ordered
+    // fold runs on executors — no driver collect, no bounded-key contract
+    // (a 10⁷-cardinality key is just a bigger, still-summary-sized shuffle).
     val merged = frags
-      .groupBy(_._1).toSeq
+      .map { case (k, pid, seg) => (k, (pid, seg)) }
+      .groupByKey()
       .map { case (k, fs) =>
-        val tot = fs.sortBy(_._2).map(_._3).reduceLeft(combineDd)
+        val tot = fs.toSeq.sortBy(_._1).map(_._2).reduceLeft(combineDd)
         (k, tot.n, tot.maxV, tot.minV, tot.best)
       }
     spark.createDataFrame(merged)
@@ -189,13 +194,12 @@ object Sequential {
     * only COMPARED (never summed or divided), so the result is
     * engine-exact.
     *
-    * The per-key fold over fragment summaries runs on the driver: the
-    * summary frame is ≤ numPartitions·keys rows — KBs when the key is a
-    * bounded stream-id domain (feeds, event types, hubs), which is this
-    * operator's CONTRACT (same bounded-collect discipline as
-    * [[Eval.aucROC]]'s subtotals). For high-cardinality keys, stitch the
-    * fragment frame with a per-key window instead (it is summary-sized,
-    * so the window is cheap — the [[tickGapAudit]] spelling).
+    * The per-key fold over fragment summaries is DISTRIBUTED: a key has at
+    * most one fragment per range partition, so a groupByKey over the
+    * fragment frame moves ≤ numPartitions summaries per key and the
+    * pid-ordered associative fold runs on executors. Key cardinality is
+    * therefore unbounded — a 10⁷-key stream shuffles 10⁷ × nPart tiny
+    * summary rows, never rows of events, and nothing touches the driver.
     */
   def longestRuns(df: DataFrame, keyCol: Column, tsUsCol: Column,
       seqCol: Column, valueCol: Column, numParts: Int = 0): DataFrame = {
@@ -234,11 +238,13 @@ object Sequential {
         }
         flush(); out.iterator
       }
-      .collect()
+    // same distributed stitch as [[maxDrawdown]]: ≤ nPart summaries per key
+    // folded on executors in pid order with the associative [[combine]]
     val merged = frags
-      .groupBy(_._1).toSeq
+      .map { case (k, pid, seg) => (k, (pid, seg)) }
+      .groupByKey()
       .map { case (k, fs) =>
-        val total = fs.sortBy(_._2).map(_._3).reduceLeft(combine)
+        val total = fs.toSeq.sortBy(_._1).map(_._2).reduceLeft(combine)
         (k, total.n, total.best)
       }
     spark.createDataFrame(merged).toDF("k", "n_ticks", "longest_run")

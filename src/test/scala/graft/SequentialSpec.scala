@@ -258,6 +258,60 @@ class SequentialSpec extends AnyFunSuite {
     assert(r.getLong(1) == 2 && r.getLong(2) == 0 && r.isNullAt(3))
   }
 
+  test("KS segment combine: fold equals whole-sequence scan and is associative") {
+    import java.math.BigInteger
+    val rnd = new Random(37)
+    def seg(ds: Seq[Long]): operators.Eval.KsSeg =
+      ds.map(d => operators.Eval.KsSeg(BigInteger.valueOf(d),
+          BigInteger.valueOf(d), BigInteger.valueOf(d)))
+        .reduceLeft(operators.Eval.combineKs)
+    (1 to 100).foreach { _ =>
+      val ds = Seq.fill(2 + rnd.nextInt(30))((rnd.nextInt(41) - 20).toLong)
+      val whole = seg(ds)
+      // whole-scan reference: prefix extremes of the running sum
+      val prefixes = ds.scanLeft(0L)(_ + _).tail
+      assert(whole.t.longValueExact == ds.sum)
+      assert(whole.mmax.longValueExact == prefixes.max)
+      assert(whole.mmin.longValueExact == prefixes.min)
+      val cut1 = 1 + rnd.nextInt(ds.size - 1)
+      val folded = operators.Eval.combineKs(seg(ds.take(cut1)), seg(ds.drop(cut1)))
+      assert(folded == whole, s"ds=$ds cut=$cut1")
+    }
+  }
+
+  test("high-cardinality keys run distributed: no driver-side stitch bound") {
+    // 20 000 distinct keys (the shape the old driver-side fold could not
+    // carry): the stitches must run as executor-side folds and return the
+    // full key set; spot-check a handful of keys against the local oracle.
+    import spark.implicits._
+    val rnd = new Random(41)
+    val n = 60000
+    val rows = (1 to n).map { i =>
+      (s"k${rnd.nextInt(20000)}", (i / 2).toLong, i.toLong,
+        rnd.nextInt(1000).toDouble)
+    }
+    val runs = Sequential.longestRuns(df(rows), col("k"), col("t"), col("q"),
+      col("v")).cache()
+    val dd = Sequential.maxDrawdown(df(rows), col("k"), col("t"), col("q"),
+      col("v").cast("long")).cache()
+    val nKeys = rows.map(_._1).distinct.size.toLong
+    assert(runs.count() == nKeys && dd.count() == nKeys)
+    val want = runsOracle(rows.filter(r => Set("k0", "k7", "k42")(r._1)))
+    val got = runs.filter(col("k").isin("k0", "k7", "k42"))
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    runs.unpersist(); dd.unpersist()
+    // ksTestByGroup at 5 000 groups: full group set back, no collect blow-up
+    val ksRows = (1 to n).map { _ =>
+      (s"g${rnd.nextInt(5000)}", rnd.nextInt(2).toLong,
+        rnd.nextInt(50).toDouble)
+    }
+    val ks = operators.Eval.ksTestByGroup(ksRows.toDF("g", "g1", "x"),
+      col("g"), col("g1"), col("x"))
+    assert(ks.count() == ksRows.map(_._1).distinct.size.toLong)
+  }
+
   test("ksTest matches a local ECDF oracle on random data") {
     val rnd = new Random(3)
     val rows = (1 to 300).map { _ =>
