@@ -2392,6 +2392,68 @@ object SparkEntry {
         .orderBy(col("metric"))
     }),
 
+    // TTL'd streaming band index (nearDupCandidatesStreamTtl): the
+    // BOUNDED-STATE variant of q75 — "duplicate of anything in the last
+    // TTL window", the contract production dedup actually runs. Tape: the
+    // corpus in id order at 1 tick/second; ttl = n/4 seconds, chosen where
+    // the fixture has candidate pairs BOTH inside the window (the stream
+    // must emit them) and beyond it (it must NOT — evicted, the state
+    // bound's proof) at every sf (TtlProbe: 15/13 at sf0.001, 9/16 at
+    // sf0.01, 127/129 at sf0.1). Batch twin: the q75 band join filtered
+    // to |ts_a − ts_b| ≤ ttl. Equality + both-regimes-nonempty pinned as
+    // booleans.
+    "q192_streaming_neardup_ttl" -> ((s, d) => {
+      import s.implicits._
+      val docsDf = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val docs = docsDf.as[(Long, String)].collect().toSeq.sortBy(_._1)
+      val n = docs.size
+      val ttlMs = (n / 4).toLong * 1000L
+      // ticks start at 1 s, NOT 0: the initial watermark is 0 ms and the
+      // stateful operator's late-data filter drops rows at-or-before it —
+      // a ts=0 first doc would silently never enter the band index
+      val tape = docs.zipWithIndex.map { case ((id, text), i) =>
+        (id, new java.sql.Timestamp((i + 1).toLong * 1000L), text)
+      }
+      val stream = graft.streaming.MemoryReplay.replay(s, tape, nBatches = 8)(
+          ds => graft.streaming.StreamingOps.nearDupCandidatesStreamTtl(
+            ds.toDF("doc_id", "ts", "text"), "doc_id", "ts", "text",
+            ttlMs = ttlMs))
+        .toDF("doc_a", "doc_b").distinct()
+      val pos = s.createDataFrame(
+          docs.zipWithIndex.map { case ((id, _), i) => (id, (i + 1).toLong * 1000L) })
+        .toDF("doc_id", "ts_ms")
+      val batchPairs = Dedup.minhashLsh(docsDf, col("doc_id"), col("text"),
+          threshold = 0.0)
+        .select(col("doc_a"), col("doc_b"))
+        .join(broadcast(pos.select(col("doc_id").as("doc_a"),
+          col("ts_ms").as("ta"))), Seq("doc_a"))
+        .join(broadcast(pos.select(col("doc_id").as("doc_b"),
+          col("ts_ms").as("tb"))), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          (abs(col("ta") - col("tb")) <= ttlMs).as("within"))
+      batchPairs.filter(col("within")).select(col("doc_a"), col("doc_b"))
+        .withColumn("b", lit(1))
+        .join(stream.withColumn("st", lit(1)), Seq("doc_a", "doc_b"),
+          "full_outer")
+        .agg(
+          count(when(col("b").isNotNull && col("st").isNull, 1)).as("missing"),
+          count(when(col("st").isNotNull && col("b").isNull, 1)).as("extra"),
+          count(col("b")).as("n_within"))
+        .crossJoin(batchPairs.agg(
+          count(when(!col("within"), 1)).as("n_beyond")))
+        .select(explode(array(
+          struct(lit("stream_covers_ttl_batch").as("metric"),
+            (col("missing") === 0).as("ok")),
+          struct(lit("stream_subset_of_ttl_batch").as("metric"),
+            (col("extra") === 0).as("ok")),
+          struct(lit("ttl_window_nonempty").as("metric"),
+            (col("n_within") > 0).as("ok")),
+          struct(lit("ttl_expired_nonempty").as("metric"),
+            (col("n_beyond") > 0).as("ok")))))
+        .select(col("col.metric").as("metric"), col("col.ok").as("ok"))
+        .orderBy(col("metric"))
+    }),
+
     // Document CHUNKING (embedding prep): overlapping token windows of 50
     // with stride 40, one row per chunk — the split an embedding/indexing
     // stage runs before ANN. Pure codegen'd HOFs (sequence + posexplode +
@@ -5171,6 +5233,17 @@ object SparkEntry {
         |  ('candidates_nonempty', TRUE),
         |  ('stream_covers_batch', TRUE),
         |  ('stream_subset_of_batch', TRUE)) AS t(metric, ok)
+        |ORDER BY metric""".stripMargin,
+
+    // mirrors q192: the engine computes stream-vs-TTL-filtered-batch set
+    // equality and the two regime counts internally; the oracle pins all
+    // four booleans (same discipline as q75)
+    "q192_streaming_neardup_ttl" ->
+      """SELECT * FROM (VALUES
+        |  ('stream_covers_ttl_batch', TRUE),
+        |  ('stream_subset_of_ttl_batch', TRUE),
+        |  ('ttl_expired_nonempty', TRUE),
+        |  ('ttl_window_nonempty', TRUE)) AS t(metric, ok)
         |ORDER BY metric""".stripMargin,
 
     // NOTE: unnest(range(...)) in scalar context, NOT `FROM l, range(len)` —

@@ -26,6 +26,12 @@ final case class AnomalyState(cents: Seq[Long])
 /** Doc ids seen in one LSH band bucket (streaming near-dup state). */
 final case class BandBucket(ids: Seq[Long])
 
+/** TTL'd band bucket: members carry their event time (ms) so arrivals can
+  * evict aged entries; kept (ts, id)-sorted — arrival order, since event
+  * time is monotone under the replay/watermark contract.
+  */
+final case class TimedBandBucket(ids: Seq[Long], tsMs: Seq[Long])
+
 /** Winning doc id for one content fingerprint (streaming exact dedup). */
 final case class FirstSeen(docId: Long)
 
@@ -681,6 +687,105 @@ object StreamingOps {
           }
           state.update(BandBucket(seen))
           out.result().iterator
+      }
+  }
+
+  /** TTL'd streaming MinHash-LSH near-dup candidates — the BOUNDED-STATE
+    * variant of [[nearDupCandidatesStream]] (whose band index grows
+    * linearly with distinct content, the one streaming family measured to
+    * do so). Production near-dup checks rarely need "duplicate of
+    * anything EVER"; they need "duplicate of anything in the last N
+    * hours/days" — this operator implements that contract, and its state
+    * is bounded by arrival-rate × TTL instead of corpus size.
+    *
+    * Semantics: an arriving doc emits one candidate pair per doc already
+    * in any of its band buckets whose event time is within `ttlMs` of the
+    * arrival's; members older than that are evicted from the bucket
+    * before the arrival joins it. Since event time is monotone over the
+    * replayed/watermarked stream, the emitted pair set is EXACTLY the
+    * batch band join filtered to |ts_a − ts_b| ≤ ttlMs (the q192 gate
+    * equality). At-least-once like the batch pipeline — dedup downstream.
+    *
+    * Boundedness comes in two layers:
+    *   1. arrival-time compaction — an arrival into a live bucket drops
+    *      aged members in place (correctness lives here: the emit filter
+    *      is exact regardless of timer timing);
+    *   2. event-time TIMEOUT — a bucket whose newest member has aged past
+    *      the watermark by `ttlMs` is REMOVED entirely (memory lives
+    *      here: dormant buckets cannot hold state forever; every member
+    *      is provably expired for any future arrival, because event time
+    *      past the watermark only moves forward).
+    * Requires a watermark on `tsCol` (set internally, `watermarkDelay`).
+    * Watermark caveat: rows at-or-before the CURRENT watermark are dropped
+    * by the stateful operator's late-data filter — in particular the
+    * initial watermark is epoch 0 ms, so event times must be strictly
+    * positive (the q192 tape starts at 1 s for exactly this reason).
+    *
+    * The `maxBucket` cap applies to the bucket's CURRENT window (eviction
+    * frees capacity) — a boilerplate cluster still can't emit B² pairs in
+    * any one window, and unlike the unbounded variant a cold bucket warms
+    * back up once its hot content ages out.
+    */
+  def nearDupCandidatesStreamTtl(docs: DataFrame, idCol: String,
+      tsCol: String, textCol: String, ttlMs: Long,
+      shingleN: Int = 3, numHashes: Int = 32, numBands: Int = 8,
+      maxBucket: Int = 10000, watermarkDelay: String = "0 seconds"): Dataset[(Long, Long)] = {
+    import org.apache.spark.sql.functions._
+    val r = numHashes / numBands
+    require(numBands * r == numHashes, "numBands must divide numHashes")
+    require(ttlMs > 0, "ttlMs must be positive")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(tsCol).cast("timestamp").as("ts"),
+        explode(graft.functions.Text.bands(
+          call_function("graft_minhash",
+            call_function("graft_shingles", col(textCol), lit(shingleN)),
+            lit(numHashes)), numBands, r)).as("band"))
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, Timestamp, Long)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[TimedBandBucket, (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, it, state) =>
+          if (state.hasTimedOut) {
+            // newest member aged ttl past the watermark ⇒ every member is
+            // expired for any future arrival — drop the whole bucket
+            state.remove()
+            Iterator.empty
+          } else {
+            var members: Vector[(Long, Long)] = state.getOption
+              .map(s => s.tsMs.zip(s.ids).toVector).getOrElse(Vector.empty)
+            val member = scala.collection.mutable.HashSet.from(members.map(_._2))
+            val out = Vector.newBuilder[(Long, Long)]
+            // (ts, id)-sorted arrivals keep in-batch eviction monotone
+            it.map(e => (e._2.getTime, e._1)).toVector.sorted.foreach {
+              case (ts, id) =>
+                val cutoff = ts - ttlMs
+                var drop = 0
+                while (drop < members.size && members(drop)._1 < cutoff) {
+                  member -= members(drop)._2; drop += 1
+                }
+                if (drop > 0) members = members.drop(drop)
+                if (members.size < maxBucket && member.add(id)) {
+                  members.foreach { case (_, prev) =>
+                    out += ((math.min(prev, id), math.max(prev, id)))
+                  }
+                  members = members :+ ((ts, id))
+                }
+            }
+            if (members.isEmpty) state.remove()
+            else {
+              state.update(TimedBandBucket(members.map(_._2), members.map(_._1)))
+              // fire once the newest member can no longer pair with any
+              // future arrival; never at-or-before the current watermark
+              state.setTimeoutTimestamp(math.max(members.last._1 + ttlMs + 1,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+          }
       }
   }
 

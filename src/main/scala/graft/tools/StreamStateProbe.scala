@@ -24,7 +24,8 @@ object StreamStateProbe {
     "q80_streaming_dedup", "q85_streaming_latest",
     "q105_streaming_ewma", "q110_streaming_bars", "q112_streaming_scd2",
     "q122_streaming_anomaly", "q162_streaming_heavy_hitters",
-    "q183_streaming_gaps", "q186_streaming_drawdown")
+    "q183_streaming_gaps", "q186_streaming_drawdown",
+    "q192_streaming_neardup_ttl")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -51,6 +52,61 @@ object StreamStateProbe {
         }
       }
     }
+    ttlGrowthProbe(spark, sfDir)
     spark.stop()
+  }
+
+  /** TTL bounded-state demonstration (VERDICT r9 Next #1): replay the
+    * corpus CYCLED past the TTL — fresh ids each cycle, event time marching
+    * on, so distinct content keeps arriving long after the window has
+    * rolled over — through both band-index variants at 3 and 6 cycles. The
+    * TTL'd index's state must stay FLAT cycle-over-cycle (timeout evicts
+    * dormant buckets; rows ≈ buckets live in one TTL window), while the
+    * unbounded variant's state grows linearly with content (the r9
+    * BASELINE measurement this probe turns into a side-by-side law).
+    */
+  def ttlGrowthProbe(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val n = docs.size
+    val ttlMs = (n / 4).toLong * 1000L
+    def tape(cycles: Int): Seq[(Long, java.sql.Timestamp, String)] =
+      (0 until cycles).flatMap { c =>
+        docs.zipWithIndex.map { case ((id, text), i) =>
+          // salt every token per cycle: each cycle is genuinely FRESH
+          // content (every shingle, hence nearly every band, is new), the
+          // regime where the unbounded index must grow and the TTL'd one
+          // must not
+          val salted =
+            if (c == 0) text
+            else text.split(' ').map(w => s"$w$c").mkString(" ")
+          (id + c.toLong * 100000000L,
+            new java.sql.Timestamp((c.toLong * n + i + 1) * 1000L), salted)
+        }
+      }
+    Seq(3, 6).foreach { cycles =>
+      val tp = tape(cycles)
+      MemoryReplay.lastStateStats = Nil
+      graft.streaming.MemoryReplay.replay(spark, tp, nBatches = 4 * cycles)(
+        ds => graft.streaming.StreamingOps.nearDupCandidatesStreamTtl(
+          ds.toDF("doc_id", "ts", "text"), "doc_id", "ts", "text",
+          ttlMs = ttlMs)).count()
+      val ttlStats = MemoryReplay.lastStateStats
+      MemoryReplay.lastStateStats = Nil
+      graft.streaming.MemoryReplay.replay(spark, tp.map(e => (e._1, e._3)),
+        nBatches = 4 * cycles)(
+        ds => graft.streaming.StreamingOps.nearDupCandidatesStream(
+          ds.toDF("doc_id", "text"), "doc_id", "text")).count()
+      val unbStats = MemoryReplay.lastStateStats
+      def fmt(s: Seq[(String, Long, Long)]): String =
+        s.map { case (_, r, b) => s"rows=$r bytes=$b" }.mkString("; ")
+      println(s"[state-probe] ttl-band-index   cycles=$cycles docs=${tp.size} " +
+        s"ttl=${ttlMs / 1000}s  ${fmt(ttlStats)}")
+      println(s"[state-probe] unbounded-index  cycles=$cycles docs=${tp.size} " +
+        s"            ${fmt(unbStats)}")
+    }
   }
 }

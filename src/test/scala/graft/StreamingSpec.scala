@@ -709,4 +709,29 @@ class StreamingSpec extends AnyFunSuite {
       .toSet
     assert(five == batch, "streaming drawdown must equal the batch operator")
   }
+
+  test("TTL'd near-dup index: pairs only within the window, expired content re-pairs") {
+    import spark.implicits._
+    // four identical texts (every band shared) at 1 s, 2 s, 100 s, 101 s
+    // with ttl = 10 s: only the two Δ=1 s pairs may emit — the 100 s gap
+    // must evict docs 1/2 before 3/4 arrive (the re-pairing of doc 3 with
+    // doc 4 proves an expired bucket warms back up, not just empties)
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val tape = Seq(
+      (1L, new java.sql.Timestamp(1000L), text),
+      (2L, new java.sql.Timestamp(2000L), text),
+      (3L, new java.sql.Timestamp(100000L), text),
+      (4L, new java.sql.Timestamp(101000L), text))
+    val got = graft.streaming.MemoryReplay.replay(spark, tape, nBatches = 4)(ds =>
+        StreamingOps.nearDupCandidatesStreamTtl(
+          ds.toDF("doc_id", "ts", "text"), "doc_id", "ts", "text",
+          ttlMs = 10000L))
+      .toDF("doc_a", "doc_b").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (3L, 4L)), s"got=$got")
+    // bucket state after the replay holds only the live window's members
+    // (docs 3 and 4), not the evicted ones
+    val rows = graft.streaming.MemoryReplay.lastStateStats.map(_._2).sum
+    assert(rows > 0 && rows <= 8, s"state rows=$rows — expected ≤ numBands buckets")
+  }
 }
