@@ -28,15 +28,33 @@ object Graph {
     * edge side's exchange across all rounds since the edge list never
     * changes — then one partial-aggregated sum by dst; the exchange
     * carries (id, 8-byte rank) only. Degrees are computed once. Rounds are
-    * a driver loop over lazy plans (the Pregel superstep barrier); for
-    * deep iteration counts callers should checkpoint every few rounds like
-    * [[Dedup.connectedComponents]] does.
+    * a driver loop over lazy plans (the Pregel superstep barrier); the
+    * rank frame is MATERIALIZED every `checkpointEvery` rounds (the
+    * [[kCore]] pattern — localCheckpoint, or a reliable `checkpoint()`
+    * via `checkpointDir` on a cluster) so plan depth, and with it
+    * Catalyst's per-round analysis cost, stays O(checkpointEvery) at any
+    * iteration count. The default is MEASURED, not guessed (ScaleProbe
+    * --pagerank-only, BASELINE.md r10): the uncut lineage's per-round
+    * cost grows ~linearly in round number (0.040 → 0.080 s/round from 30
+    * to 90 rounds — the O(iters²) analysis tax) while one localCheckpoint
+    * costs ~1.8 s at probe scale, so cutting every ~24 rounds keeps
+    * per-round cost flat for deep runs without taxing shallow ones (the
+    * q111 gate's iters = 5 pays zero checkpoints). The tax is driver-side
+    * and data-size-independent; the checkpoint is executor-side and tiny
+    * ((id, 8-byte rank) rows), so at cluster scale the cut also caps
+    * stage-retry lineage depth — the failure-recovery argument that
+    * matters more than wall at 100 TB.
     *
     * Output: (doc_id, rank) — fixed-point BIGINT, Σ ≈ n·scale minus
     * rounding drift.
     */
   def pagerank(nodes: DataFrame, edges: DataFrame, iters: Int = 5,
-      scale: Long = 1000000000000L): DataFrame = {
+      scale: Long = 1000000000000L, checkpointEvery: Int = 24,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 0 && checkpointEvery > 0,
+      "need iters >= 0 and checkpointEvery > 0")
+    def mat(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val dir = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -44,7 +62,7 @@ object Graph {
     val base = nodes.select(col("doc_id"))
     var rank = base.select(col("doc_id"), lit(scale).as("rank"))
     val teleport = 15L * scale / 100L
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val inflow = dirDeg
         .join(rank.withColumnRenamed("doc_id", "src"), Seq("src"))
         .select(col("dst").as("doc_id"), expr("rank div deg").as("share"))
@@ -54,6 +72,7 @@ object Graph {
         .select(col("doc_id"),
           (lit(teleport) +
             expr("(85 * coalesce(inflow, CAST(0 AS BIGINT))) div 100")).as("rank"))
+      if (i % checkpointEvery == 0 && i < iters) rank = mat(rank)
     }
     rank
   }

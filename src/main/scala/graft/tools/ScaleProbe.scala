@@ -209,6 +209,36 @@ object ScaleProbe {
         }
       }
     }
+    // --pagerank-only: the iterative-loop materialization hygiene probe
+    // (VERDICT r9 Next #5) — per-round wall must stay FLAT as iters grows,
+    // which only holds if the rank lineage is cut every checkpointEvery
+    // rounds; the unmaterialized contrast row shows the plan-depth tax.
+    def pagerankSection(): Unit = {
+      import graft.operators.Graph
+      val docs = docsOf(srcDir)
+      val pairs = Dedup.minhashNearDups(docs, col("doc_id"), col("text"))
+        .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      val nodes = docs.select(col("doc_id")).localCheckpoint()
+      for (iters <- Seq(5, 15, 30, 60)) {
+        val t0 = System.nanoTime()
+        val n = Graph.pagerank(nodes, pairs, iters = iters).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        println(f"[probe] pagerank iters=$iters%-3d checkpointed   " +
+          f"${t}%8.2f s  (${t / iters}%6.3f s/round, $n rows)")
+      }
+      // contrast: the same rounds with the lineage never cut
+      for (iters <- Seq(30, 60, 90)) {
+        val t0 = System.nanoTime()
+        val n = Graph.pagerank(nodes, pairs, iters = iters,
+          checkpointEvery = Int.MaxValue).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        println(f"[probe] pagerank iters=$iters%-3d UNMATERIALIZED " +
+          f"${t}%8.2f s  (${t / iters}%6.3f s/round, $n rows)")
+      }
+    }
+    if (args.contains("--pagerank-only")) {
+      pagerankSection(); spark.stop(); return
+    }
     if (args.contains("--seq-only")) {
       seqSection(); spark.stop(); return
     }

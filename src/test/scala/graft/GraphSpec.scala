@@ -37,6 +37,19 @@ class GraphSpec extends AnyFunSuite {
     assert(total <= 20L * 1000000000000L && total > 0L)
   }
 
+  test("checkpointed lineage is rank-identical to the uncut loop") {
+    import spark.implicits._
+    val nodes = (1L to 30L).toDF("doc_id")
+    val edges = (1L until 30L).map(i => (i, i % 7 + 1)).toDF("doc_a", "doc_b")
+    def ranks(every: Int) =
+      Graph.pagerank(nodes, edges, iters = 9, checkpointEvery = every)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rank"))
+        .toMap
+    // cutting the plan every 2 rounds is a pure materialization choice —
+    // all-integer arithmetic must give bit-identical ranks either way
+    assert(ranks(every = 2) == ranks(every = Int.MaxValue))
+  }
+
   test("triangles: hand-built graph with a hub counts exactly once per triangle") {
     import spark.implicits._
     // K4 on {1,2,3,4} (4 triangles) + pendant 5-1 (no new triangle) +
