@@ -115,11 +115,15 @@ object Dedup {
     *
     * Band geometry is chosen so that recall IS effectively exact: with
     * r = 2 rows/band and b = 64 bands, a pair at J = 0.5 misses every band
-    * with probability (1 − 0.5²)⁶⁴ ≈ 1e-8 — which is why this query can be
-    * hash-checked against an exact DuckDB oracle (SparkEntry q23) instead
-    * of settling for a rows-only gate. Cost stays LSH-shaped: candidates
-    * come from the band equi-join (never all-pairs); the exact verify runs
-    * only on candidate pairs, which the banding keeps sparse.
+    * with probability (1 − 0.5²)⁶⁴ ≈ 1e-8, and shares ≤ 1 band (the
+    * `minBandMatches = 2` candidate floor) with probability ≈ 2e-7 — which
+    * is why this query can be hash-checked against an exact DuckDB oracle
+    * (SparkEntry q23) instead of settling for a rows-only gate. Cost stays
+    * LSH-shaped: candidates come from the band equi-join (never
+    * all-pairs), the band-match floor strips the accidental single-band
+    * collision mass (quadratic in corpus size — the measured 100× probe
+    * pathology, BASELINE r10), and the exact verify runs only on the
+    * surviving candidates.
     */
   def minhashNearDups(
       df: DataFrame,
@@ -129,7 +133,8 @@ object Dedup {
       numHashes: Int = 128,
       numBands: Int = 64,
       threshold: Double = 0.5,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 10000,
+      minBandMatches: Int = 2): DataFrame = {
     val r = numHashes / numBands
     require(numBands * r == numHashes, "numBands must divide numHashes")
     graft.functions.GraftFunctions.register(df.sparkSession)
@@ -149,10 +154,22 @@ object Dedup {
     val b = sigs.select(col("band"), col("doc_id").as("doc_b"))
     // candidate ids only — the shuffle after the band join moves 16-byte
     // pairs, not signatures; shingle sets are fetched back by id for the
-    // (sparse) verify step
+    // (sparse) verify step. The groupBy replaces a bare distinct(): SAME
+    // exchange (partial-agg'd map-side), but counting shared bands lets
+    // the ≥ minBandMatches floor kill the accidental-collision mass
+    // BEFORE the verify joins drag shingle arrays around. The math: at
+    // J = threshold = 0.5 a true pair shares Binomial(64, 0.25) ≈ 16
+    // bands — P(≤ 1) ≈ 2·10⁻⁷, so recall stays effectively exact — while
+    // a background pair (J ≈ 10⁻³) shares ≥ 2 bands with P ≈ 2·10⁻⁹ vs
+    // ≥ 1 at 6·10⁻⁵: the floor removes ~99.97 % of false candidates.
+    // Measured at the 100× probe (BASELINE r10): the single-band noise
+    // candidates were 75 M rows carrying ~2 KB shingle payloads each
+    // through the verify — the whole shuffle-exponent-2.2 pathology.
     val cand = a.join(b, Seq("band"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b")).distinct()
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("nb"))
+      .filter(col("nb") >= minBandMatches)
+      .select(col("doc_a"), col("doc_b"))
     // one id-partitioned exchange of the shingle sets, reused by BOTH
     // verify joins (the doc_a/doc_b renames are projections on top of the
     // same exchange) — without it each join recomputes every doc's

@@ -96,11 +96,12 @@ object ScaleProbe {
     * keep their span but carry 10× the ticks — a pure volume scale-up of
     * the ordered-scan (gap/run/drawdown) shapes.
     */
-  def genEvents(spark: SparkSession, src: String, dir: String): Unit = {
+  def genEvents(spark: SparkSession, src: String, dir: String,
+      copies: Long = 10L): Unit = {
     import org.apache.spark.sql.functions._
     graft.Tables.events(spark, src)
-      .select(col("*"), explode(sequence(lit(0L), lit(9L))).as("c"))
-      .select((col("event_id") * 10 + col("c")).as("event_id"),
+      .select(col("*"), explode(sequence(lit(0L), lit(copies - 1))).as("c"))
+      .select((col("event_id") * copies + col("c")).as("event_id"),
         timestamp_micros(unix_micros(col("ts")) + col("c")).as("ts"),
         col("user_id"), col("event_type"), col("value"), col("props"))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
@@ -208,6 +209,110 @@ object ScaleProbe {
             (col("lang") === "en").cast("long"), col("n_chars")).count()
         }
       }
+    }
+    // --hundredx-only: 1×/10×/100× growth-exponent fit for ONE dedup chain
+    // (q62: minhash → band join → verify → connected components) and ONE
+    // ordered-scan/stitch op (q184 maxDrawdown) — a 10× ratio bounds
+    // first-order behavior but cannot resolve a √n or log n super-linear
+    // term; two decades can (VERDICT r9 Next #4). Records wall AND total
+    // shuffle-write bytes per run; exponents fit on the 10×→100× decade
+    // (the 1× point is fixed-overhead-dominated).
+    def hundredxSection(): Unit = {
+      import graft.operators.Sequential
+      val tally = new java.util.concurrent.atomic.AtomicLong(0)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+            tally.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        })
+      // measure: one warm rep (codegen/footers), then reset the tally and
+      // time the second — bytes are deterministic, wall takes the warm rep
+      def measure(label: String)(f: => Long): (Double, Long) = {
+        f
+        Thread.sleep(1500) // let the async listener bus drain the warm rep
+        tally.set(0)
+        val t0 = System.nanoTime()
+        val rows = f
+        val t = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(1500)
+        val bytes = tally.get()
+        println(f"[probe] $label%-28s ${t}%8.2f s  shuffle=${bytes / 1048576.0}%9.1f MB ($rows rows)")
+        (t, bytes)
+      }
+      val d100 = s"$dir/hundredx"
+      if (!new java.io.File(s"$d100/documents.parquet").exists()) {
+        println(s"[probe] generating 100x corpus under $d100")
+        genDocs(spark, d100, 500000)
+      }
+      val ev10Dir = s"$dir/events10x"
+      if (!new java.io.File(s"$ev10Dir/events.parquet").exists())
+        genEvents(spark, srcDir, ev10Dir)
+      val ev100Dir = s"$d100/events100x"
+      if (!new java.io.File(s"$ev100Dir/events.parquet").exists()) {
+        println(s"[probe] generating 100x events under $ev100Dir")
+        genEvents(spark, srcDir, ev100Dir, copies = 100L)
+      }
+      def expFit(r: Seq[(Double, Long)]): String = {
+        val we = math.log(r(2)._1 / r(1)._1) / math.log(10.0)
+        val be = if (r(1)._2 > 0 && r(2)._2 > 0)
+          f"${math.log(r(2)._2.toDouble / r(1)._2) / math.log(10.0)}%.2f"
+          else "n/a"
+        f"wall exp=${we}%.2f shuffle exp=$be (10x -> 100x decade)"
+      }
+      val dedupRes = Seq(("1x", srcDir), ("10x", dir), ("100x", d100)).map {
+        case (label, d) =>
+          measure(s"$label q62_dup_clusters") {
+            val docs = docsOf(d)
+            val pairs = Dedup.minhashNearDups(docs, col("doc_id"), col("text"))
+            Dedup.dupGroups(docs, col("doc_id"), pairs).count()
+          }
+      }
+      println(s"[probe] q62 growth: ${expFit(dedupRes)}")
+      val ddRes = Seq(("1x", srcDir), ("10x", ev10Dir), ("100x", ev100Dir))
+        .map { case (label, d) =>
+          measure(s"$label q184_drawdown") {
+            Sequential.maxDrawdown(graft.Tables.events(spark, d),
+              col("event_type"), unix_micros(col("ts")), col("event_id"),
+              floor(col("value") * 100).cast("long")).count()
+          }
+        }
+      println(s"[probe] q184 growth: ${expFit(ddRes)}")
+    }
+    // --dedup-breakdown: stage-by-stage row counts for the q62 chain at a
+    // given corpus — where does the 100× shuffle mass come from?
+    def dedupBreakdown(): Unit = {
+      graft.functions.GraftFunctions.register(spark)
+      import graft.functions.Text
+      for ((label, d) <- Seq(("10x", dir), ("100x", s"$dir/hundredx"))) {
+        val docs = docsOf(d)
+        val base = docs.select(col("doc_id"),
+          call_function("graft_shingles", col("text"), lit(3)).as("sh"))
+        val sigs = base.select(col("doc_id"),
+            call_function("graft_minhash", col("sh"), lit(128)).as("sig"))
+          .withColumn("band", explode(Text.bands(col("sig"), 64, 2)))
+          .select(col("band"), col("doc_id"))
+        val bucketSizes = sigs.groupBy("band").count()
+        val stats = bucketSizes.agg(count(lit(1)).as("n_buckets"),
+          max(col("count")).as("max_bucket"),
+          sum(col("count") * (col("count") - 1) / 2).as("join_rows"),
+          sum(when(col("count") > 100, col("count") * (col("count") - 1) / 2)
+            .otherwise(0L)).as("join_rows_hot100")).collect().head
+        val nCand = graft.operators.Dedup.minhashNearDups(docs, col("doc_id"),
+          col("text")).count()
+        println(s"[probe] $label breakdown: buckets=${stats.get(0)} " +
+          s"max_bucket=${stats.get(1)} band_join_rows=${stats.get(2)} " +
+          s"from_buckets_gt100=${stats.get(3)} verified_pairs=$nCand")
+        val top = bucketSizes.orderBy(col("count").desc).limit(5).collect()
+          .map(_.getLong(1)).mkString(",")
+        println(s"[probe] $label top-5 bucket sizes: $top")
+      }
+    }
+    if (args.contains("--dedup-breakdown")) {
+      dedupBreakdown(); spark.stop(); return
+    }
+    if (args.contains("--hundredx-only")) {
+      hundredxSection(); spark.stop(); return
     }
     // --pagerank-only: the iterative-loop materialization hygiene probe
     // (VERDICT r9 Next #5) — per-round wall must stay FLAT as iters grows,
