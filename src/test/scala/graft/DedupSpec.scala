@@ -139,6 +139,32 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("minBandMatches floor: verified output identical at floor 1 and 2") {
+    // the >= 2 shared-bands candidate floor exists to strip the quadratic
+    // accidental-collision mass (the 100x probe pathology) BEFORE the
+    // shingle-verify joins — it must not change what verifies: at
+    // J >= 0.5 a pair shares ~16 of 64 bands, so floor 2 loses nothing
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    val pool = Vector.tabulate(60)(i => s"w$i")
+    val bases = Vector.tabulate(60) { i =>
+      (i.toLong, Vector.fill(10 + rnd.nextInt(30))(pool(rnd.nextInt(pool.size))))
+    }
+    val dups = bases.take(20).map { case (id, toks) =>
+      (id + 500L, toks.map(t =>
+        if (rnd.nextDouble() < 0.1) pool(rnd.nextInt(pool.size)) else t))
+    }
+    val df = (bases ++ dups).map { case (id, t) => (id, t.mkString(" ")) }
+      .toDF("doc_id", "text")
+    def pairs(floor: Int) = Dedup.minhashNearDups(df, col("doc_id"),
+        col("text"), minBandMatches = floor)
+      .collect().map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")),
+        r.getAs[Double]("jaccard"))).toMap
+    val unfloored = pairs(1)
+    assert(unfloored.nonEmpty)
+    assert(pairs(2) == unfloored)
+  }
+
   test("simhash pairs near-dups with small hamming, skips unrelated") {
     val rows = Dedup.simhashPairs(docs(), col("doc_id"), col("text"), maxHamming = 3)
       .collect().map(r => ((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")), r.getAs[Long]("hamming"))).toMap
