@@ -2414,7 +2414,12 @@ object SparkEntry {
       val tape = docs.zipWithIndex.map { case ((id, text), i) =>
         (id, new java.sql.Timestamp((i + 1).toLong * 1000L), text)
       }
-      val stream = graft.streaming.MemoryReplay.replay(s, tape, nBatches = 8)(
+      // 4 micro-batches (the q75 convention): eviction is ARRIVAL-driven
+      // (not batch-driven), so each batch spans a full TTL window and the
+      // gate still exercises in-batch eviction, cross-batch eviction, and
+      // cross-batch survival; 8 batches doubled replay overhead for no
+      // extra semantics (bench: 7.5 s → ~4 s)
+      val stream = graft.streaming.MemoryReplay.replay(s, tape, nBatches = 4)(
           ds => graft.streaming.StreamingOps.nearDupCandidatesStreamTtl(
             ds.toDF("doc_id", "ts", "text"), "doc_id", "ts", "text",
             ttlMs = ttlMs))
