@@ -35,6 +35,11 @@ final case class TimedBandBucket(ids: Seq[Long], tsMs: Seq[Long])
 /** Winning doc id for one content fingerprint (streaming exact dedup). */
 final case class FirstSeen(docId: Long)
 
+/** Last occurrence time (event ms) of one content fingerprint (TTL'd
+  * streaming exact dedup).
+  */
+final case class LastSeen(tsMs: Long)
+
 /** Raw timed event for the windowed-agg replay tape (SparkEntry q63). */
 final case class TimedEvent(
     event_id: Long, ts: Timestamp, event_type: String, value: Double)
@@ -459,6 +464,64 @@ object StreamingOps {
           val minId = it.map(_._1).min
           if (state.exists) Iterator.empty
           else { state.update(FirstSeen(minId)); Iterator.single(minId) }
+      }
+  }
+
+  /** TTL'd streaming exact dedup — the BOUNDED-STATE variant of
+    * [[exactDedupStream]], whose fingerprint set is the other
+    * linear-in-distinct-content streaming state (BASELINE r9 table;
+    * [[nearDupCandidatesStreamTtl]] is the band-index sibling). Contract:
+    * a doc is a KEEPER iff no identical content occurred within the last
+    * `ttlMs` of event time; every occurrence — keeper or dup — REFRESHES
+    * the window (sliding semantics: "have I seen this in the last N
+    * hours", the de-ingest check as actually deployed). That makes the
+    * emitted keeper set exactly
+    *   lag(ts) OVER (PARTITION BY content ORDER BY ts) IS NULL OR
+    *   ts − lag(ts) > ttl
+    * — plain SQL, so the q193 gate is a REAL DuckDB oracle, not a pinned
+    * boolean.
+    *
+    * State is one (fingerprint → last-seen ms) entry per content seen in
+    * the trailing TTL window — rate × TTL, not corpus size: an event-time
+    * timeout at lastSeen + ttl removes the entry (any later arrival would
+    * have been a keeper anyway, and a fresh entry re-forms — timing of the
+    * timer never changes output, only memory). Same watermark caveat as
+    * the band index: event times must be strictly positive.
+    */
+  def exactDedupStreamTtl(docs: DataFrame, idCol: String, tsCol: String,
+      textCol: String, ttlMs: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[Long] = {
+    import org.apache.spark.sql.functions._
+    require(ttlMs > 0, "ttlMs must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(tsCol).cast("timestamp").as("ts"),
+        xxhash64(col(textCol)).as("fp_hash"),
+        length(col(textCol)).cast("long").as("fp_len"))
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, Timestamp, Long, Long)]
+      .groupByKey(r => (r._3, r._4))
+      .flatMapGroupsWithState[LastSeen, Long](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, it, state) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var last: Option[Long] = state.getOption.map(_.tsMs)
+            val out = Vector.newBuilder[Long]
+            it.toVector.map(r => (r._2.getTime, r._1)).sorted.foreach {
+              case (ts, id) =>
+                if (!last.exists(p => ts - p <= ttlMs)) out += id
+                last = Some(ts)
+            }
+            state.update(LastSeen(last.get))
+            state.setTimeoutTimestamp(math.max(last.get + ttlMs + 1,
+              state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
       }
   }
 
