@@ -2459,6 +2459,43 @@ object SparkEntry {
         .orderBy(col("metric"))
     }),
 
+    // TTL'd streaming exact dedup (exactDedupStreamTtl): the BOUNDED-STATE
+    // variant of q80 — a doc is a KEEPER iff no identical content arrived
+    // within the trailing ttl of event time, every arrival REFRESHING the
+    // window (sliding semantics). Unlike q192's pinned booleans this is a
+    // REAL DuckDB oracle: the keeper set is exactly the lag-window SQL
+    //   lag(ts) OVER (PARTITION BY content ORDER BY ts) IS NULL
+    //   OR ts − lag(ts) > ttl.
+    // Tape: base corpus at 2r s (r = id-order rank, n docs), plus two
+    // deterministic re-emission regimes so both sides of the TTL are
+    // non-empty at every sf (the q192 convention) — id % 5 = 0 re-emitted
+    // 1 s after its base tick (1 s ≤ ttl = n/4 s → swallowed as a dup) and
+    // id % 10 = 0 re-emitted at (3n + r) s (≥ 2n − 1 s past its last
+    // occurrence > ttl → a second KEEPER row for that id). All ticks are
+    // globally distinct (base even, in-window odd, far regime > 2n + 1),
+    // and the oracle rebuilds the identical occurrence multiset from
+    // row_number() over id order.
+    "q193_streaming_dedup_ttl" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().toSeq.sortBy(_._1)
+      val n = docs.size
+      val ttlMs = (n / 4).toLong * 1000L
+      val tape = docs.zipWithIndex.flatMap { case ((id, text), i) =>
+          val r = (i + 1).toLong
+          Seq((id, 2L * r * 1000L, text)) ++
+            (if (id % 5 == 0) Seq((id, (2L * r + 1L) * 1000L, text)) else Nil) ++
+            (if (id % 10 == 0) Seq((id, (3L * n + r) * 1000L, text)) else Nil)
+        }.sortBy(e => (e._2, e._1))
+        .map { case (id, ms, text) => (id, new java.sql.Timestamp(ms), text) }
+      graft.streaming.MemoryReplay.replay(s, tape, nBatches = 4)(ds =>
+          graft.streaming.StreamingOps.exactDedupStreamTtl(
+            ds.toDF("doc_id", "ts", "text"), "doc_id", "ts", "text",
+            ttlMs = ttlMs))
+        .toDF("doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // Document CHUNKING (embedding prep): overlapping token windows of 50
     // with stride 40, one row per chunk — the split an embedding/indexing
     // stage runs before ANN. Pure codegen'd HOFs (sequence + posexplode +
@@ -5250,6 +5287,32 @@ object SparkEntry {
         |  ('ttl_expired_nonempty', TRUE),
         |  ('ttl_window_nonempty', TRUE)) AS t(metric, ok)
         |ORDER BY metric""".stripMargin,
+
+    // the real lag-window oracle for the TTL'd streaming dedup: rebuild
+    // the tape's occurrence multiset (base at 2r s, id%5=0 at 2r+1 s,
+    // id%10=0 at 3n+r s; r = row_number over id order), then a doc is a
+    // keeper iff no same-content occurrence within the trailing
+    // ttl = n//4 s — sliding-refresh semantics ≡ the lag predicate
+    "q193_streaming_dedup_ttl" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text,
+        |         CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS r,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc_id, text, 2 * r * 1000 AS ts_ms FROM pos
+        |  UNION ALL
+        |  SELECT doc_id, text, (2 * r + 1) * 1000 FROM pos WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id, text, (3 * n + r) * 1000 FROM pos WHERE doc_id % 10 = 0),
+        |l AS (
+        |  SELECT doc_id, ts_ms,
+        |         lag(ts_ms) OVER (PARTITION BY text ORDER BY ts_ms) AS prev
+        |  FROM occ)
+        |SELECT doc_id FROM l
+        |WHERE prev IS NULL
+        |   OR ts_ms - prev > (SELECT (count(*) // 4) * 1000 FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     // NOTE: unnest(range(...)) in scalar context, NOT `FROM l, range(len)` —
     // DuckDB's range TABLE function rejects lateral column parameters

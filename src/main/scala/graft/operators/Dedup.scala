@@ -124,6 +124,22 @@ object Dedup {
     * collision mass (quadratic in corpus size — the measured 100× probe
     * pathology, BASELINE r10), and the exact verify runs only on the
     * surviving candidates.
+    *
+    * `minBandMatches` × `maxBucket` interaction (the recall fine print):
+    * the floor counts a pair's SURVIVING shared bands — a band whose
+    * bucket is over `maxBucket` keeps only its first maxBucket members by
+    * id, so a pair meeting there may not register that band. A true pair
+    * at J = 0.5 shares ~16 of 64 bands, so it reaches the floor unless
+    * ≥ 15 of its shared bands are simultaneously over-cap AND cap-split
+    * the pair — only possible for pairs inside a boilerplate cluster of
+    * ≥ maxBucket near-identical docs, where dropping intra-cluster pairs
+    * is the cap's documented too-common-to-be-informative trade
+    * regardless of the floor (at floor 1 the same pair needed all 16
+    * bands capped away; the floor moves that from 16 to 15 — not a new
+    * regime). Callers screening corpora where hot clusters must stay
+    * fully paired should raise `maxBucket`, not lower the floor; the
+    * DedupSpec pins that the floor leaves the verified output unchanged
+    * on the gate fixtures.
     */
   def minhashNearDups(
       df: DataFrame,

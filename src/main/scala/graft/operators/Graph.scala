@@ -53,6 +53,7 @@ object Graph {
       checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 0 && checkpointEvery > 0,
       "need iters >= 0 and checkpointEvery > 0")
+    checkpointDir.foreach(nodes.sparkSession.sparkContext.setCheckpointDir)
     def mat(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val dir = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))

@@ -487,12 +487,24 @@ object StreamingOps {
     * have been a keeper anyway, and a fresh entry re-forms — timing of the
     * timer never changes output, only memory). Same watermark caveat as
     * the band index: event times must be strictly positive.
+    *
+    * `watermarkDelay` MUST be "0 seconds" (enforced): the state fold
+    * refreshes `lastSeen` with each arrival's ts unconditionally, which is
+    * correct only when event time is monotone ACROSS batches — exactly
+    * what delay-0 guarantees (every event at-or-before the previous
+    * batch's max is dropped as late). A nonzero delay would admit an
+    * in-window out-of-order arrival that rewinds `lastSeen` and corrupts
+    * the sliding-window decision for its successors. Out-of-order feeds
+    * need an upstream reorder stage, not a looser watermark here.
     */
   def exactDedupStreamTtl(docs: DataFrame, idCol: String, tsCol: String,
       textCol: String, ttlMs: Long,
       watermarkDelay: String = "0 seconds"): Dataset[Long] = {
     import org.apache.spark.sql.functions._
     require(ttlMs > 0, "ttlMs must be positive")
+    require(watermarkDelay == "0 seconds",
+      "exactDedupStreamTtl requires monotone event time (watermarkDelay = \"0 seconds\"); " +
+        "reorder upstream instead of loosening the watermark")
     val spark = docs.sparkSession
     import spark.implicits._
     docs
@@ -788,6 +800,15 @@ object StreamingOps {
     * frees capacity) — a boilerplate cluster still can't emit B² pairs in
     * any one window, and unlike the unbounded variant a cold bucket warms
     * back up once its hot content ages out.
+    *
+    * `watermarkDelay` MUST be "0 seconds" (enforced): bucket members are
+    * appended in arrival order and the eviction scan stops at the first
+    * unexpired member, which is correct only when the member list is
+    * ts-sorted — guaranteed across batches only by delay-0's monotone
+    * event time (in-batch arrivals are explicitly re-sorted). A nonzero
+    * delay would let an in-window out-of-order arrival land AFTER newer
+    * members, breaking the sorted invariant so eviction could stop early
+    * and emit or miss pairs incorrectly. Reorder upstream instead.
     */
   def nearDupCandidatesStreamTtl(docs: DataFrame, idCol: String,
       tsCol: String, textCol: String, ttlMs: Long,
@@ -797,6 +818,9 @@ object StreamingOps {
     val r = numHashes / numBands
     require(numBands * r == numHashes, "numBands must divide numHashes")
     require(ttlMs > 0, "ttlMs must be positive")
+    require(watermarkDelay == "0 seconds",
+      "nearDupCandidatesStreamTtl requires monotone event time (watermarkDelay = \"0 seconds\"); " +
+        "reorder upstream instead of loosening the watermark")
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val spark = docs.sparkSession
     import spark.implicits._

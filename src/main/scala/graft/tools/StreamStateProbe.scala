@@ -25,7 +25,7 @@ object StreamStateProbe {
     "q105_streaming_ewma", "q110_streaming_bars", "q112_streaming_scd2",
     "q122_streaming_anomaly", "q162_streaming_heavy_hitters",
     "q183_streaming_gaps", "q186_streaming_drawdown",
-    "q192_streaming_neardup_ttl")
+    "q192_streaming_neardup_ttl", "q193_streaming_dedup_ttl")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -107,6 +107,25 @@ object StreamStateProbe {
         s"ttl=${ttlMs / 1000}s  ${fmt(ttlStats)}")
       println(s"[state-probe] unbounded-index  cycles=$cycles docs=${tp.size} " +
         s"            ${fmt(unbStats)}")
+      // same tape through the EXACT-dedup pair (q193 vs q80): the TTL'd
+      // fingerprint store must stay flat at ~rate×TTL while the unbounded
+      // index grows with distinct content
+      MemoryReplay.lastStateStats = Nil
+      graft.streaming.MemoryReplay.replay(spark, tp, nBatches = 4 * cycles)(
+        ds => graft.streaming.StreamingOps.exactDedupStreamTtl(
+          ds.toDF("doc_id", "ts", "text"), "doc_id", "ts", "text",
+          ttlMs = ttlMs)).count()
+      val ttlDedup = MemoryReplay.lastStateStats
+      MemoryReplay.lastStateStats = Nil
+      graft.streaming.MemoryReplay.replay(spark, tp.map(e => (e._1, e._3)),
+        nBatches = 4 * cycles)(
+        ds => graft.streaming.StreamingOps.exactDedupStream(
+          ds.toDF("doc_id", "text"), "doc_id", "text")).count()
+      val unbDedup = MemoryReplay.lastStateStats
+      println(s"[state-probe] ttl-exact-dedup  cycles=$cycles docs=${tp.size} " +
+        s"ttl=${ttlMs / 1000}s  ${fmt(ttlDedup)}")
+      println(s"[state-probe] unbounded-dedup  cycles=$cycles docs=${tp.size} " +
+        s"            ${fmt(unbDedup)}")
     }
   }
 }

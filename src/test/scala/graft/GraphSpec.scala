@@ -50,6 +50,29 @@ class GraphSpec extends AnyFunSuite {
     assert(ranks(every = 2) == ranks(every = Int.MaxValue))
   }
 
+  test("pagerank: reliable checkpoint dir yields identical ranks and writes data") {
+    import spark.implicits._
+    val nodes = (1L to 30L).toDF("doc_id")
+    val edges = (1L until 30L).map(i => (i, i % 7 + 1)).toDF("doc_a", "doc_b")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pr_ckpt").toString
+    try {
+      val local = Graph.pagerank(nodes, edges, iters = 4, checkpointEvery = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      // the round-11 advisory bug: checkpointDir=Some(dir) on a context with
+      // no checkpoint dir set threw SparkException at the first mat() —
+      // pagerank must set it like kCore/connectedComponents/Pipeline.curate
+      val reliable = Graph.pagerank(nodes, edges, iters = 4,
+          checkpointEvery = 2, checkpointDir = Some(dir))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(reliable == local)
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "checkpoint dir must contain materialized RDD data")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("triangles: hand-built graph with a hub counts exactly once per triangle") {
     import spark.implicits._
     // K4 on {1,2,3,4} (4 triangles) + pendant 5-1 (no new triangle) +

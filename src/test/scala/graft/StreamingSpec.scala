@@ -734,4 +734,68 @@ class StreamingSpec extends AnyFunSuite {
     val rows = graft.streaming.MemoryReplay.lastStateStats.map(_._2).sum
     assert(rows > 0 && rows <= 8, s"state rows=$rows — expected ≤ numBands buckets")
   }
+
+  test("TTL'd exact dedup: sliding refresh suppresses a dup chain, expiry re-keeps") {
+    import spark.implicits._
+    // content X at 1 s, 2 s, 3 s with ttl = 1.5 s: doc 2 is a dup (Δ=1 s)
+    // and doc 3 is STILL a dup (Δ from doc 2 = 1 s) even though it is 2 s
+    // past the keeper — the dup at 2 s REFRESHED the window (sliding
+    // semantics, the lag-window predicate). Doc 4 at 10 s (Δ=7 s) is a
+    // fresh keeper. Content Y interleaved proves per-content isolation.
+    val x = "x " * 5; val y = "y " * 5
+    val tape = Seq(
+      (1L, new java.sql.Timestamp(1000L), x),
+      (2L, new java.sql.Timestamp(2000L), x),
+      (5L, new java.sql.Timestamp(2500L), y),
+      (3L, new java.sql.Timestamp(3000L), x),
+      (4L, new java.sql.Timestamp(10000L), x))
+    val got = graft.streaming.MemoryReplay.replay(spark, tape, nBatches = 3)(ds =>
+        StreamingOps.exactDedupStreamTtl(
+          ds.toDF("doc_id", "ts", "text"), "doc_id", "ts", "text",
+          ttlMs = 1500L))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 4L, 5L), s"got=$got")
+  }
+
+  test("TTL'd exact dedup: keeper set is invariant to the micro-batch split") {
+    import spark.implicits._
+    // 30 events over 3 contents with gaps straddling ttl = 4 s; expected
+    // keepers recomputed independently via the batch lag window — the
+    // q193 oracle's SQL, in Spark — so any split must reproduce it
+    val contents = Seq("alpha beta gamma", "delta epsilon", "zeta eta theta")
+    val tape = (0 until 30).map { i =>
+      val text = contents(i % 3)
+      // irregular spacing: same content recurs at Δ of 3, 6, 9, ... s
+      (i.toLong + 1L, new java.sql.Timestamp((1 + i + (i / 7) * 5).toLong * 1000L), text)
+    }.sortBy(e => (e._2.getTime, e._1))
+    val expected = tape.toDF("doc_id", "ts", "text")
+      .withColumn("prev", lag(col("ts").cast("long"), 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("text"))
+          .orderBy(col("ts"))))
+      .filter(col("prev").isNull ||
+        col("ts").cast("long") - col("prev") > 4L)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    Seq(1, 4, 10).foreach { nb =>
+      val got = graft.streaming.MemoryReplay.replay(spark, tape, nBatches = nb)(
+          ds => StreamingOps.exactDedupStreamTtl(
+            ds.toDF("doc_id", "ts", "text"), "doc_id", "ts", "text",
+            ttlMs = 4000L))
+        .collect().map(_.getLong(0)).toSet
+      assert(got == expected, s"nBatches=$nb got=$got expected=$expected")
+    }
+  }
+
+  test("TTL'd ops reject a nonzero watermark delay (monotone event-time contract)") {
+    import spark.implicits._
+    val df = Seq((1L, new java.sql.Timestamp(1000L), "t"))
+      .toDF("doc_id", "ts", "text")
+    intercept[IllegalArgumentException] {
+      StreamingOps.exactDedupStreamTtl(df, "doc_id", "ts", "text",
+        ttlMs = 1000L, watermarkDelay = "5 seconds")
+    }
+    intercept[IllegalArgumentException] {
+      StreamingOps.nearDupCandidatesStreamTtl(df, "doc_id", "ts", "text",
+        ttlMs = 1000L, watermarkDelay = "5 seconds")
+    }
+  }
 }
