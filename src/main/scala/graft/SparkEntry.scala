@@ -898,6 +898,26 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Skew-ADAPTIVE join (Joins.skewAwareJoin): the composed decision
+    // pipeline q181 (skew audit) and q88 (salted join) are the pieces of —
+    // measure the fact key's skew, derive the salt count from it
+    // (ceil(max_count / mean_count), clamped to [1, 64]), then execute the
+    // salted join. Fixture key is DELIBERATELY skewed: event_id % 10 < 9
+    // collapses 90% of rows onto key 0 (the remaining 10% spread over
+    // {9,19,...,99}), so the rule derives salts = 10 here, and the oracle
+    // recomputes both the decision (integer arithmetic) and the join rows.
+    "q194_skew_adaptive_join" -> ((s, d) => {
+      val f = ev(s, d).select(col("event_id"), col("value"),
+        when(col("event_id") % 10 < 9, lit(0L))
+          .otherwise(col("event_id") % 100).as("k"))
+      val dim = f.groupBy(col("k")).agg(count(lit(1)).as("k_n"))
+      Joins.skewAwareJoin(f, dim, keys = Seq("k"), saltBy = col("event_id"),
+          auditCol = Some("salts"))
+        .select(col("event_id"), col("k"), col("value"), col("k_n"),
+          col("salts"))
+        .orderBy(col("event_id"))
+    }),
+
     // Full global sort (no limit): RangePartitioning end-to-end — sampled
     // split points, range exchange, per-partition sort — the plan behind
     // every ORDER BY-writes-a-table job (q03's TakeOrdered only covers the
@@ -5660,6 +5680,27 @@ object SparkEntry {
         |SELECT event_id, e.event_type, value, type_n
         |FROM events e JOIN dim USING (event_type)
         |ORDER BY event_id""".stripMargin,
+
+    // mirrors q194: the derived salt count is pure integer arithmetic over
+    // the key-frequency audit — ceil(max_c * n_keys / n_rows) clamped to
+    // [1, 64] (HUGEINT product: the BigInt overflow guard's twin) — and
+    // the joined rows are the plain inner join regardless of the decision
+    "q194_skew_adaptive_join" ->
+      """WITH f AS (SELECT event_id, value,
+        |             CASE WHEN event_id % 10 < 9 THEN CAST(0 AS BIGINT)
+        |                  ELSE event_id % 100 END AS k
+        |           FROM events),
+        |dim AS (SELECT k, CAST(count(*) AS BIGINT) AS k_n FROM f GROUP BY k),
+        |audit AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |                 CAST(sum(k_n) AS BIGINT) AS n_rows,
+        |                 CAST(max(k_n) AS BIGINT) AS max_c
+        |          FROM dim)
+        |SELECT f.event_id, f.k, f.value, dim.k_n,
+        |       CAST(least(64, greatest(1,
+        |         (CAST(max_c AS HUGEINT) * n_keys + n_rows - 1) // n_rows))
+        |         AS INTEGER) AS salts
+        |FROM f JOIN dim USING (k), audit
+        |ORDER BY f.event_id""".stripMargin,
 
     "q89_global_sort" ->
       """SELECT event_id, event_type, value FROM events

@@ -90,6 +90,60 @@ object Joins {
     l.join(r, keys :+ "_salt").drop("_salt")
   }
 
+  /** The salt-count decision rule behind [[skewAwareJoin]], as a pure
+    * function of the fact side's key-frequency audit: enough salts that
+    * the hottest key's reducer share shrinks to ~the MEAN key's volume —
+    * `ceil(maxCount / (nRows / nKeys))`, i.e. the hot key's multiple of
+    * the average frequency — clamped to [1, maxSalts] (each salt
+    * replicates the dim side once; past maxSalts the replication cost
+    * outruns the balance win). A uniform key derives 1 → the plain join,
+    * so the rule is a no-op exactly when salting would be pure overhead.
+    * BigInt intermediate: maxCount·nKeys overflows Long at warehouse
+    * cardinalities (10¹² rows × 10⁹ keys).
+    */
+  def deriveSalts(nKeys: Long, nRows: Long, maxCount: Long,
+      maxSalts: Int = 64): Int = {
+    require(maxSalts > 0, "maxSalts must be positive")
+    if (nKeys <= 0 || nRows <= 0) 1
+    else ((BigInt(maxCount) * nKeys + nRows - 1) / nRows)
+      .min(maxSalts).max(1).toInt
+  }
+
+  /** Skew-AWARE equi-join: the composed decision pipeline the q181 Gini
+    * audit and the q88 salted join exist for, as ONE operator — measure
+    * the fact side's key skew, derive the salt count with [[deriveSalts]],
+    * then run either the plain join (uniform keys) or [[saltedJoin]]
+    * (hot keys). The result is exactly the plain inner join either way
+    * (the q194 gate hash-matches it); only the shuffle layout adapts.
+    *
+    * The audit is one partial-agg'd groupBy collapsed to a single driver
+    * row — the same eager-statistics trade as the Bloom-prefiltered join
+    * (production would read table/column stats instead of scanning; the
+    * explicit scan keeps the operator self-contained and the decision
+    * deterministic and testable). `auditCol`, when set, appends the
+    * derived salt count as a constant column so gates and operators can
+    * assert the DECISION, not just the rows.
+    *
+    * CONTRACT: `left` must be deterministic — it is evaluated twice (once
+    * for the audit, once in the join), the [[bloomPrefilterJoin]] caveat.
+    */
+  def skewAwareJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      saltBy: Column, maxSalts: Int = 64,
+      auditCol: Option[String] = None): DataFrame = {
+    val audit = left.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_c"))
+      .agg(count(lit(1)).as("_nk"), sum(col("_c")).as("_nr"),
+        max(col("_c")).as("_mx"))
+      .collect()(0)
+    val salts =
+      if (audit.isNullAt(1)) 1 // empty left: no keys, plain join
+      else deriveSalts(audit.getLong(0), audit.getLong(1), audit.getLong(2),
+        maxSalts)
+    val joined =
+      if (salts == 1) left.join(right, keys)
+      else saltedJoin(left, right, keys, salts, saltBy)
+    auditCol.fold(joined)(c => joined.withColumn(c, lit(salts)))
+  }
+
   /** Range join `fact.point ∈ [interval.lo, interval.hi)` as an equi-join:
     * both sides key on `floor(value / bucketWidth)` — the interval side
     * explodes to every bucket its range overlaps — then the exact predicate

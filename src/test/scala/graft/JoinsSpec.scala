@@ -107,6 +107,48 @@ class JoinsSpec extends AnyFunSuite {
     assert(spread == 8, "hash salt must spread the hot key across all buckets")
   }
 
+  test("deriveSalts: uniform keys derive 1, hot keys derive the skew multiple, cap holds") {
+    // uniform: every key at the mean frequency → 1 (plain join)
+    assert(Joins.deriveSalts(nKeys = 10, nRows = 1000, maxCount = 100) == 1)
+    // 90% hot over 11 keys: ceil(900 * 11 / 1000) = 10
+    assert(Joins.deriveSalts(nKeys = 11, nRows = 1000, maxCount = 900) == 10)
+    // pathological single-key-dominates at high cardinality → clamped
+    assert(Joins.deriveSalts(nKeys = 1000000, nRows = 1000001,
+      maxCount = 1000000) == 64)
+    assert(Joins.deriveSalts(nKeys = 1000000, nRows = 1000001,
+      maxCount = 1000000, maxSalts = 8) == 8)
+    // warehouse cardinalities: maxCount*nKeys would overflow Long
+    assert(Joins.deriveSalts(nKeys = 1000000000L, nRows = 1000000000000L,
+      maxCount = 1000000000000L) == 64)
+    // degenerate inputs fall back to the plain join
+    assert(Joins.deriveSalts(nKeys = 0, nRows = 0, maxCount = 0) == 1)
+  }
+
+  test("skewAwareJoin salts a skewed key, skips salting a uniform one, equals plain join") {
+    val sp = spark
+    import sp.implicits._
+    val fact = (0L until 1000L).map(i =>
+      (i, if (i < 900) "hot" else s"cold${i % 7}", i * 1.5)).toDF("id", "k", "v")
+    val dim = fact.select(col("k")).distinct().withColumn("dlen", length(col("k")))
+    val plain = fact.join(dim, Seq("k")).select(col("id"), col("k"), col("v"), col("dlen"))
+    val adaptive = Joins.skewAwareJoin(fact, dim, Seq("k"), saltBy = col("id"),
+      auditCol = Some("salts"))
+    // 8 keys, hot at 900/1000 → ceil(900*8/1000) = 8 salts chosen
+    assert(adaptive.select(col("salts")).distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(8))
+    val rows = adaptive.select(col("id"), col("k"), col("v"), col("dlen"))
+    assert(plain.exceptAll(rows).count() == 0 && rows.exceptAll(plain).count() == 0,
+      "adaptive join must equal the plain join exactly")
+    // uniform key: decision rule picks 1 → plain join path
+    val uni = (0L until 700L).map(i => (i, s"k${i % 7}", i * 2.0)).toDF("id", "k", "v")
+    val uniDim = uni.select(col("k")).distinct().withColumn("dlen", length(col("k")))
+    val uniOut = Joins.skewAwareJoin(uni, uniDim, Seq("k"), saltBy = col("id"),
+      auditCol = Some("salts"))
+    assert(uniOut.select(col("salts")).distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(1))
+    assert(uniOut.count() == 700)
+  }
+
   test("asOfJoin over market events matches a window-computed expectation") {
     val m = operators.Pnl.eventsAsMarket(Tables.events(spark, dir)).toDF().cache()
     val trades = m.filter(col("kind") === "trade")
