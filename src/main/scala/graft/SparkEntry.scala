@@ -1393,6 +1393,20 @@ object SparkEntry {
           col("text"), benchPred = col("doc_id") % 10 === 0)
         .orderBy(col("doc_id"))),
 
+    // The curation funnel AT INGEST (CurationStream.replayFunnel): every
+    // q100 stage re-expressed as a streaming operator and replayed
+    // job-per-stage over the frozen corpus tape — stateless stage-1 flags
+    // INSIDE the stream, exact first-seen dedup state, the band-index +
+    // stream-static-verify near-dup stage, and the stream-static benchmark
+    // decontam semi-join. Near-dup policy is FIRST-OCCURRENCE-WINS (an
+    // ingest filter cannot retract an admitted doc), which is why this has
+    // its own real SQL oracle (doc NOT the later side of any verified
+    // pair) instead of q100's keep-best recursion.
+    "q195_streaming_curation" -> ((s, d) =>
+      graft.streaming.CurationStream.replayFunnel(s, t(s, d, "documents"),
+          col("doc_id"), col("text"), benchPred = col("doc_id") % 10 === 0)
+        .orderBy(col("doc_id"))),
+
     // Model-based quality filter (Corpus.hashedLinearScore): hashing-trick
     // linear scorer — feature id = portable token hash mod dim (pure
     // arithmetic, NO vocabulary join), weights one foldable literal, the
@@ -4507,6 +4521,72 @@ object SparkEntry {
         |  WHERE rn = 1),
         |nd AS (SELECT ca.doc_id, ca.doc_id = canon.canonical_id AS neardup_keep
         |       FROM ca JOIN canon USING (component_id)),
+        |s3 AS (SELECT sh2.doc_id, sh2.sh, CAST(length(sh2.sh) AS BIGINT) AS n_sh
+        |       FROM sh2 JOIN nd USING (doc_id) WHERE nd.neardup_keep),
+        |bsh AS (SELECT DISTINCT unnest(
+        |    CASE WHEN length(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |         ELSE list_distinct(list_transform(range(1, length(toks) - 2 + 1),
+        |                i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+        |    END) AS s
+        |  FROM (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |        FROM base WHERE is_bench)),
+        |es AS (SELECT doc_id, unnest(sh) AS s FROM s3),
+        |hits AS (SELECT es.doc_id, count(*) AS n_hit FROM es JOIN bsh USING (s) GROUP BY 1),
+        |dec AS (SELECT s3.doc_id,
+        |         NOT ((CASE WHEN s3.n_sh = 0 THEN 0.0
+        |                    ELSE CAST(COALESCE(hits.n_hit, 0) AS DOUBLE) / s3.n_sh END)
+        |              >= 0.5) AS decontam_ok
+        |       FROM s3 LEFT JOIN hits USING (doc_id))
+        |SELECT f.doc_id, f.lang_ok, f.quality_ok, ex.exact_keep, nd.neardup_keep,
+        |  dec.decontam_ok,
+        |  COALESCE(f.lang_ok AND f.quality_ok AND ex.exact_keep AND nd.neardup_keep
+        |           AND dec.decontam_ok, FALSE) AS kept
+        |FROM flags f
+        |LEFT JOIN ex USING (doc_id)
+        |LEFT JOIN nd USING (doc_id)
+        |LEFT JOIN dec USING (doc_id)
+        |WHERE NOT f.is_bench
+        |ORDER BY f.doc_id""".stripMargin,
+
+    // q100's oracle with the near-dup stage swapped to first-wins: a
+    // stage-2 survivor is dropped iff it is the LATER side of any exact
+    // all-pairs J >= 0.5 pair — no recursive component closure, because
+    // the ingest policy never needs one
+    "q195_streaming_curation" ->
+      """WITH
+        |base AS (SELECT doc_id, text, doc_id % 10 = 0 AS is_bench FROM documents),
+        |st AS (SELECT doc_id, text, is_bench,
+        |  CAST(length(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+        |  CAST(length(list_filter(string_split(text, ' '), x -> list_contains(['the','a','of','and','to','in','is'], x))) AS BIGINT) AS n_stop,
+        |  CAST(length(list_filter(string_split(lower(text), ' '), x -> list_contains(['the','and','of','is','to'], x))) AS BIGINT) AS en_hits,
+        |  CAST(length(list_filter(string_split(lower(text), ' '), x -> list_contains(['el','la','de','que','y','los'], x))) AS BIGINT) AS es_hits,
+        |  CAST(length(list_filter(string_split(lower(text), ' '), x -> list_contains(['der','die','das','und','ist'], x))) AS BIGINT) AS de_hits
+        |  FROM base),
+        |flags AS (SELECT *,
+        |  (en_hits >= es_hits AND en_hits >= de_hits AND en_hits > 0) AS lang_ok,
+        |  (n_tokens BETWEEN 5 AND 10000 AND
+        |   (CASE WHEN n_tokens = 0 THEN 0.0
+        |         ELSE CAST(n_stop AS DOUBLE) / n_tokens END) >= 0.01) AS quality_ok
+        |  FROM st),
+        |s1 AS (SELECT * FROM flags WHERE NOT is_bench AND lang_ok AND quality_ok),
+        |ex AS (SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY text) AS exact_keep FROM s1),
+        |s2 AS (SELECT s1.* FROM s1 JOIN ex USING (doc_id) WHERE ex.exact_keep),
+        |sh2 AS (SELECT doc_id, n_tokens,
+        |  CASE WHEN length(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |       ELSE list_distinct(list_transform(range(1, length(toks) - 2 + 1),
+        |              i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+        |  END AS sh
+        |  FROM (SELECT doc_id, n_tokens,
+        |          list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM s2)),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+        |  WHERE length(a.sh) > 0 AND length(b.sh) > 0
+        |    AND CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |          / (length(a.sh) + length(b.sh) - length(list_intersect(a.sh, b.sh))) >= 0.5),
+        |nd AS (SELECT s2.doc_id,
+        |         s2.doc_id NOT IN (SELECT doc_b FROM pairs) AS neardup_keep
+        |       FROM s2),
         |s3 AS (SELECT sh2.doc_id, sh2.sh, CAST(length(sh2.sh) AS BIGINT) AS n_sh
         |       FROM sh2 JOIN nd USING (doc_id) WHERE nd.neardup_keep),
         |bsh AS (SELECT DISTINCT unnest(

@@ -30,6 +30,43 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
+  /** Stage 1 of the curation funnel — the scan-side lang-id + quality
+    * flags (q19's stopword-hit language ID, q18's token-count/stop-ratio
+    * screen, op-for-op), appended as columns to a frame carrying
+    * (`doc_id`, `text`, ...). Pure whole-stage-codegen column maps with no
+    * exchange, so the SAME function runs unchanged on a batch frame
+    * ([[curate]]) and on a streaming one
+    * ([[graft.streaming.CurationStream]]) — stream ≡ batch for this stage
+    * by construction, not by test.
+    */
+  def stageOneFlags(docs: DataFrame): DataFrame = {
+    val nTokens =
+      expr("CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT)")
+    val nStop =
+      expr("CAST(size(filter(split(text, ' '), x -> array_contains(array('the','a','of','and','to','in','is'), x))) AS BIGINT)")
+    val enHits =
+      expr("CAST(size(filter(split(lower(text), ' '), x -> array_contains(array('the','and','of','is','to'), x))) AS BIGINT)")
+    val esHits =
+      expr("CAST(size(filter(split(lower(text), ' '), x -> array_contains(array('el','la','de','que','y','los'), x))) AS BIGINT)")
+    val deHits =
+      expr("CAST(size(filter(split(lower(text), ' '), x -> array_contains(array('der','die','das','und','ist'), x))) AS BIGINT)")
+    docs
+      .withColumn("n_tokens", nTokens)
+      .withColumn("n_stop", nStop)
+      .withColumn("en_hits", enHits)
+      .withColumn("es_hits", esHits)
+      .withColumn("de_hits", deHits)
+      .withColumn("stop_ratio",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(col("n_stop").cast("double") / col("n_tokens")))
+      .withColumn("lang_ok",
+        col("en_hits") >= col("es_hits") && col("en_hits") >= col("de_hits") &&
+          col("en_hits") > 0)
+      .withColumn("quality_ok",
+        col("n_tokens") >= 5 && col("n_tokens") <= 10000 &&
+          col("stop_ratio") >= 0.01)
+  }
+
   /** Run the full curation pipeline over `docs`. `benchPred` marks the
     * held-out benchmark/eval split: those rows are excluded from the
     * output and serve as the decontamination index.
@@ -67,30 +104,7 @@ object Pipeline {
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val base = docs.select(idCol.as("doc_id"), textCol.as("text"),
       benchPred.as("is_bench"))
-
-    // Stage 1 — scan-side flags (q19 lang-id + q18 quality, op-for-op)
-    val nTokens =
-      expr("CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT)")
-    val nStop =
-      expr("CAST(size(filter(split(text, ' '), x -> array_contains(array('the','a','of','and','to','in','is'), x))) AS BIGINT)")
-    val enHits =
-      expr("CAST(size(filter(split(lower(text), ' '), x -> array_contains(array('the','and','of','is','to'), x))) AS BIGINT)")
-    val esHits =
-      expr("CAST(size(filter(split(lower(text), ' '), x -> array_contains(array('el','la','de','que','y','los'), x))) AS BIGINT)")
-    val deHits =
-      expr("CAST(size(filter(split(lower(text), ' '), x -> array_contains(array('der','die','das','und','ist'), x))) AS BIGINT)")
-    val flagged = base.select(col("doc_id"), col("text"), col("is_bench"),
-        nTokens.as("n_tokens"), nStop.as("n_stop"),
-        enHits.as("en_hits"), esHits.as("es_hits"), deHits.as("de_hits"))
-      .withColumn("stop_ratio",
-        when(col("n_tokens") === 0, lit(0.0))
-          .otherwise(col("n_stop").cast("double") / col("n_tokens")))
-      .withColumn("lang_ok",
-        col("en_hits") >= col("es_hits") && col("en_hits") >= col("de_hits") &&
-          col("en_hits") > 0)
-      .withColumn("quality_ok",
-        col("n_tokens") >= 5 && col("n_tokens") <= 10000 &&
-          col("stop_ratio") >= 0.01)
+    val flagged = stageOneFlags(base)
     val candidates = flagged.filter(!col("is_bench"))
 
     // Stage 2 — exact dedup among stage-1 survivors: min id per content

@@ -1,0 +1,222 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+import graft.operators.Pipeline
+
+/** The curation funnel at INGEST time — "filter while the data lands, not
+  * after" — the deploy shape a 100 TB/day training-data pipeline actually
+  * runs: every stage of the batch [[graft.operators.Pipeline.curate]]
+  * recipe re-expressed as a streaming operator, chained job-per-stage with
+  * a topic seam between stages (the standard multi-stage Structured
+  * Streaming topology: stage N's sink is stage N+1's source; two stateful
+  * `flatMapGroupsWithState` keyings cannot share one query).
+  *
+  * The ONE deliberate semantic difference from the batch funnel: near-dup
+  * policy is FIRST-OCCURRENCE-WINS, not keep-best. An ingest filter cannot
+  * retract a document it already admitted when a higher-quality cluster
+  * mate arrives later, so the streaming contract is "drop any arrival that
+  * near-duplicates an earlier one" — which is also plain SQL
+  * (`doc_id NOT IN (SELECT doc_b FROM pairs)`), so the q195 gate checks
+  * the whole streamed funnel against a REAL DuckDB oracle rather than a
+  * stream-vs-self boolean. Everything else (stage-1 flags, exact
+  * first-seen dedup over an id-ordered tape, the decontamination ratio)
+  * is semantically identical to q100's batch stages.
+  *
+  * Scale notes per stage: stage 1 is stateless scan-side codegen
+  * ([[Pipeline.stageOneFlags]], shared verbatim with batch); stage 2's
+  * state is one 8-byte id per distinct content fingerprint (q80's index —
+  * swap in [[StreamingOps.exactDedupStreamTtl]]'s TTL form when "dup of
+  * anything EVER" is more state than the contract needs); stage 3's state
+  * is the LSH band inverted index (ids only, capped hot buckets —
+  * [[StreamingOps.nearDupCandidatesStream]]) while document payloads stay
+  * in the LANDED STORE and are only fetched by the stream-static verify
+  * join on the (sparse) candidate pairs; stage 4 is a stream-static
+  * semi-join against the (small, fixed) benchmark shingle set plus a
+  * per-doc count — no cross-doc state at all.
+  */
+object CurationStream {
+
+  /** Stage 2 — streaming exact dedup as a PER-DOC FLAG stream: every
+    * arriving doc emits (doc_id, exact_keep), true iff its content
+    * fingerprint (xxhash64 + length, the [[StreamingOps.exactDedupStream]]
+    * key) was never seen before (min id within a batch wins, so an
+    * id-ordered tape reproduces the batch funnel's min-id-per-content
+    * canonical exactly). Emitting the negative flags too — unlike
+    * exactDedupStream, which emits keepers only — is what lets the funnel
+    * audit survival per stage instead of just forwarding survivors.
+    */
+  def exactKeepStream(docs: DataFrame, idCol: String,
+      textCol: String): Dataset[(Long, Boolean)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        xxhash64(col(textCol)).as("fp_hash"),
+        length(col(textCol)).cast("long").as("fp_len"))
+      .as[(Long, Long, Long)]
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState[FirstSeen, (Long, Boolean)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, it, state) =>
+          val ids = it.map(_._1).toVector.sorted
+          if (state.exists) ids.iterator.map(id => (id, false))
+          else {
+            state.update(FirstSeen(ids.head))
+            Iterator.single((ids.head, true)) ++
+              ids.tail.iterator.map(id => (id, false))
+          }
+      }
+  }
+
+  /** Stage 3 — verified near-dup DROPS: the band-index state op proposes
+    * candidate pairs (earlier member, arrival) and a STREAM-STATIC join
+    * against the landed corpus `store` fetches both shingle sets for the
+    * exact-Jaccard verify — the production shape where state holds ids
+    * only and payloads live in storage. Output rows (doc_a, doc_b,
+    * jaccard) are the verified pairs; under first-wins policy every
+    * distinct `doc_b` is a drop. At-least-once like the batch pipeline
+    * (a pair sharing several buckets repeats) — `distinct()` downstream.
+    *
+    * Geometry defaults to the recall-effectively-exact r=2/b=64 banding
+    * ([[graft.operators.Dedup.minhashNearDups]]'s argument: a J ≥ 0.5 pair
+    * misses every band with P ≈ 1e-8), which is what lets q195 hash-match
+    * an exact all-pairs oracle. No band-match floor here: the verify join
+    * already kills accidental candidates, and the streaming index emits
+    * per-bucket so the floor would need cross-band pair state.
+    */
+  def nearDupDropsStream(docs: DataFrame, idCol: String, textCol: String,
+      store: DataFrame, storeIdCol: Column, storeTextCol: Column,
+      shingleN: Int = 3, numHashes: Int = 128, numBands: Int = 64,
+      threshold: Double = 0.5, maxBucket: Int = 10000): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val cand = StreamingOps.nearDupCandidatesStream(docs, idCol, textCol,
+        shingleN, numHashes, numBands, maxBucket)
+      .toDF("doc_a", "doc_b")
+    val sets = store.select(storeIdCol.as("sid"),
+        call_function("graft_shingles", storeTextCol, lit(shingleN)).as("sh"))
+      .withColumn("n", size(col("sh")))
+    cand
+      .join(sets.select(col("sid").as("doc_a"), col("sh").as("sh_a"),
+        col("n").as("n_a")), Seq("doc_a"))
+      .join(sets.select(col("sid").as("doc_b"), col("sh").as("sh_b"),
+        col("n").as("n_b")), Seq("doc_b"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("c"),
+        col("n_a"), col("n_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("c").cast("double") / (col("n_a") + col("n_b") - col("c")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Stage 4 — streaming decontamination hits: each arriving doc's
+    * distinct shingles (graft_shingles dedups) are hashed and
+    * semi-joined against the static benchmark shingle-hash set
+    * (`benchHashes`, one `sk` BIGINT column, distinct), then counted per
+    * doc — mirror of [[graft.operators.Corpus.decontaminate]]'s eval side
+    * with the train index frozen. Update-mode aggregation: a doc's
+    * shingles land in its arrival batch, so each doc emits exactly one
+    * (doc_id, n_sh, n_hit) row; docs with zero hits emit NOTHING (the
+    * semi-join drops all their rows) — the assembler left-joins and fills
+    * 0, same as the batch operator.
+    */
+  def decontamHitsStream(docs: DataFrame, idCol: String, textCol: String,
+      benchHashes: DataFrame, shingleN: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        call_function("graft_shingles", col(textCol), lit(shingleN)).as("sh"))
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
+        explode(col("sh")).as("s"))
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("s")).as("sk"))
+      .join(benchHashes, Seq("sk"), "left_semi")
+      .groupBy(col("doc_id"), col("n_sh"))
+      .agg(count(lit(1)).as("n_hit"))
+  }
+
+  /** Drive the whole ingest funnel over a frozen tape (the q195 gate
+    * harness): each chained stage replays through its REAL streaming
+    * operator in ordered micro-batches via [[MemoryReplay]] — the tape
+    * seams standing in for the topic seams of the deployed job-per-stage
+    * topology — and the per-doc flags are assembled into the
+    * [[graft.operators.Pipeline.curate]] output schema (NULL = eliminated
+    * before that stage ran, `kept` = every flag true). Stage-1 flags are
+    * computed INSIDE stage 2's streaming query (they are stateless, so the
+    * same [[Pipeline.stageOneFlags]] call runs on the stream) and
+    * re-derived batch-side only to label eliminated docs.
+    */
+  def replayFunnel(spark: SparkSession, docs: DataFrame, idCol: Column,
+      textCol: Column, benchPred: Column, contamThreshold: Double = 0.5,
+      nBatches: Int = 4): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val base = docs.select(idCol.as("doc_id"), textCol.as("text"),
+      benchPred.as("is_bench"))
+    val flagged = Pipeline.stageOneFlags(base).localCheckpoint()
+    val candidates = flagged.filter(!col("is_bench"))
+
+    // Stage 1+2 (one query): stateless flags -> survivors -> exact-keep
+    // flag stream. Tape = every non-benchmark doc in id order.
+    val tape1 = candidates.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val exactFlags = MemoryReplay.replay(spark, tape1, nBatches)(ds =>
+        exactKeepStream(
+          Pipeline.stageOneFlags(ds.toDF("doc_id", "text"))
+            .filter(col("lang_ok") && col("quality_ok")),
+          "doc_id", "text"))
+      .toDF("doc_id", "exact_keep").localCheckpoint()
+
+    // Stage 3: exact-canonical survivors stream through the band index;
+    // the verify join reads the landed store (here: the survivor frame).
+    val s2 = candidates
+      .join(exactFlags.filter(col("exact_keep")).select("doc_id"), Seq("doc_id"))
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val tape2 = s2.as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val drops = MemoryReplay.replay(spark, tape2, nBatches)(ds =>
+        nearDupDropsStream(ds.toDF("doc_id", "text"), "doc_id", "text",
+          store = s2, storeIdCol = col("doc_id"), storeTextCol = col("text"))
+        .select(col("doc_a"), col("doc_b")).as[(Long, Long)])
+      .toDF("doc_a", "doc_b").select(col("doc_b").as("doc_id")).distinct()
+    val nearFlags = s2.select(col("doc_id"))
+      .join(drops.withColumn("_d", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(!col("_d"), lit(true)).as("neardup_keep"))
+      .localCheckpoint()
+
+    // Stage 4: near-dup survivors stream against the static benchmark
+    // shingle-hash index.
+    val s3 = s2.join(nearFlags.filter(col("neardup_keep")).select("doc_id"),
+      Seq("doc_id")).localCheckpoint()
+    val tape3 = s3.as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val benchHashes = base.filter(col("is_bench"))
+      .select(explode(call_function("graft_shingles", col("text"), lit(3))).as("s"))
+      .select(xxhash64(col("s")).as("sk")).distinct().localCheckpoint()
+    val hits = MemoryReplay.replay(spark, tape3, nBatches,
+        mode = OutputMode.Update())(ds =>
+        decontamHitsStream(ds.toDF("doc_id", "text"), "doc_id", "text",
+          benchHashes)
+        .as[(Long, Long, Long)])
+      .toDF("doc_id", "n_sh", "n_hit")
+    val frac = when(col("n_sh") === 0, lit(0.0))
+      .otherwise(col("n_hit").cast("double") / col("n_sh"))
+    val deconFlags = s3
+      .select(col("doc_id"),
+        size(call_function("graft_shingles", col("text"), lit(3)))
+          .cast("long").as("n_sh"))
+      .join(hits.select(col("doc_id"), col("n_hit")), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_hit"))
+      .select(col("doc_id"), (!(frac >= contamThreshold)).as("decontam_ok"))
+
+    candidates.select(col("doc_id"), col("lang_ok"), col("quality_ok"))
+      .join(exactFlags, Seq("doc_id"), "left")
+      .join(nearFlags, Seq("doc_id"), "left")
+      .join(deconFlags, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang_ok"), col("quality_ok"),
+        col("exact_keep"), col("neardup_keep"), col("decontam_ok"),
+        coalesce(col("lang_ok") && col("quality_ok") && col("exact_keep") &&
+          col("neardup_keep") && col("decontam_ok"), lit(false)).as("kept"))
+  }
+}
