@@ -197,8 +197,15 @@ object Quantize {
         struct(col("score"), (-col("vec_id")).as("nid"), col("vec_id").as("vec_id")),
         lit(k * oversample)).as("top"))
       .select(col("qid"), explode(col("top.vec_id")).as("vec_id"))
-    Similarity.topkOf(cand
-      .join(broadcast(q.select(col("qid"), col("qv"), col("qnrm"))), Seq("qid"))
+    // the rescore fetch: candidates are ≤ queries·k·oversample rows BY
+    // CONSTRUCTION (graft_topk bound), but Spark can't estimate a
+    // post-aggregate frame, so without the explicit broadcast it picks a
+    // sort-merge join and SHUFFLES THE WHOLE CORPUS to fetch a few hundred
+    // vectors (measured: shuffle exponent 2.28 across the 10×→100× probe
+    // decade, 77 MB at 100× — BASELINE r11). Broadcasting the bounded side
+    // keeps the corpus scan in place: shuffle exponent drops to ~0.
+    Similarity.topkOf(broadcast(cand
+        .join(broadcast(q.select(col("qid"), col("qv"), col("qnrm"))), Seq("qid")))
       .join(e, Seq("vec_id"))
       .withColumn("score", Similarity.cosine(col("qv"), col("v"),
         col("qnrm"), col("nrm"))), k)
@@ -292,8 +299,15 @@ object Quantize {
         struct(col("score"), (-col("vec_id")).as("nid"), col("vec_id").as("vec_id")),
         lit(k * oversample)).as("top"))
       .select(col("qid"), explode(col("top.vec_id")).as("vec_id"))
-    Similarity.topkOf(cand
-      .join(broadcast(q.select(col("qid"), col("qv"), col("qnrm"))), Seq("qid"))
+    // the rescore fetch: candidates are ≤ queries·k·oversample rows BY
+    // CONSTRUCTION (graft_topk bound), but Spark can't estimate a
+    // post-aggregate frame, so without the explicit broadcast it picks a
+    // sort-merge join and SHUFFLES THE WHOLE CORPUS to fetch a few hundred
+    // vectors (measured: shuffle exponent 2.28 across the 10×→100× probe
+    // decade, 77 MB at 100× — BASELINE r11). Broadcasting the bounded side
+    // keeps the corpus scan in place: shuffle exponent drops to ~0.
+    Similarity.topkOf(broadcast(cand
+        .join(broadcast(q.select(col("qid"), col("qv"), col("qnrm"))), Seq("qid")))
       .join(e, Seq("vec_id"))
       .withColumn("score", Similarity.cosine(col("qv"), col("v"),
         col("qnrm"), col("nrm"))), k)
@@ -341,8 +355,9 @@ object Quantize {
       .withColumn("nrm", Similarity.norm(col("v")))
     val qe = e.where(queryPred)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
-    Similarity.topkOf(cand
-      .join(broadcast(qe), Seq("qid"))
+    // bounded-candidate broadcast on the rescore fetch — see ivfPqKnn's
+    // comment (the corpus must never shuffle to serve a few hundred ids)
+    Similarity.topkOf(broadcast(cand.join(broadcast(qe), Seq("qid")))
       .join(e, Seq("vec_id"))
       .withColumn("score", Similarity.cosine(col("qv"), col("v"),
         col("qnrm"), col("nrm"))), k)

@@ -171,8 +171,10 @@ object Similarity {
       .select(col("qid"), col("vec_id")).distinct()
     val q = e.filter(queryPred)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"))
-    topkOf(cand
-      .join(broadcast(q), Seq("qid"))
+    // bounded-candidate broadcast on the rescore fetch — see
+    // Quantize.ivfPqKnn's comment (the corpus must never shuffle to serve
+    // a few hundred candidate ids)
+    topkOf(broadcast(cand.join(broadcast(q), Seq("qid")))
       .join(e, Seq("vec_id"))
       .withColumn("score", cosine(col("qv"), col("v"), col("qnrm"), col("nrm"))), k)
   }
@@ -264,8 +266,8 @@ object Similarity {
         .withColumn("score", cosine(col("qp"), col("p"), col("qpnrm"), col("pnrm"))),
         shortlist)
       .select(col("qid"), col("vec_id"))
-    topkOf(cand
-      .join(broadcast(q.select(col("qid"), col("qv"), col("qnrm"))), Seq("qid"))
+    topkOf(broadcast(cand
+        .join(broadcast(q.select(col("qid"), col("qv"), col("qnrm"))), Seq("qid")))
       .join(e, Seq("vec_id"))
       .withColumn("score", cosine(col("qv"), col("v"), col("qnrm"), col("nrm"))), k)
   }

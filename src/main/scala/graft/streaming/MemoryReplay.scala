@@ -56,7 +56,8 @@ object MemoryReplay {
     */
   def replay[I: Encoder, O: Encoder](spark: SparkSession, tape: Seq[I],
       nBatches: Int, statePartitions: Int = 8,
-      mode: OutputMode = OutputMode.Append())(f: Dataset[I] => Dataset[O]): DataFrame = {
+      mode: OutputMode = OutputMode.Append(),
+      stateStoreProvider: Option[String] = None)(f: Dataset[I] => Dataset[O]): DataFrame = {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[I]
     val name = s"graft_replay_${runId.incrementAndGet()}"
@@ -65,17 +66,28 @@ object MemoryReplay {
     // so the session default (sized for batch scans) only multiplies
     // state-store file overhead per batch. Set it for the start() call and
     // restore immediately — never leaked across the session (the round-2
-    // ADVICE lesson on session-wide conf mutation).
+    // ADVICE lesson on session-wide conf mutation). Same discipline for the
+    // state-store provider override (heap default vs RocksDB — the 100 TB
+    // deploy knob: at rate×TTL ≈ millions of live buckets the heap
+    // provider is the first thing to fall over; the provider choice must
+    // not change output, which StreamStateProbe's A/B row asserts).
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevProv = spark.conf.getOption(provKey)
     val query =
       try {
         spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+        stateStoreProvider.foreach(spark.conf.set(provKey, _))
         f(input.toDS()).writeStream
           .format("memory")
           .queryName(name)
           .outputMode(mode)
           .start()
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if (stateStoreProvider.isDefined)
+          prevProv.fold(spark.conf.unset(provKey))(spark.conf.set(provKey, _))
+      }
     try {
       val chunk = math.max(1, (tape.size + nBatches - 1) / nBatches)
       // processAllAvailable per chunk forces a micro-batch boundary, so the

@@ -279,6 +279,85 @@ object ScaleProbe {
         }
       println(s"[probe] q184 growth: ${expFit(ddRes)}")
     }
+    // --ann-hundredx: the q97 IVF-PQ chain's two-decade growth fit
+    // (VERDICT r10 Next #2) — cell assign → pqEncode → LUT scan → rescore
+    // at 1×/10×/100× the embedding corpus with a FIXED 5-query load, so
+    // the exponents measure the corpus-side scaling (index build + probed-
+    // cell candidate join) that a skewed cell distribution could push
+    // super-linear. Same wall + shuffle-bytes fit as --hundredx-only; the
+    // gate's nprobe=16 configuration.
+    def annHundredxSection(): Unit = {
+      import graft.operators.Quantize
+      graft.functions.GraftFunctions.register(spark)
+      val tally = new java.util.concurrent.atomic.AtomicLong(0)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+            tally.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        })
+      def measure(label: String)(f: => Long): (Double, Long) = {
+        f
+        Thread.sleep(1500)
+        tally.set(0)
+        val t0 = System.nanoTime()
+        val rows = f
+        val t = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(1500)
+        val bytes = tally.get()
+        println(f"[probe] $label%-28s ${t}%8.2f s  shuffle=${bytes / 1048576.0}%9.1f MB ($rows rows)")
+        (t, bytes)
+      }
+      def expFit(r: Seq[(Double, Long)]): String = {
+        val we = math.log(r(2)._1 / r(1)._1) / math.log(10.0)
+        val be = if (r(1)._2 > 0 && r(2)._2 > 0)
+          f"${math.log(r(2)._2.toDouble / r(1)._2) / math.log(10.0)}%.2f"
+          else "n/a"
+        f"wall exp=${we}%.2f shuffle exp=$be (10x -> 100x decade)"
+      }
+      val d100 = s"$dir/hundredx"
+      if (!new java.io.File(s"$d100/embeddings.parquet").exists()) {
+        println(s"[probe] generating 100x embeddings under $d100")
+        genEmbeddings(spark, d100, 200000)
+      }
+      // cell-population skew at each scale: the probed-cell candidate
+      // join's per-cell fan-out is the suspected super-linear term (q172
+      // audits the Gini; this prints max/mean occupancy next to the wall),
+      // assignment mirroring ivfKnn's hash-smallest-sample centroids +
+      // nearest-by-distance rule
+      Seq(("1x", srcDir), ("10x", dir), ("100x", d100)).foreach {
+        case (label, d) =>
+          val e = embOf(d).select(col("vec_id"),
+            Similarity.toDouble(col("embedding")).as("v"))
+          val cents = e.withColumn("h", xxhash64(col("vec_id")))
+            .orderBy(col("h")).limit(64)
+            .select(col("vec_id").as("cid"), col("v").as("cv"))
+          val dist2 = (Similarity.dot(col("v"), col("v"))
+            - lit(2.0) * Similarity.dot(col("v"), col("cv"))) +
+            Similarity.dot(col("cv"), col("cv"))
+          val cellStats = e.crossJoin(broadcast(cents))
+            .select(col("vec_id"), struct(dist2.as("d"), col("cid")).as("dc"))
+            .groupBy(col("vec_id")).agg(min(col("dc")).as("best"))
+            .select(col("best.cid").as("cell"))
+            .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+            .agg(count(lit(1)).as("n_cells"), max(col("n")).as("mx"),
+              avg(col("n")).as("mean")).collect().head
+          println(f"[probe] $label cells: n=${cellStats.getLong(0)} " +
+            f"max=${cellStats.getLong(1)} mean=${cellStats.getDouble(2)}%.1f " +
+            f"(max/mean=${cellStats.getLong(1) / cellStats.getDouble(2)}%.2f)")
+      }
+      val res = Seq(("1x", srcDir), ("10x", dir), ("100x", d100)).map {
+        case (label, d) =>
+          measure(s"$label q97_ivfpq_knn") {
+            Quantize.ivfPqKnn(embOf(d), col("vec_id") < 5, k = 10,
+              nprobe = 16).count()
+          }
+      }
+      println(s"[probe] ivfPqKnn growth: ${expFit(res)}")
+    }
+    if (args.contains("--ann-hundredx")) {
+      annHundredxSection(); spark.stop(); return
+    }
     // --dedup-breakdown: stage-by-stage row counts for the q62 chain at a
     // given corpus — where does the 100× shuffle mass come from?
     def dedupBreakdown(): Unit = {
