@@ -1407,6 +1407,19 @@ object SparkEntry {
           col("doc_id"), col("text"), benchPred = col("doc_id") % 10 === 0)
         .orderBy(col("doc_id"))),
 
+    // The BOUNDED-STATE ingest funnel (CurationStream.replayFunnelTtl):
+    // q195 with both content-growing state ops swapped for their rate×TTL
+    // variants (q193's sliding exact-dedup window + q192's TTL band index
+    // with a stream-static exact verify) — the state shape a 100 TB/day
+    // ingest deploys. One row per ADMITTED occurrence (doc_id, tick);
+    // content re-admitted after a TTL of silence appears twice, which IS
+    // the contract the TTL exists for. The oracle is plain SQL: lag-window
+    // keepers minus later sides of exact-Jaccard pairs within Δt ≤ ttl.
+    "q196_streaming_curation_ttl" -> ((s, d) =>
+      graft.streaming.CurationStream.replayFunnelTtl(s, t(s, d, "documents"),
+          col("doc_id"), col("text"))
+        .orderBy(col("doc_id"), col("tick"))),
+
     // Model-based quality filter (Corpus.hashedLinearScore): hashing-trick
     // linear scorer — feature id = portable token hash mod dim (pure
     // arithmetic, NO vocabulary join), weights one foldable literal, the
@@ -4613,6 +4626,53 @@ object SparkEntry {
         |LEFT JOIN dec USING (doc_id)
         |WHERE NOT f.is_bench
         |ORDER BY f.doc_id""".stripMargin,
+
+    // q196's oracle: rebuild the occurrence tape over stage-1 survivors
+    // (base 2r, id%5=0 at 2r+1, id%10=0 at 3n+r; ttl = n//2 ticks), take
+    // lag-window keepers (q193's predicate), then drop the later side of
+    // any exact-Jaccard >= 0.5 keeper pair within the TTL window
+    "q196_streaming_curation_ttl" ->
+      """WITH st AS (SELECT doc_id, text,
+        |  CAST(length(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+        |  CAST(length(list_filter(string_split(text, ' '), x -> list_contains(['the','a','of','and','to','in','is'], x))) AS BIGINT) AS n_stop,
+        |  CAST(length(list_filter(string_split(lower(text), ' '), x -> list_contains(['the','and','of','is','to'], x))) AS BIGINT) AS en_hits,
+        |  CAST(length(list_filter(string_split(lower(text), ' '), x -> list_contains(['el','la','de','que','y','los'], x))) AS BIGINT) AS es_hits,
+        |  CAST(length(list_filter(string_split(lower(text), ' '), x -> list_contains(['der','die','das','und','ist'], x))) AS BIGINT) AS de_hits
+        |  FROM documents),
+        |fl AS (SELECT doc_id, text FROM st
+        |  WHERE (en_hits >= es_hits AND en_hits >= de_hits AND en_hits > 0)
+        |    AND (n_tokens BETWEEN 5 AND 10000 AND
+        |         (CASE WHEN n_tokens = 0 THEN 0.0
+        |               ELSE CAST(n_stop AS DOUBLE) / n_tokens END) >= 0.01)),
+        |pos AS (SELECT doc_id, text,
+        |          CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS r,
+        |          (SELECT CAST(count(*) AS BIGINT) FROM fl) AS n
+        |        FROM fl),
+        |occ AS (SELECT doc_id, text, 2 * r AS t, n FROM pos
+        |  UNION ALL SELECT doc_id, text, 2 * r + 1, n FROM pos WHERE doc_id % 5 = 0
+        |  UNION ALL SELECT doc_id, text, 3 * n + r, n FROM pos WHERE doc_id % 10 = 0),
+        |ek AS (SELECT doc_id, text, t, n,
+        |         lag(t) OVER (PARTITION BY text ORDER BY t) AS prev
+        |       FROM occ),
+        |keep AS (SELECT doc_id, text, t, n FROM ek
+        |         WHERE prev IS NULL OR t - prev > n // 2),
+        |sh AS (SELECT doc_id, t, n,
+        |  CASE WHEN length(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |       ELSE list_distinct(list_transform(range(1, length(toks) - 2 + 1),
+        |              i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+        |  END AS sh
+        |  FROM (SELECT doc_id, t, n,
+        |          list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |        FROM keep)),
+        |pairs AS MATERIALIZED (
+        |  SELECT b.t AS tb
+        |  FROM sh a JOIN sh b ON a.t < b.t AND b.t - a.t <= a.n // 2
+        |  WHERE length(a.sh) > 0 AND length(b.sh) > 0
+        |    AND CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |          / (length(a.sh) + length(b.sh) - length(list_intersect(a.sh, b.sh))) >= 0.5)
+        |SELECT doc_id, t AS tick FROM keep
+        |WHERE t NOT IN (SELECT tb FROM pairs)
+        |ORDER BY doc_id, tick""".stripMargin,
 
     // Full recomputation of the hashed-linear score: the q24-family
     // portable poly roll per token (base 31 mod 1e9+7, scrambled to 32

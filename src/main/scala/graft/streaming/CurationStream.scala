@@ -219,4 +219,90 @@ object CurationStream {
         coalesce(col("lang_ok") && col("quality_ok") && col("exact_keep") &&
           col("neardup_keep") && col("decontam_ok"), lit(false)).as("kept"))
   }
+
+  /** The BOUNDED-STATE ingest funnel (the q196 gate harness): the
+    * [[replayFunnel]] composition with both content-growing state ops
+    * swapped for their rate×TTL variants — stage-1 flags →
+    * [[StreamingOps.exactDedupStreamTtl]] ("identical content within the
+    * trailing TTL", sliding refresh) → [[StreamingOps.nearDupCandidatesStreamTtl]]
+    * band index + stream-static exact-Jaccard verify ("near-dup of any
+    * stage-2 keeper within the TTL", first-occurrence-wins). This is the
+    * shape a 100 TB/day ingest actually deploys: state bounded at
+    * arrival-rate × TTL forever (BASELINE r10/r11 flat-state laws), with
+    * content re-admitted after a TTL of silence instead of suppressed for
+    * the corpus lifetime.
+    *
+    * The tape re-emits deterministically (q193's convention: base at 2r s,
+    * id%5=0 again 1 s later — an in-window dup, swallowed; id%10=0 again at
+    * (3n+r) s — past-TTL, re-admitted) and each OCCURRENCE is identified by
+    * its tick, so the admitted set is a plain SQL derivation: lag-window
+    * keepers, minus later sides of exact-Jaccard pairs among keepers with
+    * Δt ≤ ttl. ttl = n/2 s with 2 s base spacing puts the near-dup window
+    * at rank distance n/4 — the q192 split where the fixture has verified
+    * pairs BOTH inside and beyond the window at every sf.
+    *
+    * Output: one row per ADMITTED occurrence — (doc_id, tick); a doc whose
+    * content went silent past the TTL appears twice, which IS the
+    * re-admission contract.
+    */
+  def replayFunnelTtl(spark: SparkSession, docs: DataFrame, idCol: Column,
+      textCol: Column, nBatches: Int = 4): DataFrame = {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val s1 = Pipeline.stageOneFlags(
+        docs.select(idCol.as("doc_id"), textCol.as("text")))
+      .filter(col("lang_ok") && col("quality_ok"))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val n = s1.size
+    val ttlMs = (n / 2).toLong * 1000L
+    // occurrence tape: the tick IS the occurrence id (globally unique —
+    // base even in [2, 2n], in-window odd, far regime in (3n, 4n])
+    val occs: Seq[(Long, Long, String)] = s1.zipWithIndex.flatMap {
+      case ((id, text), i) =>
+        val r = (i + 1).toLong
+        Seq((2L * r, id, text)) ++
+          (if (id % 5 == 0) Seq((2L * r + 1L, id, text)) else Nil) ++
+          (if (id % 10 == 0) Seq((3L * n + r, id, text)) else Nil)
+    }.sortBy(_._1)
+    def asTape(o: Seq[(Long, Long, String)]) = o.map { case (tick, _, text) =>
+      (tick, new java.sql.Timestamp(tick * 1000L), text)
+    }
+    // Stage 2 — TTL'd exact dedup over occurrences
+    val keepTicks = MemoryReplay.replay(spark, asTape(occs), nBatches)(ds =>
+        StreamingOps.exactDedupStreamTtl(ds.toDF("occ", "ts", "text"),
+          "occ", "ts", "text", ttlMs = ttlMs))
+      .toDF("occ")
+    val occDf = spark.createDataFrame(occs).toDF("occ", "doc_id", "text")
+    val keepers = occDf.join(keepTicks, Seq("occ")).localCheckpoint()
+    val keeperSet = keepers.select(col("occ")).as[Long].collect().toSet
+    // Stage 3 — TTL'd band index over the keepers; verify against the
+    // landed occurrence store (recall-exact r=2/b=64 geometry)
+    val tape3 = asTape(occs.filter(o => keeperSet(o._1)))
+    val sets = keepers
+      .select(col("occ"),
+        call_function("graft_shingles", col("text"), lit(3)).as("sh"))
+      .withColumn("nsh", size(col("sh")))
+    val drops = MemoryReplay.replay(spark, tape3, nBatches)(ds =>
+        StreamingOps.nearDupCandidatesStreamTtl(
+            ds.toDF("occ", "ts", "text"), "occ", "ts", "text",
+            ttlMs = ttlMs, numHashes = 128, numBands = 64)
+          .toDF("occ_a", "occ_b")
+          .join(sets.select(col("occ").as("occ_a"), col("sh").as("sh_a"),
+            col("nsh").as("n_a")), Seq("occ_a"))
+          .join(sets.select(col("occ").as("occ_b"), col("sh").as("sh_b"),
+            col("nsh").as("n_b")), Seq("occ_b"))
+          .filter(col("n_a") > 0 && col("n_b") > 0)
+          .select(col("occ_b"),
+            size(array_intersect(col("sh_a"), col("sh_b"))).as("c"),
+            col("n_a"), col("n_b"))
+          .filter(col("c").cast("double") / (col("n_a") + col("n_b") - col("c"))
+            >= 0.5)
+          .select(col("occ_b")).as[Long])
+      .toDF("occ").distinct()
+    keepers
+      .join(drops.withColumn("_d", lit(true)), Seq("occ"), "left")
+      .filter(col("_d").isNull)
+      .select(col("doc_id"), col("occ").as("tick"))
+  }
 }

@@ -58,6 +58,46 @@ class CurationStreamSpec extends AnyFunSuite {
     assert(flags(4) == flags(6))
   }
 
+  test("TTL funnel: in-window dups swallowed, content re-admitted after TTL, near-dup drops within window") {
+    val sp = spark
+    import sp.implicits._
+    // 8 stage-1-passing docs → n=8, ttl = 4 ticks, base spacing 2 ticks.
+    // ids 1..8: doc 5 (id%5=0) re-emits in-window (swallowed — NOT in
+    // output twice); doc 10 would re-emit far, but keep ids 1..8 so no
+    // %10 far regime — instead craft a near-dup pair at rank distance 1
+    // (Δt=2 ≤ ttl → later dropped) and one at distance 3 (Δt=6 > ttl →
+    // both kept)
+    val base = "the quick brown fox jumps over the lazy dog wanders"
+    def v(i: Int, tail: String) = base + " " + tail
+    val docs = Seq(
+      (1L, v(1, "alpha")),
+      (2L, v(2, "alpha beta")), // near-dup of 1, rank distance 1 → dropped
+      (3L, "the cat sat on the mat and the dog sat too"),
+      (4L, "the sun is up and the moon is down today"),
+      (5L, "the red car and the blue car are in the lot"),
+      (6L, "the river runs to the sea and the sea is wide"),
+      (7L, "the old clock on the wall is slow and loud"),
+      (8L, v(8, "alpha gamma delta")) // near-dup of 1?, distance 7 → kept if beyond ttl
+    ).toDF("doc_id", "text")
+    val out = CurationStream.replayFunnelTtl(spark, docs, col("doc_id"),
+        col("text"), nBatches = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // base ticks: doc i at 2i; doc 5 also at 11 (in-window dup of itself —
+    // swallowed by stage 2, so (5, 11) must NOT appear)
+    assert(!out.contains((5L, 11L)), "in-window identical re-emit must be swallowed")
+    assert(out.contains((5L, 10L)))
+    // near-dup within ttl: doc 2 (tick 4) is Δt=2 ≤ 4 from doc 1 (tick 2)
+    assert(out.contains((1L, 2L)) && !out.exists(_._1 == 2L),
+      s"in-window near-dup must drop the later side: $out")
+    // near-dup beyond ttl: doc 8 (tick 16) is Δt=14 > 4 from doc 1 → kept
+    assert(out.exists(_._1 == 8L), s"beyond-ttl near-dup must be re-admitted: $out")
+    // split invariance
+    val out1 = CurationStream.replayFunnelTtl(spark, docs, col("doc_id"),
+        col("text"), nBatches = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out1 == out)
+  }
+
   test("batch keep-best and streaming first-wins diverge exactly on the near-dup cluster") {
     val batch = graft.operators.Pipeline.curate(corpus, col("doc_id"),
         col("text"), benchPred = col("doc_id") === 10)
