@@ -39,6 +39,20 @@ import graft.operators.Pipeline
   */
 object CurationStream {
 
+  /** The landed store's shingle-set table — (sid, sh, n) — the frame the
+    * near-dup verify join reads. Compute once and MATERIALIZE (parquet
+    * next to the corpus in production, `localCheckpoint` in the gate
+    * harness): the static side of a stream-static join re-executes every
+    * micro-batch.
+    */
+  def shingleStore(store: DataFrame, idCol: Column, textCol: Column,
+      shingleN: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(store.sparkSession)
+    store.select(idCol.as("sid"),
+        call_function("graft_shingles", textCol, lit(shingleN)).as("sh"))
+      .withColumn("n", size(col("sh")))
+  }
+
   /** Stage 2 — streaming exact dedup as a PER-DOC FLAG stream: every
     * arriving doc emits (doc_id, exact_keep), true iff its content
     * fingerprint (xxhash64 + length, the [[StreamingOps.exactDedupStream]]
@@ -86,18 +100,23 @@ object CurationStream {
     * an exact all-pairs oracle. No band-match floor here: the verify join
     * already kills accidental candidates, and the streaming index emits
     * per-bucket so the floor would need cross-band pair state.
+    *
+    * `storeSets` is the PRE-SHINGLED store — (sid, sh, n) from
+    * [[shingleStore]], materialized once. The static side of a
+    * stream-static join re-executes EVERY micro-batch, so handing the
+    * operator raw text would re-shingle the whole landed corpus per batch
+    * — at 100 TB the store-side signature/shingle table is materialized
+    * next to the corpus exactly so lookups never recompute it.
     */
   def nearDupDropsStream(docs: DataFrame, idCol: String, textCol: String,
-      store: DataFrame, storeIdCol: Column, storeTextCol: Column,
-      shingleN: Int = 3, numHashes: Int = 128, numBands: Int = 64,
-      threshold: Double = 0.5, maxBucket: Int = 10000): DataFrame = {
+      storeSets: DataFrame, shingleN: Int = 3, numHashes: Int = 128,
+      numBands: Int = 64, threshold: Double = 0.5,
+      maxBucket: Int = 10000): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val cand = StreamingOps.nearDupCandidatesStream(docs, idCol, textCol,
         shingleN, numHashes, numBands, maxBucket)
       .toDF("doc_a", "doc_b")
-    val sets = store.select(storeIdCol.as("sid"),
-        call_function("graft_shingles", storeTextCol, lit(shingleN)).as("sh"))
-      .withColumn("n", size(col("sh")))
+    val sets = storeSets.select(col("sid"), col("sh"), col("n"))
     cand
       .join(sets.select(col("sid").as("doc_a"), col("sh").as("sh_a"),
         col("n").as("n_a")), Seq("doc_a"))
@@ -176,9 +195,10 @@ object CurationStream {
       .join(exactFlags.filter(col("exact_keep")).select("doc_id"), Seq("doc_id"))
       .select(col("doc_id"), col("text")).localCheckpoint()
     val tape2 = s2.as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val s2Sets = shingleStore(s2, col("doc_id"), col("text")).localCheckpoint()
     val drops = MemoryReplay.replay(spark, tape2, nBatches)(ds =>
         nearDupDropsStream(ds.toDF("doc_id", "text"), "doc_id", "text",
-          store = s2, storeIdCol = col("doc_id"), storeTextCol = col("text"))
+          storeSets = s2Sets)
         .select(col("doc_a"), col("doc_b")).as[(Long, Long)])
       .toDF("doc_a", "doc_b").select(col("doc_b").as("doc_id")).distinct()
     val nearFlags = s2.select(col("doc_id"))
@@ -277,12 +297,13 @@ object CurationStream {
     val keepers = occDf.join(keepTicks, Seq("occ")).localCheckpoint()
     val keeperSet = keepers.select(col("occ")).as[Long].collect().toSet
     // Stage 3 — TTL'd band index over the keepers; verify against the
-    // landed occurrence store (recall-exact r=2/b=64 geometry)
+    // landed occurrence store (recall-exact r=2/b=64 geometry). The
+    // shingle table is MATERIALIZED once — the static join side re-runs
+    // per micro-batch (see [[shingleStore]]).
     val tape3 = asTape(occs.filter(o => keeperSet(o._1)))
-    val sets = keepers
-      .select(col("occ"),
-        call_function("graft_shingles", col("text"), lit(3)).as("sh"))
-      .withColumn("nsh", size(col("sh")))
+    val sets = shingleStore(keepers, col("occ"), col("text"))
+      .select(col("sid").as("occ"), col("sh"), col("n").as("nsh"))
+      .localCheckpoint()
     val drops = MemoryReplay.replay(spark, tape3, nBatches)(ds =>
         StreamingOps.nearDupCandidatesStreamTtl(
             ds.toDF("occ", "ts", "text"), "occ", "ts", "text",
