@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProductD, DotProductL, HashFeatScore, MinHashSig, PolyFingerprint, PqEncodeCodes, PqLut, PqScore, ShingleSet, SimHash64}
+import graft.functions.{DotProductD, DotProductL, HashCountVec, HashFeatScore, MinHashSig, PolyFingerprint, PqEncodeCodes, PqLut, PqScore, ShingleSet, SimHash64}
 
 /** Spark extension entry point: `--conf
   * spark.sql.extensions=graft.GraftExtensions` (or
@@ -65,5 +65,7 @@ object GraftExtensions {
     ("graft_cms_est", "graft_cms_est(sketch, key) - count-min point-frequency estimate",
       (es: Seq[Expression]) => graft.functions.CmsEstimate(es(0), es(1))),
     ("graft_hashscore", "graft_hashscore(tokens, weights) - hashing-trick linear score sum(weights[h(tok) % dim])",
-      (es: Seq[Expression]) => HashFeatScore(es(0), es(1))))
+      (es: Seq[Expression]) => HashFeatScore(es(0), es(1))),
+    ("graft_hashvec", "graft_hashvec(tokens, dim) - hashing-trick bag-of-words integer count vector",
+      (es: Seq[Expression]) => HashCountVec(es(0), es(1))))
 }

@@ -1407,6 +1407,37 @@ object SparkEntry {
           col("doc_id"), col("text"), benchPred = col("doc_id") % 10 === 0)
         .orderBy(col("doc_id"))),
 
+    // Hashed-embedding near-dup pairs (Corpus.hashedEmbedding +
+    // graft_doti): raw text → dim-64 integer bag-of-words vector via the
+    // portable token hash (ONE scan-side kernel, no vocabulary, no
+    // exchange — featurization as a pure map), then source-blocked pairs
+    // at cosine ≥ 0.9 decided by the EXACT integer predicate
+    // num > 0 ∧ 100·num² ≥ 81·n2_a·n2_b (num = ⟨v_a,v_b⟩, graft_doti) —
+    // τ = 0.9 because hashed BoW cosines of same-register prose cluster
+    // near 0.5-0.7 (measured: 45% of within-source pairs pass τ=0.5; 54
+    // pass τ=0.9 at sf0.001 — the actual near-dup mass). The sixth
+    // near-dup modality, and the one needing no pre-supplied embedding
+    // column. Gate-scale pair search is source-blocked brute
+    // force (the q25/q26 convention); at 100 TB the same vectors feed the
+    // ANN family (ivfPqKnn/cosineDupPairs) unchanged.
+    "q197_hashed_embedding_dups" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val e = Corpus.hashedEmbedding(docs, col("doc_id"), col("text"))
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      val a = e.select(col("source"), col("doc_id").as("doc_a"),
+        col("vec").as("va"), col("n2").as("n2_a"))
+      val b = e.select(col("source"), col("doc_id").as("doc_b"),
+        col("vec").as("vb"), col("n2").as("n2_b"))
+      a.join(b, Seq("source")).filter(col("doc_a") < col("doc_b"))
+        .withColumn("num", call_function("graft_doti", col("va"), col("vb")))
+        .filter(col("num") > 0 &&
+          lit(100L) * col("num") * col("num") >=
+            lit(81L) * col("n2_a") * col("n2_b"))
+        .select(col("doc_a"), col("doc_b"), col("num"),
+          col("n2_a"), col("n2_b"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // The BOUNDED-STATE ingest funnel (CurationStream.replayFunnelTtl):
     // q195 with both content-growing state ops swapped for their rate×TTL
     // variants (q193's sliding exact-dedup window + q192's TTL band index
@@ -4626,6 +4657,36 @@ object SparkEntry {
         |LEFT JOIN dec USING (doc_id)
         |WHERE NOT f.is_bench
         |ORDER BY f.doc_id""".stripMargin,
+
+    // q197's oracle: every hashed count recomputed — the q101 portable
+    // token hash (poly roll base 31 mod 1e9+7, scrambled mod 2^32) mod 64
+    // gives the feature id; num/n2 are integer sums over the sparse
+    // (doc, fid, count) frame; the τ = 0.9 cosine test is the identical
+    // cross-multiplied integer predicate
+    "q197_hashed_embedding_dups" ->
+      """WITH tk AS (SELECT doc_id, source,
+        |        list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |      FROM documents),
+        |u AS (SELECT doc_id, source, unnest(toks) AS tok FROM tk),
+        |f AS (SELECT doc_id, source,
+        |        CAST((list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |                list_transform(range(1, length(tok) + 1),
+        |                  i -> CAST(ascii(substr(tok, CAST(i AS INTEGER), 1)) AS BIGINT))),
+        |               (a, b) -> (a * 31 + b) % 1000000007)
+        |              * 2654435761 + 40503) % 4294967296 % 64 AS BIGINT) AS fid,
+        |        CAST(count(*) AS BIGINT) AS c
+        |      FROM u GROUP BY 1, 2, 3),
+        |n2 AS (SELECT doc_id, CAST(sum(c * c) AS BIGINT) AS n2 FROM f GROUP BY 1),
+        |nm AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         CAST(sum(a.c * b.c) AS BIGINT) AS num
+        |       FROM f a JOIN f b ON a.fid = b.fid AND a.source = b.source
+        |         AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, num, x.n2 AS n2_a, y.n2 AS n2_b
+        |FROM nm JOIN n2 x ON x.doc_id = nm.doc_a
+        |        JOIN n2 y ON y.doc_id = nm.doc_b
+        |WHERE num > 0 AND 100 * num * num >= 81 * x.n2 * y.n2
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     // q196's oracle: rebuild the occurrence tape over stage-1 survivors
     // (base 2r, id%5=0 at 2r+1, id%10=0 at 3n+r; ttl = n//2 ticks), take

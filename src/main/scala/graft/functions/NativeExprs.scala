@@ -546,6 +546,58 @@ case class PolyFingerprint(child: Expression, maxCharsExpr: Expression)
   * ships broadcast-inline, the PqKernel codebook contract): decoded once
   * per task, never per row.
   */
+/** Hashing-trick bag-of-words featurizer: the dim-length INTEGER count
+  * vector `v[h1(token) mod dim] += 1` — raw text turned into the dense
+  * vector the ANN/embedding family consumes, as ONE scan-side kernel with
+  * no vocabulary join and no exchange at any corpus size (dim is the only
+  * model state; the "embedding matrix" of the hashing trick is the
+  * identity). h1 = the low 32 bits of [[GraftFunctions.portableTokenHash]]
+  * — the same feature id [[HashFeatScore]] scores with, and the same
+  * DuckDB-reproducible arithmetic, so a SQL oracle recomputes every count.
+  * INTEGER counts by design: consumers get exact integer dot products
+  * (graft_doti) and cross-multiplied cosine predicates with no IEEE
+  * ordering anywhere; normalization is a consumer choice.
+  */
+case class HashCountVec(toks: Expression, dimExpr: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def left: Expression = toks
+  override def right: Expression = dimExpr
+  override def checkInputDataTypes(): TypeCheckResult =
+    (toks.dataType, dimExpr.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) =>
+        if (!dimExpr.foldable)
+          TypeCheckResult.TypeCheckFailure("graft_hashvec dim must be a literal")
+        else TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "graft_hashvec expects (array<string>, int)")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  @transient private lazy val dim: Int = {
+    val d = dimExpr.eval(null).asInstanceOf[Int]
+    require(d > 0, "graft_hashvec dim must be positive")
+    d
+  }
+
+  override def nullSafeEval(a: Any, dAny: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val counts = new Array[Long](dim)
+    var t = 0
+    val n = arr.numElements()
+    while (t < n) {
+      val h1 = GraftFunctions.portableTokenHash(arr.getUTF8String(t)) & 0xFFFFFFFFL
+      counts((h1 % dim).toInt) += 1L
+      t += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(toks = l, dimExpr = r)
+}
+
 case class HashFeatScore(toks: Expression, weights: Expression)
     extends BinaryExpression with CodegenFallback {
 

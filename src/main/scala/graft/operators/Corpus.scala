@@ -233,6 +233,33 @@ object Corpus {
       .withColumn("keep", col("mean_score") > 0.0)
   }
 
+  /** Hashing-trick document EMBEDDING: the dim-length integer
+    * bag-of-words count vector v[h(token) mod dim] += 1 — raw text turned
+    * into the dense vector column the ANN family consumes, with no
+    * vocabulary, no training artifact, and no exchange: the native
+    * [[graft.functions.HashCountVec]] kernel runs scan-side inside the
+    * projection (featurization of 100 TB is a pure map). A learned
+    * encoder slots in by replacing this one projection; everything
+    * downstream (ivfPqKnn, cosineDupPairs, semDedup) is representation-
+    * agnostic.
+    *
+    * INTEGER counts by design: n2 = ⟨v,v⟩ rides along so consumers can
+    * evaluate cosine thresholds as exact cross-multiplied integer
+    * predicates (cos ≥ τ ⟺ num > 0 ∧ num² ≥ τ²·n2_a·n2_b — no IEEE
+    * ordering anywhere), which is what lets the q197 gate hash-match a
+    * DuckDB re-derivation of every count.
+    *
+    * Output: (doc_id, vec array<bigint>[dim], n2).
+    */
+  def hashedEmbedding(docs: DataFrame, idCol: Column, textCol: Column,
+      dim: Int = 64): DataFrame = {
+    require(dim > 0, "hashedEmbedding dim must be positive")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(idCol.as("doc_id"),
+        call_function("graft_hashvec", Text.tokens(textCol), lit(dim)).as("vec"))
+      .withColumn("n2", call_function("graft_doti", col("vec"), col("vec")))
+  }
+
   def repetitionStats(docs: DataFrame, idCol: Column, textCol: Column): DataFrame = {
     val toks = Text.tokens(textCol)
     val base = docs.select(idCol.as("doc_id"), toks.as("toks"))

@@ -358,6 +358,56 @@ object ScaleProbe {
     if (args.contains("--ann-hundredx")) {
       annHundredxSection(); spark.stop(); return
     }
+    // --funnel-hundredx: two-decade growth fit for the COMPOSED batch
+    // curation funnel (q100's Pipeline.curate) — the one multi-stage op
+    // whose stages have individual laws (dedup chain 0.82/1.29, BASELINE
+    // r10) but whose composition (stage pins + CC closure + decontam
+    // inverted index) has none. Bench split is doc_id % 10 = 0, as in the
+    // gate.
+    def funnelHundredxSection(): Unit = {
+      val tally = new java.util.concurrent.atomic.AtomicLong(0)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+            tally.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        })
+      def measure(label: String)(f: => Long): (Double, Long) = {
+        f
+        Thread.sleep(1500)
+        tally.set(0)
+        val t0 = System.nanoTime()
+        val rows = f
+        val t = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(1500)
+        val bytes = tally.get()
+        println(f"[probe] $label%-28s ${t}%8.2f s  shuffle=${bytes / 1048576.0}%9.1f MB ($rows rows)")
+        (t, bytes)
+      }
+      def expFit(r: Seq[(Double, Long)]): String = {
+        val we = math.log(r(2)._1 / r(1)._1) / math.log(10.0)
+        val be = if (r(1)._2 > 0 && r(2)._2 > 0)
+          f"${math.log(r(2)._2.toDouble / r(1)._2) / math.log(10.0)}%.2f"
+          else "n/a"
+        f"wall exp=${we}%.2f shuffle exp=$be (10x -> 100x decade)"
+      }
+      val d100 = s"$dir/hundredx"
+      if (!new java.io.File(s"$d100/documents.parquet").exists()) {
+        println(s"[probe] generating 100x corpus under $d100")
+        genDocs(spark, d100, 500000)
+      }
+      val res = Seq(("1x", srcDir), ("10x", dir), ("100x", d100)).map {
+        case (label, d) =>
+          measure(s"$label q100_curate") {
+            Pipeline.curate(docsOf(d), col("doc_id"), col("text"),
+              benchPred = col("doc_id") % 10 === 0).count()
+          }
+      }
+      println(s"[probe] curate growth: ${expFit(res)}")
+    }
+    if (args.contains("--funnel-hundredx")) {
+      funnelHundredxSection(); spark.stop(); return
+    }
     // --dedup-breakdown: stage-by-stage row counts for the q62 chain at a
     // given corpus — where does the 100× shuffle mass come from?
     def dedupBreakdown(): Unit = {

@@ -139,6 +139,40 @@ class NativeExprSpec extends AnyFunSuite {
     assert(empty.getDouble(0) == 0.0)
   }
 
+  test("graft_hashvec counts tokens into hashed slots; dot with weights equals graft_hashscore") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // structural invariants on the corpus: Σ vec = token count, |vec| = dim
+    val basic = docs().select(
+        call_function("graft_hashvec", Text.tokens(col("text")), lit(64)).as("v"),
+        size(Text.tokens(col("text"))).cast("long").as("n"))
+      .select(col("v"), col("n"), size(col("v")).as("d"),
+        aggregate(col("v"), lit(0L), (a, x) => a + x).as("s"))
+    assert(basic.filter(col("d") =!= 64 || col("s") =!= col("n")).count() == 0)
+    // repeated token lands in ONE slot
+    val rep = Seq("tok tok tok").toDF("text").select(
+        call_function("graft_hashvec", Text.tokens(col("text")), lit(8)).as("v"))
+      .select(array_max(col("v")).as("mx"),
+        size(filter(col("v"), _ > 0L)).as("nz")).head()
+    assert(rep.getLong(0) == 3L && rep.getInt(1) == 1)
+    // cross-kernel identity: hashscore's token-order fold == ⟨counts, w⟩
+    // (same fid arithmetic by construction; counts are small integers so
+    // the two IEEE orders agree to double rounding)
+    val w = (0 until 64).map(j => (j * 37 % 19).toDouble / 7.0 - 1.0)
+    val wCol = typedLit(w).cast("array<double>")
+    val xk = docs().select(
+        call_function("graft_hashscore", Text.tokens(col("text")), wCol).as("score"),
+        call_function("graft_hashvec", Text.tokens(col("text")), lit(64)).as("v"))
+      .select(col("score"),
+        call_function("graft_dot",
+          expr("transform(v, x -> CAST(x AS DOUBLE))"), wCol).as("dot"))
+    assert(xk.filter(abs(col("score") - col("dot")) > 1e-9).count() == 0)
+    // null text -> null vector (not a zero vector)
+    val nul = Seq[Option[String]](None).toDF("text").select(
+      call_function("graft_hashvec", Text.tokens(col("text")), lit(8)).as("v")).head()
+    assert(nul.isNullAt(0))
+  }
+
   test("graft_hashscore rejects non-foldable weights at analysis time") {
     import spark.implicits._
     GraftFunctions.register(spark)
