@@ -1438,6 +1438,17 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Text-to-kNN retrieval with NO embedding column (Corpus.hashedKnn):
+    // hashedEmbedding composed with the bounded graft_topk machinery —
+    // queries broadcast, corpus never shuffles, ranking by the
+    // engine-portable score num²/n2 (one BIGINT product, one double
+    // division; ties by doc id). The oracle recomputes every hashed count,
+    // every integer dot, and the identical rank order.
+    "q198_hashed_text_knn" -> ((s, d) =>
+      Corpus.hashedKnn(t(s, d, "documents"), col("doc_id"), col("text"),
+          queryPred = col("doc_id") < 5, k = 10)
+        .orderBy(col("qid"), col("rn"))),
+
     // The BOUNDED-STATE ingest funnel (CurationStream.replayFunnelTtl):
     // q195 with both content-growing state ops swapped for their rate×TTL
     // variants (q193's sliding exact-dedup window + q192's TTL band index
@@ -4687,6 +4698,39 @@ object SparkEntry {
         |        JOIN n2 y ON y.doc_id = nm.doc_b
         |WHERE num > 0 AND 100 * num * num >= 81 * x.n2 * y.n2
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // q198's oracle: hashed counts (q197's spelling), integer dots via the
+    // sparse fid join, score = (num*num)/n2 — DuckDB's BIGINT/BIGINT
+    // division is double, matching the Spark side's explicit cast — and
+    // the same (score DESC, doc_id) rank
+    "q198_hashed_text_knn" ->
+      """WITH tk AS (SELECT doc_id,
+        |        list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |      FROM documents),
+        |u AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
+        |f AS (SELECT doc_id,
+        |        CAST((list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |                list_transform(range(1, length(tok) + 1),
+        |                  i -> CAST(ascii(substr(tok, CAST(i AS INTEGER), 1)) AS BIGINT))),
+        |               (a, b) -> (a * 31 + b) % 1000000007)
+        |              * 2654435761 + 40503) % 4294967296 % 64 AS BIGINT) AS fid,
+        |        CAST(count(*) AS BIGINT) AS c
+        |      FROM u GROUP BY 1, 2),
+        |n2 AS (SELECT doc_id, CAST(sum(c * c) AS BIGINT) AS n2 FROM f GROUP BY 1),
+        |nm AS (SELECT q.doc_id AS qid, d.doc_id AS doc_id,
+        |         CAST(sum(q.c * d.c) AS BIGINT) AS num
+        |       FROM f q JOIN f d ON q.fid = d.fid
+        |         AND q.doc_id < 5 AND d.doc_id <> q.doc_id
+        |       GROUP BY 1, 2),
+        |sc AS (SELECT qid, nm.doc_id, (num * num) / y.n2 AS score
+        |       FROM nm JOIN n2 y ON y.doc_id = nm.doc_id
+        |       WHERE num > 0),
+        |r AS (SELECT qid, doc_id, score,
+        |        CAST(row_number() OVER (PARTITION BY qid
+        |               ORDER BY score DESC, doc_id) AS BIGINT) AS rn
+        |      FROM sc)
+        |SELECT qid, doc_id, score, rn FROM r WHERE rn <= 10
+        |ORDER BY qid, rn""".stripMargin,
 
     // q196's oracle: rebuild the occurrence tape over stage-1 survivors
     // (base 2r, id%5=0 at 2r+1, id%10=0 at 3n+r; ttl = n//2 ticks), take

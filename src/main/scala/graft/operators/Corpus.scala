@@ -260,6 +260,35 @@ object Corpus {
       .withColumn("n2", call_function("graft_doti", col("vec"), col("vec")))
   }
 
+  /** Text-to-kNN with NO pre-supplied embedding column: query documents
+    * retrieve their nearest neighbours by hashed bag-of-words cosine —
+    * [[hashedEmbedding]] composed with the bounded top-k machinery
+    * ([[Similarity.topkOf]]'s graft_topk partial aggregate, the
+    * bruteForceKnn shape: broadcast queries, corpus never shuffles, the
+    * exchange carries ≤ k rows per query per partition).
+    *
+    * Ranking is by score = num²/n2_cand (num = integer dot via
+    * graft_doti; num > 0 required) — monotone in cosine for fixed query,
+    * computed as ONE BIGINT product cast to double and ONE division, so
+    * every engine orders candidates identically (ties break by doc id).
+    * num² stays exact below 2⁶³ — num < 3·10⁹, far above any real
+    * document's token mass.
+    *
+    * Output: (qid, doc_id, score, rn), rn = 1..k.
+    */
+  def hashedKnn(docs: DataFrame, idCol: Column, textCol: Column,
+      queryPred: Column, k: Int, dim: Int = 64): DataFrame = {
+    val e = hashedEmbedding(docs, idCol, textCol, dim).filter(col("n2") > 0)
+    val q = e.filter(queryPred)
+      .select(col("doc_id").as("qid"), col("vec").as("qv"))
+    val cand = broadcast(q).join(e, col("doc_id") =!= col("qid"))
+      .withColumn("num", call_function("graft_doti", col("qv"), col("vec")))
+      .filter(col("num") > 0)
+      .select(col("qid"), col("doc_id").as("vec_id"),
+        ((col("num") * col("num")).cast("double") / col("n2")).as("score"))
+    Similarity.topkOf(cand, k).withColumnRenamed("vec_id", "doc_id")
+  }
+
   def repetitionStats(docs: DataFrame, idCol: Column, textCol: Column): DataFrame = {
     val toks = Text.tokens(textCol)
     val base = docs.select(idCol.as("doc_id"), toks.as("toks"))

@@ -363,4 +363,33 @@ class CorpusSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(enc.toSeq == Seq((1L, 2L, 3L))) // [a,b] + [c]; doc 2 dropped
   }
+
+  test("hashedEmbedding + hashedKnn: window-ranked re-derivation matches the bounded top-k") {
+    import spark.implicits._
+    import graft.operators.{Corpus, Similarity}
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val got = Corpus.hashedKnn(docs, col("doc_id"), col("text"),
+        queryPred = col("doc_id") < 3, k = 5)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rn"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).sorted.toSeq
+    // reference: same scored frame ranked by a plain window row_number —
+    // the one-task plan hashedKnn's graft_topk partial exists to avoid
+    val e = Corpus.hashedEmbedding(docs, col("doc_id"), col("text"))
+      .filter(col("n2") > 0)
+    val q = e.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("qid"), col("vec").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val ref = q.join(e, col("doc_id") =!= col("qid"))
+      .withColumn("num", call_function("graft_doti", col("qv"), col("vec")))
+      .filter(col("num") > 0)
+      .select(col("qid"), col("doc_id"),
+        ((col("num") * col("num")).cast("double") / col("n2")).as("score"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rn"),
+        r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).sorted.toSeq
+    assert(got == ref)
+    assert(got.nonEmpty && got.forall { case (q0, rn, d, _) => rn >= 1 && rn <= 5 && d != q0 })
+  }
 }
