@@ -408,6 +408,74 @@ object ScaleProbe {
     if (args.contains("--funnel-hundredx")) {
       funnelHundredxSection(); spark.stop(); return
     }
+    // --decontam-hundredx: the q92 claim measured — the Bloom variant's
+    // advantage must GROW with corpus size (the exact path builds and
+    // semi-joins a distinct-shingle table that scales with the train
+    // corpus; the Bloom path replaces it with one 512 KB mergeable
+    // aggregate + a join-free scan probe). eval split = doc_id % 10 = 0.
+    def decontamHundredxSection(): Unit = {
+      import graft.operators.Corpus
+      val tally = new java.util.concurrent.atomic.AtomicLong(0)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+            tally.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        })
+      def measure(label: String)(f: => Long): (Double, Long) = {
+        f
+        Thread.sleep(1500)
+        tally.set(0)
+        val t0 = System.nanoTime()
+        val rows = f
+        val t = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(1500)
+        val bytes = tally.get()
+        println(f"[probe] $label%-28s ${t}%8.2f s  shuffle=${bytes / 1048576.0}%9.1f MB ($rows rows)")
+        (t, bytes)
+      }
+      val d100 = s"$dir/hundredx"
+      if (!new java.io.File(s"$d100/documents.parquet").exists()) {
+        println(s"[probe] generating 100x corpus under $d100")
+        genDocs(spark, d100, 500000)
+      }
+      // two vocabulary regimes: the raw probe corpus (31-word vocab —
+      // distinct shingles BOUNDED, the exact path's semi-join table never
+      // grows, so exact wins and the Bloom claim is vacuous there) and a
+      // per-doc-salted corpus (every doc's tokens unique — distinct
+      // shingles ~ corpus tokens, the regime real diverse text is in and
+      // the one the 512 KB sketch exists for)
+      Seq(("fixed-vocab", identity[org.apache.spark.sql.DataFrame] _),
+          ("diverse", (df: org.apache.spark.sql.DataFrame) =>
+            df.withColumn("text", expr(
+              "concat_ws(' ', transform(split(text, ' '), x -> concat(x, '_', CAST(doc_id AS STRING))))"))))
+        .foreach { case (regime, prep) =>
+          // materialize through the flag column: a bare count() lets the
+          // optimizer ELIMINATE the hits join entirely (left join, distinct
+          // right key, no referenced columns) and measures only the eval
+          // scan — the first probe run's numbers were that artifact
+          def force(df: org.apache.spark.sql.DataFrame): Long = {
+            val r = df.agg(count(lit(1)),
+              sum(when(col("contaminated"), 1L).otherwise(0L))).head()
+            r.getLong(0) + r.getLong(1) * 0
+          }
+          Seq(("1x", srcDir), ("10x", dir), ("100x", d100)).foreach {
+            case (label, d) =>
+              val docs = prep(docsOf(d))
+              measure(s"$label/$regime exact") {
+                force(Corpus.decontaminate(docs, col("doc_id"), col("text"),
+                  evalPred = col("doc_id") % 10 === 0))
+              }
+              measure(s"$label/$regime bloom") {
+                force(Corpus.decontaminateBloom(docs, col("doc_id"), col("text"),
+                  evalPred = col("doc_id") % 10 === 0))
+              }
+          }
+        }
+    }
+    if (args.contains("--decontam-hundredx")) {
+      decontamHundredxSection(); spark.stop(); return
+    }
     // --dedup-breakdown: stage-by-stage row counts for the q62 chain at a
     // given corpus — where does the 100× shuffle mass come from?
     def dedupBreakdown(): Unit = {

@@ -121,9 +121,9 @@ object StreamStateProbe {
     val tape = graft.Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
       .as[(Long, String)].collect().toSeq.sortBy(_._1)
-    val results = Seq(
-      ("heap", None),
-      ("rocksdb", Some("org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")))
+    val rocks =
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    val results = Seq(("heap", None), ("rocksdb", Some(rocks)))
       .map { case (label, prov) =>
         MemoryReplay.lastStateStats = Nil
         val kept = MemoryReplay.replay(spark, tape, nBatches = 4,
@@ -138,6 +138,30 @@ object StreamStateProbe {
       }
     println(s"[state-probe] provider-identity heap==rocksdb: " +
       s"${results(0) == results(1)}")
+    // same A/B for the TTL'd op — event-time TIMEOUTS must also behave
+    // identically under RocksDB (the deploy combination: bounded state
+    // in the provider built for millions of live keys)
+    val n = tape.size
+    val ttlMs = (n / 4).toLong * 1000L
+    val ttlTape = tape.zipWithIndex.map { case ((id, text), i) =>
+      (id, new java.sql.Timestamp((i + 1).toLong * 1000L), text)
+    }
+    val ttlResults = Seq(("heap", None), ("rocksdb", Some(rocks)))
+      .map { case (label, prov) =>
+        MemoryReplay.lastStateStats = Nil
+        val kept = MemoryReplay.replay(spark, ttlTape, nBatches = 4,
+            stateStoreProvider = prov)(ds =>
+            graft.streaming.StreamingOps.exactDedupStreamTtl(
+              ds.toDF("doc_id", "ts", "text"), "doc_id", "ts", "text",
+              ttlMs = ttlMs))
+          .collect().map(_.getLong(0)).sorted.toSeq
+        val st = MemoryReplay.lastStateStats
+          .map { case (_, r, b) => s"rows=$r memBytes=$b" }.mkString("; ")
+        println(f"[state-probe] ttl-provider     $label%-8s kept=${kept.size}%d  state: $st")
+        kept
+      }
+    println(s"[state-probe] ttl-provider-identity heap==rocksdb: " +
+      s"${ttlResults(0) == ttlResults(1)}")
   }
 
   /** TTL bounded-state demonstration (VERDICT r9 Next #1): replay the
