@@ -1412,7 +1412,10 @@ object SparkEntry {
     // portable token hash (ONE scan-side kernel, no vocabulary, no
     // exchange — featurization as a pure map), then source-blocked pairs
     // at cosine ≥ 0.9 decided by the EXACT integer predicate
-    // num > 0 ∧ 100·num² ≥ 81·n2_a·n2_b (num = ⟨v_a,v_b⟩, graft_doti) —
+    // num > 0 ∧ 100·num² ≥ 81·n2_a·n2_b (num = ⟨v_a,v_b⟩, graft_doti;
+    // exact while 100·num² < 2⁶³ i.e. num ≤ ~9.6e8 — Spark wraps BIGINT
+    // silently where DuckDB errors, see Corpus.hashedEmbedding's
+    // overflow-bound note; fixture token mass is ~5 orders below it) —
     // τ = 0.9 because hashed BoW cosines of same-register prose cluster
     // near 0.5-0.7 (measured: 45% of within-source pairs pass τ=0.5; 54
     // pass τ=0.9 at sf0.001 — the actual near-dup mass). The sixth

@@ -249,6 +249,17 @@ object Corpus {
     * ordering anywhere), which is what lets the q197 gate hash-match a
     * DuckDB re-derivation of every count.
     *
+    * Overflow bound for consumers of the integer predicate: Spark BIGINT
+    * multiplication WRAPS silently in non-ANSI mode, so a scaled form like
+    * q197's 100·num² ≥ 81·n2_a·n2_b is exact only while 100·num² < 2⁶³,
+    * i.e. num ≤ ~9.6·10⁸ (tighter than the bare num² < 2⁶³ bound of
+    * ~3·10⁹) — num is bounded by the doc-pair token-mass product, so this
+    * holds to ~30 M-token documents, far above any real document, but a
+    * fixture-scale change must re-check it (DuckDB would error loudly on
+    * the same overflow; Spark would diverge silently). Computing the
+    * predicate via DecimalType removes the bound at ~2× cost if ever
+    * needed.
+    *
     * Output: (doc_id, vec array<bigint>[dim], n2).
     */
   def hashedEmbedding(docs: DataFrame, idCol: Column, textCol: Column,
@@ -271,7 +282,9 @@ object Corpus {
     * graft_doti; num > 0 required) — monotone in cosine for fixed query,
     * computed as ONE BIGINT product cast to double and ONE division, so
     * every engine orders candidates identically (ties break by doc id).
-    * num² stays exact below 2⁶³ — num < 3·10⁹, far above any real
+    * num² stays exact below 2⁶³ — num < 3·10⁹ here (scaled threshold
+    * predicates like q197's 100·num² tighten that to ~9.6·10⁸; see the
+    * overflow-bound note on [[hashedEmbedding]]), far above any real
     * document's token mass.
     *
     * Output: (qid, doc_id, score, rn), rn = 1..k.

@@ -270,7 +270,10 @@ object Dedup {
     // lost-block-fatal on a real cluster). Both cut the growing lineage
     // that would otherwise re-run all prior rounds each iteration.
     val sc = pairs.sparkSession.sparkContext
-    checkpointDir.foreach(sc.setCheckpointDir)
+    // set-only-when-unset: the checkpoint dir is global SparkContext state
+    // (see Graph.pagerank) — an already-configured dir wins, never clobbered
+    checkpointDir.foreach(d =>
+      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d))
     def materialize(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val edges = materialize(

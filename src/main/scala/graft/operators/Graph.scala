@@ -53,7 +53,15 @@ object Graph {
       checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 0 && checkpointEvery > 0,
       "need iters >= 0 and checkpointEvery > 0")
-    checkpointDir.foreach(nodes.sparkSession.sparkContext.setCheckpointDir)
+    // the checkpoint dir is GLOBAL SparkContext state: set it only when the
+    // session has none, so two jobs passing different dirs don't clobber
+    // each other — checkpoint() needs SOME reliable dir, not ours
+    // specifically, and an operator must not mutate session-wide config
+    // behind the caller's back (a dir already configured wins)
+    checkpointDir.foreach { d =>
+      val sc = nodes.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)
+    }
     def mat(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val dir = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -155,7 +163,11 @@ object Graph {
   def kCore(edges: DataFrame, k: Int, rounds: Int,
       checkpointDir: Option[String] = None): DataFrame = {
     require(k > 0 && rounds > 0, "k and rounds must be positive")
-    checkpointDir.foreach(edges.sparkSession.sparkContext.setCheckpointDir)
+    // set-only-when-unset: global SparkContext state (see pagerank)
+    checkpointDir.foreach { d =>
+      val sc = edges.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)
+    }
     def materialize(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     var e = materialize(edges.select(col("doc_a"), col("doc_b")))

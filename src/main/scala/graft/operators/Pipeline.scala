@@ -98,8 +98,13 @@ object Pipeline {
       benchPred: Column, contamThreshold: Double = 0.5,
       checkpointDir: Option[String] = None): DataFrame = {
     // Materialize a stage boundary: reliable checkpoint when a dir is
-    // given (multi-executor deploys), RDD-block localCheckpoint otherwise
-    checkpointDir.foreach(docs.sparkSession.sparkContext.setCheckpointDir)
+    // given (multi-executor deploys), RDD-block localCheckpoint otherwise.
+    // Set-only-when-unset: the dir is global SparkContext state (see
+    // Graph.pagerank) — an already-configured dir wins, never clobbered.
+    checkpointDir.foreach { d =>
+      val sc = docs.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)
+    }
     def pin(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val base = docs.select(idCol.as("doc_id"), textCol.as("text"),

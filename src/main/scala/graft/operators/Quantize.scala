@@ -204,6 +204,9 @@ object Quantize {
     // vectors (measured: shuffle exponent 2.28 across the 10×→100× probe
     // decade, 77 MB at 100× — BASELINE r11). Broadcasting the bounded side
     // keeps the corpus scan in place: shuffle exponent drops to ~0.
+    // Small-query-set contract applies (Similarity.bruteForceKnn doc): the
+    // broadcast rows carry full query vectors, so a broad queryPred can
+    // exceed the broadcast limit where sort-merge merely ran slow.
     Similarity.topkOf(broadcast(cand
         .join(broadcast(q.select(col("qid"), col("qv"), col("qnrm"))), Seq("qid")))
       .join(e, Seq("vec_id"))
@@ -306,6 +309,9 @@ object Quantize {
     // vectors (measured: shuffle exponent 2.28 across the 10×→100× probe
     // decade, 77 MB at 100× — BASELINE r11). Broadcasting the bounded side
     // keeps the corpus scan in place: shuffle exponent drops to ~0.
+    // Small-query-set contract applies (Similarity.bruteForceKnn doc): the
+    // broadcast rows carry full query vectors, so a broad queryPred can
+    // exceed the broadcast limit where sort-merge merely ran slow.
     Similarity.topkOf(broadcast(cand
         .join(broadcast(q.select(col("qid"), col("qv"), col("qnrm"))), Seq("qid")))
       .join(e, Seq("vec_id"))

@@ -63,6 +63,15 @@ object Similarity {
 
   /** Exact top-k neighbours for each query vector (`queryPred` selects the
     * query rows). Output: (qid, vec_id, score, rn), rn = 1..k.
+    *
+    * SMALL-QUERY-SET CONTRACT (every *Knn op here and in
+    * [[graft.operators.Quantize]], including their rescore-fetch joins):
+    * the query side — and the ≤ |queries|·k·oversample candidate rows
+    * carrying full query vectors — is broadcast, so a broad `queryPred`
+    * (≳10⁵ queries at dim 64) can exceed the broadcast/driver limit and
+    * FAIL where an unhinted sort-merge plan merely ran slow. These are
+    * point-lookup/retrieval ops; a corpus-sized query set is a similarity
+    * JOIN and belongs with [[cosineDupPairsLsh]]/[[semDedup]] instead.
     */
   def bruteForceKnn(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)

@@ -148,6 +148,41 @@ object ScaleProbe {
     import org.apache.spark.sql.functions._
     import graft.operators.{Dedup, Pipeline, Similarity}
 
+    // ONE shuffle-tally listener + shared measure/expFit for every probe
+    // section (registered once: the per-section copies each added another
+    // listener to the shared context, double-counting bytes when two
+    // sections ran in one session — r11 ADVICE).
+    val shuffleTally = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          shuffleTally.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      })
+    // measure: one warm rep (codegen/footers), then reset the tally and
+    // time the second — bytes are deterministic, wall takes the warm rep
+    def measure(label: String)(f: => Long): (Double, Long) = {
+      f
+      Thread.sleep(1500) // let the async listener bus drain the warm rep
+      shuffleTally.set(0)
+      val t0 = System.nanoTime()
+      val rows = f
+      val t = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1500)
+      val bytes = shuffleTally.get()
+      println(f"[probe] $label%-28s ${t}%8.2f s  shuffle=${bytes / 1048576.0}%9.1f MB ($rows rows)")
+      (t, bytes)
+    }
+    // growth exponents fit on the 10x -> 100x decade (the 1x point is
+    // fixed-overhead-dominated)
+    def expFit(r: Seq[(Double, Long)]): String = {
+      val we = math.log(r(2)._1 / r(1)._1) / math.log(10.0)
+      val be = if (r(1)._2 > 0 && r(2)._2 > 0)
+        f"${math.log(r(2)._2.toDouble / r(1)._2) / math.log(10.0)}%.2f"
+        else "n/a"
+      f"wall exp=${we}%.2f shuffle exp=$be (10x -> 100x decade)"
+    }
+
     if (!new java.io.File(s"$dir/documents.parquet").exists()) {
       println(s"[probe] generating 10x corpus under $dir")
       genDocs(spark, dir, 50000)
@@ -220,27 +255,6 @@ object ScaleProbe {
     // (the 1× point is fixed-overhead-dominated).
     def hundredxSection(): Unit = {
       import graft.operators.Sequential
-      val tally = new java.util.concurrent.atomic.AtomicLong(0)
-      spark.sparkContext.addSparkListener(
-        new org.apache.spark.scheduler.SparkListener {
-          override def onStageCompleted(
-              s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-            tally.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
-        })
-      // measure: one warm rep (codegen/footers), then reset the tally and
-      // time the second — bytes are deterministic, wall takes the warm rep
-      def measure(label: String)(f: => Long): (Double, Long) = {
-        f
-        Thread.sleep(1500) // let the async listener bus drain the warm rep
-        tally.set(0)
-        val t0 = System.nanoTime()
-        val rows = f
-        val t = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(1500)
-        val bytes = tally.get()
-        println(f"[probe] $label%-28s ${t}%8.2f s  shuffle=${bytes / 1048576.0}%9.1f MB ($rows rows)")
-        (t, bytes)
-      }
       val d100 = s"$dir/hundredx"
       if (!new java.io.File(s"$d100/documents.parquet").exists()) {
         println(s"[probe] generating 100x corpus under $d100")
@@ -253,13 +267,6 @@ object ScaleProbe {
       if (!new java.io.File(s"$ev100Dir/events.parquet").exists()) {
         println(s"[probe] generating 100x events under $ev100Dir")
         genEvents(spark, srcDir, ev100Dir, copies = 100L)
-      }
-      def expFit(r: Seq[(Double, Long)]): String = {
-        val we = math.log(r(2)._1 / r(1)._1) / math.log(10.0)
-        val be = if (r(1)._2 > 0 && r(2)._2 > 0)
-          f"${math.log(r(2)._2.toDouble / r(1)._2) / math.log(10.0)}%.2f"
-          else "n/a"
-        f"wall exp=${we}%.2f shuffle exp=$be (10x -> 100x decade)"
       }
       val dedupRes = Seq(("1x", srcDir), ("10x", dir), ("100x", d100)).map {
         case (label, d) =>
@@ -290,32 +297,6 @@ object ScaleProbe {
     def annHundredxSection(): Unit = {
       import graft.operators.Quantize
       graft.functions.GraftFunctions.register(spark)
-      val tally = new java.util.concurrent.atomic.AtomicLong(0)
-      spark.sparkContext.addSparkListener(
-        new org.apache.spark.scheduler.SparkListener {
-          override def onStageCompleted(
-              s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-            tally.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
-        })
-      def measure(label: String)(f: => Long): (Double, Long) = {
-        f
-        Thread.sleep(1500)
-        tally.set(0)
-        val t0 = System.nanoTime()
-        val rows = f
-        val t = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(1500)
-        val bytes = tally.get()
-        println(f"[probe] $label%-28s ${t}%8.2f s  shuffle=${bytes / 1048576.0}%9.1f MB ($rows rows)")
-        (t, bytes)
-      }
-      def expFit(r: Seq[(Double, Long)]): String = {
-        val we = math.log(r(2)._1 / r(1)._1) / math.log(10.0)
-        val be = if (r(1)._2 > 0 && r(2)._2 > 0)
-          f"${math.log(r(2)._2.toDouble / r(1)._2) / math.log(10.0)}%.2f"
-          else "n/a"
-        f"wall exp=${we}%.2f shuffle exp=$be (10x -> 100x decade)"
-      }
       val d100 = s"$dir/hundredx"
       if (!new java.io.File(s"$d100/embeddings.parquet").exists()) {
         println(s"[probe] generating 100x embeddings under $d100")
@@ -366,32 +347,6 @@ object ScaleProbe {
     // inverted index) has none. Bench split is doc_id % 10 = 0, as in the
     // gate.
     def funnelHundredxSection(): Unit = {
-      val tally = new java.util.concurrent.atomic.AtomicLong(0)
-      spark.sparkContext.addSparkListener(
-        new org.apache.spark.scheduler.SparkListener {
-          override def onStageCompleted(
-              s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-            tally.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
-        })
-      def measure(label: String)(f: => Long): (Double, Long) = {
-        f
-        Thread.sleep(1500)
-        tally.set(0)
-        val t0 = System.nanoTime()
-        val rows = f
-        val t = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(1500)
-        val bytes = tally.get()
-        println(f"[probe] $label%-28s ${t}%8.2f s  shuffle=${bytes / 1048576.0}%9.1f MB ($rows rows)")
-        (t, bytes)
-      }
-      def expFit(r: Seq[(Double, Long)]): String = {
-        val we = math.log(r(2)._1 / r(1)._1) / math.log(10.0)
-        val be = if (r(1)._2 > 0 && r(2)._2 > 0)
-          f"${math.log(r(2)._2.toDouble / r(1)._2) / math.log(10.0)}%.2f"
-          else "n/a"
-        f"wall exp=${we}%.2f shuffle exp=$be (10x -> 100x decade)"
-      }
       val d100 = s"$dir/hundredx"
       if (!new java.io.File(s"$d100/documents.parquet").exists()) {
         println(s"[probe] generating 100x corpus under $d100")
@@ -416,25 +371,6 @@ object ScaleProbe {
     // aggregate + a join-free scan probe). eval split = doc_id % 10 = 0.
     def decontamHundredxSection(): Unit = {
       import graft.operators.Corpus
-      val tally = new java.util.concurrent.atomic.AtomicLong(0)
-      spark.sparkContext.addSparkListener(
-        new org.apache.spark.scheduler.SparkListener {
-          override def onStageCompleted(
-              s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-            tally.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
-        })
-      def measure(label: String)(f: => Long): (Double, Long) = {
-        f
-        Thread.sleep(1500)
-        tally.set(0)
-        val t0 = System.nanoTime()
-        val rows = f
-        val t = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(1500)
-        val bytes = tally.get()
-        println(f"[probe] $label%-28s ${t}%8.2f s  shuffle=${bytes / 1048576.0}%9.1f MB ($rows rows)")
-        (t, bytes)
-      }
       val d100 = s"$dir/hundredx"
       if (!new java.io.File(s"$d100/documents.parquet").exists()) {
         println(s"[probe] generating 100x corpus under $d100")
