@@ -55,8 +55,9 @@ object CurationStream {
 
   /** Stage 2 — streaming exact dedup as a PER-DOC FLAG stream: every
     * arriving doc emits (doc_id, exact_keep), true iff its content
-    * fingerprint (xxhash64 + length, the [[StreamingOps.exactDedupStream]]
-    * key) was never seen before (min id within a batch wins, so an
+    * fingerprint ([[StreamingOps.contentFp128]]'s two-lane 128-bit key —
+    * the [[StreamingOps.exactDedupStream]] collision contract) was never
+    * seen before (min id within a batch wins, so an
     * id-ordered tape reproduces the batch funnel's min-id-per-content
     * canonical exactly). Emitting the negative flags too — unlike
     * exactDedupStream, which emits keepers only — is what lets the funnel
@@ -66,12 +67,12 @@ object CurationStream {
       textCol: String): Dataset[(Long, Boolean)] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val (h1, h2, ln) = StreamingOps.contentFp128(col(textCol))
     docs
       .select(col(idCol).cast("long").as("doc_id"),
-        xxhash64(col(textCol)).as("fp_hash"),
-        length(col(textCol)).cast("long").as("fp_len"))
-      .as[(Long, Long, Long)]
-      .groupByKey(r => (r._2, r._3))
+        h1.as("fp_h1"), h2.as("fp_h2"), ln.as("fp_len"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(r => (r._2, r._3, r._4))
       .flatMapGroupsWithState[FirstSeen, (Long, Boolean)](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (_, it, state) =>

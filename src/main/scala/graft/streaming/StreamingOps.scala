@@ -435,13 +435,24 @@ object StreamingOps {
 
   /** Streaming exact dedup by CONTENT (the streaming face of Dedup.exact):
     * emits each arriving doc's id the first time its content fingerprint
-    * (xxhash64 + length — the same 16-byte key the batch exchange carries)
     * is seen; later copies are swallowed. Within a micro-batch the min id
     * wins, so when the tape arrives in id order the kept set is exactly
     * Dedup.exact's canonical min-id-per-group — the q80 gate hash-checks
     * that equality against the batch oracle.
     *
-    * State is one long per distinct fingerprint — the streaming dedup
+    * Fingerprint contract — the streaming analogue of Dedup.exact's
+    * documented sha-256 argument: the state key is TWO independent
+    * xxhash64 lanes (unsalted + salted) plus the exact length, i.e. a
+    * 128-bit content fingerprint ([[contentFp128]]). A false drop needs a
+    * distinct-content pair colliding in BOTH lanes at equal length —
+    * ~2⁻¹²⁸ per pair, so at 10¹⁰ distinct docs the expected false-drop
+    * mass is (10¹⁰)²/2 · 2⁻¹²⁸ ≈ 10⁻¹⁹: the same
+    * content-addressed-storage trade the batch op documents, here with
+    * non-cryptographic lanes (fine for non-adversarial dedup; an
+    * adversarial feed should fingerprint with sha2-256 upstream). The
+    * extra lane costs one more long of state per distinct content.
+    *
+    * State is two longs per distinct fingerprint — the streaming dedup
     * index; unbounded by design, like the batch dedup's group count (use
     * [[dedupStream]]'s watermarked form when ids stop arriving after a
     * bounded delay). builtin `dropDuplicates` would keep a partition-order-
@@ -452,12 +463,12 @@ object StreamingOps {
     import org.apache.spark.sql.functions._
     val spark = docs.sparkSession
     import spark.implicits._
+    val (h1, h2, ln) = contentFp128(col(textCol))
     docs
       .select(col(idCol).cast("long").as("doc_id"),
-        xxhash64(col(textCol)).as("fp_hash"),
-        length(col(textCol)).cast("long").as("fp_len"))
-      .as[(Long, Long, Long)]
-      .groupByKey(r => (r._2, r._3))
+        h1.as("fp_h1"), h2.as("fp_h2"), ln.as("fp_len"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(r => (r._2, r._3, r._4))
       .flatMapGroupsWithState[FirstSeen, Long](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (_, it, state) =>
@@ -465,6 +476,23 @@ object StreamingOps {
           if (state.exists) Iterator.empty
           else { state.update(FirstSeen(minId)); Iterator.single(minId) }
       }
+  }
+
+  /** 128-bit streaming content fingerprint: two independent xxhash64 lanes
+    * (the second seeded by a salt prefix, so the pair behaves as one
+    * 128-bit hash) plus the exact length as a co-key. Shared by every
+    * streaming exact-dedup keying ([[exactDedupStream]],
+    * [[exactDedupStreamTtl]], CurationStream.exactKeepStream) so the
+    * collision contract is stated — and changed — in exactly one place.
+    */
+  private[streaming] def contentFp128(
+      textCol: org.apache.spark.sql.Column):
+      (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.functions._
+    (xxhash64(textCol),
+      xxhash64(lit("graft-fp2 "), textCol),
+      length(textCol).cast("long"))
   }
 
   /** TTL'd streaming exact dedup — the BOUNDED-STATE variant of
@@ -482,7 +510,9 @@ object StreamingOps {
     * boolean.
     *
     * State is one (fingerprint → last-seen ms) entry per content seen in
-    * the trailing TTL window — rate × TTL, not corpus size: an event-time
+    * the trailing TTL window ([[contentFp128]]'s 128-bit key — the same
+    * quantified collision contract as [[exactDedupStream]]) — rate × TTL,
+    * not corpus size: an event-time
     * timeout at lastSeen + ttl removes the entry (any later arrival would
     * have been a keeper anyway, and a fresh entry re-forms — timing of the
     * timer never changes output, only memory). Same watermark caveat as
@@ -507,14 +537,14 @@ object StreamingOps {
         "reorder upstream instead of loosening the watermark")
     val spark = docs.sparkSession
     import spark.implicits._
+    val (h1, h2, ln) = contentFp128(col(textCol))
     docs
       .select(col(idCol).cast("long").as("doc_id"),
         col(tsCol).cast("timestamp").as("ts"),
-        xxhash64(col(textCol)).as("fp_hash"),
-        length(col(textCol)).cast("long").as("fp_len"))
+        h1.as("fp_h1"), h2.as("fp_h2"), ln.as("fp_len"))
       .withWatermark("ts", watermarkDelay)
-      .as[(Long, Timestamp, Long, Long)]
-      .groupByKey(r => (r._3, r._4))
+      .as[(Long, Timestamp, Long, Long, Long)]
+      .groupByKey(r => (r._3, r._4, r._5))
       .flatMapGroupsWithState[LastSeen, Long](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (_, it, state) =>
