@@ -80,6 +80,39 @@ object SparkEntry {
       |    AND CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE)
       |          / (length(a.sh) + length(b.sh) - length(list_intersect(a.sh, b.sh))) >= 0.5)""".stripMargin
 
+  /** Shared DuckDB CTE (q199, q201): every doc's planted 64-bit dHash
+    * pattern as two 32-bit halves (s1 = bits 0-31, s2 = bits 32-63 —
+    * the q24 convention: a packed 64-bit value would need wrap-around
+    * multiplies), mirroring Multimodal.dHashPatternOf's arithmetic: a
+    * per-group-of-8 multiply-add base, m%4 bit flips at (m·13+j·17) mod 64.
+    * The ENGINE never touches this arithmetic at query time — it recovers
+    * the bits from decoded PNG pixels; only the fixture encoder and this
+    * oracle share it, which is exactly what makes the gate bind the
+    * decode+average path.
+    */
+  private val DHASH_SK_CTE =
+    """pat AS (
+      |  SELECT doc_id, doc_id // 8 AS g, doc_id % 8 AS m FROM documents),
+      |hh AS (
+      |  SELECT doc_id, m,
+      |    (g * 2654435761 + 40503) % 4294967296 AS h1,
+      |    (g * 2246822519 + 3266489917) % 4294967296 AS h2
+      |  FROM pat),
+      |fl AS (
+      |  SELECT doc_id,
+      |    coalesce(sum(CASE WHEN p < 32
+      |      THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER)) END), 0) AS f1,
+      |    coalesce(sum(CASE WHEN p >= 32
+      |      THEN (CAST(1 AS BIGINT) << CAST(p - 32 AS INTEGER)) END), 0) AS f2
+      |  FROM (SELECT hh.doc_id, ((m * 13 + r.j * 17) % 64) AS p
+      |        FROM hh, range(0, 3) AS r(j) WHERE r.j < (m % 4)) fp
+      |  GROUP BY doc_id),
+      |sk AS (
+      |  SELECT hh.doc_id,
+      |    xor(h1, coalesce(f1, 0)) AS s1,
+      |    xor(h2, coalesce(f2, 0)) AS s2
+      |  FROM hh LEFT JOIN fl USING (doc_id))""".stripMargin
+
   /** Shared q103/q110 oracle: hourly OHLC+VWAP bars — struct arg-min/max
     * open/close, exact-decimal VWAP, full-outer reunion (the streaming twin
     * reaches the identical shape via conditional aggregation).
@@ -1464,6 +1497,51 @@ object SparkEntry {
       graft.streaming.CurationStream.replayFunnelTtl(s, t(s, d, "documents"),
           col("doc_id"), col("text"))
         .orderBy(col("doc_id"), col("tick"))),
+
+    // Perceptual near-dup for IMAGES — the media face of the dedup family
+    // (Multimodal.imageDHash + Dedup.hamming64Pairs): per doc a REAL PNG
+    // whose pixels encode a planted 64-bit pattern (grid gray levels walk
+    // ±8 following the bits, zero-sum dither inside each block), the
+    // engine re-derives the sketch from the DECODED PIXELS (full ImageIO
+    // decode + integer box-average — a header read or sampled pixel could
+    // not reproduce the bits), and pairs at hamming ≤ 3 come from the
+    // 4×16-bit pigeonhole-blocked join, which at ≤ 3 provably equals the
+    // all-pairs answer the DuckDB oracle computes from the same pattern
+    // arithmetic. Block scale varies 1-3× by doc so the box-average path
+    // is exercised across dims; groups of 8 docs share a base pattern with
+    // 0-3 planted bit flips (pairs at hamming 0-3 inside a group, ~32
+    // across groups).
+    "q199_image_phash_pairs" -> ((s, d) => {
+      import s.implicits._
+      val sk = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val png = Multimodal.encodeDHashPng(
+            Multimodal.dHashPatternOf(id), cell = 1 + (id % 3).toInt)
+          (id, Multimodal.imageDHash(png).get)
+        }
+        .toDF("doc_id", "sk")
+      Dedup.hamming64Pairs(sk, maxHamming = 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // q199's pairs closed into MEDIA DEDUP GROUPS (Dedup.dupGroups — the
+    // q62 composition over the image-hash edge list): every doc mapped to
+    // its perceptual component's min id + the keep flag a multimodal
+    // training pipeline filters on. Oracle: the same pattern arithmetic,
+    // all-pairs hamming graph, recursive-CTE min-reachable-id closure.
+    "q201_image_dup_groups" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val sk = docs.select(col("doc_id")).as[Long]
+        .map { id =>
+          val png = Multimodal.encodeDHashPng(
+            Multimodal.dHashPatternOf(id), cell = 1 + (id % 3).toInt)
+          (id, Multimodal.imageDHash(png).get)
+        }
+        .toDF("doc_id", "sk")
+      val pairs = Dedup.hamming64Pairs(sk, maxHamming = 3)
+      Dedup.dupGroups(docs, col("doc_id"), pairs).orderBy(col("doc_id"))
+    }),
 
     // Model-based quality filter (Corpus.hashedLinearScore): hashing-trick
     // linear scorer — feature id = portable token hash mod dim (pure
@@ -4321,6 +4399,42 @@ object SparkEntry {
         |FROM sk a JOIN sk b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.s1, b.s1)) + bit_count(xor(a.s2, b.s2)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // The planted dHash patterns re-derived arithmetically (DHASH_SK_CTE),
+    // exact all-pairs hamming ≤ 3 — the blocked Spark plan equals all-pairs
+    // because hamming ≤ 3 forces a shared 16-bit chunk (pigeonhole). The
+    // engine side recovers every bit from REAL decoded PNG pixels; only the
+    // fixture encoder and this oracle know the arithmetic.
+    "q199_image_phash_pairs" ->
+      s"""WITH $DHASH_SK_CTE
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       bit_count(xor(a.s1, b.s1)) + bit_count(xor(a.s2, b.s2)) AS hamming
+        |FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.s1, b.s1)) + bit_count(xor(a.s2, b.s2)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // q199's pair graph closed into components via the q62 recursive
+    // min-reachable-id CTE; singletons map to themselves, keep ⇔ min
+    "q201_image_dup_groups" ->
+      s"""WITH RECURSIVE $DHASH_SK_CTE,
+        |pairs AS MATERIALIZED (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.s1, b.s1)) + bit_count(xor(a.s2, b.s2)) <= 3),
+        |edges AS (
+        |  SELECT doc_a AS id, doc_b AS nbr FROM pairs
+        |  UNION
+        |  SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT id, id AS r FROM (SELECT DISTINCT id FROM edges) n
+        |  UNION
+        |  SELECT e.id, reach.r FROM edges e JOIN reach ON reach.id = e.nbr),
+        |comp AS (SELECT id, min(r) AS component_id FROM reach GROUP BY id)
+        |SELECT d.doc_id,
+        |  COALESCE(comp.component_id, d.doc_id) AS component_id,
+        |  d.doc_id = COALESCE(comp.component_id, d.doc_id) AS keep
+        |FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // Exact global all-pairs n-gram Jaccard — the verified-LSH plan must
     // reproduce it (recall loss is ~1e-8 per pair at the chosen banding)

@@ -216,18 +216,42 @@ object Dedup {
       maxHamming: Int = 3,
       maxBucket: Int = 10000): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val sk = capBuckets(df.select(idCol.as("doc_id"),
-        call_function("graft_simhash", Text.tokens(textCol)).as("sh"))
+    hamming64Pairs(df.select(idCol.as("doc_id"),
+        call_function("graft_simhash", Text.tokens(textCol)).as("sk")),
+      maxHamming, maxBucket)
+  }
+
+  /** Pigeonhole-blocked near-dup pair join over ANY 64-bit sketch column —
+    * the shared kernel of [[simhashPairs]] (text) and the perceptual image
+    * hash family ([[graft.operators.Multimodal.imageDHash]]): candidates
+    * meet through an equi-join on their 4×16-bit sketch chunks (hamming
+    * ≤ 3 ⇒ at least one identical chunk, so blocking at maxHamming ≤ 3
+    * loses NO pairs and the blocked plan equals the all-pairs answer;
+    * beyond 3 the blocking is a recall bet), then the exact 64-bit hamming
+    * verifies. Input: (doc_id, sk); output: (doc_a, doc_b, hamming),
+    * doc_a < doc_b.
+    *
+    * Scale shape: the only exchange carries (chunk_i, 16-bit chunk, id,
+    * 8-byte sketch) rows ×4 per doc — never payloads, never all-pairs; the
+    * within-bucket quadratic is bounded by `maxBucket` (keep-first-K by
+    * id, the [[capBuckets]] contract: a pair dropped here shared ONLY
+    * over-cap chunks — the too-common-to-be-informative trade).
+    */
+  def hamming64Pairs(
+      sketches: DataFrame,
+      maxHamming: Int = 3,
+      maxBucket: Int = 10000): DataFrame = {
+    val sk = capBuckets(sketches.select(col("doc_id"), col("sk"))
       .withColumn("chunk_i", explode(sequence(lit(0), lit(3))))
-      .withColumn("chunk", element_at(Text.chunks16(col("sh")), col("chunk_i") + 1))
+      .withColumn("chunk", element_at(Text.chunks16(col("sk")), col("chunk_i") + 1))
       // materialize sketches once; self-join reuses the exchange
       .repartition(col("chunk_i"), col("chunk")), maxBucket, col("chunk_i"), col("chunk"))
-    val a = sk.select(col("chunk_i"), col("chunk"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = sk.select(col("chunk_i"), col("chunk"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val a = sk.select(col("chunk_i"), col("chunk"), col("doc_id").as("doc_a"), col("sk").as("sk_a"))
+    val b = sk.select(col("chunk_i"), col("chunk"), col("doc_id").as("doc_b"), col("sk").as("sk_b"))
     a.join(b, Seq("chunk_i", "chunk"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        Text.hamming64(col("sh_a"), col("sh_b")).cast("long").as("hamming"))
+        Text.hamming64(col("sk_a"), col("sk_b")).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -433,6 +433,142 @@ object Multimodal extends Serializable {
     }.toDF("media_id", "frame_idx", "pts_ms")
   }
 
+  /** Perceptual difference hash (dHash) over the REAL decoded pixels of a
+    * PNG/JPEG payload: full ImageIO decode → integer box-average downsample
+    * to a 9×8 grayscale grid → 64 bits, bit j = y·8+x set iff the average
+    * gray of cell (x+1, y) exceeds cell (x, y) — the standard dHash
+    * ("difference hash") construction: robust to re-encode/resize because
+    * it keys on the gradient SIGN structure, not pixel values. All-integer
+    * arithmetic end to end so every engine computing it agrees bit-for-bit:
+    * gray = (299·r + 587·g + 114·b) / 1000 per pixel (truncating), cell
+    * comparison by cross-multiplied sums (sumA·nB > sumB·nA — cells of a
+    * non-multiple-of-9/8 image differ in pixel count, and integer division
+    * first would lose ties).
+    *
+    * This is the MEDIA analogue of the text sketches (simhash/minhash): a
+    * scan-side O(pixels) map per asset producing an 8-byte sketch; the
+    * near-dup pair search downstream is [[graft.operators.Dedup
+    * .hamming64Pairs]]'s pigeonhole-blocked join — never all-pairs. At
+    * 100 TB the full-pixel decode runs once per asset in the prep pass
+    * (the [[resize]] economics) and only sketches ever shuffle.
+    *
+    * Returns None for payloads without a decodable PNG/JPEG container or
+    * smaller than the 9×8 grid.
+    */
+  def imageDHash(bytes: Array[Byte]): Option[Long] = {
+    if (decodeImageDims(bytes).isEmpty) return None
+    val img =
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val r = cachedReader(if ((bytes(0) & 0xFF) == 0x89) "png" else "jpeg")
+        try { r.setInput(iis); r.read(0) }
+        finally { r.reset(); iis.close() }
+      } catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) return None
+    val w = img.getWidth; val h = img.getHeight
+    if (w < 9 || h < 8) return None
+    // integer box partition: cell x spans [x·w/9, (x+1)·w/9) — exact
+    // averaging when dims are grid multiples, deterministic truncating
+    // boxes otherwise
+    val sums = Array.ofDim[Long](8, 9)
+    val cnts = Array.ofDim[Long](8, 9)
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 9) {
+        val x0 = cx * w / 9; val x1 = (cx + 1) * w / 9
+        val y0 = cy * h / 8; val y1 = (cy + 1) * h / 8
+        var s = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            s += (299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+              114L * (rgb & 0xFF)) / 1000L
+            x += 1
+          }
+          y += 1
+        }
+        sums(cy)(cx) = s
+        cnts(cy)(cx) = (x1 - x0).toLong * (y1 - y0)
+        cx += 1
+      }
+      cy += 1
+    }
+    var bits = 0L
+    cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        if (sums(cy)(cx + 1) * cnts(cy)(cx) > sums(cy)(cx) * cnts(cy)(cx + 1))
+          bits |= 1L << (cy * 8 + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    Some(bits)
+  }
+
+  /** Fixture dHash pattern for doc `id` (gate/test helper — the arithmetic
+    * the q199 oracle re-derives in SQL): docs share a 64-bit base pattern
+    * per group of 8 (two 32-bit multiply-add halves of id/8, the q24
+    * convention that keeps every product < 2⁵³ for engines without wrapping
+    * 64-bit multiply), and member m = id%8 flips m%4 bits of it at
+    * positions (m·13 + j·17) mod 64 — planting pairs at Hamming 0–3 inside
+    * a group (found at maxHamming = 3) and ~32 across groups (not found).
+    */
+  def dHashPatternOf(id: Long): Long = {
+    val g = id / 8; val m = id % 8
+    val h1 = (g * 2654435761L + 40503L) % 4294967296L
+    val h2 = (g * 2246822519L + 3266489917L) % 4294967296L
+    var p = h1 | (h2 << 32)
+    var j = 0L
+    while (j < m % 4) {
+      p ^= 1L << ((m * 13 + j * 17) % 64)
+      j += 1
+    }
+    p
+  }
+
+  /** Deterministic PNG whose REAL [[imageDHash]] equals `pattern` (fixture
+    * helper, the perceptual twin of [[encodePng]]): a 9×8 grid of
+    * `cell`×`cell` blocks whose gray levels walk ±8 from 128 left to right
+    * following the pattern's bits, with a zero-sum ±3 dither INSIDE each
+    * block (alternating +3/−3, odd pixel left undithered) — so the block
+    * averages, and with them the hash, survive only a decoder that
+    * actually averages real pixels; a header read or single-pixel sample
+    * diverges. Gray range stays in [61, 195] ⊂ [0, 255].
+    */
+  def encodeDHashPng(pattern: Long, cell: Int): Array[Byte] = {
+    require(cell >= 1, s"cell must be >= 1: $cell")
+    val img = new java.awt.image.BufferedImage(
+      9 * cell, 8 * cell, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 8) {
+      var v = 128
+      var x = 0
+      while (x < 9) {
+        // fill block (x, y) with value v plus zero-sum dither
+        var i = 0
+        val n = cell * cell
+        while (i < n) {
+          val d = if (i == n - 1 && n % 2 == 1) 0 else if (i % 2 == 0) 3 else -3
+          val p = v + d
+          img.setRGB(x * cell + i % cell, y * cell + i / cell,
+            (p << 16) | (p << 8) | p)
+          i += 1
+        }
+        if (x < 8)
+          v += (if ((pattern & (1L << (y * 8 + x))) != 0) 8 else -8)
+        x += 1
+      }
+      y += 1
+    }
+    writePng(img)
+  }
+
   /** Decode: REAL dimensions for PNG/JPEG image payloads (via
     * [[decodeImageDims]]), REAL duration for WAV audio payloads (via
     * [[decodeWavMeta]]) and REAL dimensions + duration for MP4 video

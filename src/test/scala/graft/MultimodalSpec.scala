@@ -176,6 +176,72 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((1L, 0L, 0L), (1L, 10L, 1000L), (1L, 20L, 2140L)))
   }
 
+  test("imageDHash recovers the planted pattern from real pixels at every cell scale") {
+    // the fixture encodes the pattern into REAL pixel gray levels; equality
+    // across cell scales 1-4 proves the hash comes from box-averaged decoded
+    // pixels (a header read has no dims-independent bit source, and the
+    // zero-sum ±3 dither inside each block defeats single-pixel sampling)
+    for (id <- Seq(0L, 1L, 7L, 12L, 501L, 99999L); cell <- 1 to 4) {
+      val p = Multimodal.dHashPatternOf(id)
+      val got = Multimodal.imageDHash(Multimodal.encodeDHashPng(p, cell))
+      assert(got.contains(p), s"id=$id cell=$cell")
+    }
+  }
+
+  test("one planted bit flip moves exactly one dHash bit") {
+    val base = Multimodal.dHashPatternOf(42L)
+    for (bit <- Seq(0, 17, 33, 63)) {
+      val h = Multimodal.imageDHash(
+        Multimodal.encodeDHashPng(base ^ (1L << bit), cell = 2)).get
+      assert(java.lang.Long.bitCount(h ^ base) == 1 && ((h >>> bit) & 1L) != ((base >>> bit) & 1L),
+        s"bit=$bit")
+    }
+  }
+
+  test("dHash survives a real bilinear resize (perceptual robustness)") {
+    import spark.implicits._
+    // encode at 18x16 (cell=2), resize through the REAL Graphics2D path to
+    // 27x24 and 9x8: the gradient-sign structure must survive interpolation
+    val p = Multimodal.dHashPatternOf(7L)
+    val png = Multimodal.encodeDHashPng(p, cell = 2)
+    for ((w, h) <- Seq((27, 24), (9, 8))) {
+      val resized = Multimodal.resize(
+        spark.createDataset(Seq(MediaRecord(1L, "image", png, Map.empty))), w, h)
+        .collect().head.bytes
+      val rh = Multimodal.imageDHash(resized).get
+      assert(java.lang.Long.bitCount(rh ^ p) <= 4,
+        s"${w}x$h drifted ${java.lang.Long.bitCount(rh ^ p)} bits")
+    }
+  }
+
+  test("planted near-dups: blocked pair join equals the all-pairs answer") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // 3 groups of 8: every pair's hamming is a pure function of the planted
+    // flip masks; the pigeonhole-blocked plan must equal brute force at <= 3
+    val ids = (0L until 24L)
+    val sk = ids.map(id => (id, Multimodal.imageDHash(Multimodal.encodeDHashPng(
+      Multimodal.dHashPatternOf(id), cell = 1 + (id % 3).toInt)).get))
+    val expected = (for {
+      (a, ha) <- sk; (b, hb) <- sk if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d.toLong)).sorted
+    assert(expected.nonEmpty && expected.exists(_._3 == 0L) &&
+      expected.exists(_._3 == 3L)) // fixture plants the full 0-3 range
+    assert(expected.forall { case (a, b, _) => a / 8 == b / 8 },
+      "cross-group pairs must sit at ~32 bits, far beyond the threshold")
+    val got = graft.operators.Dedup.hamming64Pairs(
+        sk.toDF("doc_id", "sk"), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(got.toSeq == expected)
+  }
+
+  test("imageDHash rejects non-images and sub-grid images") {
+    assert(Multimodal.imageDHash("junk".getBytes).isEmpty)
+    assert(Multimodal.imageDHash(Multimodal.encodePng(8, 8, 1)).isEmpty) // w < 9
+    assert(Multimodal.imageDHash(Multimodal.encodePng(9, 8, 1)).nonEmpty)
+  }
+
   test("audioMeta Dataset path: per-row recovery, non-WAV rows dropped") {
     import spark.implicits._
     val media = spark.createDataset(Seq(
