@@ -1524,6 +1524,28 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Small-files compaction PLANNER (Warehouse.compactionPlan) — the
+    // warehouse-maintenance op the sink family lacked: micro-batch sinks
+    // leave one file per batch per task, and at 100 TB footer-sized files
+    // dominate scan cost. Files already ≥ target keep (bin −1); small
+    // files pack into dense target-sized bins by budget-quantized prefix
+    // sum in file-id order — the SAME two-pass machinery as training-shard
+    // packing (Corpus.packShardsByCount), driving a (file_id, bytes) unit
+    // stream. The gate manifest is fixture arithmetic (one unit per doc,
+    // n_chars as bytes, every 17th file pre-inflated past target so BOTH
+    // actions appear at every sf); WarehouseSpec drives the same planner
+    // over REAL written parquet footers and executes the rewrite
+    // (Warehouse.compactByPlan), asserting one file per bin.
+    "q200_compaction_plan" -> ((s, d) => {
+      val mf = t(s, d, "documents").select(
+        col("doc_id").as("file_id"),
+        (col("n_chars") + when(col("doc_id") % 17 === 0, 100000L)
+          .otherwise(0L)).as("bytes"))
+      graft.sources.Warehouse.compactionPlan(mf, col("file_id"),
+          col("bytes"), targetBytes = 2000L)
+        .orderBy(col("file_id"))
+    }),
+
     // q199's pairs closed into MEDIA DEDUP GROUPS (Dedup.dupGroups — the
     // q62 composition over the image-hash edge list): every doc mapped to
     // its perceptual component's min id + the keep flag a multimodal
@@ -4412,6 +4434,27 @@ object SparkEntry {
         |FROM sk a JOIN sk b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.s1, b.s1)) + bit_count(xor(a.s2, b.s2)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Window prefix-sum re-derivation of the quantized next-fit packing:
+    // keeps are the pre-inflated files, bins are floor(exclusive-cumsum /
+    // target) over the small files in id order — integer arithmetic only
+    "q200_compaction_plan" ->
+      """WITH mf AS (
+        |  SELECT doc_id AS file_id,
+        |         n_chars + CASE WHEN doc_id % 17 = 0 THEN 100000 ELSE 0 END AS bytes
+        |  FROM documents),
+        |sm AS (
+        |  SELECT file_id, bytes,
+        |         coalesce(CAST(sum(bytes) OVER (ORDER BY file_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |           0) AS excl
+        |  FROM mf WHERE bytes < 2000)
+        |SELECT file_id, bytes, 'keep' AS action, CAST(-1 AS BIGINT) AS bin
+        |FROM mf WHERE bytes >= 2000
+        |UNION ALL
+        |SELECT file_id, bytes, 'rewrite' AS action, excl // 2000 AS bin
+        |FROM sm
+        |ORDER BY file_id""".stripMargin,
 
     // q199's pair graph closed into components via the q62 recursive
     // min-reachable-id CTE; singletons map to themselves, keep ⇔ min

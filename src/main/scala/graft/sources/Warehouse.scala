@@ -106,6 +106,113 @@ object Warehouse {
     Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
   }
 
+  /** Real file-size manifest of a parquet directory: one row per data file
+    * with (file_id, file, bytes) — file_id is the rank in lexicographic
+    * name order, so the id is deterministic across runs over the same
+    * directory. This is [[compactionPlan]]'s input surface; WarehouseSpec
+    * drives it over real written footers. Driver-side listing is the same
+    * shape Spark's own file index performs (and parallelizes past a
+    * threshold); the manifest is one small row per FILE, never per row of
+    * data, so it stays KB-to-MB-scale even for a 100 TB table.
+    */
+  def fileManifest(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+      .zipWithIndex
+      .map { case (f, i) => (i.toLong, f.getName, f.length()) }
+      .toSeq.toDF("file_id", "file", "bytes")
+  }
+
+  /** Small-files compaction PLAN: given a (file_id, bytes) manifest, emit
+    * one row per file with the maintenance decision —
+    *   action = 'keep',    bin = −1  for files already ≥ targetBytes
+    *            (rewriting them wastes IO: they are the size the rewrite
+    *            aims for), and
+    *   action = 'rewrite', bin = floor(exclusive-prefix-sum(bytes) /
+    *            targetBytes) in file_id order for the small files —
+    * budget-quantized next-fit bin packing through the SAME two-pass
+    * prefix-sum machinery as training-shard packing
+    * ([[graft.operators.Corpus.packShardsByCount]] — files by bytes are
+    * just another unit stream with an integer cost). Guarantees: bin ids
+    * are dense from 0, the bin count is ⌊Σbytes/target⌋+1 (amortized
+    * exactly target-sized output), and no bin exceeds 2·target (a bin
+    * spans < 2 target-widths of prefix space and every member is
+    * < target); an individual bin can undershoot when file boundaries
+    * straddle its prefix range — the quantized-prefix trade that keeps
+    * the plan ONE window expression instead of a sequential first-fit
+    * fold. All-integer and SQL-expressible, which is what lets the q200
+    * gate hash-match a DuckDB window-sum re-derivation.
+    *
+    * At 100 TB this is a plan over file METADATA (millions of rows at
+    * most); the expensive part — the rewrite — is [[compactByPlan]], and
+    * splitting plan from execution is what lets an operator review or
+    * throttle the rewrite set before burning cluster IO on it.
+    */
+  def compactionPlan(files: DataFrame, idCol: Column, bytesCol: Column,
+      targetBytes: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val f = files.select(idCol.cast("long").as("file_id"),
+      bytesCol.cast("long").as("bytes"))
+    val keeps = f.filter(col("bytes") >= targetBytes)
+      .select(col("file_id"), col("bytes"),
+        lit("keep").as("action"), lit(-1L).as("bin"))
+    val small = f.filter(col("bytes") < targetBytes)
+    val packs =
+      if (small.isEmpty) // packShardsByCount needs ≥1 unit (max-id seed)
+        small.select(col("file_id"), col("bytes"),
+          lit("rewrite").as("action"), lit(-1L).as("bin"))
+      else
+        graft.operators.Corpus.packShardsByCount(small, col("file_id"),
+            col("bytes"), targetBytes)
+          .select(col("doc_id").as("file_id"), col("n_tok").as("bytes"),
+            lit("rewrite").as("action"), col("shard").as("bin"))
+    keeps.unionByName(packs)
+  }
+
+  /** Execute a [[compactionPlan]] against `path` into `outPath`: the
+    * rewrite set is read back ONCE and written one file per bin
+    * (`partitionBy(bin)` after a bin-keyed repartition: all of a bin's rows
+    * reach one task, which writes exactly one file under `bin=N/`), keeps
+    * are passed through by straight file copy. Returns the executed plan.
+    * The driver-side pieces are manifest-sized (one element per FILE), so
+    * this stays distributed where it matters — the data rewrite is one
+    * Spark job whose shuffle carries only the small-file rows.
+    */
+  def compactByPlan(spark: SparkSession, path: String, targetBytes: Long,
+      outPath: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val manifest = fileManifest(spark, path)
+    val plan = compactionPlan(manifest, col("file_id"), col("bytes"),
+      targetBytes).localCheckpoint()
+    val named = plan.join(manifest.select(col("file_id"), col("file")), Seq("file_id"))
+    new java.io.File(outPath).mkdirs()
+    val binOfFile = named.filter(col("action") === "rewrite")
+      .select(col("file"), col("bin")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    if (binOfFile.nonEmpty) {
+      import spark.implicits._
+      val binMap = binOfFile.toDF("__file", "__bin")
+      spark.read.parquet(binOfFile.map(f => s"$path/${f._1}"): _*)
+        .withColumn("__file", element_at(split(input_file_name(), "/"), -1))
+        .join(broadcast(binMap), Seq("__file"))
+        .drop("__file")
+        .repartition(col("__bin"))
+        .write.mode("overwrite").partitionBy("__bin")
+        .parquet(s"$outPath/rewritten")
+    }
+    named.filter(col("action") === "keep").select(col("file")).collect()
+      .map(_.getString(0)).foreach { f =>
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(path, f),
+          java.nio.file.Paths.get(outPath, f),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    plan
+  }
+
   /** Morton/Z-value of two columns already scaled to `[0, 2^bits)` ints:
     * interleaves their low `bits` bits (a in the even positions, b in the
     * odd), so sorting by the result gives locality in BOTH dimensions —

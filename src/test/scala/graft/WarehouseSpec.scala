@@ -120,6 +120,57 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction plan + execution over real parquet footers") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cplan").toString
+    val path = s"$root/docs_sink"
+    val docs = Tables.load(spark, dir, "documents")
+    // 24 small files plus one coalesced large one appended after — the
+    // mixed manifest a real micro-batch sink accumulates
+    docs.repartition(24).write.mode("overwrite").parquet(path)
+    docs.union(docs).union(docs).coalesce(1).write.mode("append").parquet(path)
+    val manifest = Warehouse.fileManifest(spark, path)
+    val files = manifest.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(files.length >= 25)
+    val sizes = files.map(_._3)
+    // target between the small-file and big-file footer sizes
+    val target = sizes.max / 2
+    assert(sizes.count(_ >= target) >= 1 && sizes.count(_ < target) >= 24,
+      s"fixture must have both keeps and rewrites at target=$target: ${sizes.sorted.toSeq}")
+    val outPath = s"$root/compacted"
+    val plan = Warehouse.compactByPlan(spark, path, target, outPath)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // plan shape: every file decided once; keeps are exactly the >= target
+    // ones; rewrite bins dense from 0; no bin over 2x target
+    assert(plan.length == files.length)
+    assert(plan.filter(_._3 == "keep").map(_._1).toSet ==
+      files.filter(_._3 >= target).map(_._1).toSet)
+    val bins = plan.filter(_._3 == "rewrite").groupBy(_._4)
+      .map { case (b, fs) => (b, fs.map(_._2).sum) }
+    assert(bins.keySet == (0L until bins.size).toSet, s"bins not dense: ${bins.keySet}")
+    assert(bins.values.forall(_ < 2 * target),
+      s"bin over 2x target: ${bins.values.max} vs $target")
+    val smallTotal = files.filter(_._3 < target).map(_._3).sum
+    assert(bins.size == smallTotal / target + 1)
+    // execution: exactly ONE real parquet file per bin, data preserved
+    val rewritten = new java.io.File(s"$outPath/rewritten")
+    val binDirs = Option(rewritten.listFiles()).get
+      .filter(f => f.isDirectory && f.getName.startsWith("__bin="))
+    assert(binDirs.length == bins.size)
+    binDirs.foreach { d =>
+      val pf = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(pf.length == 1, s"${d.getName} must hold one file, got ${pf.length}")
+      assert(pf.head.length() > 0)
+    }
+    val keptFiles = Option(new java.io.File(outPath).listFiles()).get
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(keptFiles.length == plan.count(_._3 == "keep"))
+    val wantRows = spark.read.parquet(path).count()
+    val gotRows = spark.read.parquet(s"$outPath/rewritten").count() +
+      keptFiles.map(f => spark.read.parquet(f.toString).count()).sum
+    assert(gotRows == wantRows, s"compaction lost rows: $gotRows vs $wantRows")
+  }
+
   test("q139: bucketed join shuffles neither side — the only Exchange is the groupBy") {
     val df = graft.SparkEntry.queries("q139_bucketed_join")(
       spark, "/root/testdata/sf0.001")
