@@ -266,8 +266,22 @@ object CurationStream {
     * content went silent past the TTL appears twice, which IS the
     * re-admission contract.
     */
+  /** Per-stage state-store footprint of the LAST [[replayFunnelTtl]] run:
+    * (stage, MemoryReplay.lastStateStats) captured after each internal
+    * replay — the audit surface ScaleProbe's --funnel-stream law reads
+    * (state must sit at rate×TTL per stage, not tape length). Volatile
+    * single-slot like MemoryReplay's: replays are sequential in-session.
+    */
+  @volatile var lastStageStats: List[(String, Seq[(String, Long, Long)])] = Nil
+
+  /** The TTL the last [[replayFunnelTtl]] run used (ms) — lets a probe pin
+    * a longer tape to the SAME window for the flat-state comparison.
+    */
+  @volatile var lastTtlMs: Long = 0L
+
   def replayFunnelTtl(spark: SparkSession, docs: DataFrame, idCol: Column,
-      textCol: Column, nBatches: Int = 4): DataFrame = {
+      textCol: Column, nBatches: Int = 4,
+      ttlMsOverride: Option[Long] = None): DataFrame = {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
     val s1 = Pipeline.stageOneFlags(
@@ -276,7 +290,12 @@ object CurationStream {
       .select(col("doc_id"), col("text"))
       .as[(Long, String)].collect().toSeq.sortBy(_._1)
     val n = s1.size
-    val ttlMs = (n / 2).toLong * 1000L
+    // default TTL tracks the corpus (the q196 gate's near-dup-window
+    // geometry); a probe overrides it to hold rate×TTL FIXED while the
+    // tape grows — the bounded-state law the TTL ops exist for
+    val ttlMs = ttlMsOverride.getOrElse((n / 2).toLong * 1000L)
+    lastTtlMs = ttlMs
+    lastStageStats = Nil
     // occurrence tape: the tick IS the occurrence id (globally unique —
     // base even in [2, 2n], in-window odd, far regime in (3n, 4n])
     val occs: Seq[(Long, Long, String)] = s1.zipWithIndex.flatMap {
@@ -294,6 +313,8 @@ object CurationStream {
         StreamingOps.exactDedupStreamTtl(ds.toDF("occ", "ts", "text"),
           "occ", "ts", "text", ttlMs = ttlMs))
       .toDF("occ")
+    lastStageStats = lastStageStats :+
+      ("s2_exact_ttl" -> MemoryReplay.lastStateStats)
     val occDf = spark.createDataFrame(occs).toDF("occ", "doc_id", "text")
     val keepers = occDf.join(keepTicks, Seq("occ")).localCheckpoint()
     val keeperSet = keepers.select(col("occ")).as[Long].collect().toSet
@@ -322,6 +343,8 @@ object CurationStream {
             >= 0.5)
           .select(col("occ_b")).as[Long])
       .toDF("occ").distinct()
+    lastStageStats = lastStageStats :+
+      ("s3_band_ttl" -> MemoryReplay.lastStateStats)
     keepers
       .join(drops.withColumn("_d", lit(true)), Seq("occ"), "left")
       .filter(col("_d").isNull)

@@ -364,6 +364,65 @@ object ScaleProbe {
     if (args.contains("--funnel-hundredx")) {
       funnelHundredxSection(); spark.stop(); return
     }
+    // --funnel-stream: the STREAMING ingest funnel's growth law (VERDICT
+    // r11 Next #3) — replay the full composed CurationStream.replayFunnelTtl
+    // at 1× (sf0.1) and 10× (the synthetic probe corpus), recording wall +
+    // end-of-replay state rows/bytes PER STAGE. Two 10× rows: the gate
+    // geometry (TTL tracks the corpus → state grows with it, by contract)
+    // and a FIXED-TTL rerun pinning rate×TTL to the 1× window — the law is
+    // that per-stage state stays FLAT there while the tape is 10× longer,
+    // with wall exponent ≲ 1.
+    def funnelStreamSection(): Unit = {
+      import graft.streaming.CurationStream
+      def run(label: String, d: String, ttlOverride: Option[Long]): Double = {
+        val t0 = System.nanoTime()
+        val rows = CurationStream.replayFunnelTtl(spark, docsOf(d),
+          col("doc_id"), col("text"), ttlMsOverride = ttlOverride).count()
+        val w = (System.nanoTime() - t0) / 1e9
+        println(f"[probe] $label%-28s ${w}%8.2f s  ($rows rows, ttl=${CurationStream.lastTtlMs / 1000}s)")
+        CurationStream.lastStageStats.foreach { case (stage, stats) =>
+          stats.foreach { case (op, rows2, bytes) =>
+            println(f"[probe]   $label $stage state: rows=$rows2 bytes=$bytes ($op)")
+          }
+        }
+        w
+      }
+      val w1 = run("1x funnelTtl (gate ttl)", srcDir, None)
+      val ttl1 = CurationStream.lastTtlMs
+      run("10x funnelTtl (gate ttl)", dir, None)
+      val w10 = run("10x funnelTtl (ttl pinned to 1x)", dir, Some(ttl1))
+      println(f"[probe] funnel-stream wall exp=${math.log(w10 / w1) / math.log(10.0)}%.2f (1x -> 10x, fixed rate×TTL)")
+    }
+    if (args.contains("--funnel-stream")) {
+      funnelStreamSection(); spark.stop(); return
+    }
+    // --hashed-hundredx: the hashed-embedding retrieval chain's two-decade
+    // growth fit (VERDICT r11 Next #5) — hashedEmbedding (scan-side
+    // featurization) composed into hashedKnn (broadcast queries + bounded
+    // graft_topk exchange) at 1×/10×/100× the corpus with the gate's fixed
+    // 5-query load. The candidate stage is broadcast-bounded BY
+    // CONSTRUCTION, but so was q97's rescore fetch before the r11 probe
+    // caught sort-merge shuffling the corpus — hence the measured row.
+    def hashedHundredxSection(): Unit = {
+      import graft.operators.Corpus
+      graft.functions.GraftFunctions.register(spark)
+      val d100 = s"$dir/hundredx"
+      if (!new java.io.File(s"$d100/documents.parquet").exists()) {
+        println(s"[probe] generating 100x corpus under $d100")
+        genDocs(spark, d100, 500000)
+      }
+      val res = Seq(("1x", srcDir), ("10x", dir), ("100x", d100)).map {
+        case (label, d) =>
+          measure(s"$label q198_hashed_knn") {
+            Corpus.hashedKnn(docsOf(d), col("doc_id"), col("text"),
+              queryPred = col("doc_id") < 5, k = 10).count()
+          }
+      }
+      println(s"[probe] hashedKnn growth: ${expFit(res)}")
+    }
+    if (args.contains("--hashed-hundredx")) {
+      hashedHundredxSection(); spark.stop(); return
+    }
     // --decontam-hundredx: the q92 claim measured — the Bloom variant's
     // advantage must GROW with corpus size (the exact path builds and
     // semi-joins a distinct-shingle table that scales with the train
