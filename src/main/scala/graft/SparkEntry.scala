@@ -1524,6 +1524,31 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Perceptual near-dup for AUDIO (Multimodal.audioDHash — the
+    // chromaprint-family shape: sign of the energy gradient across 65 time
+    // windows of the REAL decoded PCM samples, all-integer, cross-
+    // multiplied window comparison): the fixture WAV walks its window
+    // AMPLITUDE ±200 following the same planted 64-bit pattern as q199's
+    // images (zero-sum ±1 magnitude dither in sign-alternating pairs, so
+    // only a decoder that actually sums real samples reproduces the bits;
+    // junk LIST chunk defeats fixed-offset readers), and the pair search is
+    // the same pigeonhole hamming join — the third media type through one
+    // sketch kernel. Window width varies 4/6/8 frames by doc so the
+    // integer window partition is exercised across lengths.
+    "q202_audio_fingerprint_pairs" -> ((s, d) => {
+      import s.implicits._
+      val sk = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val wav = Multimodal.encodeEnergyWav(
+            Multimodal.dHashPatternOf(id),
+            framesPerWin = 4 + (id % 3).toInt * 2)
+          (id, Multimodal.audioDHash(wav).get)
+        }
+        .toDF("doc_id", "sk")
+      Dedup.hamming64Pairs(sk, maxHamming = 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Small-files compaction PLANNER (Warehouse.compactionPlan) — the
     // warehouse-maintenance op the sink family lacked: micro-batch sinks
     // leave one file per batch per task, and at 100 TB footer-sized files
@@ -4428,6 +4453,17 @@ object SparkEntry {
     // engine side recovers every bit from REAL decoded PNG pixels; only the
     // fixture encoder and this oracle know the arithmetic.
     "q199_image_phash_pairs" ->
+      s"""WITH $DHASH_SK_CTE
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       bit_count(xor(a.s1, b.s1)) + bit_count(xor(a.s2, b.s2)) AS hamming
+        |FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.s1, b.s1)) + bit_count(xor(a.s2, b.s2)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Same planted-pattern arithmetic as q199 (deliberately: the ENGINE
+    // paths differ completely — PCM energy walk vs PNG pixel averaging —
+    // while the oracle pins both to one ground truth)
+    "q202_audio_fingerprint_pairs" ->
       s"""WITH $DHASH_SK_CTE
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |       bit_count(xor(a.s1, b.s1)) + bit_count(xor(a.s2, b.s2)) AS hamming

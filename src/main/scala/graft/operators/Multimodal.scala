@@ -569,6 +569,137 @@ object Multimodal extends Serializable {
     writePng(img)
   }
 
+  /** PCM16 samples of a WAV payload (channel-interleaved), via the same
+    * RIFF chunk walk as [[decodeWavMeta]] — the full-payload read the
+    * fingerprint family needs (metadata stays on the header-only path).
+    * Returns None unless the payload is parseable 16-bit PCM.
+    */
+  def wavPcm16Samples(bytes: Array[Byte]): Option[Array[Short]] = {
+    def u16(o: Int): Int = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+    def u32(o: Int): Long = (bytes(o) & 0xFFL) | ((bytes(o + 1) & 0xFFL) << 8) |
+      ((bytes(o + 2) & 0xFFL) << 16) | ((bytes(o + 3) & 0xFFL) << 24)
+    def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+    if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var bitsPerSample = -1
+    var dataOff = -1; var dataLen = -1
+    while (off + 8 <= bytes.length && (bitsPerSample < 0 || dataOff < 0)) {
+      val id = tag(off); val size = u32(off + 4)
+      if (id == "fmt " && size >= 16 && off + 8 + 16 <= bytes.length) {
+        if (u16(off + 8) != 1) return None // PCM only
+        bitsPerSample = u16(off + 22)
+      } else if (id == "data") {
+        dataOff = off + 8
+        dataLen = math.max(0, math.min(size, (bytes.length - off - 8).toLong)).toInt
+      }
+      off += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (bitsPerSample != 16 || dataOff < 0) None
+    else {
+      val n = dataLen / 2
+      val out = new Array[Short](n)
+      var i = 0
+      while (i < n) {
+        out(i) = ((bytes(dataOff + 2 * i) & 0xFF) |
+          (bytes(dataOff + 2 * i + 1) << 8)).toShort
+        i += 1
+      }
+      Some(out)
+    }
+  }
+
+  /** Perceptual AUDIO fingerprint over the REAL decoded PCM samples — the
+    * audio twin of [[imageDHash]] (the simplified shape of the
+    * chromaprint/shazam family: sign of the energy gradient across time
+    * windows): the sample stream is partitioned into 65 equal windows,
+    * per-window energy = Σ|sample| (all-integer), and bit i = window i+1
+    * louder than window i, compared cross-multiplied (energyA·nB >
+    * energyB·nA — windows of a non-multiple length differ by one frame,
+    * and dividing first would lose ties). Robust to amplitude-preserving
+    * re-encodes and to resampling (the gradient SIGN structure survives);
+    * an 8-byte sketch per asset, pair search via the same
+    * [[graft.operators.Dedup.hamming64Pairs]] pigeonhole join as the
+    * image/text sketches. Returns None unless the payload decodes as
+    * 16-bit PCM with ≥ 65 samples.
+    */
+  def audioDHash(bytes: Array[Byte]): Option[Long] =
+    wavPcm16Samples(bytes).filter(_.length >= 65).map { pcm =>
+      val n = pcm.length
+      val e = new Array[Long](65)
+      val c = new Array[Long](65)
+      var w = 0
+      while (w < 65) {
+        val i0 = w * n / 65; val i1 = (w + 1) * n / 65
+        var s = 0L
+        var i = i0
+        while (i < i1) { s += math.abs(pcm(i).toLong); i += 1 }
+        e(w) = s; c(w) = (i1 - i0).toLong
+        w += 1
+      }
+      var bits = 0L
+      w = 0
+      while (w < 64) {
+        if (e(w + 1) * c(w) > e(w) * c(w + 1)) bits |= 1L << w
+        w += 1
+      }
+      bits
+    }
+
+  /** Deterministic WAV whose REAL [[audioDHash]] equals `pattern` (fixture
+    * helper, the audio twin of [[encodeDHashPng]]): 65 windows of
+    * `framesPerWin` mono PCM16 frames whose AMPLITUDE walks ±200 from
+    * 16000 following the pattern's bits; samples alternate sign and carry
+    * a zero-sum ±1 magnitude dither in pairs (|a+1| + |a−1| = 2a), so the
+    * window energies — and with them the hash — survive only a decoder
+    * that actually sums real samples. `framesPerWin` must be even for the
+    * dither pairs to cancel; amplitudes stay in [3.2k, 28.8k] ⊂ int16.
+    * The [[encodeWav]] junk-LIST-chunk trick applies: a fixed-offset
+    * reader mis-parses.
+    */
+  def encodeEnergyWav(pattern: Long, framesPerWin: Int): Array[Byte] = {
+    require(framesPerWin >= 2 && framesPerWin % 2 == 0,
+      s"framesPerWin must be even and >= 2: $framesPerWin")
+    val samples = new Array[Short](65 * framesPerWin)
+    var amp = 16000L
+    var w = 0
+    while (w < 65) {
+      var i = 0
+      while (i < framesPerWin) {
+        val mag = amp + (if (i % 2 == 0) 1 else -1) // zero-sum pair dither
+        val sgn = if ((i / 2) % 2 == 0) 1 else -1   // alternate sign
+        samples(w * framesPerWin + i) = (sgn * mag).toShort
+        i += 1
+      }
+      if (w < 64)
+        amp += (if ((pattern & (1L << w)) != 0) 200 else -200)
+      w += 1
+    }
+    wavFromSamples(8000, samples)
+  }
+
+  /** Mono PCM16 WAV from raw samples, with the junk LIST chunk between
+    * `fmt ` and `data` (see [[encodeWav]]'s walk-honesty argument).
+    */
+  private def wavFromSamples(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val junk = Array.tabulate[Byte](11)(i => ((7 + i) & 0x7F).toByte)
+    val junkPadded = junk.length + (junk.length & 1)
+    val dataSize = samples.length * 2
+    val riffSize = 4 + (8 + 16) + (8 + junkPadded) + (8 + dataSize)
+    val buf = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(riffSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(1.toShort)
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2.toShort).putShort(16.toShort)
+    buf.put("LIST".getBytes("US-ASCII")).putInt(junk.length).put(junk)
+    if ((junk.length & 1) == 1) buf.put(0.toByte)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
   /** Decode: REAL dimensions for PNG/JPEG image payloads (via
     * [[decodeImageDims]]), REAL duration for WAV audio payloads (via
     * [[decodeWavMeta]]) and REAL dimensions + duration for MP4 video

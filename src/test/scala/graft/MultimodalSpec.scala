@@ -236,6 +236,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.toSeq == expected)
   }
 
+  test("audioDHash recovers the planted pattern from real PCM at every window width") {
+    for (id <- Seq(0L, 3L, 8L, 777L); fpw <- Seq(2, 4, 6, 8)) {
+      val p = Multimodal.dHashPatternOf(id)
+      val got = Multimodal.audioDHash(Multimodal.encodeEnergyWav(p, fpw))
+      assert(got.contains(p), s"id=$id framesPerWin=$fpw")
+    }
+  }
+
+  test("audioDHash sums real samples: one flipped pattern bit moves one hash bit") {
+    val base = Multimodal.dHashPatternOf(9L)
+    for (bit <- Seq(0, 31, 32, 63)) {
+      val h = Multimodal.audioDHash(
+        Multimodal.encodeEnergyWav(base ^ (1L << bit), framesPerWin = 4)).get
+      assert(java.lang.Long.bitCount(h ^ base) == 1 &&
+        ((h >>> bit) & 1L) != ((base >>> bit) & 1L), s"bit=$bit")
+    }
+  }
+
+  test("audioDHash rejects non-audio and sub-window payloads") {
+    assert(Multimodal.audioDHash("junk".getBytes).isEmpty)
+    // 32 samples < 65 windows
+    assert(Multimodal.audioDHash(Multimodal.encodeWav(8000, 1, 32, 5)).isEmpty)
+    assert(Multimodal.audioDHash(Multimodal.encodeWav(8000, 1, 200, 5)).nonEmpty)
+  }
+
+  test("wavPcm16Samples round-trips samples through the chunk walk") {
+    val pcm = Multimodal.wavPcm16Samples(Multimodal.encodeWav(8000, 2, 50, 9))
+    assert(pcm.exists(_.length == 100)) // 50 frames x 2 channels
+    // values match the encoder's seeded formula
+    val want = (0 until 100).map(i => ((9 + i * 2654435761L) & 0xFFFF).toShort)
+    assert(pcm.get.toSeq == want)
+  }
+
   test("imageDHash rejects non-images and sub-grid images") {
     assert(Multimodal.imageDHash("junk".getBytes).isEmpty)
     assert(Multimodal.imageDHash(Multimodal.encodePng(8, 8, 1)).isEmpty) // w < 9
