@@ -1549,6 +1549,28 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Perceptual near-dup for VIDEO (Multimodal.videoTimingHash — the
+    // third member of the media-sketch triad): 64 bits of presentation-
+    // cadence gradient signs from the REAL stts run expansion of a parsed
+    // MP4, O(header) per asset — the mdat payload is never read, so at
+    // 100 TB this dedup signal costs metadata only. Fixture MP4s walk
+    // their per-frame duration ±50 units following the SAME planted
+    // pattern as q199/q202 (65 one-frame stts runs, junk free boxes
+    // defeating fixed offsets); same pigeonhole hamming join; one oracle,
+    // three completely different engine decode paths (pixels, PCM, boxes).
+    "q203_video_fingerprint_pairs" -> ((s, d) => {
+      import s.implicits._
+      val sk = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val mp4 = Multimodal.encodeTimingMp4(
+            Multimodal.dHashPatternOf(id), seed = id.toInt)
+          (id, Multimodal.videoTimingHash(mp4).get)
+        }
+        .toDF("doc_id", "sk")
+      Dedup.hamming64Pairs(sk, maxHamming = 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Small-files compaction PLANNER (Warehouse.compactionPlan) — the
     // warehouse-maintenance op the sink family lacked: micro-batch sinks
     // leave one file per batch per task, and at 100 TB footer-sized files
@@ -4464,6 +4486,16 @@ object SparkEntry {
     // paths differ completely — PCM energy walk vs PNG pixel averaging —
     // while the oracle pins both to one ground truth)
     "q202_audio_fingerprint_pairs" ->
+      s"""WITH $DHASH_SK_CTE
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       bit_count(xor(a.s1, b.s1)) + bit_count(xor(a.s2, b.s2)) AS hamming
+        |FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.s1, b.s1)) + bit_count(xor(a.s2, b.s2)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Same planted-pattern ground truth, third engine path (box walk +
+    // stts run expansion)
+    "q203_video_fingerprint_pairs" ->
       s"""WITH $DHASH_SK_CTE
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |       bit_count(xor(a.s1, b.s1)) + bit_count(xor(a.s2, b.s2)) AS hamming

@@ -677,6 +677,115 @@ object Multimodal extends Serializable {
     wavFromSamples(8000, samples)
   }
 
+  /** Perceptual VIDEO fingerprint over the REAL parsed frame timing — the
+    * video member of the media-sketch triad ([[imageDHash]] pixels,
+    * [[audioDHash]] PCM energy, this one presentation cadence): the first
+    * 65 frame DURATIONS from the stts time-to-sample runs (expanded via
+    * the same run walk as [[Mp4Meta.framePtsUnits]]), bit i = frame i+1
+    * presented longer than frame i. Unlike the other two this is
+    * O(header) per asset — the mdat payload is never touched — so at
+    * 100 TB it runs at METADATA cost, the cheapest possible dedup signal
+    * for video (variable-frame-rate cadence is a strong content
+    * fingerprint; identical re-containered videos keep it). Returns None
+    * unless the payload parses as MP4 with ≥ 65 frames.
+    */
+  def videoTimingHash(bytes: Array[Byte]): Option[Long] =
+    decodeMp4Meta(bytes).filter(_.nFrames >= 65).map { m =>
+      val durs = new Array[Long](65)
+      var filled = 0
+      m.stts.foreach { case (cnt, delta) =>
+        var k = 0L
+        while (k < cnt && filled < 65) { durs(filled) = delta; filled += 1; k += 1 }
+      }
+      var bits = 0L
+      var i = 0
+      while (i < 64) {
+        if (durs(i + 1) > durs(i)) bits |= 1L << i
+        i += 1
+      }
+      bits
+    }
+
+  /** Deterministic MP4 whose REAL [[videoTimingHash]] equals `pattern`
+    * (fixture helper, the video twin of [[encodeDHashPng]]): 65 stts runs
+    * of one frame each whose duration walks ±`step` from 5000 timescale
+    * units following the pattern's bits (worst-case 64-step drift ±3200
+    * stays positive — a negative duration would wrap through the u32 box
+    * field and scramble the planted comparisons) — the junk `free` boxes
+    * of [[encodeMp4]] still interleave, so only a genuine box walk plus a
+    * genuine run expansion reproduces the bits.
+    */
+  def encodeTimingMp4(pattern: Long, step: Int = 50, seed: Int = 0): Array[Byte] = {
+    val durs = new Array[Long](65)
+    var d = 5000L
+    var i = 0
+    while (i < 65) {
+      durs(i) = d
+      if (i < 64) d += (if ((pattern & (1L << i)) != 0) step else -step)
+      i += 1
+    }
+    encodeMp4WithStts(timescale = 30000, w = 64, h = 48,
+      stts = durs.map(x => (1L, x)).toSeq, seed = seed)
+  }
+
+  /** [[encodeMp4]] generalized to an explicit stts run list (the fixture
+    * surface the timing fingerprint needs; [[encodeMp4]]'s two-run shape
+    * delegates here in spirit — kept separate to leave the q145/q146
+    * fixtures byte-stable).
+    */
+  def encodeMp4WithStts(timescale: Int, w: Int, h: Int,
+      stts: Seq[(Long, Long)], seed: Int): Array[Byte] = {
+    def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+      val total = 8 + payload.iterator.map(_.length).sum
+      val buf = java.nio.ByteBuffer.allocate(total)
+      buf.putInt(total).put(typ.getBytes("US-ASCII"))
+      payload.foreach(buf.put)
+      buf.array()
+    }
+    def payload(n: Int)(f: java.nio.ByteBuffer => Unit): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(n); f(b); b.array()
+    }
+    def junk(salt: Int): Array[Byte] = box("free",
+      Array.tabulate[Byte](5 + ((seed + salt) & 7))(i => ((seed + salt * 31 + i) & 0x7F).toByte))
+    def identityMatrix(b: java.nio.ByteBuffer): Unit = {
+      b.putInt(0x00010000); b.putInt(0); b.putInt(0)
+      b.putInt(0); b.putInt(0x00010000); b.putInt(0)
+      b.putInt(0); b.putInt(0); b.putInt(0x40000000)
+    }
+    val durationUnits = stts.iterator.map { case (c, d) => c * d }.sum
+    val ftyp = box("ftyp", payload(8) { b =>
+      b.put("isom".getBytes("US-ASCII")); b.putInt(512)
+    })
+    val mvhd = box("mvhd", payload(100) { b =>
+      b.putInt(0); b.putInt(0); b.putInt(0)
+      b.putInt(timescale); b.putInt(durationUnits.toInt)
+      b.putInt(0x00010000); b.putShort(0x0100.toShort)
+      b.putShort(0); b.putInt(0); b.putInt(0)
+      identityMatrix(b)
+      (0 until 6).foreach(_ => b.putInt(0))
+      b.putInt(2)
+    })
+    val tkhd = box("tkhd", payload(84) { b =>
+      b.putInt(7); b.putInt(0); b.putInt(0)
+      b.putInt(1); b.putInt(0)
+      b.putInt(durationUnits.toInt)
+      b.putLong(0L)
+      b.putShort(0); b.putShort(0); b.putShort(0); b.putShort(0)
+      identityMatrix(b)
+      b.putInt(w << 16); b.putInt(h << 16)
+    })
+    val sttsBox = box("stts", payload(8 + stts.size * 8) { b =>
+      b.putInt(0); b.putInt(stts.size)
+      stts.foreach { case (c, d) => b.putInt(c.toInt); b.putInt(d.toInt) }
+    })
+    val stbl = box("stbl", junk(3), sttsBox)
+    val mdat = box("mdat",
+      Array.tabulate[Byte](48 + (seed & 31))(i => ((seed * 131 + i * 7) & 0xFF).toByte))
+    Array.concat(ftyp, junk(1),
+      box("moov", junk(2), mvhd, box("trak", tkhd, box("mdia", box("minf", stbl)))),
+      mdat)
+  }
+
   /** Mono PCM16 WAV from raw samples, with the junk LIST chunk between
     * `fmt ` and `data` (see [[encodeWav]]'s walk-honesty argument).
     */

@@ -269,6 +269,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pcm.get.toSeq == want)
   }
 
+  test("videoTimingHash recovers the planted pattern from real stts runs") {
+    for (id <- Seq(0L, 5L, 13L, 4321L)) {
+      val p = Multimodal.dHashPatternOf(id)
+      val got = Multimodal.videoTimingHash(
+        Multimodal.encodeTimingMp4(p, seed = id.toInt))
+      assert(got.contains(p), s"id=$id")
+    }
+  }
+
+  test("videoTimingHash expands runs, not one field: multi-frame runs collapse bits") {
+    // 65 frames as 5 runs of 13 equal durations: all intra-run deltas are 0
+    // (bit=0) and only the 4 run boundaries can set bits — a parser reading
+    // a single stts entry could not produce this shape
+    val mp4 = Multimodal.encodeMp4WithStts(30000, 64, 48,
+      stts = Seq((13L, 100L), (13L, 200L), (13L, 150L), (13L, 300L), (13L, 50L)),
+      seed = 3)
+    val h = Multimodal.videoTimingHash(mp4).get
+    // boundaries after frames 13,26,39,52 -> bit indices 12 (100<200),
+    // 38 (150<300); down-steps at 25, 51 stay 0
+    assert(h == ((1L << 12) | (1L << 38)), s"got ${h.toBinaryString}")
+  }
+
+  test("videoTimingHash rejects non-video and short clips") {
+    assert(Multimodal.videoTimingHash("junk".getBytes).isEmpty)
+    assert(Multimodal.videoTimingHash(
+      Multimodal.encodeMp4(30000, 1000, 64, 48, nFrames = 64, seed = 1)).isEmpty)
+    assert(Multimodal.videoTimingHash(
+      Multimodal.encodeMp4(30000, 1000, 64, 48, nFrames = 65, seed = 1)).nonEmpty)
+  }
+
   test("imageDHash rejects non-images and sub-grid images") {
     assert(Multimodal.imageDHash("junk".getBytes).isEmpty)
     assert(Multimodal.imageDHash(Multimodal.encodePng(8, 8, 1)).isEmpty) // w < 9
