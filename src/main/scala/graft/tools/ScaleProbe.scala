@@ -423,6 +423,38 @@ object ScaleProbe {
     if (args.contains("--hashed-hundredx")) {
       hashedHundredxSection(); spark.stop(); return
     }
+    // --media-hundredx: the media near-dup family's two-decade law. Two
+    // measurements, matching the family's two cost centers: (a) the
+    // pigeonhole-blocked hamming JOIN (Dedup.hamming64Pairs) over
+    // 5k/50k/500k sketches with the q199 planted-group structure — the
+    // exchange that must stay linear; (b) the per-asset DECODE throughput
+    // (encode+imageDHash round trip, the prep-pass cost that runs once per
+    // asset at 100 TB) measured as assets/s on one corpus — a pure map,
+    // so its scale story is throughput, not an exponent.
+    def mediaHundredxSection(): Unit = {
+      import graft.operators.{Dedup, Multimodal}
+      import spark.implicits._
+      def sketches(n: Long) = spark.range(0, n, 1, 32)
+        .map(id => (id, Multimodal.dHashPatternOf(id))).toDF("doc_id", "sk")
+      val res = Seq(("1x", 5000L), ("10x", 50000L), ("100x", 500000L)).map {
+        case (label, n) =>
+          measure(s"$label hamming64Pairs") {
+            Dedup.hamming64Pairs(sketches(n), maxHamming = 3).count()
+          }
+      }
+      println(s"[probe] hamming64Pairs growth: ${expFit(res)}")
+      val t0 = System.nanoTime()
+      val decoded = spark.range(0, 5000, 1, 32).map { id =>
+        Multimodal.imageDHash(Multimodal.encodeDHashPng(
+          Multimodal.dHashPatternOf(id), cell = 1 + (id % 3).toInt)).get
+      }.filter(_ != 0L).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] imageDHash prep-pass: ${decoded / dt}%.0f assets/s " +
+        f"($decoded assets in ${dt}%.1f s, 32 threads)")
+    }
+    if (args.contains("--media-hundredx")) {
+      mediaHundredxSection(); spark.stop(); return
+    }
     // --decontam-hundredx: the q92 claim measured — the Bloom variant's
     // advantage must GROW with corpus size (the exact path builds and
     // semi-joins a distinct-shingle table that scales with the train

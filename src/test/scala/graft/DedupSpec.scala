@@ -301,10 +301,11 @@ class DedupSpec extends AnyFunSuite {
       val reliable = Dedup.connectedComponents(pairs, checkpointDir = Some(dir))
         .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
       assert(reliable == local)
-      // the reliable path actually wrote checkpoint data
-      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-        .filter(java.nio.file.Files.isRegularFile(_)).count()
-      assert(wrote > 0, "checkpoint dir must contain materialized RDD data")
+      // the reliable path actually wrote checkpoint data — into the
+      // context's EFFECTIVE dir (set-only-when-unset: an earlier
+      // operator's dir wins in the shared test session)
+      assert(TestSpark.effectiveCheckpointFiles() > 0,
+        "checkpoint dir must contain materialized RDD data")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }

@@ -60,14 +60,18 @@ class GraphSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
       // the round-11 advisory bug: checkpointDir=Some(dir) on a context with
       // no checkpoint dir set threw SparkException at the first mat() —
-      // pagerank must set it like kCore/connectedComponents/Pipeline.curate
+      // pagerank must set it like kCore/connectedComponents/Pipeline.curate.
+      // Round-12 contract refinement (set-only-when-unset): a dir another
+      // operator configured earlier in the shared session WINS, so assert
+      // against the EFFECTIVE dir, not necessarily ours — reliable
+      // checkpointing needs some dir, and materialized RDD data must land
+      // wherever the context points.
       val reliable = Graph.pagerank(nodes, edges, iters = 4,
           checkpointEvery = 2, checkpointDir = Some(dir))
         .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
       assert(reliable == local)
-      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-        .filter(java.nio.file.Files.isRegularFile(_)).count()
-      assert(wrote > 0, "checkpoint dir must contain materialized RDD data")
+      assert(TestSpark.effectiveCheckpointFiles() > 0,
+        "checkpoint dir must contain materialized RDD data")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }

@@ -20,4 +20,19 @@ object TestSpark {
     s.sparkContext.setLogLevel("ERROR")
     s
   }
+
+  /** Regular files under the context's EFFECTIVE checkpoint dir. The
+    * checkpoint-dir operators follow set-only-when-unset (an earlier
+    * operator's dir wins for the whole shared session), so specs asserting
+    * "reliable checkpointing wrote data" must look at the dir the context
+    * actually points to, not the one they passed.
+    */
+  def effectiveCheckpointFiles(): Long = {
+    val eff = spark.sparkContext.getCheckpointDir.getOrElse(
+      throw new IllegalStateException("no checkpoint dir configured"))
+    val p = java.nio.file.Paths.get(
+      if (eff.startsWith("file:")) new java.net.URI(eff).getPath else eff)
+    java.nio.file.Files.walk(p)
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+  }
 }
