@@ -1571,6 +1571,29 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // MEDIA DEDUP AT INGEST (StreamingOps.sketchNearDupStream — the
+    // streaming twin of the q199 pair join): the 5k image sketches —
+    // REAL PNG decodes, same fixtures — replay in id order through the
+    // stateful pigeonhole chunk index, which verifies hamming INSIDE the
+    // fold (the 8-byte sketch is the content, so no stream-static fetch
+    // join; state = 16 bytes per member per chunk). Pigeonhole exactness
+    // at hamming ≤ 3 makes the distinct emitted set EQUAL the batch
+    // q199 answer, so the same all-pairs oracle gates the streaming path.
+    "q204_streaming_media_dedup" -> ((s, d) => {
+      import s.implicits._
+      val tape = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .collect().sorted.toSeq
+        .map { id =>
+          (id, Multimodal.imageDHash(Multimodal.encodeDHashPng(
+            Multimodal.dHashPatternOf(id), cell = 1 + (id % 3).toInt)).get)
+        }
+      graft.streaming.MemoryReplay.replay(s, tape, nBatches = 4)(ds =>
+          graft.streaming.StreamingOps.sketchNearDupStream(
+            ds.toDF("doc_id", "sk"), "doc_id", "sk"))
+        .toDF("doc_a", "doc_b", "hamming").distinct()
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Small-files compaction PLANNER (Warehouse.compactionPlan) — the
     // warehouse-maintenance op the sink family lacked: micro-batch sinks
     // leave one file per batch per task, and at 100 TB footer-sized files
@@ -4486,6 +4509,16 @@ object SparkEntry {
     // paths differ completely — PCM energy walk vs PNG pixel averaging —
     // while the oracle pins both to one ground truth)
     "q202_audio_fingerprint_pairs" ->
+      s"""WITH $DHASH_SK_CTE
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       bit_count(xor(a.s1, b.s1)) + bit_count(xor(a.s2, b.s2)) AS hamming
+        |FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.s1, b.s1)) + bit_count(xor(a.s2, b.s2)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Streaming twin of q199 — same exact all-pairs ground truth (the
+    // pigeonhole index loses nothing at hamming ≤ 3 over an ordered tape)
+    "q204_streaming_media_dedup" ->
       s"""WITH $DHASH_SK_CTE
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |       bit_count(xor(a.s1, b.s1)) + bit_count(xor(a.s2, b.s2)) AS hamming

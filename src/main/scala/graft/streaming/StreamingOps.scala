@@ -26,6 +26,12 @@ final case class AnomalyState(cents: Seq[Long])
 /** Doc ids seen in one LSH band bucket (streaming near-dup state). */
 final case class BandBucket(ids: Seq[Long])
 
+/** (id, 64-bit sketch) members of one pigeonhole chunk bucket (streaming
+  * media near-dup state) — the sketch rides along so hamming verification
+  * happens inside the fold, no stream-static fetch join.
+  */
+final case class SketchBucket(ids: Seq[Long], sks: Seq[Long])
+
 /** TTL'd band bucket: members carry their event time (ms) so arrivals can
   * evict aged entries; kept (ts, id)-sorted — arrival order, since event
   * time is monotone under the replay/watermark contract.
@@ -564,6 +570,66 @@ object StreamingOps {
               state.getCurrentWatermarkMs() + 1))
             out.result().iterator
           }
+      }
+  }
+
+  /** Streaming pigeonhole near-dup index for 64-bit sketches — MEDIA DEDUP
+    * AT INGEST, the streaming twin of [[graft.operators.Dedup
+    * .hamming64Pairs]] and the sketch-family sibling of
+    * [[nearDupCandidatesStream]]: arrivals carry (id, sketch); each of the
+    * sketch's 4 16-bit chunks indexes a state bucket holding its members'
+    * (id, sketch) pairs, and an arrival emits the EXACT-verified pair
+    * (min, max, hamming) against every earlier member of a shared bucket
+    * at hamming ≤ maxHamming. Unlike the text band index there is NO
+    * stream-static verify join: the 8-byte sketch IS the content, so
+    * verification is one popcount inside the fold — state stays 16 bytes
+    * per member per chunk and the operator emits FINAL pairs. At-least-
+    * once across chunks (a close pair shares up to 4 buckets) —
+    * `distinct()` downstream, the q75 convention.
+    *
+    * Pigeonhole exactness: hamming ≤ 3 ⇒ ≥ 1 identical chunk, so over an
+    * id-ordered tape the distinct emitted set EQUALS the batch
+    * hamming64Pairs answer (the q204 gate hash-checks that equality
+    * against the same all-pairs oracle as q199). A bucket at `maxBucket`
+    * members stops admitting — the keep-first-K contract shared with the
+    * batch capBuckets and the band index.
+    */
+  def sketchNearDupStream(docs: DataFrame, idCol: String, skCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 10000): Dataset[(Long, Long, Long)] = {
+    import org.apache.spark.sql.functions._
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long").as("doc_id"), col(skCol).cast("long").as("sk"))
+      .as[(Long, Long)]
+      // bucket key packs (chunk index, 16-bit chunk value) into one long
+      .flatMap { case (id, sk) =>
+        (0 until 4).map(ci =>
+          (ci.toLong * 65536L + ((sk >>> (ci * 16)) & 0xFFFFL), id, sk))
+      }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SketchBucket, (Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, it, state) =>
+          var ids = state.getOption.map(_.ids).getOrElse(Seq.empty).toVector
+          var sks = state.getOption.map(_.sks).getOrElse(Seq.empty).toVector
+          val member = scala.collection.mutable.HashSet.from(ids)
+          val out = Vector.newBuilder[(Long, Long, Long)]
+          it.toVector.sortBy(_._2).foreach { case (_, id, sk) =>
+            if (ids.size < maxBucket && member.add(id)) {
+              var i = 0
+              while (i < ids.length) {
+                val h = java.lang.Long.bitCount(sks(i) ^ sk).toLong
+                if (h <= maxHamming)
+                  out += ((math.min(ids(i), id), math.max(ids(i), id), h))
+                i += 1
+              }
+              ids = ids :+ id
+              sks = sks :+ sk
+            }
+          }
+          state.update(SketchBucket(ids, sks))
+          out.result().iterator
       }
   }
 

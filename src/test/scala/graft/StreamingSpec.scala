@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{MarketEvent, Pnl, PnlRow, Sma}
-import graft.streaming.{Ingest, StreamingOps}
+import graft.streaming.{Ingest, MemoryReplay, StreamingOps}
 
 /** Streaming ≡ batch parity (SURVEY.md §5.4): MemoryStream chunks through
   * the flatMapGroupsWithState operators must reproduce the batch fold /
@@ -797,5 +797,33 @@ class StreamingSpec extends AnyFunSuite {
       StreamingOps.nearDupCandidatesStreamTtl(df, "doc_id", "ts", "text",
         ttlMs = 1000L, watermarkDelay = "5 seconds")
     }
+  }
+
+  test("sketchNearDupStream equals batch hamming64Pairs at any batch split") {
+    import spark.implicits._
+    import graft.operators.{Dedup, Multimodal}
+    val tape = (0L until 48L).map(id => (id, Multimodal.dHashPatternOf(id)))
+    val batch = Dedup.hamming64Pairs(tape.toDF("doc_id", "sk"), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(batch.nonEmpty)
+    for (nBatches <- Seq(1, 4, 10)) {
+      val stream = MemoryReplay.replay(spark, tape, nBatches)(ds =>
+          StreamingOps.sketchNearDupStream(ds.toDF("doc_id", "sk"), "doc_id", "sk"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .distinct.sorted.toSeq
+      assert(stream == batch, s"nBatches=$nBatches")
+    }
+  }
+
+  test("sketchNearDupStream verifies in the fold: far sketches share a chunk, emit nothing") {
+    import spark.implicits._
+    // same low chunk (0xAAAA), other 48 bits complementary -> hamming 48:
+    // the bucket collides but the popcount verify must reject the pair
+    val a = 0x000000000000AAAAL
+    val b = 0xFFFFFFFFFFFFAAAAL
+    val out = MemoryReplay.replay(spark, Seq((1L, a), (2L, b)), 2)(ds =>
+        StreamingOps.sketchNearDupStream(ds.toDF("doc_id", "sk"), "doc_id", "sk"))
+      .collect()
+    assert(out.isEmpty)
   }
 }
