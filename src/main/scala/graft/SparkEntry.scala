@@ -1594,6 +1594,36 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // TTL'd MEDIA DEDUP AT INGEST (StreamingOps.sketchNearDupStreamTtl —
+    // q204's rate×TTL bounded-state variant): the tape interleaves by
+    // doc-id PARITY (evens first, then odds, 1 s spacing, ttl = n/4 s),
+    // so same-parity planted pairs sit ~4 ranks apart (inside the window)
+    // while cross-parity pairs of the same group sit ~n/2 apart (beyond
+    // it) — both regimes non-empty at every sf, and the admitted set is
+    // pure SQL: all-pairs hamming ≤ 3 where the parity-ordered row_number
+    // gap ≤ n/4. Hash-gated, not a boolean contract: the TTL op's exact
+    // output is re-derived by the oracle.
+    "q205_streaming_media_dedup_ttl" -> ((s, d) => {
+      import s.implicits._
+      val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .collect().sorted.toSeq
+      val n = ids.size
+      val ttlMs = (n / 4).toLong * 1000L
+      // ticks start at 1 s (watermark-0 late-drop, the q192 lesson)
+      val tape = ids.sortBy(id => (id % 2, id)).zipWithIndex.map {
+        case (id, i) =>
+          (id, new java.sql.Timestamp((i + 1).toLong * 1000L),
+            Multimodal.imageDHash(Multimodal.encodeDHashPng(
+              Multimodal.dHashPatternOf(id), cell = 1 + (id % 3).toInt)).get)
+      }
+      graft.streaming.MemoryReplay.replay(s, tape, nBatches = 4)(ds =>
+          graft.streaming.StreamingOps.sketchNearDupStreamTtl(
+            ds.toDF("doc_id", "ts", "sk"), "doc_id", "ts", "sk",
+            ttlMs = ttlMs))
+        .toDF("doc_a", "doc_b", "hamming").distinct()
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Small-files compaction PLANNER (Warehouse.compactionPlan) — the
     // warehouse-maintenance op the sink family lacked: micro-batch sinks
     // leave one file per batch per task, and at 100 TB footer-sized files
@@ -4524,6 +4554,25 @@ object SparkEntry {
         |       bit_count(xor(a.s1, b.s1)) + bit_count(xor(a.s2, b.s2)) AS hamming
         |FROM sk a JOIN sk b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.s1, b.s1)) + bit_count(xor(a.s2, b.s2)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // The TTL twin: q199's pair universe restricted to the trailing
+    // window — parity-ordered ranks, gap ≤ n/4 (eviction is strictly-
+    // older-than-cutoff, so a gap of exactly the TTL survives)
+    "q205_streaming_media_dedup_ttl" ->
+      s"""WITH $DHASH_SK_CTE,
+        |pos AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY doc_id % 2, doc_id) AS r
+        |  FROM documents),
+        |nn AS (SELECT count(*) AS n FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       bit_count(xor(a.s1, b.s1)) + bit_count(xor(a.s2, b.s2)) AS hamming
+        |FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+        |JOIN pos pa ON pa.doc_id = a.doc_id
+        |JOIN pos pb ON pb.doc_id = b.doc_id
+        |CROSS JOIN nn
+        |WHERE bit_count(xor(a.s1, b.s1)) + bit_count(xor(a.s2, b.s2)) <= 3
+        |  AND abs(pa.r - pb.r) <= nn.n // 4
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // Same planted-pattern ground truth, third engine path (box walk +

@@ -32,6 +32,11 @@ final case class BandBucket(ids: Seq[Long])
   */
 final case class SketchBucket(ids: Seq[Long], sks: Seq[Long])
 
+/** TTL'd sketch bucket: members carry event time (ms) so arrivals evict
+  * aged entries; kept ts-sorted under the monotone-event-time contract.
+  */
+final case class TimedSketchBucket(ids: Seq[Long], sks: Seq[Long], tsMs: Seq[Long])
+
 /** TTL'd band bucket: members carry their event time (ms) so arrivals can
   * evict aged entries; kept (ts, id)-sorted — arrival order, since event
   * time is monotone under the replay/watermark contract.
@@ -630,6 +635,84 @@ object StreamingOps {
           }
           state.update(SketchBucket(ids, sks))
           out.result().iterator
+      }
+  }
+
+  /** TTL'd [[sketchNearDupStream]] — the rate×TTL BOUNDED-STATE variant
+    * the content-growing media index needs at 100 TB/day (the same
+    * relationship [[nearDupCandidatesStreamTtl]] bears to
+    * [[nearDupCandidatesStream]]): an arrival pairs only with bucket
+    * members whose event time is within the trailing `ttlMs` (gap ≤ ttl
+    * kept — eviction is strictly-older-than-cutoff), verified in the fold
+    * and emitted as final (min, max, hamming) pairs. State per bucket is
+    * its in-window members (24 bytes each); an event-time timeout drops
+    * buckets whose newest member can no longer pair. Same monotone-event-
+    * time watermark contract as the other TTL ops (`require`d).
+    */
+  def sketchNearDupStreamTtl(docs: DataFrame, idCol: String, tsCol: String,
+      skCol: String, ttlMs: Long, maxHamming: Int = 3, maxBucket: Int = 10000,
+      watermarkDelay: String = "0 seconds"): Dataset[(Long, Long, Long)] = {
+    import org.apache.spark.sql.functions._
+    require(ttlMs > 0, "ttlMs must be positive")
+    require(watermarkDelay == "0 seconds",
+      "sketchNearDupStreamTtl requires monotone event time (watermarkDelay = \"0 seconds\"); " +
+        "reorder upstream instead of loosening the watermark")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // chunk explode stays in the DataFrame world: a typed flatMap would
+    // re-serialize the tuple and DROP the watermark tag on ts, and
+    // EventTimeTimeout requires a watermarked input (the band-index op's
+    // explode-before-.as pattern)
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(tsCol).cast("timestamp").as("ts"),
+        col(skCol).cast("long").as("sk"))
+      .withWatermark("ts", watermarkDelay)
+      .select(col("doc_id"), col("ts"), col("sk"),
+        explode(array((0 until 4).map(ci =>
+          lit(ci.toLong * 65536L) +
+            shiftrightunsigned(col("sk"), ci * 16).bitwiseAND(lit(0xFFFFL))): _*))
+          .as("bucket"))
+      .as[(Long, Timestamp, Long, Long)]
+      .groupByKey(_._4)
+      .flatMapGroupsWithState[TimedSketchBucket, (Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, it, state) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var members: Vector[(Long, Long, Long)] = state.getOption
+              .map(s => s.tsMs.lazyZip(s.ids).lazyZip(s.sks).toVector)
+              .getOrElse(Vector.empty)
+            val member = scala.collection.mutable.HashSet.from(members.map(_._2))
+            val out = Vector.newBuilder[(Long, Long, Long)]
+            it.map(e => (e._2.getTime, e._1, e._3)).toVector.sorted.foreach {
+              case (ts, id, sk) =>
+                val cutoff = ts - ttlMs
+                var drop = 0
+                while (drop < members.size && members(drop)._1 < cutoff) {
+                  member -= members(drop)._2; drop += 1
+                }
+                if (drop > 0) members = members.drop(drop)
+                if (members.size < maxBucket && member.add(id)) {
+                  members.foreach { case (_, prev, psk) =>
+                    val h = java.lang.Long.bitCount(psk ^ sk).toLong
+                    if (h <= maxHamming)
+                      out += ((math.min(prev, id), math.max(prev, id), h))
+                  }
+                  members = members :+ ((ts, id, sk))
+                }
+            }
+            if (members.isEmpty) state.remove()
+            else {
+              state.update(TimedSketchBucket(members.map(_._2),
+                members.map(_._3), members.map(_._1)))
+              state.setTimeoutTimestamp(math.max(members.last._1 + ttlMs + 1,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+          }
       }
   }
 

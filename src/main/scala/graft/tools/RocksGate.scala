@@ -31,7 +31,8 @@ object RocksGate {
     "q162_streaming_heavy_hitters", "q183_streaming_gaps",
     "q186_streaming_drawdown", "q192_streaming_neardup_ttl",
     "q193_streaming_dedup_ttl", "q195_streaming_curation",
-    "q196_streaming_curation_ttl", "q204_streaming_media_dedup")
+    "q196_streaming_curation_ttl", "q204_streaming_media_dedup",
+    "q205_streaming_media_dedup_ttl")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -815,6 +815,23 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("sketchNearDupStreamTtl: gap == ttl pairs, gap > ttl does not; split-invariant") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val sk = 0x1234_5678_9ABC_DEF0L
+    // identical sketches at t=1, t=11, t=23: gap(1,11)=10s == ttl -> pair;
+    // gap(11,23)=12s > ttl -> no pair; gap(1,23)=22s > ttl -> no pair
+    val tape = Seq((1L, ts(1), sk), (2L, ts(11), sk), (3L, ts(23), sk))
+    for (nBatches <- Seq(1, 3)) {
+      val got = MemoryReplay.replay(spark, tape, nBatches)(ds =>
+          StreamingOps.sketchNearDupStreamTtl(ds.toDF("doc_id", "ts", "sk"),
+            "doc_id", "ts", "sk", ttlMs = 10000L))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .distinct.sorted.toSeq
+      assert(got == Seq((1L, 2L, 0L)), s"nBatches=$nBatches: $got")
+    }
+  }
+
   test("sketchNearDupStream verifies in the fold: far sketches share a chunk, emit nothing") {
     import spark.implicits._
     // same low chunk (0xAAAA), other 48 bits complementary -> hamming 48:
