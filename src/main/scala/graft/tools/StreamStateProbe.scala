@@ -25,7 +25,8 @@ object StreamStateProbe {
     "q105_streaming_ewma", "q110_streaming_bars", "q112_streaming_scd2",
     "q122_streaming_anomaly", "q162_streaming_heavy_hitters",
     "q183_streaming_gaps", "q186_streaming_drawdown",
-    "q192_streaming_neardup_ttl", "q193_streaming_dedup_ttl")
+    "q192_streaming_neardup_ttl", "q193_streaming_dedup_ttl",
+    "q204_streaming_media_dedup", "q205_streaming_media_dedup_ttl")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -39,6 +40,9 @@ object StreamStateProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     println(f"[state-probe] sf=$sfDir")
+    if (args.contains("--sketch-only")) {
+      sketchTtlGrowthProbe(spark, sfDir); spark.stop(); return
+    }
     FAMILIES.foreach { name =>
       MemoryReplay.lastStateStats = Nil
       val n =
@@ -54,9 +58,55 @@ object StreamStateProbe {
       }
     }
     ttlGrowthProbe(spark, sfDir)
+    sketchTtlGrowthProbe(spark, sfDir)
     intervalJoinLawProbe(spark, sfDir)
     rocksDbAbProbe(spark, sfDir)
     spark.stop()
+  }
+
+  /** The media sketch index's flat-state law (the q204/q205 pair, same
+    * shape as [[ttlGrowthProbe]]'s band-index rows): cycle the corpus with
+    * FRESH sketches each cycle (pattern derived from a cycle-offset id, so
+    * nearly every chunk bucket keeps admitting new members) — the TTL'd
+    * index must hold rows ≈ 4 × in-window members across cycles while the
+    * unbounded index grows linearly with distinct sketches.
+    */
+  def sketchTtlGrowthProbe(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val ids = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long].collect().sorted.toSeq
+    val n = ids.size
+    val ttlMs = (n / 4).toLong * 1000L
+    def tape(cycles: Int): Seq[(Long, java.sql.Timestamp, Long)] =
+      (0 until cycles).flatMap { c =>
+        ids.zipWithIndex.map { case (id, i) =>
+          (id + c.toLong * 100000000L,
+            new java.sql.Timestamp((c.toLong * n + i + 1) * 1000L),
+            graft.operators.Multimodal.dHashPatternOf(id + c.toLong * 7919L * n))
+        }
+      }
+    def fmt(s: Seq[(String, Long, Long)]): String =
+      s.map { case (_, r, b) => s"rows=$r bytes=$b" }.mkString("; ")
+    Seq(3, 6).foreach { cycles =>
+      val tp = tape(cycles)
+      MemoryReplay.lastStateStats = Nil
+      MemoryReplay.replay(spark, tp, nBatches = 4 * cycles)(ds =>
+        graft.streaming.StreamingOps.sketchNearDupStreamTtl(
+          ds.toDF("doc_id", "ts", "sk"), "doc_id", "ts", "sk",
+          ttlMs = ttlMs)).count()
+      val ttlStats = MemoryReplay.lastStateStats
+      MemoryReplay.lastStateStats = Nil
+      MemoryReplay.replay(spark, tp.map(e => (e._1, e._3)),
+        nBatches = 4 * cycles)(ds =>
+        graft.streaming.StreamingOps.sketchNearDupStream(
+          ds.toDF("doc_id", "sk"), "doc_id", "sk")).count()
+      val unbStats = MemoryReplay.lastStateStats
+      println(s"[state-probe] ttl-sketch-index cycles=$cycles docs=${tp.size} " +
+        s"ttl=${ttlMs / 1000}s  ${fmt(ttlStats)}")
+      println(s"[state-probe] unbounded-sketch cycles=$cycles docs=${tp.size} " +
+        s"            ${fmt(unbStats)}")
+    }
   }
 
   /** q71 interval-join state law (VERDICT r10 Next #3): the symmetric
