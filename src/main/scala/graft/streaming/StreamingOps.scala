@@ -502,7 +502,7 @@ object StreamingOps {
         org.apache.spark.sql.Column) = {
     import org.apache.spark.sql.functions._
     (xxhash64(textCol),
-      xxhash64(lit("graft-fp2 "), textCol),
+      xxhash64(lit("graft-fp2:"), textCol),
       length(textCol).cast("long"))
   }
 
