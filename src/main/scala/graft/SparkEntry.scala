@@ -1581,12 +1581,14 @@ object SparkEntry {
     // q199 answer, so the same all-pairs oracle gates the streaming path.
     "q204_streaming_media_dedup" -> ((s, d) => {
       import s.implicits._
+      // sketches computed DISTRIBUTED (the real PNG decode is the per-asset
+      // cost — 32 threads, not a driver loop), then collected as the tape
       val tape = t(s, d, "documents").select(col("doc_id")).as[Long]
-        .collect().sorted.toSeq
         .map { id =>
           (id, Multimodal.imageDHash(Multimodal.encodeDHashPng(
             Multimodal.dHashPatternOf(id), cell = 1 + (id % 3).toInt)).get)
         }
+        .collect().sortBy(_._1).toSeq
       graft.streaming.MemoryReplay.replay(s, tape, nBatches = 4)(ds =>
           graft.streaming.StreamingOps.sketchNearDupStream(
             ds.toDF("doc_id", "sk"), "doc_id", "sk"))
@@ -1605,16 +1607,19 @@ object SparkEntry {
     // output is re-derived by the oracle.
     "q205_streaming_media_dedup_ttl" -> ((s, d) => {
       import s.implicits._
-      val ids = t(s, d, "documents").select(col("doc_id")).as[Long]
-        .collect().sorted.toSeq
-      val n = ids.size
+      // sketches computed DISTRIBUTED (q204 convention), then parity-ordered
+      val sks = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, Multimodal.imageDHash(Multimodal.encodeDHashPng(
+            Multimodal.dHashPatternOf(id), cell = 1 + (id % 3).toInt)).get)
+        }
+        .collect().toSeq
+      val n = sks.size
       val ttlMs = (n / 4).toLong * 1000L
       // ticks start at 1 s (watermark-0 late-drop, the q192 lesson)
-      val tape = ids.sortBy(id => (id % 2, id)).zipWithIndex.map {
-        case (id, i) =>
-          (id, new java.sql.Timestamp((i + 1).toLong * 1000L),
-            Multimodal.imageDHash(Multimodal.encodeDHashPng(
-              Multimodal.dHashPatternOf(id), cell = 1 + (id % 3).toInt)).get)
+      val tape = sks.sortBy { case (id, _) => (id % 2, id) }.zipWithIndex.map {
+        case ((id, sk), i) =>
+          (id, new java.sql.Timestamp((i + 1).toLong * 1000L), sk)
       }
       graft.streaming.MemoryReplay.replay(s, tape, nBatches = 4)(ds =>
           graft.streaming.StreamingOps.sketchNearDupStreamTtl(
