@@ -294,10 +294,8 @@ object Dedup {
     // lost-block-fatal on a real cluster). Both cut the growing lineage
     // that would otherwise re-run all prior rounds each iteration.
     val sc = pairs.sparkSession.sparkContext
-    // set-only-when-unset: the checkpoint dir is global SparkContext state
-    // (see Graph.pagerank) — an already-configured dir wins, never clobbered
-    checkpointDir.foreach(d =>
-      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d))
+    // set-only-when-unset with a WARN when ignored (Graph.ensureCheckpointDir)
+    checkpointDir.foreach(Graph.ensureCheckpointDir(sc, _))
     def materialize(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val edges = materialize(

@@ -17,6 +17,30 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Configure the session's reliable-checkpoint dir set-only-when-unset
+    * (the dir is GLOBAL SparkContext state: two jobs passing different
+    * dirs must not clobber each other), but NEVER silently: when a
+    * different dir already owns the session, the caller's dir is ignored
+    * for materialization — correctness is unaffected (checkpoint() needs
+    * SOME dir) but its reliability class is whatever the session dir is,
+    * so a WARN records the decision. Shared by every checkpoint-dir
+    * operator (pagerank, kCore, connectedComponents, curate).
+    */
+  private[operators] def ensureCheckpointDir(
+      sc: org.apache.spark.SparkContext, d: String): Unit =
+    sc.getCheckpointDir match {
+      case None => sc.setCheckpointDir(d)
+      // normalization tolerance: getCheckpointDir returns the resolved URI
+      // (file:/... plus a generated suffix dir), so treat "resolved starts
+      // under what the caller asked for" as the same dir
+      case Some(cur) if cur == d || cur.contains(d.stripPrefix("file:")) => ()
+      case Some(cur) =>
+        org.slf4j.LoggerFactory.getLogger("graft.operators.Graph").warn(
+          s"checkpointDir '$d' ignored: session already checkpoints to " +
+            s"'$cur' (set-only-when-unset; reliable materialization uses " +
+            "the session dir)")
+    }
+
   /** Damped PageRank over an UNDIRECTED edge list, `iters` synchronous
     * rounds of the fixed-point integer recurrence. `nodes` = (doc_id) —
     * every node appears in the output; isolated nodes hold the teleport
@@ -53,15 +77,8 @@ object Graph {
       checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 0 && checkpointEvery > 0,
       "need iters >= 0 and checkpointEvery > 0")
-    // the checkpoint dir is GLOBAL SparkContext state: set it only when the
-    // session has none, so two jobs passing different dirs don't clobber
-    // each other — checkpoint() needs SOME reliable dir, not ours
-    // specifically, and an operator must not mutate session-wide config
-    // behind the caller's back (a dir already configured wins)
-    checkpointDir.foreach { d =>
-      val sc = nodes.sparkSession.sparkContext
-      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)
-    }
+    // set-only-when-unset with a WARN when ignored — see ensureCheckpointDir
+    checkpointDir.foreach(ensureCheckpointDir(nodes.sparkSession.sparkContext, _))
     def mat(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val dir = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -163,11 +180,8 @@ object Graph {
   def kCore(edges: DataFrame, k: Int, rounds: Int,
       checkpointDir: Option[String] = None): DataFrame = {
     require(k > 0 && rounds > 0, "k and rounds must be positive")
-    // set-only-when-unset: global SparkContext state (see pagerank)
-    checkpointDir.foreach { d =>
-      val sc = edges.sparkSession.sparkContext
-      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)
-    }
+    // set-only-when-unset with a WARN when ignored — see ensureCheckpointDir
+    checkpointDir.foreach(ensureCheckpointDir(edges.sparkSession.sparkContext, _))
     def materialize(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     var e = materialize(edges.select(col("doc_a"), col("doc_b")))

@@ -69,6 +69,20 @@ object Multimodal extends Serializable {
     ThreadLocal.withInitial(() =>
       javax.imageio.ImageIO.getImageWritersByFormatName("png").next())
 
+  /** Exact a·b > c·d over non-negative longs, overflow-safe: the fast path
+    * multiplies when both products provably fit; otherwise the comparison
+    * runs in BigInt (cold — only multi-hour audio / gigapixel images get
+    * there). The silent-wraparound alternative flips fingerprint bits once
+    * window energy × window size crosses 2⁶³ — ~1.1e9 samples (≈ 3.4 h of
+    * 44.1 kHz stereo), an ordinary long asset in a media corpus.
+    */
+  private[graft] def fracGt(a: Long, b: Long, c: Long, d: Long): Boolean = {
+    val fits = (b == 0 || a <= Long.MaxValue / math.max(b, 1L)) &&
+      (d == 0 || c <= Long.MaxValue / math.max(d, 1L))
+    if (fits) a * b > c * d
+    else BigInt(a) * BigInt(b) > BigInt(c) * BigInt(d)
+  }
+
   /** Real image dimension decode via JDK ImageIO (PNG/JPEG). Header-only:
     * `ImageReader.getWidth/getHeight` parse the IHDR chunk / SOF marker and
     * never the pixel data, so this is O(header) per asset — the shape that
@@ -164,7 +178,13 @@ object Multimodal extends Serializable {
         // header) must not inflate the duration past the real payload
         dataSize = math.max(0L, math.min(size, (bytes.length - off - 8).toLong))
       }
-      off += 8 + size.toInt + (size.toInt & 1)
+      // Long-domain step with a hard floor: a malformed/adversarial chunk
+      // size near 2^32 would wrap size.toInt negative — off would stall
+      // (infinite loop) or go negative (throw) inside an executor task.
+      // Any chunk reaching past the payload ends the walk (truncated-file
+      // clamping above has already recorded what is recoverable).
+      val next = off.toLong + 8L + size + (size & 1L)
+      off = if (next > bytes.length || next <= off) bytes.length else next.toInt
     }
     if (sampleRate <= 0 || channels <= 0 || bitsPerSample <= 0 || dataSize < 0)
       None
@@ -502,7 +522,7 @@ object Multimodal extends Serializable {
     while (cy < 8) {
       var cx = 0
       while (cx < 8) {
-        if (sums(cy)(cx + 1) * cnts(cy)(cx) > sums(cy)(cx) * cnts(cy)(cx + 1))
+        if (fracGt(sums(cy)(cx + 1), cnts(cy)(cx), sums(cy)(cx), cnts(cy)(cx + 1)))
           bits |= 1L << (cy * 8 + cx)
         cx += 1
       }
@@ -592,7 +612,13 @@ object Multimodal extends Serializable {
         dataOff = off + 8
         dataLen = math.max(0, math.min(size, (bytes.length - off - 8).toLong)).toInt
       }
-      off += 8 + size.toInt + (size.toInt & 1)
+      // Long-domain step with a hard floor: a malformed/adversarial chunk
+      // size near 2^32 would wrap size.toInt negative — off would stall
+      // (infinite loop) or go negative (throw) inside an executor task.
+      // Any chunk reaching past the payload ends the walk (truncated-file
+      // clamping above has already recorded what is recoverable).
+      val next = off.toLong + 8L + size + (size & 1L)
+      off = if (next > bytes.length || next <= off) bytes.length else next.toInt
     }
     if (bitsPerSample != 16 || dataOff < 0) None
     else {
@@ -639,7 +665,7 @@ object Multimodal extends Serializable {
       var bits = 0L
       w = 0
       while (w < 64) {
-        if (e(w + 1) * c(w) > e(w) * c(w + 1)) bits |= 1L << w
+        if (fracGt(e(w + 1), c(w), e(w), c(w + 1))) bits |= 1L << w
         w += 1
       }
       bits

@@ -99,12 +99,9 @@ object Pipeline {
       checkpointDir: Option[String] = None): DataFrame = {
     // Materialize a stage boundary: reliable checkpoint when a dir is
     // given (multi-executor deploys), RDD-block localCheckpoint otherwise.
-    // Set-only-when-unset: the dir is global SparkContext state (see
-    // Graph.pagerank) — an already-configured dir wins, never clobbered.
-    checkpointDir.foreach { d =>
-      val sc = docs.sparkSession.sparkContext
-      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d)
-    }
+    // Set-only-when-unset with a WARN when ignored (Graph.ensureCheckpointDir).
+    checkpointDir.foreach(
+      Graph.ensureCheckpointDir(docs.sparkSession.sparkContext, _))
     def pin(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val base = docs.select(idCol.as("doc_id"), textCol.as("text"),

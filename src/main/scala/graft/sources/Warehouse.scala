@@ -110,19 +110,24 @@ object Warehouse {
     * with (file_id, file, bytes) — file_id is the rank in lexicographic
     * name order, so the id is deterministic across runs over the same
     * directory. This is [[compactionPlan]]'s input surface; WarehouseSpec
-    * drives it over real written footers. Driver-side listing is the same
-    * shape Spark's own file index performs (and parallelizes past a
-    * threshold); the manifest is one small row per FILE, never per row of
-    * data, so it stays KB-to-MB-scale even for a 100 TB table.
+    * drives it over real written footers. Listing goes through the Hadoop
+    * `FileSystem` API resolved from the path — the same resolution Spark's
+    * own file index uses — so the manifest works against file://, HDFS and
+    * object stores alike (a `java.io.File` listing would silently return
+    * nothing for any storage a 100 TB table actually lives on). Driver-
+    * side and one small row per FILE, never per row of data: KB-to-MB
+    * scale even for a 100 TB table.
     */
   def fileManifest(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .sortBy(_.getName)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
       .zipWithIndex
-      .map { case (f, i) => (i.toLong, f.getName, f.length()) }
-      .toSeq.toDF("file_id", "file", "bytes")
+      .map { case (s0, i) => (i.toLong, s0.getPath.getName, s0.getLen) }
+      .toDF("file_id", "file", "bytes")
   }
 
   /** Small-files compaction PLAN: given a (file_id, bytes) manifest, emit
@@ -136,14 +141,15 @@ object Warehouse {
     * prefix-sum machinery as training-shard packing
     * ([[graft.operators.Corpus.packShardsByCount]] — files by bytes are
     * just another unit stream with an integer cost). Guarantees: bin ids
-    * are dense from 0, the bin count is ⌊Σbytes/target⌋+1 (amortized
-    * exactly target-sized output), and no bin exceeds 2·target (a bin
-    * spans < 2 target-widths of prefix space and every member is
-    * < target); an individual bin can undershoot when file boundaries
-    * straddle its prefix range — the quantized-prefix trade that keeps
-    * the plan ONE window expression instead of a sequential first-fit
-    * fold. All-integer and SQL-expressible, which is what lets the q200
-    * gate hash-match a DuckDB window-sum re-derivation.
+    * are dense from 0, the bin count is exactly
+    * ⌊(Σbytes − last_file_bytes)/target⌋ + 1 — within one of Σ/target
+    * either way (amortized target-sized output) — and no bin exceeds
+    * 2·target (a bin spans < 2 target-widths of prefix space and every
+    * member is < target); an individual bin can undershoot when file
+    * boundaries straddle its prefix range — the quantized-prefix trade
+    * that keeps the plan ONE window expression instead of a sequential
+    * first-fit fold. All-integer and SQL-expressible, which is what lets
+    * the q200 gate hash-match a DuckDB window-sum re-derivation.
     *
     * At 100 TB this is a plan over file METADATA (millions of rows at
     * most); the expensive part — the rewrite — is [[compactByPlan]], and
@@ -188,7 +194,10 @@ object Warehouse {
     val plan = compactionPlan(manifest, col("file_id"), col("bytes"),
       targetBytes).localCheckpoint()
     val named = plan.join(manifest.select(col("file_id"), col("file")), Seq("file_id"))
-    new java.io.File(outPath).mkdirs()
+    val hconf = spark.sessionState.newHadoopConf()
+    val outP = new org.apache.hadoop.fs.Path(outPath)
+    val outFs = outP.getFileSystem(hconf)
+    outFs.mkdirs(outP)
     val binOfFile = named.filter(col("action") === "rewrite")
       .select(col("file"), col("bin")).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
@@ -203,12 +212,17 @@ object Warehouse {
         .write.mode("overwrite").partitionBy("__bin")
         .parquet(s"$outPath/rewritten")
     }
+    // keeps pass through by Hadoop-FS copy (works for file://, HDFS, object
+    // stores — same reasoning as fileManifest; at real scale a metastore
+    // pointer move replaces the copy, but the op must not silently no-op
+    // off the local filesystem)
     named.filter(col("action") === "keep").select(col("file")).collect()
       .map(_.getString(0)).foreach { f =>
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(path, f),
-          java.nio.file.Paths.get(outPath, f),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        val src = new org.apache.hadoop.fs.Path(s"$path/$f")
+        org.apache.hadoop.fs.FileUtil.copy(
+          src.getFileSystem(hconf), src, outFs,
+          new org.apache.hadoop.fs.Path(s"$outPath/$f"),
+          false, true, hconf)
       }
     plan
   }

@@ -154,11 +154,12 @@ object IngestJobs {
       sink: SinkConfig): Unit = {
     // the table name is interpolated UNQUOTED into raw SQL below (so its
     // identifier folding matches the unquoted `dbtable` Spark's JDBC writer
-    // uses for the zero-row create) — restrict it to a plain identifier, or
-    // a caller-derived name is an injection surface and a mixed-case /
-    // reserved-word name silently folds to a different table
-    require(table.matches("[A-Za-z][A-Za-z0-9_]{0,100}"),
-      s"jdbc table name must be a plain [A-Za-z][A-Za-z0-9_]* identifier: $table")
+    // uses for the zero-row create) — restrict it to a plain identifier
+    // (optionally schema-qualified: one dot), or a caller-derived name is
+    // an injection surface and a mixed-case / reserved-word name silently
+    // folds to a different table
+    require(table.matches("[A-Za-z][A-Za-z0-9_]{0,100}(\\.[A-Za-z][A-Za-z0-9_]{0,100})?"),
+      s"jdbc table name must be a plain (optionally schema-qualified) identifier: $table")
     val stage = s"${table}_stage"
     def withConn[A](f: java.sql.Connection => A): A = {
       val c = java.sql.DriverManager.getConnection(sink.url, sink.user, sink.password)

@@ -495,6 +495,16 @@ object StreamingOps {
     * streaming exact-dedup keying ([[exactDedupStream]],
     * [[exactDedupStreamTtl]], CurationStream.exactKeepStream) so the
     * collision contract is stated — and changed — in exactly one place.
+    *
+    * STATE-FORMAT BREAK (r12): widening the grouping key from
+    * (hash, length) to (hash, hash2, length) changes the
+    * flatMapGroupsWithState key schema, so a query resuming from a
+    * checkpoint written by the 2-long version fails Spark's state-schema
+    * validation at restart. Migration is drain-and-restart with a fresh
+    * checkpoint (for the TTL op, state re-forms within one TTL window;
+    * for the unbounded op, replay the retained tape or accept a one-time
+    * duplicate-admission window) — the standard stateful-upgrade
+    * procedure for any key-schema change.
     */
   private[streaming] def contentFp128(
       textCol: org.apache.spark.sql.Column):

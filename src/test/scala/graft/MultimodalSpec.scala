@@ -261,6 +261,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.audioDHash(Multimodal.encodeWav(8000, 1, 200, 5)).nonEmpty)
   }
 
+  test("malformed RIFF chunk sizes terminate the walk instead of hanging") {
+    // a chunk whose LE u32 size is 0xFFFFFFF8 used to wrap size.toInt to -8,
+    // stalling `off` forever (executor-task hang); 0x80000000 drove off
+    // negative and threw out of the None-contract
+    for (sz <- Seq(0xFFFFFFF8L, 0x80000000L, 0x7FFFFFFFL)) {
+      val b = java.nio.ByteBuffer.allocate(64)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(56)
+        .put("WAVE".getBytes("US-ASCII"))
+      b.put("JUNK".getBytes("US-ASCII")).putInt(sz.toInt) // lying size
+      val bytes = b.array()
+      assert(Multimodal.decodeWavMeta(bytes).isEmpty)
+      assert(Multimodal.wavPcm16Samples(bytes).isEmpty)
+      assert(Multimodal.audioDHash(bytes).isEmpty)
+    }
+  }
+
+  test("fracGt compares exactly where the raw product would wrap") {
+    // a*b = 2^62+..., c*d slightly smaller: both overflow a signed 64-bit
+    // product if multiplied naively after doubling — force the BigInt path
+    val big = 3037000500L // ~2^31.5, big*big ~ 2^63.0
+    assert(Multimodal.fracGt(big, big, big - 1, big))
+    assert(!Multimodal.fracGt(big - 1, big, big, big))
+    assert(!Multimodal.fracGt(big, big, big, big)) // equal -> not greater
+    // fast path still exact
+    assert(Multimodal.fracGt(3, 5, 7, 2) && !Multimodal.fracGt(7, 2, 3, 5))
+  }
+
   test("wavPcm16Samples round-trips samples through the chunk walk") {
     val pcm = Multimodal.wavPcm16Samples(Multimodal.encodeWav(8000, 2, 50, 9))
     assert(pcm.exists(_.length == 100)) // 50 frames x 2 channels

@@ -150,8 +150,12 @@ class WarehouseSpec extends AnyFunSuite {
     assert(bins.keySet == (0L until bins.size).toSet, s"bins not dense: ${bins.keySet}")
     assert(bins.values.forall(_ < 2 * target),
       s"bin over 2x target: ${bins.values.max} vs $target")
-    val smallTotal = files.filter(_._3 < target).map(_._3).sum
-    assert(bins.size == smallTotal / target + 1)
+    // exact bin-count law: floor((sum - last_file_bytes)/target) + 1 — NOT
+    // floor(sum/target)+1, which is off by one when sum is an exact
+    // multiple of target (footer sizes are measured, not controlled)
+    val small = files.filter(_._3 < target).sortBy(_._1)
+    val maxExcl = small.map(_._3).sum - small.last._3
+    assert(bins.size == maxExcl / target + 1)
     // execution: exactly ONE real parquet file per bin, data preserved
     val rewritten = new java.io.File(s"$outPath/rewritten")
     val binDirs = Option(rewritten.listFiles()).get
