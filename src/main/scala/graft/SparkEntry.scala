@@ -1651,6 +1651,70 @@ object SparkEntry {
         .orderBy(col("file_id"))
     }),
 
+    // HTML MAIN-CONTENT EXTRACTION (Corpus.extractMainText) — stage 0 of
+    // the curation funnel: per doc a synthesized web page wraps the
+    // document text in deterministic doc_id-derived markup (head with
+    // script/style noise — the script body contains a bare '<' to defeat
+    // naive tag-stripping —, a 3-anchor nav bar, the main <p> with the
+    // text ESCAPED plus an entity-bearing suffix, an id%5 low-link-density
+    // ref paragraph that must SURVIVE, an id%7 link-farm block and a
+    // footer that must BOTH be dropped by link density), and the engine
+    // re-derives the clean text + per-doc kept/dropped block counts by the
+    // real parse: script/style/head removal, block segmentation, entity
+    // decode, link-density boilerplate drop. The q166 planting discipline:
+    // the oracle NEVER runs a parser — the planted structure makes the
+    // extracted text and counts pure arithmetic on (doc_id, text).
+    "q206_html_extract" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      // escape ∘ (the operator's decode) = identity on arbitrary text —
+      // & FIRST here, & LAST in the decode
+      val esc = (c: Column) => regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(regexp_replace(c, "&", "&amp;"), "<", "&lt;"),
+        ">", "&gt;"), "\"", "&quot;"), "'", "&#39;")
+      val html = concat(
+        lit("<html><head><title>d"), col("doc_id"),
+        lit("</title><script>if(a<b){x=1;}</script><style>p{color:red}" +
+          "</style></head><body><div class=\"nav\"><a href=\"/\">Home</a> " +
+          "<a href=\"/a\">About</a> <a href=\"/c\">Contact</a></div><p>"),
+        esc(col("text")), lit(" &amp; tail"), col("doc_id"), lit("</p>"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("<p>see <a href=\"/r\">ref</a> section "),
+            col("doc_id") % 13, lit("</p>"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          lit("<div><a href=\"/x\">x1</a> <a href=\"/y\">x2</a></div>"))
+          .otherwise(lit("")),
+        lit("<div class=\"footer\">(c) 2026 <a href=\"/t\">Terms</a> " +
+          "<a href=\"/p\">Privacy</a></div></body></html>"))
+      Corpus.extractMainText(docs.withColumn("html", html),
+          col("doc_id"), col("html"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // CDC MERGE upsert (Warehouse.mergeUpsert) — the warehouse's missing
+    // mutation op: a latest-state base (every doc at seq 1) merged with a
+    // keyed update stream (id%3 updates at seq 2, id%7 at seq 3 — keys in
+    // both take the max-seq row —, id%11 as brand-new inserted keys). The
+    // engine plan is updates-only max_by + a broadcast anti join (the base
+    // never shuffles); under the monotone-seq CDC contract that EQUALS the
+    // latest-per-key window over base ∪ updates, which is exactly what the
+    // oracle computes — the equality is the gate.
+    "q208_merge_upsert" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val base = docs.select(col("doc_id").as("k"), col("source"),
+        col("n_chars").as("v"), lit(1L).as("seq"))
+      val updates = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("k"), col("source"),
+          (col("n_chars") + 1000L).as("v"), lit(2L).as("seq"))
+        .unionByName(docs.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id").as("k"), col("source"),
+            (col("n_chars") + 7000L).as("v"), lit(3L).as("seq")))
+        .unionByName(docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 10000000L).as("k"), col("source"),
+            col("n_chars").as("v"), lit(2L).as("seq")))
+      graft.sources.Warehouse.mergeUpsert(base, updates, Seq("k"), "seq")
+        .orderBy(col("k"))
+    }),
+
     // q199's pairs closed into MEDIA DEDUP GROUPS (Dedup.dupGroups — the
     // q62 composition over the image-hash edge list): every doc mapped to
     // its perceptual component's min id + the keep flag a multimodal
@@ -4610,6 +4674,46 @@ object SparkEntry {
         |SELECT file_id, bytes, 'rewrite' AS action, excl // 2000 AS bin
         |FROM sm
         |ORDER BY file_id""".stripMargin,
+
+    // The planted-markup prediction: the oracle never parses HTML — the
+    // fixture structure makes extraction pure arithmetic on (doc_id, text).
+    // Main block = whitespace-normalized text + the decoded entity suffix;
+    // ref paragraph survives on id%5 (1 anchor / 4 tokens ≤ 1/3); nav,
+    // footer and the id%7 link farm are dropped by link density. ltrim
+    // guards the (never-occurring at current fixtures) empty-text edge
+    // where Spark's per-block trim would eat the leading space.
+    "q206_html_extract" ->
+      """SELECT doc_id,
+        |  ltrim(trim(regexp_replace(text, '\s+', ' ', 'g'))
+        |    || ' & tail' || CAST(doc_id AS VARCHAR)
+        |    || CASE WHEN doc_id % 5 = 0
+        |            THEN ' see ref section ' || CAST(doc_id % 13 AS VARCHAR)
+        |            ELSE '' END) AS main_text,
+        |  CAST(CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_kept,
+        |  CAST(CASE WHEN doc_id % 7 = 0 THEN 3 ELSE 2 END AS BIGINT) AS n_dropped
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // MERGE latest-state: the window form over base ∪ updates — equal to
+    // the engine's anti-join plan under the monotone-seq CDC contract
+    "q208_merge_upsert" ->
+      """WITH base AS (
+        |  SELECT doc_id AS k, source, n_chars AS v, CAST(1 AS BIGINT) AS seq
+        |  FROM documents),
+        |upd AS (
+        |  SELECT doc_id AS k, source, n_chars + 1000 AS v,
+        |         CAST(2 AS BIGINT) AS seq
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id, source, n_chars + 7000, CAST(3 AS BIGINT)
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, source, n_chars, CAST(2 AS BIGINT)
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM upd)
+        |SELECT k, source, v, seq FROM u
+        |QUALIFY row_number() OVER (PARTITION BY k ORDER BY seq DESC) = 1
+        |ORDER BY k""".stripMargin,
 
     // q199's pair graph closed into components via the q62 recursive
     // min-reachable-id CTE; singletons map to themselves, keep ⇔ min

@@ -35,6 +35,82 @@ object Corpus {
     pmod(pmod(aLo * b, m) + pmod(aHi * b, m) * lit(65536L) % m + lit(40503L), m)
   }
 
+  /** HTML/markup MAIN-CONTENT extraction — stage 0 of the curation funnel:
+    * every real 100 TB text pipeline starts from raw web markup (C4 and
+    * RefinedWeb begin at WARC/WET records), and this turns a markup column
+    * into the clean `text` the downstream stages
+    * ([[graft.operators.Pipeline.curate]]) consume. Three moves, all
+    * scan-side column maps — zero shuffle, zero state, linear-time
+    * regexes (no nested quantifiers, so no catastrophic backtracking on
+    * adversarial markup — the RIFF-walk lesson applied to HTML):
+    *
+    *  1. strip non-content subtrees: closed `<script>`/`<style>` blocks
+    *     (lazy single-pass match), then any UNCLOSED `<script>`/`<style>`
+    *     open tag to end-of-input (the browser rule: script content runs
+    *     to the first close tag or EOF — a nested `<script>` inside
+    *     script content terminates at the FIRST close, like a browser),
+    *     then the `<head>` subtree;
+    *  2. segment into blocks at block-level tag boundaries (`p`, `div`,
+    *     `li`, headings, table rows, `br`, …), strip the remaining inline
+    *     tags, decode the five core entities (`&lt; &gt; &quot; &#39;
+    *     &nbsp;` then `&amp;` LAST — the decode order that makes
+    *     escape∘decode the identity on arbitrary text), normalize
+    *     whitespace;
+    *  3. drop BOILERPLATE-DENSITY blocks: a block whose link density
+    *     (anchor count / token count) exceeds `maxLinkDensity` is chrome
+    *     (nav bars, footers, link farms — the boilerpipe signal), and
+    *     empty blocks vanish.
+    *
+    * Malformed-markup contract (spec-pinned): unclosed inline tags are
+    * stripped by the generic tag regex; a trailing unterminated `<…` (no
+    * closing `>`) is dropped; stray close tags strip to nothing; nothing
+    * hangs, nothing throws — extraction is total on arbitrary bytes.
+    *
+    * Output: (doc_id, main_text, n_kept, n_dropped) — kept/dropped counts
+    * over NON-EMPTY blocks, the audit surface for extraction quality.
+    */
+  def extractMainText(docs: DataFrame, idCol: Column, htmlCol: Column,
+      maxLinkDensity: Double = 1.0 / 3): DataFrame = {
+    // 1. non-content subtrees
+    val noClosedScript = regexp_replace(htmlCol,
+      "(?is)<script\\b[^>]*>.*?</script\\s*>", " ")
+    val noClosedStyle = regexp_replace(noClosedScript,
+      "(?is)<style\\b[^>]*>.*?</style\\s*>", " ")
+    val noOpenDangling = regexp_replace(noClosedStyle,
+      "(?is)<(script|style)\\b[^>]*>.*$", " ")
+    val noHead = regexp_replace(noOpenDangling,
+      "(?is)<head\\b[^>]*>.*?</head\\s*>", " ")
+    // 2. block segmentation on block-level tag boundaries
+    val blockified = regexp_replace(noHead,
+      "(?i)</?(p|div|li|ul|ol|h[1-6]|table|tr|td|th|br|hr|section|article|" +
+        "header|footer|nav|aside|blockquote|pre|html|body)\\b[^>]*>",
+      "")
+    val blocks = split(blockified, "")
+    // per block: count anchors BEFORE stripping, then strip inline tags,
+    // decode entities, normalize whitespace, tokenize
+    val scored = transform(blocks, b => {
+      val anchors = (size(split(b, "(?i)<a[\\s>/]", -1)) - 1).cast("long")
+      val stripped = regexp_replace(
+        regexp_replace(b, "<[^>]*>", " "), "<[^>]*$", " ")
+      val decoded = regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(regexp_replace(regexp_replace(stripped,
+          "&lt;", "<"), "&gt;", ">"), "&quot;", "\""), "&#39;", "'"),
+          "&nbsp;", " "), "&amp;", "&")
+      val norm = trim(regexp_replace(decoded, "\\s+", " "))
+      val toks = when(norm === "", lit(0L))
+        .otherwise(size(split(norm, " ", -1)).cast("long"))
+      struct(norm.as("txt"), toks.as("toks"), anchors.as("anchors"))
+    })
+    val nonEmpty = filter(scored, s => s.getField("toks") > 0L)
+    val kept = filter(nonEmpty, s =>
+      s.getField("anchors").cast("double") <=
+        lit(maxLinkDensity) * s.getField("toks").cast("double"))
+    docs.select(idCol.as("doc_id"),
+      array_join(transform(kept, _.getField("txt")), " ").as("main_text"),
+      size(kept).cast("long").as("n_kept"),
+      (size(nonEmpty) - size(kept)).cast("long").as("n_dropped"))
+  }
+
   /** Benchmark decontamination: for every eval doc (rows where `evalPred`),
     * the fraction of its distinct `shingleN`-gram shingles that appear in
     * ANY train doc (the rest of the corpus) — the GPT-3/C4-style n-gram

@@ -30,15 +30,25 @@ object Graph {
       sc: org.apache.spark.SparkContext, d: String): Unit =
     sc.getCheckpointDir match {
       case None => sc.setCheckpointDir(d)
-      // normalization tolerance: getCheckpointDir returns the resolved URI
-      // (file:/... plus a generated suffix dir), so treat "resolved starts
-      // under what the caller asked for" as the same dir
-      case Some(cur) if cur == d || cur.contains(d.stripPrefix("file:")) => ()
       case Some(cur) =>
-        org.slf4j.LoggerFactory.getLogger("graft.operators.Graph").warn(
-          s"checkpointDir '$d' ignored: session already checkpoints to " +
-            s"'$cur' (set-only-when-unset; reliable materialization uses " +
-            "the session dir)")
+        // normalization tolerance: getCheckpointDir returns the RESOLVED
+        // URI (fully-qualified scheme + a generated suffix dir), so
+        // qualify the caller's dir through the same FileSystem resolution
+        // and compare path prefixes — raw substring containment would let
+        // short or relative dirs ('/a', 'ckpt') false-positive against
+        // unrelated resolved paths and silently suppress the WARN
+        val qualified =
+          try {
+            val p = new org.apache.hadoop.fs.Path(d)
+            p.getFileSystem(sc.hadoopConfiguration).makeQualified(p).toString
+          } catch { case _: Exception => d }
+        val same = cur == d || cur == qualified ||
+          cur.startsWith(qualified.stripSuffix("/") + "/")
+        if (!same)
+          org.slf4j.LoggerFactory.getLogger("graft.operators.Graph").warn(
+            s"checkpointDir '$d' ignored: session already checkpoints to " +
+              s"'$cur' (set-only-when-unset; reliable materialization uses " +
+              "the session dir)")
     }
 
   /** Damped PageRank over an UNDIRECTED edge list, `iters` synchronous

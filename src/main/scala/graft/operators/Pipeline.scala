@@ -153,6 +153,27 @@ object Pipeline {
           col("neardup_keep") && col("decontam_ok"), lit(false)).as("kept"))
   }
 
+  /** [[curate]] fed from RAW WEB MARKUP — the full funnel as a real
+    * pipeline runs it: [[Corpus.extractMainText]] is stage 0 (scan-side
+    * tag/entity/boilerplate extraction, zero shuffle), and its `main_text`
+    * becomes the `text` every downstream stage ([[stageOneFlags]], dedup,
+    * decontamination) consumes. Same output schema as [[curate]]; docs
+    * whose markup extracts to an empty string flow through and fail the
+    * quality screen naturally (n_tokens = 0), mirroring what a 0-content
+    * page should do.
+    */
+  def curateFromHtml(docs: DataFrame, idCol: Column, htmlCol: Column,
+      benchPred: Column, contamThreshold: Double = 0.5,
+      checkpointDir: Option[String] = None,
+      maxLinkDensity: Double = 1.0 / 3): DataFrame = {
+    val extracted = Corpus.extractMainText(docs, idCol, htmlCol,
+        maxLinkDensity)
+      .join(docs.select(idCol.as("doc_id"), benchPred.as("__bench")),
+        Seq("doc_id"))
+    curate(extracted, col("doc_id"), col("main_text"), col("__bench"),
+      contamThreshold, checkpointDir)
+  }
+
   /** Leakage-free train/val/test split — [[Corpus.splitAssign]]'s
     * deterministic hash split HARDENED against near-duplicate leakage: an
     * eval document whose near-duplicate landed in train measures

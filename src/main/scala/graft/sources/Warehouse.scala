@@ -106,28 +106,46 @@ object Warehouse {
     Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
   }
 
-  /** Real file-size manifest of a parquet directory: one row per data file
-    * with (file_id, file, bytes) — file_id is the rank in lexicographic
-    * name order, so the id is deterministic across runs over the same
-    * directory. This is [[compactionPlan]]'s input surface; WarehouseSpec
-    * drives it over real written footers. Listing goes through the Hadoop
-    * `FileSystem` API resolved from the path — the same resolution Spark's
-    * own file index uses — so the manifest works against file://, HDFS and
-    * object stores alike (a `java.io.File` listing would silently return
-    * nothing for any storage a 100 TB table actually lives on). Driver-
-    * side and one small row per FILE, never per row of data: KB-to-MB
-    * scale even for a 100 TB table.
+  /** Real file-size manifest of a parquet table root: one row per data
+    * file with (file_id, partition, file, bytes) — `partition` is the
+    * file's directory RELATIVE to the root ('' for a flat layout,
+    * 'source=src0' etc. for hive-partitioned tables, nested dirs joined
+    * with '/'), and file_id is the rank in lexicographic (partition, name)
+    * order, so ids are deterministic across runs over the same directory.
+    * Listing is RECURSIVE — a hive-partitioned root (exactly the layout
+    * [[writePartitioned]] and micro-batch sinks produce) yields every leaf
+    * data file, where a flat `listStatus` would silently return zero rows
+    * and downstream maintenance would no-op on the most common real-table
+    * shape. This is the input surface of [[compactionPlan]] /
+    * [[compactionPlanPartitioned]]; WarehouseSpec drives it over real
+    * written footers. Listing goes through the Hadoop `FileSystem` API
+    * resolved from the path — the same resolution Spark's own file index
+    * uses — so the manifest works against file://, HDFS and object stores
+    * alike (a `java.io.File` listing would silently return nothing for any
+    * storage a 100 TB table actually lives on). Driver-side and one small
+    * row per FILE, never per row of data: KB-to-MB scale even for a 100 TB
+    * table.
     */
   def fileManifest(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.listStatus(p).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .sortBy(_.getPath.getName)
-      .zipWithIndex
-      .map { case (s0, i) => (i.toLong, s0.getPath.getName, s0.getLen) }
-      .toDF("file_id", "file", "bytes")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val qRoot = fs.makeQualified(root).toString.stripSuffix("/")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val s0 = it.next()
+      val name = s0.getPath.getName
+      if (name.endsWith(".parquet")) {
+        val parent = fs.makeQualified(s0.getPath.getParent).toString
+          .stripSuffix("/")
+        val rel = if (parent == qRoot) "" else parent.stripPrefix(qRoot + "/")
+        buf += ((rel, name, s0.getLen))
+      }
+    }
+    buf.sortBy(f => (f._1, f._2)).zipWithIndex.toSeq
+      .map { case ((part, name, len), i) => (i.toLong, part, name, len) }
+      .toDF("file_id", "partition", "file", "bytes")
   }
 
   /** Small-files compaction PLAN: given a (file_id, bytes) manifest, emit
@@ -178,54 +196,238 @@ object Warehouse {
     keeps.unionByName(packs)
   }
 
-  /** Execute a [[compactionPlan]] against `path` into `outPath`: the
-    * rewrite set is read back ONCE and written one file per bin
-    * (`partitionBy(bin)` after a bin-keyed repartition: all of a bin's rows
-    * reach one task, which writes exactly one file under `bin=N/`), keeps
-    * are passed through by straight file copy. Returns the executed plan.
-    * The driver-side pieces are manifest-sized (one element per FILE), so
-    * this stays distributed where it matters — the data rewrite is one
-    * Spark job whose shuffle carries only the small-file rows.
+  /** [[compactionPlan]] SCOPED PER PARTITION — the form a hive-partitioned
+    * table needs: bins NEVER merge across partition values (a bin spanning
+    * two partition directories could not be written back into the layout,
+    * and partition-pruned reads must keep skipping whole directories), so
+    * each partition packs its own small files independently with bin ids
+    * dense from 0 WITHIN the partition.
+    *
+    * The arithmetic is the same budget-quantized exclusive-prefix-sum law
+    * as the flat planner (keeps ≥ target at bin −1; rewrites at
+    * ⌊excl-prefix(bytes)/target⌋ in file_id order; no bin over 2·target),
+    * expressed here as ONE window partitioned by the partition value:
+    * per-partition windows parallelize across partitions — the flat
+    * planner's two-pass RDD machinery exists to avoid a single-partition
+    * GLOBAL sort, which a partitioned table's layout already avoids for
+    * free. Still all-integer and SQL-expressible (keeps contribute 0 to
+    * the running sum, so interleaved keep rows don't perturb the packing).
+    * Input/output rows are file METADATA only.
+    *
+    * Output: (file_id, partition, bytes, action, bin).
+    */
+  def compactionPlanPartitioned(files: DataFrame, idCol: Column,
+      partCol: Column, bytesCol: Column, targetBytes: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val f = files.select(idCol.cast("long").as("file_id"),
+      partCol.cast("string").as("partition"), bytesCol.cast("long").as("bytes"))
+    val w = Window.partitionBy(col("partition")).orderBy(col("file_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    f.withColumn("excl", coalesce(sum(
+        when(col("bytes") < targetBytes, col("bytes")).otherwise(lit(0L)))
+          .over(w), lit(0L)))
+      .select(col("file_id"), col("partition"), col("bytes"),
+        when(col("bytes") >= targetBytes, lit("keep"))
+          .otherwise(lit("rewrite")).as("action"),
+        when(col("bytes") >= targetBytes, lit(-1L))
+          .otherwise(floor(col("excl") / targetBytes)).as("bin"))
+  }
+
+  /** Execute a compaction against `path` into `outPath`, PRESERVING the
+    * table layout: the plan is [[compactionPlanPartitioned]] over the
+    * recursive [[fileManifest]] (a flat directory is simply the
+    * one-partition '' case, where the partitioned planner's window reduces
+    * to the flat planner's exclusive prefix sum — same bins), and each
+    * partition directory is compacted independently — its rewrite set read
+    * back once and written one file per bin (a bin-keyed repartition puts
+    * all of a bin's rows in one task; the `__bin` staging dirs are then
+    * flattened to `compacted-<bin>.parquet` alongside the kept files, so
+    * `outPath` mirrors the source layout and reads as ONE parquet table —
+    * no mixed partition/non-partition output, no phantom `__bin` column).
+    * Keeps pass through by Hadoop-FS copy (file://, HDFS, object stores —
+    * same reasoning as [[fileManifest]]; at real scale a metastore pointer
+    * move replaces the copy, but the op must not silently no-op off the
+    * local filesystem). Returns the executed plan.
+    *
+    * Scale shape: one distributed rewrite job per partition holding small
+    * files — the natural unit, because bins never span partitions and
+    * production compaction is scoped to the partitions an ingest/retention
+    * window touched (the OPTIMIZE ... WHERE pattern) rather than a whole
+    * 100 TB table at once; within a partition the rewrite shuffle carries
+    * only the small-file rows. Driver-side pieces stay manifest-sized.
     */
   def compactByPlan(spark: SparkSession, path: String, targetBytes: Long,
       outPath: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val manifest = fileManifest(spark, path)
-    val plan = compactionPlan(manifest, col("file_id"), col("bytes"),
-      targetBytes).localCheckpoint()
-    val named = plan.join(manifest.select(col("file_id"), col("file")), Seq("file_id"))
+    val manifest = fileManifest(spark, path).localCheckpoint()
+    val plan = compactionPlanPartitioned(manifest, col("file_id"),
+      col("partition"), col("bytes"), targetBytes).localCheckpoint()
+    val named = plan
+      .join(manifest.select(col("file_id"), col("file")), Seq("file_id"))
+      .select(col("partition"), col("file"), col("action"), col("bin"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
     val hconf = spark.sessionState.newHadoopConf()
-    val outP = new org.apache.hadoop.fs.Path(outPath)
-    val outFs = outP.getFileSystem(hconf)
-    outFs.mkdirs(outP)
-    val binOfFile = named.filter(col("action") === "rewrite")
-      .select(col("file"), col("bin")).collect()
-      .map(r => (r.getString(0), r.getLong(1))).toSeq
-    if (binOfFile.nonEmpty) {
-      import spark.implicits._
-      val binMap = binOfFile.toDF("__file", "__bin")
-      spark.read.parquet(binOfFile.map(f => s"$path/${f._1}"): _*)
-        .withColumn("__file", element_at(split(input_file_name(), "/"), -1))
-        .join(broadcast(binMap), Seq("__file"))
-        .drop("__file")
-        .repartition(col("__bin"))
-        .write.mode("overwrite").partitionBy("__bin")
-        .parquet(s"$outPath/rewritten")
-    }
-    // keeps pass through by Hadoop-FS copy (works for file://, HDFS, object
-    // stores — same reasoning as fileManifest; at real scale a metastore
-    // pointer move replaces the copy, but the op must not silently no-op
-    // off the local filesystem)
-    named.filter(col("action") === "keep").select(col("file")).collect()
-      .map(_.getString(0)).foreach { f =>
-        val src = new org.apache.hadoop.fs.Path(s"$path/$f")
+    val outRoot = new org.apache.hadoop.fs.Path(outPath)
+    val outFs = outRoot.getFileSystem(hconf)
+    outFs.mkdirs(outRoot)
+    named.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (part, rows) =>
+      val srcDir = if (part.isEmpty) path else s"$path/$part"
+      val dstDir = if (part.isEmpty) outPath else s"$outPath/$part"
+      outFs.mkdirs(new org.apache.hadoop.fs.Path(dstDir))
+      val binOfFile = rows.filter(_._3 == "rewrite").map(r => (r._2, r._4)).toSeq
+      if (binOfFile.nonEmpty) {
+        import spark.implicits._
+        val binMap = binOfFile.toDF("__file", "__bin")
+        val staging = s"$dstDir/__compact_staging"
+        spark.read.parquet(binOfFile.map(f => s"$srcDir/${f._1}"): _*)
+          .withColumn("__file", element_at(split(input_file_name(), "/"), -1))
+          .join(broadcast(binMap), Seq("__file"))
+          .drop("__file")
+          .repartition(col("__bin"))
+          .write.mode("overwrite").partitionBy("__bin")
+          .parquet(staging)
+        // flatten: staging/__bin=N/part-*.parquet -> dstDir/compacted-N.parquet
+        val stP = new org.apache.hadoop.fs.Path(staging)
+        outFs.listStatus(stP).filter(s =>
+            s.isDirectory && s.getPath.getName.startsWith("__bin=")).foreach { d =>
+          val bin = d.getPath.getName.stripPrefix("__bin=")
+          val dataFiles = outFs.listStatus(d.getPath)
+            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          require(dataFiles.length == 1,
+            s"bin $bin produced ${dataFiles.length} files (expected 1)")
+          outFs.rename(dataFiles.head.getPath,
+            new org.apache.hadoop.fs.Path(s"$dstDir/compacted-$bin.parquet"))
+        }
+        outFs.delete(stP, true)
+      }
+      rows.filter(_._3 == "keep").map(_._2).foreach { f =>
+        val src = new org.apache.hadoop.fs.Path(s"$srcDir/$f")
         org.apache.hadoop.fs.FileUtil.copy(
           src.getFileSystem(hconf), src, outFs,
-          new org.apache.hadoop.fs.Path(s"$outPath/$f"),
+          new org.apache.hadoop.fs.Path(s"$dstDir/$f"),
           false, true, hconf)
       }
+    }
     plan
   }
+
+  /** CDC MERGE upsert — maintain a LATEST-STATE base table from a keyed
+    * update stream (the `MERGE INTO base USING updates WHEN MATCHED THEN
+    * UPDATE WHEN NOT MATCHED THEN INSERT` shape every CDC pipeline needs;
+    * the sink family was append-only and [[graft.operators.Scd]] builds
+    * history — this is the missing mutation op). Semantics: per key, the
+    * max-`seqCol` UPDATE row wins; base rows whose key never appears in
+    * `updates` pass through unchanged. The standard CDC contract rides
+    * along: updates are NEWER than the base state they modify (monotone
+    * sequence — a replayed stale update would win here regardless of the
+    * base row's seq, because the base row is replaced by key, not raced by
+    * seq), and `seqCol` is unique per key within `updates` (the
+    * [[graft.operators.LatestPerGroup.latest]] determinism contract).
+    * Under that contract the result EQUALS latest-per-key over
+    * base ∪ updates — the plain-SQL window the q208 oracle computes.
+    *
+    * Scale shape — the reason this is not one window over base ∪ updates:
+    * the update batch is tiny next to a 100 TB base, so the winners come
+    * from a map-side-combined max_by over UPDATES ONLY (the q04 machinery)
+    * and the base side is ONE left-anti join against the winner keyset —
+    * broadcast when the touched keyset fits (the usual case), so the base
+    * is never shuffled, never sorted, and contributes no window state.
+    * Output: the merged latest-state frame (survivors ∪ winners).
+    */
+  def mergeUpsert(base: DataFrame, updates: DataFrame, keyCols: Seq[String],
+      seqCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(keyCols.nonEmpty, "mergeUpsert needs at least one key column")
+    val winners = graft.operators.LatestPerGroup.latest(
+      updates, keyCols.map(col), Seq(col(seqCol)))
+    base.join(winners.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .unionByName(winners)
+  }
+
+  /** [[mergeUpsert]] executed against a hive-partitioned parquet base table
+    * with a PARTITION-SCOPED rewrite: only partitions containing touched
+    * keys are read (the q138 pruning machinery — the partition predicate
+    * prunes directories at plan time) and only those partitions are
+    * rewritten (dynamic partition overwrite), so untouched partitions'
+    * files are never opened, never rewritten, and stay byte-identical —
+    * WarehouseSpec proves that on real files rather than claiming it.
+    *
+    * Contract: `partCol` is STABLE per key (the update row carries the
+    * key's current partition — the standard CDC partitioning constraint;
+    * a key that migrates partitions needs a delete event in the old one),
+    * and updates carry the full base schema. The merged frame is
+    * materialized (localCheckpoint) before the overwrite because source
+    * and destination are the same path — at real scale this seam is a
+    * staging write + metastore pointer swap (the Iceberg/Delta commit);
+    * the checkpoint is partition-scoped, never table-scoped.
+    *
+    * Returns the merged touched-partition frame that was written.
+    */
+  def mergeUpsertPartitioned(spark: SparkSession, basePath: String,
+      updates: DataFrame, keyCols: Seq[String], seqCol: String,
+      partCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val touched = updates.select(col(partCol)).distinct().collect()
+      .map(_.get(0)).toSeq
+    val base = spark.read.parquet(basePath)
+      .filter(col(partCol).isin(touched: _*))
+    val merged = mergeUpsert(base, updates, keyCols, seqCol).localCheckpoint()
+    val modeKey = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(modeKey)
+    spark.conf.set(modeKey, "dynamic")
+    try merged.write.mode("overwrite").partitionBy(partCol).parquet(basePath)
+    finally prev.fold(spark.conf.unset(modeKey))(spark.conf.set(modeKey, _))
+    merged
+  }
+
+  /** One micro-batch of [[mergeUpsertStream]] — split out so the epoch-
+    * replay idempotence is directly testable (the
+    * [[graft.streaming.IngestJobs.jdbcBatchExactlyOnce]] pattern, with the
+    * warehouse's own filesystem as the ledger store): a marker file
+    * `epoch-<id>` is written AFTER the partition overwrite commits, so a
+    * crash-replayed epoch either re-runs the (idempotent — same checkpointed
+    * batch merges to the same state) merge or no-ops on the marker. The
+    * marker write itself is the usual create-file commit point; a crash
+    * between overwrite and marker re-merges once, converging to the same
+    * bytes.
+    */
+  def mergeUpsertBatch(batch: DataFrame, batchId: Long, basePath: String,
+      keyCols: Seq[String], seqCol: String, partCol: String,
+      ledgerPath: String): Unit = {
+    val spark = batch.sparkSession
+    val hconf = spark.sessionState.newHadoopConf()
+    val ledger = new org.apache.hadoop.fs.Path(ledgerPath)
+    val fs = ledger.getFileSystem(hconf)
+    fs.mkdirs(ledger)
+    val marker = new org.apache.hadoop.fs.Path(s"$ledgerPath/epoch-$batchId")
+    if (!fs.exists(marker)) {
+      mergeUpsertPartitioned(spark, basePath, batch, keyCols, seqCol, partCol)
+      fs.create(marker, true).close()
+    }
+  }
+
+  /** Continuous CDC maintenance of a latest-state partitioned base table:
+    * every micro-batch of the keyed update stream MERGEs into `basePath`
+    * via [[mergeUpsertBatch]] (partition-scoped rewrite + epoch-ledger
+    * idempotence). `foreachBatch` is the right seam because the merge is a
+    * multi-partition read-modify-write, not an append — the same reasoning
+    * as the JDBC exactly-once sink.
+    */
+  def mergeUpsertStream(updates: DataFrame, basePath: String,
+      keyCols: Seq[String], seqCol: String, partCol: String,
+      checkpointDir: String, ledgerPath: String):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        mergeUpsertBatch(batch, id, basePath, keyCols, seqCol, partCol,
+          ledgerPath)
+      }
+      .start()
 
   /** Morton/Z-value of two columns already scaled to `[0, 2^bits)` ints:
     * interleaves their low `bits` bits (a in the even positions, b in the

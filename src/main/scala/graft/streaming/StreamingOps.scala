@@ -456,12 +456,15 @@ object StreamingOps {
     * xxhash64 lanes (unsalted + salted) plus the exact length, i.e. a
     * 128-bit content fingerprint ([[contentFp128]]). A false drop needs a
     * distinct-content pair colliding in BOTH lanes at equal length —
-    * ~2⁻¹²⁸ per pair, so at 10¹⁰ distinct docs the expected false-drop
-    * mass is (10¹⁰)²/2 · 2⁻¹²⁸ ≈ 10⁻¹⁹: the same
-    * content-addressed-storage trade the batch op documents, here with
-    * non-cryptographic lanes (fine for non-adversarial dedup; an
-    * adversarial feed should fingerprint with sha2-256 upstream). The
-    * extra lane costs one more long of state per distinct content.
+    * approximately 2⁻¹²⁸ per pair IF the lanes were independent universal
+    * hashes; they are two seeds of one related non-cryptographic family,
+    * so treat the figure as an order-of-magnitude heuristic, not a proven
+    * bound (see [[contentFp128]]'s caveat). Even discounted by many
+    * orders, at 10¹⁰ distinct docs the expected false-drop mass stays
+    * negligible for non-adversarial dedup — the content-addressed-storage
+    * trade the batch op documents; an adversarial feed should fingerprint
+    * with sha2-256 upstream. The extra lane costs one more long of state
+    * per distinct content.
     *
     * State is two longs per distinct fingerprint — the streaming dedup
     * index; unbounded by design, like the batch dedup's group count (use
@@ -489,9 +492,15 @@ object StreamingOps {
       }
   }
 
-  /** 128-bit streaming content fingerprint: two independent xxhash64 lanes
-    * (the second seeded by a salt prefix, so the pair behaves as one
-    * 128-bit hash) plus the exact length as a co-key. Shared by every
+  /** 128-bit streaming content fingerprint: two xxhash64 lanes (the second
+    * seeded by a salt prefix) plus the exact length as a co-key.
+    * Independence caveat: the lanes are two parameterizations of ONE
+    * non-cryptographic hash family, not independent universal hashes, so
+    * the composite behaves as "approximately 128 bits" — quantified
+    * collision claims built on it are heuristic (structured-but-non-
+    * adversarial inputs may correlate the lanes); a load-bearing bound
+    * should derive both lanes from one cryptographic digest (e.g. the two
+    * halves of sha2-256) at ~2× scan cost. Shared by every
     * streaming exact-dedup keying ([[exactDedupStream]],
     * [[exactDedupStreamTtl]], CurationStream.exactKeepStream) so the
     * collision contract is stated — and changed — in exactly one place.
@@ -658,6 +667,16 @@ object StreamingOps {
     * its in-window members (24 bytes each); an event-time timeout drops
     * buckets whose newest member can no longer pair. Same monotone-event-
     * time watermark contract as the other TTL ops (`require`d).
+    *
+    * `maxBucket` semantics — NOT the batch capBuckets contract: a bucket at
+    * capacity refuses the ARRIVAL (it emits no pairs in that bucket and is
+    * not indexed there), and because TTL eviction frees slots, later
+    * arrivals can be re-admitted — "first K within the sliding window"
+    * rather than batch's keep-first-K-ever. A refused admission is a
+    * recall loss against that bucket's in-window members, so the fold logs
+    * one WARN per (bucket, batch) with the refusal count — audit the log
+    * (or raise `maxBucket`) before trusting recall on a skewed sketch
+    * distribution.
     */
   def sketchNearDupStreamTtl(docs: DataFrame, idCol: String, tsCol: String,
       skCol: String, ttlMs: Long, maxHamming: Int = 3, maxBucket: Int = 10000,
@@ -687,7 +706,7 @@ object StreamingOps {
       .groupByKey(_._4)
       .flatMapGroupsWithState[TimedSketchBucket, (Long, Long, Long)](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        case (_, it, state) =>
+        case (bucket, it, state) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
@@ -697,6 +716,7 @@ object StreamingOps {
               .getOrElse(Vector.empty)
             val member = scala.collection.mutable.HashSet.from(members.map(_._2))
             val out = Vector.newBuilder[(Long, Long, Long)]
+            var refused = 0
             it.map(e => (e._2.getTime, e._1, e._3)).toVector.sorted.foreach {
               case (ts, id, sk) =>
                 val cutoff = ts - ttlMs
@@ -705,7 +725,8 @@ object StreamingOps {
                   member -= members(drop)._2; drop += 1
                 }
                 if (drop > 0) members = members.drop(drop)
-                if (members.size < maxBucket && member.add(id)) {
+                if (members.size >= maxBucket && !member.contains(id)) refused += 1
+                else if (member.add(id)) {
                   members.foreach { case (_, prev, psk) =>
                     val h = java.lang.Long.bitCount(psk ^ sk).toLong
                     if (h <= maxHamming)
@@ -714,6 +735,11 @@ object StreamingOps {
                   members = members :+ ((ts, id, sk))
                 }
             }
+            if (refused > 0)
+              org.slf4j.LoggerFactory.getLogger("graft.streaming.StreamingOps")
+                .warn(s"sketchNearDupStreamTtl bucket $bucket at maxBucket=" +
+                  s"$maxBucket refused $refused arrival(s) this batch " +
+                  "(recall loss against in-window members)")
             if (members.isEmpty) state.remove()
             else {
               state.update(TimedSketchBucket(members.map(_._2),

@@ -392,4 +392,55 @@ class CorpusSpec extends AnyFunSuite {
     assert(got == ref)
     assert(got.nonEmpty && got.forall { case (q0, rn, d, _) => rn >= 1 && rn <= 5 && d != q0 })
   }
+
+  test("extractMainText: tags, entities, boilerplate density, block counts") {
+    import spark.implicits._
+    val html =
+      """<html><head><title>t</title><script>if(a<b){x=1;}</script>
+        |<style>p{color:red}</style></head><body>
+        |<div><a href="/">Home</a> <a href="/a">About</a> <a href="/b">Blog</a></div>
+        |<p>hello &amp; world &lt;tag&gt; it&#39;s   "fine"</p>
+        |<p>see <a href="/r">the ref</a> for details and more words</p>
+        |<div>(c) 2026 <a href="/t">Terms</a> <a href="/p">Privacy</a></div>
+        |</body></html>""".stripMargin.replace("\n", "")
+    val got = Corpus.extractMainText(Seq((1L, html)).toDF("id", "h"),
+      col("id"), col("h")).collect().head
+    // main p: entities decoded (& < > ' "), whitespace normalized; ref p:
+    // 1 anchor / 8 tokens kept; nav (3/3) and footer (2/4) dropped
+    assert(got.getString(1) ==
+      "hello & world <tag> it's \"fine\" see the ref for details and more words")
+    assert(got.getLong(2) == 2L, s"n_kept: $got")
+    assert(got.getLong(3) == 2L, s"n_dropped: $got")
+  }
+
+  test("extractMainText: malformed markup is total — no hang, no throw, no script leak") {
+    import spark.implicits._
+    val cases = Seq(
+      // unclosed script: content runs to EOF and is dropped entirely
+      (1L, "<p>keep me</p><script>var leak = 'SECRET1';"),
+      // nested script: browser rule — first close ends it; 'c' is text
+      (2L, "<p>a</p><script>x<script>y</script>c</script><p>b</p>"),
+      // unclosed inline tag (greedy to next '>') + unterminated trailing
+      // '<a …' — the latter counts as an anchor, so the 1-token 'tail'
+      // block is density-dropped
+      (3L, "<p>text <b unclosed and <i>more</p><p>tail<a href='x"),
+      // stray close tags and a bare ampersand
+      (4L, "</div></p>one &amp; two</span>"),
+      // adversarial repetition: many opens, never a '>' (backtracking
+      // bait) — the unterminated-tag cleanup empties the block
+      (5L, "<p>" + ("<a " * 2000) + "ok</p>"),
+      // empty and tag-only inputs
+      (6L, ""), (7L, "<div></div><p></p>"))
+    val t0 = System.nanoTime()
+    val got = Corpus.extractMainText(cases.toDF("id", "h"), col("id"), col("h"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert((System.nanoTime() - t0) / 1e9 < 30.0, "extraction must not crawl")
+    assert(got(1L) == "keep me", s"unclosed script must drop to EOF: ${got(1L)}")
+    assert(!got(1L).contains("SECRET1"))
+    assert(got(2L) == "a c b", s"nested script: first close wins: ${got(2L)}")
+    assert(got(3L) == "text more", s"unclosed tags stripped: ${got(3L)}")
+    assert(got(4L) == "one & two", s"stray closes stripped: ${got(4L)}")
+    assert(got(5L) == "", s"unterminated-anchor farm must vanish: ${got(5L)}")
+    assert(got(6L) == "" && got(7L) == "")
+  }
 }

@@ -73,6 +73,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept == Set(5L), s"only the keep-best, clean survivor is kept: $kept")
   }
 
+  test("curateFromHtml: markup wrapping + boilerplate do not perturb the funnel") {
+    // wrap each fixture doc in chrome-heavy markup whose boilerplate blocks
+    // are density-dropped and whose main block round-trips the text exactly
+    // — the funnel verdicts must equal curate() over the plain text
+    val wrapped = fixture().withColumn("html", concat(
+      lit("<html><head><script>nav();</script></head><body>" +
+        "<div><a href='/'>Home</a> <a href='/x'>More</a></div><p>"),
+      col("text"),
+      lit("</p><div>(c) <a href='/t'>Terms</a> <a href='/p'>Priv</a>" +
+        "</div></body></html>")))
+    val plain = Pipeline.curate(fixture(), col("doc_id"), col("text"),
+      benchPred = col("doc_id") === 0L).orderBy("doc_id").collect()
+    val viaHtml = Pipeline.curateFromHtml(wrapped, col("doc_id"), col("html"),
+      benchPred = col("doc_id") === 0L).orderBy("doc_id").collect()
+    assert(plain.sameElements(viaHtml),
+      "stage-0 extraction must hand the funnel the identical text")
+  }
+
   test("curate with a reliable checkpoint dir yields identical rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft-pipeline-ckpt")
       .toString

@@ -130,21 +130,22 @@ class WarehouseSpec extends AnyFunSuite {
     docs.union(docs).union(docs).coalesce(1).write.mode("append").parquet(path)
     val manifest = Warehouse.fileManifest(spark, path)
     val files = manifest.collect().map(r =>
-      (r.getLong(0), r.getString(1), r.getLong(2)))
+      (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
     assert(files.length >= 25)
-    val sizes = files.map(_._3)
+    assert(files.forall(_._2 == ""), "flat layout must manifest as partition ''")
+    val sizes = files.map(_._4)
     // target between the small-file and big-file footer sizes
     val target = sizes.max / 2
     assert(sizes.count(_ >= target) >= 1 && sizes.count(_ < target) >= 24,
       s"fixture must have both keeps and rewrites at target=$target: ${sizes.sorted.toSeq}")
     val outPath = s"$root/compacted"
     val plan = Warehouse.compactByPlan(spark, path, target, outPath)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3), r.getLong(4)))
     // plan shape: every file decided once; keeps are exactly the >= target
     // ones; rewrite bins dense from 0; no bin over 2x target
     assert(plan.length == files.length)
     assert(plan.filter(_._3 == "keep").map(_._1).toSet ==
-      files.filter(_._3 >= target).map(_._1).toSet)
+      files.filter(_._4 >= target).map(_._1).toSet)
     val bins = plan.filter(_._3 == "rewrite").groupBy(_._4)
       .map { case (b, fs) => (b, fs.map(_._2).sum) }
     assert(bins.keySet == (0L until bins.size).toSet, s"bins not dense: ${bins.keySet}")
@@ -153,26 +154,123 @@ class WarehouseSpec extends AnyFunSuite {
     // exact bin-count law: floor((sum - last_file_bytes)/target) + 1 — NOT
     // floor(sum/target)+1, which is off by one when sum is an exact
     // multiple of target (footer sizes are measured, not controlled)
-    val small = files.filter(_._3 < target).sortBy(_._1)
-    val maxExcl = small.map(_._3).sum - small.last._3
+    val small = files.filter(_._4 < target).sortBy(_._1)
+    val maxExcl = small.map(_._4).sum - small.last._4
     assert(bins.size == maxExcl / target + 1)
-    // execution: exactly ONE real parquet file per bin, data preserved
-    val rewritten = new java.io.File(s"$outPath/rewritten")
-    val binDirs = Option(rewritten.listFiles()).get
-      .filter(f => f.isDirectory && f.getName.startsWith("__bin="))
-    assert(binDirs.length == bins.size)
-    binDirs.foreach { d =>
-      val pf = d.listFiles().filter(_.getName.endsWith(".parquet"))
-      assert(pf.length == 1, s"${d.getName} must hold one file, got ${pf.length}")
-      assert(pf.head.length() > 0)
-    }
-    val keptFiles = Option(new java.io.File(outPath).listFiles()).get
+    // execution: a UNIFORM flat layout — one compacted-<bin>.parquet per
+    // bin next to the kept files, readable as ONE parquet table
+    val outFiles = Option(new java.io.File(outPath).listFiles()).get
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-    assert(keptFiles.length == plan.count(_._3 == "keep"))
-    val wantRows = spark.read.parquet(path).count()
-    val gotRows = spark.read.parquet(s"$outPath/rewritten").count() +
-      keptFiles.map(f => spark.read.parquet(f.toString).count()).sum
-    assert(gotRows == wantRows, s"compaction lost rows: $gotRows vs $wantRows")
+    val compacted = outFiles.filter(_.getName.startsWith("compacted-"))
+    assert(compacted.length == bins.size,
+      s"one file per bin: ${compacted.length} vs ${bins.size}")
+    assert(compacted.forall(_.length() > 0))
+    assert(outFiles.length - compacted.length == plan.count(_._3 == "keep"))
+    val want = spark.read.parquet(path).collect().map(_.toString).sorted
+    val got = spark.read.parquet(outPath).collect().map(_.toString).sorted
+    assert(got.sameElements(want), "compaction must preserve data, one-table read")
+  }
+
+  test("partitioned compaction: bins scoped per partition, layout preserved") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cpart").toString
+    val path = s"$root/docs_part"
+    val docs = Tables.load(spark, dir, "documents")
+    // hive-partitioned micro-batch-sink shape: many small files per
+    // source=... dir, plus one pre-coalesced big file in src0
+    docs.repartition(8).write.partitionBy("source")
+      .mode("overwrite").parquet(path)
+    docs.filter(col("source") === "src0").union(
+        docs.filter(col("source") === "src0"))
+      .coalesce(1).write.partitionBy("source").mode("append").parquet(path)
+    val manifest = Warehouse.fileManifest(spark, path)
+    val rows = manifest.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rows.nonEmpty, "recursive manifest must see partitioned leaves")
+    assert(rows.forall(_._2.startsWith("source=")),
+      s"partition col must be the relative dir: ${rows.take(3).toSeq}")
+    val target = rows.map(_._4).max / 2
+    val outPath = s"$root/compacted"
+    val plan = Warehouse.compactByPlan(spark, path, target, outPath)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(3), r.getLong(4)))
+    // bins dense from 0 WITHIN each partition — never shared across
+    plan.filter(_._3 == "rewrite").groupBy(_._2).foreach { case (p, fs) =>
+      val bs = fs.map(_._4).toSet
+      assert(bs == (0L until bs.size).toSet, s"$p bins not dense: $bs")
+    }
+    // layout preserved: same partition dirs, compacted files inside them
+    val parts = rows.map(_._2).distinct.sorted
+    parts.foreach { p =>
+      val d = new java.io.File(s"$outPath/$p")
+      assert(d.isDirectory, s"partition dir $p must survive compaction")
+      assert(d.listFiles().exists(_.getName.endsWith(".parquet")))
+    }
+    // one-table read, hive partition column intact, data preserved
+    val want = spark.read.parquet(path).collect().map(_.toString).sorted
+    val got = spark.read.parquet(outPath).collect().map(_.toString).sorted
+    assert(got.sameElements(want), "partitioned compaction must preserve data")
+  }
+
+  test("mergeUpsert: updates win per key, survivors pass through, base never shuffles") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 10L, 1L), (2L, "a", 20L, 1L), (3L, "b", 30L, 1L))
+      .toDF("k", "part", "v", "seq")
+    val updates = Seq((2L, "a", 99L, 2L), (2L, "a", 98L, 3L), (4L, "b", 40L, 2L))
+      .toDF("k", "part", "v", "seq")
+    val merged = Warehouse.mergeUpsert(base, updates, Seq("k"), "seq")
+    val got = merged.collect().map(r =>
+      (r.getLong(0), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    // k=2: max-seq update wins (v=98, seq=3); k=4 inserted; k=1,3 survive
+    assert(got.toSeq == Seq((1L, 10L, 1L), (2L, 98L, 3L), (3L, 30L, 1L),
+      (4L, 40L, 2L)))
+    // equals the latest-per-key window over base ∪ updates (the q208 oracle
+    // identity, valid under the monotone-seq CDC contract)
+    val win = graft.operators.LatestPerGroup.latestWindow(
+      base.unionByName(updates), Seq(col("k")), Seq(col("seq")))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(got.toSeq == win.toSeq)
+    // scale shape: no Exchange on the base side of the anti join (broadcast)
+    val plan = merged.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      s"anti join must broadcast the touched keyset:\n$plan")
+  }
+
+  test("mergeUpsertPartitioned rewrites only touched partitions; epoch replay no-ops") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_merge").toString
+    val basePath = s"$root/state"
+    val base = Seq((1L, "a", 10L, 1L), (2L, "a", 20L, 1L), (3L, "b", 30L, 1L),
+      (5L, "c", 50L, 1L)).toDF("k", "part", "v", "seq")
+    base.write.partitionBy("part").parquet(basePath)
+    def filesOf(p: String): Map[String, (Long, Long)] =
+      Option(new java.io.File(s"$basePath/part=$p").listFiles()).get
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    val bBefore = filesOf("b"); val cBefore = filesOf("c")
+    // updates touch only partition a (update k=2, insert k=7)
+    val updates = Seq((2L, "a", 99L, 2L), (7L, "a", 70L, 2L))
+      .toDF("k", "part", "v", "seq")
+    Warehouse.mergeUpsertBatch(updates, 0L, basePath, Seq("k"), "seq", "part",
+      s"$root/ledger")
+    // untouched partitions byte-identical (same files, sizes, mtimes)
+    assert(filesOf("b") == bBefore, "partition b must not be rewritten")
+    assert(filesOf("c") == cBefore, "partition c must not be rewritten")
+    val got = spark.read.parquet(basePath)
+      .select(col("k"), col("v"), col("seq")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 10L, 1L), (2L, 99L, 2L), (3L, 30L, 1L),
+      (5L, 50L, 1L), (7L, 70L, 2L)))
+    // epoch replay: same batchId no-ops (ledger marker), nothing changes
+    val aAfter = filesOf("a")
+    Warehouse.mergeUpsertBatch(updates, 0L, basePath, Seq("k"), "seq", "part",
+      s"$root/ledger")
+    assert(filesOf("a") == aAfter, "replayed epoch must no-op on the ledger")
+    // a NEW epoch with the same content is idempotent by merge semantics
+    Warehouse.mergeUpsertBatch(updates, 1L, basePath, Seq("k"), "seq", "part",
+      s"$root/ledger")
+    val got2 = spark.read.parquet(basePath)
+      .select(col("k"), col("v"), col("seq")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got2.toSeq == got.toSeq, "re-merging the same updates must converge")
   }
 
   test("q139: bucketed join shuffles neither side — the only Exchange is the groupBy") {
