@@ -1629,6 +1629,71 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // MEDIA INTO THE INGEST FUNNEL (CurationStream.replayFunnelTtl with a
+    // sketch column) — the composition seam q195/q196 and q204/q205 left
+    // open: the bounded-state curation funnel now carries each doc's image
+    // sketch (REAL PNG decodes, the q199 fixtures) through
+    // sketchNearDupStreamTtl IN PARALLEL with the text band index over the
+    // same keeper tape, and an occurrence is admitted only when NEITHER
+    // modality is an in-window dup. Both stages' oracles already exist —
+    // this gate's SQL composes them: q196's lag-window keepers and
+    // text-Jaccard drops, plus the later side of any planted-pattern
+    // hamming ≤ 3 pair within the same TTL window. dHash groups span
+    // adjacent ids, so group mates' base occurrences sit well inside the
+    // window (media drops) while re-admissions sit beyond it (no drop) —
+    // both regimes non-empty at every sf.
+    "q207_streaming_funnel_media" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      // sketches computed DISTRIBUTED (q204 convention), joined as a column
+      val sk = docs.select(col("doc_id")).as[Long]
+        .map { id =>
+          (id, Multimodal.imageDHash(Multimodal.encodeDHashPng(
+            Multimodal.dHashPatternOf(id), cell = 1 + (id % 3).toInt)).get)
+        }
+        .toDF("doc_id", "sk")
+      graft.streaming.CurationStream.replayFunnelTtl(s,
+          docs.join(sk, Seq("doc_id")), col("doc_id"), col("text"),
+          skCol = Some(col("sk")))
+        .orderBy(col("doc_id"), col("tick"))
+    }),
+
+    // MIXED-MODALITY media dedup at ingest — the coverage seam q204 left:
+    // its tape replayed IMAGE sketches only, so audio/video sketches never
+    // transited the streaming index in any gate. Here the tape picks the
+    // decoder BY MODALITY (doc_id%3: PNG pixel decode / WAV PCM energy
+    // walk / MP4 stts box walk — each asset through its REAL decoder), and
+    // because all three fixtures plant the SAME 64-bit pattern, the three
+    // completely different decode paths converge on one sketch stream
+    // whose pair set the existing all-pairs oracle already predicts — the
+    // q199/q202/q203 'one ground truth, three engine paths' argument
+    // extended to the stateful streaming index. RocksGate covers it under
+    // the RocksDB provider automatically.
+    "q210_streaming_mixed_media" -> ((s, d) => {
+      import s.implicits._
+      // sketches computed DISTRIBUTED (q204 convention: the per-asset real
+      // decode is the cost — 32 threads, not a driver loop)
+      val tape = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val pat = Multimodal.dHashPatternOf(id)
+          val sk = (id % 3) match {
+            case 0 => Multimodal.imageDHash(
+              Multimodal.encodeDHashPng(pat, cell = 1 + (id % 3).toInt)).get
+            case 1 => Multimodal.audioDHash(Multimodal.encodeEnergyWav(pat,
+              framesPerWin = 4 + (id % 3).toInt * 2)).get
+            case _ => Multimodal.videoTimingHash(
+              Multimodal.encodeTimingMp4(pat, seed = id.toInt)).get
+          }
+          (id, sk)
+        }
+        .collect().sortBy(_._1).toSeq
+      graft.streaming.MemoryReplay.replay(s, tape, nBatches = 4)(ds =>
+          graft.streaming.StreamingOps.sketchNearDupStream(
+            ds.toDF("doc_id", "sk"), "doc_id", "sk"))
+        .toDF("doc_a", "doc_b", "hamming").distinct()
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // Small-files compaction PLANNER (Warehouse.compactionPlan) — the
     // warehouse-maintenance op the sink family lacked: micro-batch sinks
     // leave one file per batch per task, and at 100 TB footer-sized files
@@ -1713,6 +1778,32 @@ object SparkEntry {
             col("n_chars").as("v"), lit(2L).as("seq")))
       graft.sources.Warehouse.mergeUpsert(base, updates, Seq("k"), "seq")
         .orderBy(col("k"))
+    }),
+
+    // TRAINED language ID (Corpus.langIdTrained) — q19's heuristic upgraded
+    // to a model through the engine's own gated machinery: hashedEmbedding
+    // features, per-language centroid TRAINING as one aggregation, q198's
+    // num²/n2 broadcast scoring, argmax as a map-side min_by. The fixture
+    // plants real language structure scan-side (a per-lang marker token
+    // repeated 1 + doc_id%3 times appended to the text — the declared lang
+    // column finally has signal to learn), and the oracle re-derives the
+    // ENTIRE train+score pipeline — every hashed count, centroid sum,
+    // integer dot and the exact double score — then pins the agreement as
+    // a confusion matrix over (declared, predicted).
+    "q209_lang_id_trained" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val marker = when(col("lang") === "en", lit("indeed "))
+        .when(col("lang") === "de", lit("jedoch "))
+        .when(col("lang") === "es", lit("aunque "))
+        .when(col("lang") === "fr", lit("toutefois "))
+        .otherwise(lit("dehua "))
+      val aug = docs.withColumn("text2",
+        concat(col("text"), lit(" "), call_function("repeat", marker,
+          (lit(1L) + col("doc_id") % 3).cast("int"))))
+      Corpus.langIdTrained(aug, col("doc_id"), col("text2"), col("lang"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("pred_lang"))
     }),
 
     // q199's pairs closed into MEDIA DEDUP GROUPS (Dedup.dupGroups — the
@@ -4644,6 +4735,17 @@ object SparkEntry {
         |  AND abs(pa.r - pb.r) <= nn.n // 4
         |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // The mixed tape converges on q199's ground truth: every modality's
+    // decoder recovers the same planted bits, and the pigeonhole streaming
+    // index loses nothing at hamming ≤ 3 over an ordered tape
+    "q210_streaming_mixed_media" ->
+      s"""WITH $DHASH_SK_CTE
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       bit_count(xor(a.s1, b.s1)) + bit_count(xor(a.s2, b.s2)) AS hamming
+        |FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.s1, b.s1)) + bit_count(xor(a.s2, b.s2)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     // Same planted-pattern ground truth, third engine path (box walk +
     // stts run expansion)
     "q203_video_fingerprint_pairs" ->
@@ -4714,6 +4816,54 @@ object SparkEntry {
         |SELECT k, source, v, seq FROM u
         |QUALIFY row_number() OVER (PARTITION BY k ORDER BY seq DESC) = 1
         |ORDER BY k""".stripMargin,
+
+    // Full re-derivation of the trained classifier: marker-augmented text,
+    // q197's portable hashed token counts, per-language centroid sums,
+    // integer dots completed over ALL (doc, lang) pairs (zero when no fid
+    // is shared), the identical num²/n2 double score, the identical
+    // (score DESC, lang) argmax — then the confusion rollup
+    "q209_lang_id_trained" ->
+      """WITH aug AS (
+        |  SELECT doc_id, lang,
+        |    text || ' ' || repeat(CASE lang WHEN 'en' THEN 'indeed '
+        |      WHEN 'de' THEN 'jedoch ' WHEN 'es' THEN 'aunque '
+        |      WHEN 'fr' THEN 'toutefois ' ELSE 'dehua ' END,
+        |      CAST(1 + doc_id % 3 AS INTEGER)) AS text
+        |  FROM documents),
+        |tk AS (SELECT doc_id, lang,
+        |        list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |      FROM aug),
+        |u AS (SELECT doc_id, lang, unnest(toks) AS tok FROM tk),
+        |f AS (SELECT doc_id, lang,
+        |        CAST((list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |                list_transform(range(1, length(tok) + 1),
+        |                  i -> CAST(ascii(substr(tok, CAST(i AS INTEGER), 1)) AS BIGINT))),
+        |               (a, b) -> (a * 31 + b) % 1000000007)
+        |              * 2654435761 + 40503) % 4294967296 % 64 AS BIGINT) AS fid,
+        |        CAST(count(*) AS BIGINT) AS c
+        |      FROM u GROUP BY 1, 2, 3),
+        |cent AS (SELECT lang AS cand, fid, CAST(sum(c) AS BIGINT) AS cl
+        |         FROM f GROUP BY 1, 2),
+        |n2l AS (SELECT cand, CAST(sum(cl * cl) AS BIGINT) AS n2
+        |        FROM cent GROUP BY 1),
+        |nm AS (SELECT f.doc_id, cent.cand, CAST(sum(f.c * cent.cl) AS BIGINT) AS num
+        |       FROM f JOIN cent ON f.fid = cent.fid
+        |       GROUP BY 1, 2),
+        |allp AS (SELECT d.doc_id, d.lang, l.cand, COALESCE(nm.num, 0) AS num
+        |         FROM (SELECT DISTINCT doc_id, lang FROM aug) d
+        |         CROSS JOIN (SELECT cand FROM n2l) l
+        |         LEFT JOIN nm ON nm.doc_id = d.doc_id AND nm.cand = l.cand),
+        |sc AS (SELECT allp.doc_id, allp.lang, allp.cand,
+        |         (num * num) / n2l.n2 AS score
+        |       FROM allp JOIN n2l ON n2l.cand = allp.cand),
+        |pr AS (SELECT doc_id, lang, cand AS pred_lang,
+        |         row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY score DESC, cand) AS rn
+        |       FROM sc)
+        |SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+        |FROM pr WHERE rn = 1
+        |GROUP BY 1, 2
+        |ORDER BY lang, pred_lang""".stripMargin,
 
     // q199's pair graph closed into components via the q62 recursive
     // min-reachable-id CTE; singletons map to themselves, keep ⇔ min
@@ -5196,6 +5346,61 @@ object SparkEntry {
         |          / (length(a.sh) + length(b.sh) - length(list_intersect(a.sh, b.sh))) >= 0.5)
         |SELECT doc_id, t AS tick FROM keep
         |WHERE t NOT IN (SELECT tb FROM pairs)
+        |ORDER BY doc_id, tick""".stripMargin,
+
+    // q207 = q196's oracle + the media clause: keepers carry their planted
+    // dHash pattern (DHASH_SK_CTE — q196's stage-1 fl CTE renamed flq to
+    // avoid the name), and the later side of any hamming ≤ 3 keeper pair
+    // within the TTL window is dropped alongside the text-Jaccard drops
+    "q207_streaming_funnel_media" ->
+      s"""WITH $DHASH_SK_CTE,
+        |st AS (SELECT doc_id, text,
+        |  CAST(length(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+        |  CAST(length(list_filter(string_split(text, ' '), x -> list_contains(['the','a','of','and','to','in','is'], x))) AS BIGINT) AS n_stop,
+        |  CAST(length(list_filter(string_split(lower(text), ' '), x -> list_contains(['the','and','of','is','to'], x))) AS BIGINT) AS en_hits,
+        |  CAST(length(list_filter(string_split(lower(text), ' '), x -> list_contains(['el','la','de','que','y','los'], x))) AS BIGINT) AS es_hits,
+        |  CAST(length(list_filter(string_split(lower(text), ' '), x -> list_contains(['der','die','das','und','ist'], x))) AS BIGINT) AS de_hits
+        |  FROM documents),
+        |flq AS (SELECT doc_id, text FROM st
+        |  WHERE (en_hits >= es_hits AND en_hits >= de_hits AND en_hits > 0)
+        |    AND (n_tokens BETWEEN 5 AND 10000 AND
+        |         (CASE WHEN n_tokens = 0 THEN 0.0
+        |               ELSE CAST(n_stop AS DOUBLE) / n_tokens END) >= 0.01)),
+        |pos AS (SELECT doc_id, text,
+        |          CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS r,
+        |          (SELECT CAST(count(*) AS BIGINT) FROM flq) AS n
+        |        FROM flq),
+        |occ AS (SELECT doc_id, text, 2 * r AS t, n FROM pos
+        |  UNION ALL SELECT doc_id, text, 2 * r + 1, n FROM pos WHERE doc_id % 5 = 0
+        |  UNION ALL SELECT doc_id, text, 3 * n + r, n FROM pos WHERE doc_id % 10 = 0),
+        |ek AS (SELECT doc_id, text, t, n,
+        |         lag(t) OVER (PARTITION BY text ORDER BY t) AS prev
+        |       FROM occ),
+        |keep AS (SELECT doc_id, text, t, n FROM ek
+        |         WHERE prev IS NULL OR t - prev > n // 2),
+        |sh AS (SELECT doc_id, t, n,
+        |  CASE WHEN length(toks) < 3 THEN CAST([] AS VARCHAR[])
+        |       ELSE list_distinct(list_transform(range(1, length(toks) - 2 + 1),
+        |              i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+        |  END AS sh
+        |  FROM (SELECT doc_id, t, n,
+        |          list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |        FROM keep)),
+        |pairs AS MATERIALIZED (
+        |  SELECT b.t AS tb
+        |  FROM sh a JOIN sh b ON a.t < b.t AND b.t - a.t <= a.n // 2
+        |  WHERE length(a.sh) > 0 AND length(b.sh) > 0
+        |    AND CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |          / (length(a.sh) + length(b.sh) - length(list_intersect(a.sh, b.sh))) >= 0.5),
+        |ksk AS (SELECT keep.doc_id, keep.t, keep.n, sk.s1, sk.s2
+        |        FROM keep JOIN sk USING (doc_id)),
+        |mpairs AS MATERIALIZED (
+        |  SELECT b.t AS tb
+        |  FROM ksk a JOIN ksk b ON a.t < b.t AND b.t - a.t <= a.n // 2
+        |  WHERE bit_count(xor(a.s1, b.s1)) + bit_count(xor(a.s2, b.s2)) <= 3)
+        |SELECT doc_id, t AS tick FROM keep
+        |WHERE t NOT IN (SELECT tb FROM pairs)
+        |  AND t NOT IN (SELECT tb FROM mpairs)
         |ORDER BY doc_id, tick""".stripMargin,
 
     // Full recomputation of the hashed-linear score: the q24-family

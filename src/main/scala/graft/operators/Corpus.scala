@@ -378,6 +378,61 @@ object Corpus {
     Similarity.topkOf(cand, k).withColumnRenamed("vec_id", "doc_id")
   }
 
+  /** TRAINED language ID — the model-based upgrade of the q19 stopword
+    * heuristic, built entirely from machinery the engine already gates:
+    * [[hashedEmbedding]] featurizes every doc as a dim-length hashed
+    * bag-of-words integer vector (scan-side, no vocabulary), TRAINING is
+    * one distributed aggregation — the per-language feature CENTROID
+    * (element-wise count sum over that language's docs, a nearest-
+    * centroid/Rocchio classifier) — and SCORING is a broadcast of the
+    * |langs| centroid rows against the corpus with the q198 ranking
+    * contract: score = num²/n2_lang (num = integer dot via graft_doti,
+    * always ≥ 0 for count vectors, so the square is monotone in cosine
+    * for a fixed doc), ONE BigInt product cast to double and ONE division
+    * — every engine orders candidates identically; ties break on the
+    * language name. Prediction is a map-side-combined min_by over
+    * (-score, lang) — the argmax as an AGGREGATE, not a window, so
+    * parallelism stays at scan width.
+    *
+    * Weight-shipping note (the q101 contract): q101 ships its linear
+    * weights as one foldable literal; here the weights are TRAINED in the
+    * same job, so they travel as a broadcast frame instead — once training
+    * freezes, a deploy folds the centroids back into literals and scoring
+    * becomes exactly q101's zero-exchange scan.
+    *
+    * Overflow bound: num ≤ doc-token-mass × language-token-mass; at
+    * corpus scale num stays ≲10⁷ per this fixture family, far below the
+    * 2⁶³ wrap of num² (~3·10⁹ — [[hashedEmbedding]]'s documented bound);
+    * a corpus where one language's token mass approaches 10⁹ needs the
+    * DecimalType spelling.
+    *
+    * Output: one row per doc — (doc_id, lang, pred_lang).
+    */
+  def langIdTrained(docs: DataFrame, idCol: Column, textCol: Column,
+      langCol: Column, dim: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val base = docs.select(idCol.as("doc_id"), textCol.as("__text"),
+      langCol.as("lang"))
+    val e = hashedEmbedding(base, col("doc_id"), col("__text"), dim)
+      .join(base.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val centroids = e
+      .select(col("lang"), posexplode(col("vec")).as(Seq("pos", "c")))
+      .groupBy(col("lang"), col("pos")).agg(sum(col("c")).as("s"))
+      .groupBy(col("lang"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+        _.getField("s")).as("cv"))
+      .select(col("lang").as("cand"), col("cv"))
+      .withColumn("n2l", call_function("graft_doti", col("cv"), col("cv")))
+    e.crossJoin(broadcast(centroids))
+      .withColumn("num", call_function("graft_doti", col("vec"), col("cv")))
+      .withColumn("score",
+        (col("num") * col("num")).cast("double") / col("n2l"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(min_by(col("cand"),
+        struct((lit(-1.0) * col("score")).as("ns"), col("cand")))
+        .as("pred_lang"))
+  }
+
   def repetitionStats(docs: DataFrame, idCol: Column, textCol: Column): DataFrame = {
     val toks = Text.tokens(textCol)
     val base = docs.select(idCol.as("doc_id"), toks.as("toks"))

@@ -279,16 +279,31 @@ object CurationStream {
     */
   @volatile var lastTtlMs: Long = 0L
 
+  /** @param skCol optional 64-bit MEDIA SKETCH column (e.g.
+    *   [[graft.operators.Multimodal.imageDHash]] over the doc's image
+    *   asset): when present, a FOURTH stage routes the keeper occurrences
+    *   through [[StreamingOps.sketchNearDupStreamTtl]] with the SAME TTL,
+    *   in parallel with the text band index over the same keeper tape, and
+    *   an occurrence is dropped when EITHER modality is an in-window dup —
+    *   the mixed text+media ingest filter a multimodal pipeline deploys.
+    *   The media stage's state is its in-window bucket members (rate×TTL,
+    *   never corpus-sized — the same flat-state law as the text stages,
+    *   probed by ScaleProbe's funnel-stream law), and its drops are plain
+    *   SQL (later side of a hamming ≤ 3 pair within the TTL window), which
+    *   is what keeps the q207 gate a real DuckDB oracle.
+    */
   def replayFunnelTtl(spark: SparkSession, docs: DataFrame, idCol: Column,
       textCol: Column, nBatches: Int = 4,
-      ttlMsOverride: Option[Long] = None): DataFrame = {
+      ttlMsOverride: Option[Long] = None,
+      skCol: Option[Column] = None): DataFrame = {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
     val s1 = Pipeline.stageOneFlags(
-        docs.select(idCol.as("doc_id"), textCol.as("text")))
+        docs.select(idCol.as("doc_id"), textCol.as("text"),
+          skCol.getOrElse(lit(0L)).cast("long").as("sk")))
       .filter(col("lang_ok") && col("quality_ok"))
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)].collect().toSeq.sortBy(_._1)
+      .select(col("doc_id"), col("text"), col("sk"))
+      .as[(Long, String, Long)].collect().toSeq.sortBy(_._1)
     val n = s1.size
     // default TTL tracks the corpus (the q196 gate's near-dup-window
     // geometry); a probe overrides it to hold rate×TTL FIXED while the
@@ -298,15 +313,16 @@ object CurationStream {
     lastStageStats = Nil
     // occurrence tape: the tick IS the occurrence id (globally unique —
     // base even in [2, 2n], in-window odd, far regime in (3n, 4n])
-    val occs: Seq[(Long, Long, String)] = s1.zipWithIndex.flatMap {
-      case ((id, text), i) =>
+    val occs: Seq[(Long, Long, String, Long)] = s1.zipWithIndex.flatMap {
+      case ((id, text, sk), i) =>
         val r = (i + 1).toLong
-        Seq((2L * r, id, text)) ++
-          (if (id % 5 == 0) Seq((2L * r + 1L, id, text)) else Nil) ++
-          (if (id % 10 == 0) Seq((3L * n + r, id, text)) else Nil)
+        Seq((2L * r, id, text, sk)) ++
+          (if (id % 5 == 0) Seq((2L * r + 1L, id, text, sk)) else Nil) ++
+          (if (id % 10 == 0) Seq((3L * n + r, id, text, sk)) else Nil)
     }.sortBy(_._1)
-    def asTape(o: Seq[(Long, Long, String)]) = o.map { case (tick, _, text) =>
-      (tick, new java.sql.Timestamp(tick * 1000L), text)
+    def asTape(o: Seq[(Long, Long, String, Long)]) = o.map {
+      case (tick, _, text, _) =>
+        (tick, new java.sql.Timestamp(tick * 1000L), text)
     }
     // Stage 2 — TTL'd exact dedup over occurrences
     val keepTicks = MemoryReplay.replay(spark, asTape(occs), nBatches)(ds =>
@@ -315,7 +331,7 @@ object CurationStream {
       .toDF("occ")
     lastStageStats = lastStageStats :+
       ("s2_exact_ttl" -> MemoryReplay.lastStateStats)
-    val occDf = spark.createDataFrame(occs).toDF("occ", "doc_id", "text")
+    val occDf = spark.createDataFrame(occs).toDF("occ", "doc_id", "text", "sk")
     val keepers = occDf.join(keepTicks, Seq("occ")).localCheckpoint()
     val keeperSet = keepers.select(col("occ")).as[Long].collect().toSet
     // Stage 3 — TTL'd band index over the keepers; verify against the
@@ -345,9 +361,34 @@ object CurationStream {
       .toDF("occ").distinct()
     lastStageStats = lastStageStats :+
       ("s3_band_ttl" -> MemoryReplay.lastStateStats)
-    keepers
+    // Stage 4 (optional) — TTL'd MEDIA sketch index over the same keeper
+    // tape, in PARALLEL with the text stage (both see every keeper; a doc
+    // drops if EITHER modality is an in-window dup). Pairs are emitted
+    // final (verified in the fold); the later occurrence of a pair is the
+    // drop, same first-occurrence-wins policy as the text stage.
+    val mediaDrops = skCol match {
+      case None => None
+      case Some(_) =>
+        val tapeM = occs.filter(o => keeperSet(o._1)).map {
+          case (tick, _, _, sk) =>
+            (tick, new java.sql.Timestamp(tick * 1000L), sk)
+        }
+        val md = MemoryReplay.replay(spark, tapeM, nBatches)(ds =>
+            StreamingOps.sketchNearDupStreamTtl(
+              ds.toDF("occ", "ts", "sk"), "occ", "ts", "sk", ttlMs = ttlMs)
+              .map(_._2))
+          .toDF("occ").distinct()
+        lastStageStats = lastStageStats :+
+          ("s4_media_ttl" -> MemoryReplay.lastStateStats)
+        Some(md)
+    }
+    val afterText = keepers
       .join(drops.withColumn("_d", lit(true)), Seq("occ"), "left")
       .filter(col("_d").isNull)
+    mediaDrops.fold(afterText)(md =>
+        afterText.drop("_d")
+          .join(md.withColumn("_m", lit(true)), Seq("occ"), "left")
+          .filter(col("_m").isNull))
       .select(col("doc_id"), col("occ").as("tick"))
   }
 }

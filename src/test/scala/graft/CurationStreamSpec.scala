@@ -98,6 +98,51 @@ class CurationStreamSpec extends AnyFunSuite {
     assert(out1 == out)
   }
 
+  test("TTL funnel media stage: either-modality drop, window-scoped, absent column is a no-op") {
+    val sp = spark
+    import sp.implicits._
+    // 8 distinct-text stage-1 survivors (n=8, ttl = 4 ticks, base at 2i):
+    // no text dups/near-dups at all — every drop below is the MEDIA stage's
+    val texts = Seq(
+      (1L, "the cat sat on the mat and the dog sat too"),
+      (2L, "the sun is up and the moon is down today"),
+      (3L, "the red car and the blue car are in the lot"),
+      (4L, "the river runs to the sea and the sea is wide"),
+      (5L, "the old clock on the wall is slow and loud"),
+      (6L, "the green hill is far away and the path is long"),
+      (7L, "the tall ship sails into the bay at dawn light"),
+      (8L, "the small bird sings in the tree at noon time"))
+    // sketches: docs 1 and 2 share a sketch (ticks 2,4: Δt=2 ≤ ttl → 2
+    // drops); docs 3 and 8 share one (ticks 6,16: Δt=10 > ttl → both kept);
+    // the rest are pairwise far (> 3 bits apart)
+    val sk = Map(1L -> 0L, 2L -> 1L, 3L -> 255L, 8L -> 255L,
+      4L -> 0xF0F0L, 5L -> 0xFF00FFL, 6L -> 0xF0F0F0F0L, 7L -> 0xFFFFFFFFL)
+    val docs = texts.map { case (id, t) => (id, t, sk(id)) }
+      .toDF("doc_id", "text", "sk")
+    val out = CurationStream.replayFunnelTtl(spark, docs, col("doc_id"),
+        col("text"), nBatches = 3, skCol = Some(col("sk")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!out.exists(_._1 == 2L),
+      s"in-window media dup must drop the later occurrence: $out")
+    assert(out.exists(_._1 == 3L) && out.exists(_._1 == 8L),
+      s"beyond-ttl media pair must keep both sides: $out")
+    Seq(1L, 4L, 6L, 7L).foreach(id =>
+      assert(out.exists(_._1 == id), s"clean doc $id must be admitted"))
+    // media stage's state footprint was captured for the probe surface
+    assert(CurationStream.lastStageStats.exists(_._1 == "s4_media_ttl"))
+    // no sketch column → identical to the text-only funnel; no media stats
+    val textOnly = CurationStream.replayFunnelTtl(spark, docs, col("doc_id"),
+        col("text"), nBatches = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(textOnly.map(_._1) == texts.map(_._1).toSet)
+    assert(!CurationStream.lastStageStats.exists(_._1 == "s4_media_ttl"))
+    // split invariance with the media stage on
+    val out1 = CurationStream.replayFunnelTtl(spark, docs, col("doc_id"),
+        col("text"), nBatches = 1, skCol = Some(col("sk")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out1 == out)
+  }
+
   test("batch keep-best and streaming first-wins diverge exactly on the near-dup cluster") {
     val batch = graft.operators.Pipeline.curate(corpus, col("doc_id"),
         col("text"), benchPred = col("doc_id") === 10)
