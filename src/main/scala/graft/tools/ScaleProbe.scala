@@ -374,12 +374,19 @@ object ScaleProbe {
     // with wall exponent ≲ 1.
     def funnelStreamSection(): Unit = {
       import graft.streaming.CurationStream
-      def run(label: String, d: String, ttlOverride: Option[Long]): Double = {
+      // media probe sketch: groups of 8 docs share a 64-bit sketch (the
+      // q199 group geometry without the decode — the probe measures the
+      // INDEX state/wall, and the decode prep-pass has its own measured
+      // throughput row in --media-hundredx)
+      val mediaSk = xxhash64(floor(col("doc_id") / 8))
+      def run(label: String, d: String, ttlOverride: Option[Long],
+          withMedia: Boolean): Double = {
         val t0 = System.nanoTime()
         val rows = CurationStream.replayFunnelTtl(spark, docsOf(d),
-          col("doc_id"), col("text"), ttlMsOverride = ttlOverride).count()
+          col("doc_id"), col("text"), ttlMsOverride = ttlOverride,
+          skCol = if (withMedia) Some(mediaSk) else None).count()
         val w = (System.nanoTime() - t0) / 1e9
-        println(f"[probe] $label%-28s ${w}%8.2f s  ($rows rows, ttl=${CurationStream.lastTtlMs / 1000}s)")
+        println(f"[probe] $label%-36s ${w}%8.2f s  ($rows rows, ttl=${CurationStream.lastTtlMs / 1000}s)")
         CurationStream.lastStageStats.foreach { case (stage, stats) =>
           stats.foreach { case (op, rows2, bytes) =>
             println(f"[probe]   $label $stage state: rows=$rows2 bytes=$bytes ($op)")
@@ -387,14 +394,66 @@ object ScaleProbe {
         }
         w
       }
-      val w1 = run("1x funnelTtl (gate ttl)", srcDir, None)
+      val w1 = run("1x funnelTtl (gate ttl)", srcDir, None, withMedia = false)
       val ttl1 = CurationStream.lastTtlMs
-      run("10x funnelTtl (gate ttl)", dir, None)
-      val w10 = run("10x funnelTtl (ttl pinned to 1x)", dir, Some(ttl1))
+      run("10x funnelTtl (gate ttl)", dir, None, withMedia = false)
+      val w10 = run("10x funnelTtl (ttl pinned to 1x)", dir, Some(ttl1),
+        withMedia = false)
       println(f"[probe] funnel-stream wall exp=${math.log(w10 / w1) / math.log(10.0)}%.2f (1x -> 10x, fixed rate×TTL)")
+      // the media-stage law (q207's fourth stage): same contract — state
+      // at rate×TTL, flat when the window is pinned while the tape is 10×
+      val m1 = run("1x funnelTtl+media (gate ttl)", srcDir, None,
+        withMedia = true)
+      val ttlM = CurationStream.lastTtlMs
+      run("10x funnelTtl+media (gate ttl)", dir, None, withMedia = true)
+      val m10 = run("10x funnelTtl+media (ttl pinned to 1x)", dir, Some(ttlM),
+        withMedia = true)
+      println(f"[probe] funnel-stream+media wall exp=${math.log(m10 / m1) / math.log(10.0)}%.2f (1x -> 10x, fixed rate×TTL)")
     }
     if (args.contains("--funnel-stream")) {
       funnelStreamSection(); spark.stop(); return
+    }
+    // --compaction-law: the maintenance planner's growth exponents over
+    // 10k/100k/1M-row synthetic file manifests (metadata-only — the plan
+    // is the cheap half of compaction by design, and this row proves it
+    // stays that way): both the flat two-pass prefix-sum planner
+    // (compactionPlan, the q200 surface) and the per-partition window form
+    // (compactionPlanPartitioned, 64 partition dirs) are fit on the
+    // 100k→1M decade. File sizes hash-scatter across [1, 4096] against
+    // target 2000, so keeps and rewrites both stay ~materially populated.
+    def compactionLawSection(): Unit = {
+      import graft.sources.Warehouse
+      def manifest(n: Long) = spark.range(0, n, 1, 32)
+        .select(col("id").as("file_id"),
+          (pmod(xxhash64(col("id")), lit(4096L)) + lit(1L)).as("bytes"),
+          concat(lit("part="), pmod(col("id"), lit(64L))).as("partition"))
+      // materialize through the bin column: a bare count() lets the
+      // optimizer eliminate the unreferenced window/packing entirely (the
+      // decontam-probe lesson)
+      def force(df: org.apache.spark.sql.DataFrame): Long = {
+        val r = df.agg(count(lit(1)), sum(col("bin"))).head()
+        r.getLong(0) + r.getLong(1) * 0
+      }
+      val flat = Seq(("10k", 10000L), ("100k", 100000L), ("1M", 1000000L))
+        .map { case (label, n) =>
+          measure(s"$label compactionPlan") {
+            force(Warehouse.compactionPlan(manifest(n), col("file_id"),
+              col("bytes"), targetBytes = 2000L))
+          }
+        }
+      println(s"[probe] compactionPlan growth: ${expFit(flat)}")
+      val part = Seq(("10k", 10000L), ("100k", 100000L), ("1M", 1000000L))
+        .map { case (label, n) =>
+          measure(s"$label compactionPlanPartitioned") {
+            force(Warehouse.compactionPlanPartitioned(manifest(n),
+              col("file_id"), col("partition"), col("bytes"),
+              targetBytes = 2000L))
+          }
+        }
+      println(s"[probe] compactionPlanPartitioned growth: ${expFit(part)}")
+    }
+    if (args.contains("--compaction-law")) {
+      compactionLawSection(); spark.stop(); return
     }
     // --hashed-hundredx: the hashed-embedding retrieval chain's two-decade
     // growth fit (VERDICT r11 Next #5) — hashedEmbedding (scan-side
