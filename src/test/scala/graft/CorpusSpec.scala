@@ -393,6 +393,30 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.forall { case (q0, rn, d, _) => rn >= 1 && rn <= 5 && d != q0 })
   }
 
+  test("langIdTrained: planted markers separate languages; argmax tie-break is the min lang") {
+    import spark.implicits._
+    // two languages with disjoint marker vocab over a shared base: the
+    // centroid of each lang is dominated by its own markers, so every doc
+    // lands on its declared lang
+    val docs = (0L until 20L).map { i =>
+      val lang = if (i % 2 == 0) "aa" else "bb"
+      val marker = if (lang == "aa") "zzqa zzqb zzqc" else "yyra yyrb yyrc"
+      (i, s"the common base words here $marker $marker", lang)
+    }.toDF("doc_id", "text", "lang")
+    val got = Corpus.langIdTrained(docs, col("doc_id"), col("text"),
+      col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.length == 20)
+    assert(got.forall { case (_, lang, pred) => lang == pred },
+      s"disjoint markers must classify perfectly: ${got.filter(g => g._2 != g._3).toSeq}")
+    // identical docs across langs -> identical scores -> min-lang tie-break
+    val tied = Seq((1L, "same words", "bb"), (2L, "same words", "aa"))
+      .toDF("doc_id", "text", "lang")
+    val t = Corpus.langIdTrained(tied, col("doc_id"), col("text"), col("lang"))
+      .collect().map(r => r.getString(2)).distinct
+    assert(t.toSeq == Seq("aa"), s"equal scores must break to the min lang: ${t.toSeq}")
+  }
+
   test("extractMainText: tags, entities, boilerplate density, block counts") {
     import spark.implicits._
     val html =

@@ -210,6 +210,22 @@ class WarehouseSpec extends AnyFunSuite {
     assert(got.sameElements(want), "partitioned compaction must preserve data")
   }
 
+  test("partitioned planner over one partition equals the flat two-pass planner") {
+    import spark.implicits._
+    // hash-scattered sizes around the target: keeps and rewrites both hit
+    val files = (0L until 500L).map(i => (i, (i * 2654435761L % 4096L) + 1L))
+      .toDF("file_id", "bytes")
+    val flat = Warehouse.compactionPlan(files, col("file_id"), col("bytes"),
+        targetBytes = 2000L)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3))).sorted
+    val part = Warehouse.compactionPlanPartitioned(
+        files.withColumn("p", lit("")), col("file_id"), col("p"),
+        col("bytes"), targetBytes = 2000L)
+      .collect().map(r => (r.getLong(0), r.getString(3), r.getLong(4))).sorted
+    assert(flat.sameElements(part),
+      "one-partition window form must reproduce the two-pass prefix-sum bins")
+  }
+
   test("mergeUpsert: updates win per key, survivors pass through, base never shuffles") {
     import spark.implicits._
     val base = Seq((1L, "a", 10L, 1L), (2L, "a", 20L, 1L), (3L, "b", 30L, 1L))
