@@ -113,6 +113,56 @@ object SparkEntry {
       |    xor(h2, coalesce(f2, 0)) AS s2
       |  FROM hh LEFT JOIN fl USING (doc_id))""".stripMargin
 
+  /** Shared DuckDB CTE chain (q196, q207): the TTL ingest funnel's ground
+    * truth — stage-1 survivors (flq), the deterministic re-emission
+    * occurrence tape (base at 2r, id%5=0 in-window at 2r+1, id%10=0
+    * far-regime at 3n+r; ttl = n//2 ticks), lag-window exact-dedup keepers,
+    * and the later sides of exact-Jaccard ≥ 0.5 keeper pairs within the TTL
+    * window (`pairs`). q196 subtracts `pairs` alone; q207 additionally
+    * joins the keepers against DHASH_SK_CTE and subtracts the in-window
+    * hamming ≤ 3 media pairs — ONE funnel arithmetic, stated once, so a
+    * geometry fix can never diverge the two gates.
+    */
+  private val FUNNEL_TTL_CTE =
+    """st AS (SELECT doc_id, text,
+      |  CAST(length(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
+      |  CAST(length(list_filter(string_split(text, ' '), x -> list_contains(['the','a','of','and','to','in','is'], x))) AS BIGINT) AS n_stop,
+      |  CAST(length(list_filter(string_split(lower(text), ' '), x -> list_contains(['the','and','of','is','to'], x))) AS BIGINT) AS en_hits,
+      |  CAST(length(list_filter(string_split(lower(text), ' '), x -> list_contains(['el','la','de','que','y','los'], x))) AS BIGINT) AS es_hits,
+      |  CAST(length(list_filter(string_split(lower(text), ' '), x -> list_contains(['der','die','das','und','ist'], x))) AS BIGINT) AS de_hits
+      |  FROM documents),
+      |flq AS (SELECT doc_id, text FROM st
+      |  WHERE (en_hits >= es_hits AND en_hits >= de_hits AND en_hits > 0)
+      |    AND (n_tokens BETWEEN 5 AND 10000 AND
+      |         (CASE WHEN n_tokens = 0 THEN 0.0
+      |               ELSE CAST(n_stop AS DOUBLE) / n_tokens END) >= 0.01)),
+      |pos AS (SELECT doc_id, text,
+      |          CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS r,
+      |          (SELECT CAST(count(*) AS BIGINT) FROM flq) AS n
+      |        FROM flq),
+      |occ AS (SELECT doc_id, text, 2 * r AS t, n FROM pos
+      |  UNION ALL SELECT doc_id, text, 2 * r + 1, n FROM pos WHERE doc_id % 5 = 0
+      |  UNION ALL SELECT doc_id, text, 3 * n + r, n FROM pos WHERE doc_id % 10 = 0),
+      |ek AS (SELECT doc_id, text, t, n,
+      |         lag(t) OVER (PARTITION BY text ORDER BY t) AS prev
+      |       FROM occ),
+      |keep AS (SELECT doc_id, text, t, n FROM ek
+      |         WHERE prev IS NULL OR t - prev > n // 2),
+      |sh AS (SELECT doc_id, t, n,
+      |  CASE WHEN length(toks) < 3 THEN CAST([] AS VARCHAR[])
+      |       ELSE list_distinct(list_transform(range(1, length(toks) - 2 + 1),
+      |              i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+      |  END AS sh
+      |  FROM (SELECT doc_id, t, n,
+      |          list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |        FROM keep)),
+      |pairs AS MATERIALIZED (
+      |  SELECT b.t AS tb
+      |  FROM sh a JOIN sh b ON a.t < b.t AND b.t - a.t <= a.n // 2
+      |  WHERE length(a.sh) > 0 AND length(b.sh) > 0
+      |    AND CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |          / (length(a.sh) + length(b.sh) - length(list_intersect(a.sh, b.sh))) >= 0.5)""".stripMargin
+
   /** Shared q103/q110 oracle: hourly OHLC+VWAP bars — struct arg-min/max
     * open/close, exact-decimal VWAP, full-outer reunion (the streaming twin
     * reaches the identical shape via conditional aggregation).
@@ -1676,11 +1726,15 @@ object SparkEntry {
       val tape = t(s, d, "documents").select(col("doc_id")).as[Long]
         .map { id =>
           val pat = Multimodal.dHashPatternOf(id)
+          // per-modality encode params vary by (id/3)%3 — id%3 picked the
+          // modality, so it is CONSTANT inside each arm and would modulate
+          // nothing
+          val v = ((id / 3) % 3).toInt
           val sk = (id % 3) match {
             case 0 => Multimodal.imageDHash(
-              Multimodal.encodeDHashPng(pat, cell = 1 + (id % 3).toInt)).get
+              Multimodal.encodeDHashPng(pat, cell = 1 + v)).get
             case 1 => Multimodal.audioDHash(Multimodal.encodeEnergyWav(pat,
-              framesPerWin = 4 + (id % 3).toInt * 2)).get
+              framesPerWin = 4 + v * 2)).get
             case _ => Multimodal.videoTimingHash(
               Multimodal.encodeTimingMp4(pat, seed = id.toInt)).get
           }
@@ -5306,92 +5360,18 @@ object SparkEntry {
     // lag-window keepers (q193's predicate), then drop the later side of
     // any exact-Jaccard >= 0.5 keeper pair within the TTL window
     "q196_streaming_curation_ttl" ->
-      """WITH st AS (SELECT doc_id, text,
-        |  CAST(length(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
-        |  CAST(length(list_filter(string_split(text, ' '), x -> list_contains(['the','a','of','and','to','in','is'], x))) AS BIGINT) AS n_stop,
-        |  CAST(length(list_filter(string_split(lower(text), ' '), x -> list_contains(['the','and','of','is','to'], x))) AS BIGINT) AS en_hits,
-        |  CAST(length(list_filter(string_split(lower(text), ' '), x -> list_contains(['el','la','de','que','y','los'], x))) AS BIGINT) AS es_hits,
-        |  CAST(length(list_filter(string_split(lower(text), ' '), x -> list_contains(['der','die','das','und','ist'], x))) AS BIGINT) AS de_hits
-        |  FROM documents),
-        |fl AS (SELECT doc_id, text FROM st
-        |  WHERE (en_hits >= es_hits AND en_hits >= de_hits AND en_hits > 0)
-        |    AND (n_tokens BETWEEN 5 AND 10000 AND
-        |         (CASE WHEN n_tokens = 0 THEN 0.0
-        |               ELSE CAST(n_stop AS DOUBLE) / n_tokens END) >= 0.01)),
-        |pos AS (SELECT doc_id, text,
-        |          CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS r,
-        |          (SELECT CAST(count(*) AS BIGINT) FROM fl) AS n
-        |        FROM fl),
-        |occ AS (SELECT doc_id, text, 2 * r AS t, n FROM pos
-        |  UNION ALL SELECT doc_id, text, 2 * r + 1, n FROM pos WHERE doc_id % 5 = 0
-        |  UNION ALL SELECT doc_id, text, 3 * n + r, n FROM pos WHERE doc_id % 10 = 0),
-        |ek AS (SELECT doc_id, text, t, n,
-        |         lag(t) OVER (PARTITION BY text ORDER BY t) AS prev
-        |       FROM occ),
-        |keep AS (SELECT doc_id, text, t, n FROM ek
-        |         WHERE prev IS NULL OR t - prev > n // 2),
-        |sh AS (SELECT doc_id, t, n,
-        |  CASE WHEN length(toks) < 3 THEN CAST([] AS VARCHAR[])
-        |       ELSE list_distinct(list_transform(range(1, length(toks) - 2 + 1),
-        |              i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
-        |  END AS sh
-        |  FROM (SELECT doc_id, t, n,
-        |          list_filter(string_split(text, ' '), x -> x <> '') AS toks
-        |        FROM keep)),
-        |pairs AS MATERIALIZED (
-        |  SELECT b.t AS tb
-        |  FROM sh a JOIN sh b ON a.t < b.t AND b.t - a.t <= a.n // 2
-        |  WHERE length(a.sh) > 0 AND length(b.sh) > 0
-        |    AND CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |          / (length(a.sh) + length(b.sh) - length(list_intersect(a.sh, b.sh))) >= 0.5)
+      s"""WITH $FUNNEL_TTL_CTE
         |SELECT doc_id, t AS tick FROM keep
         |WHERE t NOT IN (SELECT tb FROM pairs)
         |ORDER BY doc_id, tick""".stripMargin,
 
-    // q207 = q196's oracle + the media clause: keepers carry their planted
-    // dHash pattern (DHASH_SK_CTE — q196's stage-1 fl CTE renamed flq to
-    // avoid the name), and the later side of any hamming ≤ 3 keeper pair
-    // within the TTL window is dropped alongside the text-Jaccard drops
+    // q207 = the shared funnel chain + the media clause: keepers carry
+    // their planted dHash pattern (DHASH_SK_CTE), and the later side of
+    // any hamming ≤ 3 keeper pair within the TTL window is dropped
+    // alongside the text-Jaccard drops
     "q207_streaming_funnel_media" ->
       s"""WITH $DHASH_SK_CTE,
-        |st AS (SELECT doc_id, text,
-        |  CAST(length(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens,
-        |  CAST(length(list_filter(string_split(text, ' '), x -> list_contains(['the','a','of','and','to','in','is'], x))) AS BIGINT) AS n_stop,
-        |  CAST(length(list_filter(string_split(lower(text), ' '), x -> list_contains(['the','and','of','is','to'], x))) AS BIGINT) AS en_hits,
-        |  CAST(length(list_filter(string_split(lower(text), ' '), x -> list_contains(['el','la','de','que','y','los'], x))) AS BIGINT) AS es_hits,
-        |  CAST(length(list_filter(string_split(lower(text), ' '), x -> list_contains(['der','die','das','und','ist'], x))) AS BIGINT) AS de_hits
-        |  FROM documents),
-        |flq AS (SELECT doc_id, text FROM st
-        |  WHERE (en_hits >= es_hits AND en_hits >= de_hits AND en_hits > 0)
-        |    AND (n_tokens BETWEEN 5 AND 10000 AND
-        |         (CASE WHEN n_tokens = 0 THEN 0.0
-        |               ELSE CAST(n_stop AS DOUBLE) / n_tokens END) >= 0.01)),
-        |pos AS (SELECT doc_id, text,
-        |          CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS r,
-        |          (SELECT CAST(count(*) AS BIGINT) FROM flq) AS n
-        |        FROM flq),
-        |occ AS (SELECT doc_id, text, 2 * r AS t, n FROM pos
-        |  UNION ALL SELECT doc_id, text, 2 * r + 1, n FROM pos WHERE doc_id % 5 = 0
-        |  UNION ALL SELECT doc_id, text, 3 * n + r, n FROM pos WHERE doc_id % 10 = 0),
-        |ek AS (SELECT doc_id, text, t, n,
-        |         lag(t) OVER (PARTITION BY text ORDER BY t) AS prev
-        |       FROM occ),
-        |keep AS (SELECT doc_id, text, t, n FROM ek
-        |         WHERE prev IS NULL OR t - prev > n // 2),
-        |sh AS (SELECT doc_id, t, n,
-        |  CASE WHEN length(toks) < 3 THEN CAST([] AS VARCHAR[])
-        |       ELSE list_distinct(list_transform(range(1, length(toks) - 2 + 1),
-        |              i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
-        |  END AS sh
-        |  FROM (SELECT doc_id, t, n,
-        |          list_filter(string_split(text, ' '), x -> x <> '') AS toks
-        |        FROM keep)),
-        |pairs AS MATERIALIZED (
-        |  SELECT b.t AS tb
-        |  FROM sh a JOIN sh b ON a.t < b.t AND b.t - a.t <= a.n // 2
-        |  WHERE length(a.sh) > 0 AND length(b.sh) > 0
-        |    AND CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |          / (length(a.sh) + length(b.sh) - length(list_intersect(a.sh, b.sh))) >= 0.5),
+        |$FUNNEL_TTL_CTE,
         |ksk AS (SELECT keep.doc_id, keep.t, keep.n, sk.s1, sk.s2
         |        FROM keep JOIN sk USING (doc_id)),
         |mpairs AS MATERIALIZED (

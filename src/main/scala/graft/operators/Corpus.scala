@@ -80,8 +80,13 @@ object Corpus {
       "(?is)<(script|style)\\b[^>]*>.*$", " ")
     val noHead = regexp_replace(noOpenDangling,
       "(?is)<head\\b[^>]*>.*?</head\\s*>", " ")
+    // strip non-whitespace CONTROL bytes (scraped pages carry binary
+    // contamination; 0x01 doubles as the block sentinel below, so a
+    // pre-existing one would forge block boundaries) — extraction hygiene
+    // and sentinel safety in one pass
+    val noCtl = regexp_replace(noHead, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", " ")
     // 2. block segmentation on block-level tag boundaries
-    val blockified = regexp_replace(noHead,
+    val blockified = regexp_replace(noCtl,
       "(?i)</?(p|div|li|ul|ol|h[1-6]|table|tr|td|th|br|hr|section|article|" +
         "header|footer|nav|aside|blockquote|pre|html|body)\\b[^>]*>",
       "")
@@ -413,8 +418,12 @@ object Corpus {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val base = docs.select(idCol.as("doc_id"), textCol.as("__text"),
       langCol.as("lang"))
+    // pinned (the curate stage-boundary convention): the featurized frame
+    // feeds BOTH the centroid aggregation and the scoring cross join —
+    // unpinned, each side re-runs the corpus scan + featurization
     val e = hashedEmbedding(base, col("doc_id"), col("__text"), dim)
       .join(base.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .localCheckpoint()
     val centroids = e
       .select(col("lang"), posexplode(col("vec")).as(Seq("pos", "c")))
       .groupBy(col("lang"), col("pos")).agg(sum(col("c")).as("s"))

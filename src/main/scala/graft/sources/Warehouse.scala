@@ -243,9 +243,11 @@ object Warehouse {
     * partition directory is compacted independently — its rewrite set read
     * back once and written one file per bin (a bin-keyed repartition puts
     * all of a bin's rows in one task; the `__bin` staging dirs are then
-    * flattened to `compacted-<bin>.parquet` alongside the kept files, so
-    * `outPath` mirrors the source layout and reads as ONE parquet table —
-    * no mixed partition/non-partition output, no phantom `__bin` column).
+    * flattened to `compacted-<bin>-<staged-name>.parquet` alongside the
+    * kept files — the staged part-file's unique suffix prevents aliasing
+    * against keeps from a PREVIOUS compaction cycle — so `outPath` mirrors
+    * the source layout and reads as ONE parquet table — no mixed
+    * partition/non-partition output, no phantom `__bin` column).
     * Keeps pass through by Hadoop-FS copy (file://, HDFS, object stores —
     * same reasoning as [[fileManifest]]; at real scale a metastore pointer
     * move replaces the copy, but the op must not silently no-op off the
@@ -277,6 +279,17 @@ object Warehouse {
       val srcDir = if (part.isEmpty) path else s"$path/$part"
       val dstDir = if (part.isEmpty) outPath else s"$outPath/$part"
       outFs.mkdirs(new org.apache.hadoop.fs.Path(dstDir))
+      // keeps FIRST, so a later bin-file landing can never be clobbered
+      // by a keep copy — and bin names below embed the staged part-file's
+      // unique suffix, so a keep that IS a previous cycle's compacted-*
+      // output cannot collide with this cycle's bins either
+      rows.filter(_._3 == "keep").map(_._2).foreach { f =>
+        val src = new org.apache.hadoop.fs.Path(s"$srcDir/$f")
+        org.apache.hadoop.fs.FileUtil.copy(
+          src.getFileSystem(hconf), src, outFs,
+          new org.apache.hadoop.fs.Path(s"$dstDir/$f"),
+          false, true, hconf)
+      }
       val binOfFile = rows.filter(_._3 == "rewrite").map(r => (r._2, r._4)).toSeq
       if (binOfFile.nonEmpty) {
         import spark.implicits._
@@ -289,7 +302,12 @@ object Warehouse {
           .repartition(col("__bin"))
           .write.mode("overwrite").partitionBy("__bin")
           .parquet(staging)
-        // flatten: staging/__bin=N/part-*.parquet -> dstDir/compacted-N.parquet
+        // flatten: staging/__bin=N/part-<task>-<uuid>.parquet ->
+        // dstDir/compacted-N-<uuid>.parquet (the staged name's unique
+        // suffix rides along, so repeated compaction cycles into reused
+        // outputs can never alias). rename() returns FALSE instead of
+        // throwing on an existing destination — check it, or the staging
+        // delete below would silently destroy the bin's only data file
         val stP = new org.apache.hadoop.fs.Path(staging)
         outFs.listStatus(stP).filter(s =>
             s.isDirectory && s.getPath.getName.startsWith("__bin=")).foreach { d =>
@@ -298,17 +316,14 @@ object Warehouse {
             .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
           require(dataFiles.length == 1,
             s"bin $bin produced ${dataFiles.length} files (expected 1)")
-          outFs.rename(dataFiles.head.getPath,
-            new org.apache.hadoop.fs.Path(s"$dstDir/compacted-$bin.parquet"))
+          val dst = new org.apache.hadoop.fs.Path(
+            s"$dstDir/compacted-$bin-${dataFiles.head.getPath.getName}")
+          if (!outFs.rename(dataFiles.head.getPath, dst))
+            throw new java.io.IOException(
+              s"cannot publish bin $bin: rename to $dst failed" +
+                (if (outFs.exists(dst)) " (destination exists)" else ""))
         }
         outFs.delete(stP, true)
-      }
-      rows.filter(_._3 == "keep").map(_._2).foreach { f =>
-        val src = new org.apache.hadoop.fs.Path(s"$srcDir/$f")
-        org.apache.hadoop.fs.FileUtil.copy(
-          src.getFileSystem(hconf), src, outFs,
-          new org.apache.hadoop.fs.Path(s"$dstDir/$f"),
-          false, true, hconf)
       }
     }
     plan

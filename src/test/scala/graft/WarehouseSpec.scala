@@ -210,6 +210,35 @@ class WarehouseSpec extends AnyFunSuite {
     assert(got.sameElements(want), "partitioned compaction must preserve data")
   }
 
+  test("repeated compaction cycles: prior compacted keeps never alias new bins") {
+    // cycle 1 output holds compacted-* files; cycle 2 sees them as KEEPS
+    // next to freshly ingested small files — the keep copy must not
+    // clobber (or be clobbered by) cycle 2's bin files (review finding:
+    // the pre-fix naming lost a whole bin silently on this exact path)
+    val root = java.nio.file.Files.createTempDirectory("graft_ccycle").toString
+    val docs = Tables.load(spark, dir, "documents")
+    docs.repartition(12).write.mode("overwrite").parquet(s"$root/gen0")
+    val target = Warehouse.fileManifest(spark, s"$root/gen0")
+      .agg(max(col("bytes"))).head().getLong(0) * 6 // all small -> bins
+    Warehouse.compactByPlan(spark, s"$root/gen0", target, s"$root/gen1")
+    // new micro-batch appends land next to the compacted keeps
+    docs.limit(100).repartition(8).write.mode("append").parquet(s"$root/gen1")
+    val want = spark.read.parquet(s"$root/gen1").count()
+    // cycle-2 target sized so the prior compacted files are KEEPS and the
+    // appended micro-batch files are rewrites — the collision regime
+    val gen1 = Warehouse.fileManifest(spark, s"$root/gen1").collect()
+      .map(r => (r.getString(2), r.getLong(3)))
+    val target2 = gen1.filter(_._1.startsWith("compacted-")).map(_._2).min
+    assert(gen1.filter(!_._1.startsWith("compacted-")).forall(_._2 < target2),
+      "appended files must be small enough to rewrite")
+    val plan2 = Warehouse.compactByPlan(spark, s"$root/gen1", target2,
+      s"$root/gen2").collect()
+    assert(plan2.exists(_.getString(3) == "keep") &&
+      plan2.exists(_.getString(3) == "rewrite"), "both actions must occur")
+    val got = spark.read.parquet(s"$root/gen2").count()
+    assert(got == want, s"second cycle lost rows: $got vs $want")
+  }
+
   test("partitioned planner over one partition equals the flat two-pass planner") {
     import spark.implicits._
     // hash-scattered sizes around the target: keeps and rewrites both hit
