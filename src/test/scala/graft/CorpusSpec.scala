@@ -437,6 +437,21 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.getLong(3) == 2L, s"n_dropped: $got")
   }
 
+  test("extractMainText plan: one scan, zero exchanges before the output sort") {
+    // stage 0's claim is "scan-side, zero shuffle": q206's only Exchange
+    // must be the final ORDER BY's range partitioning, single corpus scan
+    val df = graft.SparkEntry.queries("q206_html_extract")(
+      spark, "/root/testdata/sf0.001")
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(scans.size == 1, s"expected 1 corpus scan, got ${scans.size}")
+    val exchanges = df.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("Exchange")).toList
+    assert(exchanges.size == 1 && exchanges.head.contains("rangepartitioning"),
+      s"expected only the output-sort range exchange, got: $exchanges")
+  }
+
   test("extractMainText: malformed markup is total — no hang, no throw, no script leak") {
     import spark.implicits._
     val cases = Seq(

@@ -318,6 +318,34 @@ class WarehouseSpec extends AnyFunSuite {
     assert(got2.toSeq == got.toSeq, "re-merging the same updates must converge")
   }
 
+  test("mergeUpsertStream: micro-batched updates maintain the base table end-to-end") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_mstream").toString
+    val basePath = s"$root/state"
+    Seq((1L, "a", 10L, 1L), (2L, "b", 20L, 1L))
+      .toDF("k", "part", "v", "seq").write.partitionBy("part").parquet(basePath)
+    implicit val sq = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long, Long)]
+    val q = graft.sources.Warehouse.mergeUpsertStream(
+      mem.toDF().toDF("k", "part", "v", "seq"), basePath, Seq("k"), "seq",
+      "part", s"$root/ckpt", s"$root/ledger")
+    try {
+      mem.addData((1L, "a", 11L, 2L)) // update k=1
+      q.processAllAvailable()
+      mem.addData((3L, "c", 30L, 2L)) // insert new key, new partition
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(basePath)
+      .select(col("k"), col("v"), col("seq")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 11L, 2L), (2L, 20L, 1L), (3L, 30L, 2L)))
+    // one ledger marker per committed epoch
+    val markers = Option(new java.io.File(s"$root/ledger").listFiles())
+      .get.map(_.getName).filter(_.startsWith("epoch-")).sorted
+    assert(markers.length == 2, s"epoch markers: ${markers.toSeq}")
+  }
+
   test("q139: bucketed join shuffles neither side — the only Exchange is the groupBy") {
     val df = graft.SparkEntry.queries("q139_bucketed_join")(
       spark, "/root/testdata/sf0.001")
