@@ -163,6 +163,44 @@ object SparkEntry {
       |    AND CAST(length(list_intersect(a.sh, b.sh)) AS DOUBLE)
       |          / (length(a.sh) + length(b.sh) - length(list_intersect(a.sh, b.sh))) >= 0.5)""".stripMargin
 
+  /** Shared q208/q211 CDC fixture: every doc at seq 1 as the latest-state
+    * base; updates = id%3 at seq 2, id%7 at seq 3 (keys in both take the
+    * max), id%11 as brand-new inserted keys (offset far above any doc_id).
+    */
+  private def mergeFixture(docs: DataFrame): (DataFrame, DataFrame) = {
+    val base = docs.select(col("doc_id").as("k"), col("source"),
+      col("n_chars").as("v"), lit(1L).as("seq"))
+    val updates = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id").as("k"), col("source"),
+        (col("n_chars") + 1000L).as("v"), lit(2L).as("seq"))
+      .unionByName(docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("k"), col("source"),
+          (col("n_chars") + 7000L).as("v"), lit(3L).as("seq")))
+      .unionByName(docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 10000000L).as("k"), col("source"),
+          col("n_chars").as("v"), lit(2L).as("seq")))
+    (base, updates)
+  }
+
+  /** Shared DuckDB CTE chain (q208, q211): the CDC fixture's base, update
+    * and union frames — must mirror [[mergeFixture]] column-for-column.
+    */
+  private val MERGE_CTE =
+    """mbase AS (
+      |  SELECT doc_id AS k, source, n_chars AS v, CAST(1 AS BIGINT) AS seq
+      |  FROM documents),
+      |mupd AS (
+      |  SELECT doc_id AS k, source, n_chars + 1000 AS v,
+      |         CAST(2 AS BIGINT) AS seq
+      |  FROM documents WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id, source, n_chars + 7000, CAST(3 AS BIGINT)
+      |  FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, source, n_chars, CAST(2 AS BIGINT)
+      |  FROM documents WHERE doc_id % 11 = 0),
+      |mu AS (SELECT * FROM mbase UNION ALL SELECT * FROM mupd)""".stripMargin
+
   /** Shared q103/q110 oracle: hourly OHLC+VWAP bars — struct arg-min/max
     * open/close, exact-decimal VWAP, full-outer reunion (the streaming twin
     * reaches the identical shape via conditional aggregation).
@@ -1818,20 +1856,35 @@ object SparkEntry {
     // latest-per-key window over base ∪ updates, which is exactly what the
     // oracle computes — the equality is the gate.
     "q208_merge_upsert" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val base = docs.select(col("doc_id").as("k"), col("source"),
-        col("n_chars").as("v"), lit(1L).as("seq"))
-      val updates = docs.filter(col("doc_id") % 3 === 0)
-        .select(col("doc_id").as("k"), col("source"),
-          (col("n_chars") + 1000L).as("v"), lit(2L).as("seq"))
-        .unionByName(docs.filter(col("doc_id") % 7 === 0)
-          .select(col("doc_id").as("k"), col("source"),
-            (col("n_chars") + 7000L).as("v"), lit(3L).as("seq")))
-        .unionByName(docs.filter(col("doc_id") % 11 === 0)
-          .select((col("doc_id") + 10000000L).as("k"), col("source"),
-            col("n_chars").as("v"), lit(2L).as("seq")))
+      val (base, updates) = mergeFixture(t(s, d, "documents"))
       graft.sources.Warehouse.mergeUpsert(base, updates, Seq("k"), "seq")
         .orderBy(col("k"))
+    }),
+
+    // TIME TRAVEL through the manifest commit log (TableLog) — the atomic
+    // "metastore pointer swap" the compact/merge docs point at, exercised
+    // end-to-end: v1 = base snapshot (overwrite), v2 = update batch
+    // APPENDED (old files referenced, never copied), v3 = the CDC merge
+    // committed as a new snapshot (reads v2, whose duplicate keys collapse
+    // to the max-seq winner — identical to q208's merged state). The gate
+    // reads ALL THREE versions of one table in one query; every snapshot
+    // is plain SQL over (doc_id, n_chars), so the oracle re-derives each
+    // version's exact row set. Commit-protocol behaviors that SQL cannot
+    // see (rename-is-the-commit, stray-tmp ignorance, optimistic
+    // concurrency, keep-by-reference compaction) are WarehouseSpec's.
+    "q211_time_travel" -> ((s, d) => {
+      val (base, updates) = mergeFixture(t(s, d, "documents"))
+      // fresh table root per invocation: versions are always exactly 1..3
+      // (bench reps and verify runs must not accrete history)
+      val root = java.nio.file.Files.createTempDirectory("graft_tlog").toString
+      graft.sources.TableLog.overwrite(base, root)
+      graft.sources.TableLog.append(updates, root)
+      graft.sources.TableLog.mergeUpsert(s, root, updates, Seq("k"), "seq")
+      Seq(1L, 2L, 3L)
+        .map(ver => graft.sources.TableLog.read(s, root, Some(ver))
+          .withColumn("version", lit(ver)))
+        .reduce(_ unionByName _)
+        .orderBy(col("version"), col("k"), col("seq"))
     }),
 
     // TRAINED language ID (Corpus.langIdTrained) — q19's heuristic upgraded
@@ -4853,23 +4906,26 @@ object SparkEntry {
     // MERGE latest-state: the window form over base ∪ updates — equal to
     // the engine's anti-join plan under the monotone-seq CDC contract
     "q208_merge_upsert" ->
-      """WITH base AS (
-        |  SELECT doc_id AS k, source, n_chars AS v, CAST(1 AS BIGINT) AS seq
-        |  FROM documents),
-        |upd AS (
-        |  SELECT doc_id AS k, source, n_chars + 1000 AS v,
-        |         CAST(2 AS BIGINT) AS seq
-        |  FROM documents WHERE doc_id % 3 = 0
-        |  UNION ALL
-        |  SELECT doc_id, source, n_chars + 7000, CAST(3 AS BIGINT)
-        |  FROM documents WHERE doc_id % 7 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 10000000, source, n_chars, CAST(2 AS BIGINT)
-        |  FROM documents WHERE doc_id % 11 = 0),
-        |u AS (SELECT * FROM base UNION ALL SELECT * FROM upd)
-        |SELECT k, source, v, seq FROM u
+      s"""WITH $MERGE_CTE
+        |SELECT k, source, v, seq FROM mu
         |QUALIFY row_number() OVER (PARTITION BY k ORDER BY seq DESC) = 1
         |ORDER BY k""".stripMargin,
+
+    // Three snapshots of one logged table, each a plain derivation: v1 =
+    // the base, v2 = base ∪ updates (append references, duplicate keys
+    // visible), v3 = the merged latest state — the commit log's read path
+    // must reproduce all three from its manifests
+    "q211_time_travel" ->
+      s"""WITH $MERGE_CTE,
+        |merged AS (
+        |  SELECT k, source, v, seq FROM mu
+        |  QUALIFY row_number() OVER (PARTITION BY k ORDER BY seq DESC) = 1)
+        |SELECT k, source, v, seq, CAST(1 AS BIGINT) AS version FROM mbase
+        |UNION ALL
+        |SELECT k, source, v, seq, CAST(2 AS BIGINT) FROM mu
+        |UNION ALL
+        |SELECT k, source, v, seq, CAST(3 AS BIGINT) FROM merged
+        |ORDER BY version, k, seq""".stripMargin,
 
     // Full re-derivation of the trained classifier: marker-augmented text,
     // q197's portable hashed token counts, per-language centroid sums,

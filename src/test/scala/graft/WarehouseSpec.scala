@@ -346,6 +346,66 @@ class WarehouseSpec extends AnyFunSuite {
     assert(markers.length == 2, s"epoch markers: ${markers.toSeq}")
   }
 
+  test("TableLog: rename-is-the-commit, stray tmp ignored, CAS loser throws") {
+    import graft.sources.TableLog
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_tlog").toString
+    val v1 = TableLog.overwrite(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), root)
+    assert(v1 == 1L && TableLog.versions(spark, root) == Seq(1L))
+    // a crash mid-commit leaves only a .tmp manifest — invisible
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/_graft_log/v2.manifest.tmp-dead"),
+      "phantom.parquet\n")
+    assert(TableLog.versions(spark, root) == Seq(1L),
+      "in-flight tmp manifests must not read as commits")
+    val v2 = TableLog.append(Seq((3L, 30L)).toDF("k", "v"), root)
+    assert(v2 == 2L)
+    // append referenced v1's files rather than rewriting them
+    val m1 = graft.sources.TableLog.manifest(spark, root, Some(1L))
+    val m2 = graft.sources.TableLog.manifest(spark, root, Some(2L))
+    assert(m1.forall(m2.contains), "append must reference the prior files")
+    assert(TableLog.read(spark, root, Some(1L)).count() == 2L)
+    assert(TableLog.read(spark, root).count() == 3L)
+    // optimistic concurrency: writer A plans against head v2; writer B
+    // commits v3 first; A's pinned-base commit loses the rename CAS and
+    // must throw (its snapshot is stale), not silently alias
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/_graft_log/v3.manifest"),
+      m2.mkString("", "\n", "\n"))
+    intercept[java.io.IOException] {
+      TableLog.commit(spark, root, m2, basedOn = Some(2L))
+    }
+    // an un-pinned writer simply lands after the interloper
+    assert(TableLog.append(Seq((4L, 40L)).toDF("k", "v"), root) == 4L)
+  }
+
+  test("TableLog.compact: keeps by reference, atomic swap, old snapshots intact") {
+    import graft.sources.TableLog
+    val root = java.nio.file.Files.createTempDirectory("graft_tlogc").toString
+    val docs = Tables.load(spark, dir, "documents")
+    // fragmented initial snapshot: 24 small files + one big appended
+    TableLog.overwrite(docs.repartition(24), root)
+    TableLog.append(docs.union(docs).coalesce(1), root)
+    val before = TableLog.manifest(spark, root)
+    val fs = new java.io.File(root)
+    def bytesOf(rel: String) = new java.io.File(s"$root/$rel").length()
+    val target = before.map(bytesOf).max / 2
+    val keepSet = before.filter(bytesOf(_) >= target).toSet
+    assert(keepSet.nonEmpty && keepSet.size < before.size,
+      "fixture needs both keeps and rewrites")
+    val want = TableLog.read(spark, root).collect().map(_.toString).sorted
+    val v3 = TableLog.compact(spark, root, target)
+    val after = TableLog.manifest(spark, root, Some(v3))
+    // keeps appear in the new manifest under the SAME path — zero IO
+    assert(keepSet.subsetOf(after.toSet), "keeps must be referenced, not copied")
+    assert(after.size < before.size, s"compaction must shrink: ${before.size} -> ${after.size}")
+    val got = TableLog.read(spark, root).collect().map(_.toString).sorted
+    assert(got.sameElements(want), "compaction must not change the data")
+    // the pre-compaction snapshot is still a consistent read
+    val old = TableLog.read(spark, root, Some(2L)).collect().map(_.toString).sorted
+    assert(old.sameElements(want), "old versions stay readable after compaction")
+  }
+
   test("q139: bucketed join shuffles neither side — the only Exchange is the groupBy") {
     val df = graft.SparkEntry.queries("q139_bucketed_join")(
       spark, "/root/testdata/sf0.001")
