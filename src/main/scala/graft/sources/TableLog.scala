@@ -196,4 +196,90 @@ object TableLog {
       updates, keyCols, seqCol)
     commit(spark, root, writeData(merged, root), basedOn = Some(head))
   }
+
+  /** Retention pass (the real formats' VACUUM): keep the newest
+    * `keepVersions` manifests, delete the older manifests and every data
+    * file they alone referenced, and sweep ORPHANS — data files referenced
+    * by NO manifest (a crashed [[writeData]] before its commit) — older
+    * than `orphanMinAgeMs` (the age guard protects a writer that has
+    * staged files but not yet committed; production retention uses hours,
+    * tests pass 0). Time travel older than the horizon is gone after this
+    * by design — that is what the op is for (unbounded history is
+    * unbounded storage). Driver-side, manifest-sized.
+    */
+  def vacuum(spark: SparkSession, root: String, keepVersions: Int = 1,
+      orphanMinAgeMs: Long = 7L * 24 * 3600 * 1000): Unit = {
+    require(keepVersions >= 1, "must keep at least the head version")
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions under $root")
+    val (old, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
+    val rootP = new Path(root)
+    val fs = fsOf(spark, rootP)
+    val referenced = keep.flatMap(v => manifest(spark, root, Some(v))).toSet
+    val oldRefs = old.flatMap(v => manifest(spark, root, Some(v))).toSet
+    (oldRefs -- referenced).foreach(f =>
+      fs.delete(new Path(s"$root/$f"), false))
+    old.foreach(v =>
+      fs.delete(new Path(s"$root/_graft_log/v$v.manifest"), false))
+    // orphan sweep: commit-dir data files no manifest references, past the
+    // in-flight-writer age guard
+    val now = System.currentTimeMillis()
+    // exactly the commit-dir shape writeData produces — never sweep
+    // unrelated directories a user parked under the root
+    fs.listStatus(rootP).filter(s =>
+        s.isDirectory && s.getPath.getName.matches("c[0-9a-f]{32}")).foreach { d =>
+      fs.listStatus(d.getPath).foreach { f =>
+        val rel = s"${d.getPath.getName}/${f.getPath.getName}"
+        if (f.isFile && f.getPath.getName.endsWith(".parquet") &&
+            !referenced.contains(rel) && !oldRefs.contains(rel) &&
+            now - f.getModificationTime >= orphanMinAgeMs)
+          fs.delete(f.getPath, false)
+      }
+      if (fs.listStatus(d.getPath).isEmpty) fs.delete(d.getPath, false)
+    }
+  }
+
+  /** One micro-batch of [[appendStream]] — epoch-ledger idempotence (the
+    * [[Warehouse.mergeUpsertBatch]] pattern, markers under the log dir) so
+    * a crash-replayed epoch appends once, plus a bounded retry on the
+    * commit CAS: appends COMMUTE, so losing the race to an unrelated
+    * writer just means re-reading the head and appending after it.
+    */
+  def appendBatch(batch: DataFrame, batchId: Long, root: String,
+      casRetries: Int = 5): Unit = {
+    val spark = batch.sparkSession
+    val marker = new Path(s"$root/_graft_log/epochs/epoch-$batchId")
+    val fs = fsOf(spark, marker)
+    if (!fs.exists(marker)) {
+      var attempt = 0
+      var done = false
+      while (!done) {
+        try { append(batch, root); done = true }
+        catch {
+          case e: java.io.IOException if attempt < casRetries =>
+            attempt += 1
+            org.slf4j.LoggerFactory.getLogger("graft.sources.TableLog")
+              .warn(s"append epoch $batchId lost the commit CAS " +
+                s"(attempt $attempt/$casRetries), re-reading head: $e")
+        }
+      }
+      fs.mkdirs(marker.getParent)
+      fs.create(marker, true).close()
+    }
+  }
+
+  /** Continuous micro-batch APPEND into a logged table — the streaming
+    * sink whose every batch becomes one atomic snapshot commit (readers
+    * see whole batches or nothing; no in-progress files ever visible,
+    * unlike a raw parquet directory sink).
+    */
+  def appendStream(updates: DataFrame, root: String, checkpointDir: String):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        appendBatch(batch, id, root)
+      }
+      .start()
 }

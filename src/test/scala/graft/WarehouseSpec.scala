@@ -406,6 +406,58 @@ class WarehouseSpec extends AnyFunSuite {
     assert(old.sameElements(want), "old versions stay readable after compaction")
   }
 
+  test("TableLog.vacuum: horizon enforced, head intact, orphans swept by age") {
+    import graft.sources.TableLog
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_tlogv").toString
+    TableLog.overwrite(Seq((1L, 10L)).toDF("k", "v"), root) // v1
+    TableLog.append(Seq((2L, 20L)).toDF("k", "v"), root)    // v2
+    TableLog.overwrite(Seq((9L, 90L)).toDF("k", "v"), root) // v3: v1/v2 files unreferenced
+    val droppedFiles = TableLog.manifest(spark, root, Some(2L))
+    // a crashed writeData: staged but never committed
+    val orphan = TableLog.writeData(Seq((7L, 70L)).toDF("k", "v"), root)
+    TableLog.vacuum(spark, root, keepVersions = 1, orphanMinAgeMs = 0L)
+    assert(graft.sources.TableLog.versions(spark, root) == Seq(3L))
+    assert(TableLog.read(spark, root).collect().map(_.getLong(0)).toSeq == Seq(9L))
+    droppedFiles.foreach(f =>
+      assert(!new java.io.File(s"$root/$f").exists(), s"$f must be deleted"))
+    orphan.foreach(f =>
+      assert(!new java.io.File(s"$root/$f").exists(), s"orphan $f must be swept"))
+    intercept[IllegalArgumentException] {
+      TableLog.read(spark, root, Some(1L)).collect()
+    }
+    // age guard: a fresh orphan with the default 7-day threshold survives
+    val young = TableLog.writeData(Seq((8L, 80L)).toDF("k", "v"), root)
+    TableLog.vacuum(spark, root, keepVersions = 1)
+    young.foreach(f =>
+      assert(new java.io.File(s"$root/$f").exists(), s"young staged $f must survive"))
+  }
+
+  test("TableLog.appendStream: every batch is one atomic commit; epochs replay as no-ops") {
+    import graft.sources.TableLog
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_tlogs").toString
+    TableLog.overwrite(Seq((0L, 0L)).toDF("k", "v"), root)
+    implicit val sq = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val q = TableLog.appendStream(mem.toDF().toDF("k", "v"), root,
+      s"$root/ckpt")
+    try {
+      mem.addData((1L, 10L)); q.processAllAvailable()
+      mem.addData((2L, 20L)); q.processAllAvailable()
+    } finally q.stop()
+    assert(TableLog.versions(spark, root) == Seq(1L, 2L, 3L),
+      "one snapshot commit per micro-batch")
+    assert(TableLog.read(spark, root).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(0L, 1L, 2L))
+    // epoch replay after a crash: the ledger marker makes it a no-op
+    val replay = Seq((1L, 10L)).toDF("k", "v")
+    TableLog.appendBatch(replay, 0L, root)
+    assert(TableLog.versions(spark, root) == Seq(1L, 2L, 3L),
+      "replayed epoch must not commit a duplicate snapshot")
+  }
+
   test("q139: bucketed join shuffles neither side — the only Exchange is the groupBy") {
     val df = graft.SparkEntry.queries("q139_bucketed_join")(
       spark, "/root/testdata/sf0.001")
