@@ -1861,6 +1861,27 @@ object SparkEntry {
         .orderBy(col("k"))
     }),
 
+    // MANIFEST-LEVEL DATA SKIPPING (TableLog.overwriteWithStats +
+    // readPruned) — planning-layer file pruning, the layer ABOVE parquet
+    // footer min/max: per-file (min, max) of n_chars ride in the manifest,
+    // the table is range-clustered on that column so file ranges are
+    // tight, and the pruned read plans only the files whose stats
+    // intersect the predicate range — no footer opened, no directory
+    // listed for the skipped files (WarehouseSpec asserts inputFiles
+    // actually shrank; this gate pins that pruning is SOUND: pruned read +
+    // row filter ≡ plain filter, which is the entire oracle).
+    "q212_manifest_skipping" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val root = java.nio.file.Files.createTempDirectory("graft_tskip").toString
+      graft.sources.TableLog.overwriteWithStats(
+        docs.select(col("doc_id"), col("source"), col("n_chars"))
+          .repartitionByRange(8, col("n_chars")),
+        root, "n_chars")
+      graft.sources.TableLog.readPruned(s, root, 150L, 250L)
+        .filter(col("n_chars").between(150L, 250L))
+        .orderBy(col("doc_id"))
+    }),
+
     // TIME TRAVEL through the manifest commit log (TableLog) — the atomic
     // "metastore pointer swap" the compact/merge docs point at, exercised
     // end-to-end: v1 = base snapshot (overwrite), v2 = update batch
@@ -4910,6 +4931,13 @@ object SparkEntry {
         |SELECT k, source, v, seq FROM mu
         |QUALIFY row_number() OVER (PARTITION BY k ORDER BY seq DESC) = 1
         |ORDER BY k""".stripMargin,
+
+    // Pruning must be invisible to semantics: the pruned-read + row-filter
+    // result IS the plain filter
+    "q212_manifest_skipping" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE n_chars BETWEEN 150 AND 250
+        |ORDER BY doc_id""".stripMargin,
 
     // Three snapshots of one logged table, each a plain derivation: v1 =
     // the base, v2 = base ∪ updates (append references, duplicate keys

@@ -65,9 +65,20 @@ object TableLog {
     }).sorted
   }
 
-  /** The file list of `version` (default: newest committed). */
+  /** The file list of `version` (default: newest committed) — stats
+    * columns, when present, are stripped (see [[manifestEntries]]).
+    */
   def manifest(spark: SparkSession, root: String,
-      version: Option[Long] = None): Seq[String] = {
+      version: Option[Long] = None): Seq[String] =
+    manifestEntries(spark, root, version).map(_._1)
+
+  /** Manifest rows of `version` with their optional per-file (min, max)
+    * stats — the DATA-SKIPPING surface: a stats-bearing line is
+    * `path\tmin\tmax` (LONG stats, engine-portable integers), a plain line
+    * is just the path (no stats → the file can never be skipped).
+    */
+  def manifestEntries(spark: SparkSession, root: String,
+      version: Option[Long] = None): Seq[(String, Option[(Long, Long)])] = {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no committed versions under $root")
     val v = version.getOrElse(vs.last)
@@ -75,7 +86,14 @@ object TableLog {
     val p = new Path(s"$root/_graft_log/v$v.manifest")
     val in = fsOf(spark, p).open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-      .filter(_.nonEmpty).toList
+      .filter(_.nonEmpty)
+      .map { line =>
+        line.split('\t') match {
+          case Array(f, lo, hi) => (f, Some((lo.toLong, hi.toLong)))
+          case _ => (line, None)
+        }
+      }
+      .toList
     finally in.close()
   }
 
@@ -159,7 +177,10 @@ object TableLog {
     * one manifest commit — a reader mid-scan on the old version is
     * untouched, the next reader plans from the new one. Old versions stay
     * readable (vacuuming unreferenced files is a separate retention pass,
-    * as in the real formats). Returns the new version.
+    * as in the real formats). Manifest STATS are dropped by this op (the
+    * rewritten files' ranges changed; re-collect with
+    * [[overwriteWithStats]] when skipping matters). Returns the new
+    * version.
     */
   def compact(spark: SparkSession, root: String, targetBytes: Long): Long = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
@@ -195,6 +216,56 @@ object TableLog {
     val merged = Warehouse.mergeUpsert(read(spark, root, Some(head)),
       updates, keyCols, seqCol)
     commit(spark, root, writeData(merged, root), basedOn = Some(head))
+  }
+
+  /** [[overwrite]] with PER-FILE (min, max) STATS on `statCol` collected
+    * into the manifest — data skipping at the PLANNING layer: a later
+    * [[readPruned]] drops whole files from the plan by comparing the
+    * predicate range against manifest stats, before any footer is opened
+    * or any task scheduled. At 100 TB this is the layer above parquet
+    * min/max skipping (which still costs a footer read per file and a
+    * listed directory): one manifest read plans the whole scan. Stats are
+    * collected by one aggregation over the just-written (page-cached)
+    * files — the real formats fold this into the write itself; the write-
+    * time cost buys every future read's pruning. Cluster the data on the
+    * stat column first (`repartitionByRange`) or the per-file ranges
+    * overlap and nothing skips — the same locality contract as parquet
+    * footer skipping ([[Warehouse.compact]]'s sortCol note).
+    */
+  def overwriteWithStats(df: DataFrame, root: String, statCol: String): Long = {
+    val spark = df.sparkSession
+    val files = writeData(df, root)
+    import org.apache.spark.sql.functions._
+    val rel = concat(element_at(split(input_file_name(), "/"), -2),
+      lit("/"), element_at(split(input_file_name(), "/"), -1))
+    val stats = spark.read.parquet(files.map(f => s"$root/$f"): _*)
+      .groupBy(rel.as("f"))
+      .agg(min(col(statCol)).cast("long").as("lo"),
+        max(col(statCol)).cast("long").as("hi"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val lines = files.map(f => stats.get(f) match {
+      case Some((lo, hi)) => s"$f\t$lo\t$hi"
+      case None => f // zero-row file: no stats, never skippable
+    })
+    commit(spark, root, lines)
+  }
+
+  /** Read `version` (default head) PRUNED to the files whose manifest
+    * [min, max] stats intersect `[lo, hi]` — files without stats are
+    * always read (skipping must be sound, never guessed). This prunes the
+    * FILE SET; the caller still applies the row-level predicate (exactly
+    * parquet footer skipping's contract, one layer earlier).
+    */
+  def readPruned(spark: SparkSession, root: String, lo: Long, hi: Long,
+      version: Option[Long] = None): DataFrame = {
+    val cand = manifestEntries(spark, root, version).collect {
+      case (f, None) => f
+      case (f, Some((mn, mx))) if mx >= lo && mn <= hi => f
+    }
+    if (cand.isEmpty)
+      read(spark, root, version).limit(0) // schema-preserving empty
+    else spark.read.parquet(cand.map(f => s"$root/$f"): _*)
   }
 
   /** Retention pass (the real formats' VACUUM): keep the newest

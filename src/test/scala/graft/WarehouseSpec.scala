@@ -458,6 +458,30 @@ class WarehouseSpec extends AnyFunSuite {
       "replayed epoch must not commit a duplicate snapshot")
   }
 
+  test("TableLog manifest stats prune whole files from the plan, soundly") {
+    import graft.sources.TableLog
+    val root = java.nio.file.Files.createTempDirectory("graft_tskip").toString
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    TableLog.overwriteWithStats(docs.repartitionByRange(8, col("n_chars")),
+      root, "n_chars")
+    val all = TableLog.read(spark, root)
+    val pruned = TableLog.readPruned(spark, root, 150L, 250L)
+    // the skip is REAL: fewer files enter the plan than the table holds
+    assert(all.inputFiles.length >= 8)
+    assert(pruned.inputFiles.length < all.inputFiles.length,
+      s"stats must prune files: ${pruned.inputFiles.length} vs ${all.inputFiles.length}")
+    // and SOUND: pruned + row filter == plain filter
+    val want = all.filter(col("n_chars").between(150L, 250L))
+      .collect().map(_.toString).sorted
+    val got = pruned.filter(col("n_chars").between(150L, 250L))
+      .collect().map(_.toString).sorted
+    assert(want.nonEmpty && got.sameElements(want))
+    // a disjoint range prunes everything but stays schema-correct
+    val none = TableLog.readPruned(spark, root, 10000000L, 20000000L)
+    assert(none.columns.toSeq == all.columns.toSeq && none.count() == 0L)
+  }
+
   test("q139: bucketed join shuffles neither side — the only Exchange is the groupBy") {
     val df = graft.SparkEntry.queries("q139_bucketed_join")(
       spark, "/root/testdata/sf0.001")
