@@ -37,6 +37,23 @@ object SparkEntry {
 
   private val ntz: Column => Column = _.cast("timestamp_ntz")
 
+  /** Session-scoped scratch TABLE ROOT for the TableLog gates (q211/q212)
+    * — the [[rtDir]] convention plus a delete-at-start: each invocation
+    * rebuilds the logged table from scratch (versions are always exactly
+    * the gate's), and bench reps reuse ONE directory instead of accreting
+    * a table-sized temp dir per rep.
+    */
+  private def logRoot(s: SparkSession, dir: String, tag: String): String = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
+      s"${s.sparkContext.applicationId}_${new java.io.File(dir).getName}"
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(root))
+    new java.io.File(root).mkdirs()
+    root
+  }
+
   // ---------------------------------------------------------------------------
   // Shared DuckDB SQL fragments
   // ---------------------------------------------------------------------------
@@ -1872,7 +1889,7 @@ object SparkEntry {
     // row filter ≡ plain filter, which is the entire oracle).
     "q212_manifest_skipping" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val root = java.nio.file.Files.createTempDirectory("graft_tskip").toString
+      val root = logRoot(s, d, "tskip")
       graft.sources.TableLog.overwriteWithStats(
         docs.select(col("doc_id"), col("source"), col("n_chars"))
           .repartitionByRange(8, col("n_chars")),
@@ -1895,9 +1912,9 @@ object SparkEntry {
     // concurrency, keep-by-reference compaction) are WarehouseSpec's.
     "q211_time_travel" -> ((s, d) => {
       val (base, updates) = mergeFixture(t(s, d, "documents"))
-      // fresh table root per invocation: versions are always exactly 1..3
-      // (bench reps and verify runs must not accrete history)
-      val root = java.nio.file.Files.createTempDirectory("graft_tlog").toString
+      // session-scoped root, wiped at start: versions are always exactly
+      // 1..3, and bench reps must not accrete table copies under /tmp
+      val root = logRoot(s, d, "tlog")
       graft.sources.TableLog.overwrite(base, root)
       graft.sources.TableLog.append(updates, root)
       graft.sources.TableLog.mergeUpsert(s, root, updates, Seq("k"), "seq")

@@ -23,27 +23,56 @@ import org.apache.hadoop.fs.Path
   *    [[Warehouse.compactByPlan]]'s copy, which must move keeps because a
   *    directory IS its listing).
   *  - PLANNING WITHOUT LISTING: readers plan from one manifest read
-  *    instead of a recursive directory walk — object-store listing is the
-  *    scan-planning bottleneck the real formats exist to remove.
+  *    instead of a recursive directory walk, and manifest entries carry
+  *    the file SIZE (so maintenance never issues per-file status RPCs)
+  *    and optionally per-file column stats (so range scans prune whole
+  *    files before any footer is opened) — object-store listing and
+  *    footer fetches are the scan-planning bottlenecks the real formats
+  *    exist to remove.
   *  - TIME TRAVEL: old manifests stay; `read(root, Some(v))` is a
   *    consistent snapshot for audits/reproducible training runs (the q211
   *    gate reads three versions of one table in one query).
   *  - OPTIMISTIC CONCURRENCY: two writers racing to version N both
   *    attempt the same rename; exactly one wins (rename-if-absent is the
-  *    CAS), the loser throws and must re-plan against the new head —
-  *    Delta's conflict protocol, at file granularity.
+  *    CAS), the loser gets a typed [[TableLog.CommitConflictException]]
+  *    and must re-plan against the new head — Delta's conflict protocol,
+  *    at file granularity.
   *
-  * Deliberately NOT here (documented scope, not oversight): per-file
-  * column stats / data skipping, manifest checkpointing (listing stays
-  * O(versions)), schema evolution, and row-level deletes — each layers on
-  * the same commit primitive without changing it.
+  * Deliberately NOT here (documented scope, not oversight): manifest
+  * checkpointing (version listing stays O(versions)), schema evolution,
+  * and row-level deletes — each layers on the same commit primitive
+  * without changing it.
   *
-  * Manifest format: UTF-8, one data-file path per line, relative to the
-  * table root. Data files land under unique `c<uuid>/` dirs per commit, so
-  * concurrent writers never collide on data paths — only on the manifest
-  * rename, which is the point.
+  * Manifest format, line by line (UTF-8):
+  *  - `#<key>:<value>` — commit METADATA (e.g. `#epoch:<id>`, the
+  *    streaming sink's exactly-once token — committed ATOMICALLY with the
+  *    file list, which is what closes the marker-after-commit crash
+  *    window a side-file ledger alone would leave);
+  *  - `<path>\t<bytes>` — a data file, path relative to the table root;
+  *  - `<path>\t<bytes>\t<min>\t<max>` — a data file with LONG column
+  *    stats ([[overwriteWithStats]]);
+  *  - bare `<path>` — tolerated (size unknown: maintenance falls back to
+  *    one status call; never skippable).
+  * Data files land under unique `c<uuid>/` dirs per commit, so concurrent
+  * writers never collide on data paths — only on the manifest rename,
+  * which is the point. The rename-is-atomic assumption holds on
+  * filesystems with atomic rename (local, HDFS); S3-style stores need a
+  * coordination service here, exactly as the real formats do.
   */
 object TableLog {
+
+  /** The commit CAS was lost: another writer committed the version this
+    * writer planned against. Re-read the head and re-plan; for commuting
+    * operations (appends) a bounded retry is safe.
+    */
+  final class CommitConflictException(msg: String)
+    extends java.io.IOException(msg)
+
+  /** One manifest data-file entry. `bytes` is None only for legacy bare
+    * lines; `stats` is the optional (min, max) of the stats column.
+    */
+  final case class Entry(path: String, bytes: Option[Long],
+    stats: Option[(Long, Long)])
 
   private def logDir(root: String) = new Path(s"$root/_graft_log")
 
@@ -65,20 +94,8 @@ object TableLog {
     }).sorted
   }
 
-  /** The file list of `version` (default: newest committed) — stats
-    * columns, when present, are stripped (see [[manifestEntries]]).
-    */
-  def manifest(spark: SparkSession, root: String,
-      version: Option[Long] = None): Seq[String] =
-    manifestEntries(spark, root, version).map(_._1)
-
-  /** Manifest rows of `version` with their optional per-file (min, max)
-    * stats — the DATA-SKIPPING surface: a stats-bearing line is
-    * `path\tmin\tmax` (LONG stats, engine-portable integers), a plain line
-    * is just the path (no stats → the file can never be skipped).
-    */
-  def manifestEntries(spark: SparkSession, root: String,
-      version: Option[Long] = None): Seq[(String, Option[(Long, Long)])] = {
+  private def manifestLines(spark: SparkSession, root: String,
+      version: Option[Long]): Seq[String] = {
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no committed versions under $root")
     val v = version.getOrElse(vs.last)
@@ -86,15 +103,72 @@ object TableLog {
     val p = new Path(s"$root/_graft_log/v$v.manifest")
     val in = fsOf(spark, p).open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-      .filter(_.nonEmpty)
-      .map { line =>
-        line.split('\t') match {
-          case Array(f, lo, hi) => (f, Some((lo.toLong, hi.toLong)))
-          case _ => (line, None)
-        }
-      }
-      .toList
+      .filter(_.nonEmpty).toList
     finally in.close()
+  }
+
+  /** The file list of `version` (default: newest committed) — paths only. */
+  def manifest(spark: SparkSession, root: String,
+      version: Option[Long] = None): Seq[String] =
+    manifestEntries(spark, root, version).map(_.path)
+
+  /** Data-file entries of `version` (default head) with sizes and the
+    * optional per-file (min, max) stats — the data-skipping surface.
+    */
+  def manifestEntries(spark: SparkSession, root: String,
+      version: Option[Long] = None): Seq[Entry] =
+    manifestLines(spark, root, version)
+      .filterNot(_.startsWith("#"))
+      .map(_.split('\t') match {
+        case Array(f, b, lo, hi) => Entry(f, Some(b.toLong),
+          Some((lo.toLong, hi.toLong)))
+        case Array(f, b) => Entry(f, Some(b.toLong), None)
+        case other => Entry(other.mkString("\t"), None, None)
+      })
+
+  /** Commit metadata lines of `version` (default head), `#` stripped —
+    * e.g. `epoch:<id>` from the streaming sink.
+    */
+  def manifestMeta(spark: SparkSession, root: String,
+      version: Option[Long] = None): Seq[String] =
+    manifestLines(spark, root, version)
+      .filter(_.startsWith("#")).map(_.stripPrefix("#"))
+
+  /** Commit `entries` as version `basedOn + 1` — `basedOn` is the head
+    * version the writer PLANNED against (0 for an empty table; default:
+    * re-read the current head). `meta` lines are committed ATOMICALLY with
+    * the file list. The rename of the fully-written `.tmp` manifest IS the
+    * commit point: rename-if-absent either installs the version atomically
+    * or fails because a concurrent writer already committed it — the
+    * optimistic-concurrency CAS. The loser gets
+    * [[CommitConflictException]] and must re-plan against the new head
+    * (its snapshot may be stale), exactly the Delta conflict protocol.
+    * Returns the committed version number.
+    */
+  def commit(spark: SparkSession, root: String, entries: Seq[Entry],
+      basedOn: Option[Long] = None, meta: Seq[String] = Nil): Long = {
+    val dir = logDir(root)
+    val fs = fsOf(spark, dir)
+    fs.mkdirs(dir)
+    val next =
+      basedOn.getOrElse(versions(spark, root).lastOption.getOrElse(0L)) + 1L
+    val lines = meta.map("#" + _) ++ entries.map { e =>
+      (Seq(e.path) ++ e.bytes.map(_.toString).toSeq ++
+        e.stats.toSeq.flatMap { case (lo, hi) => Seq(lo.toString, hi.toString) })
+        .mkString("\t")
+    }
+    val tmp = new Path(dir, s"v$next.manifest.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    val dst = new Path(dir, s"v$next.manifest")
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      throw new CommitConflictException(
+        s"commit of version $next lost the race (manifest exists); " +
+          "re-plan against the new head and retry")
+    }
+    next
   }
 
   /** Read the table at `version` (default: newest committed snapshot). */
@@ -103,49 +177,19 @@ object TableLog {
     spark.read.parquet(manifest(spark, root, version)
       .map(f => s"$root/$f"): _*)
 
-  /** Commit `files` (paths relative to root) as version `basedOn + 1` —
-    * `basedOn` is the head version the writer PLANNED against (0 for an
-    * empty table; default: re-read the current head). The rename of the
-    * fully-written `.tmp` manifest IS the commit point: rename-if-absent
-    * either installs the version atomically or returns false because a
-    * concurrent writer already committed it — the optimistic-concurrency
-    * CAS. The loser THROWS and must re-plan against the new head (its
-    * snapshot may be stale), exactly the Delta conflict protocol. Returns
-    * the committed version number.
-    */
-  def commit(spark: SparkSession, root: String, files: Seq[String],
-      basedOn: Option[Long] = None): Long = {
-    val dir = logDir(root)
-    val fs = fsOf(spark, dir)
-    fs.mkdirs(dir)
-    val next =
-      basedOn.getOrElse(versions(spark, root).lastOption.getOrElse(0L)) + 1L
-    val tmp = new Path(dir, s"v$next.manifest.tmp-${java.util.UUID.randomUUID()}")
-    val out = fs.create(tmp, false)
-    try out.write(files.mkString("", "\n", "\n").getBytes("UTF-8"))
-    finally out.close()
-    val dst = new Path(dir, s"v$next.manifest")
-    if (!fs.rename(tmp, dst)) {
-      fs.delete(tmp, false)
-      throw new java.io.IOException(
-        s"commit of version $next lost the race (manifest exists); " +
-          "re-plan against the new head and retry")
-    }
-    next
-  }
-
   /** Write `df`'s rows as new data files under a unique commit dir and
-    * return their root-relative paths — no manifest is committed yet, so
-    * the files are invisible until the caller commits.
+    * return their entries (root-relative path + size) — no manifest is
+    * committed yet, so the files are invisible until the caller commits.
     */
-  def writeData(df: DataFrame, root: String): Seq[String] = {
+  def writeData(df: DataFrame, root: String): Seq[Entry] = {
     val spark = df.sparkSession
     val sub = s"c${java.util.UUID.randomUUID().toString.replace("-", "")}"
     df.write.parquet(s"$root/$sub")
     val p = new Path(s"$root/$sub")
     fsOf(spark, p).listStatus(p).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(s => s"$sub/${s.getPath.getName}").sorted
+      .map(s => Entry(s"$sub/${s.getPath.getName}", Some(s.getLen), None))
+      .sortBy(_.path)
   }
 
   /** Commit `df` as a full-snapshot REPLACE (the initial write, or an
@@ -158,48 +202,111 @@ object TableLog {
     commit(df.sparkSession, root, writeData(df, root))
 
   /** Commit `df` APPENDED to the current snapshot: the new manifest is the
-    * old file list plus the new files — existing data is referenced, never
-    * rewritten or copied. Commits `basedOn` the head it read, so a
+    * old entry list plus the new files — existing data is referenced,
+    * never rewritten or copied. Commits `basedOn` the head it read, so a
     * concurrent commit in between surfaces as the CAS conflict.
     */
-  def append(df: DataFrame, root: String): Long = {
+  def append(df: DataFrame, root: String, meta: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
+    appendEntries(spark, root, writeData(df, root), meta)
+  }
+
+  private def appendEntries(spark: SparkSession, root: String,
+      entries: Seq[Entry], meta: Seq[String]): Long = {
     val head = versions(spark, root).lastOption
-    val prev = head.fold(Seq.empty[String])(v =>
-      manifest(spark, root, Some(v)))
-    commit(spark, root, prev ++ writeData(df, root),
-      basedOn = Some(head.getOrElse(0L)))
+    val prev = head.fold(Seq.empty[Entry])(v =>
+      manifestEntries(spark, root, Some(v)))
+    commit(spark, root, prev ++ entries,
+      basedOn = Some(head.getOrElse(0L)), meta = meta)
+  }
+
+  /** [[overwrite]] with PER-FILE (min, max) STATS on `statCol` collected
+    * into the manifest — data skipping at the PLANNING layer: a later
+    * [[readPruned]] drops whole files from the plan by comparing the
+    * predicate range against manifest stats, before any footer is opened
+    * or any task scheduled. At 100 TB this is the layer above parquet
+    * min/max skipping (which still costs a footer read per file and a
+    * listed directory): one manifest read plans the whole scan. Stats are
+    * collected by one aggregation over the just-written (page-cached)
+    * files — the real formats fold this into the write itself; the write-
+    * time cost buys every future read's pruning. Cluster the data on the
+    * stat column first (`repartitionByRange`) or the per-file ranges
+    * overlap and nothing skips — the same locality contract as parquet
+    * footer skipping ([[Warehouse.compact]]'s sortCol note).
+    *
+    * NULL `statCol` rows: a file whose values are ALL NULL aggregates to
+    * NULL stats and is written WITHOUT stats (always read — sound); a
+    * mixed file's stats cover its non-null values only, which is still
+    * sound for [[readPruned]]'s contract because a NULL can never satisfy
+    * the range predicate the caller re-applies row-level.
+    */
+  def overwriteWithStats(df: DataFrame, root: String, statCol: String): Long = {
+    val spark = df.sparkSession
+    val files = writeData(df, root)
+    import org.apache.spark.sql.functions._
+    val rel = concat(element_at(split(input_file_name(), "/"), -2),
+      lit("/"), element_at(split(input_file_name(), "/"), -1))
+    val stats = spark.read.parquet(files.map(f => s"$root/${f.path}"): _*)
+      .groupBy(rel.as("f"))
+      .agg(min(col(statCol)).cast("long").as("lo"),
+        max(col(statCol)).cast("long").as("hi"))
+      .collect()
+      .flatMap(r =>
+        if (r.isNullAt(1) || r.isNullAt(2)) None // all-NULL file: no stats
+        else Some(r.getString(0) -> (r.getLong(1), r.getLong(2))))
+      .toMap
+    commit(spark, root,
+      files.map(e => e.copy(stats = stats.get(e.path))))
+  }
+
+  /** Read `version` (default head) PRUNED to the files whose manifest
+    * [min, max] stats intersect `[lo, hi]` — files without stats are
+    * always read (skipping must be sound, never guessed). This prunes the
+    * FILE SET for a RANGE predicate on the stats column; the caller still
+    * applies the row-level predicate (exactly parquet footer skipping's
+    * contract, one layer earlier). NULL stat-column rows never satisfy a
+    * range predicate, so a pruned file's NULL rows are not a loss.
+    */
+  def readPruned(spark: SparkSession, root: String, lo: Long, hi: Long,
+      version: Option[Long] = None): DataFrame = {
+    val cand = manifestEntries(spark, root, version).collect {
+      case Entry(f, _, None) => f
+      case Entry(f, _, Some((mn, mx))) if mx >= lo && mn <= hi => f
+    }
+    if (cand.isEmpty)
+      read(spark, root, version).limit(0) // schema-preserving empty
+    else spark.read.parquet(cand.map(f => s"$root/$f"): _*)
   }
 
   /** Log-published compaction: files already ≥ `targetBytes` are kept BY
-    * REFERENCE (same path in the new manifest — zero IO), the small tail
+    * REFERENCE (same entry in the new manifest — zero IO), the small tail
     * is read once and rewritten into ~target-sized files, and the swap is
     * one manifest commit — a reader mid-scan on the old version is
     * untouched, the next reader plans from the new one. Old versions stay
     * readable (vacuuming unreferenced files is a separate retention pass,
-    * as in the real formats). Manifest STATS are dropped by this op (the
-    * rewritten files' ranges changed; re-collect with
-    * [[overwriteWithStats]] when skipping matters). Returns the new
-    * version.
+    * as in the real formats). Sizes come FROM the manifest (legacy bare
+    * entries fall back to one status call each) — no per-file metadata
+    * walk. Stats on rewritten files are dropped (their ranges changed;
+    * re-collect with [[overwriteWithStats]] when skipping matters); kept
+    * entries retain theirs. Returns the new version.
     */
   def compact(spark: SparkSession, root: String, targetBytes: Long): Long = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val head = versions(spark, root).last
-    val cur = manifest(spark, root, Some(head))
     val fs = fsOf(spark, new Path(root))
-    val sized = cur.map { f =>
-      (f, fs.getFileStatus(new Path(s"$root/$f")).getLen)
-    }
-    val (keeps, smalls) = sized.partition(_._2 >= targetBytes)
+    val sized = manifestEntries(spark, root, Some(head)).map(e =>
+      e.copy(bytes = e.bytes.orElse(
+        Some(fs.getFileStatus(new Path(s"$root/${e.path}")).getLen))))
+    val (keeps, smalls) = sized.partition(_.bytes.get >= targetBytes)
     val newFiles =
       if (smalls.isEmpty) Seq.empty
       else {
-        val totalSmall = smalls.map(_._2).sum
+        val totalSmall = smalls.map(_.bytes.get).sum
         val nBins = math.max(1L, (totalSmall + targetBytes - 1) / targetBytes).toInt
-        writeData(spark.read.parquet(smalls.map(f => s"$root/${f._1}"): _*)
+        writeData(spark.read.parquet(smalls.map(f => s"$root/${f.path}"): _*)
           .repartition(nBins), root)
       }
-    commit(spark, root, keeps.map(_._1) ++ newFiles, basedOn = Some(head))
+    commit(spark, root, keeps ++ newFiles, basedOn = Some(head))
   }
 
   /** Log-published CDC MERGE: read the current snapshot, apply
@@ -218,65 +325,17 @@ object TableLog {
     commit(spark, root, writeData(merged, root), basedOn = Some(head))
   }
 
-  /** [[overwrite]] with PER-FILE (min, max) STATS on `statCol` collected
-    * into the manifest — data skipping at the PLANNING layer: a later
-    * [[readPruned]] drops whole files from the plan by comparing the
-    * predicate range against manifest stats, before any footer is opened
-    * or any task scheduled. At 100 TB this is the layer above parquet
-    * min/max skipping (which still costs a footer read per file and a
-    * listed directory): one manifest read plans the whole scan. Stats are
-    * collected by one aggregation over the just-written (page-cached)
-    * files — the real formats fold this into the write itself; the write-
-    * time cost buys every future read's pruning. Cluster the data on the
-    * stat column first (`repartitionByRange`) or the per-file ranges
-    * overlap and nothing skips — the same locality contract as parquet
-    * footer skipping ([[Warehouse.compact]]'s sortCol note).
-    */
-  def overwriteWithStats(df: DataFrame, root: String, statCol: String): Long = {
-    val spark = df.sparkSession
-    val files = writeData(df, root)
-    import org.apache.spark.sql.functions._
-    val rel = concat(element_at(split(input_file_name(), "/"), -2),
-      lit("/"), element_at(split(input_file_name(), "/"), -1))
-    val stats = spark.read.parquet(files.map(f => s"$root/$f"): _*)
-      .groupBy(rel.as("f"))
-      .agg(min(col(statCol)).cast("long").as("lo"),
-        max(col(statCol)).cast("long").as("hi"))
-      .collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val lines = files.map(f => stats.get(f) match {
-      case Some((lo, hi)) => s"$f\t$lo\t$hi"
-      case None => f // zero-row file: no stats, never skippable
-    })
-    commit(spark, root, lines)
-  }
-
-  /** Read `version` (default head) PRUNED to the files whose manifest
-    * [min, max] stats intersect `[lo, hi]` — files without stats are
-    * always read (skipping must be sound, never guessed). This prunes the
-    * FILE SET; the caller still applies the row-level predicate (exactly
-    * parquet footer skipping's contract, one layer earlier).
-    */
-  def readPruned(spark: SparkSession, root: String, lo: Long, hi: Long,
-      version: Option[Long] = None): DataFrame = {
-    val cand = manifestEntries(spark, root, version).collect {
-      case (f, None) => f
-      case (f, Some((mn, mx))) if mx >= lo && mn <= hi => f
-    }
-    if (cand.isEmpty)
-      read(spark, root, version).limit(0) // schema-preserving empty
-    else spark.read.parquet(cand.map(f => s"$root/$f"): _*)
-  }
-
   /** Retention pass (the real formats' VACUUM): keep the newest
     * `keepVersions` manifests, delete the older manifests and every data
-    * file they alone referenced, and sweep ORPHANS — data files referenced
-    * by NO manifest (a crashed [[writeData]] before its commit) — older
-    * than `orphanMinAgeMs` (the age guard protects a writer that has
-    * staged files but not yet committed; production retention uses hours,
-    * tests pass 0). Time travel older than the horizon is gone after this
-    * by design — that is what the op is for (unbounded history is
-    * unbounded storage). Driver-side, manifest-sized.
+    * file they alone referenced, and sweep ORPHANS — commit-dir files
+    * referenced by NO kept manifest (a crashed [[writeData]] before its
+    * commit, a CAS loser's staging, or write markers like `_SUCCESS`) —
+    * older than `orphanMinAgeMs` (the age guard protects a writer that
+    * has staged files but not yet committed; production retention uses
+    * hours, tests pass 0). Emptied commit dirs are removed. Time travel
+    * older than the horizon is gone after this by design — that is what
+    * the op is for (unbounded history is unbounded storage). Driver-side,
+    * manifest-sized.
     */
   def vacuum(spark: SparkSession, root: String, keepVersions: Int = 1,
       orphanMinAgeMs: Long = 7L * 24 * 3600 * 1000): Unit = {
@@ -287,13 +346,12 @@ object TableLog {
     val rootP = new Path(root)
     val fs = fsOf(spark, rootP)
     val referenced = keep.flatMap(v => manifest(spark, root, Some(v))).toSet
-    val oldRefs = old.flatMap(v => manifest(spark, root, Some(v))).toSet
-    (oldRefs -- referenced).foreach(f =>
-      fs.delete(new Path(s"$root/$f"), false))
     old.foreach(v =>
       fs.delete(new Path(s"$root/_graft_log/v$v.manifest"), false))
-    // orphan sweep: commit-dir data files no manifest references, past the
-    // in-flight-writer age guard
+    // sweep: any commit-dir file no kept manifest references, past the
+    // in-flight-writer age guard (this covers old-version-only files,
+    // crashed stagings AND non-data markers like _SUCCESS, so emptied
+    // commit dirs actually empty out and get removed)
     val now = System.currentTimeMillis()
     // exactly the commit-dir shape writeData produces — never sweep
     // unrelated directories a user parked under the root
@@ -301,8 +359,7 @@ object TableLog {
         s.isDirectory && s.getPath.getName.matches("c[0-9a-f]{32}")).foreach { d =>
       fs.listStatus(d.getPath).foreach { f =>
         val rel = s"${d.getPath.getName}/${f.getPath.getName}"
-        if (f.isFile && f.getPath.getName.endsWith(".parquet") &&
-            !referenced.contains(rel) && !oldRefs.contains(rel) &&
+        if (f.isFile && !referenced.contains(rel) &&
             now - f.getModificationTime >= orphanMinAgeMs)
           fs.delete(f.getPath, false)
       }
@@ -310,39 +367,52 @@ object TableLog {
     }
   }
 
-  /** One micro-batch of [[appendStream]] — epoch-ledger idempotence (the
-    * [[Warehouse.mergeUpsertBatch]] pattern, markers under the log dir) so
-    * a crash-replayed epoch appends once, plus a bounded retry on the
-    * commit CAS: appends COMMUTE, so losing the race to an unrelated
-    * writer just means re-reading the head and appending after it.
+  /** One micro-batch of [[appendStream]] — EXACTLY-ONCE by committing the
+    * epoch token ATOMICALLY with the file list (`#epoch:<id>` manifest
+    * metadata): a replayed epoch is detected from the committed manifests
+    * themselves, so the crash window a side-file marker would leave
+    * (commit lands, marker doesn't, replay re-appends) cannot duplicate
+    * rows — appends are NOT idempotent, so the token must ride in the
+    * commit. A marker file is still written as a fast-path cache of "this
+    * epoch committed"; losing it merely costs the manifest scan. The
+    * batch's data files are staged ONCE; only the manifest commit retries
+    * on [[CommitConflictException]] (appends commute, and re-staging
+    * would orphan the first attempt's files).
     */
   def appendBatch(batch: DataFrame, batchId: Long, root: String,
       casRetries: Int = 5): Unit = {
     val spark = batch.sparkSession
     val marker = new Path(s"$root/_graft_log/epochs/epoch-$batchId")
     val fs = fsOf(spark, marker)
-    if (!fs.exists(marker)) {
+    val token = s"epoch:$batchId"
+    def alreadyCommitted: Boolean =
+      versions(spark, root).exists(v =>
+        manifestMeta(spark, root, Some(v)).contains(token))
+    if (!fs.exists(marker) && !alreadyCommitted) {
+      val staged = writeData(batch, root)
       var attempt = 0
       var done = false
       while (!done) {
-        try { append(batch, root); done = true }
-        catch {
-          case e: java.io.IOException if attempt < casRetries =>
+        try {
+          appendEntries(spark, root, staged, meta = Seq(token)); done = true
+        } catch {
+          case e: CommitConflictException if attempt < casRetries =>
             attempt += 1
             org.slf4j.LoggerFactory.getLogger("graft.sources.TableLog")
               .warn(s"append epoch $batchId lost the commit CAS " +
                 s"(attempt $attempt/$casRetries), re-reading head: $e")
         }
       }
-      fs.mkdirs(marker.getParent)
-      fs.create(marker, true).close()
     }
+    fs.mkdirs(marker.getParent)
+    if (!fs.exists(marker)) fs.create(marker, true).close()
   }
 
   /** Continuous micro-batch APPEND into a logged table — the streaming
     * sink whose every batch becomes one atomic snapshot commit (readers
     * see whole batches or nothing; no in-progress files ever visible,
-    * unlike a raw parquet directory sink).
+    * unlike a raw parquet directory sink), with the epoch-in-manifest
+    * exactly-once contract of [[appendBatch]].
     */
   def appendStream(updates: DataFrame, root: String, checkpointDir: String):
       org.apache.spark.sql.streaming.StreamingQuery =

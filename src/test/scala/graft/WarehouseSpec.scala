@@ -368,15 +368,18 @@ class WarehouseSpec extends AnyFunSuite {
     assert(TableLog.read(spark, root).count() == 3L)
     // optimistic concurrency: writer A plans against head v2; writer B
     // commits v3 first; A's pinned-base commit loses the rename CAS and
-    // must throw (its snapshot is stale), not silently alias
+    // must throw the TYPED conflict (its snapshot is stale), not alias
+    val e2 = TableLog.manifestEntries(spark, root, Some(2L))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$root/_graft_log/v3.manifest"),
       m2.mkString("", "\n", "\n"))
-    intercept[java.io.IOException] {
-      TableLog.commit(spark, root, m2, basedOn = Some(2L))
+    intercept[graft.sources.TableLog.CommitConflictException] {
+      TableLog.commit(spark, root, e2, basedOn = Some(2L))
     }
     // an un-pinned writer simply lands after the interloper
     assert(TableLog.append(Seq((4L, 40L)).toDF("k", "v"), root) == 4L)
+    // manifest entries carry sizes — maintenance never status-walks files
+    assert(e2.forall(_.bytes.exists(_ > 0L)), s"sizes must ride in the manifest: $e2")
   }
 
   test("TableLog.compact: keeps by reference, atomic swap, old snapshots intact") {
@@ -387,7 +390,6 @@ class WarehouseSpec extends AnyFunSuite {
     TableLog.overwrite(docs.repartition(24), root)
     TableLog.append(docs.union(docs).coalesce(1), root)
     val before = TableLog.manifest(spark, root)
-    val fs = new java.io.File(root)
     def bytesOf(rel: String) = new java.io.File(s"$root/$rel").length()
     val target = before.map(bytesOf).max / 2
     val keepSet = before.filter(bytesOf(_) >= target).toSet
@@ -416,6 +418,7 @@ class WarehouseSpec extends AnyFunSuite {
     val droppedFiles = TableLog.manifest(spark, root, Some(2L))
     // a crashed writeData: staged but never committed
     val orphan = TableLog.writeData(Seq((7L, 70L)).toDF("k", "v"), root)
+      .map(_.path)
     TableLog.vacuum(spark, root, keepVersions = 1, orphanMinAgeMs = 0L)
     assert(graft.sources.TableLog.versions(spark, root) == Seq(3L))
     assert(TableLog.read(spark, root).collect().map(_.getLong(0)).toSeq == Seq(9L))
@@ -423,11 +426,17 @@ class WarehouseSpec extends AnyFunSuite {
       assert(!new java.io.File(s"$root/$f").exists(), s"$f must be deleted"))
     orphan.foreach(f =>
       assert(!new java.io.File(s"$root/$f").exists(), s"orphan $f must be swept"))
+    // emptied commit dirs (including their _SUCCESS markers) are removed,
+    // not left as husks
+    orphan.foreach(f =>
+      assert(!new java.io.File(s"$root/${f.split('/').head}").exists(),
+        s"emptied commit dir of $f must be removed"))
     intercept[IllegalArgumentException] {
       TableLog.read(spark, root, Some(1L)).collect()
     }
     // age guard: a fresh orphan with the default 7-day threshold survives
     val young = TableLog.writeData(Seq((8L, 80L)).toDF("k", "v"), root)
+      .map(_.path)
     TableLog.vacuum(spark, root, keepVersions = 1)
     young.foreach(f =>
       assert(new java.io.File(s"$root/$f").exists(), s"young staged $f must survive"))
@@ -456,6 +465,16 @@ class WarehouseSpec extends AnyFunSuite {
     TableLog.appendBatch(replay, 0L, root)
     assert(TableLog.versions(spark, root) == Seq(1L, 2L, 3L),
       "replayed epoch must not commit a duplicate snapshot")
+    // the CRASH WINDOW: commit landed, marker did not (process died in
+    // between) — the epoch token rides IN the manifest, so the replay is
+    // still a no-op (a side-file ledger alone would re-append here)
+    assert(new java.io.File(s"$root/_graft_log/epochs/epoch-1").delete())
+    TableLog.appendBatch(Seq((2L, 20L)).toDF("k", "v"), 1L, root)
+    assert(TableLog.versions(spark, root) == Seq(1L, 2L, 3L),
+      "epoch committed in a manifest must not re-append when its marker is lost")
+    assert(new java.io.File(s"$root/_graft_log/epochs/epoch-1").exists(),
+      "the fast-path marker is restored")
+    assert(TableLog.read(spark, root).count() == 3L)
   }
 
   test("TableLog manifest stats prune whole files from the plan, soundly") {
