@@ -455,6 +455,48 @@ object ScaleProbe {
     if (args.contains("--compaction-law")) {
       compactionLawSection(); spark.stop(); return
     }
+    // --log-law: the commit log's PLANNING cost law — commit and
+    // plan-from-manifest over 1k/10k/100k-entry synthetic manifests
+    // (entries with sizes + stats; no data files needed — planning never
+    // touches data, which is the claim). All driver-side: wall only,
+    // exponent on the 10k→100k decade. The numbers evidence 'planning
+    // without listing': one manifest read + an in-memory range filter
+    // replaces an O(files) directory walk + footer fetches.
+    def logLawSection(): Unit = {
+      import graft.sources.TableLog
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      val res = Seq(("1k", 1000), ("10k", 10000), ("100k", 100000)).map {
+        case (label, n) =>
+          val root = s"${System.getProperty("java.io.tmpdir")}/graft_loglaw_$n"
+          rm(new java.io.File(root))
+          val entries = (0 until n).map(i => TableLog.Entry(
+            f"c0/part-$i%05d.parquet", Some(1000L + i),
+            Some((i.toLong * 100, i.toLong * 100 + 99))))
+          val tc0 = System.nanoTime()
+          TableLog.commit(spark, root, entries)
+          val tc = (System.nanoTime() - tc0) / 1e9
+          // warm once (file cache), then time the planning read + a 1%
+          // range prune decision
+          TableLog.manifestEntries(spark, root)
+          val lo = n.toLong * 99L; val hi = lo + n.toLong
+          val t0 = System.nanoTime()
+          val cand = TableLog.manifestEntries(spark, root).count {
+            case TableLog.Entry(_, _, Some((mn, mx))) => mx >= lo && mn <= hi
+            case _ => true
+          }
+          val tp = (System.nanoTime() - t0) / 1e9
+          println(f"[probe] $label%-5s log commit ${tc}%7.3f s  plan ${tp}%7.3f s  (candidates=$cand of $n)")
+          (tc, tp)
+      }
+      def e(f: ((Double, Double)) => Double) =
+        math.log(f(res(2)) / f(res(1))) / math.log(10.0)
+      println(f"[probe] log-law growth: commit exp=${e(_._1)}%.2f plan exp=${e(_._2)}%.2f (10k -> 100k decade)")
+    }
+    if (args.contains("--log-law")) {
+      logLawSection(); spark.stop(); return
+    }
     // --hashed-hundredx: the hashed-embedding retrieval chain's two-decade
     // growth fit (VERDICT r11 Next #5) — hashedEmbedding (scan-side
     // featurization) composed into hashedKnn (broadcast queries + bounded
