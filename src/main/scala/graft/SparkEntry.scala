@@ -1899,6 +1899,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // SURGICAL ROW-LEVEL DELETE through the commit log
+    // (TableLog.deleteRange) — the compliance/forget path: the table is
+    // range-clustered with manifest stats, and the delete rewrites ONLY
+    // the files whose stats intersect the range (the skipping machinery
+    // in reverse; untouched files kept by reference — WarehouseSpec
+    // proves the same entries survive). The gate pins the semantics: the
+    // post-delete head reads exactly the complement of the range (NULL-
+    // safe: a range delete must not take NULL rows). Old snapshots retain
+    // the rows until vacuum — the Delta DELETE+VACUUM contract, stated on
+    // the op.
+    "q213_log_delete" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val root = logRoot(s, d, "tdel")
+      graft.sources.TableLog.overwriteWithStats(
+        docs.select(col("doc_id"), col("source"), col("n_chars"))
+          .repartitionByRange(8, col("n_chars")),
+        root, "n_chars")
+      graft.sources.TableLog.deleteRange(s, root, 150L, 250L, "n_chars")
+      graft.sources.TableLog.read(s, root).orderBy(col("doc_id"))
+    }),
+
     // TIME TRAVEL through the manifest commit log (TableLog) — the atomic
     // "metastore pointer swap" the compact/merge docs point at, exercised
     // end-to-end: v1 = base snapshot (overwrite), v2 = update batch
@@ -4948,6 +4969,12 @@ object SparkEntry {
         |SELECT k, source, v, seq FROM mu
         |QUALIFY row_number() OVER (PARTITION BY k ORDER BY seq DESC) = 1
         |ORDER BY k""".stripMargin,
+
+    // The post-delete head is exactly the range's complement
+    "q213_log_delete" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE n_chars IS NULL OR n_chars < 150 OR n_chars > 250
+        |ORDER BY doc_id""".stripMargin,
 
     // Pruning must be invisible to semantics: the pruned-read + row-filter
     // result IS the plain filter

@@ -243,20 +243,71 @@ object TableLog {
   def overwriteWithStats(df: DataFrame, root: String, statCol: String): Long = {
     val spark = df.sparkSession
     val files = writeData(df, root)
-    import org.apache.spark.sql.functions._
-    val rel = concat(element_at(split(input_file_name(), "/"), -2),
-      lit("/"), element_at(split(input_file_name(), "/"), -1))
-    val stats = spark.read.parquet(files.map(f => s"$root/${f.path}"): _*)
-      .groupBy(rel.as("f"))
-      .agg(min(col(statCol)).cast("long").as("lo"),
-        max(col(statCol)).cast("long").as("hi"))
-      .collect()
-      .flatMap(r =>
-        if (r.isNullAt(1) || r.isNullAt(2)) None // all-NULL file: no stats
-        else Some(r.getString(0) -> (r.getLong(1), r.getLong(2))))
-      .toMap
+    val stats = collectStats(spark, root, files, statCol)
     commit(spark, root,
       files.map(e => e.copy(stats = stats.get(e.path))))
+  }
+
+  /** Per-file (min, max) stats of `statCol` for just-written `files` —
+    * the collection pass [[overwriteWithStats]] and [[deleteRange]] share.
+    * All-NULL files yield no entry (written without stats — always read).
+    */
+  private def collectStats(spark: SparkSession, root: String,
+      files: Seq[Entry], statCol: String): Map[String, (Long, Long)] = {
+    import org.apache.spark.sql.functions._
+    if (files.isEmpty) Map.empty
+    else {
+      val rel = concat(element_at(split(input_file_name(), "/"), -2),
+        lit("/"), element_at(split(input_file_name(), "/"), -1))
+      spark.read.parquet(files.map(f => s"$root/${f.path}"): _*)
+        .groupBy(rel.as("f"))
+        .agg(min(col(statCol)).cast("long").as("lo"),
+          max(col(statCol)).cast("long").as("hi"))
+        .collect()
+        .flatMap(r =>
+          if (r.isNullAt(1) || r.isNullAt(2)) None
+          else Some(r.getString(0) -> (r.getLong(1), r.getLong(2))))
+        .toMap
+    }
+  }
+
+  /** Row-level DELETE of `statCol ∈ [lo, hi]` — the compliance/forget
+    * path a training-data platform needs, made SURGICAL by the manifest
+    * stats: files whose stats PROVE no row is in range are kept BY
+    * REFERENCE (same entry, stats intact, zero IO — the skipping
+    * machinery running in reverse), and only the intersecting files (plus
+    * stats-less ones, which might hold anything) are read, filtered and
+    * rewritten with fresh stats. One atomic manifest commit publishes the
+    * deletion. At 100 TB with a well-clustered delete key, a forget
+    * request rewrites a handful of files, not the table.
+    *
+    * COMPLIANCE CAVEAT, stated loudly: the commit log keeps OLD SNAPSHOTS
+    * readable by design, so the deleted rows still exist in prior
+    * versions' files until a [[vacuum]] ages them out — a real forget
+    * pipeline is deleteRange + vacuum past the retention horizon, exactly
+    * as in the production formats (Delta VACUUM after DELETE).
+    *
+    * Returns the new version.
+    */
+  def deleteRange(spark: SparkSession, root: String, lo: Long, hi: Long,
+      statCol: String): Long = {
+    val head = versions(spark, root).last
+    val entries = manifestEntries(spark, root, Some(head))
+    val (touched, untouched) = entries.partition(_.stats
+      .forall { case (mn, mx) => mx >= lo && mn <= hi })
+    val rewritten =
+      if (touched.isEmpty) Seq.empty
+      else {
+        import org.apache.spark.sql.functions.col
+        val kept = spark.read
+          .parquet(touched.map(f => s"$root/${f.path}"): _*)
+          .filter(!(col(statCol).isNotNull &&
+            col(statCol).cast("long").between(lo, hi)))
+        val files = writeData(kept, root)
+        val stats = collectStats(spark, root, files, statCol)
+        files.map(e => e.copy(stats = stats.get(e.path)))
+      }
+    commit(spark, root, untouched ++ rewritten, basedOn = Some(head))
   }
 
   /** Read `version` (default head) PRUNED to the files whose manifest

@@ -501,6 +501,46 @@ class WarehouseSpec extends AnyFunSuite {
     assert(none.columns.toSeq == all.columns.toSeq && none.count() == 0L)
   }
 
+  test("TableLog.deleteRange: only stat-intersecting files rewritten; old snapshot keeps the rows") {
+    import graft.sources.TableLog
+    val root = java.nio.file.Files.createTempDirectory("graft_tdel").toString
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    TableLog.overwriteWithStats(docs.repartitionByRange(8, col("n_chars")),
+      root, "n_chars")
+    val before = TableLog.manifestEntries(spark, root)
+    val untouchedBefore = before.filter(_.stats.exists { case (mn, mx) =>
+      mx < 150L || mn > 250L })
+    assert(untouchedBefore.nonEmpty, "fixture needs provably-untouched files")
+    val v2 = TableLog.deleteRange(spark, root, 150L, 250L, "n_chars")
+    val after = TableLog.manifestEntries(spark, root, Some(v2))
+    // surgical: every provably-out-of-range file survives AS THE SAME
+    // ENTRY (path + stats), by reference
+    untouchedBefore.foreach(e =>
+      assert(after.contains(e), s"untouched $e must be kept by reference"))
+    // and no in-range file's path survives
+    val touched = before.toSet -- untouchedBefore.toSet
+    touched.foreach(e =>
+      assert(!after.map(_.path).contains(e.path), s"touched ${e.path} must be rewritten"))
+    // semantics: head is the complement; the rewrite kept fresh stats
+    val got = TableLog.read(spark, root)
+      .filter(col("n_chars").between(150L, 250L)).count()
+    assert(got == 0L, "deleted range must be empty at head")
+    assert(TableLog.read(spark, root).count() ==
+      docs.filter(!col("n_chars").between(150L, 250L)).count())
+    assert(after.filterNot(untouchedBefore.contains).forall(e =>
+      e.stats.isDefined || e.bytes.exists(_ < 2000)),
+      "rewritten files should carry fresh stats (tiny empty parts exempt)")
+    // compliance caveat is REAL: the prior snapshot still holds the rows
+    // until vacuum ages it out
+    assert(TableLog.read(spark, root, Some(1L))
+      .filter(col("n_chars").between(150L, 250L)).count() > 0L)
+    TableLog.vacuum(spark, root, keepVersions = 1, orphanMinAgeMs = 0L)
+    intercept[IllegalArgumentException] {
+      TableLog.read(spark, root, Some(1L)).collect()
+    }
+  }
+
   test("q139: bucketed join shuffles neither side — the only Exchange is the groupBy") {
     val df = graft.SparkEntry.queries("q139_bucketed_join")(
       spark, "/root/testdata/sf0.001")
