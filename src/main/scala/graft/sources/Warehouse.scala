@@ -125,22 +125,32 @@ object Warehouse {
     * storage a 100 TB table actually lives on). Driver-side and one small
     * row per FILE, never per row of data: KB-to-MB scale even for a 100 TB
     * table.
+    *
+    * HIDDEN/TEMP paths are excluded the way Spark's own file index excludes
+    * them (InMemoryFileIndex.shouldFilterOutPathName): any file whose name
+    * or whose RELATIVE directory chain contains a component starting with
+    * `_` or `.` — a crashed write's `_temporary/` task attempts, a leftover
+    * `__compact_staging/`, `.crc` sidecars. Without this, compaction would
+    * manifest (and then resurrect into its output) uncommitted task data
+    * that `spark.read` itself would never see.
     */
   def fileManifest(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val qRoot = fs.makeQualified(root).toString.stripSuffix("/")
+    def hidden(c: String) = c.startsWith("_") || c.startsWith(".")
     val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     val it = fs.listFiles(root, true)
     while (it.hasNext) {
       val s0 = it.next()
       val name = s0.getPath.getName
-      if (name.endsWith(".parquet")) {
+      if (name.endsWith(".parquet") && !hidden(name)) {
         val parent = fs.makeQualified(s0.getPath.getParent).toString
           .stripSuffix("/")
         val rel = if (parent == qRoot) "" else parent.stripPrefix(qRoot + "/")
-        buf += ((rel, name, s0.getLen))
+        if (rel.isEmpty || !rel.split('/').exists(hidden))
+          buf += ((rel, name, s0.getLen))
       }
     }
     buf.sortBy(f => (f._1, f._2)).zipWithIndex.toSeq
@@ -305,23 +315,28 @@ object Warehouse {
         // flatten: staging/__bin=N/part-<task>-<uuid>.parquet ->
         // dstDir/compacted-N-<uuid>.parquet (the staged name's unique
         // suffix rides along, so repeated compaction cycles into reused
-        // outputs can never alias). rename() returns FALSE instead of
-        // throwing on an existing destination — check it, or the staging
-        // delete below would silently destroy the bin's only data file
+        // outputs can never alias). A bin USUALLY lands as one file, but a
+        // session with spark.sql.files.maxRecordsPerFile set (or a bin
+        // overflowing that cap) legally writes 2+ — every data file is
+        // renamed with the same collision-free scheme rather than failing
+        // a finished rewrite on an arity check. rename() returns FALSE
+        // instead of throwing on an existing destination — check it, or
+        // the staging delete below would silently destroy bin data
         val stP = new org.apache.hadoop.fs.Path(staging)
         outFs.listStatus(stP).filter(s =>
             s.isDirectory && s.getPath.getName.startsWith("__bin=")).foreach { d =>
           val bin = d.getPath.getName.stripPrefix("__bin=")
           val dataFiles = outFs.listStatus(d.getPath)
             .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-          require(dataFiles.length == 1,
-            s"bin $bin produced ${dataFiles.length} files (expected 1)")
-          val dst = new org.apache.hadoop.fs.Path(
-            s"$dstDir/compacted-$bin-${dataFiles.head.getPath.getName}")
-          if (!outFs.rename(dataFiles.head.getPath, dst))
-            throw new java.io.IOException(
-              s"cannot publish bin $bin: rename to $dst failed" +
-                (if (outFs.exists(dst)) " (destination exists)" else ""))
+          require(dataFiles.nonEmpty, s"bin $bin produced no data files")
+          dataFiles.foreach { f =>
+            val dst = new org.apache.hadoop.fs.Path(
+              s"$dstDir/compacted-$bin-${f.getPath.getName}")
+            if (!outFs.rename(f.getPath, dst))
+              throw new java.io.IOException(
+                s"cannot publish bin $bin: rename to $dst failed" +
+                  (if (outFs.exists(dst)) " (destination exists)" else ""))
+          }
         }
         outFs.delete(stP, true)
       }

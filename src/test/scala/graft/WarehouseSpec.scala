@@ -239,6 +239,64 @@ class WarehouseSpec extends AnyFunSuite {
     assert(got == want, s"second cycle lost rows: $got vs $want")
   }
 
+  test("fileManifest excludes hidden/temp dirs — crashed-write data never resurrects") {
+    // a crashed Spark write leaves _temporary/<attempt>/ task files that
+    // spark.read ignores; the recursive manifest must ignore them the same
+    // way or compactByPlan copies uncommitted (duplicate) task data into
+    // its output (round-13 advice, medium)
+    val root = java.nio.file.Files.createTempDirectory("graft_hidden").toString
+    val path = s"$root/t"
+    val docs = Tables.load(spark, dir, "documents")
+    docs.repartition(4).write.mode("overwrite").parquet(path)
+    val real = Warehouse.fileManifest(spark, path).count()
+    // plant a crashed write's _temporary leaf, a stale staging dir and a
+    // dot-dir, each holding a REAL parquet file (copied from the table)
+    val aPart = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    for (d <- Seq("_temporary/0/attempt_1/", "__compact_staging/__bin=0/",
+        ".hidden/")) {
+      val dd = new java.io.File(s"$path/$d"); dd.mkdirs()
+      java.nio.file.Files.copy(aPart.toPath,
+        new java.io.File(dd, "part-phantom.parquet").toPath)
+    }
+    // and a dot-FILE next to the real parts
+    java.nio.file.Files.copy(aPart.toPath,
+      new java.io.File(s"$path/.part-crc-like.parquet").toPath)
+    val m = Warehouse.fileManifest(spark, path)
+    assert(m.count() == real, "hidden/temp files must not be manifested")
+    assert(m.collect().forall(r => !r.getString(2).contains("phantom")))
+    // end-to-end: compaction over the poisoned dir equals spark.read
+    val out = s"$root/out"
+    Warehouse.compactByPlan(spark, path, 1L << 30, out)
+    assert(spark.read.parquet(out).count() == spark.read.parquet(path).count(),
+      "compaction must carry exactly the committed rows")
+  }
+
+  test("compactByPlan survives bins that legally write multiple files") {
+    // spark.sql.files.maxRecordsPerFile makes a single-bin task write 2+
+    // parquet files — a valid rewrite that the pre-fix arity require failed
+    // AFTER the job ran (round-13 advice, low)
+    val root = java.nio.file.Files.createTempDirectory("graft_multi").toString
+    val path = s"$root/t"
+    val docs = Tables.load(spark, dir, "documents")
+    docs.repartition(8).write.mode("overwrite").parquet(path)
+    val want = spark.read.parquet(path).collect().map(_.toString).sorted
+    val key = "spark.sql.files.maxRecordsPerFile"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "50") // docs is 500 rows -> every bin splits
+    try {
+      val out = s"$root/out"
+      Warehouse.compactByPlan(spark, path, 1L << 30, out) // all files -> one bin
+      val outFiles = new java.io.File(out).listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .filter(_.getName.startsWith("compacted-"))
+      assert(outFiles.length >= 2,
+        s"fixture must actually split the bin: ${outFiles.length} files")
+      val got = spark.read.parquet(out).collect().map(_.toString).sorted
+      assert(got.sameElements(want), "multi-file bins must preserve data")
+    } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   test("partitioned planner over one partition equals the flat two-pass planner") {
     import spark.implicits._
     // hash-scattered sizes around the target: keeps and rewrites both hit
