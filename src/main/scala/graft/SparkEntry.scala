@@ -1894,7 +1894,7 @@ object SparkEntry {
         docs.select(col("doc_id"), col("source"), col("n_chars"))
           .repartitionByRange(8, col("n_chars")),
         root, "n_chars")
-      graft.sources.TableLog.readPruned(s, root, 150L, 250L)
+      graft.sources.TableLog.readPruned(s, root, "n_chars", 150L, 250L)
         .filter(col("n_chars").between(150L, 250L))
         .orderBy(col("doc_id"))
     }),
@@ -1944,6 +1944,135 @@ object SparkEntry {
           .withColumn("version", lit(ver)))
         .reduce(_ unionByName _)
         .orderBy(col("version"), col("k"), col("seq"))
+    }),
+
+    // DELTA-ENCODED COMMITS + MANIFEST CHECKPOINTING (TableLog) — the log
+    // structure that makes an infinite append stream's metadata cost FLAT:
+    // each commit records only its add/remove actions, full snapshots
+    // reconstruct from checkpoint + deltas, and the head resolves from
+    // _last_checkpoint + forward probe. The gate builds one table through
+    // FOUR checkpoint boundaries (interval 2, versions 1..8) and reads
+    // EVERY version back — each read crosses a different checkpoint/delta
+    // split, so a wrong replay at any boundary breaks the hash. The
+    // checkpointed-path ≡ full-replay equivalence and O(batch) manifest
+    // bytes are TableLogSpec's (protocol behaviors SQL cannot see).
+    "q214_log_checkpoints" -> ((s, d) => {
+      import graft.sources.TableLog
+      val docs = t(s, d, "documents")
+      val root = logRoot(s, d, "tckp")
+      val prev = s.conf.getOption(TableLog.CheckpointIntervalKey)
+      s.conf.set(TableLog.CheckpointIntervalKey, "2")
+      try {
+        TableLog.overwrite(docs.filter(col("doc_id") % 9 === 0)
+          .select(col("doc_id"), col("n_chars")), root)
+        (1L to 7L).foreach(k =>
+          TableLog.append(docs.filter(col("doc_id") % 9 === k)
+            .select(col("doc_id"), col("n_chars")), root))
+      } finally prev.fold(s.conf.unset(TableLog.CheckpointIntervalKey))(
+        s.conf.set(TableLog.CheckpointIntervalKey, _))
+      (1L to 8L)
+        .map(v => TableLog.read(s, root, Some(v))
+          .withColumn("version", lit(v)))
+        .reduce(_ unionByName _)
+        .orderBy(col("version"), col("doc_id"))
+    }),
+
+    // CHANGE-DATA-FEED reads from the log (TableLog.readChanges) — the
+    // incremental-consumer path every downstream training job needs
+    // ("process only what v_n changed since v_m"). Window w1 is
+    // append-only: the engine reads ONLY the added files (file-level delta
+    // from the manifests, base never scanned); window w2 crosses a rewrite
+    // (overwrite that drops and bumps rows), falling back to the q168
+    // snapshot-diff machinery with unchanged rows excluded. The oracle
+    // re-derives both windows from the fixture arithmetic.
+    "q215_log_cdf" -> ((s, d) => {
+      import graft.sources.TableLog
+      val docs = t(s, d, "documents")
+      val root = logRoot(s, d, "tcdf")
+      def slice(m: Long) = docs.filter(col("doc_id") % 3 === m)
+        .select(col("doc_id").as("k"), col("n_chars").as("v"))
+      TableLog.overwrite(slice(0), root) // v1
+      TableLog.append(slice(1), root)    // v2
+      TableLog.append(slice(2), root)    // v3
+      TableLog.overwrite(                // v4: drop %3==2, bump %5==0
+        docs.filter(col("doc_id") % 3 < 2).select(col("doc_id").as("k"),
+          when(col("doc_id") % 5 === 0, col("n_chars") + 1000L)
+            .otherwise(col("n_chars")).as("v")), root)
+      val w1 = TableLog.readChanges(s, root, 1L, 3L,
+        col("k"), col("v").cast("string")).withColumn("win", lit("w1"))
+      val w2 = TableLog.readChanges(s, root, 3L, 4L,
+        col("k"), col("v").cast("string")).withColumn("win", lit("w2"))
+      w1.unionByName(w2).orderBy(col("win"), col("doc_id"), col("status"))
+    }),
+
+    // PARTITION COLUMNS + STATS IN THE MANIFEST (TableLog
+    // .overwritePartitioned + readPruned) — both pruning layers compose at
+    // the PLANNING layer: partition equality drops every other source's
+    // files from the manifest, stat ranges drop out-of-range files WITHIN
+    // the partition, and only then does a scan get planned. The partition
+    // column itself is reconstructed from the manifest (typed by the
+    // recorded schema), never from path inference. Soundness gate: pruned
+    // read + row filter ≡ plain filter (the q212 discipline); the
+    // inputFiles-shrink of each layer is TableLogSpec's.
+    "q216_partitioned_log" -> ((s, d) => {
+      import graft.sources.TableLog
+      val docs = t(s, d, "documents")
+      val root = logRoot(s, d, "tplog")
+      TableLog.overwritePartitioned(
+        docs.select(col("doc_id"), col("source"), col("n_chars"))
+          .repartitionByRange(4, col("n_chars")),
+        root, Seq("source"), "n_chars")
+      TableLog.readPruned(s, root, "n_chars", 150L, 300L,
+          partitionEq = Map("source" -> "src3"))
+        .filter(col("source") === "src3" &&
+          col("n_chars").between(150L, 300L))
+        .orderBy(col("doc_id"))
+    }),
+
+    // SCHEMA IN THE MANIFEST + ADDITIVE EVOLUTION (TableLog `#schema:`
+    // metadata) — a column added in v2/v3 NULL-fills older files at read
+    // time, and TIME TRAVEL reads each version with the schema it HAD
+    // (v1 has no lang column at all). The gate reads the whole evolving
+    // chain aligned to the head schema; the reject-incompatible path
+    // (type change throws before anything commits) is TableLogSpec's.
+    "q217_schema_evolution" -> ((s, d) => {
+      import graft.sources.TableLog
+      val docs = t(s, d, "documents")
+      val root = logRoot(s, d, "tevo")
+      TableLog.overwrite(docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("n_chars")), root)               // v1
+      TableLog.append(docs.filter(col("doc_id") % 3 === 1)
+        .select(col("doc_id"), col("n_chars"), col("lang")), root)  // v2
+      TableLog.append(docs.filter(col("doc_id") % 3 === 2)
+        .select(col("doc_id"), col("n_chars"), col("lang"),
+          upper(col("source")).as("src_u")), root)                  // v3
+      (1L to 3L)
+        .map(v => TableLog.read(s, root, Some(v))
+          .withColumn("version", lit(v)))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+        .select(col("version"), col("doc_id"), col("n_chars"),
+          col("lang"), col("src_u"))
+        .orderBy(col("version"), col("doc_id"))
+    }),
+
+    // PREDICATE DELETE beyond one range (TableLog.delete) — an arbitrary
+    // Column predicate with stats-based TRIAGE: the derivable conjunct
+    // (n_chars >= 150) is extracted from the expression tree and every
+    // file whose stats prove it disjoint is kept BY REFERENCE; the
+    // non-derivable modulo conjunct is applied row-level on the rest.
+    // NULL-predicate rows are KEPT (SQL delete semantics). The gate pins
+    // complement semantics; the keep-by-reference engagement is
+    // TableLogSpec's.
+    "q218_predicate_delete" -> ((s, d) => {
+      import graft.sources.TableLog
+      val docs = t(s, d, "documents")
+      val root = logRoot(s, d, "tpdl")
+      TableLog.overwriteWithStats(
+        docs.select(col("doc_id"), col("source"), col("n_chars"))
+          .repartitionByRange(8, col("n_chars")), root, "n_chars")
+      TableLog.delete(s, root,
+        col("n_chars") % 7 === 0 && col("n_chars") >= 150)
+      TableLog.read(s, root).orderBy(col("doc_id"))
     }),
 
     // TRAINED language ID (Corpus.langIdTrained) — q19's heuristic upgraded
@@ -4998,6 +5127,66 @@ object SparkEntry {
         |UNION ALL
         |SELECT k, source, v, seq, CAST(3 AS BIGINT) FROM merged
         |ORDER BY version, k, seq""".stripMargin,
+
+    // Every version of the checkpointed chain is a plain slice law:
+    // version v holds exactly the docs with doc_id % 9 < v
+    "q214_log_checkpoints" ->
+      """SELECT d.doc_id, d.n_chars, CAST(r.v AS BIGINT) AS version
+        |FROM documents d, range(1, 9) r(v)
+        |WHERE d.doc_id % 9 < r.v
+        |ORDER BY version, doc_id""".stripMargin,
+
+    // w1 (append-only window): exactly the appended ids, status 'added';
+    // w2 (across a rewrite): full-snapshot diff — %3=2 removed, %5=0
+    // survivors changed, everything unchanged excluded
+    "q215_log_cdf" ->
+      """SELECT doc_id, 'added' AS status, 'w1' AS win
+        |FROM documents WHERE doc_id % 3 IN (1, 2)
+        |UNION ALL
+        |SELECT doc_id, 'removed', 'w2' FROM documents WHERE doc_id % 3 = 2
+        |UNION ALL
+        |SELECT doc_id, 'changed', 'w2'
+        |FROM documents WHERE doc_id % 3 < 2 AND doc_id % 5 = 0
+        |ORDER BY win, doc_id, status""".stripMargin,
+
+    // Pruning (partition + stats) must be invisible to semantics
+    "q216_partitioned_log" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE source = 'src3' AND n_chars BETWEEN 150 AND 300
+        |ORDER BY doc_id""".stripMargin,
+
+    // The evolving chain re-derived: v1 without the added columns, v2's
+    // old files NULL-fill lang, v3's older files NULL-fill src_u
+    "q217_schema_evolution" ->
+      """WITH v1 AS (
+        |  SELECT doc_id, n_chars, CAST(NULL AS VARCHAR) AS lang,
+        |         CAST(NULL AS VARCHAR) AS src_u
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |v2 AS (
+        |  SELECT doc_id, n_chars, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id, n_chars, lang, CAST(NULL AS VARCHAR)
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |v3 AS (
+        |  SELECT doc_id, n_chars, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id, n_chars, lang, CAST(NULL AS VARCHAR)
+        |  FROM documents WHERE doc_id % 3 = 1
+        |  UNION ALL
+        |  SELECT doc_id, n_chars, lang, upper(source)
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT CAST(1 AS BIGINT) AS version, * FROM v1
+        |UNION ALL SELECT CAST(2 AS BIGINT), * FROM v2
+        |UNION ALL SELECT CAST(3 AS BIGINT), * FROM v3
+        |ORDER BY version, doc_id""".stripMargin,
+
+    // Complement of the predicate, NULL rows kept (SQL delete semantics)
+    "q218_predicate_delete" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE n_chars IS NULL OR NOT (n_chars % 7 = 0 AND n_chars >= 150)
+        |ORDER BY doc_id""".stripMargin,
 
     // Full re-derivation of the trained classifier: marker-augmented text,
     // q197's portable hashed token counts, per-language centroid sums,

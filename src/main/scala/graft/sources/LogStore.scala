@@ -1,0 +1,119 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.hadoop.fs.Path
+
+/** Storage seam for the commit log's METADATA operations — the small,
+  * sharply-defined surface whose atomicity carries every [[TableLog]]
+  * guarantee. Data files (parquet) never go through this interface; only
+  * the log directory's manifests, checkpoints, pointers and markers do.
+  *
+  * The contract, per method:
+  *  - [[writeIfAbsent]] is the COMMIT CAS: it must atomically publish the
+  *    full content at `path` iff no file exists there, returning false
+  *    (never a partial file) when one does. Everything else in the log
+  *    protocol — optimistic concurrency, exactly-once streaming appends,
+  *    crash-invisible half-writes — reduces to this one primitive.
+  *  - [[read]] must return only fully-published content (content that some
+  *    writeIfAbsent/writeOverwrite completed).
+  *  - [[writeOverwrite]] is for CACHE files only (`_last_checkpoint`): a
+  *    torn or stale read must be RECOVERABLE by the caller (TableLog
+  *    falls back to listing), so it needs no atomicity beyond
+  *    eventual-full-content.
+  *  - [[list]] returns the file names in a directory (no recursion).
+  *
+  * The default [[HadoopLogStore]] implements the CAS as
+  * write-temp-then-rename-if-absent, which is atomic on filesystems with
+  * atomic rename (local, HDFS). An S3-style object store — where rename is
+  * copy+delete and not exclusive — plugs in a conditional-put (If-None-
+  * Match) implementation via `spark.graft.logstore.class`, exactly the
+  * seam Delta's LogStore provides; WarehouseSpec drives the whole
+  * conflict suite through a non-filesystem mock to prove the guarantee
+  * lives in this interface, not in any particular FS.
+  */
+trait LogStore {
+  /** File names (not paths) directly under `dir`; empty if absent. */
+  def list(spark: SparkSession, dir: String): Seq[String]
+  /** Full content of a published file. Throws if absent. */
+  def read(spark: SparkSession, path: String): String
+  /** Atomically publish `content` at `path` iff absent; false if a file
+    * already exists there (the CAS loss). Never leaves a partial file.
+    */
+  def writeIfAbsent(spark: SparkSession, path: String, content: String): Boolean
+  /** Overwrite a cache/pointer file (no CAS contract — see trait doc). */
+  def writeOverwrite(spark: SparkSession, path: String, content: String): Unit
+  def exists(spark: SparkSession, path: String): Boolean
+  def delete(spark: SparkSession, path: String): Unit
+}
+
+object LogStore {
+  /** Conf key naming a LogStore implementation class (no-arg constructor);
+    * unset/empty selects [[HadoopLogStore]].
+    */
+  val ConfKey = "spark.graft.logstore.class"
+
+  def resolve(spark: SparkSession): LogStore =
+    spark.conf.getOption(ConfKey).filter(_.nonEmpty) match {
+      case None => HadoopLogStore
+      case Some(cn) => Class.forName(cn).getDeclaredConstructor()
+        .newInstance().asInstanceOf[LogStore]
+    }
+}
+
+/** Default [[LogStore]]: Hadoop FileSystem with write-temp-then-rename-if-
+  * absent as the CAS (atomic on local/HDFS; see trait doc for object
+  * stores).
+  */
+object HadoopLogStore extends LogStore {
+  private def fsOf(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  override def list(spark: SparkSession, dir: String): Seq[String] = {
+    val d = new Path(dir)
+    val fs = fsOf(spark, d)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).toSeq.filter(_.isFile).map(_.getPath.getName)
+  }
+
+  override def read(spark: SparkSession, path: String): String = {
+    val p = new Path(path)
+    val in = fsOf(spark, p).open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  override def writeIfAbsent(spark: SparkSession, path: String,
+      content: String): Boolean = {
+    val dst = new Path(path)
+    val fs = fsOf(spark, dst)
+    fs.mkdirs(dst.getParent)
+    val tmp = new Path(dst.getParent,
+      s"${dst.getName}.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(content.getBytes("UTF-8"))
+    finally out.close()
+    if (fs.rename(tmp, dst)) true
+    else { fs.delete(tmp, false); false }
+  }
+
+  override def writeOverwrite(spark: SparkSession, path: String,
+      content: String): Unit = {
+    val dst = new Path(path)
+    val fs = fsOf(spark, dst)
+    fs.mkdirs(dst.getParent)
+    val out = fs.create(dst, true)
+    try out.write(content.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  override def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    fsOf(spark, p).exists(p)
+  }
+
+  override def delete(spark: SparkSession, path: String): Unit = {
+    val p = new Path(path)
+    fsOf(spark, p).delete(p, false)
+    ()
+  }
+}

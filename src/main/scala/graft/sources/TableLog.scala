@@ -1,63 +1,86 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
 
-/** Minimal manifest COMMIT LOG — the "metastore pointer swap" seam that
+/** Manifest COMMIT LOG — the "metastore pointer swap" seam that
   * [[Warehouse.compact]]'s two-rename visibility caveat and
   * [[Warehouse.mergeUpsertPartitioned]]'s same-path-checkpoint note both
-  * punt to. This is the protocol core Delta/Iceberg are built on, reduced
-  * to its invariant: a table IS the file list named by its newest
-  * committed manifest, and the COMMIT POINT is one atomic
-  * rename-if-absent of `_graft_log/v<N>.manifest` — readers either see
-  * version N complete or not at all, never a half-written directory.
+  * punt to. This is the protocol core Delta/Iceberg are built on: a table
+  * IS the file list reconstructed from its log, and the COMMIT POINT is one
+  * atomic publish of `_graft_log/v<N>.manifest` through the [[LogStore]]
+  * CAS — readers either see version N complete or not at all, never a
+  * half-written directory.
   *
   * What the log buys at 100 TB, concretely:
-  *  - ATOMIC maintenance: compaction/merge write NEW files next to the old
-  *    ones and publish by committing a new manifest — no window where the
-  *    directory half-exists (the hole [[Warehouse.compact]] documents),
-  *    and a crashed rewrite leaves unreferenced files, never a broken
-  *    table.
-  *  - KEEP-BY-REFERENCE: a compaction's keep set changes manifests, not
-  *    bytes — zero IO for the files already at target size (compare
-  *    [[Warehouse.compactByPlan]]'s copy, which must move keeps because a
-  *    directory IS its listing).
-  *  - PLANNING WITHOUT LISTING: readers plan from one manifest read
-  *    instead of a recursive directory walk, and manifest entries carry
-  *    the file SIZE (so maintenance never issues per-file status RPCs)
-  *    and optionally per-file column stats (so range scans prune whole
-  *    files before any footer is opened) — object-store listing and
-  *    footer fetches are the scan-planning bottlenecks the real formats
-  *    exist to remove.
-  *  - TIME TRAVEL: old manifests stay; `read(root, Some(v))` is a
-  *    consistent snapshot for audits/reproducible training runs (the q211
-  *    gate reads three versions of one table in one query).
-  *  - OPTIMISTIC CONCURRENCY: two writers racing to version N both
-  *    attempt the same rename; exactly one wins (rename-if-absent is the
-  *    CAS), the loser gets a typed [[TableLog.CommitConflictException]]
-  *    and must re-plan against the new head — Delta's conflict protocol,
-  *    at file granularity.
+  *  - ATOMIC maintenance: compaction/merge/delete write NEW files next to
+  *    the old ones and publish by committing one manifest — no window where
+  *    the directory half-exists, and a crashed rewrite leaves unreferenced
+  *    files, never a broken table.
+  *  - KEEP-BY-REFERENCE: a compaction's or surgical delete's keep set
+  *    changes manifests, not bytes — zero IO for untouched files.
+  *  - DELTA-ENCODED COMMITS: each manifest records only the commit's
+  *    add/remove ACTIONS, so an append writes O(batch) manifest bytes, not
+  *    O(table) — the difference between a streaming sink whose metadata
+  *    write grows with every epoch and one that stays flat forever. A full
+  *    snapshot is reconstructed by replaying deltas from the nearest
+  *    CHECKPOINT (`v<N>.checkpoint`, written every
+  *    `spark.graft.log.checkpoint.interval` commits), and the head is
+  *    resolved from the `_last_checkpoint` pointer plus a forward probe —
+  *    O(commits-since-checkpoint), never an O(versions) directory listing.
+  *    This is the Delta log protocol shape (delta JSON commits + parquet
+  *    checkpoints + _last_checkpoint).
+  *  - PLANNING WITHOUT LISTING: entries carry file SIZE, optional HIVE
+  *    PARTITION VALUES and optional PER-FILE (min, max) COLUMN STATS (any
+  *    number of long-typed columns), so scans prune whole files — by
+  *    partition equality and/or stat ranges — before any footer is opened.
+  *  - SCHEMA IN THE LOG: every data commit records the table schema
+  *    (`#schema:` metadata), so time travel reads each version with the
+  *    schema it HAD, additive evolution NULL-fills old files at read time,
+  *    and an incompatible append throws [[SchemaEvolutionException]]
+  *    instead of corrupting the union.
+  *  - TIME TRAVEL + CDF: old versions stay readable
+  *    (`read(root, Some(v))`), and [[readChanges]] feeds incremental
+  *    consumers exactly what a version range added/removed/changed —
+  *    file-level from the deltas (free), row-level via the
+  *    [[graft.operators.Snapshots.diff]] machinery when files were
+  *    rewritten.
+  *  - OPTIMISTIC CONCURRENCY: two writers racing to version N both attempt
+  *    the same [[LogStore.writeIfAbsent]]; exactly one wins, the loser gets
+  *    a typed [[CommitConflictException]] and must re-plan against the new
+  *    head — Delta's conflict protocol, at file granularity.
   *
-  * Deliberately NOT here (documented scope, not oversight): manifest
-  * checkpointing (version listing stays O(versions)), schema evolution,
-  * and row-level deletes — each layers on the same commit primitive
-  * without changing it.
+  * Log file formats (UTF-8, line-oriented):
+  *  - `v<N>.manifest` — ONE COMMIT's delta:
+  *      `#<key>:<value>`  commit metadata (`#schema:<json>`, `#epoch:<id>`
+  *                        — the streaming exactly-once token, committed
+  *                        ATOMICALLY with the file actions);
+  *      `-\t<path>`       remove the file from the snapshot;
+  *      `+\t<path>\t<bytes|?>[\tp:<k>=<v>]…[\ts:<col>=<lo>:<hi>]…`
+  *                        add a file (root-relative path, size, hive
+  *                        partition values, per-column long stats);
+  *      a line with none of those prefixes is tolerated as a legacy bare
+  *      add (`path[\tbytes]`).
+  *  - `v<N>.checkpoint` — the FULL snapshot at N in add-line form, plus
+  *      `#schema:` and `#epochmax:<id>` (the largest epoch committed ≤ N —
+  *      what keeps exactly-once recovery O(commits-since-checkpoint) and
+  *      safe across [[vacuum]]). Checkpoints are a pure CACHE: deleting one
+  *      only forces a longer replay.
+  *  - `_last_checkpoint` — the newest checkpoint version (head-resolution
+  *      pointer; stale or torn reads fall back to a listing).
   *
-  * Manifest format, line by line (UTF-8):
-  *  - `#<key>:<value>` — commit METADATA (e.g. `#epoch:<id>`, the
-  *    streaming sink's exactly-once token — committed ATOMICALLY with the
-  *    file list, which is what closes the marker-after-commit crash
-  *    window a side-file ledger alone would leave);
-  *  - `<path>\t<bytes>` — a data file, path relative to the table root;
-  *  - `<path>\t<bytes>\t<min>\t<max>` — a data file with LONG column
-  *    stats ([[overwriteWithStats]]);
-  *  - bare `<path>` — tolerated (size unknown: maintenance falls back to
-  *    one status call; never skippable).
-  * Data files land under unique `c<uuid>/` dirs per commit, so concurrent
-  * writers never collide on data paths — only on the manifest rename,
-  * which is the point. The rename-is-atomic assumption holds on
-  * filesystems with atomic rename (local, HDFS); S3-style stores need a
-  * coordination service here, exactly as the real formats do.
+  * Data files land under unique `c<uuid>/` dirs per commit (hive
+  * `k=v/` subdirs inside for partitioned tables), so concurrent writers
+  * never collide on data paths — only on the manifest CAS, which is the
+  * point. All metadata IO goes through the [[LogStore]] seam; the default
+  * is rename-if-absent (atomic on local/HDFS), and an S3-style store plugs
+  * in a conditional-put implementation without touching this protocol.
+  *
+  * Single-writer-per-stream contract for exactly-once appends: epoch ids of
+  * one `appendStream` are committed in increasing order (foreachBatch is
+  * sequential), which is what makes `#epochmax` a sound summary; two
+  * DIFFERENT streams appending to one table need distinct epoch key spaces
+  * (as in Delta's per-appId txn versions).
   */
 object TableLog {
 
@@ -68,114 +91,322 @@ object TableLog {
   final class CommitConflictException(msg: String)
     extends java.io.IOException(msg)
 
-  /** One manifest data-file entry. `bytes` is None only for legacy bare
-    * lines; `stats` is the optional (min, max) of the stats column.
+  /** An append's schema cannot evolve the table's: a column changed type
+    * or the change is otherwise non-additive. The commit is REFUSED —
+    * nothing was published.
+    */
+  final class SchemaEvolutionException(msg: String)
+    extends IllegalArgumentException(msg)
+
+  /** One snapshot data-file entry. `bytes` is None only for legacy bare
+    * lines; `stats` maps column name → (min, max) over the file's non-null
+    * values (the data-skipping surface); `partition` carries the file's
+    * hive partition values (raw directory-escaped form).
     */
   final case class Entry(path: String, bytes: Option[Long],
-    stats: Option[(Long, Long)])
+    stats: Map[String, (Long, Long)] = Map.empty,
+    partition: Map[String, String] = Map.empty)
 
-  private def logDir(root: String) = new Path(s"$root/_graft_log")
+  /** Commits between checkpoints (`v<N>.checkpoint` every N commits).
+    * Smaller = cheaper old-version reads, more metadata files; the default
+    * 10 mirrors Delta's checkpoint cadence.
+    */
+  val CheckpointIntervalKey = "spark.graft.log.checkpoint.interval"
 
-  private def fsOf(spark: SparkSession, p: Path) =
-    p.getFileSystem(spark.sessionState.newHadoopConf())
+  private def checkpointInterval(spark: SparkSession): Int =
+    math.max(1, spark.conf.getOption(CheckpointIntervalKey)
+      .map(_.toInt).getOrElse(10))
+
+  private def logDir(root: String) = s"$root/_graft_log"
+  private def manifestPath(root: String, v: Long) = s"${logDir(root)}/v$v.manifest"
+  private def checkpointPath(root: String, v: Long) = s"${logDir(root)}/v$v.checkpoint"
+  private def pointerPath(root: String) = s"${logDir(root)}/_last_checkpoint"
 
   private val ManifestName = "v(\\d+)\\.manifest".r
+  private val CheckpointName = "v(\\d+)\\.checkpoint".r
 
-  /** Committed versions, ascending. In-flight `.tmp` files and anything
-    * else in the log dir are ignored — only a completed rename commits.
+  /** Committed versions, ascending, by LISTING the log dir — the full
+    * audit view (in-flight `.tmp` files never appear: only a completed
+    * [[LogStore.writeIfAbsent]] publishes a name this matches). Hot paths
+    * use [[headVersion]]'s pointer+probe instead; this stays O(listing)
+    * by design for time-travel/audit use.
     */
   def versions(spark: SparkSession, root: String): Seq[Long] = {
-    val dir = logDir(root)
-    val fs = fsOf(spark, dir)
-    if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).toSeq.flatMap(s => s.getPath.getName match {
-      case ManifestName(n) if s.isFile => Some(n.toLong)
+    val store = LogStore.resolve(spark)
+    store.list(spark, logDir(root)).flatMap {
+      case ManifestName(n) => Some(n.toLong)
       case _ => None
-    }).sorted
+    }.sorted
   }
 
-  private def manifestLines(spark: SparkSession, root: String,
-      version: Option[Long]): Seq[String] = {
-    val vs = versions(spark, root)
-    require(vs.nonEmpty, s"no committed versions under $root")
-    val v = version.getOrElse(vs.last)
-    require(vs.contains(v), s"version $v not committed under $root (have $vs)")
-    val p = new Path(s"$root/_graft_log/v$v.manifest")
-    val in = fsOf(spark, p).open(p)
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-      .filter(_.nonEmpty).toList
-    finally in.close()
+  /** The current head version, resolved WITHOUT a directory listing when
+    * the `_last_checkpoint` pointer exists: start at the pointed
+    * checkpoint and probe forward while `v<N+1>.manifest` exists —
+    * O(commits-since-checkpoint) existence checks. A missing/torn/stale
+    * pointer falls back to the listing (the pointer is a cache, never a
+    * correctness dependency).
+    */
+  def headVersion(spark: SparkSession, root: String): Option[Long] = {
+    val store = LogStore.resolve(spark)
+    readPointer(spark, root, store) match {
+      case Some(c) if store.exists(spark, checkpointPath(root, c)) ||
+          store.exists(spark, manifestPath(root, c)) =>
+        var v = c
+        while (store.exists(spark, manifestPath(root, v + 1))) v += 1
+        Some(v)
+      case _ => versions(spark, root).lastOption
+    }
   }
 
-  /** The file list of `version` (default: newest committed) — paths only. */
+  private def readPointer(spark: SparkSession, root: String,
+      store: LogStore): Option[Long] =
+    try {
+      if (!store.exists(spark, pointerPath(root))) None
+      else Some(store.read(spark, pointerPath(root)).trim.toLong)
+    } catch { case _: Exception => None }
+
+  // -------------------------------------------------------------------------
+  // Delta-file parse/format
+  // -------------------------------------------------------------------------
+
+  private final case class DeltaFile(meta: Seq[(String, String)],
+    removes: Seq[String], adds: Seq[Entry])
+
+  private def parseDelta(content: String): DeltaFile = {
+    val meta = Seq.newBuilder[(String, String)]
+    val removes = Seq.newBuilder[String]
+    val adds = Seq.newBuilder[Entry]
+    content.linesIterator.filter(_.nonEmpty).foreach { l =>
+      if (l.startsWith("#")) {
+        val i = l.indexOf(':')
+        if (i > 1) meta += ((l.substring(1, i), l.substring(i + 1)))
+      } else if (l.startsWith("-\t")) removes += l.substring(2)
+      else if (l.startsWith("+\t")) adds += parseAdd(l.split('\t').drop(1))
+      else { // legacy bare add: path[\tbytes[\t<ignored stat tokens>]]
+        val t = l.split('\t')
+        adds += Entry(t(0), t.lift(1).flatMap(b => scala.util.Try(b.toLong).toOption))
+      }
+    }
+    DeltaFile(meta.result(), removes.result(), adds.result())
+  }
+
+  private def parseAdd(t: Array[String]): Entry = {
+    val bytes = t.lift(1).filter(_ != "?").map(_.toLong)
+    var part = Map.empty[String, String]
+    var stats = Map.empty[String, (Long, Long)]
+    t.drop(2).foreach { tok =>
+      if (tok.startsWith("p:")) {
+        val kv = tok.substring(2); val i = kv.indexOf('=')
+        if (i > 0) part += kv.substring(0, i) -> kv.substring(i + 1)
+      } else if (tok.startsWith("s:")) {
+        val kv = tok.substring(2); val i = kv.indexOf('=')
+        if (i > 0) {
+          val r = kv.substring(i + 1).split(':')
+          if (r.length == 2)
+            stats += kv.substring(0, i) -> ((r(0).toLong, r(1).toLong))
+        }
+      }
+    }
+    Entry(t(0), bytes, stats, part)
+  }
+
+  private def fmtAdd(e: Entry): String =
+    (Seq("+", e.path, e.bytes.map(_.toString).getOrElse("?")) ++
+      e.partition.toSeq.sortBy(_._1).map { case (k, v) => s"p:$k=$v" } ++
+      e.stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) => s"s:$c=$lo:$hi" })
+      .mkString("\t")
+
+  // -------------------------------------------------------------------------
+  // Snapshot state (checkpoint base + delta replay)
+  // -------------------------------------------------------------------------
+
+  /** Reconstructed snapshot: the file entries, the schema recorded at (or
+    * carried forward to) this version, and the largest committed epoch id
+    * — everything a read, an append or an exactly-once recovery needs.
+    */
+  private[graft] final case class LogState(version: Long,
+    entries: Vector[Entry], schemaJson: Option[String], epochMax: Option[Long])
+
+  /** Newest checkpoint ≤ `v`: pointer fast-path when valid, else one
+    * listing. Using an OLDER checkpoint than the newest is always correct
+    * (just more deltas to replay), which is what makes the pointer a pure
+    * cache.
+    */
+  private def latestCheckpointAtOrBefore(spark: SparkSession, root: String,
+      v: Long, store: LogStore): Option[Long] =
+    readPointer(spark, root, store)
+      .filter(c => c <= v && store.exists(spark, checkpointPath(root, c)))
+      .orElse {
+        store.list(spark, logDir(root)).flatMap {
+          case CheckpointName(n) if n.toLong <= v => Some(n.toLong)
+          case _ => None
+        }.sorted.lastOption
+      }
+
+  /** Snapshot state at `version` (default head): start from the nearest
+    * checkpoint at-or-below (skipped entirely when `useCheckpoint` is
+    * false — the full-replay path the q214 gate proves equivalent) and
+    * apply each subsequent manifest's delta in order.
+    */
+  private[graft] def state(spark: SparkSession, root: String,
+      version: Option[Long] = None,
+      useCheckpoint: Boolean = true): LogState = {
+    val store = LogStore.resolve(spark)
+    val v = version.getOrElse {
+      val h = headVersion(spark, root)
+      require(h.nonEmpty, s"no committed versions under $root")
+      h.get
+    }
+    require(store.exists(spark, manifestPath(root, v)) ||
+        store.exists(spark, checkpointPath(root, v)),
+      s"version $v not committed under $root")
+    val cp = if (useCheckpoint)
+      latestCheckpointAtOrBefore(spark, root, v, store) else None
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, Entry]
+    var schemaJson: Option[String] = None
+    var epochMax: Option[Long] = None
+    def applyDelta(d: DeltaFile): Unit = {
+      d.removes.foreach(m.remove)
+      d.adds.foreach(e => m.put(e.path, e))
+      d.meta.foreach {
+        case ("schema", j) => schemaJson = Some(j)
+        case ("epoch", id) =>
+          epochMax = Some(math.max(epochMax.getOrElse(Long.MinValue), id.toLong))
+        case ("epochmax", id) =>
+          epochMax = Some(math.max(epochMax.getOrElse(Long.MinValue), id.toLong))
+        case _ => ()
+      }
+    }
+    cp.foreach(c =>
+      applyDelta(parseDelta(store.read(spark, checkpointPath(root, c)))))
+    var u = cp.getOrElse(0L) + 1
+    while (u <= v) {
+      if (!store.exists(spark, manifestPath(root, u)))
+        throw new IllegalStateException(
+          s"manifest for version $u missing under $root (vacuumed past its " +
+            "checkpoint?) — cannot reconstruct the snapshot")
+      applyDelta(parseDelta(store.read(spark, manifestPath(root, u))))
+      u += 1
+    }
+    LogState(v, m.values.toVector, schemaJson, epochMax)
+  }
+
+  /** The file list of `version` (default: head) — paths only. */
   def manifest(spark: SparkSession, root: String,
       version: Option[Long] = None): Seq[String] =
     manifestEntries(spark, root, version).map(_.path)
 
-  /** Data-file entries of `version` (default head) with sizes and the
-    * optional per-file (min, max) stats — the data-skipping surface.
+  /** SNAPSHOT data-file entries of `version` (default head) — sizes,
+    * partition values and per-column stats included. Reconstructed from
+    * checkpoint + deltas; the name is historical (pre-delta-log, a
+    * manifest WAS the snapshot).
     */
   def manifestEntries(spark: SparkSession, root: String,
       version: Option[Long] = None): Seq[Entry] =
-    manifestLines(spark, root, version)
-      .filterNot(_.startsWith("#"))
-      .map(_.split('\t') match {
-        case Array(f, b, lo, hi) => Entry(f, Some(b.toLong),
-          Some((lo.toLong, hi.toLong)))
-        case Array(f, b) => Entry(f, Some(b.toLong), None)
-        case other => Entry(other.mkString("\t"), None, None)
-      })
+    state(spark, root, version).entries
 
-  /** Commit metadata lines of `version` (default head), `#` stripped —
-    * e.g. `epoch:<id>` from the streaming sink.
+  /** Raw commit-metadata lines of `version`'s OWN manifest (delta), `#`
+    * stripped — e.g. `epoch:<id>`. Unlike [[manifestEntries]] this is the
+    * single commit's record, not accumulated state.
     */
   def manifestMeta(spark: SparkSession, root: String,
-      version: Option[Long] = None): Seq[String] =
-    manifestLines(spark, root, version)
-      .filter(_.startsWith("#")).map(_.stripPrefix("#"))
+      version: Option[Long] = None): Seq[String] = {
+    val store = LogStore.resolve(spark)
+    val v = version.getOrElse {
+      val h = headVersion(spark, root)
+      require(h.nonEmpty, s"no committed versions under $root")
+      h.get
+    }
+    require(store.exists(spark, manifestPath(root, v)),
+      s"version $v not committed under $root")
+    store.read(spark, manifestPath(root, v)).linesIterator
+      .filter(_.startsWith("#")).map(_.stripPrefix("#")).toSeq
+  }
 
-  /** Commit `entries` as version `basedOn + 1` — `basedOn` is the head
-    * version the writer PLANNED against (0 for an empty table; default:
-    * re-read the current head). `meta` lines are committed ATOMICALLY with
-    * the file list. The rename of the fully-written `.tmp` manifest IS the
-    * commit point: rename-if-absent either installs the version atomically
-    * or fails because a concurrent writer already committed it — the
-    * optimistic-concurrency CAS. The loser gets
-    * [[CommitConflictException]] and must re-plan against the new head
-    * (its snapshot may be stale), exactly the Delta conflict protocol.
-    * Returns the committed version number.
+  /** The table schema recorded at `version` (None for pre-schema legacy
+    * logs, which fall back to parquet inference on read).
+    */
+  def schemaOf(spark: SparkSession, root: String,
+      version: Option[Long] = None): Option[StructType] =
+    state(spark, root, version).schemaJson
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+
+  // -------------------------------------------------------------------------
+  // Commit
+  // -------------------------------------------------------------------------
+
+  /** Commit `entries` as the FULL SNAPSHOT of version `basedOn + 1` —
+    * `basedOn` is the head the writer PLANNED against (0 for an empty
+    * table; default: re-read the current head). The delta (adds/removes vs
+    * the previous snapshot) is computed here, so even a full-snapshot
+    * caller writes only the changed lines. `meta` lines are committed
+    * ATOMICALLY with the actions. The [[LogStore.writeIfAbsent]] of the
+    * manifest IS the commit point; the loser of a concurrent race gets
+    * [[CommitConflictException]] and must re-plan (its snapshot may be
+    * stale). Returns the committed version.
     */
   def commit(spark: SparkSession, root: String, entries: Seq[Entry],
       basedOn: Option[Long] = None, meta: Seq[String] = Nil): Long = {
-    val dir = logDir(root)
-    val fs = fsOf(spark, dir)
-    fs.mkdirs(dir)
-    val next =
-      basedOn.getOrElse(versions(spark, root).lastOption.getOrElse(0L)) + 1L
-    val lines = meta.map("#" + _) ++ entries.map { e =>
-      (Seq(e.path) ++ e.bytes.map(_.toString).toSeq ++
-        e.stats.toSeq.flatMap { case (lo, hi) => Seq(lo.toString, hi.toString) })
-        .mkString("\t")
-    }
-    val tmp = new Path(dir, s"v$next.manifest.tmp-${java.util.UUID.randomUUID()}")
-    val out = fs.create(tmp, false)
-    try out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
-    finally out.close()
-    val dst = new Path(dir, s"v$next.manifest")
-    if (!fs.rename(tmp, dst)) {
-      fs.delete(tmp, false)
+    val head = basedOn.getOrElse(headVersion(spark, root).getOrElse(0L))
+    val prev =
+      if (head == 0L) Map.empty[String, Entry]
+      else state(spark, root, Some(head)).entries.map(e => e.path -> e).toMap
+    val newPaths = entries.map(_.path).toSet
+    val adds = entries.filter(e => !prev.get(e.path).contains(e))
+    val removes = prev.keys.filterNot(newPaths.contains).toSeq.sorted
+    commitDelta(spark, root, adds, removes, Some(head), meta)
+  }
+
+  /** Low-level delta commit: record `adds`/`removes` as version
+    * `basedOn + 1` (head re-read when None). O(change) manifest bytes —
+    * the append/compact/delete fast path. Returns the version.
+    */
+  private def commitDelta(spark: SparkSession, root: String,
+      adds: Seq[Entry], removes: Seq[String], basedOn: Option[Long],
+      meta: Seq[String]): Long = {
+    val store = LogStore.resolve(spark)
+    val next = basedOn.getOrElse(headVersion(spark, root).getOrElse(0L)) + 1L
+    val lines = meta.map("#" + _) ++ removes.map("-\t" + _) ++ adds.map(fmtAdd)
+    if (!store.writeIfAbsent(spark, manifestPath(root, next),
+        lines.mkString("", "\n", "\n")))
       throw new CommitConflictException(
         s"commit of version $next lost the race (manifest exists); " +
           "re-plan against the new head and retry")
-    }
+    maybeCheckpoint(spark, root, next, store)
     next
   }
 
-  /** Read the table at `version` (default: newest committed snapshot). */
-  def read(spark: SparkSession, root: String,
-      version: Option[Long] = None): DataFrame =
-    spark.read.parquet(manifest(spark, root, version)
-      .map(f => s"$root/$f"): _*)
+  /** Write `v<version>.checkpoint` + advance `_last_checkpoint` when the
+    * cadence hits. Pure cache: a failed/lost checkpoint write only costs
+    * replay length, so errors are logged, never thrown into the commit.
+    */
+  private def maybeCheckpoint(spark: SparkSession, root: String,
+      version: Long, store: LogStore): Unit =
+    if (version % checkpointInterval(spark) == 0)
+      try writeCheckpoint(spark, root, version, store)
+      catch { case e: Exception =>
+        org.slf4j.LoggerFactory.getLogger("graft.sources.TableLog")
+          .warn(s"checkpoint at $version failed (replay stays correct): $e")
+      }
+
+  private def writeCheckpoint(spark: SparkSession, root: String,
+      version: Long, store: LogStore): Unit = {
+    val st = state(spark, root, Some(version))
+    val lines = st.schemaJson.map("#schema:" + _).toSeq ++
+      st.epochMax.map("#epochmax:" + _).toSeq ++
+      st.entries.map(fmtAdd)
+    store.writeIfAbsent(spark, checkpointPath(root, version),
+      lines.mkString("", "\n", "\n"))
+    if (readPointer(spark, root, store).forall(_ < version))
+      store.writeOverwrite(spark, pointerPath(root), version.toString)
+  }
+
+  // -------------------------------------------------------------------------
+  // Data writes
+  // -------------------------------------------------------------------------
+
+  private def newCommitDir(): String =
+    s"c${java.util.UUID.randomUUID().toString.replace("-", "")}"
 
   /** Write `df`'s rows as new data files under a unique commit dir and
     * return their entries (root-relative path + size) — no manifest is
@@ -183,44 +414,67 @@ object TableLog {
     */
   def writeData(df: DataFrame, root: String): Seq[Entry] = {
     val spark = df.sparkSession
-    val sub = s"c${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val sub = newCommitDir()
     df.write.parquet(s"$root/$sub")
-    val p = new Path(s"$root/$sub")
-    fsOf(spark, p).listStatus(p).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(s => Entry(s"$sub/${s.getPath.getName}", Some(s.getLen), None))
+    val p = new org.apache.hadoop.fs.Path(s"$root/$sub")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
+        !s.getPath.getName.startsWith("."))
+      .map(s => Entry(s"$sub/${s.getPath.getName}", Some(s.getLen)))
       .sortBy(_.path)
   }
 
+  /** [[writeData]] with a HIVE-PARTITIONED layout inside the commit dir
+    * (`c<uuid>/k=v/…/part-*.parquet`); each entry records its partition
+    * values (raw directory-escaped form), which is what lets [[readPruned]]
+    * prune by partition equality from the manifest alone and [[read]]
+    * reconstruct the partition columns without path inference.
+    */
+  def writeDataPartitioned(df: DataFrame, root: String,
+      partCols: Seq[String]): Seq[Entry] = {
+    require(partCols.nonEmpty, "writeDataPartitioned needs partition columns")
+    val spark = df.sparkSession
+    val sub = newCommitDir()
+    df.write.partitionBy(partCols: _*).parquet(s"$root/$sub")
+    val base = new org.apache.hadoop.fs.Path(s"$root/$sub")
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    val qBase = fs.makeQualified(base).toString.stripSuffix("/")
+    val buf = Seq.newBuilder[Entry]
+    val it = fs.listFiles(base, true)
+    while (it.hasNext) {
+      val s = it.next()
+      val name = s.getPath.getName
+      if (s.isFile && name.endsWith(".parquet") && !name.startsWith(".")) {
+        val rel = fs.makeQualified(s.getPath).toString.stripPrefix(qBase + "/")
+        val segs = rel.split('/').dropRight(1)
+        if (!segs.exists(c => c.startsWith("_") || c.startsWith("."))) {
+          val part = segs.flatMap { seg =>
+            val i = seg.indexOf('=')
+            if (i > 0) Some(seg.substring(0, i) -> seg.substring(i + 1)) else None
+          }.toMap
+          buf += Entry(s"$sub/$rel", Some(s.getLen), Map.empty, part)
+        }
+      }
+    }
+    buf.result().sortBy(_.path)
+  }
+
+  // -------------------------------------------------------------------------
+  // Table operations
+  // -------------------------------------------------------------------------
+
+  private def schemaMeta(df: DataFrame): String = "schema:" + df.schema.json
+
   /** Commit `df` as a full-snapshot REPLACE (the initial write, or an
-    * overwrite). A blind replace depends on no prior state, so it commits
-    * against whatever head it finds (last-write-wins); state-derived
-    * commits ([[append]]/[[compact]]/[[mergeUpsert]]) pin the head they
-    * read instead. Returns the new version.
+    * overwrite — the schema is replaced too, no compatibility check). A
+    * blind replace depends on no prior state, so it commits against
+    * whatever head it finds (last-write-wins). Returns the new version.
     */
   def overwrite(df: DataFrame, root: String): Long =
-    commit(df.sparkSession, root, writeData(df, root))
+    overwriteWithStats(df, root)
 
-  /** Commit `df` APPENDED to the current snapshot: the new manifest is the
-    * old entry list plus the new files — existing data is referenced,
-    * never rewritten or copied. Commits `basedOn` the head it read, so a
-    * concurrent commit in between surfaces as the CAS conflict.
-    */
-  def append(df: DataFrame, root: String, meta: Seq[String] = Nil): Long = {
-    val spark = df.sparkSession
-    appendEntries(spark, root, writeData(df, root), meta)
-  }
-
-  private def appendEntries(spark: SparkSession, root: String,
-      entries: Seq[Entry], meta: Seq[String]): Long = {
-    val head = versions(spark, root).lastOption
-    val prev = head.fold(Seq.empty[Entry])(v =>
-      manifestEntries(spark, root, Some(v)))
-    commit(spark, root, prev ++ entries,
-      basedOn = Some(head.getOrElse(0L)), meta = meta)
-  }
-
-  /** [[overwrite]] with PER-FILE (min, max) STATS on `statCol` collected
+  /** [[overwrite]] with PER-FILE (min, max) STATS on `statCols` collected
     * into the manifest — data skipping at the PLANNING layer: a later
     * [[readPruned]] drops whole files from the plan by comparing the
     * predicate range against manifest stats, before any footer is opened
@@ -228,224 +482,630 @@ object TableLog {
     * min/max skipping (which still costs a footer read per file and a
     * listed directory): one manifest read plans the whole scan. Stats are
     * collected by one aggregation over the just-written (page-cached)
-    * files — the real formats fold this into the write itself; the write-
-    * time cost buys every future read's pruning. Cluster the data on the
-    * stat column first (`repartitionByRange`) or the per-file ranges
-    * overlap and nothing skips — the same locality contract as parquet
-    * footer skipping ([[Warehouse.compact]]'s sortCol note).
+    * files — the real formats fold this into the write itself. Cluster the
+    * data on the stat columns first (`repartitionByRange`) or the per-file
+    * ranges overlap and nothing skips.
     *
-    * NULL `statCol` rows: a file whose values are ALL NULL aggregates to
-    * NULL stats and is written WITHOUT stats (always read — sound); a
-    * mixed file's stats cover its non-null values only, which is still
-    * sound for [[readPruned]]'s contract because a NULL can never satisfy
+    * NULL semantics: a file whose stat-column values are ALL NULL gets no
+    * stats for that column (always read — sound); a mixed file's stats
+    * cover its non-null values, still sound because a NULL never satisfies
     * the range predicate the caller re-applies row-level.
     */
-  def overwriteWithStats(df: DataFrame, root: String, statCol: String): Long = {
+  def overwriteWithStats(df: DataFrame, root: String,
+      statCols: String*): Long = {
     val spark = df.sparkSession
-    val files = writeData(df, root)
-    val stats = collectStats(spark, root, files, statCol)
-    commit(spark, root,
-      files.map(e => e.copy(stats = stats.get(e.path))))
+    val head = headVersion(spark, root).getOrElse(0L)
+    val prev = if (head == 0L) Vector.empty
+      else state(spark, root, Some(head)).entries
+    val files = withStats(spark, root, writeData(df, root), statCols)
+    commitDelta(spark, root, files, prev.map(_.path), Some(head),
+      Seq(schemaMeta(df)))
   }
 
-  /** Per-file (min, max) stats of `statCol` for just-written `files` —
-    * the collection pass [[overwriteWithStats]] and [[deleteRange]] share.
-    * All-NULL files yield no entry (written without stats — always read).
+  /** Full-snapshot REPLACE with a hive-partitioned layout + optional
+    * per-file stats on `statCols` (data columns only — partition columns
+    * prune via their manifest values, not stats). The schema recorded is
+    * `df`'s full schema including partition columns; [[read]] reconstructs
+    * them from the manifest.
     */
-  private def collectStats(spark: SparkSession, root: String,
-      files: Seq[Entry], statCol: String): Map[String, (Long, Long)] = {
-    import org.apache.spark.sql.functions._
-    if (files.isEmpty) Map.empty
-    else {
-      val rel = concat(element_at(split(input_file_name(), "/"), -2),
-        lit("/"), element_at(split(input_file_name(), "/"), -1))
-      spark.read.parquet(files.map(f => s"$root/${f.path}"): _*)
-        .groupBy(rel.as("f"))
-        .agg(min(col(statCol)).cast("long").as("lo"),
-          max(col(statCol)).cast("long").as("hi"))
-        .collect()
-        .flatMap(r =>
-          if (r.isNullAt(1) || r.isNullAt(2)) None
-          else Some(r.getString(0) -> (r.getLong(1), r.getLong(2))))
-        .toMap
+  def overwritePartitioned(df: DataFrame, root: String,
+      partCols: Seq[String], statCols: String*): Long = {
+    val spark = df.sparkSession
+    val head = headVersion(spark, root).getOrElse(0L)
+    val prev = if (head == 0L) Vector.empty
+      else state(spark, root, Some(head)).entries
+    val files = withStats(spark, root,
+      writeDataPartitioned(df, root, partCols), statCols)
+    commitDelta(spark, root, files, prev.map(_.path), Some(head),
+      Seq(schemaMeta(df)))
+  }
+
+  /** Commit `df` APPENDED to the current snapshot: the manifest records
+    * ONLY the new files — O(batch) metadata, existing data referenced,
+    * never rewritten, copied or even re-listed. Commits `basedOn` the head
+    * it read, so a concurrent commit surfaces as the CAS conflict.
+    *
+    * Schema: additive evolution — new columns are recorded in the commit's
+    * schema and NULL-fill old files at read time; a column that changed
+    * TYPE (or any other non-additive change) throws
+    * [[SchemaEvolutionException]] before anything is staged. A batch
+    * MISSING existing columns is allowed (its files NULL-fill those
+    * columns on read). Appends to a partitioned table automatically land
+    * in the table's partition layout.
+    */
+  def append(df: DataFrame, root: String, meta: Seq[String] = Nil): Long = {
+    val spark = df.sparkSession
+    val head = headVersion(spark, root)
+    val st = head.map(h => state(spark, root, Some(h)))
+    val evolved = st.flatMap(s => evolvedSchema(s, df))
+    val partCols = st.map(partColsOf).getOrElse(Seq.empty)
+      .filter(df.columns.contains)
+    val files =
+      if (partCols.nonEmpty) writeDataPartitioned(df, root, partCols)
+      else writeData(df, root)
+    commitDelta(spark, root, files, Nil, Some(head.getOrElse(0L)),
+      meta ++ evolved.map("schema:" + _).toSeq)
+  }
+
+  private def partColsOf(st: LogState): Seq[String] =
+    st.entries.headOption.map(_.partition.keys.toSeq.sorted).getOrElse(Seq.empty)
+
+  /** The schema meta an append should record: None when the table schema
+    * already covers the batch; Some(widened json) for additive new
+    * columns; throws [[SchemaEvolutionException]] on a type change. A
+    * schemaless (legacy) table adopts the batch's schema.
+    */
+  private def evolvedSchema(st: LogState, df: DataFrame): Option[String] = {
+    st.schemaJson match {
+      case None => Some(df.schema.json)
+      case Some(j) =>
+        val old = DataType.fromJson(j).asInstanceOf[StructType]
+        val nw = df.schema
+        nw.fields.foreach { f =>
+          old.find(_.name == f.name).foreach { g =>
+            if (g.dataType.catalogString != f.dataType.catalogString)
+              throw new SchemaEvolutionException(
+                s"column ${f.name} would change type " +
+                  s"${g.dataType.catalogString} -> ${f.dataType.catalogString}" +
+                  "; only additive evolution is supported")
+          }
+        }
+        val added = nw.fields.filterNot(f => old.exists(_.name == f.name))
+        if (added.isEmpty) None
+        else Some(StructType(old.fields ++ added).json)
     }
   }
 
-  /** Row-level DELETE of `statCol ∈ [lo, hi]` — the compliance/forget
-    * path a training-data platform needs, made SURGICAL by the manifest
-    * stats: files whose stats PROVE no row is in range are kept BY
-    * REFERENCE (same entry, stats intact, zero IO — the skipping
-    * machinery running in reverse), and only the intersecting files (plus
-    * stats-less ones, which might hold anything) are read, filtered and
-    * rewritten with fresh stats. One atomic manifest commit publishes the
-    * deletion. At 100 TB with a well-clustered delete key, a forget
-    * request rewrites a handful of files, not the table.
+  /** Attach per-file stats for `statCols` to just-written entries. */
+  private def withStats(spark: SparkSession, root: String,
+      files: Seq[Entry], statCols: Seq[String]): Seq[Entry] =
+    if (statCols.isEmpty || files.isEmpty) files
+    else {
+      val byName = collectStats(spark, root, files, statCols)
+      files.map { e =>
+        val name = e.path.substring(e.path.lastIndexOf('/') + 1)
+        e.copy(stats = byName.getOrElse(name, Map.empty))
+      }
+    }
+
+  /** Per-file (min, max) stats of `statCols` for just-written `files`,
+    * keyed by FILE NAME (parquet part names carry a job-unique suffix, so
+    * names are unique across the batch regardless of partition-subdir
+    * depth). One aggregation over the page-cached files. Columns that are
+    * all-NULL within a file yield no entry for that column.
+    */
+  private def collectStats(spark: SparkSession, root: String,
+      files: Seq[Entry], statCols: Seq[String])
+      : Map[String, Map[String, (Long, Long)]] = {
+    import org.apache.spark.sql.functions._
+    val aggs = statCols.flatMap(c => Seq(
+      min(col(c)).cast("long").as(s"__lo_$c"),
+      max(col(c)).cast("long").as(s"__hi_$c")))
+    val rows = spark.read.parquet(files.map(f => s"$root/${f.path}"): _*)
+      .groupBy(element_at(split(input_file_name(), "/"), -1).as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    rows.map { r =>
+      val m = statCols.zipWithIndex.flatMap { case (c, i) =>
+        val lo = 1 + 2 * i; val hi = lo + 1
+        if (r.isNullAt(lo) || r.isNullAt(hi)) None
+        else Some(c -> ((r.getLong(lo), r.getLong(hi))))
+      }.toMap
+      r.getString(0) -> m
+    }.toMap
+  }
+
+  /** Read the table at `version` (default: newest committed snapshot).
+    * The recorded schema drives the read: files from BEFORE an additive
+    * column NULL-fill it, partition columns are reconstructed from the
+    * manifest's values (typed by the schema), and an empty snapshot is an
+    * empty frame with the right schema — no parquet inference, no path
+    * inference, no directory listing.
+    */
+  def read(spark: SparkSession, root: String,
+      version: Option[Long] = None): DataFrame = {
+    val st = state(spark, root, version)
+    readEntrySet(spark, root, st.entries, st.schemaJson)
+  }
+
+  /** Build a frame over an arbitrary entry subset of one snapshot (the
+    * shared machinery of [[read]], [[readPruned]] and [[delete]]'s rewrite
+    * side).
+    */
+  private def readEntrySet(spark: SparkSession, root: String,
+      entries: Seq[Entry], schemaJson: Option[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val schema = schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType])
+    val partCols = entries.headOption.map(_.partition.keys.toSeq.sorted)
+      .getOrElse(Seq.empty)
+    if (entries.isEmpty) {
+      val s = schema.getOrElse(throw new IllegalArgumentException(
+        "empty snapshot with no recorded schema — nothing to infer from"))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
+    } else if (partCols.isEmpty) {
+      val paths = entries.map(f => s"$root/${f.path}")
+      schema.fold(spark.read.parquet(paths: _*))(s =>
+        spark.read.schema(s).parquet(paths: _*))
+    } else {
+      require(entries.forall(_.partition.keys.toSeq.sorted == partCols),
+        "mixed partition layouts in one snapshot are not readable")
+      val dataSchema = schema.map(s =>
+        StructType(s.filterNot(f => partCols.contains(f.name))))
+      val frames = entries.groupBy(_.partition).toSeq
+        .sortBy(_._1.toSeq.sorted.mkString(","))
+        .map { case (pvals, es) =>
+          val paths = es.map(f => s"$root/${f.path}")
+          val base = dataSchema.fold(spark.read.parquet(paths: _*))(s =>
+            spark.read.schema(s).parquet(paths: _*))
+          partCols.foldLeft(base) { (df, k) =>
+            val raw = pvals(k)
+            val c = if (raw == "__HIVE_DEFAULT_PARTITION__") lit(null)
+              else lit(unescapePath(raw))
+            val typed = schema.flatMap(_.find(_.name == k))
+              .map(f => c.cast(f.dataType)).getOrElse(c)
+            df.withColumn(k, typed)
+          }
+        }
+      val unioned = frames.reduce(_ unionByName _)
+      schema.fold(unioned)(s => unioned.select(s.fieldNames.map(col): _*))
+    }
+  }
+
+  /** Decode hive path escaping (%XX) in a partition value. */
+  private def unescapePath(s: String): String =
+    if (!s.contains('%')) s
+    else {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        if (s.charAt(i) == '%' && i + 2 < s.length) {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } else { sb.append(s.charAt(i)); i += 1 }
+      }
+      sb.toString
+    }
+
+  /** Read `version` (default head) PRUNED at the PLANNING layer: files
+    * whose manifest partition values contradict `partitionEq` or whose
+    * `statCol` [min, max] stats miss `[lo, hi]` never enter the plan — no
+    * footer opened, no directory listed. Files without stats on `statCol`
+    * are always read (skipping must be sound, never guessed); the caller
+    * still applies the row-level predicate (exactly parquet footer
+    * skipping's contract, one layer earlier). NULL stat-column rows never
+    * satisfy a range predicate, so a pruned file's NULL rows are not a
+    * loss. `partitionEq` values are compared against the UNESCAPED
+    * partition value.
+    */
+  def readPruned(spark: SparkSession, root: String, statCol: String,
+      lo: Long, hi: Long, version: Option[Long] = None,
+      partitionEq: Map[String, String] = Map.empty): DataFrame = {
+    val st = state(spark, root, version)
+    val cand = st.entries.filter { e =>
+      partitionEq.forall { case (k, v) =>
+        e.partition.get(k).forall(unescapePath(_) == v) } &&
+      e.stats.get(statCol).forall { case (mn, mx) => mx >= lo && mn <= hi }
+    }
+    if (cand.isEmpty)
+      readEntrySet(spark, root, st.entries, st.schemaJson).limit(0)
+    else readEntrySet(spark, root, cand, st.schemaJson)
+  }
+
+  // -------------------------------------------------------------------------
+  // Row-level delete (stats-triaged)
+  // -------------------------------------------------------------------------
+
+  /** Row-level DELETE of rows matching an arbitrary `predicate` — the
+    * compliance/forget path, made SURGICAL by the manifest stats: the
+    * predicate's DERIVABLE per-column bounds (conjuncts like `c >= v`,
+    * `c = v`, `c BETWEEN lo AND hi`, through casts, AND/OR composition)
+    * are extracted from the expression tree, and every file whose stats
+    * PROVE it disjoint from the bounds is kept BY REFERENCE — same entry,
+    * stats intact, zero IO (the skipping machinery in reverse). Only the
+    * possibly-intersecting files (plus stats-less ones, which might hold
+    * anything) are read, filtered to `NOT coalesce(predicate, false)` —
+    * NULL-predicate rows are KEPT, SQL delete semantics — and rewritten
+    * with fresh stats on every column the table tracks. A predicate with
+    * no derivable bounds (e.g. pure `c % 7 = 0`) degrades to a full
+    * rewrite, never to a wrong answer. One atomic manifest commit
+    * publishes the deletion; partitioned tables rewrite in their layout.
     *
-    * COMPLIANCE CAVEAT, stated loudly: the commit log keeps OLD SNAPSHOTS
-    * readable by design, so the deleted rows still exist in prior
-    * versions' files until a [[vacuum]] ages them out — a real forget
-    * pipeline is deleteRange + vacuum past the retention horizon, exactly
-    * as in the production formats (Delta VACUUM after DELETE).
+    * COMPLIANCE CAVEAT, stated loudly: old snapshots keep the rows until
+    * [[vacuum]] ages them out — a real forget pipeline is delete + vacuum
+    * past the retention horizon, exactly Delta's DELETE+VACUUM contract.
     *
     * Returns the new version.
     */
-  def deleteRange(spark: SparkSession, root: String, lo: Long, hi: Long,
-      statCol: String): Long = {
-    val head = versions(spark, root).last
-    val entries = manifestEntries(spark, root, Some(head))
-    val (touched, untouched) = entries.partition(_.stats
-      .forall { case (mn, mx) => mx >= lo && mn <= hi })
+  def delete(spark: SparkSession, root: String, predicate: Column): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val head = headVersion(spark, root)
+    require(head.nonEmpty, s"no committed versions under $root")
+    val st = state(spark, root, Some(head.get))
+    // resolve the predicate against the snapshot's schema (lazy — no IO):
+    // the analyzed Filter condition is the Expression the bounds walker
+    // reads, with name resolution and integral promotions already applied
+    val bounds = readEntrySet(spark, root, st.entries, st.schemaJson)
+      .filter(predicate).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          predicateBounds(f.condition)
+      }.getOrElse(Map.empty)
+    val touched = st.entries.filterNot(e =>
+      bounds.exists { case (c, b) => e.stats.get(c).exists(disjoint(_, b)) })
+    val statCols = st.entries.flatMap(_.stats.keys).distinct.sorted
+    val partCols = partColsOf(st)
     val rewritten =
       if (touched.isEmpty) Seq.empty
       else {
-        import org.apache.spark.sql.functions.col
-        val kept = spark.read
-          .parquet(touched.map(f => s"$root/${f.path}"): _*)
-          .filter(!(col(statCol).isNotNull &&
-            col(statCol).cast("long").between(lo, hi)))
-        val files = writeData(kept, root)
-        val stats = collectStats(spark, root, files, statCol)
-        files.map(e => e.copy(stats = stats.get(e.path)))
+        val survivors = readEntrySet(spark, root, touched, st.schemaJson)
+          .filter(not(coalesce(predicate, lit(false))))
+        val files =
+          if (partCols.nonEmpty)
+            writeDataPartitioned(survivors, root, partCols)
+          else writeData(survivors, root)
+        withStats(spark, root, files, statCols)
       }
-    commit(spark, root, untouched ++ rewritten, basedOn = Some(head))
+    // untouched entries ride along implicitly: only the delta is logged
+    commitDelta(spark, root, rewritten, touched.map(_.path),
+      Some(head.get), Nil)
   }
 
-  /** Read `version` (default head) PRUNED to the files whose manifest
-    * [min, max] stats intersect `[lo, hi]` — files without stats are
-    * always read (skipping must be sound, never guessed). This prunes the
-    * FILE SET for a RANGE predicate on the stats column; the caller still
-    * applies the row-level predicate (exactly parquet footer skipping's
-    * contract, one layer earlier). NULL stat-column rows never satisfy a
-    * range predicate, so a pruned file's NULL rows are not a loss.
+  /** [[delete]] of `statCol ∈ [lo, hi]` — the range form whose triage is
+    * exact when the table is range-clustered on the column: a forget
+    * request rewrites a handful of files, not the table.
     */
-  def readPruned(spark: SparkSession, root: String, lo: Long, hi: Long,
-      version: Option[Long] = None): DataFrame = {
-    val cand = manifestEntries(spark, root, version).collect {
-      case Entry(f, _, None) => f
-      case Entry(f, _, Some((mn, mx))) if mx >= lo && mn <= hi => f
-    }
-    if (cand.isEmpty)
-      read(spark, root, version).limit(0) // schema-preserving empty
-    else spark.read.parquet(cand.map(f => s"$root/$f"): _*)
+  def deleteRange(spark: SparkSession, root: String, lo: Long, hi: Long,
+      statCol: String): Long = {
+    import org.apache.spark.sql.functions.col
+    delete(spark, root, col(statCol).cast("long").between(lo, hi))
   }
+
+  /** Conservative per-column bounds implied by a predicate: every MATCHING
+    * row must have `col ∈ [lo, hi]` (open sides = None). AND intersects,
+    * OR hulls (a column unbounded on either branch drops out), comparisons
+    * see through integral casts; anything unrecognized contributes nothing
+    * — the result is always a SUPERSET of the matching region, which is
+    * what makes keep-by-reference sound.
+    */
+  private[graft] def predicateBounds(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Map[String, (Option[Long], Option[Long])] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    def attrOf(x: Expression): Option[String] = x match {
+      case a: UnresolvedAttribute => Some(a.name)
+      case a: AttributeReference => Some(a.name)
+      case c: Cast => c.dataType match {
+        case LongType | IntegerType | ShortType | ByteType => attrOf(c.child)
+        case _ => None
+      }
+      case _ => None
+    }
+    def litOf(x: Expression): Option[Long] = x match {
+      case Literal(v, LongType) => Some(v.asInstanceOf[Long])
+      case Literal(v, IntegerType) => Some(v.asInstanceOf[Int].toLong)
+      case Literal(v, ShortType) => Some(v.asInstanceOf[Short].toLong)
+      case Literal(v, ByteType) => Some(v.asInstanceOf[Byte].toLong)
+      // the analyzer wraps comparison literals in widening casts
+      // (Cast(150, bigint)); integral widening preserves the value
+      case c: Cast => c.dataType match {
+        case LongType | IntegerType | ShortType | ByteType => litOf(c.child)
+        case _ => None
+      }
+      case _ => None
+    }
+    type B = (Option[Long], Option[Long])
+    def cmp(l: Expression, r: Expression,
+        attrOp: Long => B, litOp: Long => B): Map[String, B] =
+      (attrOf(l), litOf(r), attrOf(r), litOf(l)) match {
+        case (Some(n), Some(v), _, _) => Map(n -> attrOp(v))
+        case (_, _, Some(n), Some(v)) => Map(n -> litOp(v))
+        case _ => Map.empty
+      }
+    def intersect(a: Map[String, B], b: Map[String, B]): Map[String, B] =
+      (a.keySet ++ b.keySet).map { k =>
+        val (alo, ahi) = a.getOrElse(k, (None, None))
+        val (blo, bhi) = b.getOrElse(k, (None, None))
+        k -> ((maxOpt(alo, blo), minOpt(ahi, bhi)))
+      }.toMap
+    def hull(a: Map[String, B], b: Map[String, B]): Map[String, B] =
+      (a.keySet intersect b.keySet).map { k =>
+        val (alo, ahi) = a(k); val (blo, bhi) = b(k)
+        k -> (((alo, blo) match { case (Some(x), Some(y)) => Some(math.min(x, y)); case _ => None },
+               (ahi, bhi) match { case (Some(x), Some(y)) => Some(math.max(x, y)); case _ => None }))
+      }.filter { case (_, (lo, hi)) => lo.nonEmpty || hi.nonEmpty }.toMap
+    e match {
+      case And(l, r) => intersect(predicateBounds(l), predicateBounds(r))
+      case Or(l, r) => hull(predicateBounds(l), predicateBounds(r))
+      case GreaterThan(l, r) =>
+        cmp(l, r, v => (Some(v), None), v => (None, Some(v)))
+      case GreaterThanOrEqual(l, r) =>
+        cmp(l, r, v => (Some(v), None), v => (None, Some(v)))
+      case LessThan(l, r) =>
+        cmp(l, r, v => (None, Some(v)), v => (Some(v), None))
+      case LessThanOrEqual(l, r) =>
+        cmp(l, r, v => (None, Some(v)), v => (Some(v), None))
+      case EqualTo(l, r) =>
+        cmp(l, r, v => (Some(v), Some(v)), v => (Some(v), Some(v)))
+      case _ => Map.empty
+    }
+  }
+
+  private def maxOpt(a: Option[Long], b: Option[Long]): Option[Long] =
+    (a, b) match { case (Some(x), Some(y)) => Some(math.max(x, y))
+      case _ => a.orElse(b) }
+  private def minOpt(a: Option[Long], b: Option[Long]): Option[Long] =
+    (a, b) match { case (Some(x), Some(y)) => Some(math.min(x, y))
+      case _ => a.orElse(b) }
+
+  /** File stats [mn, mx] provably miss bound [lo, hi]? */
+  private def disjoint(stats: (Long, Long),
+      b: (Option[Long], Option[Long])): Boolean = {
+    val (mn, mx) = stats
+    b._1.exists(lo => mx < lo) || b._2.exists(hi => mn > hi)
+  }
+
+  // -------------------------------------------------------------------------
+  // Compaction / merge / CDF
+  // -------------------------------------------------------------------------
 
   /** Log-published compaction: files already ≥ `targetBytes` are kept BY
-    * REFERENCE (same entry in the new manifest — zero IO), the small tail
-    * is read once and rewritten into ~target-sized files, and the swap is
-    * one manifest commit — a reader mid-scan on the old version is
-    * untouched, the next reader plans from the new one. Old versions stay
-    * readable (vacuuming unreferenced files is a separate retention pass,
-    * as in the real formats). Sizes come FROM the manifest (legacy bare
-    * entries fall back to one status call each) — no per-file metadata
-    * walk. Stats on rewritten files are dropped (their ranges changed;
-    * re-collect with [[overwriteWithStats]] when skipping matters); kept
-    * entries retain theirs. Returns the new version.
+    * REFERENCE (untouched entries — zero IO and zero manifest lines under
+    * delta encoding), the small tail is read once and rewritten into
+    * ~target-sized files, and the swap is one manifest commit — a reader
+    * mid-scan on the old version is untouched. Sizes come FROM the
+    * manifest (legacy bare entries fall back to one status call each).
+    * Stats on rewritten files are dropped (their ranges changed;
+    * re-collect when skipping matters); kept entries retain theirs.
+    * Partitioned tables rewrite into their layout. Returns the version.
     */
   def compact(spark: SparkSession, root: String, targetBytes: Long): Long = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
-    val head = versions(spark, root).last
-    val fs = fsOf(spark, new Path(root))
-    val sized = manifestEntries(spark, root, Some(head)).map(e =>
-      e.copy(bytes = e.bytes.orElse(
-        Some(fs.getFileStatus(new Path(s"$root/${e.path}")).getLen))))
-    val (keeps, smalls) = sized.partition(_.bytes.get >= targetBytes)
+    val head = headVersion(spark, root)
+    require(head.nonEmpty, s"no committed versions under $root")
+    val st = state(spark, root, Some(head.get))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val sized = st.entries.map(e => e.copy(bytes = e.bytes.orElse(
+      Some(fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(s"$root/${e.path}")).getLen))))
+    val (_, smalls) = sized.partition(_.bytes.get >= targetBytes)
     val newFiles =
       if (smalls.isEmpty) Seq.empty
       else {
         val totalSmall = smalls.map(_.bytes.get).sum
-        val nBins = math.max(1L, (totalSmall + targetBytes - 1) / targetBytes).toInt
-        writeData(spark.read.parquet(smalls.map(f => s"$root/${f.path}"): _*)
-          .repartition(nBins), root)
+        val nBins = math.max(1L,
+          (totalSmall + targetBytes - 1) / targetBytes).toInt
+        val df = readEntrySet(spark, root, smalls, st.schemaJson)
+          .repartition(nBins)
+        val partCols = partColsOf(st)
+        if (partCols.nonEmpty) writeDataPartitioned(df, root, partCols)
+        else writeData(df, root)
       }
-    commit(spark, root, keeps ++ newFiles, basedOn = Some(head))
+    commitDelta(spark, root, newFiles, smalls.map(_.path), Some(head.get), Nil)
   }
 
   /** Log-published CDC MERGE: read the current snapshot, apply
     * [[Warehouse.mergeUpsert]], commit the merged state as a new version —
-    * the atomic form of the read-modify-write that
-    * [[Warehouse.mergeUpsertPartitioned]] performs in place (there the
-    * checkpoint-then-overwrite seam is the documented trade; here the old
-    * snapshot is immutable so no materialization barrier is needed at
-    * all). Returns the new version.
+    * the atomic form of the in-place partitioned merge (the old snapshot
+    * is immutable, so no materialization barrier is needed). Returns the
+    * new version.
     */
   def mergeUpsert(spark: SparkSession, root: String, updates: DataFrame,
       keyCols: Seq[String], seqCol: String): Long = {
-    val head = versions(spark, root).last
-    val merged = Warehouse.mergeUpsert(read(spark, root, Some(head)),
+    val head = headVersion(spark, root)
+    require(head.nonEmpty, s"no committed versions under $root")
+    val st = state(spark, root, Some(head.get))
+    val merged = Warehouse.mergeUpsert(
+      readEntrySet(spark, root, st.entries, st.schemaJson),
       updates, keyCols, seqCol)
-    commit(spark, root, writeData(merged, root), basedOn = Some(head))
+    val partCols = partColsOf(st)
+    val files =
+      if (partCols.nonEmpty) writeDataPartitioned(merged, root, partCols)
+      else writeData(merged, root)
+    commitDelta(spark, root, files, st.entries.map(_.path), Some(head.get),
+      Seq(schemaMeta(merged)))
   }
 
+  /** NET file-level changes over `(vFrom, vTo]`, straight from the delta
+    * manifests — O(commits-in-window) metadata reads, zero data IO, zero
+    * snapshot reconstruction. A file added then removed inside the window
+    * nets out; a removed file that was itself added in the window is not
+    * reported. Returns (added entries, removed paths). Throws if a
+    * manifest in the window was vacuumed.
+    */
+  def fileChanges(spark: SparkSession, root: String, vFrom: Long,
+      vTo: Long): (Seq[Entry], Seq[String]) = {
+    require(vFrom <= vTo, s"fileChanges window inverted: $vFrom > $vTo")
+    val store = LogStore.resolve(spark)
+    val added = scala.collection.mutable.LinkedHashMap.empty[String, Entry]
+    val removed = scala.collection.mutable.LinkedHashSet.empty[String]
+    var u = vFrom + 1
+    while (u <= vTo) {
+      if (!store.exists(spark, manifestPath(root, u)))
+        throw new IllegalStateException(
+          s"manifest for version $u missing under $root — file-level " +
+            "changes need the delta chain (vacuumed?)")
+      val d = parseDelta(store.read(spark, manifestPath(root, u)))
+      d.removes.foreach { p =>
+        if (added.remove(p).isEmpty) removed += p
+      }
+      d.adds.foreach { e => added.put(e.path, e); removed -= e.path }
+      u += 1
+    }
+    (added.values.toSeq, removed.toSeq)
+  }
+
+  /** CHANGE-DATA-FEED read over `(vFrom, vTo]`: every row-level change an
+    * incremental consumer must process, as (doc_id, status) with status ∈
+    * {added, removed, changed} — `unchanged` rows are never emitted
+    * (that's the point of a CDF). Two plans, picked from the file-level
+    * delta:
+    *  - APPEND-ONLY window (no files removed — the streaming-ingest
+    *    common case): the changes are exactly the rows of the added files,
+    *    read directly — O(new data), the base table is never scanned.
+    *    Sound when appended ids are new (the CDC append contract).
+    *  - files were rewritten (delete/compact/merge/overwrite): full
+    *    snapshot diff via [[graft.operators.Snapshots.diff]] — both sides
+    *    reduce to (id, content-hash) on the scan, one full-outer join.
+    * `idCol`/`payloadCol` define row identity and change detection, as in
+    * Snapshots.diff.
+    */
+  def readChanges(spark: SparkSession, root: String, vFrom: Long, vTo: Long,
+      idCol: Column, payloadCol: Column): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (adds, removes) = fileChanges(spark, root, vFrom, vTo)
+    if (removes.isEmpty && adds.nonEmpty) {
+      val schemaJson = state(spark, root, Some(vTo)).schemaJson
+      readEntrySet(spark, root, adds, schemaJson)
+        .select(idCol.cast("long").as("doc_id"), lit("added").as("status"))
+    } else if (adds.isEmpty && removes.isEmpty) {
+      graft.operators.Snapshots
+        .diff(read(spark, root, Some(vFrom)), read(spark, root, Some(vFrom)),
+          idCol, payloadCol).limit(0)
+    } else {
+      graft.operators.Snapshots
+        .diff(read(spark, root, Some(vFrom)), read(spark, root, Some(vTo)),
+          idCol, payloadCol)
+        .filter(col("status") =!= "unchanged")
+    }
+  }
+
+  // -------------------------------------------------------------------------
+  // Retention
+  // -------------------------------------------------------------------------
+
   /** Retention pass (the real formats' VACUUM): keep the newest
-    * `keepVersions` manifests, delete the older manifests and every data
-    * file they alone referenced, and sweep ORPHANS — commit-dir files
-    * referenced by NO kept manifest (a crashed [[writeData]] before its
-    * commit, a CAS loser's staging, or write markers like `_SUCCESS`) —
-    * older than `orphanMinAgeMs` (the age guard protects a writer that
-    * has staged files but not yet committed; production retention uses
-    * hours, tests pass 0). Emptied commit dirs are removed. Time travel
-    * older than the horizon is gone after this by design — that is what
-    * the op is for (unbounded history is unbounded storage). Driver-side,
-    * manifest-sized.
+    * `keepVersions` manifests, delete older manifests/checkpoints and
+    * every data file only they referenced, and sweep ORPHANS — commit-dir
+    * files referenced by NO kept version (a crashed [[writeData]], a CAS
+    * loser's staging, write markers) — older than `orphanMinAgeMs` (the
+    * age guard protects a writer that has staged but not yet committed;
+    * production retention uses hours, tests pass 0). Before anything is
+    * deleted, a CHECKPOINT is written at the OLDEST KEPT version, so every
+    * kept version stays reconstructible and the accumulated `#epochmax`
+    * survives — a replayed streaming epoch stays a no-op even when the
+    * manifest that carried its token is vacuumed (the crash-window hole a
+    * marker-file ledger alone would reopen). Checksum sidecars
+    * (`.<name>.crc`) are swept only when their data file is; emptied
+    * commit dirs are removed. Time travel older than the horizon is GONE
+    * after this by design. Driver-side, manifest-sized.
     */
   def vacuum(spark: SparkSession, root: String, keepVersions: Int = 1,
       orphanMinAgeMs: Long = 7L * 24 * 3600 * 1000): Unit = {
     require(keepVersions >= 1, "must keep at least the head version")
+    val store = LogStore.resolve(spark)
     val vs = versions(spark, root)
     require(vs.nonEmpty, s"no committed versions under $root")
     val (old, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
-    val rootP = new Path(root)
-    val fs = fsOf(spark, rootP)
-    val referenced = keep.flatMap(v => manifest(spark, root, Some(v))).toSet
-    old.foreach(v =>
-      fs.delete(new Path(s"$root/_graft_log/v$v.manifest"), false))
-    // sweep: any commit-dir file no kept manifest references, past the
-    // in-flight-writer age guard (this covers old-version-only files,
-    // crashed stagings AND non-data markers like _SUCCESS, so emptied
-    // commit dirs actually empty out and get removed)
+    val oldestKept = keep.head
+    // reconstructibility + epoch continuity: checkpoint the horizon BEFORE
+    // deleting the deltas below it
+    writeCheckpoint(spark, root, oldestKept, store)
+    val referenced = keep
+      .flatMap(v => state(spark, root, Some(v)).entries.map(_.path)).toSet
+    old.foreach { v =>
+      store.delete(spark, manifestPath(root, v))
+      store.delete(spark, checkpointPath(root, v))
+    }
+    // stale checkpoints BETWEEN kept versions are fine to keep; only
+    // sub-horizon ones were deleted above
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
     val now = System.currentTimeMillis()
-    // exactly the commit-dir shape writeData produces — never sweep
-    // unrelated directories a user parked under the root
-    fs.listStatus(rootP).filter(s =>
-        s.isDirectory && s.getPath.getName.matches("c[0-9a-f]{32}")).foreach { d =>
-      fs.listStatus(d.getPath).foreach { f =>
-        val rel = s"${d.getPath.getName}/${f.getPath.getName}"
-        if (f.isFile && !referenced.contains(rel) &&
+    // sweep: recursively within dirs of exactly the commit-dir shape
+    // writeData/writeDataPartitioned produce — never unrelated directories
+    // a user parked under the root
+    def sweep(dir: org.apache.hadoop.fs.Path, relDir: String): Unit = {
+      fs.listStatus(dir).foreach { f =>
+        val rel = if (relDir.isEmpty) f.getPath.getName
+          else s"$relDir/${f.getPath.getName}"
+        if (f.isDirectory) sweep(f.getPath, rel)
+        else if (!referenced.contains(sweepKey(relDir, f.getPath.getName)) &&
             now - f.getModificationTime >= orphanMinAgeMs)
           fs.delete(f.getPath, false)
       }
-      if (fs.listStatus(d.getPath).isEmpty) fs.delete(d.getPath, false)
+      if (fs.listStatus(dir).isEmpty) fs.delete(dir, false)
     }
+    fs.listStatus(rootP).filter(s =>
+        s.isDirectory && s.getPath.getName.matches("c[0-9a-f]{32}"))
+      .foreach(d => sweep(d.getPath, d.getPath.getName))
   }
 
+  /** The referenced-set key a swept file is judged by: a checksum sidecar
+    * `.<name>.crc` lives or dies with `<name>` (a live file's sidecar is
+    * NOT an orphan — deleting it would silently disable local-FS checksum
+    * verification for kept data). On ChecksumFileSystem the listing hides
+    * sidecars and `delete` cascades to them, so this guard matters for
+    * raw/remote filesystems whose listings expose them.
+    */
+  private[graft] def sweepKey(relDir: String, name: String): String = {
+    val effective =
+      if (name.startsWith(".") && name.endsWith(".crc"))
+        name.stripPrefix(".").stripSuffix(".crc")
+      else name
+    if (relDir.isEmpty) effective else s"$relDir/$effective"
+  }
+
+  // -------------------------------------------------------------------------
+  // Streaming append (exactly-once)
+  // -------------------------------------------------------------------------
+
   /** One micro-batch of [[appendStream]] — EXACTLY-ONCE by committing the
-    * epoch token ATOMICALLY with the file list (`#epoch:<id>` manifest
-    * metadata): a replayed epoch is detected from the committed manifests
-    * themselves, so the crash window a side-file marker would leave
-    * (commit lands, marker doesn't, replay re-appends) cannot duplicate
-    * rows — appends are NOT idempotent, so the token must ride in the
-    * commit. A marker file is still written as a fast-path cache of "this
-    * epoch committed"; losing it merely costs the manifest scan. The
-    * batch's data files are staged ONCE; only the manifest commit retries
-    * on [[CommitConflictException]] (appends commute, and re-staging
-    * would orphan the first attempt's files).
+    * epoch token ATOMICALLY with the file actions (`#epoch:<id>` manifest
+    * metadata): a replayed epoch is detected from the log itself, so the
+    * crash window a side-file marker would leave (commit lands, marker
+    * doesn't) cannot duplicate rows. Recovery reads the accumulated
+    * `#epochmax` from the snapshot state — O(commits-since-checkpoint),
+    * not O(versions), and it SURVIVES [[vacuum]] because checkpoints carry
+    * it forward. Sound under the single-writer-per-stream contract (epoch
+    * ids commit in increasing order — see object doc). A marker file
+    * remains as a fast-path cache; losing it merely costs the state read.
+    * The batch's data files are staged ONCE; only the manifest commit
+    * retries on [[CommitConflictException]] (appends commute, and
+    * re-staging would orphan the first attempt's files).
     */
   def appendBatch(batch: DataFrame, batchId: Long, root: String,
       casRetries: Int = 5): Unit = {
     val spark = batch.sparkSession
-    val marker = new Path(s"$root/_graft_log/epochs/epoch-$batchId")
-    val fs = fsOf(spark, marker)
-    val token = s"epoch:$batchId"
+    val store = LogStore.resolve(spark)
+    val marker = s"${logDir(root)}/epochs/epoch-$batchId"
     def alreadyCommitted: Boolean =
-      versions(spark, root).exists(v =>
-        manifestMeta(spark, root, Some(v)).contains(token))
-    if (!fs.exists(marker) && !alreadyCommitted) {
-      val staged = writeData(batch, root)
+      headVersion(spark, root).exists(h =>
+        state(spark, root, Some(h)).epochMax.exists(batchId <= _))
+    if (!store.exists(spark, marker) && !alreadyCommitted) {
+      val st = headVersion(spark, root).map(h => state(spark, root, Some(h)))
+      val evolved = st.flatMap(s => evolvedSchema(s, batch))
+      val partCols = st.map(partColsOf).getOrElse(Seq.empty)
+        .filter(batch.columns.contains)
+      val staged =
+        if (partCols.nonEmpty) writeDataPartitioned(batch, root, partCols)
+        else writeData(batch, root)
+      val meta = Seq(s"epoch:$batchId") ++ evolved.map("schema:" + _).toSeq
       var attempt = 0
       var done = false
       while (!done) {
         try {
-          appendEntries(spark, root, staged, meta = Seq(token)); done = true
+          commitDelta(spark, root, staged, Nil, None, meta); done = true
         } catch {
           case e: CommitConflictException if attempt < casRetries =>
             attempt += 1
@@ -455,15 +1115,16 @@ object TableLog {
         }
       }
     }
-    fs.mkdirs(marker.getParent)
-    if (!fs.exists(marker)) fs.create(marker, true).close()
+    store.writeIfAbsent(spark, marker, "")
+    ()
   }
 
   /** Continuous micro-batch APPEND into a logged table — the streaming
     * sink whose every batch becomes one atomic snapshot commit (readers
-    * see whole batches or nothing; no in-progress files ever visible,
-    * unlike a raw parquet directory sink), with the epoch-in-manifest
-    * exactly-once contract of [[appendBatch]].
+    * see whole batches or nothing), with the epoch-in-manifest
+    * exactly-once contract of [[appendBatch]]. Under delta encoding each
+    * epoch writes O(batch) manifest bytes and checkpoints amortize replay,
+    * so the metadata cost of an infinite stream is FLAT per epoch.
     */
   def appendStream(updates: DataFrame, root: String, checkpointDir: String):
       org.apache.spark.sql.streaming.StreamingQuery =

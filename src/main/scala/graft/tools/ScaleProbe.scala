@@ -473,7 +473,7 @@ object ScaleProbe {
           rm(new java.io.File(root))
           val entries = (0 until n).map(i => TableLog.Entry(
             f"c0/part-$i%05d.parquet", Some(1000L + i),
-            Some((i.toLong * 100, i.toLong * 100 + 99))))
+            Map("v" -> ((i.toLong * 100, i.toLong * 100 + 99)))))
           val tc0 = System.nanoTime()
           TableLog.commit(spark, root, entries)
           val tc = (System.nanoTime() - tc0) / 1e9
@@ -482,10 +482,8 @@ object ScaleProbe {
           TableLog.manifestEntries(spark, root)
           val lo = n.toLong * 99L; val hi = lo + n.toLong
           val t0 = System.nanoTime()
-          val cand = TableLog.manifestEntries(spark, root).count {
-            case TableLog.Entry(_, _, Some((mn, mx))) => mx >= lo && mn <= hi
-            case _ => true
-          }
+          val cand = TableLog.manifestEntries(spark, root).count(e =>
+            e.stats.get("v").forall { case (mn, mx) => mx >= lo && mn <= hi })
           val tp = (System.nanoTime() - t0) / 1e9
           println(f"[probe] $label%-5s log commit ${tc}%7.3f s  plan ${tp}%7.3f s  (candidates=$cand of $n)")
           (tc, tp)

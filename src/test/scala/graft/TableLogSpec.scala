@@ -1,0 +1,314 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{LogStore, TableLog}
+
+/** Round-14 commit-log protocol layer: delta-encoded commits + manifest
+  * checkpointing, schema-in-manifest with additive evolution, partition
+  * values + multi-column stats, predicate delete triage, change-data-feed
+  * reads, and the LogStore seam. The SQL-visible semantics are the
+  * q214–q218 oracle gates; these specs pin the protocol behaviors SQL
+  * cannot see.
+  */
+class TableLogSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+
+  private def withInterval[A](n: Int)(f: => A): A = {
+    val prev = spark.conf.getOption(TableLog.CheckpointIntervalKey)
+    spark.conf.set(TableLog.CheckpointIntervalKey, n.toString)
+    try f
+    finally prev.fold(spark.conf.unset(TableLog.CheckpointIntervalKey))(
+      spark.conf.set(TableLog.CheckpointIntervalKey, _))
+  }
+
+  test("delta commits: append writes O(batch) manifest bytes, not O(table)") {
+    import spark.implicits._
+    val root = tmp("tdelta")
+    TableLog.overwrite((1L to 100L).map(i => (i, i * 10)).toDF("k", "v")
+      .repartition(10), root)
+    val v2 = TableLog.append(Seq((101L, 1010L)).toDF("k", "v").coalesce(1), root)
+    // the append's manifest records ONLY its own adds (+ meta) — the
+    // whole point of delta encoding for a streaming sink
+    val m2 = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/_graft_log/v$v2.manifest"))
+    val addLines = m2.linesIterator.filter(_.startsWith("+\t")).size
+    val removeLines = m2.linesIterator.filter(_.startsWith("-\t")).size
+    assert(addLines == 1 && removeLines == 0,
+      s"append manifest must be O(batch): $addLines adds, $removeLines removes\n$m2")
+    // and the snapshot still reconstructs the full table
+    assert(TableLog.read(spark, root).count() == 101L)
+    assert(TableLog.manifestEntries(spark, root).size == 11)
+  }
+
+  test("checkpoints: cadence, pointer, and checkpointed ≡ full-replay at every version") {
+    import spark.implicits._
+    val root = tmp("tckpt")
+    withInterval(2) {
+      TableLog.overwrite(Seq((0L, 0L)).toDF("k", "v"), root)
+      (1L to 7L).foreach(i =>
+        TableLog.append(Seq((i, i * 10)).toDF("k", "v"), root))
+      // checkpoints at every interval boundary, pointer at the newest
+      for (v <- Seq(2L, 4L, 6L, 8L))
+        assert(new java.io.File(s"$root/_graft_log/v$v.checkpoint").exists(),
+          s"checkpoint at v$v must exist")
+      assert(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$root/_graft_log/_last_checkpoint")).trim == "8")
+      // every version reads identically via checkpoint base and full replay
+      for (v <- 1L to 8L) {
+        val cp = TableLog.state(spark, root, Some(v), useCheckpoint = true)
+        val re = TableLog.state(spark, root, Some(v), useCheckpoint = false)
+        assert(cp.entries.toSet == re.entries.toSet,
+          s"v$v: checkpointed and replayed entry sets diverge")
+        assert(cp.schemaJson == re.schemaJson && cp.epochMax == re.epochMax)
+        assert(TableLog.read(spark, root, Some(v)).count() == v)
+      }
+      // head resolution via pointer+probe equals the listing fallback
+      assert(TableLog.headVersion(spark, root).contains(8L))
+      assert(new java.io.File(s"$root/_graft_log/_last_checkpoint").delete())
+      assert(TableLog.headVersion(spark, root).contains(8L),
+        "lost pointer must fall back to the listing, not lose the head")
+    }
+  }
+
+  test("schema evolution: additive columns null-fill old files; type change throws") {
+    import spark.implicits._
+    val root = tmp("tschema")
+    TableLog.overwrite(Seq((1L, 10L)).toDF("k", "v"), root)
+    // additive: new column recorded, old files null-fill at read
+    TableLog.append(Seq((2L, 20L, "b")).toDF("k", "v", "tag"), root)
+    val head = TableLog.read(spark, root).orderBy("k").collect()
+    assert(head.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(head(0).isNullAt(2) && head(1).getString(2) == "b",
+      s"old file must null-fill the added column: ${head.toSeq}")
+    // a batch MISSING a column null-fills its own rows
+    TableLog.append(Seq((3L, 30L)).toDF("k", "v"), root)
+    val h2 = TableLog.read(spark, root).orderBy("k").collect()
+    assert(h2.length == 3 && h2(2).isNullAt(2))
+    // time travel reads each version with ITS schema
+    assert(TableLog.read(spark, root, Some(1L)).columns.toSeq == Seq("k", "v"))
+    assert(TableLog.read(spark, root, Some(2L)).columns.toSeq ==
+      Seq("k", "v", "tag"))
+    assert(TableLog.schemaOf(spark, root, Some(1L)).get.fieldNames.toSeq ==
+      Seq("k", "v"))
+    // non-additive: the typed refusal, nothing committed
+    val before = TableLog.versions(spark, root)
+    intercept[TableLog.SchemaEvolutionException] {
+      TableLog.append(Seq((4L, "oops")).toDF("k", "v"), root)
+    }
+    assert(TableLog.versions(spark, root) == before,
+      "a refused evolution must not commit")
+  }
+
+  test("partitioned log: partition columns reconstruct typed; both pruning layers engage") {
+    val root = tmp("tpart")
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      // range-cluster on the STAT column only: each task is an n_chars
+      // slice and writes one tight-range file into every source dir, so
+      // every partition gets several skippable files
+      .repartitionByRange(4, col("n_chars"))
+    TableLog.overwritePartitioned(docs, root, Seq("source"), "n_chars")
+    // round trip: schema order, partition column typed + populated
+    val all = TableLog.read(spark, root)
+    assert(all.columns.toSeq == Seq("doc_id", "source", "n_chars"))
+    val want = docs.collect().map(_.toString).sorted
+    assert(all.collect().map(_.toString).sorted.sameElements(want),
+      "partitioned log read must reproduce the frame exactly")
+    // layer 1: partition equality prunes files at the PLANNING layer.
+    // pick a partition that actually has rows in the stat range so the
+    // soundness check is non-vacuous
+    val src = docs.filter(col("n_chars").between(150L, 300L))
+      .groupBy("source").count().orderBy(col("source"))
+      .head().getString(0)
+    val one = TableLog.readPruned(spark, root, "n_chars", Long.MinValue,
+      Long.MaxValue, partitionEq = Map("source" -> src))
+    assert(one.inputFiles.length < all.inputFiles.length,
+      s"partition pruning must drop files: ${one.inputFiles.length} of ${all.inputFiles.length}")
+    assert(one.count() == docs.filter(col("source") === src).count())
+    // layer 2: stats range prunes further WITHIN the partition
+    val both = TableLog.readPruned(spark, root, "n_chars", 150L, 300L,
+      partitionEq = Map("source" -> src))
+    assert(both.inputFiles.length < one.inputFiles.length,
+      s"stats must prune within the partition: ${both.inputFiles.length} of ${one.inputFiles.length}")
+    // soundness: pruned + row filter ≡ plain filter
+    val wantF = docs.filter(col("source") === src &&
+      col("n_chars").between(150L, 300L)).collect().map(_.toString).sorted
+    val gotF = both.filter(col("source") === src &&
+      col("n_chars").between(150L, 300L)).collect().map(_.toString).sorted
+    assert(wantF.nonEmpty && gotF.sameElements(wantF))
+  }
+
+  test("predicate delete: derivable bounds keep files by reference; semantics exact") {
+    val root = tmp("tpdel")
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    TableLog.overwriteWithStats(docs.repartitionByRange(8, col("n_chars")),
+      root, "n_chars")
+    val before = TableLog.manifestEntries(spark, root)
+    val provablyOut = before.filter(_.stats.get("n_chars").exists(_._2 < 150L))
+    assert(provablyOut.nonEmpty, "fixture needs files below the bound")
+    // n_chars % 7 = 0 AND n_chars >= 150: the modulo conjunct is not
+    // derivable, the >= is — triage must still engage on it
+    val v2 = TableLog.delete(spark, root,
+      col("n_chars") % 7 === 0 && col("n_chars") >= 150)
+    val after = TableLog.manifestEntries(spark, root, Some(v2))
+    provablyOut.foreach(e => assert(after.contains(e),
+      s"file provably below the derivable bound must be kept by reference: $e"))
+    val got = TableLog.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val want = docs.filter(!(col("n_chars") % 7 === 0 && col("n_chars") >= 150))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.sameElements(want), "predicate delete must keep the complement")
+    // a predicate with NO derivable bounds degrades to full rewrite, still correct
+    val v3 = TableLog.delete(spark, root, col("doc_id") % 13 === 0)
+    assert(TableLog.read(spark, root, Some(v3)).count() ==
+      want.count { case (id, _) => id % 13 != 0 })
+  }
+
+  test("predicateBounds: AND intersects, OR hulls, casts seen through, unknowns drop out") {
+    import org.apache.spark.sql.catalyst.dsl.expressions._
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.LongType
+    val a = org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("a")
+    val b = org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("b")
+    def lit(v: Long) = Literal(v, LongType)
+    assert(TableLog.predicateBounds(And(GreaterThanOrEqual(a, lit(5)),
+      LessThan(a, lit(10)))) == Map("a" -> ((Some(5L), Some(10L)))))
+    assert(TableLog.predicateBounds(Or(EqualTo(a, lit(3)), EqualTo(a, lit(9))))
+      == Map("a" -> ((Some(3L), Some(9L)))))
+    // OR with an unbounded branch must drop the column (conservative)
+    assert(TableLog.predicateBounds(Or(EqualTo(a, lit(3)),
+      GreaterThan(b, lit(0)))) == Map.empty)
+    // literal-first comparison mirrors; cast seen through
+    assert(TableLog.predicateBounds(GreaterThan(lit(7),
+      Cast(a, LongType))) == Map("a" -> ((None, Some(7L)))))
+    // a conjunct nobody understands contributes nothing but doesn't erase
+    assert(TableLog.predicateBounds(And(EqualTo(Remainder(a, lit(7)), lit(0)),
+      GreaterThanOrEqual(a, lit(150)))) == Map("a" -> ((Some(150L), None))))
+  }
+
+  test("change-data-feed: append-only window reads only new files; rewrites fall back to diff") {
+    import spark.implicits._
+    val root = tmp("tcdf")
+    TableLog.overwrite((1L to 50L).map(i => (i, i)).toDF("k", "v")
+      .repartition(4), root) // v1
+    TableLog.append((51L to 60L).map(i => (i, i)).toDF("k", "v"), root) // v2
+    TableLog.append((61L to 70L).map(i => (i, i)).toDF("k", "v"), root) // v3
+    // file-level: the window nets to adds only
+    val (adds, removes) = TableLog.fileChanges(spark, root, 1L, 3L)
+    assert(adds.nonEmpty && removes.isEmpty)
+    // fast path: changes == the appended rows, and the plan reads ONLY the
+    // added files — the base is never scanned
+    val cdf = TableLog.readChanges(spark, root, 1L, 3L,
+      col("k"), col("v").cast("string"))
+    assert(cdf.inputFiles.toSet ==
+      adds.map(e => "file:" + root + "/" + e.path).toSet ||
+      cdf.inputFiles.length == adds.size,
+      s"fast path must plan only added files: ${cdf.inputFiles.length} vs ${adds.size}")
+    val rows = cdf.collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.length == 20 && rows.forall(_._2 == "added"))
+    assert(rows.map(_._1).sorted.toSeq == (51L to 70L).toSeq)
+    // a rewrite (delete) makes the window non-append-only → full diff,
+    // unchanged rows excluded
+    TableLog.overwrite((1L to 65L).map(i =>
+      (i, if (i % 10 == 0) i + 1000 else i)).toDF("k", "v"), root) // v4
+    val cdf2 = TableLog.readChanges(spark, root, 3L, 4L,
+      col("k"), col("v").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    val wantChanged = (1L to 65L).filter(_ % 10 == 0).map(i => (i, "changed"))
+    val wantRemoved = (66L to 70L).map(i => (i, "removed"))
+    assert(cdf2.sameElements((wantChanged ++ wantRemoved).sorted),
+      s"diff fallback rows: ${cdf2.toSeq}")
+  }
+
+  test("vacuum: epoch continuity survives manifest deletion; live .crc sidecars kept") {
+    import spark.implicits._
+    val root = tmp("tvac")
+    TableLog.overwrite(Seq((0L, 0L)).toDF("k", "v"), root) // v1
+    TableLog.appendBatch(Seq((1L, 10L)).toDF("k", "v"), 0L, root) // v2 epoch 0
+    TableLog.appendBatch(Seq((2L, 20L)).toDF("k", "v"), 1L, root) // v3 epoch 1
+    // sidecar fixture: a checksum next to a LIVE data file (the round-13
+    // advice target: the old sweep keyed on the raw dot-name and deleted
+    // live files' sidecars on filesystems whose listing exposes them)
+    val live = TableLog.manifest(spark, root).head
+    val liveDir = s"$root/${live.split('/').head}"
+    val liveName = live.split('/').last
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$liveDir/.$liveName.crc"), "crc")
+    // the sweep-key mapping itself (ChecksumFileSystem hides sidecars from
+    // local listings, so the behavioral path needs a raw/remote FS — the
+    // mapping is the testable invariant)
+    assert(TableLog.sweepKey("c0", s".$liveName.crc") == s"c0/$liveName",
+      "a sidecar must be judged by its data file's key")
+    assert(TableLog.sweepKey("c0", liveName) == s"c0/$liveName")
+    assert(TableLog.sweepKey("", ".f.parquet.crc") == "f.parquet")
+    // vacuum away the manifests that carried the epoch tokens
+    TableLog.vacuum(spark, root, keepVersions = 1, orphanMinAgeMs = 0L)
+    assert(TableLog.versions(spark, root) == Seq(3L))
+    // ADVICE r13: with the epoch tokens' manifests gone AND the marker
+    // lost, a replayed epoch must STILL be a no-op (epochmax rides in the
+    // vacuum-written checkpoint)
+    assert(new java.io.File(s"$root/_graft_log/epochs/epoch-1").delete())
+    TableLog.appendBatch(Seq((2L, 20L)).toDF("k", "v"), 1L, root)
+    assert(TableLog.versions(spark, root) == Seq(3L),
+      "replayed epoch must no-op after vacuum deleted its manifest")
+    assert(TableLog.read(spark, root).count() == 3L)
+    // ADVICE r13: the live file's checksum sidecar survives the sweep
+    assert(new java.io.File(s"$liveDir/.$liveName.crc").exists(),
+      "live data file's .crc sidecar must not be swept")
+  }
+
+  test("LogStore seam: the full protocol runs on a non-filesystem store") {
+    import spark.implicits._
+    MemLogStore.clear()
+    spark.conf.set(LogStore.ConfKey, "graft.MemLogStore")
+    try {
+      val root = tmp("tmem")
+      // data parquet lands on disk; ALL log metadata lives in the mock
+      TableLog.overwrite(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), root)
+      TableLog.append(Seq((3L, 30L)).toDF("k", "v"), root)
+      assert(!new java.io.File(s"$root/_graft_log").exists(),
+        "no log directory may touch the filesystem under the mock store")
+      assert(TableLog.versions(spark, root) == Seq(1L, 2L))
+      assert(TableLog.read(spark, root).count() == 3L)
+      assert(TableLog.read(spark, root, Some(1L)).count() == 2L)
+      // pinned-base CAS conflict surfaces from putIfAbsent, no rename anywhere
+      val e1 = TableLog.manifestEntries(spark, root, Some(1L))
+      intercept[TableLog.CommitConflictException] {
+        TableLog.commit(spark, root, e1, basedOn = Some(1L))
+      }
+      // concurrent appenders with retry: every batch lands exactly once
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (0 until 6).map { i =>
+        new Thread(() => {
+          var done = false
+          var attempts = 0
+          while (!done && attempts < 40) {
+            try {
+              TableLog.append(Seq((100L + i, i.toLong)).toDF("k", "v"), root)
+              done = true
+            } catch {
+              case _: TableLog.CommitConflictException => attempts += 1
+              case t: Throwable => errs.add(t); done = true
+            }
+          }
+          if (!done) errs.add(new IllegalStateException(s"appender $i starved"))
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(errs.isEmpty, s"concurrent appends failed: ${errs.toArray.toSeq}")
+      assert(TableLog.versions(spark, root) == (1L to 8L),
+        "6 racing appends must land as 6 contiguous versions")
+      assert(TableLog.read(spark, root).count() == 9L)
+    } finally {
+      spark.conf.unset(LogStore.ConfKey)
+      MemLogStore.clear()
+    }
+  }
+}

@@ -543,7 +543,7 @@ class WarehouseSpec extends AnyFunSuite {
     TableLog.overwriteWithStats(docs.repartitionByRange(8, col("n_chars")),
       root, "n_chars")
     val all = TableLog.read(spark, root)
-    val pruned = TableLog.readPruned(spark, root, 150L, 250L)
+    val pruned = TableLog.readPruned(spark, root, "n_chars", 150L, 250L)
     // the skip is REAL: fewer files enter the plan than the table holds
     assert(all.inputFiles.length >= 8)
     assert(pruned.inputFiles.length < all.inputFiles.length,
@@ -555,7 +555,7 @@ class WarehouseSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted
     assert(want.nonEmpty && got.sameElements(want))
     // a disjoint range prunes everything but stays schema-correct
-    val none = TableLog.readPruned(spark, root, 10000000L, 20000000L)
+    val none = TableLog.readPruned(spark, root, "n_chars", 10000000L, 20000000L)
     assert(none.columns.toSeq == all.columns.toSeq && none.count() == 0L)
   }
 
@@ -567,8 +567,8 @@ class WarehouseSpec extends AnyFunSuite {
     TableLog.overwriteWithStats(docs.repartitionByRange(8, col("n_chars")),
       root, "n_chars")
     val before = TableLog.manifestEntries(spark, root)
-    val untouchedBefore = before.filter(_.stats.exists { case (mn, mx) =>
-      mx < 150L || mn > 250L })
+    val untouchedBefore = before.filter(_.stats.get("n_chars").exists {
+      case (mn, mx) => mx < 150L || mn > 250L })
     assert(untouchedBefore.nonEmpty, "fixture needs provably-untouched files")
     val v2 = TableLog.deleteRange(spark, root, 150L, 250L, "n_chars")
     val after = TableLog.manifestEntries(spark, root, Some(v2))
@@ -587,7 +587,7 @@ class WarehouseSpec extends AnyFunSuite {
     assert(TableLog.read(spark, root).count() ==
       docs.filter(!col("n_chars").between(150L, 250L)).count())
     assert(after.filterNot(untouchedBefore.contains).forall(e =>
-      e.stats.isDefined || e.bytes.exists(_ < 2000)),
+      e.stats.contains("n_chars") || e.bytes.exists(_ < 2000)),
       "rewritten files should carry fresh stats (tiny empty parts exempt)")
     // compliance caveat is REAL: the prior snapshot still holds the rows
     // until vacuum ages it out
