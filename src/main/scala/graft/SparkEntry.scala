@@ -2075,6 +2075,36 @@ object SparkEntry {
       TableLog.read(s, root).orderBy(col("doc_id"))
     }),
 
+    // THE LOOP CLOSED IN-ENGINE: ingest → commit → tail → curate
+    // (streaming.LogTail) — a producer commits 4 batches into a logged
+    // table through the exactly-once epoch path, and a CONSUMER tails the
+    // commit stream with versions as offsets: each version's appended rows
+    // (TableLog.readAppended — the base is never rescanned) become one
+    // ordered micro-batch of the REAL stateful exact-dedup keep stream
+    // (CurationStream.exactKeepStream), state carrying across commit
+    // boundaries. Content is planted (doc_id % 50) so the keeper law is
+    // plain SQL: first (version, doc_id) per content wins — a wrong
+    // version order, a double-consumed epoch or a split version batch all
+    // break the hash.
+    "q219_log_tail_funnel" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.TableLog
+      val docs = t(s, d, "documents")
+      val root = logRoot(s, d, "ttail")
+      val src = docs.select(col("doc_id"),
+        concat(lit("T"), (col("doc_id") % 50).cast("string")).as("content"))
+      TableLog.overwrite(src.filter(col("doc_id") % 4 === 0), root) // v1
+      (1L to 3L).foreach(k =>                                       // v2..v4
+        TableLog.appendBatch(src.filter(col("doc_id") % 4 === k), k, root))
+      graft.streaming.LogTail.consumeVersions[(Long, String), (Long, Boolean)](
+        s, root, 0L,
+        df => df.orderBy(col("doc_id")).as[(Long, String)])(ds =>
+          graft.streaming.CurationStream.exactKeepStream(
+            ds.toDF("doc_id", "content"), "doc_id", "content"))
+        .toDF("doc_id", "exact_keep")
+        .orderBy(col("doc_id"))
+    }),
+
     // TRAINED language ID (Corpus.langIdTrained) — q19's heuristic upgraded
     // to a model through the engine's own gated machinery: hashedEmbedding
     // features, per-language centroid TRAINING as one aggregation, q198's
@@ -5186,6 +5216,16 @@ object SparkEntry {
     "q218_predicate_delete" ->
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE n_chars IS NULL OR NOT (n_chars % 7 = 0 AND n_chars >= 150)
+        |ORDER BY doc_id""".stripMargin,
+
+    // The tailed funnel's keeper law: versions arrive in commit order
+    // (version k holds doc_id % 4 = k-1), so the exact-dedup keeper of
+    // each planted content group is the min doc_id of its earliest version
+    "q219_log_tail_funnel" ->
+      """SELECT doc_id,
+        |  (row_number() OVER (PARTITION BY doc_id % 50
+        |     ORDER BY doc_id % 4, doc_id) = 1) AS exact_keep
+        |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
     // Full re-derivation of the trained classifier: marker-augmented text,

@@ -955,6 +955,26 @@ object TableLog {
     (added.values.toSeq, removed.toSeq)
   }
 
+  /** The APPENDED ROWS of `(vFrom, vTo]` — the incremental-consume read:
+    * exactly the rows the window's committed appends added, read from the
+    * net-added files only (the base table is never scanned or listed),
+    * with the schema at `vTo` (old-schema batches NULL-fill additive
+    * columns). Throws if the window is not append-only — a rewrite inside
+    * it means "what was added" is no longer a file-level question; use
+    * [[readChanges]] there.
+    */
+  def readAppended(spark: SparkSession, root: String, vFrom: Long,
+      vTo: Long): DataFrame = {
+    val (adds, removes) = fileChanges(spark, root, vFrom, vTo)
+    require(removes.isEmpty,
+      s"window ($vFrom, $vTo] contains removes — not an append-only window")
+    val schemaJson = state(spark, root, Some(vTo)).schemaJson
+    if (adds.isEmpty)
+      readEntrySet(spark, root, state(spark, root, Some(vTo)).entries,
+        schemaJson).limit(0)
+    else readEntrySet(spark, root, adds, schemaJson)
+  }
+
   /** CHANGE-DATA-FEED read over `(vFrom, vTo]`: every row-level change an
     * incremental consumer must process, as (doc_id, status) with status ∈
     * {added, removed, changed} — `unchanged` rows are never emitted
@@ -975,8 +995,7 @@ object TableLog {
     import org.apache.spark.sql.functions._
     val (adds, removes) = fileChanges(spark, root, vFrom, vTo)
     if (removes.isEmpty && adds.nonEmpty) {
-      val schemaJson = state(spark, root, Some(vTo)).schemaJson
-      readEntrySet(spark, root, adds, schemaJson)
+      readAppended(spark, root, vFrom, vTo)
         .select(idCol.cast("long").as("doc_id"), lit("added").as("status"))
     } else if (adds.isEmpty && removes.isEmpty) {
       graft.operators.Snapshots

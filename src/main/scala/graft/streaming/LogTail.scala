@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.sources.TableLog
+
+/** Tail a [[graft.sources.TableLog]] table's COMMIT STREAM as micro-batches
+  * — the consumer half of the in-engine loop
+  * ingest → curate → commit → consume: an upstream job commits batches
+  * through [[TableLog.appendStream]] (exactly-once epochs), and a
+  * downstream training-data job processes ONLY what each new version added,
+  * in commit order, without ever rescanning the base table.
+  *
+  * Offsets are VERSIONS: a consumer's position is the last version it
+  * processed — restartable by persisting one long, and each version's rows
+  * form exactly one micro-batch, so batch boundaries coincide with the
+  * log's atomic commit points (a half-consumed version cannot exist).
+  * Reading a version's delta is [[TableLog.readAppended]] — O(new data)
+  * file reads planned from O(commits) manifest deltas; the head probe is
+  * the `_last_checkpoint` pointer path, so an idle poll costs a couple of
+  * metadata existence checks, never a listing.
+  *
+  * BRIDGE SEAM, stated loudly: [[consumeVersions]] collects each version's
+  * changed rows to the driver to feed a MemoryStream — the same
+  * deterministic-replay apparatus as every streaming gate
+  * ([[MemoryReplay]]), sized to the CHANGES (one commit's batch), never the
+  * table. A production deployment keeps the identical Tail/offset logic and
+  * swaps the bridge for a DataSourceV2 `MicroBatchStream` whose
+  * `latestOffset` is [[TableLog.headVersion]] and whose
+  * `planInputPartitions(start, end)` is [[TableLog.fileChanges]] — the
+  * Delta-source shape; versions-as-offsets is the part that matters and is
+  * what the q219 gate + LogTailSpec pin.
+  */
+object LogTail {
+
+  /** A positioned consumer of one logged table. `position` is the last
+    * version already consumed (0 = from the beginning).
+    */
+  final class Tail(spark: SparkSession, root: String, startAfter: Long) {
+    private var pos = startAfter
+
+    def position: Long = pos
+
+    /** New committed versions since the last poll, each as (version, its
+      * appended rows) in commit order; advances the position. Empty when
+      * idle. Cost when idle: one pointer read + one existence probe.
+      */
+    def poll(): Seq[(Long, DataFrame)] = {
+      val head = TableLog.headVersion(spark, root).getOrElse(pos)
+      val out = ((pos + 1) to head).map(v =>
+        v -> TableLog.readAppended(spark, root, v - 1, v))
+      pos = math.max(pos, head)
+      out
+    }
+  }
+
+  def tail(spark: SparkSession, root: String, startAfter: Long = 0L): Tail =
+    new Tail(spark, root, startAfter)
+
+  /** Drive a REAL streaming operator over the table's committed versions
+    * `(startAfter, head]`: each version's appended rows become one ordered
+    * micro-batch of `op`'s input stream (state carries across versions),
+    * and the materialized output is returned. `decode` maps a version's
+    * change frame to the operator's typed input — sort it (`orderBy`)
+    * when within-version order matters; version order itself is the log's.
+    */
+  def consumeVersions[I: Encoder, O: Encoder](spark: SparkSession,
+      root: String, startAfter: Long, decode: DataFrame => Dataset[I],
+      statePartitions: Int = 8, mode: OutputMode = OutputMode.Append())(
+      op: Dataset[I] => Dataset[O]): DataFrame = {
+    val chunks = tail(spark, root, startAfter).poll()
+      .map { case (_, df) => decode(df).collect().toSeq }
+    MemoryReplay.replayChunks(spark, chunks, statePartitions, mode)(op)
+  }
+}

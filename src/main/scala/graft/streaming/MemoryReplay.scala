@@ -58,6 +58,22 @@ object MemoryReplay {
       nBatches: Int, statePartitions: Int = 8,
       mode: OutputMode = OutputMode.Append(),
       stateStoreProvider: Option[String] = None)(f: Dataset[I] => Dataset[O]): DataFrame = {
+    val chunk = math.max(1, (tape.size + nBatches - 1) / nBatches)
+    replayChunks(spark, tape.grouped(chunk).toSeq, statePartitions, mode,
+      stateStoreProvider)(f)
+  }
+
+  /** [[replay]] with CALLER-DEFINED micro-batch boundaries: each element of
+    * `chunks` becomes exactly one batch, in order. This is the seam the
+    * commit-log tailer ([[graft.streaming.LogTail]]) uses — one batch per
+    * committed table version, so batch boundaries mean something (a
+    * version's rows never split across batches and state carries over at
+    * exactly the commit points).
+    */
+  def replayChunks[I: Encoder, O: Encoder](spark: SparkSession,
+      chunks: Seq[Seq[I]], statePartitions: Int = 8,
+      mode: OutputMode = OutputMode.Append(),
+      stateStoreProvider: Option[String] = None)(f: Dataset[I] => Dataset[O]): DataFrame = {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[I]
     val name = s"graft_replay_${runId.incrementAndGet()}"
@@ -89,12 +105,11 @@ object MemoryReplay {
           prevProv.fold(spark.conf.unset(provKey))(spark.conf.set(provKey, _))
       }
     try {
-      val chunk = math.max(1, (tape.size + nBatches - 1) / nBatches)
       // processAllAvailable per chunk forces a micro-batch boundary, so the
       // operator's state genuinely persists across batches (one addData of
       // the whole tape would collapse the replay into a single batch and
       // prove nothing about state carry-over)
-      tape.grouped(chunk).foreach { c =>
+      chunks.filter(_.nonEmpty).foreach { c =>
         input.addData(c)
         query.processAllAvailable()
       }

@@ -33,7 +33,7 @@ object RocksGate {
     "q193_streaming_dedup_ttl", "q195_streaming_curation",
     "q196_streaming_curation_ttl", "q204_streaming_media_dedup",
     "q205_streaming_media_dedup_ttl", "q207_streaming_funnel_media",
-    "q210_streaming_mixed_media")
+    "q210_streaming_mixed_media", "q219_log_tail_funnel")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -264,6 +264,45 @@ class TableLogSpec extends AnyFunSuite {
       "live data file's .crc sidecar must not be swept")
   }
 
+  test("LogTail: versions are offsets — poll picks up exactly the new commits, resumably") {
+    import spark.implicits._
+    import graft.streaming.LogTail
+    val root = tmp("ttail")
+    TableLog.overwrite(Seq((1L, "a")).toDF("k", "c"), root) // v1
+    TableLog.append(Seq((2L, "b")).toDF("k", "c"), root)    // v2
+    val t0 = LogTail.tail(spark, root)
+    val p1 = t0.poll()
+    assert(p1.map(_._1) == Seq(1L, 2L), "first poll sees all versions")
+    assert(p1.map(_._2.count()).sum == 2L)
+    assert(t0.poll().isEmpty, "idle poll must be empty")
+    TableLog.append(Seq((3L, "c"), (4L, "d")).toDF("k", "c"), root) // v3
+    val p2 = t0.poll()
+    assert(p2.map(_._1) == Seq(3L) && p2.head._2.count() == 2L,
+      "only the NEW version's rows arrive — the base is never re-read")
+    // restart from a persisted position = a fresh tail at that offset
+    val resumed = LogTail.tail(spark, root, startAfter = 2L)
+    assert(resumed.poll().map(_._1) == Seq(3L), "resume replays from the offset")
+    // appended rows carry the schema at the head (additive evolution)
+    TableLog.append(Seq((5L, "e", 9L)).toDF("k", "c", "x"), root) // v4
+    val p3 = t0.poll()
+    assert(p3.map(_._1) == Seq(4L))
+    assert(p3.head._2.columns.toSeq == Seq("k", "c", "x"))
+    // consumeVersions drives a stateful op with one batch per version:
+    // dedup state must carry across commit boundaries (k=1's content "a"
+    // re-appended in a LATER version is a dup, not a fresh keep)
+    TableLog.append(Seq((6L, "a")).toDF("k", "c"), root) // v5: dup of v1
+    val out = LogTail.consumeVersions[(Long, String), (Long, Boolean)](
+      spark, root, 0L,
+      df => df.select(col("k"), col("c")).orderBy(col("k"))
+        .as[(Long, String)])(ds =>
+        graft.streaming.CurationStream.exactKeepStream(
+          ds.toDF("doc_id", "content"), "doc_id", "content"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, true), (2L, true), (3L, true), (4L, true),
+      (5L, true), (6L, false)),
+      s"state must carry across version batches: ${out.toSeq}")
+  }
+
   test("LogStore seam: the full protocol runs on a non-filesystem store") {
     import spark.implicits._
     MemLogStore.clear()
