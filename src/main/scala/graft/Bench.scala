@@ -18,6 +18,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bench {
 
+  /** Composed ingest-funnel gates run at ONE rep (r13 verdict #7): each
+    * replays a full tape through 3–4 real stateful streaming queries in
+    * ordered micro-batches (q207 additionally decodes 5k PNGs), so a rep
+    * costs 6–25 s of pure gate-apparatus wall — 26% of the round's bench —
+    * while the min-of-N exists for JIT/codegen variance that these
+    * multi-second scheduling-bound replays don't suffer proportionally
+    * (their rep-to-rep spread is a few %, measured r13). Correctness is
+    * hash-gated elsewhere; one timed pass is the honest number.
+    */
+  private val singleRepQueries: Set[String] = Set(
+    "q195_streaming_curation", "q196_streaming_curation_ttl",
+    "q207_streaming_funnel_media")
+
   private def timeOne(spark: SparkSession, sfDir: String, name: String,
       fn: (SparkSession, String) => DataFrame, reps: Int): Double = {
     val times = (1 to reps).flatMap { _ =>
@@ -65,12 +78,14 @@ object Bench {
           queries: Map[String, (SparkSession, String) => DataFrame],
           reps: Int, prev: Map[String, Double] = Map.empty): String = {
     val firstPass = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      (name, fn, timeOne(spark, sfDir, name, fn, reps))
+      val r = if (singleRepQueries(name)) 1 else reps
+      (name, fn, timeOne(spark, sfDir, name, fn, r))
     }
     val requeued = firstPass.flatMap { case (name, fn, t) =>
       prev.get(name) match {
         case Some(p) if p > 0 && t > 2 * p && t > 0.25 =>
-          val t2 = timeOne(spark, sfDir, name, fn, reps)
+          val t2 = timeOne(spark, sfDir, name, fn,
+            if (singleRepQueries(name)) 1 else reps)
           System.err.println(
             f"[bench] requeue $name: first $t%.2f s vs prev $p%.2f s -> retail $t2%.2f s")
           Some(name -> (t, if (t2 >= 0) t2 else t))

@@ -539,7 +539,9 @@ object TableLog {
     val st = head.map(h => state(spark, root, Some(h)))
     val evolved = st.flatMap(s => evolvedSchema(s, df))
     val partCols = st.map(partColsOf).getOrElse(Seq.empty)
-      .filter(df.columns.contains)
+    require(partCols.forall(df.columns.contains),
+      s"append to a partitioned table must carry its partition columns " +
+        s"($partCols); a flat batch would corrupt the layout")
     val files =
       if (partCols.nonEmpty) writeDataPartitioned(df, root, partCols)
       else writeData(df, root)
@@ -874,9 +876,11 @@ object TableLog {
     * ~target-sized files, and the swap is one manifest commit — a reader
     * mid-scan on the old version is untouched. Sizes come FROM the
     * manifest (legacy bare entries fall back to one status call each).
-    * Stats on rewritten files are dropped (their ranges changed;
-    * re-collect when skipping matters); kept entries retain theirs.
-    * Partitioned tables rewrite into their layout. Returns the version.
+    * Kept entries retain their stats; rewritten files get FRESH stats on
+    * every column the table tracks (their ranges changed — without
+    * re-collection a compaction would silently degrade skipping on
+    * exactly the files it touched). Partitioned tables rewrite into
+    * their layout. Returns the version.
     */
   def compact(spark: SparkSession, root: String, targetBytes: Long): Long = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
@@ -898,8 +902,11 @@ object TableLog {
         val df = readEntrySet(spark, root, smalls, st.schemaJson)
           .repartition(nBins)
         val partCols = partColsOf(st)
-        if (partCols.nonEmpty) writeDataPartitioned(df, root, partCols)
-        else writeData(df, root)
+        val files =
+          if (partCols.nonEmpty) writeDataPartitioned(df, root, partCols)
+          else writeData(df, root)
+        withStats(spark, root, files,
+          st.entries.flatMap(_.stats.keys).distinct.sorted)
       }
     commitDelta(spark, root, newFiles, smalls.map(_.path), Some(head.get), Nil)
   }
@@ -1115,7 +1122,9 @@ object TableLog {
       val st = headVersion(spark, root).map(h => state(spark, root, Some(h)))
       val evolved = st.flatMap(s => evolvedSchema(s, batch))
       val partCols = st.map(partColsOf).getOrElse(Seq.empty)
-        .filter(batch.columns.contains)
+      require(partCols.forall(batch.columns.contains),
+        s"append to a partitioned table must carry its partition columns " +
+          s"($partCols)")
       val staged =
         if (partCols.nonEmpty) writeDataPartitioned(batch, root, partCols)
         else writeData(batch, root)

@@ -491,6 +491,46 @@ object ScaleProbe {
       def e(f: ((Double, Double)) => Double) =
         math.log(f(res(2)) / f(res(1))) / math.log(10.0)
       println(f"[probe] log-law growth: commit exp=${e(_._1)}%.2f plan exp=${e(_._2)}%.2f (10k -> 100k decade)")
+      // DELTA-COMMIT LAW (r14): 1k successive single-entry commits into a
+      // 10k-entry table, through the public full-snapshot commit API (the
+      // diff is computed internally — the delta manifest is what lands).
+      // Pre-r14 every commit rewrote the full list: O(table) manifest
+      // bytes PER COMMIT and a log dir of O(commits × table) bytes. The
+      // law to evidence: per-commit manifest bytes are O(batch)=O(1) here,
+      // commit wall time is FLAT from the first 100 commits to the last
+      // 100 (checkpoint parse is O(table), bounded and amortized —
+      // interval default 10), and head resolution + head planning stay
+      // flat as the commit count grows 1k×.
+      val root2 = s"${System.getProperty("java.io.tmpdir")}/graft_loglaw_delta"
+      rm(new java.io.File(root2))
+      var entries = (0 until 10000).map(i => TableLog.Entry(
+        f"c0/part-$i%05d.parquet", Some(1000L + i),
+        Map("v" -> ((i.toLong * 100, i.toLong * 100 + 99)))))
+      TableLog.commit(spark, root2, entries)
+      val commitTimes = (1 to 1000).map { i =>
+        entries = entries :+ TableLog.Entry(f"c1/part-$i%05d.parquet",
+          Some(2000L), Map("v" -> ((1000000L + i, 1000000L + i))))
+        val t0 = System.nanoTime()
+        TableLog.commit(spark, root2, entries)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val manifests = new java.io.File(s"$root2/_graft_log").listFiles()
+        .filter(_.getName.endsWith(".manifest")).sortBy(_.getName)
+      val deltaSizes = manifests.filterNot(_.getName == "v1.manifest").map(_.length())
+      val tHead0 = System.nanoTime()
+      val head = TableLog.headVersion(spark, root2).get
+      val tHead = (System.nanoTime() - tHead0) / 1e9
+      val tPlan0 = System.nanoTime()
+      val n = TableLog.manifestEntries(spark, root2).size
+      val tPlan = (System.nanoTime() - tPlan0) / 1e9
+      def mean(xs: Seq[Double]) = xs.sum / xs.size
+      println(f"[probe] delta-law: 1k commits into 10k-entry table  " +
+        f"commit mean=${mean(commitTimes) * 1000}%.1f ms  " +
+        f"first100=${mean(commitTimes.take(100)) * 1000}%.1f ms  " +
+        f"last100=${mean(commitTimes.takeRight(100)) * 1000}%.1f ms  " +
+        f"delta manifest bytes max=${deltaSizes.max}  " +
+        f"(v1 full=${manifests.find(_.getName == "v1.manifest").map(_.length()).getOrElse(0L)})  " +
+        f"head(v$head) resolve=${tHead * 1000}%.1f ms  plan($n entries)=${tPlan * 1000}%.1f ms")
     }
     if (args.contains("--log-law")) {
       logLawSection(); spark.stop(); return
