@@ -578,23 +578,30 @@ object TableLog {
     }
   }
 
-  /** Attach per-file stats for `statCols` to just-written entries. */
+  /** Attach per-file stats for `statCols` to just-written entries. Stats
+    * rows are keyed by the scan's FULL file URI and matched to entries by
+    * path suffix — a name-only key would alias the same part-file name
+    * written into several partition dirs by one task and merge their
+    * ranges (sound but needlessly wide; the whole point of partition-range
+    * clustering is tight per-file ranges).
+    */
   private def withStats(spark: SparkSession, root: String,
       files: Seq[Entry], statCols: Seq[String]): Seq[Entry] =
     if (statCols.isEmpty || files.isEmpty) files
     else {
-      val byName = collectStats(spark, root, files, statCols)
+      val byUri = collectStats(spark, root, files, statCols)
       files.map { e =>
-        val name = e.path.substring(e.path.lastIndexOf('/') + 1)
-        e.copy(stats = byName.getOrElse(name, Map.empty))
+        val suffix = "/" + e.path
+        e.copy(stats = byUri.collectFirst {
+          case (uri, m) if uri.endsWith(suffix) => m
+        }.getOrElse(Map.empty))
       }
     }
 
   /** Per-file (min, max) stats of `statCols` for just-written `files`,
-    * keyed by FILE NAME (parquet part names carry a job-unique suffix, so
-    * names are unique across the batch regardless of partition-subdir
-    * depth). One aggregation over the page-cached files. Columns that are
-    * all-NULL within a file yield no entry for that column.
+    * keyed by the full scan URI. One aggregation over the page-cached
+    * files. Columns that are all-NULL within a file yield no entry for
+    * that column.
     */
   private def collectStats(spark: SparkSession, root: String,
       files: Seq[Entry], statCols: Seq[String])
@@ -604,7 +611,7 @@ object TableLog {
       min(col(c)).cast("long").as(s"__lo_$c"),
       max(col(c)).cast("long").as(s"__hi_$c")))
     val rows = spark.read.parquet(files.map(f => s"$root/${f.path}"): _*)
-      .groupBy(element_at(split(input_file_name(), "/"), -1).as("__f"))
+      .groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
     rows.map { r =>
