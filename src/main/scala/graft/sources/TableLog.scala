@@ -169,25 +169,36 @@ object TableLog {
   // Delta-file parse/format
   // -------------------------------------------------------------------------
 
+  /** One parsed log file. `legacyReplace`: the file holds only bare
+    * (pre-delta) lines — an old-format manifest, which WAS a full
+    * snapshot, so replay must REPLACE the entry set, not accumulate
+    * (treating it as adds would resurrect files an old overwrite or
+    * delete dropped).
+    */
   private final case class DeltaFile(meta: Seq[(String, String)],
-    removes: Seq[String], adds: Seq[Entry])
+    removes: Seq[String], adds: Seq[Entry], legacyReplace: Boolean)
 
   private def parseDelta(content: String): DeltaFile = {
     val meta = Seq.newBuilder[(String, String)]
     val removes = Seq.newBuilder[String]
     val adds = Seq.newBuilder[Entry]
+    var sawDelta = false
+    var sawBare = false
     content.linesIterator.filter(_.nonEmpty).foreach { l =>
       if (l.startsWith("#")) {
         val i = l.indexOf(':')
         if (i > 1) meta += ((l.substring(1, i), l.substring(i + 1)))
-      } else if (l.startsWith("-\t")) removes += l.substring(2)
-      else if (l.startsWith("+\t")) adds += parseAdd(l.split('\t').drop(1))
-      else { // legacy bare add: path[\tbytes[\t<ignored stat tokens>]]
+      } else if (l.startsWith("-\t")) { removes += l.substring(2); sawDelta = true }
+      else if (l.startsWith("+\t")) {
+        adds += parseAdd(l.split('\t').drop(1)); sawDelta = true
+      } else { // legacy bare line: path[\tbytes[\t<ignored stat tokens>]]
         val t = l.split('\t')
         adds += Entry(t(0), t.lift(1).flatMap(b => scala.util.Try(b.toLong).toOption))
+        sawBare = true
       }
     }
-    DeltaFile(meta.result(), removes.result(), adds.result())
+    DeltaFile(meta.result(), removes.result(), adds.result(),
+      legacyReplace = sawBare && !sawDelta)
   }
 
   private def parseAdd(t: Array[String]): Entry = {
@@ -220,12 +231,18 @@ object TableLog {
   // Snapshot state (checkpoint base + delta replay)
   // -------------------------------------------------------------------------
 
-  /** Reconstructed snapshot: the file entries, the schema recorded at (or
-    * carried forward to) this version, and the largest committed epoch id
-    * — everything a read, an append or an exactly-once recovery needs.
+  /** Reconstructed snapshot: the file entries, the schema and partition
+    * columns recorded at (or carried forward to) this version, and the
+    * largest committed epoch id — everything a read, an append or an
+    * exactly-once recovery needs. `partCols` comes from `#partcols:`
+    * commit metadata (recorded by the partitioned writers, cleared by
+    * flat overwrites) so a momentarily-EMPTY partitioned table still
+    * knows its layout; legacy states without the meta fall back to the
+    * entries' own partition keys.
     */
   private[graft] final case class LogState(version: Long,
-    entries: Vector[Entry], schemaJson: Option[String], epochMax: Option[Long])
+    entries: Vector[Entry], schemaJson: Option[String],
+    epochMax: Option[Long], partColsMeta: Option[Seq[String]])
 
   /** Newest checkpoint ≤ `v`: pointer fast-path when valid, else one
     * listing. Using an OLDER checkpoint than the newest is always correct
@@ -265,11 +282,15 @@ object TableLog {
     val m = scala.collection.mutable.LinkedHashMap.empty[String, Entry]
     var schemaJson: Option[String] = None
     var epochMax: Option[Long] = None
+    var partColsMeta: Option[Seq[String]] = None
     def applyDelta(d: DeltaFile): Unit = {
+      if (d.legacyReplace) m.clear() // old-format manifests ARE snapshots
       d.removes.foreach(m.remove)
       d.adds.foreach(e => m.put(e.path, e))
       d.meta.foreach {
         case ("schema", j) => schemaJson = Some(j)
+        case ("partcols", v) =>
+          partColsMeta = Some(v.split(',').filter(_.nonEmpty).toSeq)
         case ("epoch", id) =>
           epochMax = Some(math.max(epochMax.getOrElse(Long.MinValue), id.toLong))
         case ("epochmax", id) =>
@@ -288,7 +309,7 @@ object TableLog {
       applyDelta(parseDelta(store.read(spark, manifestPath(root, u))))
       u += 1
     }
-    LogState(v, m.values.toVector, schemaJson, epochMax)
+    LogState(v, m.values.toVector, schemaJson, epochMax, partColsMeta)
   }
 
   /** The file list of `version` (default: head) — paths only. */
@@ -393,6 +414,7 @@ object TableLog {
       version: Long, store: LogStore): Unit = {
     val st = state(spark, root, Some(version))
     val lines = st.schemaJson.map("#schema:" + _).toSeq ++
+      st.partColsMeta.map(c => "#" + partColsMeta(c)).toSeq ++
       st.epochMax.map("#epochmax:" + _).toSeq ++
       st.entries.map(fmtAdd)
     store.writeIfAbsent(spark, checkpointPath(root, version),
@@ -499,7 +521,7 @@ object TableLog {
       else state(spark, root, Some(head)).entries
     val files = withStats(spark, root, writeData(df, root), statCols)
     commitDelta(spark, root, files, prev.map(_.path), Some(head),
-      Seq(schemaMeta(df)))
+      Seq(schemaMeta(df), partColsMeta(Nil)))
   }
 
   /** Full-snapshot REPLACE with a hive-partitioned layout + optional
@@ -517,7 +539,7 @@ object TableLog {
     val files = withStats(spark, root,
       writeDataPartitioned(df, root, partCols), statCols)
     commitDelta(spark, root, files, prev.map(_.path), Some(head),
-      Seq(schemaMeta(df)))
+      Seq(schemaMeta(df), partColsMeta(partCols.sorted)))
   }
 
   /** Commit `df` APPENDED to the current snapshot: the manifest records
@@ -537,7 +559,11 @@ object TableLog {
     val spark = df.sparkSession
     val head = headVersion(spark, root)
     val st = head.map(h => state(spark, root, Some(h)))
-    val evolved = st.flatMap(s => evolvedSchema(s, df))
+    // a FIRST commit via append adopts the batch's schema + flat layout —
+    // every data commit records its schema, not just overwrites
+    val evolved = st.map(s => evolvedSchema(s, df))
+      .getOrElse(Some(df.schema.json))
+    val extraMeta = if (st.isEmpty) Seq(partColsMeta(Nil)) else Nil
     val partCols = st.map(partColsOf).getOrElse(Seq.empty)
     require(partCols.forall(df.columns.contains),
       s"append to a partitioned table must carry its partition columns " +
@@ -546,11 +572,16 @@ object TableLog {
       if (partCols.nonEmpty) writeDataPartitioned(df, root, partCols)
       else writeData(df, root)
     commitDelta(spark, root, files, Nil, Some(head.getOrElse(0L)),
-      meta ++ evolved.map("schema:" + _).toSeq)
+      meta ++ evolved.map("schema:" + _).toSeq ++ extraMeta)
   }
 
   private def partColsOf(st: LogState): Seq[String] =
-    st.entries.headOption.map(_.partition.keys.toSeq.sorted).getOrElse(Seq.empty)
+    st.partColsMeta.getOrElse(
+      st.entries.headOption.map(_.partition.keys.toSeq.sorted)
+        .getOrElse(Seq.empty))
+
+  private def partColsMeta(cols: Seq[String]): String =
+    "partcols:" + cols.mkString(",")
 
   /** The schema meta an append should record: None when the table schema
     * already covers the batch; Some(widened json) for additive new
@@ -578,24 +609,28 @@ object TableLog {
     }
   }
 
+  private val CommitRelPath = ("c[0-9a-f]{32}/.*$").r
+
   /** Attach per-file stats for `statCols` to just-written entries. Stats
-    * rows are keyed by the scan's FULL file URI and matched to entries by
-    * path suffix — a name-only key would alias the same part-file name
-    * written into several partition dirs by one task and merge their
-    * ranges (sound but needlessly wide; the whole point of partition-range
-    * clustering is tight per-file ranges).
+    * rows come back keyed by the scan's file URI; the root-relative path
+    * is recovered by anchoring on the unique commit-dir segment
+    * (`c<32hex>/…`) after ONE percent-decode (input_file_name URL-encodes
+    * the on-disk name, which is itself hive-escaped — decoding once
+    * yields exactly the raw name the entry records). A name-only key
+    * would alias the same part-file name written into several partition
+    * dirs by one task and merge their ranges (sound but needlessly wide —
+    * the whole point of partition-range clustering is tight per-file
+    * ranges); the anchored key is exact and the lookup O(1) per file.
     */
   private def withStats(spark: SparkSession, root: String,
       files: Seq[Entry], statCols: Seq[String]): Seq[Entry] =
     if (statCols.isEmpty || files.isEmpty) files
     else {
-      val byUri = collectStats(spark, root, files, statCols)
-      files.map { e =>
-        val suffix = "/" + e.path
-        e.copy(stats = byUri.collectFirst {
-          case (uri, m) if uri.endsWith(suffix) => m
-        }.getOrElse(Map.empty))
+      val byPath = collectStats(spark, root, files, statCols).flatMap {
+        case (uri, m) =>
+          CommitRelPath.findFirstIn(unescapePath(uri)).map(_ -> m)
       }
+      files.map(e => e.copy(stats = byPath.getOrElse(e.path, Map.empty)))
     }
 
   /** Per-file (min, max) stats of `statCols` for just-written `files`,
@@ -658,25 +693,33 @@ object TableLog {
     } else {
       require(entries.forall(_.partition.keys.toSeq.sorted == partCols),
         "mixed partition layouts in one snapshot are not readable")
-      val dataSchema = schema.map(s =>
-        StructType(s.filterNot(f => partCols.contains(f.name))))
-      val frames = entries.groupBy(_.partition).toSeq
-        .sortBy(_._1.toSeq.sorted.mkString(","))
-        .map { case (pvals, es) =>
-          val paths = es.map(f => s"$root/${f.path}")
-          val base = dataSchema.fold(spark.read.parquet(paths: _*))(s =>
-            spark.read.schema(s).parquet(paths: _*))
-          partCols.foldLeft(base) { (df, k) =>
-            val raw = pvals(k)
-            val c = if (raw == "__HIVE_DEFAULT_PARTITION__") lit(null)
-              else lit(unescapePath(raw))
-            val typed = schema.flatMap(_.find(_.name == k))
-              .map(f => c.cast(f.dataType)).getOrElse(c)
-            df.withColumn(k, typed)
-          }
-        }
-      val unioned = frames.reduce(_ unionByName _)
-      schema.fold(unioned)(s => unioned.select(s.fieldNames.map(col): _*))
+      schema match {
+        case Some(s) =>
+          // ONE relation for the whole entry set: `basePath` makes Spark's
+          // partition discovery recover the k=v values from the paths
+          // (the walk stops at the non-k=v commit-dir segment), and the
+          // recorded schema types the partition columns — plan size stays
+          // O(1) in the number of distinct partition values, where a
+          // union-per-partition would grow the analyzer's work linearly
+          val paths = entries.map(f => s"$root/${f.path}")
+          spark.read.schema(s).option("basePath", root).parquet(paths: _*)
+            .select(s.fieldNames.map(col): _*)
+        case None =>
+          // legacy (schemaless) fallback: per-partition reads with the
+          // values attached as string literals from the manifest
+          val frames = entries.groupBy(_.partition).toSeq
+            .sortBy(_._1.toSeq.sorted.mkString(","))
+            .map { case (pvals, es) =>
+              val paths = es.map(f => s"$root/${f.path}")
+              partCols.foldLeft(spark.read.parquet(paths: _*)) { (df, k) =>
+                val raw = pvals(k)
+                val c = if (raw == "__HIVE_DEFAULT_PARTITION__") lit(null)
+                  else lit(unescapePath(raw))
+                df.withColumn(k, c)
+              }
+            }
+          frames.reduce(_ unionByName _)
+      }
     }
   }
 
@@ -800,26 +843,43 @@ object TableLog {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    def width(t: org.apache.spark.sql.types.DataType): Option[Int] = t match {
+      case ByteType => Some(1); case ShortType => Some(2)
+      case IntegerType => Some(4); case LongType => Some(8)
+      case _ => None
+    }
+    // a cast of the ATTRIBUTE is transparent only when WIDENING — a
+    // narrowing cast wraps values (cast(a as int) = 5 also matches
+    // a = 2^32+5), so seeing through it would keep files that hold
+    // matching rows. Unknown child type (unresolved attr) admits only
+    // cast-to-long: every integral source widens into long.
     def attrOf(x: Expression): Option[String] = x match {
       case a: UnresolvedAttribute => Some(a.name)
       case a: AttributeReference => Some(a.name)
-      case c: Cast => c.dataType match {
-        case LongType | IntegerType | ShortType | ByteType => attrOf(c.child)
-        case _ => None
-      }
+      case c: Cast =>
+        val childW = if (c.child.resolved) width(c.child.dataType) else None
+        val wide = (width(c.dataType), childW) match {
+          case (Some(t), Some(s)) => t >= s
+          case (Some(8), None) => true // to-long: widening from any integral
+          case _ => false
+        }
+        if (wide) attrOf(c.child) else None
       case _ => None
     }
+    // a cast of the LITERAL is transparent only when the value survives
+    // the cast (the analyzer only emits widening literal casts, but a
+    // hand-built narrowing cast must not leak the uncast value)
     def litOf(x: Expression): Option[Long] = x match {
       case Literal(v, LongType) => Some(v.asInstanceOf[Long])
       case Literal(v, IntegerType) => Some(v.asInstanceOf[Int].toLong)
       case Literal(v, ShortType) => Some(v.asInstanceOf[Short].toLong)
       case Literal(v, ByteType) => Some(v.asInstanceOf[Byte].toLong)
-      // the analyzer wraps comparison literals in widening casts
-      // (Cast(150, bigint)); integral widening preserves the value
-      case c: Cast => c.dataType match {
-        case LongType | IntegerType | ShortType | ByteType => litOf(c.child)
-        case _ => None
-      }
+      case c: Cast => for {
+        v <- litOf(c.child)
+        w <- width(c.dataType)
+        if w == 8 ||
+          (v >= -(1L << (8 * w - 1)) && v <= (1L << (8 * w - 1)) - 1)
+      } yield v
       case _ => None
     }
     type B = (Option[Long], Option[Long])
@@ -982,11 +1042,10 @@ object TableLog {
     val (adds, removes) = fileChanges(spark, root, vFrom, vTo)
     require(removes.isEmpty,
       s"window ($vFrom, $vTo] contains removes — not an append-only window")
-    val schemaJson = state(spark, root, Some(vTo)).schemaJson
+    val st = state(spark, root, Some(vTo))
     if (adds.isEmpty)
-      readEntrySet(spark, root, state(spark, root, Some(vTo)).entries,
-        schemaJson).limit(0)
-    else readEntrySet(spark, root, adds, schemaJson)
+      readEntrySet(spark, root, st.entries, st.schemaJson).limit(0)
+    else readEntrySet(spark, root, adds, st.schemaJson)
   }
 
   /** CHANGE-DATA-FEED read over `(vFrom, vTo]`: every row-level change an
@@ -1008,17 +1067,19 @@ object TableLog {
       idCol: Column, payloadCol: Column): DataFrame = {
     import org.apache.spark.sql.functions._
     val (adds, removes) = fileChanges(spark, root, vFrom, vTo)
+    // vFrom = 0 is "since inception": the old side is an empty snapshot
+    // (version 0 is never committed, so read(Some(0)) would throw)
+    def oldSide = if (vFrom == 0L) read(spark, root, Some(vTo)).limit(0)
+      else read(spark, root, Some(vFrom))
     if (removes.isEmpty && adds.nonEmpty) {
       readAppended(spark, root, vFrom, vTo)
         .select(idCol.cast("long").as("doc_id"), lit("added").as("status"))
     } else if (adds.isEmpty && removes.isEmpty) {
       graft.operators.Snapshots
-        .diff(read(spark, root, Some(vFrom)), read(spark, root, Some(vFrom)),
-          idCol, payloadCol).limit(0)
+        .diff(oldSide, oldSide, idCol, payloadCol).limit(0)
     } else {
       graft.operators.Snapshots
-        .diff(read(spark, root, Some(vFrom)), read(spark, root, Some(vTo)),
-          idCol, payloadCol)
+        .diff(oldSide, read(spark, root, Some(vTo)), idCol, payloadCol)
         .filter(col("status") =!= "unchanged")
     }
   }
@@ -1127,7 +1188,9 @@ object TableLog {
         state(spark, root, Some(h)).epochMax.exists(batchId <= _))
     if (!store.exists(spark, marker) && !alreadyCommitted) {
       val st = headVersion(spark, root).map(h => state(spark, root, Some(h)))
-      val evolved = st.flatMap(s => evolvedSchema(s, batch))
+      val evolved = st.map(s => evolvedSchema(s, batch))
+        .getOrElse(Some(batch.schema.json))
+      val extraMeta = if (st.isEmpty) Seq(partColsMeta(Nil)) else Nil
       val partCols = st.map(partColsOf).getOrElse(Seq.empty)
       require(partCols.forall(batch.columns.contains),
         s"append to a partitioned table must carry its partition columns " +
@@ -1135,7 +1198,8 @@ object TableLog {
       val staged =
         if (partCols.nonEmpty) writeDataPartitioned(batch, root, partCols)
         else writeData(batch, root)
-      val meta = Seq(s"epoch:$batchId") ++ evolved.map("schema:" + _).toSeq
+      val meta = Seq(s"epoch:$batchId") ++ evolved.map("schema:" + _).toSeq ++
+        extraMeta
       var attempt = 0
       var done = false
       while (!done) {

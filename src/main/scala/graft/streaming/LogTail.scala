@@ -36,8 +36,18 @@ object LogTail {
 
   /** A positioned consumer of one logged table. `position` is the last
     * version already consumed (0 = from the beginning).
+    *
+    * A version that REWROTE files (compact/delete/merge/overwrite) is not
+    * an append, so "what did it add" is not a file-level question. Policy
+    * mirrors Delta's streaming source: by default [[poll]] throws a typed
+    * [[NonAppendVersionException]] WITHOUT advancing (nothing is silently
+    * dropped; the consumer decides — e.g. full reprocess from the new
+    * snapshot, or a [[TableLog.readChanges]] over the window);
+    * `skipRewrites = true` (Delta's ignoreChanges stance) skips such
+    * versions and keeps tailing the appends.
     */
-  final class Tail(spark: SparkSession, root: String, startAfter: Long) {
+  final class Tail(spark: SparkSession, root: String, startAfter: Long,
+      skipRewrites: Boolean = false) {
     private var pos = startAfter
 
     def position: Long = pos
@@ -48,15 +58,43 @@ object LogTail {
       */
     def poll(): Seq[(Long, DataFrame)] = {
       val head = TableLog.headVersion(spark, root).getOrElse(pos)
-      val out = ((pos + 1) to head).map(v =>
-        v -> TableLog.readAppended(spark, root, v - 1, v))
-      pos = math.max(pos, head)
+      var out = Vector.empty[(Long, DataFrame)]
+      var v = pos + 1
+      var stopped = false
+      while (v <= head && !stopped) {
+        val (adds, removes) = TableLog.fileChanges(spark, root, v - 1, v)
+        if (removes.isEmpty) {
+          if (adds.nonEmpty)
+            out :+= (v -> TableLog.readAppended(spark, root, v - 1, v))
+          pos = v
+        } else if (skipRewrites) pos = v
+        else if (out.isEmpty)
+          // the rewrite is the first thing this poll would deliver:
+          // surface it, position unchanged (nothing dropped)
+          throw new NonAppendVersionException(
+            s"version $v of $root rewrote files (compaction/delete/merge); " +
+              "an append tail cannot express it as new rows — reprocess " +
+              "from the snapshot, use readChanges, or tail with " +
+              "skipRewrites = true")
+        else
+          // appends were collected before the rewrite: deliver them now;
+          // the NEXT poll starts exactly at the rewrite and throws
+          stopped = true
+        if (!stopped) v += 1
+      }
       out
     }
   }
 
-  def tail(spark: SparkSession, root: String, startAfter: Long = 0L): Tail =
-    new Tail(spark, root, startAfter)
+  /** [[Tail.poll]] met a version that rewrote files. `position` stays
+    * BEFORE that version — nothing was silently dropped.
+    */
+  final class NonAppendVersionException(msg: String)
+    extends IllegalStateException(msg)
+
+  def tail(spark: SparkSession, root: String, startAfter: Long = 0L,
+      skipRewrites: Boolean = false): Tail =
+    new Tail(spark, root, startAfter, skipRewrites)
 
   /** Drive a REAL streaming operator over the table's committed versions
     * `(startAfter, head]`: each version's appended rows become one ordered

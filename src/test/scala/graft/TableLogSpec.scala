@@ -191,6 +191,107 @@ class TableLogSpec extends AnyFunSuite {
     // a conjunct nobody understands contributes nothing but doesn't erase
     assert(TableLog.predicateBounds(And(EqualTo(Remainder(a, lit(7)), lit(0)),
       GreaterThanOrEqual(a, lit(150)))) == Map("a" -> ((Some(150L), None))))
+    // NARROWING casts of the attribute are opaque (cast(a AS int) = 5 also
+    // matches a = 2^32+5 — seeing through it would keep matching files);
+    // unknown child type admits only the to-long widening
+    import org.apache.spark.sql.types.{IntegerType, LongType => LT}
+    assert(TableLog.predicateBounds(EqualTo(Cast(a, IntegerType), lit(5)))
+      == Map.empty, "narrowing attr cast must not derive bounds")
+    val aLong = AttributeReference("a", LT)()
+    assert(TableLog.predicateBounds(EqualTo(Cast(aLong, IntegerType),
+      Literal(5, IntegerType))) == Map.empty,
+      "resolved long->int cast must not derive bounds")
+    val aInt = AttributeReference("a", IntegerType)()
+    assert(TableLog.predicateBounds(EqualTo(Cast(aInt, LT), Literal(5L, LT)))
+      == Map("a" -> ((Some(5L), Some(5L)))),
+      "resolved widening cast is transparent")
+    // a literal whose cast would wrap is opaque too
+    assert(TableLog.predicateBounds(EqualTo(a,
+      Cast(Literal((1L << 40), LT), IntegerType))) == Map.empty,
+      "value-destroying literal cast must not leak the uncast value")
+  }
+
+  test("legacy full-snapshot manifests replay as REPLACE, not accumulate") {
+    // a pre-delta-format log: each manifest was the complete file list,
+    // removal implicit — replaying them as adds would resurrect files an
+    // old overwrite dropped
+    val root = tmp("tlegacy")
+    val log = new java.io.File(s"$root/_graft_log"); log.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/_graft_log/v1.manifest"),
+      "c0/a.parquet\t100\nc0/b.parquet\t200\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/_graft_log/v2.manifest"),
+      "c1/c.parquet\t300\n")
+    assert(TableLog.manifest(spark, root, Some(1L)).toSet ==
+      Set("c0/a.parquet", "c0/b.parquet"))
+    assert(TableLog.manifest(spark, root, Some(2L)) == Seq("c1/c.parquet"),
+      "an old-format overwrite must not resurrect v1's files")
+  }
+
+  test("readChanges since inception (vFrom = 0) works on any history") {
+    import spark.implicits._
+    val root = tmp("tcdf0")
+    TableLog.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "c"), root) // v1
+    TableLog.overwrite(Seq((1L, "a"), (3L, "c")).toDF("k", "c"), root) // v2 rewrite
+    val got = TableLog.readChanges(spark, root, 0L, 2L,
+        col("k"), col("c")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(got.toSeq == Seq((1L, "added"), (3L, "added")),
+      s"since-inception diff against the empty snapshot: ${got.toSeq}")
+  }
+
+  test("LogTail meets a rewrite: nothing lost, typed stop, skipRewrites skips") {
+    import spark.implicits._
+    import graft.streaming.LogTail
+    val root = tmp("ttailrw")
+    TableLog.overwrite(Seq((1L, 10L)).toDF("k", "v"), root)      // v1
+    TableLog.append(Seq((2L, 20L)).toDF("k", "v"), root)         // v2
+    TableLog.deleteRange(spark, root, 5L, 15L, "v")              // v3 rewrite
+    TableLog.append(Seq((3L, 30L)).toDF("k", "v"), root)         // v4
+    val t = LogTail.tail(spark, root)
+    // appends BEFORE the rewrite are delivered first, position parks
+    // exactly before the rewrite
+    val p1 = t.poll()
+    assert(p1.map(_._1) == Seq(1L, 2L) && t.position == 2L,
+      s"appends before the rewrite must be delivered: ${p1.map(_._1)}")
+    // the rewrite is now first pending: typed stop, position unchanged
+    intercept[LogTail.NonAppendVersionException] { t.poll() }
+    assert(t.position == 2L, "a refused rewrite must not advance the offset")
+    // opting in skips the rewrite and resumes the append tail
+    val s = LogTail.tail(spark, root, startAfter = 2L, skipRewrites = true)
+    val p2 = s.poll()
+    assert(p2.map(_._1) == Seq(4L) && s.position == 4L,
+      s"skipRewrites must pass the rewrite and deliver v4: ${p2.map(_._1)}")
+  }
+
+  test("first commit via append records schema + layout; empty table keeps both") {
+    import spark.implicits._
+    // append as the FIRST commit (the streaming-sink-into-fresh-root path)
+    val root = tmp("tfirst")
+    TableLog.appendBatch(Seq((1L, "x")).toDF("k", "c"), 0L, root)
+    assert(TableLog.schemaOf(spark, root).exists(_.fieldNames.toSeq ==
+      Seq("k", "c")), "a first append must record the schema")
+    // a delete that empties the table still reads (schema survives)
+    TableLog.delete(spark, root, lit(true))
+    assert(TableLog.read(spark, root).columns.toSeq == Seq("k", "c"))
+    assert(TableLog.read(spark, root).count() == 0L)
+    // a momentarily-EMPTY partitioned table keeps its layout: the next
+    // append must still demand + use the partition columns
+    val root2 = tmp("tkeeppart")
+    TableLog.overwritePartitioned(
+      Seq((1L, "p1"), (2L, "p2")).toDF("k", "p"), root2, Seq("p"))
+    TableLog.delete(spark, root2, lit(true))
+    assert(TableLog.read(spark, root2).count() == 0L)
+    intercept[IllegalArgumentException] {
+      TableLog.append(Seq((3L)).toDF("k"), root2) // missing partition col
+    }
+    TableLog.append(Seq((3L, "p1")).toDF("k", "p"), root2)
+    val e = TableLog.manifestEntries(spark, root2)
+    assert(e.nonEmpty && e.forall(_.partition.keySet == Set("p")),
+      s"layout must survive an empty snapshot: $e")
+    assert(TableLog.read(spark, root2).collect().map(_.toString).toSeq ==
+      Seq("[3,p1]"))
   }
 
   test("change-data-feed: append-only window reads only new files; rewrites fall back to diff") {
