@@ -2075,6 +2075,28 @@ object SparkEntry {
       TableLog.read(s, root).orderBy(col("doc_id"))
     }),
 
+    // PARTITION-TRIAGED DELETE (TableLog.delete on a partitioned logged
+    // table) — the "forget one source" compliance shape: the predicate's
+    // string-equality constraint (source = 'src3') is derived from the
+    // expression tree, every OTHER partition's files are kept BY
+    // REFERENCE (their manifest partition value contradicts the
+    // constraint — no file opened), and only src3's files are read,
+    // row-filtered by the full predicate (the n_chars conjunct) and
+    // rewritten in layout. The gate pins complement semantics; the
+    // untouched-partition entry identity is TableLogSpec's.
+    "q220_partition_delete" -> ((s, d) => {
+      import graft.sources.TableLog
+      val docs = t(s, d, "documents")
+      val root = logRoot(s, d, "tpdp")
+      TableLog.overwritePartitioned(
+        docs.select(col("doc_id"), col("source"), col("n_chars"))
+          .repartitionByRange(4, col("n_chars")),
+        root, Seq("source"), "n_chars")
+      TableLog.delete(s, root,
+        col("source") === "src3" && col("n_chars") % 2 === 0)
+      TableLog.read(s, root).orderBy(col("doc_id"))
+    }),
+
     // THE LOOP CLOSED IN-ENGINE: ingest → commit → tail → curate
     // (streaming.LogTail) — a producer commits 4 batches into a logged
     // table through the exactly-once epoch path, and a CONSUMER tails the
@@ -5216,6 +5238,13 @@ object SparkEntry {
     "q218_predicate_delete" ->
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE n_chars IS NULL OR NOT (n_chars % 7 = 0 AND n_chars >= 150)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Complement of the partition-scoped predicate (NULL rows kept)
+    "q220_partition_delete" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE NOT (source = 'src3' AND n_chars % 2 = 0)
+        |   OR source IS NULL OR n_chars IS NULL
         |ORDER BY doc_id""".stripMargin,
 
     // The tailed funnel's keeper law: versions arrive in commit order

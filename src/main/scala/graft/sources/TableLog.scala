@@ -693,33 +693,36 @@ object TableLog {
     } else {
       require(entries.forall(_.partition.keys.toSeq.sorted == partCols),
         "mixed partition layouts in one snapshot are not readable")
-      schema match {
-        case Some(s) =>
-          // ONE relation for the whole entry set: `basePath` makes Spark's
-          // partition discovery recover the k=v values from the paths
-          // (the walk stops at the non-k=v commit-dir segment), and the
-          // recorded schema types the partition columns — plan size stays
-          // O(1) in the number of distinct partition values, where a
-          // union-per-partition would grow the analyzer's work linearly
-          val paths = entries.map(f => s"$root/${f.path}")
-          spark.read.schema(s).option("basePath", root).parquet(paths: _*)
-            .select(s.fieldNames.map(col): _*)
-        case None =>
-          // legacy (schemaless) fallback: per-partition reads with the
-          // values attached as string literals from the manifest
-          val frames = entries.groupBy(_.partition).toSeq
-            .sortBy(_._1.toSeq.sorted.mkString(","))
-            .map { case (pvals, es) =>
-              val paths = es.map(f => s"$root/${f.path}")
-              partCols.foldLeft(spark.read.parquet(paths: _*)) { (df, k) =>
-                val raw = pvals(k)
-                val c = if (raw == "__HIVE_DEFAULT_PARTITION__") lit(null)
-                  else lit(unescapePath(raw))
-                df.withColumn(k, c)
-              }
-            }
-          frames.reduce(_ unionByName _)
-      }
+      // one relation per DISTINCT PARTITION VALUE, each scanning all of
+      // that partition's files across commit dirs, values attached as
+      // schema-typed literals from the manifest. Spark's own basePath
+      // partition discovery cannot read this layout (the walk stops at
+      // the first non-k=v segment, and every commit dir is one, so two
+      // commit dirs read as "conflicting directory structures") — and a
+      // manifest-driven read shouldn't re-infer from paths anyway. Plan
+      // size is O(distinct partition values): fine under the documented
+      // coarse-partition contract (hub, date, source — never a
+      // high-cardinality key); a DSv2 relation fed by the manifest is the
+      // shape that removes even that, noted as the production evolution.
+      val dataSchema = schema.map(s =>
+        StructType(s.filterNot(f => partCols.contains(f.name))))
+      val frames = entries.groupBy(_.partition).toSeq
+        .sortBy(_._1.toSeq.sorted.mkString(","))
+        .map { case (pvals, es) =>
+          val paths = es.map(f => s"$root/${f.path}")
+          val base = dataSchema.fold(spark.read.parquet(paths: _*))(s =>
+            spark.read.schema(s).parquet(paths: _*))
+          partCols.foldLeft(base) { (df, k) =>
+            val raw = pvals(k)
+            val c = if (raw == "__HIVE_DEFAULT_PARTITION__") lit(null)
+              else lit(unescapePath(raw))
+            val typed = schema.flatMap(_.find(_.name == k))
+              .map(f => c.cast(f.dataType)).getOrElse(c)
+            df.withColumn(k, typed)
+          }
+        }
+      val unioned = frames.reduce(_ unionByName _)
+      schema.fold(unioned)(s => unioned.select(s.fieldNames.map(col): _*))
     }
   }
 
@@ -796,13 +799,34 @@ object TableLog {
     // resolve the predicate against the snapshot's schema (lazy — no IO):
     // the analyzed Filter condition is the Expression the bounds walker
     // reads, with name resolution and integral promotions already applied
-    val bounds = readEntrySet(spark, root, st.entries, st.schemaJson)
+    val cond = readEntrySet(spark, root, st.entries, st.schemaJson)
       .filter(predicate).queryExecution.analyzed.collectFirst {
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-          predicateBounds(f.condition)
-      }.getOrElse(Map.empty)
+          f.condition
+      }
+    val bounds = cond.map(predicateBounds).getOrElse(Map.empty)
+    val eqStrings = cond.map(predicateEqStrings).getOrElse(Map.empty)
+    // a file is provably untouched when its STATS miss the bounds, or its
+    // PARTITION VALUE contradicts a derived constraint — the
+    // delete-a-whole-source compliance shape keeps every other partition
+    // by reference without opening a file
+    def partitionDisjoint(e: Entry): Boolean =
+      e.partition.exists { case (c, raw) =>
+        val constrained = eqStrings.contains(c) || bounds.contains(c)
+        if (raw == "__HIVE_DEFAULT_PARTITION__")
+          constrained // NULL never satisfies an equality/range constraint
+        else {
+          val v = unescapePath(raw)
+          eqStrings.get(c).exists(set => !set.contains(v)) ||
+          bounds.get(c).exists { case (lo, hi) =>
+            scala.util.Try(v.toLong).toOption.exists(n =>
+              lo.exists(n < _) || hi.exists(n > _))
+          }
+        }
+      }
     val touched = st.entries.filterNot(e =>
-      bounds.exists { case (c, b) => e.stats.get(c).exists(disjoint(_, b)) })
+      bounds.exists { case (c, b) => e.stats.get(c).exists(disjoint(_, b)) } ||
+        partitionDisjoint(e))
     val statCols = st.entries.flatMap(_.stats.keys).distinct.sorted
     val partCols = partColsOf(st)
     val rewritten =
@@ -919,6 +943,56 @@ object TableLog {
     }
   }
 
+  /** Conservative per-column STRING-EQUALITY sets implied by a predicate:
+    * every matching row must have `col ∈ set`. AND keeps either side's
+    * constraint (both must hold), OR needs both sides to constrain the
+    * column (sets union); `=`, `<=>` and `IN` over string literals
+    * contribute. Same superset discipline as [[predicateBounds]] — used
+    * by [[delete]] to keep whole partitions by reference when their value
+    * contradicts the predicate.
+    */
+  private[graft] def predicateEqStrings(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Map[String, Set[String]] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.types.StringType
+    def attrOf(x: Expression): Option[String] = x match {
+      case a: UnresolvedAttribute => Some(a.name)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def strOf(x: Expression): Option[String] = x match {
+      case Literal(v, StringType) if v != null => Some(v.toString)
+      case _ => None
+    }
+    def eq(l: Expression, r: Expression): Map[String, Set[String]] =
+      (attrOf(l), strOf(r), attrOf(r), strOf(l)) match {
+        case (Some(n), Some(s), _, _) => Map(n -> Set(s))
+        case (_, _, Some(n), Some(s)) => Map(n -> Set(s))
+        case _ => Map.empty
+      }
+    e match {
+      case And(l, r) =>
+        val (a, b) = (predicateEqStrings(l), predicateEqStrings(r))
+        (a.keySet ++ b.keySet).map { k =>
+          k -> ((a.get(k), b.get(k)) match {
+            case (Some(x), Some(y)) => x intersect y
+            case (x, y) => x.orElse(y).get
+          })
+        }.toMap
+      case Or(l, r) =>
+        val (a, b) = (predicateEqStrings(l), predicateEqStrings(r))
+        (a.keySet intersect b.keySet).map(k => k -> (a(k) ++ b(k))).toMap
+      case EqualTo(l, r) => eq(l, r)
+      case EqualNullSafe(l, r) => eq(l, r) // null <=> 'x' is false: same set
+      case In(a, vs) if vs.nonEmpty && vs.forall(strOf(_).nonEmpty) =>
+        attrOf(a).map(n => Map(n -> vs.flatMap(strOf).toSet))
+          .getOrElse(Map.empty)
+      case _ => Map.empty
+    }
+  }
+
   private def maxOpt(a: Option[Long], b: Option[Long]): Option[Long] =
     (a, b) match { case (Some(x), Some(y)) => Some(math.max(x, y))
       case _ => a.orElse(b) }
@@ -947,9 +1021,18 @@ object TableLog {
     * every column the table tracks (their ranges changed — without
     * re-collection a compaction would silently degrade skipping on
     * exactly the files it touched). Partitioned tables rewrite into
-    * their layout. Returns the version.
+    * their layout.
+    *
+    * `clusterBy`: range-partition the rewrite on these columns instead of
+    * hash-scattering it, so each rewritten file covers a TIGHT range and
+    * the re-collected manifest stats actually skip — the OPTIMIZE-with-
+    * clustering form (compose with [[Warehouse.zValue]] for 2-d boxes).
+    * A hash-scattered rewrite of range-clustered input would widen every
+    * file's range to the whole domain and quietly turn skipping off.
+    * Returns the version.
     */
-  def compact(spark: SparkSession, root: String, targetBytes: Long): Long = {
+  def compact(spark: SparkSession, root: String, targetBytes: Long,
+      clusterBy: Seq[String] = Nil): Long = {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val head = headVersion(spark, root)
     require(head.nonEmpty, s"no committed versions under $root")
@@ -966,8 +1049,11 @@ object TableLog {
         val totalSmall = smalls.map(_.bytes.get).sum
         val nBins = math.max(1L,
           (totalSmall + targetBytes - 1) / targetBytes).toInt
-        val df = readEntrySet(spark, root, smalls, st.schemaJson)
-          .repartition(nBins)
+        import org.apache.spark.sql.functions.col
+        val small = readEntrySet(spark, root, smalls, st.schemaJson)
+        val df =
+          if (clusterBy.isEmpty) small.repartition(nBins)
+          else small.repartitionByRange(nBins, clusterBy.map(col): _*)
         val partCols = partColsOf(st)
         val files =
           if (partCols.nonEmpty) writeDataPartitioned(df, root, partCols)

@@ -294,6 +294,70 @@ class TableLogSpec extends AnyFunSuite {
       Seq("[3,p1]"))
   }
 
+  test("partition-triaged delete: other partitions kept by reference; clustered compact keeps skipping") {
+    val root = tmp("tpdelp")
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .repartitionByRange(4, col("n_chars"))
+    TableLog.overwritePartitioned(docs, root, Seq("source"), "n_chars")
+    val before = TableLog.manifestEntries(spark, root)
+    val others = before.filterNot(_.partition.get("source").contains("src3"))
+    assert(others.nonEmpty && others.size < before.size)
+    val v2 = TableLog.delete(spark, root,
+      col("source") === "src3" && col("n_chars") % 2 === 0)
+    val after = TableLog.manifestEntries(spark, root, Some(v2))
+    others.foreach(e => assert(after.contains(e),
+      s"other partitions must be kept by reference: $e"))
+    assert(!after.exists(e => before.contains(e) &&
+      e.partition.get("source").contains("src3")),
+      "src3's files must all be rewritten")
+    assert(TableLog.read(spark, root)
+      .filter(col("source") === "src3" && col("n_chars") % 2 === 0)
+      .count() == 0L)
+    assert(TableLog.read(spark, root).count() ==
+      docs.filter(!(col("source") === "src3" && col("n_chars") % 2 === 0))
+        .count())
+    // the eq-set algebra directly: AND intersects, OR unions, IN collects
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.types.StringType
+    val s0 = UnresolvedAttribute("s")
+    def sl(v: String) = Literal.create(v, StringType)
+    assert(TableLog.predicateEqStrings(Or(EqualTo(s0, sl("a")),
+      EqualTo(s0, sl("b")))) == Map("s" -> Set("a", "b")))
+    assert(TableLog.predicateEqStrings(And(EqualTo(s0, sl("a")),
+      EqualTo(UnresolvedAttribute("t"), sl("x")))) ==
+      Map("s" -> Set("a"), "t" -> Set("x")))
+    assert(TableLog.predicateEqStrings(In(s0, Seq(sl("a"), sl("b"))))
+      == Map("s" -> Set("a", "b")))
+    assert(TableLog.predicateEqStrings(Or(EqualTo(s0, sl("a")),
+      GreaterThan(UnresolvedAttribute("n"), Literal(1L)))) == Map.empty,
+      "an OR branch without the column must drop it")
+  }
+
+  test("clustered compact re-tightens per-file ranges so skipping survives") {
+    val root = tmp("tcclust")
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    TableLog.overwriteWithStats(docs.repartitionByRange(8, col("n_chars")),
+      root, "n_chars")
+    val target = TableLog.manifestEntries(spark, root)
+      .flatMap(_.bytes).max * 3 // every file small -> full rewrite
+    TableLog.compact(spark, root, target, clusterBy = Seq("n_chars"))
+    val after = TableLog.manifestEntries(spark, root)
+    val ranges = after.flatMap(_.stats.get("n_chars")).sortBy(_._1)
+    assert(ranges.size >= 2, s"fixture needs several rewritten files: $after")
+    // clustered rewrite: consecutive file ranges do not overlap (each file
+    // covers a tight slice) — a hash rewrite would give every file the
+    // whole domain
+    ranges.sliding(2).foreach { case Seq((_, hi1), (lo2, _)) =>
+      assert(lo2 >= hi1, s"clustered files must not overlap: $ranges")
+    case _ => ()
+    }
+    // and the data round-trips
+    assert(TableLog.read(spark, root).count() == docs.count())
+  }
+
   test("change-data-feed: append-only window reads only new files; rewrites fall back to diff") {
     import spark.implicits._
     val root = tmp("tcdf")
