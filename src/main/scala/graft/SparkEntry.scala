@@ -2075,6 +2075,28 @@ object SparkEntry {
       TableLog.read(s, root).orderBy(col("doc_id"))
     }),
 
+    // METADATA-ONLY AGGREGATES from the manifest (TableLog.rowCounts /
+    // partitionRowCounts) — per-file row counts ride in the manifest
+    // (`r:` tokens, collected by the same one-pass aggregation as the
+    // stats), so COUNT(*) and GROUP-BY-partition row accounting are
+    // answered from ONE manifest read with zero data IO — the
+    // Delta-numRecords / Iceberg-snapshot-summary surface. Count-less
+    // files (writers that never scan) are counted by scanning JUST them —
+    // the hybrid never reads a counted file (spec proves it by deleting
+    // the data files and counting anyway).
+    "q221_manifest_counts" -> ((s, d) => {
+      import graft.sources.TableLog
+      val docs = t(s, d, "documents")
+      val root = logRoot(s, d, "tcnt")
+      TableLog.overwritePartitioned(
+        docs.select(col("doc_id"), col("source"), col("n_chars"))
+          .repartitionByRange(4, col("n_chars")),
+        root, Seq("source"), "n_chars")
+      TableLog.partitionRowCounts(s, root)
+        .withColumn("total", lit(TableLog.rowCounts(s, root)))
+        .orderBy(col("source"))
+    }),
+
     // PARTITION-TRIAGED DELETE (TableLog.delete on a partitioned logged
     // table) — the "forget one source" compliance shape: the predicate's
     // string-equality constraint (source = 'src3') is derived from the
@@ -5239,6 +5261,13 @@ object SparkEntry {
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE n_chars IS NULL OR NOT (n_chars % 7 = 0 AND n_chars >= 150)
         |ORDER BY doc_id""".stripMargin,
+
+    // Manifest counts must equal the plain GROUP BY (and the total the
+    // plain COUNT(*)) — metadata answering is invisible to semantics
+    "q221_manifest_counts" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM documents) AS total
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     // Complement of the partition-scoped predicate (NULL rows kept)
     "q220_partition_delete" ->

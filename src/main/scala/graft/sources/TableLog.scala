@@ -101,11 +101,14 @@ object TableLog {
   /** One snapshot data-file entry. `bytes` is None only for legacy bare
     * lines; `stats` maps column name → (min, max) over the file's non-null
     * values (the data-skipping surface); `partition` carries the file's
-    * hive partition values (raw directory-escaped form).
+    * hive partition values (raw directory-escaped form); `rows` is the
+    * file's row count when collected (`r:` token — the metadata-only
+    * COUNT surface of [[rowCounts]]).
     */
   final case class Entry(path: String, bytes: Option[Long],
     stats: Map[String, (Long, Long)] = Map.empty,
-    partition: Map[String, String] = Map.empty)
+    partition: Map[String, String] = Map.empty,
+    rows: Option[Long] = None)
 
   /** Commits between checkpoints (`v<N>.checkpoint` every N commits).
     * Smaller = cheaper old-version reads, more metadata files; the default
@@ -205,6 +208,7 @@ object TableLog {
     val bytes = t.lift(1).filter(_ != "?").map(_.toLong)
     var part = Map.empty[String, String]
     var stats = Map.empty[String, (Long, Long)]
+    var rows = Option.empty[Long]
     t.drop(2).foreach { tok =>
       if (tok.startsWith("p:")) {
         val kv = tok.substring(2); val i = kv.indexOf('=')
@@ -216,13 +220,15 @@ object TableLog {
           if (r.length == 2)
             stats += kv.substring(0, i) -> ((r(0).toLong, r(1).toLong))
         }
-      }
+      } else if (tok.startsWith("r:"))
+        rows = scala.util.Try(tok.substring(2).toLong).toOption
     }
-    Entry(t(0), bytes, stats, part)
+    Entry(t(0), bytes, stats, part, rows)
   }
 
   private def fmtAdd(e: Entry): String =
     (Seq("+", e.path, e.bytes.map(_.toString).getOrElse("?")) ++
+      e.rows.map(n => s"r:$n").toSeq ++
       e.partition.toSeq.sortBy(_._1).map { case (k, v) => s"p:$k=$v" } ++
       e.stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) => s"s:$c=$lo:$hi" })
       .mkString("\t")
@@ -630,21 +636,26 @@ object TableLog {
         case (uri, m) =>
           CommitRelPath.findFirstIn(unescapePath(uri)).map(_ -> m)
       }
-      files.map(e => e.copy(stats = byPath.getOrElse(e.path, Map.empty)))
+      files.map { e =>
+        byPath.get(e.path).fold(e) { case (stats, n) =>
+          e.copy(stats = stats, rows = Some(n))
+        }
+      }
     }
 
-  /** Per-file (min, max) stats of `statCols` for just-written `files`,
-    * keyed by the full scan URI. One aggregation over the page-cached
-    * files. Columns that are all-NULL within a file yield no entry for
-    * that column.
+  /** Per-file (min, max) stats of `statCols` + the ROW COUNT for
+    * just-written `files`, keyed by the full scan URI. One aggregation
+    * over the page-cached files. Columns that are all-NULL within a file
+    * yield no entry for that column.
     */
   private def collectStats(spark: SparkSession, root: String,
       files: Seq[Entry], statCols: Seq[String])
-      : Map[String, Map[String, (Long, Long)]] = {
+      : Map[String, (Map[String, (Long, Long)], Long)] = {
     import org.apache.spark.sql.functions._
     val aggs = statCols.flatMap(c => Seq(
       min(col(c)).cast("long").as(s"__lo_$c"),
-      max(col(c)).cast("long").as(s"__hi_$c")))
+      max(col(c)).cast("long").as(s"__hi_$c"))) :+
+      count(lit(1)).as("__n")
     val rows = spark.read.parquet(files.map(f => s"$root/${f.path}"): _*)
       .groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
@@ -655,7 +666,7 @@ object TableLog {
         if (r.isNullAt(lo) || r.isNullAt(hi)) None
         else Some(c -> ((r.getLong(lo), r.getLong(hi))))
       }.toMap
-      r.getString(0) -> m
+      r.getString(0) -> ((m, r.getLong(1 + 2 * statCols.size)))
     }.toMap
   }
 
@@ -740,6 +751,66 @@ object TableLog {
       }
       sb.toString
     }
+
+  /** METADATA-ONLY COUNT of `version` (default head): the sum of the
+    * manifest's per-file `r:` row counts — zero data IO when every entry
+    * carries one (every stats-collecting writer does); entries missing a
+    * count (plain [[overwrite]]/[[append]], which never scan what they
+    * write) are counted by scanning JUST those files — the hybrid never
+    * reads a counted file. At 100 TB this answers `COUNT(*)` and
+    * per-partition row accounting from one manifest read, the
+    * Delta-numRecords/Iceberg-snapshot-summary surface. `partitionEq`
+    * scopes the count to matching partitions (unescaped comparison).
+    */
+  def rowCounts(spark: SparkSession, root: String,
+      version: Option[Long] = None,
+      partitionEq: Map[String, String] = Map.empty): Long = {
+    val st = state(spark, root, version)
+    val scoped = st.entries.filter(e => partitionEq.forall { case (k, v) =>
+      e.partition.get(k).forall(unescapePath(_) == v) })
+    val (counted, uncounted) = scoped.partition(_.rows.nonEmpty)
+    val scanned =
+      if (uncounted.isEmpty) 0L
+      else readEntrySet(spark, root, uncounted, st.schemaJson).count()
+    counted.flatMap(_.rows).sum + scanned
+  }
+
+  /** Per-partition row counts of `version` (default head) as a frame —
+    * GROUP BY partition answered from the manifest (driver-side,
+    * manifest-sized) plus a scan of only the count-less files. Output:
+    * one row per distinct partition value, columns = partition columns
+    * (unescaped strings, NULL for the hive default partition) + `n_rows`.
+    */
+  def partitionRowCounts(spark: SparkSession, root: String,
+      version: Option[Long] = None): DataFrame = {
+    val st = state(spark, root, version)
+    import org.apache.spark.sql.functions._
+    val partCols = partColsOf(st)
+    require(partCols.nonEmpty, "partitionRowCounts needs a partitioned table")
+    val (counted, uncounted) = st.entries.partition(_.rows.nonEmpty)
+    val metaCounts = counted
+      .groupBy(_.partition)
+      .map { case (p, es) =>
+        (partCols.map(k => p.get(k).filterNot(_ == "__HIVE_DEFAULT_PARTITION__")
+          .map(unescapePath).orNull), es.flatMap(_.rows).sum)
+      }.toSeq
+    val metaDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(metaCounts.map { case (ks, n) =>
+        Row.fromSeq(ks :+ n) }, 1),
+      StructType(partCols.map(k =>
+        org.apache.spark.sql.types.StructField(k,
+          org.apache.spark.sql.types.StringType)) :+
+        org.apache.spark.sql.types.StructField("n_rows",
+          org.apache.spark.sql.types.LongType)))
+    val scannedDf =
+      if (uncounted.isEmpty) metaDf.limit(0)
+      else readEntrySet(spark, root, uncounted, st.schemaJson)
+        .groupBy(partCols.map(c => col(c).cast("string").as(c)): _*)
+        .agg(count(lit(1)).as("n_rows"))
+    metaDf.unionByName(scannedDf)
+      .groupBy(partCols.map(col): _*)
+      .agg(sum(col("n_rows")).as("n_rows"))
+  }
 
   /** Read `version` (default head) PRUNED at the PLANNING layer: files
     * whose manifest partition values contradict `partitionEq` or whose

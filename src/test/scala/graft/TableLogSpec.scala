@@ -358,6 +358,39 @@ class TableLogSpec extends AnyFunSuite {
     assert(TableLog.read(spark, root).count() == docs.count())
   }
 
+  test("manifest row counts answer COUNT with zero data IO; hybrid scans only count-less files") {
+    val root = tmp("tcount")
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val total = docs.count()
+    val bySrc = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    TableLog.overwritePartitioned(docs.repartitionByRange(4, col("n_chars")),
+      root, Seq("source"), "n_chars")
+    assert(TableLog.manifestEntries(spark, root).forall(_.rows.nonEmpty),
+      "stats-collecting writers must record per-file counts")
+    // THE metadata-only proof: destroy the data files; counts still answer
+    TableLog.manifest(spark, root).foreach(f =>
+      assert(new java.io.File(s"$root/$f").delete(), s"fixture delete $f"))
+    assert(TableLog.rowCounts(spark, root) == total,
+      "COUNT(*) must come from the manifest alone")
+    assert(TableLog.rowCounts(spark, root,
+      partitionEq = Map("source" -> "src3")) == bySrc("src3"))
+    val perPart = TableLog.partitionRowCounts(spark, root).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perPart == bySrc, s"per-partition counts from metadata: $perPart")
+    // hybrid: a count-less append is counted by scanning JUST its files
+    val root2 = tmp("tcount2")
+    import spark.implicits._
+    TableLog.overwriteWithStats(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"),
+      root2, "v")
+    TableLog.append(Seq((3L, 30L)).toDF("k", "v"), root2) // no stats: no count
+    val e2 = TableLog.manifestEntries(spark, root2)
+    assert(e2.exists(_.rows.isEmpty) && e2.exists(_.rows.nonEmpty),
+      s"fixture needs both counted and count-less entries: $e2")
+    assert(TableLog.rowCounts(spark, root2) == 3L)
+  }
+
   test("change-data-feed: append-only window reads only new files; rewrites fall back to diff") {
     import spark.implicits._
     val root = tmp("tcdf")
