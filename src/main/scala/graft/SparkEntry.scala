@@ -2075,6 +2075,47 @@ object SparkEntry {
       TableLog.read(s, root).orderBy(col("doc_id"))
     }),
 
+    // FULL-ROW CHANGE-DATA-FEED (TableLog.readChangeRows) — the Delta CDF
+    // row shape: every change carries the table columns plus
+    // _change_type, and an UPDATED key emits BOTH images
+    // (update_preimage = the old row, update_postimage = the new one) —
+    // what lets a consumer undo/redo or re-featurize exactly the touched
+    // examples. The window crosses the q208 CDC merge, so inserts
+    // (brand-new %11 keys), updates (%3/%7 keys, max-seq winner) and
+    // untouched keys (emit nothing) all occur; the oracle re-derives
+    // every image from the fixture arithmetic.
+    "q222_log_cdf_rows" -> ((s, d) => {
+      import graft.sources.TableLog
+      val (base, updates) = mergeFixture(t(s, d, "documents"))
+      val root = logRoot(s, d, "tcdfr")
+      TableLog.overwrite(base, root)                          // v1
+      TableLog.mergeUpsert(s, root, updates, Seq("k"), "seq") // v2
+      TableLog.readChangeRows(s, root, 1L, 2L, Seq("k"))
+        .orderBy(col("k"), col("_change_type"))
+    }),
+
+    // COMMIT HISTORY audit (TableLog.history) — DESCRIBE HISTORY from the
+    // deltas alone: one row per version with the `#op:` label, add/remove
+    // action counts and the epoch token, zero data IO. The log carries no
+    // wall-clock by design (replay determinism), so the whole frame is
+    // hashable: a fixed op chain (overwrite 4 files / epoch append /
+    // surgical no-match delete that rewrites only the stats-less appended
+    // file / all-keeps compact) pins the audit trail as a VALUES oracle.
+    "q223_log_history" -> ((s, d) => {
+      import graft.sources.TableLog
+      val docs = t(s, d, "documents")
+      val root = logRoot(s, d, "thist")
+      val sel = docs.select(col("doc_id"), col("n_chars"))
+      TableLog.overwriteWithStats(
+        sel.repartition(4), root, "n_chars")                    // v1
+      TableLog.appendBatch(
+        sel.filter(col("doc_id") % 5 === 0).coalesce(1), 7L, root) // v2
+      TableLog.deleteRange(s, root, 1000000000L, 2000000000L,
+        "n_chars")                                              // v3
+      TableLog.compact(s, root, targetBytes = 1L)               // v4
+      TableLog.history(s, root).orderBy(col("version"))
+    }),
+
     // METADATA-ONLY AGGREGATES from the manifest (TableLog.rowCounts /
     // partitionRowCounts) — per-file row counts ride in the manifest
     // (`r:` tokens, collected by the same one-pass aggregation as the
@@ -5261,6 +5302,35 @@ object SparkEntry {
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE n_chars IS NULL OR NOT (n_chars % 7 = 0 AND n_chars >= 150)
         |ORDER BY doc_id""".stripMargin,
+
+    // Every CDF image re-derived: inserts are the offset %11 keys,
+    // updated keys (%3/%7) emit the base row as preimage and the max-seq
+    // winner as postimage, untouched keys emit nothing
+    "q222_log_cdf_rows" ->
+      s"""WITH $MERGE_CTE,
+        |merged AS (
+        |  SELECT k, source, v, seq FROM mu
+        |  QUALIFY row_number() OVER (PARTITION BY k ORDER BY seq DESC) = 1)
+        |SELECT k, source, v, seq, 'insert' AS _change_type
+        |FROM mupd WHERE k >= 10000000
+        |UNION ALL
+        |SELECT k, source, v, seq, 'update_preimage'
+        |FROM mbase WHERE k % 3 = 0 OR k % 7 = 0
+        |UNION ALL
+        |SELECT k, source, v, seq, 'update_postimage'
+        |FROM merged WHERE k < 10000000 AND (k % 3 = 0 OR k % 7 = 0)
+        |ORDER BY k, _change_type""".stripMargin,
+
+    // The audit trail is fully deterministic — a literal table
+    "q223_log_history" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'overwrite', CAST(4 AS BIGINT),
+        |   CAST(0 AS BIGINT), CAST(NULL AS BIGINT)),
+        |  (2, 'append', 1, 0, 7),
+        |  (3, 'delete', 1, 1, NULL),
+        |  (4, 'compact', 0, 0, NULL))
+        |  AS t(version, op, n_add, n_remove, epoch)
+        |ORDER BY version""".stripMargin,
 
     // Manifest counts must equal the plain GROUP BY (and the total the
     // plain COUNT(*)) — metadata answering is invisible to semantics

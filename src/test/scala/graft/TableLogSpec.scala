@@ -425,6 +425,31 @@ class TableLogSpec extends AnyFunSuite {
       s"diff fallback rows: ${cdf2.toSeq}")
   }
 
+  test("readChangeRows: both images for updates, deletes carried, evolution aligned") {
+    import spark.implicits._
+    val root = tmp("tcdfrows")
+    TableLog.overwrite(Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v"),
+      root) // v1
+    // v2: additive column + an update + a delete + an insert
+    TableLog.overwrite(Seq((1L, 10L, "a"), (2L, 99L, "b"), (4L, 40L, "c"))
+      .toDF("k", "v", "tag"), root) // v2
+    val got = TableLog.readChangeRows(spark, root, 1L, 2L, Seq("k"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2), r.getString(3)))
+      .sortBy(t => (t._1, t._4))
+    // k=1: v same but tag NULL->'a' differs -> update images; k=2: update;
+    // k=3: delete; k=4: insert
+    assert(got.toSeq == Seq(
+      (1L, 10L, "a", "update_postimage"), (1L, 10L, null, "update_preimage"),
+      (2L, 99L, "b", "update_postimage"), (2L, 20L, null, "update_preimage"),
+      (3L, 30L, null, "delete"), (4L, 40L, "c", "insert")), s"got: ${got.toSeq}")
+    // since inception: everything at vTo is an insert
+    val all = TableLog.readChangeRows(spark, root, 0L, 2L, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(3))).sorted
+    assert(all.toSeq == Seq((1L, "insert"), (2L, "insert"), (4L, "insert")))
+  }
+
   test("vacuum: epoch continuity survives manifest deletion; live .crc sidecars kept") {
     import spark.implicits._
     val root = tmp("tvac")
