@@ -2075,6 +2075,31 @@ object SparkEntry {
       TableLog.read(s, root).orderBy(col("doc_id"))
     }),
 
+    // RESTORE — roll the table back to an old version as a NEW commit
+    // (TableLog.restore, the Delta RESTORE shape): the head becomes
+    // byte-identical to the old snapshot by REFERENCING its files (zero
+    // data IO, one delta manifest), history is preserved (the bad version
+    // stays readable; the un-do is itself an audited commit), and the
+    // restored schema/layout are restated. The gate corrupts a table with
+    // a bad overwrite, restores, and reads head + both old versions —
+    // every snapshot a plain derivation the oracle re-computes.
+    "q224_log_restore" -> ((s, d) => {
+      import graft.sources.TableLog
+      val docs = t(s, d, "documents")
+      val root = logRoot(s, d, "trest")
+      val good = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("n_chars"))
+      TableLog.overwrite(good, root)                       // v1
+      TableLog.overwrite(docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), (col("n_chars") * 0L).as("n_chars")),
+        root)                                              // v2: the accident
+      TableLog.restore(s, root, 1L)                        // v3 = v1 again
+      Seq(1L, 2L, 3L)
+        .map(v => TableLog.read(s, root, Some(v)).withColumn("version", lit(v)))
+        .reduce(_ unionByName _)
+        .orderBy(col("version"), col("doc_id"))
+    }),
+
     // FULL-ROW CHANGE-DATA-FEED (TableLog.readChangeRows) — the Delta CDF
     // row shape: every change carries the table columns plus
     // _change_type, and an UPDATED key emits BOTH images
@@ -5302,6 +5327,18 @@ object SparkEntry {
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE n_chars IS NULL OR NOT (n_chars % 7 = 0 AND n_chars >= 150)
         |ORDER BY doc_id""".stripMargin,
+
+    // v1 and the restored v3 are the SAME derivation; v2 is the accident
+    "q224_log_restore" ->
+      """SELECT doc_id, n_chars, CAST(1 AS BIGINT) AS version
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, CAST(0 AS BIGINT), CAST(2 AS BIGINT)
+        |FROM documents WHERE doc_id % 7 = 0
+        |UNION ALL
+        |SELECT doc_id, n_chars, CAST(3 AS BIGINT)
+        |FROM documents WHERE doc_id % 2 = 0
+        |ORDER BY version, doc_id""".stripMargin,
 
     // Every CDF image re-derived: inserts are the offset %11 keys,
     // updated keys (%3/%7) emit the base row as preimage and the max-seq

@@ -1158,6 +1158,33 @@ object TableLog {
       Seq("op:merge", schemaMeta(merged)))
   }
 
+  /** ROLL BACK the table to `version`'s snapshot as a NEW commit (Delta
+    * RESTORE): the head becomes byte-identical to the old version by
+    * REFERENCING its files — zero data IO, one delta manifest (removes =
+    * files added since, adds = files dropped since), and history is
+    * preserved (the bad versions stay readable until [[vacuum]]; nothing
+    * is rewritten or lost — the un-do is itself an audited, revertible
+    * commit). The restored schema and partition layout are restated so
+    * reads of the new head see exactly what `version` saw. Requires the
+    * old version's files to still exist (not vacuumed). Returns the new
+    * version.
+    */
+  def restore(spark: SparkSession, root: String, version: Long): Long = {
+    val head = headVersion(spark, root)
+    require(head.nonEmpty, s"no committed versions under $root")
+    val target = state(spark, root, Some(version))
+    val cur = state(spark, root, Some(head.get))
+    val targetPaths = target.entries.map(_.path).toSet
+    val curByPath = cur.entries.map(e => e.path -> e).toMap
+    val adds = target.entries.filter(e => !curByPath.get(e.path).contains(e))
+    val removes = cur.entries.map(_.path).filterNot(targetPaths.contains)
+    commitDelta(spark, root, adds, removes, Some(head.get),
+      Seq("op:restore") ++ target.schemaJson.map("schema:" + _).toSeq ++
+        Seq(partColsMeta(target.partColsMeta.getOrElse(
+          target.entries.headOption.map(_.partition.keys.toSeq.sorted)
+            .getOrElse(Nil)))))
+  }
+
   /** NET file-level changes over `(vFrom, vTo]`, straight from the delta
     * manifests — O(commits-in-window) metadata reads, zero data IO, zero
     * snapshot reconstruction. A file added then removed inside the window

@@ -450,6 +450,34 @@ class TableLogSpec extends AnyFunSuite {
     assert(all.toSeq == Seq((1L, "insert"), (2L, "insert"), (4L, "insert")))
   }
 
+  test("restore: head re-references the old snapshot byte-identically, zero IO") {
+    import spark.implicits._
+    val root = tmp("trestore")
+    TableLog.overwrite(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), root) // v1
+    TableLog.append(Seq((3L, 30L)).toDF("k", "v"), root)               // v2
+    TableLog.overwrite(Seq((9L, 90L)).toDF("k", "v"), root)            // v3 bad
+    val v4 = TableLog.restore(spark, root, 2L)
+    assert(v4 == 4L)
+    // the restored head is the OLD ENTRY SET by reference — no new files
+    assert(TableLog.manifestEntries(spark, root, Some(4L)).toSet ==
+      TableLog.manifestEntries(spark, root, Some(2L)).toSet,
+      "restore must reference, never rewrite")
+    assert(TableLog.read(spark, root).collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(1L, 2L, 3L))
+    // history is preserved (the accident is still auditable + readable)
+    assert(TableLog.read(spark, root, Some(3L)).count() == 1L)
+    val hist = TableLog.history(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(hist(4L) == "restore", s"history: $hist")
+    // restoring across a schema boundary restates the OLD schema
+    val root2 = tmp("trestore2")
+    TableLog.overwrite(Seq((1L, 10L)).toDF("k", "v"), root2)          // v1
+    TableLog.append(Seq((2L, 20L, "t")).toDF("k", "v", "tag"), root2) // v2
+    TableLog.restore(spark, root2, 1L)
+    assert(TableLog.read(spark, root2).columns.toSeq == Seq("k", "v"),
+      "restore must restate the restored version's schema")
+  }
+
   test("vacuum: epoch continuity survives manifest deletion; live .crc sidecars kept") {
     import spark.implicits._
     val root = tmp("tvac")
