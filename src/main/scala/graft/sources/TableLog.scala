@@ -172,11 +172,12 @@ object TableLog {
   // Delta-file parse/format
   // -------------------------------------------------------------------------
 
-  /** One parsed log file. `legacyReplace`: the file holds only bare
-    * (pre-delta) lines — an old-format manifest, which WAS a full
-    * snapshot, so replay must REPLACE the entry set, not accumulate
-    * (treating it as adds would resurrect files an old overwrite or
-    * delete dropped).
+  /** One parsed log file. `legacyReplace`: the file lacks the `#format:2`
+    * marker every delta-format writer stamps — an old-format manifest,
+    * which WAS a full snapshot, so replay must REPLACE the entry set, not
+    * accumulate (treating it as adds would resurrect files an old
+    * overwrite or delete dropped; keying on the marker rather than line
+    * shapes also classifies a legacy overwrite-to-EMPTY correctly).
     */
   private final case class DeltaFile(meta: Seq[(String, String)],
     removes: Seq[String], adds: Seq[Entry], legacyReplace: Boolean)
@@ -185,23 +186,23 @@ object TableLog {
     val meta = Seq.newBuilder[(String, String)]
     val removes = Seq.newBuilder[String]
     val adds = Seq.newBuilder[Entry]
-    var sawDelta = false
-    var sawBare = false
+    var format2 = false
     content.linesIterator.filter(_.nonEmpty).foreach { l =>
       if (l.startsWith("#")) {
         val i = l.indexOf(':')
-        if (i > 1) meta += ((l.substring(1, i), l.substring(i + 1)))
-      } else if (l.startsWith("-\t")) { removes += l.substring(2); sawDelta = true }
-      else if (l.startsWith("+\t")) {
-        adds += parseAdd(l.split('\t').drop(1)); sawDelta = true
-      } else { // legacy bare line: path[\tbytes[\t<ignored stat tokens>]]
+        if (i > 1) {
+          val kv = (l.substring(1, i), l.substring(i + 1))
+          if (kv == ("format", "2")) format2 = true else meta += kv
+        }
+      } else if (l.startsWith("-\t")) removes += l.substring(2)
+      else if (l.startsWith("+\t")) adds += parseAdd(l.split('\t').drop(1))
+      else { // legacy bare line: path[\tbytes[\t<ignored stat tokens>]]
         val t = l.split('\t')
         adds += Entry(t(0), t.lift(1).flatMap(b => scala.util.Try(b.toLong).toOption))
-        sawBare = true
       }
     }
     DeltaFile(meta.result(), removes.result(), adds.result(),
-      legacyReplace = sawBare && !sawDelta)
+      legacyReplace = !format2)
   }
 
   private def parseAdd(t: Array[String]): Entry = {
@@ -294,7 +295,9 @@ object TableLog {
       d.removes.foreach(m.remove)
       d.adds.foreach(e => m.put(e.path, e))
       d.meta.foreach {
-        case ("schema", j) => schemaJson = Some(j)
+        // empty value CLEARS the carried schema (restore to a schemaless
+        // version must not inherit the overwritten schema)
+        case ("schema", j) => schemaJson = Some(j).filter(_.nonEmpty)
         case ("partcols", v) =>
           partColsMeta = Some(v.split(',').filter(_.nonEmpty).toSeq)
         case ("epoch", id) =>
@@ -393,7 +396,8 @@ object TableLog {
       meta: Seq[String]): Long = {
     val store = LogStore.resolve(spark)
     val next = basedOn.getOrElse(headVersion(spark, root).getOrElse(0L)) + 1L
-    val lines = meta.map("#" + _) ++ removes.map("-\t" + _) ++ adds.map(fmtAdd)
+    val lines = ("#format:2" +: meta.map("#" + _)) ++
+      removes.map("-\t" + _) ++ adds.map(fmtAdd)
     if (!store.writeIfAbsent(spark, manifestPath(root, next),
         lines.mkString("", "\n", "\n")))
       throw new CommitConflictException(
@@ -419,7 +423,8 @@ object TableLog {
   private def writeCheckpoint(spark: SparkSession, root: String,
       version: Long, store: LogStore): Unit = {
     val st = state(spark, root, Some(version))
-    val lines = st.schemaJson.map("#schema:" + _).toSeq ++
+    val lines = Seq("#format:2") ++
+      st.schemaJson.map("#schema:" + _).toSeq ++
       st.partColsMeta.map(c => "#" + partColsMeta(c)).toSeq ++
       st.epochMax.map("#epochmax:" + _).toSeq ++
       st.entries.map(fmtAdd)
@@ -615,7 +620,9 @@ object TableLog {
     }
   }
 
-  private val CommitRelPath = ("c[0-9a-f]{32}/.*$").r
+  // anchored at a path-segment boundary: an ancestor directory that merely
+  // CONTAINS 32 hex chars mid-name must not hijack the match
+  private val CommitRelPath = ("(?:^|/)(c[0-9a-f]{32}/.*)$").r
 
   /** Attach per-file stats for `statCols` to just-written entries. Stats
     * rows come back keyed by the scan's file URI; the root-relative path
@@ -634,7 +641,8 @@ object TableLog {
     else {
       val byPath = collectStats(spark, root, files, statCols).flatMap {
         case (uri, m) =>
-          CommitRelPath.findFirstIn(unescapePath(uri)).map(_ -> m)
+          CommitRelPath.findFirstMatchIn(unescapePath(uri))
+            .map(_.group(1) -> m)
       }
       files.map { e =>
         byPath.get(e.path).fold(e) { case (stats, n) =>
@@ -684,10 +692,10 @@ object TableLog {
   }
 
   /** Build a frame over an arbitrary entry subset of one snapshot (the
-    * shared machinery of [[read]], [[readPruned]] and [[delete]]'s rewrite
-    * side).
+    * shared machinery of [[read]], [[readPruned]], [[delete]]'s rewrite
+    * side and [[graft.streaming.LogTail]]'s per-version delivery).
     */
-  private def readEntrySet(spark: SparkSession, root: String,
+  private[graft] def readEntrySet(spark: SparkSession, root: String,
       entries: Seq[Entry], schemaJson: Option[String]): DataFrame = {
     import org.apache.spark.sql.functions._
     val schema = schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType])
@@ -737,18 +745,29 @@ object TableLog {
     }
   }
 
-  /** Decode hive path escaping (%XX) in a partition value. */
+  /** Decode %XX escaping (hive partition values, URI paths). Consecutive
+    * escaped octets decode as UTF-8 BYTES, not chars — %C3%A9 is 'é', not
+    * 'Ã©' — or a non-ASCII partition value would round-trip wrong.
+    */
   private def unescapePath(s: String): String =
     if (!s.contains('%')) s
     else {
       val sb = new StringBuilder
+      val buf = new java.io.ByteArrayOutputStream()
+      def flush(): Unit = if (buf.size() > 0) {
+        sb.append(new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+        buf.reset()
+      }
       var i = 0
       while (i < s.length) {
-        if (s.charAt(i) == '%' && i + 2 < s.length) {
-          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        if (s.charAt(i) == '%' && i + 2 < s.length &&
+            Character.digit(s.charAt(i + 1), 16) >= 0 &&
+            Character.digit(s.charAt(i + 2), 16) >= 0) {
+          buf.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
           i += 3
-        } else { sb.append(s.charAt(i)); i += 1 }
+        } else { flush(); sb.append(s.charAt(i)); i += 1 }
       }
+      flush()
       sb.toString
     }
 
@@ -766,8 +785,14 @@ object TableLog {
       version: Option[Long] = None,
       partitionEq: Map[String, String] = Map.empty): Long = {
     val st = state(spark, root, version)
+    // unlike readPruned (whose superset is sound because the caller
+    // re-filters rows), this count IS the answer — an unknown key must be
+    // an error, never a silent full-table count
+    val known = partColsOf(st).toSet
+    partitionEq.keys.foreach(k => require(known.contains(k),
+      s"$k is not a partition column of this table (has: $known)"))
     val scoped = st.entries.filter(e => partitionEq.forall { case (k, v) =>
-      e.partition.get(k).forall(unescapePath(_) == v) })
+      e.partition.get(k).exists(unescapePath(_) == v) })
     val (counted, uncounted) = scoped.partition(_.rows.nonEmpty)
     val scanned =
       if (uncounted.isEmpty) 0L
@@ -955,7 +980,11 @@ object TableLog {
         val childW = if (c.child.resolved) width(c.child.dataType) else None
         val wide = (width(c.dataType), childW) match {
           case (Some(t), Some(s)) => t >= s
-          case (Some(8), None) => true // to-long: widening from any integral
+          // to-long of an UNRESOLVED child: any integral source widens.
+          // A RESOLVED non-integral child (string, double) must stay
+          // opaque — its cast-to-long order does not match the collected
+          // stats' order (lexicographic "9" > "10" but 9 < 10)
+          case (Some(8), None) if !c.child.resolved => true
           case _ => false
         }
         if (wide) attrOf(c.child) else None
@@ -1179,10 +1208,9 @@ object TableLog {
     val adds = target.entries.filter(e => !curByPath.get(e.path).contains(e))
     val removes = cur.entries.map(_.path).filterNot(targetPaths.contains)
     commitDelta(spark, root, adds, removes, Some(head.get),
-      Seq("op:restore") ++ target.schemaJson.map("schema:" + _).toSeq ++
-        Seq(partColsMeta(target.partColsMeta.getOrElse(
-          target.entries.headOption.map(_.partition.keys.toSeq.sorted)
-            .getOrElse(Nil)))))
+      Seq("op:restore",
+        "schema:" + target.schemaJson.getOrElse(""), // empty = clear
+        partColsMeta(partColsOf(target))))
   }
 
   /** NET file-level changes over `(vFrom, vTo]`, straight from the delta

@@ -34,27 +34,46 @@ import graft.sources.TableLog
   */
 object LogTail {
 
+  /** What [[Tail.poll]] does with a version that REWROTE files
+    * (compact/delete/merge/overwrite) — not an append, so "what did it
+    * add" is not a file-level question. The three stances every log
+    * streaming source ends up offering (Delta's fail /
+    * ignoreDeletes-style skip / ignoreChanges-style redelivery):
+    *  - [[Fail]] (default): throw the typed [[NonAppendVersionException]]
+    *    WITHOUT advancing — nothing silently dropped; the consumer
+    *    decides (full reprocess from the snapshot, or a
+    *    [[TableLog.readChanges]] over the window).
+    *  - [[Skip]]: advance past the version delivering NOTHING — for
+    *    retention/maintenance-only rewrites (vacuum-adjacent compaction,
+    *    forget-deletes). Rows a rewrite commit ADDED (e.g. a merge's new
+    *    keys) are NOT delivered — this is weaker than Delta's
+    *    ignoreChanges, stated plainly.
+    *  - [[DeliverAdds]]: deliver the rows of the version's added files —
+    *    Delta's ignoreChanges semantics: a merge's inserts arrive, at the
+    *    cost of AT-LEAST-ONCE redelivery of every row the rewrite
+    *    carried along (a compaction redelivers everything it compacted);
+    *    the consumer must be idempotent/deduping.
+    */
+  sealed trait RewritePolicy
+  case object Fail extends RewritePolicy
+  case object Skip extends RewritePolicy
+  case object DeliverAdds extends RewritePolicy
+
   /** A positioned consumer of one logged table. `position` is the last
-    * version already consumed (0 = from the beginning).
-    *
-    * A version that REWROTE files (compact/delete/merge/overwrite) is not
-    * an append, so "what did it add" is not a file-level question. Policy
-    * mirrors Delta's streaming source: by default [[poll]] throws a typed
-    * [[NonAppendVersionException]] WITHOUT advancing (nothing is silently
-    * dropped; the consumer decides — e.g. full reprocess from the new
-    * snapshot, or a [[TableLog.readChanges]] over the window);
-    * `skipRewrites = true` (Delta's ignoreChanges stance) skips such
-    * versions and keeps tailing the appends.
+    * version already consumed (0 = from the beginning). See
+    * [[RewritePolicy]] for non-append versions.
     */
   final class Tail(spark: SparkSession, root: String, startAfter: Long,
-      skipRewrites: Boolean = false) {
+      onRewrite: RewritePolicy = Fail) {
     private var pos = startAfter
 
     def position: Long = pos
 
     /** New committed versions since the last poll, each as (version, its
-      * appended rows) in commit order; advances the position. Empty when
-      * idle. Cost when idle: one pointer read + one existence probe.
+      * delivered rows) in commit order; advances the position. Empty when
+      * idle. Cost when idle: one pointer read + one existence probe; per
+      * version: ONE manifest delta read + one snapshot-state read for the
+      * schema at that version.
       */
     def poll(): Seq[(Long, DataFrame)] = {
       val head = TableLog.headVersion(spark, root).getOrElse(pos)
@@ -63,23 +82,26 @@ object LogTail {
       var stopped = false
       while (v <= head && !stopped) {
         val (adds, removes) = TableLog.fileChanges(spark, root, v - 1, v)
-        if (removes.isEmpty) {
-          if (adds.nonEmpty)
-            out :+= (v -> TableLog.readAppended(spark, root, v - 1, v))
-          pos = v
-        } else if (skipRewrites) pos = v
-        else if (out.isEmpty)
-          // the rewrite is the first thing this poll would deliver:
-          // surface it, position unchanged (nothing dropped)
-          throw new NonAppendVersionException(
-            s"version $v of $root rewrote files (compaction/delete/merge); " +
-              "an append tail cannot express it as new rows — reprocess " +
-              "from the snapshot, use readChanges, or tail with " +
-              "skipRewrites = true")
-        else
-          // appends were collected before the rewrite: deliver them now;
-          // the NEXT poll starts exactly at the rewrite and throws
-          stopped = true
+        def deliver(): Unit = if (adds.nonEmpty)
+          out :+= (v -> TableLog.readEntrySet(spark, root, adds,
+            TableLog.state(spark, root, Some(v)).schemaJson))
+        if (removes.isEmpty) { deliver(); pos = v }
+        else onRewrite match {
+          case Skip => pos = v
+          case DeliverAdds => deliver(); pos = v
+          case Fail if out.isEmpty =>
+            // the rewrite is the first thing this poll would deliver:
+            // surface it, position unchanged (nothing dropped)
+            throw new NonAppendVersionException(
+              s"version $v of $root rewrote files (compaction/delete/" +
+                "merge); an append tail cannot express it as new rows — " +
+                "reprocess from the snapshot, use readChanges, or tail " +
+                "with onRewrite = Skip/DeliverAdds")
+          case Fail =>
+            // appends were collected before the rewrite: deliver them
+            // now; the NEXT poll starts exactly at the rewrite and throws
+            stopped = true
+        }
         if (!stopped) v += 1
       }
       out
@@ -93,8 +115,8 @@ object LogTail {
     extends IllegalStateException(msg)
 
   def tail(spark: SparkSession, root: String, startAfter: Long = 0L,
-      skipRewrites: Boolean = false): Tail =
-    new Tail(spark, root, startAfter, skipRewrites)
+      onRewrite: RewritePolicy = Fail): Tail =
+    new Tail(spark, root, startAfter, onRewrite)
 
   /** Drive a REAL streaming operator over the table's committed versions
     * `(startAfter, head]`: each version's appended rows become one ordered

@@ -258,11 +258,22 @@ class TableLogSpec extends AnyFunSuite {
     // the rewrite is now first pending: typed stop, position unchanged
     intercept[LogTail.NonAppendVersionException] { t.poll() }
     assert(t.position == 2L, "a refused rewrite must not advance the offset")
-    // opting in skips the rewrite and resumes the append tail
-    val s = LogTail.tail(spark, root, startAfter = 2L, skipRewrites = true)
+    // Skip passes the rewrite delivering nothing and resumes the appends
+    val s = LogTail.tail(spark, root, startAfter = 2L,
+      onRewrite = LogTail.Skip)
     val p2 = s.poll()
     assert(p2.map(_._1) == Seq(4L) && s.position == 4L,
-      s"skipRewrites must pass the rewrite and deliver v4: ${p2.map(_._1)}")
+      s"Skip must pass the rewrite and deliver v4: ${p2.map(_._1)}")
+    // DeliverAdds redelivers the rewrite's surviving rows (at-least-once,
+    // Delta's ignoreChanges semantics) — nothing a rewrite ADDED is lost
+    val d = LogTail.tail(spark, root, startAfter = 2L,
+      onRewrite = LogTail.DeliverAdds)
+    val p3 = d.poll()
+    assert(p3.map(_._1) == Seq(3L, 4L) && d.position == 4L)
+    // v3 (deleteRange of v in [5,15]) rewrote the file holding k=1 only;
+    // its add = the surviving k=2 row
+    assert(p3.head._2.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L),
+      "DeliverAdds must carry the rewrite's added files' rows")
   }
 
   test("first commit via append records schema + layout; empty table keeps both") {
