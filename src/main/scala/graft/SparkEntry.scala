@@ -2075,6 +2075,36 @@ object SparkEntry {
       TableLog.read(s, root).orderBy(col("doc_id"))
     }),
 
+    // Z-ORDERED LOG TABLE + 2-D BOX SKIPPING (Warehouse.zValue composed
+    // with TableLog multi-column stats + readPrunedMulti) — the table is
+    // range-clustered on the MORTON INTERLEAVING of (doc_id, n_chars), so
+    // every file covers a tight box in BOTH dimensions at once, per-file
+    // stats of both columns ride in the manifest, and a 2-d box predicate
+    // prunes files on both axes at the PLANNING layer — single-column
+    // clustering can only ever skip on one. Soundness gate (the q212
+    // discipline): pruned box read + row filter ≡ plain filter; the
+    // both-axes inputFiles shrink is TableLogSpec's.
+    "q225_zorder_log" -> ((s, d) => {
+      import graft.sources.{TableLog, Warehouse}
+      val docs = t(s, d, "documents")
+      val root = logRoot(s, d, "tzord")
+      val r = docs.agg(max(col("doc_id")), max(col("n_chars"))).head()
+      val z = Warehouse.zValue(
+        Warehouse.scaleToBits(col("doc_id"), 0.0, r.getLong(0).toDouble),
+        Warehouse.scaleToBits(col("n_chars"), 0.0, r.getLong(1).toDouble))
+      TableLog.overwriteWithStats(
+        docs.select(col("doc_id"), col("n_chars"))
+          .withColumn("__z", z).repartitionByRange(16, col("__z"))
+          .drop("__z"),
+        root, "doc_id", "n_chars")
+      val (idHi, ncLo, ncHi) = (r.getLong(0) / 4, 150L, 300L)
+      TableLog.readPrunedMulti(s, root,
+          Map("doc_id" -> ((0L, idHi)), "n_chars" -> ((ncLo, ncHi))))
+        .filter(col("doc_id").between(0L, idHi) &&
+          col("n_chars").between(ncLo, ncHi))
+        .orderBy(col("doc_id"))
+    }),
+
     // RESTORE — roll the table back to an old version as a NEW commit
     // (TableLog.restore, the Delta RESTORE shape): the head becomes
     // byte-identical to the old snapshot by REFERENCING its files (zero
@@ -5326,6 +5356,13 @@ object SparkEntry {
     "q218_predicate_delete" ->
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE n_chars IS NULL OR NOT (n_chars % 7 = 0 AND n_chars >= 150)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Box pruning must be invisible to semantics — the box filter alone
+    "q225_zorder_log" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE doc_id BETWEEN 0 AND (SELECT max(doc_id) // 4 FROM documents)
+        |  AND n_chars BETWEEN 150 AND 300
         |ORDER BY doc_id""".stripMargin,
 
     // v1 and the restored v3 are the SAME derivation; v2 is the accident

@@ -850,12 +850,28 @@ object TableLog {
     */
   def readPruned(spark: SparkSession, root: String, statCol: String,
       lo: Long, hi: Long, version: Option[Long] = None,
+      partitionEq: Map[String, String] = Map.empty): DataFrame =
+    readPrunedMulti(spark, root, Map(statCol -> ((lo, hi))), version,
+      partitionEq)
+
+  /** [[readPruned]] for an N-DIMENSIONAL box: a file enters the plan only
+    * if EVERY range intersects its stats for that column (missing stats →
+    * always read; sound). With data clustered on a z-value of the box's
+    * columns ([[Warehouse.zValue]] via `clusterBy`/`repartitionByRange`),
+    * each file covers a tight box in all dimensions at once and a 2-d box
+    * predicate prunes on BOTH axes — single-column range clustering can
+    * only ever skip on one. The caller still applies the row-level
+    * predicate (the q212 contract).
+    */
+  def readPrunedMulti(spark: SparkSession, root: String,
+      ranges: Map[String, (Long, Long)], version: Option[Long] = None,
       partitionEq: Map[String, String] = Map.empty): DataFrame = {
     val st = state(spark, root, version)
     val cand = st.entries.filter { e =>
       partitionEq.forall { case (k, v) =>
         e.partition.get(k).forall(unescapePath(_) == v) } &&
-      e.stats.get(statCol).forall { case (mn, mx) => mx >= lo && mn <= hi }
+      ranges.forall { case (c, (lo, hi)) =>
+        e.stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi } }
     }
     if (cand.isEmpty)
       readEntrySet(spark, root, st.entries, st.schemaJson).limit(0)

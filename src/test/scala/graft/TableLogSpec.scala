@@ -461,6 +461,40 @@ class TableLogSpec extends AnyFunSuite {
     assert(all.toSeq == Seq((1L, "insert"), (2L, "insert"), (4L, "insert")))
   }
 
+  test("z-ordered log: a 2-d box prunes on BOTH axes, beyond either single axis") {
+    import graft.sources.Warehouse
+    val root = tmp("tzbox")
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val r = docs.agg(max(col("doc_id")), max(col("n_chars"))).head()
+    val z = Warehouse.zValue(
+      Warehouse.scaleToBits(col("doc_id"), 0.0, r.getLong(0).toDouble),
+      Warehouse.scaleToBits(col("n_chars"), 0.0, r.getLong(1).toDouble))
+    TableLog.overwriteWithStats(
+      docs.withColumn("__z", z).repartitionByRange(16, col("__z"))
+        .drop("__z"),
+      root, "doc_id", "n_chars")
+    val all = TableLog.read(spark, root).inputFiles.length
+    val idHi = r.getLong(0) / 4
+    val dOnly = TableLog.readPrunedMulti(spark, root,
+      Map("doc_id" -> ((0L, idHi)))).inputFiles.length
+    val nOnly = TableLog.readPrunedMulti(spark, root,
+      Map("n_chars" -> ((150L, 300L)))).inputFiles.length
+    val box = TableLog.readPrunedMulti(spark, root,
+      Map("doc_id" -> ((0L, idHi)), "n_chars" -> ((150L, 300L))))
+    assert(dOnly < all && nOnly < all,
+      s"z-clustering must let EACH axis prune: $dOnly / $nOnly of $all")
+    assert(box.inputFiles.length < math.min(dOnly, nOnly),
+      s"the box must out-prune both single axes: ${box.inputFiles.length} " +
+        s"vs $dOnly / $nOnly")
+    // soundness
+    val want = docs.filter(col("doc_id").between(0L, idHi) &&
+      col("n_chars").between(150L, 300L)).collect().map(_.toString).sorted
+    val got = box.filter(col("doc_id").between(0L, idHi) &&
+      col("n_chars").between(150L, 300L)).collect().map(_.toString).sorted
+    assert(want.nonEmpty && got.sameElements(want))
+  }
+
   test("restore: head re-references the old snapshot byte-identically, zero IO") {
     import spark.implicits._
     val root = tmp("trestore")
