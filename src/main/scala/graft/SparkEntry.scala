@@ -2088,16 +2088,12 @@ object SparkEntry {
       import graft.sources.{TableLog, Warehouse}
       val docs = t(s, d, "documents")
       val root = logRoot(s, d, "tzord")
-      val r = docs.agg(max(col("doc_id")), max(col("n_chars"))).head()
-      val z = Warehouse.zValue(
-        Warehouse.scaleToBits(col("doc_id"), 0.0, r.getLong(0).toDouble),
-        Warehouse.scaleToBits(col("n_chars"), 0.0, r.getLong(1).toDouble))
       TableLog.overwriteWithStats(
-        docs.select(col("doc_id"), col("n_chars"))
-          .withColumn("__z", z).repartitionByRange(16, col("__z"))
-          .drop("__z"),
+        Warehouse.zClustered(docs.select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", n = 16),
         root, "doc_id", "n_chars")
-      val (idHi, ncLo, ncHi) = (r.getLong(0) / 4, 150L, 300L)
+      val idHi = docs.agg(max(col("doc_id"))).head().getLong(0) / 4
+      val (ncLo, ncHi) = (150L, 300L)
       TableLog.readPrunedMulti(s, root,
           Map("doc_id" -> ((0L, idHi)), "n_chars" -> ((ncLo, ncHi))))
         .filter(col("doc_id").between(0L, idHi) &&

@@ -489,29 +489,41 @@ object Warehouse {
       lit((1L << bits).toDouble - 1.0)), lit((1L << bits) - 1L)).cast("long")
   }
 
-  /** [[compact]] with TWO-dimensional clustering: rows are range-partitioned
-    * by their z-value, so each output file covers a tight box in (colA,
-    * colB) space and parquet footer min/max stats on BOTH columns turn 2-d
-    * box predicates into file skips — single-column `sortCol` clustering
-    * only ever skips on one axis. WarehouseSpec asserts the skip effect on
-    * real footer ranges.
+  /** Range-partition `df` into `n` tasks by the Z-VALUE of (colA, colB) —
+    * the ONE clustering recipe behind [[compactZOrdered]], the q225
+    * z-ordered logged table and its spec (one implementation, so a bounds
+    * or bit-width change can never diverge the gate from what it tests):
+    * both columns' (min, max) come from one tiny agg, each is min/max
+    * scaled to `bits`, and the Morton interleaving drives
+    * `repartitionByRange` so every output file covers a tight box in BOTH
+    * dimensions.
+    */
+  def zClustered(df: DataFrame, colA: String, colB: String, n: Int,
+      bits: Int = 16): DataFrame = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val r = df.agg(min(col(colA).cast("double")), max(col(colA).cast("double")),
+      min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
+    val z = zValue(
+      scaleToBits(col(colA), r.getDouble(0), r.getDouble(1), bits),
+      scaleToBits(col(colB), r.getDouble(2), r.getDouble(3), bits), bits)
+    df.withColumn("__z", z).repartitionByRange(n, col("__z")).drop("__z")
+  }
+
+  /** [[compact]] with TWO-dimensional clustering ([[zClustered]]): each
+    * output file covers a tight box in (colA, colB) space and parquet
+    * footer min/max stats on BOTH columns turn 2-d box predicates into
+    * file skips — single-column `sortCol` clustering only ever skips on
+    * one axis. WarehouseSpec asserts the skip effect on real footer
+    * ranges.
     */
   def compactZOrdered(spark: SparkSession, path: String,
       colA: String, colB: String, targetBytes: Long = 128L << 20,
       bits: Int = 16): Unit = {
-    import org.apache.spark.sql.functions.{col, max, min}
     recoverSwap(path)
     val df = spark.read.parquet(path)
-    val r = df.agg(min(col(colA).cast("double")), max(col(colA).cast("double")),
-      min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val n = math.max(1, (bytes / BigInt(targetBytes)).toInt +
       (if (bytes % BigInt(targetBytes) > 0) 1 else 0))
-    val z = zValue(
-      scaleToBits(col(colA), r.getDouble(0), r.getDouble(1), bits),
-      scaleToBits(col(colB), r.getDouble(2), r.getDouble(3), bits), bits)
-    val arranged = df.withColumn("__z", z)
-      .repartitionByRange(n, col("__z")).drop("__z")
-    publishSwap(arranged, path)
+    publishSwap(zClustered(df, colA, colB, n, bits), path)
   }
 }
