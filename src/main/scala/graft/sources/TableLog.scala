@@ -1520,14 +1520,31 @@ object TableLog {
     * exactly-once contract of [[appendBatch]]. Under delta encoding each
     * epoch writes O(batch) manifest bytes and checkpoints amortize replay,
     * so the metadata cost of an infinite stream is FLAT per epoch.
+    *
+    * `compactEvery` > 0 composes the SMALL-FILES maintenance into the
+    * sink: after every Nth epoch the sub-`targetBytes` tail is compacted
+    * ([[compact]] — keep-by-reference for at-size files, one atomic
+    * commit), so a sink fed tiny batches forever holds O(target-sized
+    * files + N batches) live files instead of one file per batch per
+    * task — the accumulation that otherwise sinks every long-running
+    * micro-batch pipeline. The maintenance commit is SEPARATE from the
+    * epoch's (a reader sees the append and the compaction as two
+    * versions, each atomic), carries no epoch token, and is replay-safe:
+    * a crash between append and compact re-runs only the compaction,
+    * which converges (files at target are kept by reference). Old
+    * versions keep the pre-compaction files until [[vacuum]].
     */
-  def appendStream(updates: DataFrame, root: String, checkpointDir: String):
+  def appendStream(updates: DataFrame, root: String, checkpointDir: String,
+      compactEvery: Int = 0, targetBytes: Long = 128L << 20):
       org.apache.spark.sql.streaming.StreamingQuery =
     updates.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         appendBatch(batch, id, root)
+        if (compactEvery > 0 && id > 0 && id % compactEvery == 0)
+          compact(batch.sparkSession, root, targetBytes)
+        ()
       }
       .start()
 }

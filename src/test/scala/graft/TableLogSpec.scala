@@ -598,6 +598,42 @@ class TableLogSpec extends AnyFunSuite {
       s"state must carry across version batches: ${out.toSeq}")
   }
 
+  test("appendStream with auto-compaction: live file count stays bounded, data exact") {
+    import spark.implicits._
+    val root = tmp("tautoc")
+    implicit val sq = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    // huge target: every data file is "small" -> each maintenance pass
+    // folds the whole tail into ~1 file
+    val q = TableLog.appendStream(mem.toDF().toDF("k", "v"), root,
+      s"$root/ckpt", compactEvery = 2, targetBytes = 1L << 30)
+    try {
+      (1L to 8L).foreach { i =>
+        mem.addData((i, i * 10)); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // 8 epochs at one+ file each would hold >= 8 live files without the
+    // maintenance; with compactEvery=2 the head holds the compacted file
+    // plus at most the last uncompacted batch's files
+    val live = TableLog.manifestEntries(spark, root)
+    assert(live.size <= 3,
+      s"auto-compaction must bound live files: ${live.size} (${live.map(_.path)})")
+    assert(TableLog.read(spark, root).collect().map(_.getLong(0)).sorted
+      .toSeq == (1L to 8L), "maintenance must never change the data")
+    // the maintenance commits are separate, auditable versions
+    val ops = TableLog.history(spark, root).collect()
+      .map(r => Option(r.getString(1)).getOrElse("?"))
+    assert(ops.count(_ == "compact") >= 3, s"ops: ${ops.toSeq}")
+    assert(ops.count(_ == "append") == 8, s"ops: ${ops.toSeq}")
+    // exactly-once still holds through interleaved maintenance: a replay
+    // of an already-committed epoch is a no-op
+    val before = TableLog.versions(spark, root).size
+    TableLog.appendBatch(Seq((3L, 30L)).toDF("k", "v"), 2L, root)
+    assert(TableLog.versions(spark, root).size == before,
+      "replayed epoch must no-op across maintenance commits")
+  }
+
   test("LogStore seam: the full protocol runs on a non-filesystem store") {
     import spark.implicits._
     MemLogStore.clear()
