@@ -2101,6 +2101,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // DELETION VECTORS (TableLog.deleteVectors — the Delta DV / Iceberg
+    // positional-delete shape): row-level delete with ZERO data rewrite —
+    // matching (file, row_index) positions land in one sidecar parquet,
+    // touched entries reference it (`d:` tokens) and every reader
+    // anti-joins the dead rows away; stats/partition triage keeps
+    // provably-clean files untouched and fully-dead files drop outright.
+    // The gate pins complement semantics (same oracle discipline as the
+    // rewrite delete q213); the zero-rewrite entry identity, live-count
+    // maintenance, stacking, materialize-on-compact and vacuum protection
+    // are TableLogSpec's.
+    "q226_deletion_vectors" -> ((s, d) => {
+      import graft.sources.TableLog
+      val docs = t(s, d, "documents")
+      val root = logRoot(s, d, "tdv")
+      TableLog.overwriteWithStats(
+        docs.select(col("doc_id"), col("source"), col("n_chars"))
+          .repartitionByRange(8, col("n_chars")), root, "n_chars")
+      TableLog.deleteVectors(s, root, col("n_chars").between(150L, 250L))
+      TableLog.read(s, root).orderBy(col("doc_id"))
+    }),
+
     // RESTORE — roll the table back to an old version as a NEW commit
     // (TableLog.restore, the Delta RESTORE shape): the head becomes
     // byte-identical to the old snapshot by REFERENCING its files (zero
@@ -5359,6 +5380,13 @@ object SparkEntry {
       """SELECT doc_id, n_chars FROM documents
         |WHERE doc_id BETWEEN 0 AND (SELECT max(doc_id) // 4 FROM documents)
         |  AND n_chars BETWEEN 150 AND 300
+        |ORDER BY doc_id""".stripMargin,
+
+    // The DV head is exactly the range's complement (NULL rows kept) —
+    // identical contract to the rewrite delete, different mechanism
+    "q226_deletion_vectors" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE n_chars IS NULL OR n_chars < 150 OR n_chars > 250
         |ORDER BY doc_id""".stripMargin,
 
     // v1 and the restored v3 are the SAME derivation; v2 is the accident

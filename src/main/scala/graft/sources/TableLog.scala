@@ -102,13 +102,17 @@ object TableLog {
     * lines; `stats` maps column name → (min, max) over the file's non-null
     * values (the data-skipping surface); `partition` carries the file's
     * hive partition values (raw directory-escaped form); `rows` is the
-    * file's row count when collected (`r:` token — the metadata-only
-    * COUNT surface of [[rowCounts]]).
+    * file's LIVE row count when known (`r:` token — the metadata-only
+    * COUNT surface of [[rowCounts]]); `dvs` lists the file's DELETION
+    * VECTORS (`d:` tokens) — sidecar (row_index) sets a reader must
+    * anti-join away, stacking across successive [[deleteVectors]] commits
+    * until a rewrite materializes them.
     */
   final case class Entry(path: String, bytes: Option[Long],
     stats: Map[String, (Long, Long)] = Map.empty,
     partition: Map[String, String] = Map.empty,
-    rows: Option[Long] = None)
+    rows: Option[Long] = None,
+    dvs: Seq[String] = Nil)
 
   /** Commits between checkpoints (`v<N>.checkpoint` every N commits).
     * Smaller = cheaper old-version reads, more metadata files; the default
@@ -210,6 +214,7 @@ object TableLog {
     var part = Map.empty[String, String]
     var stats = Map.empty[String, (Long, Long)]
     var rows = Option.empty[Long]
+    var dvs = Seq.empty[String]
     t.drop(2).foreach { tok =>
       if (tok.startsWith("p:")) {
         val kv = tok.substring(2); val i = kv.indexOf('=')
@@ -223,13 +228,15 @@ object TableLog {
         }
       } else if (tok.startsWith("r:"))
         rows = scala.util.Try(tok.substring(2).toLong).toOption
+      else if (tok.startsWith("d:")) dvs :+= tok.substring(2)
     }
-    Entry(t(0), bytes, stats, part, rows)
+    Entry(t(0), bytes, stats, part, rows, dvs)
   }
 
   private def fmtAdd(e: Entry): String =
     (Seq("+", e.path, e.bytes.map(_.toString).getOrElse("?")) ++
       e.rows.map(n => s"r:$n").toSeq ++
+      e.dvs.map(d => s"d:$d") ++
       e.partition.toSeq.sortBy(_._1).map { case (k, v) => s"p:$k=$v" } ++
       e.stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) => s"s:$c=$lo:$hi" })
       .mkString("\t")
@@ -691,24 +698,64 @@ object TableLog {
     readEntrySet(spark, root, st.entries, st.schemaJson)
   }
 
+  /** The scan-side root-relative file key: the anchored commit-dir
+    * extraction over `_metadata.file_path` — the SAME expression a
+    * [[deleteVectors]] build and a DV-applying read both use, so the
+    * anti-join keys match byte-for-byte regardless of URI encoding.
+    */
+  private def fileKeyCol: Column = {
+    import org.apache.spark.sql.functions._
+    regexp_extract(col("_metadata.file_path"),
+      "(?:^|/)(c[0-9a-f]{32}/.*)$", 1)
+  }
+
   /** Build a frame over an arbitrary entry subset of one snapshot (the
     * shared machinery of [[read]], [[readPruned]], [[delete]]'s rewrite
     * side and [[graft.streaming.LogTail]]'s per-version delivery).
+    * Entries carrying DELETION VECTORS get their dead rows anti-joined
+    * away on (file key, row_index) — zero effect on DV-less snapshots.
+    * `withPos = true` keeps the `__file`/`__ri` helper columns in the
+    * output (the [[deleteVectors]] build side).
     */
   private[graft] def readEntrySet(spark: SparkSession, root: String,
-      entries: Seq[Entry], schemaJson: Option[String]): DataFrame = {
+      entries: Seq[Entry], schemaJson: Option[String],
+      withPos: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val dvPaths = entries.flatMap(_.dvs).distinct
+    val needPos = withPos || dvPaths.nonEmpty
+    val raw = buildEntryFrame(spark, root, entries, schemaJson, needPos)
+    val undeleted =
+      if (dvPaths.isEmpty) raw
+      else {
+        val dv = spark.read.parquet(dvPaths.map(p => s"$root/$p"): _*)
+          .select(col("file").as("__file"), col("ri").as("__ri")).distinct()
+        raw.join(dv, Seq("__file", "__ri"), "left_anti")
+      }
+    if (withPos) undeleted else undeleted.drop("__file", "__ri")
+  }
+
+  private def buildEntryFrame(spark: SparkSession, root: String,
+      entries: Seq[Entry], schemaJson: Option[String],
+      withPos: Boolean): DataFrame = {
     import org.apache.spark.sql.functions._
     val schema = schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType])
     val partCols = entries.headOption.map(_.partition.keys.toSeq.sorted)
       .getOrElse(Seq.empty)
+    def pos(df: DataFrame): DataFrame =
+      if (!withPos) df
+      else df.select(col("*"), fileKeyCol.as("__file"),
+        col("_metadata.row_index").as("__ri"))
     if (entries.isEmpty) {
       val s = schema.getOrElse(throw new IllegalArgumentException(
         "empty snapshot with no recorded schema — nothing to infer from"))
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
+      val base = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
+      if (!withPos) base
+      else base.withColumn("__file", lit(null).cast("string"))
+        .withColumn("__ri", lit(null).cast("long"))
     } else if (partCols.isEmpty) {
       val paths = entries.map(f => s"$root/${f.path}")
-      schema.fold(spark.read.parquet(paths: _*))(s =>
-        spark.read.schema(s).parquet(paths: _*))
+      pos(schema.fold(spark.read.parquet(paths: _*))(s =>
+        spark.read.schema(s).parquet(paths: _*)))
     } else {
       require(entries.forall(_.partition.keys.toSeq.sorted == partCols),
         "mixed partition layouts in one snapshot are not readable")
@@ -729,8 +776,8 @@ object TableLog {
         .sortBy(_._1.toSeq.sorted.mkString(","))
         .map { case (pvals, es) =>
           val paths = es.map(f => s"$root/${f.path}")
-          val base = dataSchema.fold(spark.read.parquet(paths: _*))(s =>
-            spark.read.schema(s).parquet(paths: _*))
+          val base = pos(dataSchema.fold(spark.read.parquet(paths: _*))(s =>
+            spark.read.schema(s).parquet(paths: _*)))
           partCols.foldLeft(base) { (df, k) =>
             val raw = pvals(k)
             val c = if (raw == "__HIVE_DEFAULT_PARTITION__") lit(null)
@@ -741,7 +788,9 @@ object TableLog {
           }
         }
       val unioned = frames.reduce(_ unionByName _)
-      schema.fold(unioned)(s => unioned.select(s.fieldNames.map(col): _*))
+      val helpers = if (withPos) Seq("__file", "__ri") else Nil
+      schema.fold(unioned)(s =>
+        unioned.select((s.fieldNames.toSeq ++ helpers).map(col): _*))
     }
   }
 
@@ -918,27 +967,9 @@ object TableLog {
       }
     val bounds = cond.map(predicateBounds).getOrElse(Map.empty)
     val eqStrings = cond.map(predicateEqStrings).getOrElse(Map.empty)
-    // a file is provably untouched when its STATS miss the bounds, or its
-    // PARTITION VALUE contradicts a derived constraint — the
-    // delete-a-whole-source compliance shape keeps every other partition
-    // by reference without opening a file
-    def partitionDisjoint(e: Entry): Boolean =
-      e.partition.exists { case (c, raw) =>
-        val constrained = eqStrings.contains(c) || bounds.contains(c)
-        if (raw == "__HIVE_DEFAULT_PARTITION__")
-          constrained // NULL never satisfies an equality/range constraint
-        else {
-          val v = unescapePath(raw)
-          eqStrings.get(c).exists(set => !set.contains(v)) ||
-          bounds.get(c).exists { case (lo, hi) =>
-            scala.util.Try(v.toLong).toOption.exists(n =>
-              lo.exists(n < _) || hi.exists(n > _))
-          }
-        }
-      }
     val touched = st.entries.filterNot(e =>
       bounds.exists { case (c, b) => e.stats.get(c).exists(disjoint(_, b)) } ||
-        partitionDisjoint(e))
+        partitionDisjoint(e, bounds, eqStrings))
     val statCols = st.entries.flatMap(_.stats.keys).distinct.sorted
     val partCols = partColsOf(st)
     val rewritten =
@@ -955,6 +986,76 @@ object TableLog {
     // untouched entries ride along implicitly: only the delta is logged
     commitDelta(spark, root, rewritten, touched.map(_.path),
       Some(head.get), Seq("op:delete"))
+  }
+
+  /** Row-level DELETE with ZERO data rewrite — DELETION VECTORS (the
+    * Delta DV / Iceberg positional-delete shape): instead of rewriting
+    * the files holding matching rows, the matching (file, row_index)
+    * positions are written as ONE small sidecar parquet and referenced
+    * from the touched entries (`d:` tokens); every reader anti-joins the
+    * vectors away. Same triage as [[delete]] (stats bounds + partition
+    * values keep provably-clean files untouched), and files whose EVERY
+    * row matches are dropped outright (no vector needed). Per-entry live
+    * row counts are adjusted from the vector build itself, so
+    * [[rowCounts]] stays metadata-only; min/max stats stay (a delete can
+    * only shrink the true range — sound, possibly wider than tight until
+    * a rewrite re-collects). A later [[compact]]/[[delete]] rewrite
+    * MATERIALIZES the vectors (readers of the rewritten files see no
+    * `d:` tokens). Touched entries commit as remove + re-add of the same
+    * path, so change-window detection ([[fileChanges]]) reports them in
+    * BOTH lists — an append tail can never mistake a DV commit for new
+    * rows. At 100 TB this is the forget path when even a surgical
+    * rewrite is too much IO: one scan of the triaged files, one sidecar
+    * write, one manifest commit — the deleted bytes stay until the next
+    * natural rewrite + [[vacuum]], exactly the production DV trade.
+    * Returns the new version.
+    */
+  def deleteVectors(spark: SparkSession, root: String,
+      predicate: Column): Long = {
+    import org.apache.spark.sql.functions._
+    val head = headVersion(spark, root)
+    require(head.nonEmpty, s"no committed versions under $root")
+    val st = state(spark, root, Some(head.get))
+    val cond = readEntrySet(spark, root, st.entries, st.schemaJson)
+      .filter(predicate).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition
+      }
+    val bounds = cond.map(predicateBounds).getOrElse(Map.empty)
+    val eqStrings = cond.map(predicateEqStrings).getOrElse(Map.empty)
+    val touched = st.entries.filterNot(e =>
+      bounds.exists { case (c, b) => e.stats.get(c).exists(disjoint(_, b)) } ||
+        partitionDisjoint(e, bounds, eqStrings))
+    if (touched.isEmpty)
+      return commitDelta(spark, root, Nil, Nil, Some(head.get),
+        Seq("op:delete"))
+    // matching positions of the triaged files — the vector content. The
+    // existing dvs of those files are applied FIRST (readEntrySet), so an
+    // already-deleted row is never re-counted
+    val matches = readEntrySet(spark, root, touched, st.schemaJson,
+        withPos = true)
+      .filter(coalesce(predicate, lit(false)))
+      .select(col("__file").as("file"), col("__ri").as("ri"))
+      .localCheckpoint()
+    val perFile = matches.groupBy(col("file"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dvEntries =
+      if (perFile.isEmpty) Nil
+      else writeData(matches.coalesce(1), root)
+    val dvPath = dvEntries.map(_.path)
+    val updated = touched.flatMap { e =>
+      perFile.get(e.path) match {
+        case None => None // predicate matched nothing in this file
+        case Some(n) =>
+          val live = e.rows.map(_ - n)
+          if (live.contains(0L)) Some(e -> None) // fully dead: drop entry
+          else Some(e -> Some(e.copy(rows = live, dvs = e.dvs ++ dvPath)))
+      }
+    }
+    val adds = updated.flatMap(_._2)
+    val removes = updated.map(_._1.path)
+    commitDelta(spark, root, adds, removes, Some(head.get), Seq("op:delete"))
   }
 
   /** [[delete]] of `statCol ∈ [lo, hi]` — the range form whose triage is
@@ -1123,6 +1224,28 @@ object TableLog {
     b._1.exists(lo => mx < lo) || b._2.exists(hi => mn > hi)
   }
 
+  /** A file is provably untouched by a predicate when its PARTITION VALUE
+    * contradicts a derived constraint — the delete-a-whole-source
+    * compliance shape keeps every other partition by reference without
+    * opening a file (shared by [[delete]] and [[deleteVectors]]).
+    */
+  private def partitionDisjoint(e: Entry,
+      bounds: Map[String, (Option[Long], Option[Long])],
+      eqStrings: Map[String, Set[String]]): Boolean =
+    e.partition.exists { case (c, raw) =>
+      val constrained = eqStrings.contains(c) || bounds.contains(c)
+      if (raw == "__HIVE_DEFAULT_PARTITION__")
+        constrained // NULL never satisfies an equality/range constraint
+      else {
+        val v = unescapePath(raw)
+        eqStrings.get(c).exists(set => !set.contains(v)) ||
+        bounds.get(c).exists { case (lo, hi) =>
+          scala.util.Try(v.toLong).toOption.exists(n =>
+            lo.exists(n < _) || hi.exists(n > _))
+        }
+      }
+    }
+
   // -------------------------------------------------------------------------
   // Compaction / merge / CDF
   // -------------------------------------------------------------------------
@@ -1232,9 +1355,11 @@ object TableLog {
   /** NET file-level changes over `(vFrom, vTo]`, straight from the delta
     * manifests — O(commits-in-window) metadata reads, zero data IO, zero
     * snapshot reconstruction. A file added then removed inside the window
-    * nets out; a removed file that was itself added in the window is not
-    * reported. Returns (added entries, removed paths). Throws if a
-    * manifest in the window was vacuumed.
+    * nets out (it never survived); a file REPLACED in place (removed then
+    * re-added — a [[deleteVectors]] commit's shape) appears in BOTH lists,
+    * so an append-only test (`removes.isEmpty`) can never mistake a
+    * change window for new data. Returns (added entries, removed paths).
+    * Throws if a manifest in the window was vacuumed.
     */
   def fileChanges(spark: SparkSession, root: String, vFrom: Long,
       vTo: Long): (Seq[Entry], Seq[String]) = {
@@ -1252,7 +1377,7 @@ object TableLog {
       d.removes.foreach { p =>
         if (added.remove(p).isEmpty) removed += p
       }
-      d.adds.foreach { e => added.put(e.path, e); removed -= e.path }
+      d.adds.foreach(e => added.put(e.path, e))
       u += 1
     }
     (added.values.toSeq, removed.toSeq)
@@ -1411,8 +1536,11 @@ object TableLog {
     // reconstructibility + epoch continuity: checkpoint the horizon BEFORE
     // deleting the deltas below it
     writeCheckpoint(spark, root, oldestKept, store)
-    val referenced = keep
-      .flatMap(v => state(spark, root, Some(v)).entries.map(_.path)).toSet
+    val referenced = keep.flatMap { v =>
+      val es = state(spark, root, Some(v)).entries
+      // deletion-vector sidecars are live metadata of live files
+      es.map(_.path) ++ es.flatMap(_.dvs)
+    }.toSet
     old.foreach { v =>
       store.delete(spark, manifestPath(root, v))
       store.delete(spark, checkpointPath(root, v))

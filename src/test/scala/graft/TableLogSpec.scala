@@ -494,6 +494,70 @@ class TableLogSpec extends AnyFunSuite {
     assert(want.nonEmpty && got.sameElements(want))
   }
 
+  test("deletion vectors: zero rewrite, counts maintained, stacking, materialize, vacuum") {
+    val root = tmp("tdv")
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    TableLog.overwriteWithStats(docs.repartitionByRange(8, col("n_chars")),
+      root, "n_chars")
+    val before = TableLog.manifestEntries(spark, root)
+    def dataFiles() = TableLog.manifest(spark, root)
+      .filter(f => new java.io.File(s"$root/$f").exists()).toSet
+    val filesBefore = dataFiles()
+    val v2 = TableLog.deleteVectors(spark, root,
+      col("n_chars").between(150L, 250L))
+    val after = TableLog.manifestEntries(spark, root, Some(v2))
+    // ZERO REWRITE: every surviving entry keeps its path and bytes
+    after.foreach { e =>
+      val old = before.find(_.path == e.path)
+      assert(old.nonEmpty, s"DV delete must never write new data files: $e")
+      assert(old.get.bytes == e.bytes)
+    }
+    // provably-clean files: identical entries, no dv token
+    before.filter(_.stats.get("n_chars").exists { case (mn, mx) =>
+      mx < 150L || mn > 250L }).foreach(e =>
+      assert(after.contains(e), s"clean file must be untouched: $e"))
+    // intersecting survivors carry the vector
+    assert(after.exists(_.dvs.nonEmpty), "touched files must reference a DV")
+    // semantics + metadata-only live counts
+    val want = docs.filter(!col("n_chars").between(150L, 250L))
+    assert(TableLog.read(spark, root).collect().map(_.toString).sorted
+      .sameElements(want.collect().map(_.toString).sorted))
+    assert(after.forall(_.rows.nonEmpty) &&
+      TableLog.rowCounts(spark, root) == want.count(),
+      "live counts must stay metadata-only through a DV delete")
+    // time travel: v1 still has every row
+    assert(TableLog.read(spark, root, Some(1L)).count() == docs.count())
+    // STACKING: a second DV delete composes
+    TableLog.deleteVectors(spark, root, col("n_chars") > 400L)
+    val want2 = docs.filter(!col("n_chars").between(150L, 250L) &&
+      !(col("n_chars") > 400L))
+    assert(TableLog.read(spark, root).collect().map(_.toString).sorted
+      .sameElements(want2.collect().map(_.toString).sorted))
+    // CDF safety: the DV window is a CHANGE window, never an append
+    val (adds, removes) = TableLog.fileChanges(spark, root, 1L, v2)
+    assert(removes.nonEmpty && adds.map(_.path).toSet.subsetOf(filesBefore),
+      "replaced-in-place files must show in both change lists")
+    val tl = graft.streaming.LogTail.tail(spark, root)
+    assert(tl.poll().map(_._1) == Seq(1L),
+      "the v1 appends are delivered; the DV version parks the tail")
+    intercept[graft.streaming.LogTail.NonAppendVersionException] { tl.poll() }
+    // vacuum keeps the DV sidecars of live files
+    TableLog.vacuum(spark, root, keepVersions = 1, orphanMinAgeMs = 0L)
+    assert(TableLog.read(spark, root).collect().map(_.toString).sorted
+      .sameElements(want2.collect().map(_.toString).sorted),
+      "vacuum must never sweep a referenced deletion vector")
+    // a rewrite MATERIALIZES the vectors: compacted entries carry none
+    val target = TableLog.manifestEntries(spark, root)
+      .flatMap(_.bytes).max * 10
+    TableLog.compact(spark, root, target)
+    val compacted = TableLog.manifestEntries(spark, root)
+    assert(compacted.forall(_.dvs.isEmpty),
+      "rewritten files must not reference vectors")
+    assert(TableLog.read(spark, root).collect().map(_.toString).sorted
+      .sameElements(want2.collect().map(_.toString).sorted))
+  }
+
   test("restore: head re-references the old snapshot byte-identically, zero IO") {
     import spark.implicits._
     val root = tmp("trestore")
