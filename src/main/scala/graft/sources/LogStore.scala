@@ -22,14 +22,17 @@ import org.apache.hadoop.fs.Path
   *    eventual-full-content.
   *  - [[list]] returns the file names in a directory (no recursion).
   *
-  * The default [[HadoopLogStore]] implements the CAS as
-  * write-temp-then-rename-if-absent, which is atomic on filesystems with
-  * atomic rename (local, HDFS). An S3-style object store — where rename is
-  * copy+delete and not exclusive — plugs in a conditional-put (If-None-
-  * Match) implementation via `spark.graft.logstore.class`, exactly the
-  * seam Delta's LogStore provides; WarehouseSpec drives the whole
-  * conflict suite through a non-filesystem mock to prove the guarantee
-  * lives in this interface, not in any particular FS.
+  * The default [[HadoopLogStore]] implements the CAS as write-temp then
+  * `FileContext.rename(…, Rename.NONE)` — the Hadoop primitive that is
+  * SPECIFIED to fail when the destination exists (exclusive on local
+  * RawLocalFs and HDFS; plain `FileSystem.rename`'s behavior there is
+  * implementation-dependent — stock LocalFileSystem overwrites). An
+  * S3-style object store — where rename is copy+delete and not exclusive —
+  * plugs in a conditional-put (If-None-Match) implementation via
+  * `spark.graft.logstore.class`, exactly the seam Delta's LogStore
+  * provides; WarehouseSpec drives the whole conflict suite through a
+  * non-filesystem mock to prove the guarantee lives in this interface,
+  * not in any particular FS.
   */
 trait LogStore {
   /** File names (not paths) directly under `dir`; empty if absent. */
@@ -60,9 +63,9 @@ object LogStore {
     }
 }
 
-/** Default [[LogStore]]: Hadoop FileSystem with write-temp-then-rename-if-
-  * absent as the CAS (atomic on local/HDFS; see trait doc for object
-  * stores).
+/** Default [[LogStore]]: Hadoop filesystem with write-temp then
+  * FileContext exclusive rename as the CAS (specified-exclusive on
+  * local/HDFS; see trait doc for object stores).
   */
 object HadoopLogStore extends LogStore {
   private def fsOf(spark: SparkSession, p: Path) =
@@ -92,8 +95,34 @@ object HadoopLogStore extends LogStore {
     val out = fs.create(tmp, false)
     try out.write(content.getBytes("UTF-8"))
     finally out.close()
-    if (fs.rename(tmp, dst)) true
-    else { fs.delete(tmp, false); false }
+    // the CAS itself: FileContext.rename with Rename.NONE is SPECIFIED to
+    // fail when the destination exists, on local (RawLocalFs) and HDFS
+    // alike. Plain FileSystem.rename's refuse-existing behavior is
+    // implementation-dependent — stock LocalFileSystem POSIX-renames OVER
+    // an existing destination and returns true, which would silently
+    // degrade the commit CAS to last-writer-wins on a vanilla classpath.
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        dst.toUri, spark.sessionState.newHadoopConf())
+      try { fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.NONE); true }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: org.apache.hadoop.fs.PathExistsException =>
+          fs.delete(tmp, false); false
+        case e: java.io.IOException
+            if e.getMessage != null && e.getMessage.contains("already exists") =>
+          fs.delete(tmp, false); false
+      }
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        // no AbstractFileSystem binding for this scheme: fall back to
+        // rename-if-absent and re-verify. This is only best-effort — a
+        // scheme without FileContext should plug in a conditional-put
+        // LogStore (see trait doc) rather than rely on rename semantics.
+        if (fs.exists(dst)) { fs.delete(tmp, false); false }
+        else if (fs.rename(tmp, dst)) true
+        else { fs.delete(tmp, false); false }
+    }
   }
 
   override def writeOverwrite(spark: SparkSession, path: String,

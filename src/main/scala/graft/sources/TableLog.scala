@@ -390,7 +390,13 @@ object TableLog {
       else state(spark, root, Some(head)).entries.map(e => e.path -> e).toMap
     val newPaths = entries.map(_.path).toSet
     val adds = entries.filter(e => !prev.get(e.path).contains(e))
-    val removes = prev.keys.filterNot(newPaths.contains).toSeq.sorted
+    // a path whose ENTRY changed in place (same file, new bytes/stats/dvs)
+    // commits as remove + re-add — the shape deleteVectors uses — so
+    // fileChanges/readAppended/LogTail classify the window as a CHANGE,
+    // never as an append that would redeliver the whole file as new rows
+    val dropped = prev.keys.filterNot(newPaths.contains)
+    val replaced = adds.map(_.path).filter(prev.contains)
+    val removes = (dropped ++ replaced).toSeq.sorted
     commitDelta(spark, root, adds, removes, Some(head), meta)
   }
 
@@ -1037,9 +1043,15 @@ object TableLog {
       .filter(coalesce(predicate, lit(false)))
       .select(col("__file").as("file"), col("__ri").as("ri"))
       .localCheckpoint()
+    // scan keys are URI-encoded (the on-disk hive-escaped name, percent-
+    // encoded once more by the file_path URI); decode ONCE — the same
+    // normalization withStats applies — so the lookup matches Entry.path
+    // on partitioned tables whose values need escaping (space, ':', '%').
+    // The SIDECAR keeps the encoded key: the read-side anti-join compares
+    // it against the same fileKeyCol extraction, byte-for-byte.
     val perFile = matches.groupBy(col("file"))
       .agg(count(lit(1)).as("n")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .map(r => unescapePath(r.getString(0)) -> r.getLong(1)).toMap
     val dvEntries =
       if (perFile.isEmpty) Nil
       else writeData(matches.coalesce(1), root)
@@ -1536,6 +1548,20 @@ object TableLog {
     // reconstructibility + epoch continuity: checkpoint the horizon BEFORE
     // deleting the deltas below it
     writeCheckpoint(spark, root, oldestKept, store)
+    // epoch MARKER files ≤ the horizon's #epochmax are redundant with the
+    // log-based recovery path (appendBatch's alreadyCommitted reads the
+    // snapshot state, which the checkpoint above just made durable) —
+    // sweep them, or an infinite appendStream accumulates one marker per
+    // micro-batch forever and the flat-metadata claim quietly breaks
+    state(spark, root, Some(oldestKept)).epochMax.foreach { em =>
+      val epochsDir = s"${logDir(root)}/epochs"
+      store.list(spark, epochsDir).foreach { n =>
+        if (n.startsWith("epoch-") &&
+            scala.util.Try(n.stripPrefix("epoch-").toLong).toOption
+              .exists(_ <= em))
+          store.delete(spark, s"$epochsDir/$n")
+      }
+    }
     val referenced = keep.flatMap { v =>
       val es = state(spark, root, Some(v)).entries
       // deletion-vector sidecars are live metadata of live files

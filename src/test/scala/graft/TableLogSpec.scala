@@ -610,10 +610,12 @@ class TableLogSpec extends AnyFunSuite {
     // vacuum away the manifests that carried the epoch tokens
     TableLog.vacuum(spark, root, keepVersions = 1, orphanMinAgeMs = 0L)
     assert(TableLog.versions(spark, root) == Seq(3L))
-    // ADVICE r13: with the epoch tokens' manifests gone AND the marker
-    // lost, a replayed epoch must STILL be a no-op (epochmax rides in the
+    // ADVICE r13+r14: with the epoch tokens' manifests gone AND the marker
+    // gone (vacuum now sweeps markers ≤ the horizon epochmax itself), a
+    // replayed epoch must STILL be a no-op (epochmax rides in the
     // vacuum-written checkpoint)
-    assert(new java.io.File(s"$root/_graft_log/epochs/epoch-1").delete())
+    assert(!new java.io.File(s"$root/_graft_log/epochs/epoch-1").exists(),
+      "vacuum must have swept the redundant marker")
     TableLog.appendBatch(Seq((2L, 20L)).toDF("k", "v"), 1L, root)
     assert(TableLog.versions(spark, root) == Seq(3L),
       "replayed epoch must no-op after vacuum deleted its manifest")
@@ -744,5 +746,88 @@ class TableLogSpec extends AnyFunSuite {
       spark.conf.unset(LogStore.ConfKey)
       MemLogStore.clear()
     }
+  }
+
+  test("deletion vectors on a partitioned table with escaped partition values") {
+    import spark.implicits._
+    val root = tmp("tdvesc")
+    // partition values that need URI escaping in _metadata.file_path:
+    // a space (literal on disk, %20 in the URI) and a hive-escaped colon
+    // (src=x%3Ay on disk, %253A in the URI) — the exact shapes where a
+    // raw-key lookup silently no-ops the delete
+    val df = (1L to 40L).map { i =>
+      val src = if (i % 2 == 0) "a b" else "x:y"
+      (i, src, i * 10)
+    }.toDF("k", "src", "v")
+    TableLog.overwritePartitioned(df, root, Seq("src"), "v")
+    val v2 = TableLog.deleteVectors(spark, root, col("k") % 4 === 0)
+    // the delete must actually take effect at head (entries carry d: tokens)
+    val after = TableLog.manifestEntries(spark, root, Some(v2))
+    assert(after.exists(_.dvs.nonEmpty),
+      "touched files of the escaped partitions must reference a DV")
+    val got = TableLog.read(spark, root).select("k").as[Long].collect().sorted
+    val want = (1L to 40L).filterNot(_ % 4 == 0)
+    assert(got.toSeq == want,
+      s"DV delete on escaped partitions must remove rows at head: got ${got.length}")
+    // live counts stay metadata-only and correct
+    assert(TableLog.rowCounts(spark, root) == want.size.toLong)
+    // stacking across the escaped partitions composes
+    TableLog.deleteVectors(spark, root, col("k") <= 5L)
+    assert(TableLog.read(spark, root).select("k").as[Long].collect().sorted
+      .toSeq == want.filter(_ > 5L))
+  }
+
+  test("writeIfAbsent is a real CAS: never overwrites, loser sees false") {
+    val root = tmp("tcas")
+    val store = LogStore.resolve(spark)
+    val p = s"$root/_graft_log/v1.manifest"
+    assert(store.writeIfAbsent(spark, p, "first"))
+    assert(!store.writeIfAbsent(spark, p, "second"),
+      "the CAS loser must see false")
+    assert(store.read(spark, p) == "first",
+      "a lost CAS must never clobber the winner's content")
+    // and the loser's temp staging never lingers next to the log
+    val leftovers = new java.io.File(s"$root/_graft_log").listFiles()
+      .map(_.getName).filter(_.contains(".tmp-"))
+    assert(leftovers.isEmpty, s"temp files must be cleaned: ${leftovers.toSeq}")
+  }
+
+  test("full-snapshot commit of an in-place entry change is a remove + re-add") {
+    import spark.implicits._
+    val root = tmp("tinplace")
+    TableLog.overwrite(
+      (1L to 10L).map(i => (i, i)).toDF("k", "v").coalesce(1), root)
+    val e = TableLog.manifestEntries(spark, root).head
+    // same path, different entry payload (a stats/rows refresh in place)
+    val v2 = TableLog.commit(spark, root,
+      Seq(e.copy(rows = Some(10L))), meta = Seq("op:refresh"))
+    val (adds, removes) = TableLog.fileChanges(spark, root, v2 - 1, v2)
+    assert(adds.map(_.path) == Seq(e.path) && removes == Seq(e.path),
+      "an in-place change must show in BOTH change lists, " +
+        s"got adds=${adds.map(_.path)} removes=$removes")
+    // so an append-only consumer cannot mistake it for new rows
+    intercept[IllegalArgumentException] {
+      TableLog.readAppended(spark, root, v2 - 1, v2)
+    }
+  }
+
+  test("vacuum sweeps epoch markers at or below the horizon checkpoint's epochmax") {
+    import spark.implicits._
+    val root = tmp("tmark")
+    TableLog.overwrite(Seq((0L, 0L)).toDF("k", "v"), root)
+    (1L to 5L).foreach(i =>
+      TableLog.appendBatch(Seq((i, i)).toDF("k", "v"), i, root))
+    val epochs = new java.io.File(s"$root/_graft_log/epochs")
+    def markers() = Option(epochs.listFiles()).fold(Seq.empty[String])(
+      _.map(_.getName).filter(_.startsWith("epoch-")).toSeq)
+    assert(markers().size == 5, "one marker per epoch before vacuum")
+    TableLog.vacuum(spark, root, keepVersions = 1, orphanMinAgeMs = 0L)
+    assert(markers().isEmpty,
+      "markers ≤ the horizon epochmax are redundant and must be swept")
+    // exactly-once still holds from the log alone: a replayed epoch no-ops
+    val before = TableLog.read(spark, root).count()
+    TableLog.appendBatch(Seq((3L, 3L)).toDF("k", "v"), 3L, root)
+    assert(TableLog.read(spark, root).count() == before,
+      "a replayed epoch must stay a no-op after its marker was swept")
   }
 }
