@@ -21,6 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction(
         (FunctionIdentifier(name), new ExpressionInfo("graft", name, usage), builder))
     }
+    GraftExtensions.injectedTableFns.foreach { case (name, usage, builder) =>
+      ext.injectTableFunction(
+        (FunctionIdentifier(name), new ExpressionInfo("graft", name, usage), builder))
+    }
     // latest-N-per-key windows → bounded top-k aggregate (plans.TopKRewrite)
     ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
   }
@@ -68,4 +72,55 @@ object GraftExtensions {
       (es: Seq[Expression]) => HashFeatScore(es(0), es(1))),
     ("graft_hashvec", "graft_hashvec(tokens, dim) - hashing-trick bag-of-words integer count vector",
       (es: Seq[Expression]) => HashCountVec(es(0), es(1))))
+
+  /** TABLE-VALUED functions — the pure-SQL surface of the commit log: time
+    * travel and the maintenance/audit views were Scala-only before round
+    * 15; a spark-sql/thriftserver user could not reach them. Each builder
+    * expands at ANALYSIS time into the read's logical plan (already
+    * resolved — the TVF is a macro over [[graft.sources.TableLog]], not a
+    * new operator), so everything downstream — partition pruning, stat
+    * skipping, codegen — is the ordinary relation path.
+    *
+    *  - `graft_log('<root>'[, version])` — the snapshot at `version`
+    *    (default head): SQL time travel.
+    *  - `graft_log_history('<root>')` — the DESCRIBE HISTORY audit frame.
+    */
+  private[graft] val injectedTableFns: Seq[(String, String,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
+    ("graft_log",
+      "graft_log(root[, version]) - logged-table snapshot (default: head)",
+      (es: Seq[Expression]) => {
+        require(es.size == 1 || es.size == 2,
+          "graft_log takes (root) or (root, version)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.sources.TableLog.read(spark, tvfString(es.head, "root"),
+            es.lift(1).map(tvfLong(_, "version")))
+          .queryExecution.analyzed
+      }),
+    ("graft_log_history",
+      "graft_log_history(root) - one audit row per committed version",
+      (es: Seq[Expression]) => {
+        require(es.size == 1, "graft_log_history takes (root)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.sources.TableLog.history(spark, tvfString(es.head, "root"))
+          .queryExecution.analyzed
+      }))
+
+  private def tvfString(e: Expression, what: String): String = {
+    require(e.foldable, s"$what must be a literal string")
+    e.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$what must be a string literal, got $other")
+    }
+  }
+
+  private def tvfLong(e: Expression, what: String): Long = {
+    require(e.foldable, s"$what must be a literal integer")
+    e.eval() match {
+      case n: java.lang.Number => n.longValue()
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got $other")
+    }
+  }
 }

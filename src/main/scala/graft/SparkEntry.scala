@@ -2005,15 +2005,17 @@ object SparkEntry {
       w1.unionByName(w2).orderBy(col("win"), col("doc_id"), col("status"))
     }),
 
-    // PARTITION COLUMNS + STATS IN THE MANIFEST (TableLog
-    // .overwritePartitioned + readPruned) — both pruning layers compose at
-    // the PLANNING layer: partition equality drops every other source's
-    // files from the manifest, stat ranges drop out-of-range files WITHIN
-    // the partition, and only then does a scan get planned. The partition
-    // column itself is reconstructed from the manifest (typed by the
-    // recorded schema), never from path inference. Soundness gate: pruned
-    // read + row filter ≡ plain filter (the q212 discipline); the
-    // inputFiles-shrink of each layer is TableLogSpec's.
+    // PARTITION COLUMNS + STATS IN THE MANIFEST, read through the
+    // format("graftlog") relation — both pruning layers now engage
+    // AUTOMATICALLY inside a plain .filter(): the manifest-fed FileIndex
+    // evaluates the partition predicate against the typed partition row
+    // (no directory walked) and turns the pushed data filters into
+    // per-column bounds matched against per-file stats (readPruned's
+    // explicit API became implicit). The partition column itself is a real
+    // partition column of the scan, typed by the recorded schema, never
+    // path-inferred. Soundness gate: format read + filter ≡ plain filter
+    // (the q212 discipline); the numFiles-shrink of each layer is
+    // GraftLogSourceSpec's.
     "q216_partitioned_log" -> ((s, d) => {
       import graft.sources.TableLog
       val docs = t(s, d, "documents")
@@ -2022,10 +2024,10 @@ object SparkEntry {
         docs.select(col("doc_id"), col("source"), col("n_chars"))
           .repartitionByRange(4, col("n_chars")),
         root, Seq("source"), "n_chars")
-      TableLog.readPruned(s, root, "n_chars", 150L, 300L,
-          partitionEq = Map("source" -> "src3"))
+      s.read.format("graftlog").load(root)
         .filter(col("source") === "src3" &&
           col("n_chars").between(150L, 300L))
+        .select(col("doc_id"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2232,17 +2234,18 @@ object SparkEntry {
       TableLog.read(s, root).orderBy(col("doc_id"))
     }),
 
-    // THE LOOP CLOSED IN-ENGINE: ingest → commit → tail → curate
-    // (streaming.LogTail) — a producer commits 4 batches into a logged
-    // table through the exactly-once epoch path, and a CONSUMER tails the
-    // commit stream with versions as offsets: each version's appended rows
-    // (TableLog.readAppended — the base is never rescanned) become one
-    // ordered micro-batch of the REAL stateful exact-dedup keep stream
-    // (CurationStream.exactKeepStream), state carrying across commit
-    // boundaries. Content is planted (doc_id % 50) so the keeper law is
-    // plain SQL: first (version, doc_id) per content wins — a wrong
-    // version order, a double-consumed epoch or a split version batch all
-    // break the hash.
+    // THE LOOP CLOSED IN-ENGINE: ingest → commit → tail → curate — a
+    // producer commits 4 batches into a logged table through the
+    // exactly-once epoch path, and a CONSUMER tails the commit stream
+    // through the REAL streaming source (spark.readStream
+    // .format("graftlog"), versions as offsets, one version per
+    // micro-batch, each batch a native parquet scan of exactly that
+    // version's appended files — rows never touch the driver): the
+    // stateful exact-dedup keep stream (CurationStream.exactKeepStream)
+    // carries state across commit boundaries. Content is planted
+    // (doc_id % 50) so the keeper law is plain SQL: first (version,
+    // doc_id) per content wins — a wrong version order, a double-consumed
+    // epoch or a split version batch all break the hash.
     "q219_log_tail_funnel" -> ((s, d) => {
       import s.implicits._
       import graft.sources.TableLog
@@ -2255,11 +2258,79 @@ object SparkEntry {
         TableLog.appendBatch(src.filter(col("doc_id") % 4 === k), k, root))
       graft.streaming.LogTail.consumeVersions[(Long, String), (Long, Boolean)](
         s, root, 0L,
-        df => df.orderBy(col("doc_id")).as[(Long, String)])(ds =>
+        df => df.as[(Long, String)])(ds =>
           graft.streaming.CurationStream.exactKeepStream(
             ds.toDF("doc_id", "content"), "doc_id", "content"))
         .toDF("doc_id", "exact_keep")
         .orderBy(col("doc_id"))
+    }),
+
+    // SQL TIME TRAVEL — the graft_log TABLE-VALUED FUNCTION
+    // (GraftExtensions.injectedTableFns): a pure-SQL user reads any
+    // committed version as `FROM graft_log('<root>', v)` (head when the
+    // version is omitted); the TVF expands at analysis time into the
+    // manifest-fed relation, so pruning and codegen are the ordinary read
+    // path. The whole query below is ONE spark.sql text — no Scala read
+    // API touched after the fixture commits.
+    "q227_sql_log_tvf" -> ((s, d) => {
+      import graft.sources.TableLog
+      val docs = t(s, d, "documents")
+      val root = logRoot(s, d, "tsqltvf")
+      TableLog.overwrite(docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("n_chars")), root)               // v1
+      TableLog.append(docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("n_chars")), root)               // v2
+      graft.functions.GraftFunctions.register(s)
+      s.sql(
+        s"""SELECT doc_id, n_chars, CAST(1 AS BIGINT) AS version
+           |FROM graft_log('$root', 1)
+           |UNION ALL
+           |SELECT doc_id, n_chars, CAST(2 AS BIGINT) AS version
+           |FROM graft_log('$root')
+           |ORDER BY version, doc_id""".stripMargin)
+    }),
+
+    // SQL HISTORY AUDIT — graft_log_history('<root>') over q223's exact
+    // op chain (overwrite 4 files / epoch append / surgical delete /
+    // all-keeps compact): DESCRIBE HISTORY as one spark.sql text, pinned
+    // against the same literal VALUES oracle as the Scala surface.
+    "q228_sql_log_history" -> ((s, d) => {
+      import graft.sources.TableLog
+      val docs = t(s, d, "documents")
+      val root = logRoot(s, d, "tsqlhist")
+      val sel = docs.select(col("doc_id"), col("n_chars"))
+      TableLog.overwriteWithStats(
+        sel.repartition(4), root, "n_chars")                        // v1
+      TableLog.appendBatch(
+        sel.filter(col("doc_id") % 5 === 0).coalesce(1), 7L, root)  // v2
+      TableLog.deleteRange(s, root, 1000000000L, 2000000000L,
+        "n_chars")                                                  // v3
+      TableLog.compact(s, root, targetBytes = 1L)                   // v4
+      graft.functions.GraftFunctions.register(s)
+      s.sql(s"SELECT * FROM graft_log_history('$root') ORDER BY version")
+    }),
+
+    // CONCURRENT-WRITER COMMIT REBASE (TableLog.commitDeltaRebasing) — the
+    // Delta-style conflict resolution: writer A plans and STAGES its
+    // append against v1; writer B commits v2 first; A's commit loses the
+    // CAS, finds B's intervening actions disjoint from its own (a blind
+    // append removes nothing) and RE-COMMITS automatically as v3 — no
+    // caller-side retry, no re-staging. The gate pins that the rebased
+    // head equals the SERIAL execution (base ∪ B's batch ∪ A's batch);
+    // the true-overlap throw (delete × compact on the same files) and the
+    // schema-evolution recompute are TableLogSpec's.
+    "q229_commit_rebase" -> ((s, d) => {
+      import graft.sources.TableLog
+      val docs = t(s, d, "documents")
+      val root = logRoot(s, d, "trebase")
+      val third = (k: Int) => docs.filter(col("doc_id") % 3 === k)
+        .select(col("doc_id"), col("n_chars"))
+      TableLog.overwrite(third(0), root)                    // v1
+      val stagedByA = TableLog.writeData(third(2), root)    // A stages vs v1
+      TableLog.append(third(1), root)                       // B wins v2
+      TableLog.commitDeltaRebasing(s, root, stagedByA, Nil, basedOn = 1L,
+        _ => Seq("op:append", "schema:" + third(2).schema.json)) // A → v3
+      TableLog.read(s, root).orderBy(col("doc_id"))
     }),
 
     // TRAINED language ID (Corpus.langIdTrained) — q19's heuristic upgraded
@@ -5453,6 +5524,31 @@ object SparkEntry {
         |     ORDER BY doc_id % 4, doc_id) = 1) AS exact_keep
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // SQL time travel must see exactly what the Scala read sees: v1 = the
+    // even half, head = everything
+    "q227_sql_log_tvf" ->
+      """SELECT doc_id, n_chars, CAST(1 AS BIGINT) AS version
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, n_chars, CAST(2 AS BIGINT) AS version FROM documents
+        |ORDER BY version, doc_id""".stripMargin,
+
+    // the rebased head must equal the serial execution: all three thirds
+    "q229_commit_rebase" ->
+      """SELECT doc_id, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // q223's deterministic audit trail, reached through pure SQL
+    "q228_sql_log_history" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'overwrite', CAST(4 AS BIGINT),
+        |   CAST(0 AS BIGINT), CAST(NULL AS BIGINT)),
+        |  (2, 'append', 1, 0, 7),
+        |  (3, 'delete', 1, 1, NULL),
+        |  (4, 'compact', 0, 0, NULL))
+        |  AS t(version, op, n_add, n_remove, epoch)
+        |ORDER BY version""".stripMargin,
 
     // Full re-derivation of the trained classifier: marker-augmented text,
     // q197's portable hashed token counts, per-language centroid sums,

@@ -37,6 +37,13 @@ object GraftFunctions {
         reg.registerFunction(id, new ExpressionInfo("graft", name, usage), builder)
       }
     }
+    val treg = spark.sessionState.tableFunctionRegistry
+    graft.GraftExtensions.injectedTableFns.foreach { case (name, usage, builder) =>
+      val id = FunctionIdentifier(name)
+      if (!treg.functionExists(id)) {
+        treg.registerFunction(id, new ExpressionInfo("graft", name, usage), builder)
+      }
+    }
   }
 
   private[graft] val XXSEED = 42L

@@ -420,6 +420,80 @@ object TableLog {
     next
   }
 
+  /** [[commitDelta]] with Delta-style LOGICAL CONFLICT RESOLUTION: when the
+    * CAS is lost, re-read the head and RE-COMMIT AUTOMATICALLY iff this
+    * writer's action set is disjoint from every intervening commit — a
+    * blind append (no removes) always rebases; a delete/compact/DV commit
+    * rebases iff none of ITS files (the removes) were touched in between;
+    * a true overlap throws the typed [[CommitConflictException]] (the
+    * caller's snapshot-derived plan is stale — re-plan). Adds never
+    * conflict (data paths are unique per commit dir by construction).
+    *
+    * `metaFor(base)` is re-evaluated per attempt against the CURRENT base
+    * version — what keeps a rebased append's `#schema:` evolution computed
+    * against the head it actually lands on (two concurrent appends each
+    * adding a different column must both survive in the head schema; a
+    * fixed meta would let the rebase clobber the winner's column).
+    *
+    * Isolation level, stated plainly: this is WRITE-SERIALIZABLE — the
+    * rebased commit serializes as if it ran BEFORE the intervening
+    * commits it is disjoint from (a delete rebased past a concurrent
+    * append does not delete the appended rows, exactly Delta's default
+    * WriteSerializable contract).
+    */
+  private[graft] def commitDeltaRebasing(spark: SparkSession, root: String,
+      adds: Seq[Entry], removes: Seq[String], basedOn: Long,
+      metaFor: Long => Seq[String], maxRebases: Int = 20): Long = {
+    var base = basedOn
+    var attempt = 0
+    while (attempt <= maxRebases) {
+      try return commitDelta(spark, root, adds, removes, Some(base), metaFor(base))
+      catch {
+        case e: CommitConflictException =>
+          attempt += 1
+          val newHead = headVersion(spark, root).getOrElse(base)
+          if (attempt > maxRebases || newHead <= base) throw e
+          val touched = touchedSince(spark, root, base, newHead).getOrElse(
+            throw new CommitConflictException(
+              s"commit of $root lost the race and cannot rebase: an " +
+                "intervening commit is a legacy full-snapshot replace " +
+                "(touches everything) — re-plan against the new head"))
+          val overlap = removes.toSet intersect touched
+          if (overlap.nonEmpty)
+            throw new CommitConflictException(
+              s"commit of $root lost the race and cannot rebase: " +
+                s"intervening commits touched ${overlap.size} of this " +
+                s"writer's files (e.g. ${overlap.head}) — re-plan against " +
+                s"version $newHead")
+          base = newHead
+      }
+    }
+    throw new IllegalStateException("unreachable: rebase loop exited")
+  }
+
+  /** Every path the commit window `(vFrom, vTo]` added or removed — the
+    * conflict footprint a rebase checks against. None when the window
+    * holds a legacy full-snapshot manifest (it touches everything).
+    */
+  private def touchedSince(spark: SparkSession, root: String, vFrom: Long,
+      vTo: Long): Option[Set[String]] = {
+    val store = LogStore.resolve(spark)
+    val out = Set.newBuilder[String]
+    var u = vFrom + 1
+    while (u <= vTo) {
+      if (!store.exists(spark, manifestPath(root, u)))
+        throw new IllegalStateException(
+          s"manifest for version $u missing under $root — cannot compute " +
+            "the conflict footprint (vacuumed?)")
+      val d = parseDelta(store.read(spark, manifestPath(root, u)))
+      if (d.legacyReplace) return None
+      out ++= d.removes
+      out ++= d.adds.map(_.path)
+      u += 1
+    }
+    Some(out.result())
+  }
+
   /** Write `v<version>.checkpoint` + advance `_last_checkpoint` when the
     * cadence hits. Pure cache: a failed/lost checkpoint write only costs
     * replay length, so errors are logged, never thrown into the commit.
@@ -583,11 +657,6 @@ object TableLog {
     val spark = df.sparkSession
     val head = headVersion(spark, root)
     val st = head.map(h => state(spark, root, Some(h)))
-    // a FIRST commit via append adopts the batch's schema + flat layout —
-    // every data commit records its schema, not just overwrites
-    val evolved = st.map(s => evolvedSchema(s, df))
-      .getOrElse(Some(df.schema.json))
-    val extraMeta = if (st.isEmpty) Seq(partColsMeta(Nil)) else Nil
     val partCols = st.map(partColsOf).getOrElse(Seq.empty)
     require(partCols.forall(df.columns.contains),
       s"append to a partitioned table must carry its partition columns " +
@@ -595,11 +664,38 @@ object TableLog {
     val files =
       if (partCols.nonEmpty) writeDataPartitioned(df, root, partCols)
       else writeData(df, root)
-    commitDelta(spark, root, files, Nil, Some(head.getOrElse(0L)),
-      Seq("op:append") ++ meta ++ evolved.map("schema:" + _).toSeq ++ extraMeta)
+    // blind append: a lost CAS auto-rebases (appends commute at file
+    // level); the schema/layout meta is recomputed per attempt against the
+    // base the commit actually lands on
+    commitDeltaRebasing(spark, root, files, Nil, head.getOrElse(0L),
+      base => appendMeta(spark, root, base, df, partCols, meta))
   }
 
-  private def partColsOf(st: LogState): Seq[String] =
+  /** The meta an append commits against `base` — recomputed on every
+    * rebase attempt: additive schema evolution against the CURRENT head
+    * (two concurrent appends adding different columns must both survive),
+    * and a partition-layout re-check (the batch was staged in
+    * `stagedPartCols` layout — a table whose layout changed underneath is
+    * a true conflict; the files would corrupt the layout).
+    */
+  private def appendMeta(spark: SparkSession, root: String, base: Long,
+      df: DataFrame, stagedPartCols: Seq[String],
+      extra: Seq[String]): Seq[String] = {
+    val st = if (base == 0L) None else Some(state(spark, root, Some(base)))
+    val partNow = st.map(partColsOf).getOrElse(Seq.empty)
+    if (partNow != stagedPartCols)
+      throw new CommitConflictException(
+        s"table partition layout changed under a concurrent append " +
+          s"($stagedPartCols -> $partNow) — restage the batch")
+    // a FIRST commit via append adopts the batch's schema + flat layout —
+    // every data commit records its schema, not just overwrites
+    val evolved = st.map(s => evolvedSchema(s, df))
+      .getOrElse(Some(df.schema.json))
+    val extraMeta = if (st.isEmpty) Seq(partColsMeta(Nil)) else Nil
+    Seq("op:append") ++ extra ++ evolved.map("schema:" + _).toSeq ++ extraMeta
+  }
+
+  private[graft] def partColsOf(st: LogState): Seq[String] =
     st.partColsMeta.getOrElse(
       st.entries.headOption.map(_.partition.keys.toSeq.sorted)
         .getOrElse(Seq.empty))
@@ -627,7 +723,12 @@ object TableLog {
                   "; only additive evolution is supported")
           }
         }
+        // an ADDED column is NULLABLE by definition — files from before it
+        // null-fill it; recording the batch's non-nullable primitive as-is
+        // would make the vectorized reader refuse old files ("required
+        // column is missing") instead of null-filling
         val added = nw.fields.filterNot(f => old.exists(_.name == f.name))
+          .map(_.copy(nullable = true))
         if (added.isEmpty) None
         else Some(StructType(old.fields ++ added).json)
     }
@@ -758,45 +859,35 @@ object TableLog {
       if (!withPos) base
       else base.withColumn("__file", lit(null).cast("string"))
         .withColumn("__ri", lit(null).cast("long"))
-    } else if (partCols.isEmpty) {
-      val paths = entries.map(f => s"$root/${f.path}")
-      pos(schema.fold(spark.read.parquet(paths: _*))(s =>
-        spark.read.schema(s).parquet(paths: _*)))
+    } else if (schema.isEmpty && partCols.isEmpty) {
+      // legacy (pre-schema) flat table: parquet footer inference
+      pos(spark.read.parquet(entries.map(f => s"$root/${f.path}"): _*))
     } else {
       require(entries.forall(_.partition.keys.toSeq.sorted == partCols),
         "mixed partition layouts in one snapshot are not readable")
-      // one relation per DISTINCT PARTITION VALUE, each scanning all of
-      // that partition's files across commit dirs, values attached as
-      // schema-typed literals from the manifest. Spark's own basePath
-      // partition discovery cannot read this layout (the walk stops at
-      // the first non-k=v segment, and every commit dir is one, so two
-      // commit dirs read as "conflicting directory structures") — and a
-      // manifest-driven read shouldn't re-infer from paths anyway. Plan
-      // size is O(distinct partition values): fine under the documented
-      // coarse-partition contract (hub, date, source — never a
-      // high-cardinality key); a DSv2 relation fed by the manifest is the
-      // shape that removes even that, noted as the production evolution.
-      val dataSchema = schema.map(s =>
-        StructType(s.filterNot(f => partCols.contains(f.name))))
-      val frames = entries.groupBy(_.partition).toSeq
-        .sortBy(_._1.toSeq.sorted.mkString(","))
-        .map { case (pvals, es) =>
-          val paths = es.map(f => s"$root/${f.path}")
-          val base = pos(dataSchema.fold(spark.read.parquet(paths: _*))(s =>
-            spark.read.schema(s).parquet(paths: _*)))
-          partCols.foldLeft(base) { (df, k) =>
-            val raw = pvals(k)
-            val c = if (raw == "__HIVE_DEFAULT_PARTITION__") lit(null)
-              else lit(unescapePath(raw))
-            val typed = schema.flatMap(_.find(_.name == k))
-              .map(f => c.cast(f.dataType)).getOrElse(c)
-            df.withColumn(k, typed)
-          }
-        }
-      val unioned = frames.reduce(_ unionByName _)
+      // ONE manifest-fed relation for the whole entry set — flat or
+      // partitioned — via [[GraftLogFileIndex]]: partition values are real
+      // partition columns of the scan (typed from the recorded schema),
+      // Catalyst prunes partitions and skips on manifest stats inside
+      // listFiles, and no directory is ever listed. (Spark's own basePath
+      // partition discovery cannot read the commit-dir layout — the walk
+      // stops at the first non-k=v segment — and a manifest-driven read
+      // shouldn't re-infer from paths anyway.) Pre-round-15 this planned
+      // one union branch per distinct partition value; a 10k-partition
+      // table built a 10k-way plan. Legacy partitioned tables without a
+      // recorded schema infer the data schema from footers once.
+      val tableSchema = schema.getOrElse {
+        val inferred = spark.read
+          .parquet(entries.map(f => s"$root/${f.path}"): _*).schema
+        StructType(inferred.fields ++
+          partCols.map(c => org.apache.spark.sql.types.StructField(c,
+            org.apache.spark.sql.types.StringType)))
+      }
+      val rel = GraftLog.relation(spark, root, entries, tableSchema,
+        partCols.filter(tableSchema.fieldNames.contains))
       val helpers = if (withPos) Seq("__file", "__ri") else Nil
-      schema.fold(unioned)(s =>
-        unioned.select((s.fieldNames.toSeq ++ helpers).map(col): _*))
+      pos(spark.baseRelationToDataFrame(rel))
+        .select((tableSchema.fieldNames.toSeq ++ helpers).map(col): _*)
     }
   }
 
@@ -804,7 +895,7 @@ object TableLog {
     * escaped octets decode as UTF-8 BYTES, not chars — %C3%A9 is 'é', not
     * 'Ã©' — or a non-ASCII partition value would round-trip wrong.
     */
-  private def unescapePath(s: String): String =
+  private[graft] def unescapePath(s: String): String =
     if (!s.contains('%')) s
     else {
       val sb = new StringBuilder
@@ -974,7 +1065,7 @@ object TableLog {
     val bounds = cond.map(predicateBounds).getOrElse(Map.empty)
     val eqStrings = cond.map(predicateEqStrings).getOrElse(Map.empty)
     val touched = st.entries.filterNot(e =>
-      bounds.exists { case (c, b) => e.stats.get(c).exists(disjoint(_, b)) } ||
+      bounds.exists { case (c, b) => e.stats.get(c).exists(statDisjoint(_, b)) } ||
         partitionDisjoint(e, bounds, eqStrings))
     val statCols = st.entries.flatMap(_.stats.keys).distinct.sorted
     val partCols = partColsOf(st)
@@ -989,9 +1080,12 @@ object TableLog {
           else writeData(survivors, root)
         withStats(spark, root, files, statCols)
       }
-    // untouched entries ride along implicitly: only the delta is logged
-    commitDelta(spark, root, rewritten, touched.map(_.path),
-      Some(head.get), Seq("op:delete"))
+    // untouched entries ride along implicitly: only the delta is logged.
+    // A lost CAS rebases iff no intervening commit touched the files this
+    // delete rewrote (WriteSerializable: a concurrent append's rows are
+    // NOT deleted — the rebased delete serializes before it).
+    commitDeltaRebasing(spark, root, rewritten, touched.map(_.path),
+      head.get, _ => Seq("op:delete"))
   }
 
   /** Row-level DELETE with ZERO data rewrite — DELETION VECTORS (the
@@ -1030,11 +1124,11 @@ object TableLog {
     val bounds = cond.map(predicateBounds).getOrElse(Map.empty)
     val eqStrings = cond.map(predicateEqStrings).getOrElse(Map.empty)
     val touched = st.entries.filterNot(e =>
-      bounds.exists { case (c, b) => e.stats.get(c).exists(disjoint(_, b)) } ||
+      bounds.exists { case (c, b) => e.stats.get(c).exists(statDisjoint(_, b)) } ||
         partitionDisjoint(e, bounds, eqStrings))
     if (touched.isEmpty)
-      return commitDelta(spark, root, Nil, Nil, Some(head.get),
-        Seq("op:delete"))
+      return commitDeltaRebasing(spark, root, Nil, Nil, head.get,
+        _ => Seq("op:delete"))
     // matching positions of the triaged files — the vector content. The
     // existing dvs of those files are applied FIRST (readEntrySet), so an
     // already-deleted row is never re-counted
@@ -1067,7 +1161,8 @@ object TableLog {
     }
     val adds = updated.flatMap(_._2)
     val removes = updated.map(_._1.path)
-    commitDelta(spark, root, adds, removes, Some(head.get), Seq("op:delete"))
+    commitDeltaRebasing(spark, root, adds, removes, head.get,
+      _ => Seq("op:delete"))
   }
 
   /** [[delete]] of `statCol ∈ [lo, hi]` — the range form whose triage is
@@ -1229,8 +1324,10 @@ object TableLog {
     (a, b) match { case (Some(x), Some(y)) => Some(math.min(x, y))
       case _ => a.orElse(b) }
 
-  /** File stats [mn, mx] provably miss bound [lo, hi]? */
-  private def disjoint(stats: (Long, Long),
+  /** File stats [mn, mx] provably miss bound [lo, hi]? (Shared with the
+    * [[GraftLogFileIndex]] scan-planning skip.)
+    */
+  private[graft] def statDisjoint(stats: (Long, Long),
       b: (Option[Long], Option[Long])): Boolean = {
     val (mn, mx) = stats
     b._1.exists(lo => mx < lo) || b._2.exists(hi => mn > hi)
@@ -1312,8 +1409,10 @@ object TableLog {
         withStats(spark, root, files,
           st.entries.flatMap(_.stats.keys).distinct.sorted)
       }
-    commitDelta(spark, root, newFiles, smalls.map(_.path), Some(head.get),
-      Seq("op:compact"))
+    // a lost CAS rebases iff nothing touched the compacted smalls —
+    // concurrent appends land untouched next to the compaction
+    commitDeltaRebasing(spark, root, newFiles, smalls.map(_.path),
+      head.get, _ => Seq("op:compact"))
   }
 
   /** Log-published CDC MERGE: read the current snapshot, apply
@@ -1637,32 +1736,23 @@ object TableLog {
       headVersion(spark, root).exists(h =>
         state(spark, root, Some(h)).epochMax.exists(batchId <= _))
     if (!store.exists(spark, marker) && !alreadyCommitted) {
-      val st = headVersion(spark, root).map(h => state(spark, root, Some(h)))
-      val evolved = st.map(s => evolvedSchema(s, batch))
-        .getOrElse(Some(batch.schema.json))
-      val extraMeta = if (st.isEmpty) Seq(partColsMeta(Nil)) else Nil
-      val partCols = st.map(partColsOf).getOrElse(Seq.empty)
+      val head = headVersion(spark, root)
+      val partCols = head.map(h => partColsOf(state(spark, root, Some(h))))
+        .getOrElse(Seq.empty)
       require(partCols.forall(batch.columns.contains),
         s"append to a partitioned table must carry its partition columns " +
           s"($partCols)")
       val staged =
         if (partCols.nonEmpty) writeDataPartitioned(batch, root, partCols)
         else writeData(batch, root)
-      val meta = Seq("op:append", s"epoch:$batchId") ++
-        evolved.map("schema:" + _).toSeq ++ extraMeta
-      var attempt = 0
-      var done = false
-      while (!done) {
-        try {
-          commitDelta(spark, root, staged, Nil, None, meta); done = true
-        } catch {
-          case e: CommitConflictException if attempt < casRetries =>
-            attempt += 1
-            org.slf4j.LoggerFactory.getLogger("graft.sources.TableLog")
-              .warn(s"append epoch $batchId lost the commit CAS " +
-                s"(attempt $attempt/$casRetries), re-reading head: $e")
-        }
-      }
+      // the rebasing commit re-derives the schema meta per attempt against
+      // the base it lands on — a concurrent writer's evolution is never
+      // clobbered by a retried epoch (the pre-round-15 loop reused the
+      // first attempt's stale meta)
+      commitDeltaRebasing(spark, root, staged, Nil, head.getOrElse(0L),
+        base => appendMeta(spark, root, base, batch, partCols,
+          Seq(s"epoch:$batchId")),
+        maxRebases = casRetries)
     }
     store.writeIfAbsent(spark, marker, "")
     ()

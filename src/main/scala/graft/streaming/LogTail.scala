@@ -21,16 +21,14 @@ import graft.sources.TableLog
   * the `_last_checkpoint` pointer path, so an idle poll costs a couple of
   * metadata existence checks, never a listing.
   *
-  * BRIDGE SEAM, stated loudly: [[consumeVersions]] collects each version's
-  * changed rows to the driver to feed a MemoryStream — the same
-  * deterministic-replay apparatus as every streaming gate
-  * ([[MemoryReplay]]), sized to the CHANGES (one commit's batch), never the
-  * table. A production deployment keeps the identical Tail/offset logic and
-  * swaps the bridge for a DataSourceV2 `MicroBatchStream` whose
-  * `latestOffset` is [[TableLog.headVersion]] and whose
-  * `planInputPartitions(start, end)` is [[TableLog.fileChanges]] — the
-  * Delta-source shape; versions-as-offsets is the part that matters and is
-  * what the q219 gate + LogTailSpec pin.
+  * The streaming integration is `spark.readStream.format("graftlog")` —
+  * [[graft.sources.GraftLogSource]], the versions-as-offsets micro-batch
+  * source whose `latestOffset` is [[TableLog.headVersion]] and whose
+  * `getBatch(start, end)` plans [[TableLog.fileChanges]]' added files as
+  * one native parquet relation (the Delta-source shape; rows never touch
+  * the driver). [[consumeVersions]] drives a stateful operator through it.
+  * The [[Tail]] below is the same offset logic as a pull-style API — a
+  * positioned poll() for consumers that want frames, not a query.
   */
 object LogTail {
 
@@ -121,16 +119,23 @@ object LogTail {
   /** Drive a REAL streaming operator over the table's committed versions
     * `(startAfter, head]`: each version's appended rows become one ordered
     * micro-batch of `op`'s input stream (state carries across versions),
-    * and the materialized output is returned. `decode` maps a version's
-    * change frame to the operator's typed input — sort it (`orderBy`)
-    * when within-version order matters; version order itself is the log's.
+    * and the materialized output is returned. The input is the `graftlog`
+    * streaming source ([[graft.sources.GraftLogSource]]) paced at ONE
+    * VERSION PER MICRO-BATCH, so batch boundaries coincide with the log's
+    * atomic commit points and each batch plans a native parquet scan of
+    * exactly that version's appended files — rows never touch the driver
+    * (the round-14 MemoryStream bridge is retired). `decode` maps the
+    * streaming change frame to the operator's typed input; it must be a
+    * streaming-legal transform (no sort — a stateful op that needs
+    * within-batch order sorts its group iterator, as exactKeepStream does).
     */
   def consumeVersions[I: Encoder, O: Encoder](spark: SparkSession,
       root: String, startAfter: Long, decode: DataFrame => Dataset[I],
       statePartitions: Int = 8, mode: OutputMode = OutputMode.Append())(
       op: Dataset[I] => Dataset[O]): DataFrame = {
-    val chunks = tail(spark, root, startAfter).poll()
-      .map { case (_, df) => decode(df).collect().toSeq }
-    MemoryReplay.replayChunks(spark, chunks, statePartitions, mode)(op)
+    val src = spark.readStream.format("graftlog")
+      .option("startingVersion", startAfter.toString)
+      .load(root)
+    MemoryReplay.drain(spark, op(decode(src)), statePartitions, mode)
   }
 }

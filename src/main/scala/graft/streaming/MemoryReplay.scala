@@ -131,6 +131,30 @@ object MemoryReplay {
     out
   }
 
+  /** Run an ALREADY-CONSTRUCTED streaming Dataset to completion against the
+    * memory sink and hand back the materialized output — the runner half of
+    * [[replayChunks]] without the MemoryStream tape: the input here is a
+    * real streaming SOURCE (e.g. `spark.readStream.format("graftlog")`),
+    * so rows flow executor-side and the driver never holds a batch.
+    * `processAllAvailable` drives micro-batches until the source reports
+    * no new data — with a self-pacing source (graftlog's one version per
+    * batch) that preserves meaningful batch boundaries.
+    */
+  def drain[O](spark: SparkSession, out: Dataset[O],
+      statePartitions: Int = 8,
+      mode: OutputMode = OutputMode.Append()): DataFrame = {
+    val name = s"graft_replay_${runId.incrementAndGet()}"
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val query =
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+        out.writeStream.format("memory").queryName(name).outputMode(mode).start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    try { query.processAllAvailable(); captureState(query) }
+    finally query.stop()
+    detach(spark, name)
+  }
+
   /** Two-stream replay for stream-stream operators (interval join): both
     * tapes advance in index-lockstep chunks — for time-sorted tapes of the
     * same span that keeps the two event-time fronts roughly aligned, and

@@ -1,0 +1,216 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{GraftLogSource, TableLog}
+
+/** Round-15 `format("graftlog")` relation + streaming source: one
+  * manifest-fed relation per snapshot (the union-per-partition plan and the
+  * driver-side MemoryStream bridge are retired), automatic partition + stat
+  * pruning inside a plain .filter(), versions-as-offsets micro-batches that
+  * never touch the driver, restart/resume, and the rewrite policies. The
+  * SQL-visible semantics are the q216/q219 oracle gates; these specs pin
+  * the plan shapes and the protocol behaviors SQL cannot see.
+  */
+class GraftLogSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+
+  /** Files the executed scan would read: the scan node's OWN filter split
+    * driven back through the FileIndex — asserts both the strategy wiring
+    * (filters reached the scan) and the index's pruning.
+    */
+  private def plannedFiles(df: DataFrame): Int = {
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.size == 1,
+      s"a graftlog read must plan exactly ONE file scan, got ${scans.size}")
+    val s = scans.head
+    s.relation.location
+      .listFiles(s.partitionFilters.filterNot(_.references.isEmpty),
+        s.dataFilters)
+      .map(_.files.size).sum
+  }
+
+  test("batch relation: one scan (no union), typed partition column, time travel, evolution") {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val root = tmp("glbatch")
+    TableLog.overwritePartitioned(
+      docs.repartitionByRange(4, col("n_chars")), root, Seq("source"), "n_chars")
+    TableLog.append(docs.limit(50)
+      .withColumn("extra", col("doc_id") * 2), root) // v2: additive column
+    val head = spark.read.format("graftlog").load(root)
+    // ONE relation — no union branch per partition value
+    assert(head.queryExecution.optimizedPlan.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }.isEmpty, "partitioned graftlog read must not plan a union")
+    assert(head.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f }.size == 1)
+    // typed partition column + evolution ≡ the library read
+    val viaLib = TableLog.read(spark, root)
+    assert(head.schema == viaLib.schema)
+    assert(head.collect().map(_.toString).sorted
+      .sameElements(viaLib.collect().map(_.toString).sorted))
+    // time travel via option
+    val v1 = spark.read.format("graftlog").option("version", "1").load(root)
+    assert(v1.columns.toSeq == Seq("doc_id", "source", "n_chars"))
+    assert(v1.count() == docs.count())
+  }
+
+  test("automatic pruning: partition filter and stat filter each shrink the planned files") {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val root = tmp("glprune")
+    TableLog.overwritePartitioned(
+      docs.repartitionByRange(4, col("n_chars")), root, Seq("source"), "n_chars")
+    val base = spark.read.format("graftlog").load(root)
+    val all = plannedFiles(base)
+    val partPruned = plannedFiles(base.filter(col("source") === "src3"))
+    val statPruned = plannedFiles(
+      base.filter(col("n_chars").between(150L, 300L)))
+    val both = plannedFiles(base.filter(col("source") === "src3" &&
+      col("n_chars").between(150L, 300L)))
+    assert(partPruned < all, s"partition pruning must engage: $partPruned / $all")
+    assert(statPruned < all, s"stat skipping must engage: $statPruned / $all")
+    assert(both <= math.min(partPruned, statPruned),
+      s"composed pruning must be at least as tight: $both vs $partPruned/$statPruned")
+    // soundness: pruning invisible to semantics
+    val want = docs.filter(col("source") === "src3" &&
+      col("n_chars").between(150L, 300L)).collect().map(_.toString).sorted
+    val got = base.filter(col("source") === "src3" &&
+      col("n_chars").between(150L, 300L))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .collect().map(_.toString).sorted
+    assert(want.nonEmpty && got.sameElements(want))
+  }
+
+  test("DV snapshot: format read falls back and stays exact; DV-free head is native again") {
+    import spark.implicits._
+    val root = tmp("gldv")
+    val df = (1L to 100L).map(i => (i, i * 10)).toDF("k", "v")
+      .repartitionByRange(4, col("v"))
+    TableLog.overwriteWithStats(df, root, "v")
+    TableLog.deleteVectors(spark, root, col("v") <= 300L)
+    val got = spark.read.format("graftlog").load(root)
+    assert(got.select("k").as[Long].collect().sorted.toSeq == (31L to 100L))
+    // filter + projection still correct through the fallback
+    assert(got.filter(col("v") > 900L).select("k").as[Long].collect()
+      .sorted.toSeq == (91L to 100L))
+    // a compaction materializes the vectors: native relation returns
+    TableLog.compact(spark, root, targetBytes = 1L << 30)
+    val after = spark.read.format("graftlog").load(root)
+    assert(after.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f }.size == 1,
+      "DV-free snapshot must plan the native file relation")
+    assert(after.select("k").as[Long].collect().sorted.toSeq == (31L to 100L))
+  }
+
+  test("streaming: one version per micro-batch, native per-batch scans, no driver rows") {
+    import spark.implicits._
+    val root = tmp("glstream")
+    val mk = (lo: Long, hi: Long) => (lo to hi).map(i => (i, s"c${i % 7}"))
+      .toDF("k", "c")
+    TableLog.overwrite(mk(1L, 40L), root)            // v1
+    TableLog.appendBatch(mk(41L, 60L), 1L, root)     // v2
+    TableLog.appendBatch(mk(61L, 90L), 2L, root)     // v3
+    // the source's batch plan: streaming-flagged file relation, no local rows
+    val src = new GraftLogSource(spark, root, None, Map.empty)
+    val b1 = src.getBatch(None,
+      new org.apache.spark.sql.execution.streaming.runtime.LongOffset(1L))
+    assert(b1.isStreaming, "getBatch must return a streaming-flagged frame")
+    val leaves = b1.queryExecution.logical.collectLeaves()
+    assert(leaves.forall {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation.isInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+      case _ => false
+    }, s"a version batch must plan as a file relation, got:\n${b1.queryExecution.logical}")
+    // end-to-end: each version is exactly one micro-batch, in commit order
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Set[Long])]()
+    val q = spark.readStream.format("graftlog").load(root)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        batches.add((id, b.select("k").as[Long](
+          org.apache.spark.sql.Encoders.scalaLong).collect().toSet))
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val got = batches.toArray(Array.empty[(Long, Set[Long])]).sortBy(_._1)
+    assert(got.map(_._2) === Array((1L to 40L).toSet, (41L to 60L).toSet,
+      (61L to 90L).toSet),
+      s"one version per micro-batch in commit order, got ${got.toSeq.map(_._2.size)}")
+  }
+
+  test("streaming: restart resumes from the checkpoint, delivering only new versions") {
+    import spark.implicits._
+    val root = tmp("glresume")
+    val cp = tmp("glresume_cp")
+    TableLog.overwrite((1L to 10L).map(i => (i, i)).toDF("k", "v"), root) // v1
+    TableLog.append((11L to 20L).map(i => (i, i)).toDF("k", "v"), root)  // v2
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Set[Long]]()
+    def run(): Unit = {
+      val q = spark.readStream.format("graftlog").load(root)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", cp)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          seen.add(b.select("k").as[Long](
+            org.apache.spark.sql.Encoders.scalaLong).collect().toSet)
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(seen.toArray(Array.empty[Set[Long]]).flatten.toSet == (1L to 20L).toSet)
+    seen.clear()
+    TableLog.append((21L to 30L).map(i => (i, i)).toDF("k", "v"), root)  // v3
+    run()
+    val second = seen.toArray(Array.empty[Set[Long]])
+    assert(second.flatten.toSet == (21L to 30L).toSet,
+      s"restart must deliver ONLY the new version, got ${second.toSeq}")
+  }
+
+  test("streaming rewrite policies: fail throws typed; skip skips; deliverAdds redelivers") {
+    import spark.implicits._
+    val root = tmp("glpolicy")
+    TableLog.overwrite((1L to 20L).map(i => (i, i)).toDF("k", "v"), root) // v1
+    TableLog.delete(spark, root, col("k") <= 5L)                          // v2: rewrite
+    TableLog.append(Seq((21L, 21L)).toDF("k", "v"), root)                 // v3
+    def collectWith(policy: String): Seq[Set[Long]] = {
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[Set[Long]]()
+      val q = spark.readStream.format("graftlog")
+        .option("onRewrite", policy).load(root)
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          seen.add(b.select("k").as[Long](
+            org.apache.spark.sql.Encoders.scalaLong).collect().toSet)
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      seen.toArray(Array.empty[Set[Long]]).toSeq
+    }
+    // fail: the rewrite version kills the query with the typed error
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      collectWith("fail")
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+    assert(chain(ex).exists(
+      _.isInstanceOf[graft.streaming.LogTail.NonAppendVersionException]),
+      s"fail policy must surface the typed error, got $ex")
+    // skip: v1 and v3 arrive, the rewrite delivers nothing
+    assert(collectWith("skip").filter(_.nonEmpty)
+      .map(_.toSeq.sorted) == Seq((1L to 20L).toSeq, Seq(21L)))
+    // deliverAdds: the rewrite's re-added survivors are redelivered
+    // (at-least-once, Delta's ignoreChanges contract)
+    assert(collectWith("deliverAdds").filter(_.nonEmpty)
+      .map(_.toSeq.sorted) == Seq((1L to 20L).toSeq, (6L to 20L).toSeq, Seq(21L)))
+  }
+}

@@ -654,7 +654,7 @@ class TableLogSpec extends AnyFunSuite {
     TableLog.append(Seq((6L, "a")).toDF("k", "c"), root) // v5: dup of v1
     val out = LogTail.consumeVersions[(Long, String), (Long, Boolean)](
       spark, root, 0L,
-      df => df.select(col("k"), col("c")).orderBy(col("k"))
+      df => df.select(col("k"), col("c"))
         .as[(Long, String)])(ds =>
         graft.streaming.CurationStream.exactKeepStream(
           ds.toDF("doc_id", "content"), "doc_id", "content"))
@@ -809,6 +809,100 @@ class TableLogSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       TableLog.readAppended(spark, root, v2 - 1, v2)
     }
+  }
+
+  test("commit rebase: disjoint writers auto-rebase; true overlap throws typed") {
+    import spark.implicits._
+    // drive through the NON-FILESYSTEM store: the rebase logic must live in
+    // the protocol, not in any rename/filesystem property
+    spark.conf.set(LogStore.ConfKey, classOf[MemLogStore].getName)
+    try {
+      MemLogStore.clear()
+      val root = tmp("trebase_mem")
+      val df = (k: Long) => (1L to 20L).map(i => (i * 10 + k, k)).toDF("k", "v")
+      TableLog.overwrite(df(0).repartition(4), root) // v1: 4 files
+      val f = TableLog.manifestEntries(spark, root).head.path
+      // DISJOINT: intervening append (new files only) vs a delete of f —
+      // rebases automatically and equals the serial execution
+      val stagedDelete = Seq.empty[TableLog.Entry]
+      TableLog.append(df(1).coalesce(1), root)       // v2 lands first
+      val v3 = TableLog.commitDeltaRebasing(spark, root, stagedDelete,
+        Seq(f), basedOn = 1L, _ => Seq("op:delete"))
+      assert(v3 == 3L, "disjoint delete must rebase to the next version")
+      val survivors = TableLog.read(spark, root).select("k").as[Long]
+        .collect().toSet
+      val v1Rows = TableLog.read(spark, root, Some(1L)).select("k").as[Long]
+        .collect().toSet
+      val v2New = df(1).select("k").as[Long].collect().toSet
+      assert((survivors intersect v2New) == v2New,
+        "WriteSerializable: the concurrent append's rows survive the rebased delete")
+      assert(survivors.subsetOf(v1Rows union v2New) && survivors != (v1Rows union v2New),
+        "the delete's own file must be gone")
+      // TRUE OVERLAP: an intervening compact that rewrote this writer's
+      // file — the rebase must refuse with the typed conflict
+      val g = TableLog.manifestEntries(spark, root)
+        .filter(_.path.startsWith(f.split('/').head)).head.path
+      val head = TableLog.headVersion(spark, root).get
+      TableLog.compact(spark, root, targetBytes = 1L << 30) // rewrites all
+      val ex = intercept[TableLog.CommitConflictException] {
+        TableLog.commitDeltaRebasing(spark, root, Nil, Seq(g),
+          basedOn = head, _ => Seq("op:delete"))
+      }
+      assert(ex.getMessage.contains("cannot rebase"), ex.getMessage)
+    } finally {
+      spark.conf.unset(LogStore.ConfKey)
+      MemLogStore.clear()
+    }
+  }
+
+  test("rebased append recomputes schema evolution against the head it lands on") {
+    import spark.implicits._
+    spark.conf.set(LogStore.ConfKey, classOf[ConflictOnceStore].getName)
+    try {
+      MemLogStore.clear()
+      val root = tmp("tschemarace")
+      TableLog.overwrite((1L to 10L).map(i => (i, i)).toDF("k", "v"), root) // v1
+      val schemaA = org.apache.spark.sql.types.StructType(
+        TableLog.schemaOf(spark, root).get.fields :+
+          org.apache.spark.sql.types.StructField("a",
+            org.apache.spark.sql.types.LongType))
+      // writer B's competing v2: an (empty) append evolving the schema
+      // with column a — injected to win the CAS the moment writer A tries
+      ConflictOnceStore.arm("/v2.manifest",
+        s"#format:2\n#op:append\n#schema:${schemaA.json}\n")
+      // writer A appends column b; its first commit loses, the rebase
+      // recomputes evolution against B's head
+      TableLog.append(Seq((11L, 11L, 111L)).toDF("k", "v", "b"), root)
+      val head = TableLog.schemaOf(spark, root).get.fieldNames.toSeq
+      assert(head == Seq("k", "v", "a", "b"),
+        s"BOTH concurrent writers' columns must survive the rebase: $head")
+      val rows = TableLog.read(spark, root)
+      assert(rows.count() == 11L &&
+        rows.filter(col("b").isNotNull).count() == 1L)
+    } finally {
+      spark.conf.unset(LogStore.ConfKey)
+      MemLogStore.clear()
+    }
+  }
+
+  test("SQL TVFs: graft_log time travel + graft_log_history as pure SQL") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val root = tmp("ttvf")
+    TableLog.overwrite((1L to 10L).map(i => (i, i)).toDF("k", "v"), root)  // v1
+    TableLog.append((11L to 15L).map(i => (i, i)).toDF("k", "v"), root)    // v2
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_log('$root', 1)")
+      .head().getLong(0) == 10L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_log('$root')")
+      .head().getLong(0) == 15L)
+    // composes like any relation: filters/joins/aggregates over the TVF
+    assert(spark.sql(
+      s"SELECT sum(v) AS s FROM graft_log('$root') WHERE k > 10")
+      .head().getLong(0) == (11L to 15L).sum)
+    val hist = spark.sql(
+      s"SELECT version, op FROM graft_log_history('$root') ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(hist == Seq((1L, "overwrite"), (2L, "append")))
   }
 
   test("vacuum sweeps epoch markers at or below the horizon checkpoint's epochmax") {
