@@ -2333,6 +2333,34 @@ object SparkEntry {
       TableLog.read(s, root).orderBy(col("doc_id"))
     }),
 
+    // TYPED MANIFEST STATS (TableLog `t:` tokens) — the most common real
+    // predicate is a TIME RANGE, and before round 15 only long columns
+    // could skip at the manifest layer. The table is range-clustered on
+    // o_orderdate; per-file (min, max) ride TYPED in the manifest
+    // (timestamp as epoch micros, double as IEEE, string prefix-truncated
+    // with the round-up soundness rule), and a plain .filter() with a
+    // timestamp range + a double threshold + a string equality prunes
+    // whole files at the PLANNING layer through the format("graftlog")
+    // relation. Soundness gate (the q212 discipline): the filtered read
+    // must equal the plain derivation; the planned-files shrink per kind
+    // is TableLogSpec/GraftLogSourceSpec's.
+    "q230_typed_skipping" -> ((s, d) => {
+      import graft.sources.TableLog
+      val orders = t(s, d, "orders")
+      val root = logRoot(s, d, "ttyped")
+      TableLog.overwriteWithStats(
+        orders.select(col("o_orderkey"), col("o_orderdate"),
+            col("o_totalprice"), col("o_orderpriority"))
+          .repartitionByRange(8, col("o_orderdate")),
+        root, "o_orderdate", "o_totalprice", "o_orderpriority")
+      s.read.format("graftlog").load(root)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz") &&
+          col("o_totalprice") > 150000.0 &&
+          col("o_orderpriority") === "1-URGENT")
+        .orderBy(col("o_orderkey"))
+    }),
+
     // TRAINED language ID (Corpus.langIdTrained) — q19's heuristic upgraded
     // to a model through the engine's own gated machinery: hashedEmbedding
     // features, per-language centroid TRAINING as one aggregation, q198's
@@ -5533,6 +5561,16 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, n_chars, CAST(2 AS BIGINT) AS version FROM documents
         |ORDER BY version, doc_id""".stripMargin,
+
+    // typed-stat pruning must be invisible to semantics — the plain filter
+    "q230_typed_skipping" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice, o_orderpriority
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND o_totalprice > 150000.0
+        |  AND o_orderpriority = '1-URGENT'
+        |ORDER BY o_orderkey""".stripMargin,
 
     // the rebased head must equal the serial execution: all three thirds
     "q229_commit_rebase" ->

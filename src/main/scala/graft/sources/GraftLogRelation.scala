@@ -100,18 +100,25 @@ private[graft] class GraftLogFileIndex(
         case Some(pred) => groups.filter { case (row, _) => pred.eval(row) }
       }
     // manifest-stat skipping: conservative per-column bounds implied by the
-    // pushed data filters vs each file's recorded (min, max). A file with
-    // no stats on a bounded column is always read — skipping stays sound.
-    val bounds = dataFilters.reduceOption(And) match {
-      case None => Map.empty[String, (Option[Long], Option[Long])]
+    // pushed data filters vs each file's recorded (min, max) — long stats
+    // for integral columns, TYPED stats (string/double/timestamp/date) for
+    // the rest. A file with no stats on a bounded column is always read —
+    // skipping stays sound.
+    val (bounds, tbounds) = dataFilters.reduceOption(And) match {
+      case None => (Map.empty[String, (Option[Long], Option[Long])],
+        Map.empty[String, (String, Option[String], Option[String])])
       case Some(e) =>
-        try TableLog.predicateBounds(e) catch { case NonFatal(_) => Map.empty }
+        (try TableLog.predicateBounds(e) catch { case NonFatal(_) => Map.empty },
+         try TableLog.predicateTypedBounds(e) catch { case NonFatal(_) => Map.empty })
     }
     kept.map { case (row, es) =>
       val live =
-        if (bounds.isEmpty) es
-        else es.filterNot(e => bounds.exists { case (c, b) =>
-          e.stats.get(c).exists(TableLog.statDisjoint(_, b)) })
+        if (bounds.isEmpty && tbounds.isEmpty) es
+        else es.filterNot(e =>
+          bounds.exists { case (c, b) =>
+            e.stats.get(c).exists(TableLog.statDisjoint(_, b)) } ||
+          tbounds.exists { case (c, b) =>
+            e.tstats.get(c).exists(TableLog.typedStatDisjoint(_, b)) })
       PartitionDirectory(row, live.map(status).toArray)
     }.filter(_.files.nonEmpty)
   }

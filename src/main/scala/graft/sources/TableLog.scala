@@ -106,13 +106,21 @@ object TableLog {
     * COUNT surface of [[rowCounts]]); `dvs` lists the file's DELETION
     * VECTORS (`d:` tokens) — sidecar (row_index) sets a reader must
     * anti-join away, stacking across successive [[deleteVectors]] commits
-    * until a rewrite materializes them.
+    * until a rewrite materializes them; `tstats` are the TYPED per-file
+    * (min, max) stats (`t:` tokens) for non-integral columns — column →
+    * (kind, lo, hi) with kind ∈ s (string, code-point order — equals
+    * UTF8String's byte order), d (double, IEEE with NaN greatest — Spark's
+    * ordering), t (timestamp, epoch micros), D (date, epoch days). String
+    * maxima may be PREFIX-TRUNCATED with the last code point rounded UP
+    * (recorded max ≥ true max — the soundness rule), minima plain-truncated
+    * (recorded min ≤ true min).
     */
   final case class Entry(path: String, bytes: Option[Long],
     stats: Map[String, (Long, Long)] = Map.empty,
     partition: Map[String, String] = Map.empty,
     rows: Option[Long] = None,
-    dvs: Seq[String] = Nil)
+    dvs: Seq[String] = Nil,
+    tstats: Map[String, (String, String, String)] = Map.empty)
 
   /** Commits between checkpoints (`v<N>.checkpoint` every N commits).
     * Smaller = cheaper old-version reads, more metadata files; the default
@@ -213,6 +221,7 @@ object TableLog {
     val bytes = t.lift(1).filter(_ != "?").map(_.toLong)
     var part = Map.empty[String, String]
     var stats = Map.empty[String, (Long, Long)]
+    var tstats = Map.empty[String, (String, String, String)]
     var rows = Option.empty[Long]
     var dvs = Seq.empty[String]
     t.drop(2).foreach { tok =>
@@ -226,11 +235,35 @@ object TableLog {
           if (r.length == 2)
             stats += kv.substring(0, i) -> ((r(0).toLong, r(1).toLong))
         }
+      } else if (tok.startsWith("t:")) {
+        val kv = tok.substring(2); val i = kv.indexOf('=')
+        if (i > 0) {
+          // split(-1): an escaped-empty lo/hi must not collapse the arity
+          val r = kv.substring(i + 1).split(":", -1)
+          if (r.length == 3)
+            tstats += kv.substring(0, i) ->
+              ((r(0), unescapePath(r(1)), unescapePath(r(2))))
+        }
       } else if (tok.startsWith("r:"))
         rows = scala.util.Try(tok.substring(2).toLong).toOption
       else if (tok.startsWith("d:")) dvs :+= tok.substring(2)
     }
-    Entry(t(0), bytes, stats, part, rows, dvs)
+    Entry(t(0), bytes, stats, part, rows, dvs, tstats)
+  }
+
+  /** Percent-escape a typed stat value for the tab/colon-delimited token
+    * layout (reversed by [[unescapePath]] — which decodes ANY %XX, so only
+    * the structural bytes need encoding here).
+    */
+  private def escapeStat(s: String): String = {
+    val needs = (c: Char) => c == '%' || c == ':' || c == '\t' ||
+      c == '\n' || c == '\r' || c == '='
+    if (!s.exists(needs)) s
+    else s.flatMap { c =>
+      if (needs(c)) c.toInt.toHexString.toUpperCase.reverse.padTo(2, '0')
+        .reverse.mkString("%", "", "")
+      else c.toString
+    }
   }
 
   private def fmtAdd(e: Entry): String =
@@ -238,7 +271,9 @@ object TableLog {
       e.rows.map(n => s"r:$n").toSeq ++
       e.dvs.map(d => s"d:$d") ++
       e.partition.toSeq.sortBy(_._1).map { case (k, v) => s"p:$k=$v" } ++
-      e.stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) => s"s:$c=$lo:$hi" })
+      e.stats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) => s"s:$c=$lo:$hi" } ++
+      e.tstats.toSeq.sortBy(_._1).map { case (c, (k, lo, hi)) =>
+        s"t:$c=$k:${escapeStat(lo)}:${escapeStat(hi)}" })
       .mkString("\t")
 
   // -------------------------------------------------------------------------
@@ -695,6 +730,14 @@ object TableLog {
     Seq("op:append") ++ extra ++ evolved.map("schema:" + _).toSeq ++ extraMeta
   }
 
+  /** Every column the snapshot tracks stats for (long or typed) — what a
+    * rewrite (delete/compact) must RE-COLLECT, or it silently degrades
+    * skipping on exactly the files it touched.
+    */
+  private def trackedStatCols(st: LogState): Seq[String] =
+    (st.entries.flatMap(_.stats.keys) ++ st.entries.flatMap(_.tstats.keys))
+      .distinct.sorted
+
   private[graft] def partColsOf(st: LogState): Seq[String] =
     st.partColsMeta.getOrElse(
       st.entries.headOption.map(_.partition.keys.toSeq.sorted)
@@ -759,8 +802,8 @@ object TableLog {
             .map(_.group(1) -> m)
       }
       files.map { e =>
-        byPath.get(e.path).fold(e) { case (stats, n) =>
-          e.copy(stats = stats, rows = Some(n))
+        byPath.get(e.path).fold(e) { case (stats, tstats, n) =>
+          e.copy(stats = stats, tstats = tstats, rows = Some(n))
         }
       }
     }
@@ -768,29 +811,105 @@ object TableLog {
   /** Per-file (min, max) stats of `statCols` + the ROW COUNT for
     * just-written `files`, keyed by the full scan URI. One aggregation
     * over the page-cached files. Columns that are all-NULL within a file
-    * yield no entry for that column.
+    * yield no entry for that column; a column's stat KIND is dispatched on
+    * its scanned type — integrals land in the long `stats` map (the
+    * pre-round-15 wire format, unchanged), strings/doubles/timestamps/
+    * dates land TYPED in `tstats` (strings prefix-truncated with the
+    * round-up soundness rule — see [[truncMax]]); anything else collects
+    * no stats (always read — sound).
     */
   private def collectStats(spark: SparkSession, root: String,
       files: Seq[Entry], statCols: Seq[String])
-      : Map[String, (Map[String, (Long, Long)], Long)] = {
+      : Map[String, (Map[String, (Long, Long)],
+          Map[String, (String, String, String)], Long)] = {
     import org.apache.spark.sql.functions._
-    val aggs = statCols.flatMap(c => Seq(
-      min(col(c)).cast("long").as(s"__lo_$c"),
-      max(col(c)).cast("long").as(s"__hi_$c"))) :+
+    import org.apache.spark.sql.types._
+    val scan = spark.read.parquet(files.map(f => s"$root/${f.path}"): _*)
+    val kinds: Seq[(String, String)] = statCols.flatMap { c =>
+      scan.schema.find(_.name == c).map(_.dataType).collect {
+        case ByteType | ShortType | IntegerType | LongType => c -> "l"
+        case FloatType | DoubleType => c -> "d"
+        case StringType => c -> "s"
+        case TimestampType => c -> "t"
+        // NTZ collects RAW (LocalDateTime) and converts to epoch micros on
+        // the driver — unix_micros is TZ-typed only, and a cast through
+        // TimestampType would shift by the session zone
+        case TimestampNTZType => c -> "n"
+        case DateType => c -> "D"
+      }
+    }
+    def probe(c: String, kind: String): Column = kind match {
+      case "l" => col(c).cast("long")
+      case "d" => col(c).cast("double")
+      case "t" => unix_micros(col(c))
+      case "D" => unix_date(col(c))
+      case _ => col(c)
+    }
+    def ntzMicros(v: Any): Long = {
+      val ldt = v.asInstanceOf[java.time.LocalDateTime]
+      ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        ldt.getNano / 1000L
+    }
+    val aggs = kinds.flatMap { case (c, k) => Seq(
+      min(probe(c, k)).as(s"__lo_$c"), max(probe(c, k)).as(s"__hi_$c")) } :+
       count(lit(1)).as("__n")
-    val rows = spark.read.parquet(files.map(f => s"$root/${f.path}"): _*)
-      .groupBy(input_file_name().as("__f"))
+    val rows = scan.groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
     rows.map { r =>
-      val m = statCols.zipWithIndex.flatMap { case (c, i) =>
+      var ls = Map.empty[String, (Long, Long)]
+      var ts = Map.empty[String, (String, String, String)]
+      kinds.zipWithIndex.foreach { case ((c, k), i) =>
         val lo = 1 + 2 * i; val hi = lo + 1
-        if (r.isNullAt(lo) || r.isNullAt(hi)) None
-        else Some(c -> ((r.getLong(lo), r.getLong(hi))))
-      }.toMap
-      r.getString(0) -> ((m, r.getLong(1 + 2 * statCols.size)))
+        if (!r.isNullAt(lo) && !r.isNullAt(hi)) k match {
+          case "l" => ls += c -> ((r.getLong(lo), r.getLong(hi)))
+          case "d" => ts += c ->
+            (("d", r.getDouble(lo).toString, r.getDouble(hi).toString))
+          case "s" => truncMax(r.getString(hi)).foreach(mx =>
+            ts += c -> (("s", truncMin(r.getString(lo)), mx)))
+          case "t" => ts += c ->
+            (("t", r.getLong(lo).toString, r.getLong(hi).toString))
+          case "n" => ts += c ->
+            (("t", ntzMicros(r.get(lo)).toString, ntzMicros(r.get(hi)).toString))
+          case "D" => ts += c ->
+            (("D", r.getInt(lo).toString, r.getInt(hi).toString))
+        }
+      }
+      r.getString(0) -> ((ls, ts, r.getLong(1 + 2 * kinds.size)))
     }.toMap
   }
+
+  /** Code points a string stat keeps before truncation. */
+  private[graft] val StatStringMaxCp = 64
+
+  /** A string MIN stat: plain prefix truncation (a prefix is ≤ the value
+    * in code-point order, which is UTF8String's byte order — sound).
+    */
+  private[graft] def truncMin(s: String): String =
+    if (s.codePointCount(0, s.length) <= StatStringMaxCp) s
+    else s.substring(0, s.offsetByCodePoints(0, StatStringMaxCp))
+
+  /** A string MAX stat: the value itself when short; otherwise the
+    * truncated prefix with its last incrementable code point ROUNDED UP
+    * (skipping the surrogate gap), which is ≥ every string sharing the
+    * prefix — the max must round UP or skipping would drop matching
+    * files. None when no upper bound exists (a prefix of all U+10FFFF) —
+    * the caller then records no stat for the column (always read, sound).
+    */
+  private[graft] def truncMax(s: String): Option[String] =
+    if (s.codePointCount(0, s.length) <= StatStringMaxCp) Some(s)
+    else {
+      val cps = s.codePoints().limit(StatStringMaxCp.toLong).toArray
+      var i = cps.length - 1
+      while (i >= 0) {
+        if (cps(i) < 0x10FFFF) {
+          val inc = if (cps(i) == 0xD7FF) 0xE000 else cps(i) + 1
+          return Some(new String(cps.take(i) :+ inc, 0, i + 1))
+        }
+        i -= 1
+      }
+      None
+    }
 
   /** Read the table at `version` (default: newest committed snapshot).
     * The recorded schema drives the read: files from BEFORE an additive
@@ -1063,11 +1182,14 @@ object TableLog {
           f.condition
       }
     val bounds = cond.map(predicateBounds).getOrElse(Map.empty)
+    val tbounds = cond.map(predicateTypedBounds).getOrElse(Map.empty)
     val eqStrings = cond.map(predicateEqStrings).getOrElse(Map.empty)
     val touched = st.entries.filterNot(e =>
       bounds.exists { case (c, b) => e.stats.get(c).exists(statDisjoint(_, b)) } ||
+        tbounds.exists { case (c, b) =>
+          e.tstats.get(c).exists(typedStatDisjoint(_, b)) } ||
         partitionDisjoint(e, bounds, eqStrings))
-    val statCols = st.entries.flatMap(_.stats.keys).distinct.sorted
+    val statCols = trackedStatCols(st)
     val partCols = partColsOf(st)
     val rewritten =
       if (touched.isEmpty) Seq.empty
@@ -1122,9 +1244,12 @@ object TableLog {
           f.condition
       }
     val bounds = cond.map(predicateBounds).getOrElse(Map.empty)
+    val tbounds = cond.map(predicateTypedBounds).getOrElse(Map.empty)
     val eqStrings = cond.map(predicateEqStrings).getOrElse(Map.empty)
     val touched = st.entries.filterNot(e =>
       bounds.exists { case (c, b) => e.stats.get(c).exists(statDisjoint(_, b)) } ||
+        tbounds.exists { case (c, b) =>
+          e.tstats.get(c).exists(typedStatDisjoint(_, b)) } ||
         partitionDisjoint(e, bounds, eqStrings))
     if (touched.isEmpty)
       return commitDeltaRebasing(spark, root, Nil, Nil, head.get,
@@ -1317,6 +1442,127 @@ object TableLog {
     }
   }
 
+  /** Conservative per-column TYPED bounds implied by a predicate — the
+    * string/double/timestamp/date companion of [[predicateBounds]]: every
+    * matching row must have `col ∈ [lo, hi]` in the column kind's order,
+    * values carried in the same canonical encoding as [[Entry.tstats]]
+    * (string raw, double via Double.toString, timestamp epoch micros,
+    * date epoch days). Direct attribute-vs-literal comparisons only (no
+    * cast-seeing — the analyzer folds literal-side casts before this
+    * runs); AND intersects, OR hulls, kind mismatches drop out. Same
+    * superset discipline: the result always covers the matching region.
+    */
+  private[graft] def predicateTypedBounds(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Map[String, (String, Option[String], Option[String])] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.types.{DateType, DoubleType, FloatType, StringType, TimestampNTZType, TimestampType}
+    import org.apache.spark.unsafe.types.UTF8String
+    type TB = (String, Option[String], Option[String])
+    def attrOf(x: Expression): Option[String] = x match {
+      case a: UnresolvedAttribute => Some(a.name)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    // any FOLDABLE expression of a supported type contributes — an
+    // ANALYZED (not yet constant-folded) predicate still carries
+    // cast('1997-01-01' as timestamp) / to_timestamp(...) shapes, and the
+    // delete triage walks analyzed conditions
+    def litOf(x: Expression): Option[(String, String)] =
+      if (!x.resolved || !x.foldable) None
+      else (scala.util.Try(x.eval()).getOrElse(null), x.dataType) match {
+        case (null, _) => None
+        case (v: UTF8String, StringType) => Some(("s", v.toString))
+        case (v, DoubleType) => Some(("d", v.asInstanceOf[Double].toString))
+        case (v, FloatType) =>
+          Some(("d", v.asInstanceOf[Float].toDouble.toString))
+        case (v, TimestampType) => Some(("t", v.toString))
+        // NTZ values carry epoch micros too — same kind, same order
+        case (v, TimestampNTZType) => Some(("t", v.toString))
+        case (v, DateType) => Some(("D", v.toString))
+        case _ => None
+      }
+    def cmp(l: Expression, r: Expression,
+        attrOp: (String, String) => TB,
+        litOp: (String, String) => TB): Map[String, TB] =
+      (attrOf(l), litOf(r), attrOf(r), litOf(l)) match {
+        case (Some(n), Some((k, v)), _, _) => Map(n -> attrOp(k, v))
+        case (_, _, Some(n), Some((k, v))) => Map(n -> litOp(k, v))
+        case _ => Map.empty
+      }
+    def pick(k: String, a: Option[String], b: Option[String],
+        takeMax: Boolean): Option[String] = (a, b) match {
+      case (Some(x), Some(y)) =>
+        val c = typedCompare(k, x, y)
+        Some(if ((c >= 0) == takeMax) x else y)
+      case _ => a.orElse(b)
+    }
+    def intersect(a: Map[String, TB], b: Map[String, TB]): Map[String, TB] =
+      (a.keySet ++ b.keySet).flatMap { key =>
+        (a.get(key), b.get(key)) match {
+          case (Some((ka, alo, ahi)), Some((kb, blo, bhi))) =>
+            if (ka != kb) None // mismatched kinds: drop the column
+            else Some(key -> ((ka, pick(ka, alo, blo, takeMax = true),
+              pick(ka, ahi, bhi, takeMax = false))))
+          case (x, y) => x.orElse(y).map(key -> _)
+        }
+      }.toMap
+    def hull(a: Map[String, TB], b: Map[String, TB]): Map[String, TB] =
+      (a.keySet intersect b.keySet).flatMap { key =>
+        val (ka, alo, ahi) = a(key); val (kb, blo, bhi) = b(key)
+        if (ka != kb) None
+        else {
+          val lo = for { x <- alo; y <- blo }
+            yield if (typedCompare(ka, x, y) <= 0) x else y
+          val hi = for { x <- ahi; y <- bhi }
+            yield if (typedCompare(ka, x, y) >= 0) x else y
+          if (lo.isEmpty && hi.isEmpty) None else Some(key -> ((ka, lo, hi)))
+        }
+      }.toMap
+    e match {
+      case And(l, r) => intersect(predicateTypedBounds(l), predicateTypedBounds(r))
+      case Or(l, r) => hull(predicateTypedBounds(l), predicateTypedBounds(r))
+      case GreaterThan(l, r) =>
+        cmp(l, r, (k, v) => (k, Some(v), None), (k, v) => (k, None, Some(v)))
+      case GreaterThanOrEqual(l, r) =>
+        cmp(l, r, (k, v) => (k, Some(v), None), (k, v) => (k, None, Some(v)))
+      case LessThan(l, r) =>
+        cmp(l, r, (k, v) => (k, None, Some(v)), (k, v) => (k, Some(v), None))
+      case LessThanOrEqual(l, r) =>
+        cmp(l, r, (k, v) => (k, None, Some(v)), (k, v) => (k, Some(v), None))
+      case EqualTo(l, r) =>
+        cmp(l, r, (k, v) => (k, Some(v), Some(v)), (k, v) => (k, Some(v), Some(v)))
+      case _ => Map.empty
+    }
+  }
+
+  /** Order two typed stat values of `kind` — the SAME order the stats were
+    * collected under: strings byte-wise as UTF-8 (code-point order, what
+    * Spark's min/max over UTF8String uses — NOT Java String.compareTo,
+    * which diverges above the BMP), doubles IEEE with NaN greatest
+    * (Spark's ordering), timestamps/dates as longs.
+    */
+  private[graft] def typedCompare(kind: String, a: String, b: String): Int =
+    kind match {
+      case "s" => org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+      case "d" => java.lang.Double.compare(a.toDouble, b.toDouble)
+      case _ => java.lang.Long.compare(a.toLong, b.toLong)
+    }
+
+  /** Typed file stats (kind, mn, mx) provably miss bound (kind, lo, hi)?
+    * A kind mismatch never skips (sound).
+    */
+  private[graft] def typedStatDisjoint(stat: (String, String, String),
+      b: (String, Option[String], Option[String])): Boolean = {
+    val (kind, mn, mx) = stat
+    val (bk, lo, hi) = b
+    kind == bk && (
+      lo.exists(l => typedCompare(kind, mx, l) < 0) ||
+      hi.exists(h => typedCompare(kind, mn, h) > 0))
+  }
+
   private def maxOpt(a: Option[Long], b: Option[Long]): Option[Long] =
     (a, b) match { case (Some(x), Some(y)) => Some(math.max(x, y))
       case _ => a.orElse(b) }
@@ -1406,8 +1652,7 @@ object TableLog {
         val files =
           if (partCols.nonEmpty) writeDataPartitioned(df, root, partCols)
           else writeData(df, root)
-        withStats(spark, root, files,
-          st.entries.flatMap(_.stats.keys).distinct.sorted)
+        withStats(spark, root, files, trackedStatCols(st))
       }
     // a lost CAS rebases iff nothing touched the compacted smalls —
     // concurrent appends land untouched next to the compaction

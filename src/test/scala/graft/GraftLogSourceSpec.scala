@@ -92,6 +92,61 @@ class GraftLogSourceSpec extends AnyFunSuite {
     assert(want.nonEmpty && got.sameElements(want))
   }
 
+  test("typed stats: timestamp / double / string filters each shrink the planned files") {
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+        col("o_orderpriority"))
+    val root = tmp("gltyped")
+    TableLog.overwriteWithStats(
+      orders.repartitionByRange(8, col("o_orderdate")),
+      root, "o_orderdate", "o_totalprice", "o_orderpriority")
+    // the manifest carries typed tokens for all three kinds
+    val es = TableLog.manifestEntries(spark, root)
+    assert(es.forall(e => e.tstats.get("o_orderdate").exists(_._1 == "t") &&
+      e.tstats.get("o_totalprice").exists(_._1 == "d") &&
+      e.tstats.get("o_orderpriority").exists(_._1 == "s")),
+      s"typed stats must ride in the manifest: ${es.head.tstats}")
+    val base = spark.read.format("graftlog").load(root)
+    val all = plannedFiles(base)
+    // timestamp range: the table is ts-clustered, so the window prunes hard
+    val tsPruned = plannedFiles(base.filter(
+      col("o_orderdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz")))
+    assert(tsPruned < all, s"timestamp-range skipping must engage: $tsPruned / $all")
+    // a range OUTSIDE the data prunes everything
+    assert(plannedFiles(base.filter(
+      col("o_orderdate") >= lit("2050-01-01").cast("timestamp_ntz"))) == 0)
+    assert(plannedFiles(base.filter(col("o_totalprice") > 1e12)) == 0,
+      "double stats must skip an impossible threshold")
+    assert(plannedFiles(base.filter(col("o_orderpriority") > "9")) == 0,
+      "string stats must skip an impossible range")
+    // soundness: ts-window read ≡ plain derivation
+    val want = orders.filter(
+      col("o_orderdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+      .collect().map(_.toString).sorted
+    val got = base.filter(
+      col("o_orderdate") >= lit("1997-01-01").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+      .collect().map(_.toString).sorted
+    assert(want.nonEmpty && got.sameElements(want))
+    // typed triage makes a TIME-RANGE DELETE surgical: files provably
+    // outside the window are kept by reference (entry identity)
+    val before = TableLog.manifestEntries(spark, root)
+    TableLog.delete(spark, root,
+      col("o_orderdate") < lit("1996-01-01").cast("timestamp_ntz"))
+    val after = TableLog.manifestEntries(spark, root)
+    val keptByRef = before.count(after.contains)
+    assert(keptByRef > 0 && keptByRef < before.size,
+      s"typed triage must keep provably-clean files by reference: " +
+        s"$keptByRef of ${before.size}")
+    val wantDel = orders.filter(
+      !(col("o_orderdate") < lit("1996-01-01").cast("timestamp_ntz")))
+      .collect().map(_.toString).sorted
+    assert(TableLog.read(spark, root).collect().map(_.toString).sorted
+      .sameElements(wantDel))
+  }
+
   test("DV snapshot: format read falls back and stays exact; DV-free head is native again") {
     import spark.implicits._
     val root = tmp("gldv")

@@ -905,6 +905,39 @@ class TableLogSpec extends AnyFunSuite {
     assert(hist == Seq((1L, "overwrite"), (2L, "append")))
   }
 
+  test("typed stats: token roundtrip with escaping; string truncation rounds max UP") {
+    import spark.implicits._
+    // roundtrip: string stat values carrying the token's structural bytes
+    // (colon, tab, '=', '%') must survive manifest write → parse
+    val root = tmp("ttokens")
+    val nasty = Seq((1L, "a:b\tc=d%e"), (2L, "z:z\tz=z%z"))
+      .toDF("k", "s")
+    TableLog.overwriteWithStats(nasty.coalesce(1), root, "s")
+    val e = TableLog.manifestEntries(spark, root).head
+    assert(e.tstats("s") == (("s", "a:b\tc=d%e", "z:z\tz=z%z")),
+      s"escaped stat values must roundtrip: ${e.tstats}")
+    // truncation: min is a plain prefix (≤ everything it stands for), max
+    // rounds its last code point UP (≥ everything it stands for)
+    val long1 = "x" * 100
+    assert(TableLog.truncMin(long1) == "x" * 64)
+    assert(TableLog.truncMax(long1).contains("x" * 63 + "y"))
+    // the bound must dominate ANY continuation of the prefix, in the
+    // UTF8String (code point) order the comparator uses
+    val continuation = "x" * 64 + "􏿿" // prefix + U+10FFFF
+    assert(TableLog.typedCompare("s",
+      TableLog.truncMax(long1).get, continuation) > 0,
+      "rounded-up max must dominate every continuation")
+    // surrogate gap: 0xD7FF rounds up to 0xE000, never into D800..DFFF
+    val edge = ("x" * 63) + "퟿" + ("y" * 50)
+    assert(TableLog.truncMax(edge).contains(("x" * 63) + ""))
+    // an un-incrementable prefix yields NO max (always read — sound)
+    val top = "􏿿".repeat(70) // 70 × U+10FFFF
+    assert(TableLog.truncMax(top).isEmpty)
+    // short strings stay exact
+    assert(TableLog.truncMax("abc").contains("abc") &&
+      TableLog.truncMin("abc") == "abc")
+  }
+
   test("vacuum sweeps epoch markers at or below the horizon checkpoint's epochmax") {
     import spark.implicits._
     val root = tmp("tmark")
