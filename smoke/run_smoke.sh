@@ -1,8 +1,11 @@
 #!/usr/bin/env bash
-# Live smoke for the kafka-source + jdbc-sink branches (graft.tools.LiveSmoke):
-# brings up one Kafka broker + Postgres (docker-compose.yml here), publishes a
-# seeded tape to the four reference topics, ingests kafka -> postgres through
-# IngestJobs, and verifies row counts over jdbc. Requires docker + network
+# Live smoke for the kafka-source + jdbc-sink + table-log branches
+# (graft.tools.LiveSmoke): brings up one Kafka broker + Postgres
+# (docker-compose.yml here), publishes a seeded tape to the four reference
+# topics, ingests kafka -> postgres through IngestJobs AND kafka ->
+# commit-log -> graftlog streaming tail (the exactly-once append +
+# versions-as-offsets loop), verifying row counts both ways. Requires
+# docker + network
 # access (spark-submit resolves the kafka connector and Postgres driver via
 # --packages), so it CANNOT run in the zero-egress build sandbox — run it on
 # any networked host with the repo's assembled classes.

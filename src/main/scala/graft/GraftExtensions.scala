@@ -71,7 +71,9 @@ object GraftExtensions {
     ("graft_hashscore", "graft_hashscore(tokens, weights) - hashing-trick linear score sum(weights[h(tok) % dim])",
       (es: Seq[Expression]) => HashFeatScore(es(0), es(1))),
     ("graft_hashvec", "graft_hashvec(tokens, dim) - hashing-trick bag-of-words integer count vector",
-      (es: Seq[Expression]) => HashCountVec(es(0), es(1))))
+      (es: Seq[Expression]) => HashCountVec(es(0), es(1))),
+    ("graft_dv_live", "graft_dv_live(file, ri, files, offsets, runs) - deletion-vector run-set miss test",
+      (es: Seq[Expression]) => graft.functions.DvLive(es(0), es(1), es(2), es(3), es(4))))
 
   /** TABLE-VALUED functions — the pure-SQL surface of the commit log: time
     * travel and the maintenance/audit views were Scala-only before round

@@ -943,6 +943,21 @@ object TableLog {
     * `withPos = true` keeps the `__file`/`__ri` helper columns in the
     * output (the [[deleteVectors]] build side).
     */
+  /** Positions above which deletion vectors are applied as the
+    * distributed ANTI-JOIN instead of the inline run-set filter: the
+    * inline path collects the sidecars to the driver once and ships
+    * run-length pairs as plan literals — per-row membership is two binary
+    * searches, zero shuffle — which is the right trade up to millions of
+    * positions; a 10⁹-row delete keeps the join. Runs compress contiguous
+    * deletes (a range delete over clustered data is ONE pair), so the
+    * plan-literal cost is O(runs), far below O(positions) in practice.
+    */
+  val DvInlineMaxRowsKey = "spark.graft.dv.inline.maxRows"
+
+  private def dvInlineMaxRows(spark: SparkSession): Long =
+    spark.conf.getOption(DvInlineMaxRowsKey).map(_.toLong)
+      .getOrElse(4000000L)
+
   private[graft] def readEntrySet(spark: SparkSession, root: String,
       entries: Seq[Entry], schemaJson: Option[String],
       withPos: Boolean = false): DataFrame = {
@@ -954,10 +969,53 @@ object TableLog {
       if (dvPaths.isEmpty) raw
       else {
         val dv = spark.read.parquet(dvPaths.map(p => s"$root/$p"): _*)
-          .select(col("file").as("__file"), col("ri").as("__ri")).distinct()
-        raw.join(dv, Seq("__file", "__ri"), "left_anti")
+          .select(col("file"), col("ri"))
+        // positions count is footer metadata — no data read
+        val inline = dv.count() <= dvInlineMaxRows(spark)
+        if (inline) {
+          val (files, offsets, runs) = dvRuns(dv.collect())
+          graft.functions.GraftFunctions.register(spark)
+          raw.filter(call_function("graft_dv_live",
+            col("__file"), col("__ri"),
+            lit(files), lit(offsets), lit(runs)))
+        } else
+          raw.join(dv.select(col("file").as("__file"), col("ri").as("__ri"))
+            .distinct(), Seq("__file", "__ri"), "left_anti")
       }
     if (withPos) undeleted else undeleted.drop("__file", "__ri")
+  }
+
+  /** Pack collected (file, ri) positions into the [[graft.functions.DvLive]]
+    * literal triple: sorted file keys, per-file run-pair offsets, flat
+    * [start, endExclusive) runs (adjacent row indexes coalesce).
+    */
+  private def dvRuns(rows: Array[Row])
+      : (Array[String], Array[Long], Array[Long]) = {
+    val byFile = rows.groupBy(_.getString(0)).toArray.sortBy(_._1)(
+      // UTF8 byte order — the same order DvLive's binary search uses
+      Ordering.comparatorToOrdering(
+        (a: String, b: String) =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(a)
+            .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))))
+    val files = byFile.map(_._1)
+    val offsets = new Array[Long](files.length + 1)
+    val runs = Array.newBuilder[Long]
+    var pairs = 0L
+    byFile.zipWithIndex.foreach { case ((_, rs), i) =>
+      offsets(i) = pairs
+      val ris = rs.map(_.getLong(1)).distinct.sorted
+      var j = 0
+      while (j < ris.length) {
+        val start = ris(j)
+        var end = start + 1
+        while (j + 1 < ris.length && ris(j + 1) == end) { j += 1; end += 1 }
+        runs += start; runs += end
+        pairs += 1
+        j += 1
+      }
+    }
+    offsets(files.length) = pairs
+    (files, offsets, runs.result())
   }
 
   private def buildEntryFrame(spark: SparkSession, root: String,

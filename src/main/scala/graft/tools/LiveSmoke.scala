@@ -68,6 +68,35 @@ object LiveSmoke {
       if (!ok) failed = true
       println(s"${if (ok) "PASS" else "FAIL"} $table: jdbc rows $got, published $want")
     }
+
+    // r15: the TABLE-LOG surface on the live broker — kafka ingest →
+    // exactly-once commit-log append (TableLog.appendStream, epoch tokens
+    // in the manifest) → graftlog streaming tail (versions as offsets,
+    // one version per micro-batch, rows never on the driver). The loop
+    // ingest → commit → tail, end to end against real Kafka.
+    val logRoot = java.nio.file.Files
+      .createTempDirectory("graft_smoke_log").toString
+    val appendQ = graft.sources.TableLog.appendStream(
+      graft.streaming.Ingest.prices(src("prices")), logRoot,
+      java.nio.file.Files.createTempDirectory("graft_smoke_logck").toString)
+    appendQ.processAllAvailable(); appendQ.stop()
+    val committed = graft.sources.TableLog.read(spark, logRoot).count()
+    val tailed = new java.util.concurrent.atomic.AtomicLong(0L)
+    val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+    val tailQ = spark.readStream.format("graftlog").load(logRoot)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        tailed.addAndGet(b.count()); batches.incrementAndGet(); ()
+      }.start()
+    tailQ.processAllAvailable(); tailQ.stop()
+    val versions = graft.sources.TableLog.versions(spark, logRoot).size
+    val logOk = committed == tape.prices.size.toLong &&
+      tailed.get() == committed && batches.get() == versions.toLong
+    if (!logOk) failed = true
+    println(s"${if (logOk) "PASS" else "FAIL"} tablelog: committed " +
+      s"$committed of ${tape.prices.size} published, tailed ${tailed.get()} " +
+      s"across ${batches.get()} micro-batches ($versions versions)")
+
     spark.stop()
     if (failed) sys.exit(1)
   }

@@ -531,6 +531,36 @@ object ScaleProbe {
         f"delta manifest bytes max=${deltaSizes.max}  " +
         f"(v1 full=${manifests.find(_.getName == "v1.manifest").map(_.length()).getOrElse(0L)})  " +
         f"head(v$head) resolve=${tHead * 1000}%.1f ms  plan($n entries)=${tPlan * 1000}%.1f ms")
+      // DV READ-OVERHEAD LAW (r15): read wall vs deleted fraction, inline
+      // run-set filter (default) vs the forced anti-join fallback, on a
+      // 1M-row 8-file clustered table. The claim to evidence: the inline
+      // path's overhead stays flat as the deleted fraction grows (a range
+      // delete is O(runs) pairs, not O(positions)), while the anti-join
+      // pays a shuffle regardless.
+      import org.apache.spark.sql.functions.{col, sum}
+      val root3 = s"${System.getProperty("java.io.tmpdir")}/graft_loglaw_dv"
+      rm(new java.io.File(root3))
+      val dvDf = spark.range(1000000L).select(col("id").as("k"),
+        col("id").as("v")).repartitionByRange(8, col("v"))
+      TableLog.overwriteWithStats(dvDf, root3, "v")
+      def readWall(): Double = {
+        val t0 = System.nanoTime()
+        TableLog.read(spark, root3).agg(sum(col("k"))).head()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val base = { readWall(); readWall() } // warm then measure
+      Seq(("1%", 0L, 9999L), ("10%", 10000L, 109999L)).foreach {
+        case (label, lo, hi) =>
+          TableLog.deleteVectors(spark, root3,
+            col("v").between(lo, hi))
+          val inline = { readWall(); readWall() }
+          spark.conf.set(TableLog.DvInlineMaxRowsKey, "-1")
+          val anti = { readWall(); readWall() }
+          spark.conf.unset(TableLog.DvInlineMaxRowsKey)
+          println(f"[probe] dv-law: deleted=$label%-3s  base=${base}%.3f s  " +
+            f"inline=${inline}%.3f s (${(inline / base - 1) * 100}%+.0f%%)  " +
+            f"antijoin=${anti}%.3f s (${(anti / base - 1) * 100}%+.0f%%)")
+      }
     }
     if (args.contains("--log-law")) {
       logLawSection(); spark.stop(); return

@@ -168,6 +168,40 @@ class GraftLogSourceSpec extends AnyFunSuite {
     assert(after.select("k").as[Long].collect().sorted.toSeq == (31L to 100L))
   }
 
+  test("DV representations: inline run filter ≡ anti-join, zero-shuffle inline plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val root = tmp("gldvrep")
+    val df = (1L to 5000L).map(i => (i, i)).toDF("k", "v")
+      .repartitionByRange(8, col("v"))
+    TableLog.overwriteWithStats(df, root, "v")
+    TableLog.deleteVectors(spark, root, col("v").between(100L, 900L))
+    TableLog.deleteVectors(spark, root, col("v") % 13 === 0) // stacked
+    val want = (1L to 5000L).filterNot(v => (v >= 100 && v <= 900) || v % 13 == 0)
+    // pre-AQE physical plan: the adaptive wrapper hides its children from
+    // a plain collect, and the join-vs-filter shape is decided before AQE
+    def joins(dfr: org.apache.spark.sql.DataFrame) =
+      dfr.queryExecution.sparkPlan.collect { case j: BaseJoinExec => j }
+    // inline (default): the dead rows go through the run-set filter — the
+    // plan has NO join, and the runs coalesce the contiguous range
+    val inline = TableLog.read(spark, root)
+    assert(joins(inline).isEmpty,
+      s"bounded DV sets must apply as a scan-side filter, not a join:\n" +
+        inline.queryExecution.executedPlan)
+    assert(inline.select("k").as[Long].collect().sorted.toSeq == want)
+    // forced anti-join fallback: byte-identical result
+    spark.conf.set(TableLog.DvInlineMaxRowsKey, "-1")
+    try {
+      val joined = TableLog.read(spark, root)
+      assert(joins(joined).nonEmpty, "fallback must be the anti-join")
+      assert(joined.select("k").as[Long].collect().sorted.toSeq == want)
+    } finally spark.conf.unset(TableLog.DvInlineMaxRowsKey)
+    // both representations stay correct through a later rewrite
+    TableLog.compact(spark, root, targetBytes = 1L << 30)
+    assert(TableLog.read(spark, root).select("k").as[Long].collect()
+      .sorted.toSeq == want)
+  }
+
   test("streaming: one version per micro-batch, native per-batch scans, no driver rows") {
     import spark.implicits._
     val root = tmp("glstream")
