@@ -64,16 +64,19 @@ private[graft] class GraftLogFileIndex(
   override def rootPaths: Seq[Path] = Seq(rootPath)
 
   /** One group per distinct partition value: the typed partition row plus
-    * the group's entries. Built once from the manifest — the only
-    * filesystem touch is a size lookup for legacy entries missing bytes.
+    * the group's (entry, status) pairs. Built ONCE from the manifest —
+    * statuses come from manifest bytes (the only filesystem touch is a
+    * one-time size lookup for legacy entries missing bytes), so repeated
+    * listFiles calls across plannings never stat a file again.
     */
-  private lazy val groups: Seq[(InternalRow, Seq[TableLog.Entry])] =
+  private lazy val groups
+      : Seq[(InternalRow, Seq[(TableLog.Entry, FileStatus)])] =
     entries.groupBy(_.partition).toSeq
       .sortBy(_._1.toSeq.sorted.mkString(","))
       .map { case (pvals, es) =>
         val row = InternalRow.fromSeq(
           partitionSchema.fields.toSeq.map(f => typedValue(pvals(f.name), f.dataType)))
-        (row, es)
+        (row, es.map(e => (e, status(e))))
       }
 
   private def typedValue(raw: String, dt: DataType): Any =
@@ -114,12 +117,12 @@ private[graft] class GraftLogFileIndex(
     kept.map { case (row, es) =>
       val live =
         if (bounds.isEmpty && tbounds.isEmpty) es
-        else es.filterNot(e =>
+        else es.filterNot { case (e, _) =>
           bounds.exists { case (c, b) =>
             e.stats.get(c).exists(TableLog.statDisjoint(_, b)) } ||
           tbounds.exists { case (c, b) =>
-            e.tstats.get(c).exists(TableLog.typedStatDisjoint(_, b)) })
-      PartitionDirectory(row, live.map(status).toArray)
+            e.tstats.get(c).exists(TableLog.typedStatDisjoint(_, b)) } }
+      PartitionDirectory(row, live.map(_._2).toArray)
     }.filter(_.files.nonEmpty)
   }
 
@@ -180,15 +183,11 @@ private[graft] object GraftLog {
     */
   def batchRelation(spark: SparkSession, root: String,
       version: Option[Long]): BaseRelation = {
+    // ONE state reconstruction serves schema, entries and layout — this is
+    // the planning hot path (every format load and every graft_log TVF
+    // analysis), so the delta chain replays exactly once
     val st = TableLog.state(spark, root, version)
-    val schema = TableLog.schemaOf(spark, root, version).getOrElse {
-      require(st.entries.nonEmpty,
-        "empty snapshot with no recorded schema — nothing to infer from")
-      val inferred = spark.read
-        .parquet(st.entries.map(e => s"$root/${e.path}"): _*).schema
-      val partCols = st.entries.head.partition.keys.toSeq.sorted
-      StructType(inferred.fields ++ partCols.map(c => StructField(c, StringType)))
-    }
+    val schema = TableLog.tableSchemaFor(spark, root, st.entries, st.schemaJson)
     if (st.entries.exists(_.dvs.nonEmpty))
       new GraftLogDvRelation(spark, root, version, schema)
     else relation(spark, root, st.entries, schema,
@@ -220,7 +219,24 @@ private[graft] class GraftLogDvRelation(spark: SparkSession, root: String,
     filtered.select(requiredColumns.toSeq.map(col): _*).rdd
   }
 
-  private def filterToColumn(f: Filter): Option[Column] = f match {
+  /** Top-level (relaxed) translation: an AND may keep just one translated
+    * side — applying a SUPERSET of the pushed filter is sound because
+    * Spark re-applies every filter above the relation boundary. Anything
+    * under Or/Not goes through [[exactCol]]: negating or disjoining a
+    * PARTIAL translation would apply a predicate the original does not
+    * imply and silently drop matching rows.
+    */
+  private[graft] def filterToColumn(f: Filter): Option[Column] = f match {
+    case sources.And(l, r) =>
+      (filterToColumn(l), filterToColumn(r)) match {
+        case (Some(a), Some(b)) => Some(a && b)
+        case (a, b) => a.orElse(b)
+      }
+    case other => exactCol(other)
+  }
+
+  /** Complete-or-nothing translation — None unless EVERY leaf translated. */
+  private[graft] def exactCol(f: Filter): Option[Column] = f match {
     case sources.EqualTo(a, v) => Some(col(a) === lit(v))
     case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
     case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
@@ -232,15 +248,9 @@ private[graft] class GraftLogDvRelation(spark: SparkSession, root: String,
     case sources.StringStartsWith(a, v) => Some(col(a).startsWith(v))
     case sources.StringEndsWith(a, v) => Some(col(a).endsWith(v))
     case sources.StringContains(a, v) => Some(col(a).contains(v))
-    case sources.And(l, r) =>
-      (filterToColumn(l), filterToColumn(r)) match {
-        case (Some(a), Some(b)) => Some(a && b)
-        case (a, b) => a.orElse(b) // one side untranslated: the other alone is sound
-      }
-    case sources.Or(l, r) => for {
-      a <- filterToColumn(l); b <- filterToColumn(r)
-    } yield a || b
-    case sources.Not(c) => filterToColumn(c).map(!_)
+    case sources.And(l, r) => for { a <- exactCol(l); b <- exactCol(r) } yield a && b
+    case sources.Or(l, r) => for { a <- exactCol(l); b <- exactCol(r) } yield a || b
+    case sources.Not(c) => exactCol(c).map(!_)
     case _ => None
   }
 }

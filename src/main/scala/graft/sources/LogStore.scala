@@ -101,28 +101,38 @@ object HadoopLogStore extends LogStore {
     // implementation-dependent — stock LocalFileSystem POSIX-renames OVER
     // an existing destination and returns true, which would silently
     // degrade the commit CAS to last-writer-wins on a vanilla classpath.
-    try {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        dst.toUri, spark.sessionState.newHadoopConf())
-      try { fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.NONE); true }
-      catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-             _: org.apache.hadoop.fs.PathExistsException =>
-          fs.delete(tmp, false); false
-        case e: java.io.IOException
-            if e.getMessage != null && e.getMessage.contains("already exists") =>
-          fs.delete(tmp, false); false
+    // On ANY failure the staged tmp is removed (the contract: never a
+    // partial or leftover file); a success is READ-BACK VERIFIED —
+    // RawLocalFs's exclusive rename is check-then-act, so the verify
+    // closes the residual cross-process window (manifests are tiny; one
+    // extra read per commit is noise against the data write).
+    val won =
+      try {
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          dst.toUri, spark.sessionState.newHadoopConf())
+        try { fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.NONE); true }
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+               _: org.apache.hadoop.fs.PathExistsException =>
+            fs.delete(tmp, false); false
+          case e: java.io.IOException
+              if e.getMessage != null && e.getMessage.contains("already exists") =>
+            fs.delete(tmp, false); false
+          case e: java.io.IOException =>
+            // unexpected rename failure: clean the staging, surface the error
+            fs.delete(tmp, false); throw e
+        }
+      } catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          // no AbstractFileSystem binding for this scheme: fall back to
+          // rename-if-absent (the read-back below still verifies). A
+          // scheme without FileContext should plug in a conditional-put
+          // LogStore (see trait doc) rather than rely on rename semantics.
+          if (fs.exists(dst)) { fs.delete(tmp, false); false }
+          else if (fs.rename(tmp, dst)) true
+          else { fs.delete(tmp, false); false }
       }
-    } catch {
-      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-        // no AbstractFileSystem binding for this scheme: fall back to
-        // rename-if-absent and re-verify. This is only best-effort — a
-        // scheme without FileContext should plug in a conditional-put
-        // LogStore (see trait doc) rather than rely on rename semantics.
-        if (fs.exists(dst)) { fs.delete(tmp, false); false }
-        else if (fs.rename(tmp, dst)) true
-        else { fs.delete(tmp, false); false }
-    }
+    won && read(spark, path) == content
   }
 
   override def writeOverwrite(spark: SparkSession, path: String,

@@ -864,7 +864,7 @@ object TableLog {
         if (!r.isNullAt(lo) && !r.isNullAt(hi)) k match {
           case "l" => ls += c -> ((r.getLong(lo), r.getLong(hi)))
           case "d" => ts += c ->
-            (("d", r.getDouble(lo).toString, r.getDouble(hi).toString))
+            (("d", canonDouble(r.getDouble(lo)), canonDouble(r.getDouble(hi))))
           case "s" => truncMax(r.getString(hi)).foreach(mx =>
             ts += c -> (("s", truncMin(r.getString(lo)), mx)))
           case "t" => ts += c ->
@@ -878,6 +878,15 @@ object TableLog {
       r.getString(0) -> ((ls, ts, r.getLong(1 + 2 * kinds.size)))
     }.toMap
   }
+
+  /** Canonical double encoding for typed stats: -0.0 becomes 0.0 — SQL
+    * comparisons treat them EQUAL (primitive semantics) while
+    * Double.compare orders -0.0 < 0.0, so an uncanonicalized -0.0 stat
+    * would let `>= 0.0` prune a file whose -0.0 rows actually match.
+    * (NaN is unaffected: NaN != 0.0, and both orders put NaN greatest.)
+    */
+  private def canonDouble(v: Double): String =
+    (if (v == 0.0) 0.0 else v).toString
 
   /** Code points a string stat keeps before truncation. */
   private[graft] val StatStringMaxCp = 64
@@ -923,6 +932,25 @@ object TableLog {
     val st = state(spark, root, version)
     readEntrySet(spark, root, st.entries, st.schemaJson)
   }
+
+  /** The TABLE schema an entry set reads under: the recorded one when the
+    * log carries it; a legacy (pre-schema) snapshot infers the data schema
+    * from footers ONCE with partition columns appended as strings. Shared
+    * by [[read]]'s frame builder and [[GraftLog.batchRelation]].
+    */
+  private[graft] def tableSchemaFor(spark: SparkSession, root: String,
+      entries: Seq[Entry], schemaJson: Option[String]): StructType =
+    schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType])
+      .getOrElse {
+        require(entries.nonEmpty,
+          "empty snapshot with no recorded schema — nothing to infer from")
+        val inferred = spark.read
+          .parquet(entries.map(e => s"$root/${e.path}"): _*).schema
+        val partCols = entries.head.partition.keys.toSeq.sorted
+        StructType(inferred.fields ++ partCols.map(c =>
+          org.apache.spark.sql.types.StructField(c,
+            org.apache.spark.sql.types.StringType)))
+      }
 
   /** The scan-side root-relative file key: the anchored commit-dir
     * extraction over `_metadata.file_path` — the SAME expression a
@@ -1051,15 +1079,8 @@ object TableLog {
       // stops at the first non-k=v segment — and a manifest-driven read
       // shouldn't re-infer from paths anyway.) Pre-round-15 this planned
       // one union branch per distinct partition value; a 10k-partition
-      // table built a 10k-way plan. Legacy partitioned tables without a
-      // recorded schema infer the data schema from footers once.
-      val tableSchema = schema.getOrElse {
-        val inferred = spark.read
-          .parquet(entries.map(f => s"$root/${f.path}"): _*).schema
-        StructType(inferred.fields ++
-          partCols.map(c => org.apache.spark.sql.types.StructField(c,
-            org.apache.spark.sql.types.StringType)))
-      }
+      // table built a 10k-way plan.
+      val tableSchema = tableSchemaFor(spark, root, entries, schemaJson)
       val rel = GraftLog.relation(spark, root, entries, tableSchema,
         partCols.filter(tableSchema.fieldNames.contains))
       val helpers = if (withPos) Seq("__file", "__ri") else Nil
@@ -1532,9 +1553,14 @@ object TableLog {
       else (scala.util.Try(x.eval()).getOrElse(null), x.dataType) match {
         case (null, _) => None
         case (v: UTF8String, StringType) => Some(("s", v.toString))
-        case (v, DoubleType) => Some(("d", v.asInstanceOf[Double].toString))
+        // -0.0 canonicalizes to 0.0 on BOTH sides (stats and bounds) so
+        // the Double.compare order never disagrees with SQL's == at zero
+        case (v, DoubleType) =>
+          val d = v.asInstanceOf[Double]
+          Some(("d", (if (d == 0.0) 0.0 else d).toString))
         case (v, FloatType) =>
-          Some(("d", v.asInstanceOf[Float].toDouble.toString))
+          val d = v.asInstanceOf[Float].toDouble
+          Some(("d", (if (d == 0.0) 0.0 else d).toString))
         case (v, TimestampType) => Some(("t", v.toString))
         // NTZ values carry epoch micros too — same kind, same order
         case (v, TimestampNTZType) => Some(("t", v.toString))
