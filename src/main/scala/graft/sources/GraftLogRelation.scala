@@ -378,9 +378,14 @@ class GraftLogSource(spark: SparkSession, root: String,
     if (next <= cur) null else LongOffset(next)
   }
 
+  // the legacy V1 polling path has no start-offset parameter, so after a
+  // restart it could only answer from deliveredTo = startingVersion and
+  // would REGRESS a committed offset (redelivering versions). This source
+  // declares SupportsAdmissionControl, so the engine always drives it
+  // through latestOffset(start, limit) — FileStreamSource's contract.
   override def getOffset: Option[OffsetV1] =
-    Option(latestOffset(null, ReadLimit.allAvailable()))
-      .map(o => LongOffset(verOf(o)))
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this")
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val vFrom = start.map(o => verOf(o)).getOrElse(startingVersion)
@@ -407,19 +412,21 @@ class GraftLogSource(spark: SparkSession, root: String,
     val entries = adds.result()
     if (entries.isEmpty) Internals.emptyStreamingFrame(spark, schema)
     else {
-      val schemaAt = TableLog.schemaOf(spark, root, Some(vTo)).getOrElse(schema)
+      // the SOURCE schema reads every window: a streaming query's output
+      // schema is fixed at start anyway, additive columns a window's
+      // older files lack NULL-fill under it, and columns added to the
+      // table AFTER the stream started are invisible by definition — so
+      // no per-batch snapshot-state reconstruction (which would replay
+      // the delta chain from the last checkpoint on EVERY micro-batch of
+      // a hot tail) is ever needed; getBatch's metadata cost is exactly
+      // the window's own manifests.
       val partCols = entries.head.partition.keys.toSeq.sorted
       require(entries.forall(_.partition.keys.toSeq.sorted == partCols),
         "mixed partition layouts in one change window are not readable")
-      val rel = GraftLog.relation(spark, root, entries, schemaAt,
-        partCols.filter(schemaAt.fieldNames.contains))
-      val raw = Internals.streamingRelationFrame(spark, rel)
-      // align to the source's declared schema: additive columns the old
-      // window lacks NULL-fill; extra columns are dropped
-      schema.fields.toSeq.foldLeft(raw) { (df, f) =>
-        if (df.columns.contains(f.name)) df
-        else df.withColumn(f.name, lit(null).cast(f.dataType))
-      }.select(schema.fieldNames.toSeq.map(col): _*)
+      val rel = GraftLog.relation(spark, root, entries, schema,
+        partCols.filter(schema.fieldNames.contains))
+      Internals.streamingRelationFrame(spark, rel)
+        .select(schema.fieldNames.toSeq.map(col): _*)
     }
   }
 

@@ -95,17 +95,41 @@ object HadoopLogStore extends LogStore {
     val out = fs.create(tmp, false)
     try out.write(content.getBytes("UTF-8"))
     finally out.close()
-    // the CAS itself: FileContext.rename with Rename.NONE is SPECIFIED to
-    // fail when the destination exists, on local (RawLocalFs) and HDFS
-    // alike. Plain FileSystem.rename's refuse-existing behavior is
-    // implementation-dependent — stock LocalFileSystem POSIX-renames OVER
-    // an existing destination and returns true, which would silently
-    // degrade the commit CAS to last-writer-wins on a vanilla classpath.
+    // the CAS itself, strongest primitive first:
+    //  1. LOCAL scheme: hard-link tmp → dst (java.nio createLink) — a
+    //     single POSIX link(2), TRULY atomic-exclusive across processes
+    //     (EEXIST loses), no check-then-act window at all.
+    //  2. else FileContext.rename with Rename.NONE — SPECIFIED to fail
+    //     when the destination exists (exclusive on HDFS; on local it is
+    //     check-then-rename, which is why the link path comes first).
+    //     Plain FileSystem.rename's refuse-existing behavior is
+    //     implementation-dependent — stock LocalFileSystem POSIX-renames
+    //     OVER an existing destination and returns true, which would
+    //     silently degrade the commit CAS to last-writer-wins.
+    //  3. schemes with neither: rename-if-absent best-effort (plug a
+    //     conditional-put LogStore instead — see trait doc).
     // On ANY failure the staged tmp is removed (the contract: never a
-    // partial or leftover file); a success is READ-BACK VERIFIED —
-    // RawLocalFs's exclusive rename is check-then-act, so the verify
-    // closes the residual cross-process window (manifests are tiny; one
-    // extra read per commit is noise against the data write).
+    // partial or leftover file); a rename-based win is READ-BACK VERIFIED
+    // — it NARROWS (not closes) the residual non-link window; manifests
+    // are tiny, so the extra read is noise against the data write.
+    def linkCas(): Option[Boolean] =
+      if (!"file".equals(fs.getUri.getScheme)) None
+      else try {
+        val dstNio = java.nio.file.Paths.get(fs.makeQualified(dst).toUri)
+        val tmpNio = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri)
+        java.nio.file.Files.createLink(dstNio, tmpNio)
+        fs.delete(tmp, false)
+        Some(true)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          fs.delete(tmp, false); Some(false)
+        case _: UnsupportedOperationException | _: java.io.IOException =>
+          None // no hard links on this mount: fall through to rename
+      }
+    linkCas() match {
+      case Some(result) => return result
+      case None => ()
+    }
     val won =
       try {
         val fc = org.apache.hadoop.fs.FileContext.getFileContext(

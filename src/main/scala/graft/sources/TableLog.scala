@@ -971,7 +971,7 @@ object TableLog {
     * `withPos = true` keeps the `__file`/`__ri` helper columns in the
     * output (the [[deleteVectors]] build side).
     */
-  /** Positions above which deletion vectors are applied as the
+  /** Total sidecar bytes above which deletion vectors are applied as the
     * distributed ANTI-JOIN instead of the inline run-set filter: the
     * inline path collects the sidecars to the driver once and ships
     * run-length pairs as plan literals — per-row membership is two binary
@@ -979,12 +979,15 @@ object TableLog {
     * positions; a 10⁹-row delete keeps the join. Runs compress contiguous
     * deletes (a range delete over clustered data is ONE pair), so the
     * plan-literal cost is O(runs), far below O(positions) in practice.
+    * The DECISION costs only O(#sidecars) driver stat calls — no Spark
+    * job runs unless the inline path is taken (that one collect replaces
+    * a per-read shuffle at execution and is the trade being made).
     */
-  val DvInlineMaxRowsKey = "spark.graft.dv.inline.maxRows"
+  val DvInlineMaxBytesKey = "spark.graft.dv.inline.maxBytes"
 
-  private def dvInlineMaxRows(spark: SparkSession): Long =
-    spark.conf.getOption(DvInlineMaxRowsKey).map(_.toLong)
-      .getOrElse(4000000L)
+  private def dvInlineMaxBytes(spark: SparkSession): Long =
+    spark.conf.getOption(DvInlineMaxBytesKey).map(_.toLong)
+      .getOrElse(32L << 20)
 
   private[graft] def readEntrySet(spark: SparkSession, root: String,
       entries: Seq[Entry], schemaJson: Option[String],
@@ -996,11 +999,13 @@ object TableLog {
     val undeleted =
       if (dvPaths.isEmpty) raw
       else {
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val sidecarBytes = dvPaths.map(p => fs.getFileStatus(
+          new org.apache.hadoop.fs.Path(s"$root/$p")).getLen).sum
         val dv = spark.read.parquet(dvPaths.map(p => s"$root/$p"): _*)
           .select(col("file"), col("ri"))
-        // positions count is footer metadata — no data read
-        val inline = dv.count() <= dvInlineMaxRows(spark)
-        if (inline) {
+        if (sidecarBytes <= dvInlineMaxBytes(spark)) {
           val (files, offsets, runs) = dvRuns(dv.collect())
           graft.functions.GraftFunctions.register(spark)
           raw.filter(call_function("graft_dv_live",
@@ -1785,7 +1790,14 @@ object TableLog {
     val targetPaths = target.entries.map(_.path).toSet
     val curByPath = cur.entries.map(e => e.path -> e).toMap
     val adds = target.entries.filter(e => !curByPath.get(e.path).contains(e))
-    val removes = cur.entries.map(_.path).filterNot(targetPaths.contains)
+    // the commit() remove+re-add invariant holds here too: a path whose
+    // ENTRY changes in place (e.g. restoring past a DV commit strips the
+    // d: tokens) must show in BOTH change lists, or fileChanges would
+    // classify the restore as an append and a tail would redeliver the
+    // whole file's rows as new data
+    val dropped = cur.entries.map(_.path).filterNot(targetPaths.contains)
+    val replaced = adds.map(_.path).filter(curByPath.contains)
+    val removes = (dropped ++ replaced).sorted
     commitDelta(spark, root, adds, removes, Some(head.get),
       Seq("op:restore",
         "schema:" + target.schemaJson.getOrElse(""), // empty = clear
@@ -1814,6 +1826,12 @@ object TableLog {
           s"manifest for version $u missing under $root — file-level " +
             "changes need the delta chain (vacuumed?)")
       val d = parseDelta(store.read(spark, manifestPath(root, u)))
+      if (d.legacyReplace)
+        throw new IllegalStateException(
+          s"version $u of $root is a legacy full-snapshot manifest — it " +
+            "REPLACES the table and is not expressible as a file-level " +
+            "delta (treating its adds as changes would redeliver carried-" +
+            "over files); read the snapshot instead")
       d.removes.foreach { p =>
         if (added.remove(p).isEmpty) removed += p
       }

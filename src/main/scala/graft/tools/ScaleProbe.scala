@@ -549,14 +549,16 @@ object ScaleProbe {
         (System.nanoTime() - t0) / 1e9
       }
       val base = { readWall(); readWall() } // warm then measure
-      Seq(("1%", 0L, 9999L), ("10%", 10000L, 109999L)).foreach {
+      // labels are CUMULATIVE: the second deleteVectors stacks on the
+      // first, so the measured state is 11% deleted with two sidecars
+      Seq(("1%", 0L, 9999L), ("11% cum", 10000L, 109999L)).foreach {
         case (label, lo, hi) =>
           TableLog.deleteVectors(spark, root3,
             col("v").between(lo, hi))
           val inline = { readWall(); readWall() }
-          spark.conf.set(TableLog.DvInlineMaxRowsKey, "-1")
+          spark.conf.set(TableLog.DvInlineMaxBytesKey, "-1")
           val anti = { readWall(); readWall() }
-          spark.conf.unset(TableLog.DvInlineMaxRowsKey)
+          spark.conf.unset(TableLog.DvInlineMaxBytesKey)
           println(f"[probe] dv-law: deleted=$label%-3s  base=${base}%.3f s  " +
             f"inline=${inline}%.3f s (${(inline / base - 1) * 100}%+.0f%%)  " +
             f"antijoin=${anti}%.3f s (${(anti / base - 1) * 100}%+.0f%%)")

@@ -240,12 +240,12 @@ class GraftLogSourceSpec extends AnyFunSuite {
         inline.queryExecution.executedPlan)
     assert(inline.select("k").as[Long].collect().sorted.toSeq == want)
     // forced anti-join fallback: byte-identical result
-    spark.conf.set(TableLog.DvInlineMaxRowsKey, "-1")
+    spark.conf.set(TableLog.DvInlineMaxBytesKey, "-1")
     try {
       val joined = TableLog.read(spark, root)
       assert(joins(joined).nonEmpty, "fallback must be the anti-join")
       assert(joined.select("k").as[Long].collect().sorted.toSeq == want)
-    } finally spark.conf.unset(TableLog.DvInlineMaxRowsKey)
+    } finally spark.conf.unset(TableLog.DvInlineMaxBytesKey)
     // both representations stay correct through a later rewrite
     TableLog.compact(spark, root, targetBytes = 1L << 30)
     assert(TableLog.read(spark, root).select("k").as[Long].collect()

@@ -938,6 +938,46 @@ class TableLogSpec extends AnyFunSuite {
       TableLog.truncMin("abc") == "abc")
   }
 
+  test("restore past a DV commit is a change window, never an append") {
+    import spark.implicits._
+    val root = tmp("trestdv")
+    TableLog.overwrite(
+      (1L to 20L).map(i => (i, i)).toDF("k", "v").coalesce(1), root) // v1
+    TableLog.deleteVectors(spark, root, col("v") <= 5L)              // v2
+    val v3 = TableLog.restore(spark, root, 1L)                       // v3
+    // the restored entry strips the d: token IN PLACE — remove + re-add,
+    // or a tail would redeliver the whole file's rows as fresh appends
+    val (adds, removes) = TableLog.fileChanges(spark, root, 2L, v3)
+    assert(adds.nonEmpty && removes.nonEmpty &&
+      adds.map(_.path).toSet == removes.toSet,
+      s"in-place restore must show in BOTH lists: adds=${adds.map(_.path)} " +
+        s"removes=$removes")
+    intercept[IllegalArgumentException] {
+      TableLog.readAppended(spark, root, 2L, v3)
+    }
+    assert(TableLog.read(spark, root).count() == 20L,
+      "restore must resurrect the DV-deleted rows")
+  }
+
+  test("fileChanges refuses a legacy full-snapshot manifest inside the window") {
+    import spark.implicits._
+    val root = tmp("tlegcdf")
+    TableLog.overwrite(Seq((1L, 1L)).toDF("k", "v"), root) // v1 (format 2)
+    // a hand-planted LEGACY manifest (no #format:2): it REPLACES the
+    // snapshot, so no file-level delta can express it
+    val store = LogStore.resolve(spark)
+    assert(store.writeIfAbsent(spark,
+      s"$root/_graft_log/v2.manifest", "c00000000000000000000000000000000/f.parquet\t10\n"))
+    val ex = intercept[IllegalStateException] {
+      TableLog.fileChanges(spark, root, 1L, 2L)
+    }
+    assert(ex.getMessage.contains("legacy"), ex.getMessage)
+    // and so must every consumer built on it (tail, appended-rows read)
+    intercept[IllegalStateException] {
+      TableLog.readAppended(spark, root, 1L, 2L)
+    }
+  }
+
   test("vacuum sweeps epoch markers at or below the horizon checkpoint's epochmax") {
     import spark.implicits._
     val root = tmp("tmark")
