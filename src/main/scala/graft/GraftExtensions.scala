@@ -106,6 +106,21 @@ object GraftExtensions {
         val spark = org.apache.spark.sql.SparkSession.active
         graft.sources.TableLog.history(spark, tvfString(es.head, "root"))
           .queryExecution.analyzed
+      }),
+    ("graft_log_cdf",
+      "graft_log_cdf(root, vFrom, vTo, keyCols) - full-row change feed " +
+        "over (vFrom, vTo]: table columns + _change_type, updates emit " +
+        "both images; keyCols is a comma-separated row-identity list",
+      (es: Seq[Expression]) => {
+        require(es.size == 4,
+          "graft_log_cdf takes (root, vFrom, vTo, keyCols)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        graft.sources.TableLog.readChangeRows(spark,
+            tvfString(es(0), "root"), tvfLong(es(1), "vFrom"),
+            tvfLong(es(2), "vTo"),
+            tvfString(es(3), "keyCols").split(',').map(_.trim)
+              .filter(_.nonEmpty).toSeq)
+          .queryExecution.analyzed
       }))
 
   private def tvfString(e: Expression, what: String): String = {

@@ -2168,6 +2168,22 @@ object SparkEntry {
         .orderBy(col("k"), col("_change_type"))
     }),
 
+    // THE CHANGE FEED AS PURE SQL — the graft_log_cdf TABLE-VALUED
+    // FUNCTION completes the log's SQL surface (time travel q227, history
+    // q228, changes here): q222's exact fixture and oracle, reached
+    // through one spark.sql text — the TVF expands at analysis time into
+    // readChangeRows' plan (full-outer join by key, both update images).
+    "q231_sql_log_cdf" -> ((s, d) => {
+      import graft.sources.TableLog
+      val (base, updates) = mergeFixture(t(s, d, "documents"))
+      val root = logRoot(s, d, "tcdfsql")
+      TableLog.overwrite(base, root)                          // v1
+      TableLog.mergeUpsert(s, root, updates, Seq("k"), "seq") // v2
+      graft.functions.GraftFunctions.register(s)
+      s.sql(s"""SELECT * FROM graft_log_cdf('$root', 1, 2, 'k')
+               |ORDER BY k, _change_type""".stripMargin)
+    }),
+
     // COMMIT HISTORY audit (TableLog.history) — DESCRIBE HISTORY from the
     // deltas alone: one row per version with the `#op:` label, add/remove
     // action counts and the epoch token, zero data IO. The log carries no
@@ -5504,6 +5520,22 @@ object SparkEntry {
     // updated keys (%3/%7) emit the base row as preimage and the max-seq
     // winner as postimage, untouched keys emit nothing
     "q222_log_cdf_rows" ->
+      s"""WITH $MERGE_CTE,
+        |merged AS (
+        |  SELECT k, source, v, seq FROM mu
+        |  QUALIFY row_number() OVER (PARTITION BY k ORDER BY seq DESC) = 1)
+        |SELECT k, source, v, seq, 'insert' AS _change_type
+        |FROM mupd WHERE k >= 10000000
+        |UNION ALL
+        |SELECT k, source, v, seq, 'update_preimage'
+        |FROM mbase WHERE k % 3 = 0 OR k % 7 = 0
+        |UNION ALL
+        |SELECT k, source, v, seq, 'update_postimage'
+        |FROM merged WHERE k < 10000000 AND (k % 3 = 0 OR k % 7 = 0)
+        |ORDER BY k, _change_type""".stripMargin,
+
+    // the SQL-surface change feed is the same derivation as q222
+    "q231_sql_log_cdf" ->
       s"""WITH $MERGE_CTE,
         |merged AS (
         |  SELECT k, source, v, seq FROM mu

@@ -903,6 +903,18 @@ class TableLogSpec extends AnyFunSuite {
       s"SELECT version, op FROM graft_log_history('$root') ORDER BY version")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(hist == Seq((1L, "overwrite"), (2L, "append")))
+    // the change feed as SQL: v2 appended 5 new keys → 5 inserts
+    val cdf = spark.sql(
+      s"SELECT _change_type, count(*) AS n FROM graft_log_cdf('$root', 1, 2, 'k') GROUP BY 1")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(cdf == Map("insert" -> 5L), s"append window = inserts only: $cdf")
+    // and the relation itself is reachable from pure SQL DDL:
+    // CREATE TEMPORARY VIEW ... USING graftlog (the V1 RelationProvider)
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW gl_ddl USING graftlog " +
+      s"OPTIONS (path '$root', version '1')")
+    try
+      assert(spark.sql("SELECT count(*) AS n FROM gl_ddl").head().getLong(0) == 10L)
+    finally spark.catalog.dropTempView("gl_ddl")
   }
 
   test("typed stats: token roundtrip with escaping; string truncation rounds max UP") {
