@@ -132,9 +132,12 @@ object ScaleProbe {
   }
 
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/tmp/scaleprobe")
+    // flags (--log-law etc.) are not directories: a flags-first invocation
+    // must not synthesize a corpus under ./--log-law
+    val positional = args.filterNot(_.startsWith("--"))
+    val dir = positional.headOption.getOrElse("/tmp/scaleprobe")
     // arg 2 = the 1× source fixtures the 10× sets replicate from
-    val srcDir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+    val srcDir = positional.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
