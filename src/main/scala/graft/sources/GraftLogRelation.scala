@@ -149,7 +149,15 @@ private[graft] class GraftLogFileIndex(
 
   override def refresh(): Unit = ()
 
-  override def sizeInBytes: Long = math.max(1L, entries.flatMap(_.bytes).sum)
+  /** True bytes, NEVER an undercount: legacy bare-manifest entries carry no
+    * recorded size, so summing only `entries.flatMap(_.bytes)` reported ~0
+    * for a legacy-heavy table and the join planner could auto-BROADCAST a
+    * huge graftlog side. `groups` already resolves a FileStatus per entry
+    * (manifest bytes when recorded, one lazy stat for legacy), so the size
+    * the planner sees is the size the scan will read.
+    */
+  override def sizeInBytes: Long =
+    math.max(1L, groups.iterator.flatMap(_._2).map(_._2.getLen).sum)
 }
 
 private[graft] object GraftLog {
@@ -189,7 +197,12 @@ private[graft] object GraftLog {
     val st = TableLog.state(spark, root, version)
     val schema = TableLog.tableSchemaFor(spark, root, st.entries, st.schemaJson)
     if (st.entries.exists(_.dvs.nonEmpty))
-      new GraftLogDvRelation(spark, root, version, schema)
+      // PIN the snapshot: buildScan must read the version this relation was
+      // planned against, never a re-resolved head — two actions on one
+      // DataFrame (or a self-join) over a mutating table would otherwise
+      // read different versions, and the schema computed here could diverge
+      // from the data scanned (the DV-free path pins entries at load).
+      new GraftLogDvRelation(spark, root, version.orElse(Some(st.version)), schema)
     else relation(spark, root, st.entries, schema,
       TableLog.partColsOf(st).filter(schema.fieldNames.contains))
   }

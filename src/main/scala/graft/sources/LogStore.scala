@@ -139,12 +139,14 @@ object HadoopLogStore extends LogStore {
           case _: org.apache.hadoop.fs.FileAlreadyExistsException |
                _: org.apache.hadoop.fs.PathExistsException =>
             fs.delete(tmp, false); false
-          case e: java.io.IOException
-              if e.getMessage != null && e.getMessage.contains("already exists") =>
-            fs.delete(tmp, false); false
           case e: java.io.IOException =>
-            // unexpected rename failure: clean the staging, surface the error
-            fs.delete(tmp, false); throw e
+            // an untyped IOException: PROBE the destination rather than
+            // sniff the message (filesystems and locales word rename
+            // failures differently) — dst existing means the CAS was
+            // genuinely lost; otherwise clean the staging and surface the
+            // real failure
+            fs.delete(tmp, false)
+            if (fs.exists(dst)) false else throw e
         }
       } catch {
         case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>

@@ -843,7 +843,13 @@ object TableLog {
       case "d" => col(c).cast("double")
       case "t" => unix_micros(col(c))
       case "D" => unix_date(col(c))
-      case _ => col(c)
+      // strings aggregate as BINARY (same unsigned-byte order as
+      // UTF8String): converting to java.lang.String first would substitute
+      // U+FFFD for invalid UTF-8 sequences, silently LOWERING a max — an
+      // unsound stat that could skip a file containing matching rows. The
+      // decode below keeps the stat only when the bytes round-trip.
+      case "s" => col(c).cast("binary")
+      case _ => col(c) // "n": NTZ collects raw (see kinds above)
     }
     def ntzMicros(v: Any): Long = {
       val ldt = v.asInstanceOf[java.time.LocalDateTime]
@@ -865,8 +871,21 @@ object TableLog {
           case "l" => ls += c -> ((r.getLong(lo), r.getLong(hi)))
           case "d" => ts += c ->
             (("d", canonDouble(r.getDouble(lo)), canonDouble(r.getDouble(hi))))
-          case "s" => truncMax(r.getString(hi)).foreach(mx =>
-            ts += c -> (("s", truncMin(r.getString(lo)), mx)))
+          case "s" =>
+            val loB = r.getAs[Array[Byte]](lo); val hiB = r.getAs[Array[Byte]](hi)
+            val loS = new String(loB, java.nio.charset.StandardCharsets.UTF_8)
+            val hiS = new String(hiB, java.nio.charset.StandardCharsets.UTF_8)
+            // keep the stat only when BOTH bounds round-trip UTF-8 — a
+            // value that doesn't (binary-ish string) has no faithful
+            // java.lang.String form, and recording its damaged image
+            // would make typedStatDisjoint unsound; no stat = always
+            // read = sound
+            if (java.util.Arrays.equals(
+                  loS.getBytes(java.nio.charset.StandardCharsets.UTF_8), loB) &&
+                java.util.Arrays.equals(
+                  hiS.getBytes(java.nio.charset.StandardCharsets.UTF_8), hiB))
+              truncMax(hiS).foreach(mx =>
+                ts += c -> (("s", truncMin(loS), mx)))
           case "t" => ts += c ->
             (("t", r.getLong(lo).toString, r.getLong(hi).toString))
           case "n" => ts += c ->
@@ -989,6 +1008,33 @@ object TableLog {
     spark.conf.getOption(DvInlineMaxBytesKey).map(_.toLong)
       .getOrElse(32L << 20)
 
+  /** Hard cap on the POSITION COUNT the inline path may materialize:
+    * parquet delta/RLE encodes sorted row indexes so densely that a
+    * bytes-only threshold is no bound at all — 32 MB of sidecar can decode
+    * to hundreds of millions of positions, and a scattered delete would
+    * then build a multi-GB runs array on the driver and inside every task
+    * binary. The count is read from the sidecars' FOOTERS (row count ==
+    * position count, O(#sidecars) driver metadata reads, no job), so the
+    * decision is exact before anything is collected.
+    */
+  val DvInlineMaxPositionsKey = "spark.graft.dv.inline.maxPositions"
+
+  private def dvInlineMaxPositions(spark: SparkSession): Long =
+    spark.conf.getOption(DvInlineMaxPositionsKey).map(_.toLong)
+      .getOrElse(1L << 21)
+
+  /** Exact sidecar position count from parquet footer metadata. */
+  private def dvPositionCount(spark: SparkSession, root: String,
+      dvPaths: Seq[String]): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    dvPaths.map { p =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$root/$p"), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
   private[graft] def readEntrySet(spark: SparkSession, root: String,
       entries: Seq[Entry], schemaJson: Option[String],
       withPos: Boolean = false): DataFrame = {
@@ -1005,7 +1051,8 @@ object TableLog {
           new org.apache.hadoop.fs.Path(s"$root/$p")).getLen).sum
         val dv = spark.read.parquet(dvPaths.map(p => s"$root/$p"): _*)
           .select(col("file"), col("ri"))
-        if (sidecarBytes <= dvInlineMaxBytes(spark)) {
+        if (sidecarBytes <= dvInlineMaxBytes(spark) &&
+            dvPositionCount(spark, root, dvPaths) <= dvInlineMaxPositions(spark)) {
           val (files, offsets, runs) = dvRuns(dv.collect())
           graft.functions.GraftFunctions.register(spark)
           raw.filter(call_function("graft_dv_live",

@@ -352,4 +352,116 @@ class GraftLogSourceSpec extends AnyFunSuite {
     assert(collectWith("deliverAdds").filter(_.nonEmpty)
       .map(_.toSeq.sorted) == Seq((1L to 20L).toSeq, (6L to 20L).toSeq, Seq(21L)))
   }
+
+  test("DV relation is snapshot-pinned: later commits are invisible to a loaded frame") {
+    import spark.implicits._
+    val root = tmp("gldvpin")
+    TableLog.overwrite((1L to 50L).toDF("k"), root)
+    TableLog.deleteVectors(spark, root, col("k") > 40L)
+    // version-less load of a DV-carrying snapshot → the fallback relation;
+    // its buildScan must read the version resolved AT LOAD, not re-resolve
+    // the head per action
+    val pinned = spark.read.format("graftlog").load(root)
+    assert(pinned.count() == 40L)
+    TableLog.append((100L to 110L).toDF("k"), root)
+    assert(pinned.select("k").as[Long].collect().sorted.toSeq ==
+      (1L to 40L).toSeq,
+      "a loaded DataFrame must keep reading the snapshot it was planned " +
+        "against after a concurrent append")
+    // a self-join over the pinned frame sees ONE version on both sides
+    assert(pinned.as("a").join(pinned.as("b"), "k").count() == 40L)
+    // a fresh load sees the new head
+    assert(spark.read.format("graftlog").load(root).count() == 51L)
+  }
+
+  test("DV inline decision caps on POSITION count: dense sidecars fall back to the anti-join") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val root = tmp("gldvcap")
+    val df = (1L to 4000L).map(i => (i, i)).toDF("k", "v")
+      .repartitionByRange(4, col("v"))
+    TableLog.overwriteWithStats(df, root, "v")
+    // scattered delete: ~1300 positions, tiny sidecar bytes
+    TableLog.deleteVectors(spark, root, col("v") % 3 === 0)
+    val want = (1L to 4000L).filterNot(_ % 3 == 0)
+    def joins(dfr: DataFrame) =
+      dfr.queryExecution.sparkPlan.collect { case j: BaseJoinExec => j }
+    // under the default caps the sidecar is inline-eligible
+    assert(joins(TableLog.read(spark, root)).isEmpty)
+    // a position cap below the actual count forces the anti-join even
+    // though the BYTES threshold still passes — the RLE-density hazard
+    spark.conf.set(TableLog.DvInlineMaxPositionsKey, "100")
+    try {
+      val fallback = TableLog.read(spark, root)
+      assert(joins(fallback).nonEmpty,
+        "a sidecar above the position cap must apply as the anti-join")
+      assert(fallback.select("k").as[Long].collect().sorted.toSeq == want)
+    } finally spark.conf.unset(TableLog.DvInlineMaxPositionsKey)
+  }
+
+  test("sizeInBytes: legacy entries without recorded bytes report true size, no mis-broadcast") {
+    import spark.implicits._
+    val root = tmp("gllegacy")
+    // stage real data files, then commit entries with bytes STRIPPED —
+    // the legacy bare-manifest shape
+    val staged = TableLog.writeData(
+      (1L to 200000L).map(i => (i, "x" * 64)).toDF("k", "pad"), root)
+    TableLog.commit(spark, root, staged.map(_.copy(bytes = None)),
+      meta = Seq("op:overwrite",
+        "schema:" + (1L to 1L).map(i => (i, "s")).toDF("k", "pad").schema.json,
+        "partcols:"))
+    val rel = graft.sources.GraftLog.batchRelation(spark, root, None)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val trueBytes = staged.map(e => fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(s"$root/${e.path}")).getLen).sum
+    assert(rel.sizeInBytes == trueBytes,
+      s"legacy-entry table must report true bytes: ${rel.sizeInBytes} vs $trueBytes")
+    // and the planner must NOT auto-broadcast it when it exceeds the
+    // threshold — under the undercount (size ~1) it always would
+    assert(trueBytes > (100L << 10))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (100L << 10).toString)
+    try {
+      val big = spark.read.format("graftlog").load(root)
+      val other = (1L to 100000L).toDF("k")
+      val joined = other.join(big, "k")
+      val bcasts = joined.queryExecution.sparkPlan.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+      }
+      val bcastsGraft = bcasts.filter(_.collectLeaves().exists {
+        case f: FileSourceScanExec =>
+          f.relation.location.isInstanceOf[graft.sources.GraftLogFileIndex]
+        case _ => false
+      })
+      assert(bcastsGraft.isEmpty,
+        s"an over-threshold legacy graftlog side must not be broadcast:\n" +
+          joined.queryExecution.sparkPlan)
+    } finally
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("string stats on non-UTF-8 values: no stat recorded, skipping stays sound") {
+    import spark.implicits._
+    val root = tmp("glbinstr")
+    // one file whose max string is INVALID UTF-8 (0xFF bytes — above any
+    // valid sequence), one clean file; binary→string cast injects the raw
+    // bytes without validation, exactly the binary-ish strings at issue
+    val dirty = Seq(1L).toDF("k")
+      .withColumn("s", lit(Array[Byte](0xFF.toByte, 0xFF.toByte)).cast("string"))
+    val clean = Seq(2L).toDF("k").withColumn("s", lit("b"))
+    TableLog.overwriteWithStats(dirty.union(clean)
+      .repartitionByRange(2, col("k")), root, "s")
+    val es = TableLog.manifestEntries(spark, root)
+    // the dirty file records NO string stat (its bytes don't round-trip
+    // through java.lang.String); the clean file records one
+    assert(es.count(_.tstats.contains("s")) == 1,
+      s"non-round-tripping strings must drop the stat: ${es.map(_.tstats)}")
+    // soundness: a predicate ABOVE the U+FFFD image still reads the dirty
+    // file — under the damaged stat (max collapsed to EF BF BD) this
+    // filter would have skipped it and lost the row
+    val base = spark.read.format("graftlog").load(root)
+    val got = base.filter(col("s") > lit("�")).count()
+    assert(got == 1L,
+      "a filter above the replacement-char image must still see the raw-byte row")
+  }
 }
