@@ -27,6 +27,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // latest-N-per-key windows → bounded top-k aggregate (plans.TopKRewrite)
     ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
+    // INSERT INTO a graftlog-backed relation: replan the built-in
+    // file-relation insert (which would write parquet invisible to the
+    // manifest) as the manifest-committing command — runs after the
+    // session's own post-hoc rules, so the command to intercept exists
+    ext.injectPostHocResolutionRule(_ => graft.sources.GraftLogInsertRewrite)
   }
 }
 

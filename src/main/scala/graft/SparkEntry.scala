@@ -2349,6 +2349,33 @@ object SparkEntry {
       TableLog.read(s, root).orderBy(col("doc_id"))
     }),
 
+    // THE WRITE SIDE of format("graftlog") (round 16): before this the
+    // log was readable five ways but writable only from the Scala API.
+    // The table here is built PURELY through the Spark write surfaces —
+    // DataFrame-writer create (v1, with manifest stats), writer append
+    // (v2), then pure-SQL INSERT INTO through the analyzer rewrite
+    // (GraftLogInsertRewrite replans the built-in file-relation insert as
+    // the manifest-committing command; a raw parquet write into the root
+    // would be invisible to the manifest) — and read back through a fresh
+    // format load. Exactness against the plain derivation proves every
+    // surface committed through the log.
+    "q232_log_write_path" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val root = logRoot(s, d, "twritep")
+      docs.filter(col("doc_id") % 3 === 0).write.format("graftlog")
+        .mode("overwrite").option("stats", "n_chars").save(root)     // v1
+      docs.filter(col("doc_id") % 3 === 1).write.format("graftlog")
+        .mode("append").option("stats", "n_chars").save(root)        // v2
+      graft.functions.GraftFunctions.register(s)
+      docs.createOrReplaceTempView("glw232_src")
+      s.sql("CREATE OR REPLACE TEMPORARY VIEW glw232 " +
+        s"USING graftlog OPTIONS (path '$root')")
+      s.sql("INSERT INTO glw232 SELECT doc_id, source, n_chars " +
+        "FROM glw232_src WHERE doc_id % 3 = 2")                      // v3
+      s.read.format("graftlog").load(root).orderBy(col("doc_id"))
+    }),
+
     // TYPED MANIFEST STATS (TableLog `t:` tokens) — the most common real
     // predicate is a TIME RANGE, and before round 15 only long columns
     // could skip at the manifest layer. The table is range-clustered on
@@ -5607,6 +5634,12 @@ object SparkEntry {
     // the rebased head must equal the serial execution: all three thirds
     "q229_commit_rebase" ->
       """SELECT doc_id, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // three write surfaces (writer create, writer append, SQL INSERT)
+    // partition the table by doc_id % 3; their union is the source table
+    "q232_log_write_path" ->
+      """SELECT doc_id, source, n_chars FROM documents
         |ORDER BY doc_id""".stripMargin,
 
     // q223's deterministic audit trail, reached through pure SQL

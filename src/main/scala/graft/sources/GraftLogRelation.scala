@@ -4,7 +4,7 @@ import scala.util.control.NonFatal
 
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Cast, Expression, Literal, Predicate}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
@@ -50,7 +50,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * retired the driver-side MemoryStream bridge.
   */
 private[graft] class GraftLogFileIndex(
-    spark: SparkSession, root: String, entries: Seq[TableLog.Entry],
+    spark: SparkSession, val root: String, entries: Seq[TableLog.Entry],
     dataSchema: StructType, override val partitionSchema: StructType)
   extends FileIndex {
 
@@ -180,7 +180,7 @@ private[graft] object GraftLog {
     // the relation's output order IS the recorded schema order — a
     // format("graftlog") read needs no projection to match the table.
     HadoopFsRelation(index, partitionSchema, tableSchema, None,
-      new ParquetFileFormat, Map.empty)(spark)
+      new GraftLogParquetFormat, Map.empty)(spark)
   }
 
   /** The batch relation `format("graftlog")` serves: the snapshot at
@@ -220,9 +220,21 @@ private[graft] object GraftLog {
   */
 private[graft] class GraftLogDvRelation(spark: SparkSession, root: String,
     version: Option[Long], override val schema: StructType)
-  extends BaseRelation with PrunedFilteredScan {
+  extends BaseRelation with PrunedFilteredScan
+  with org.apache.spark.sql.sources.InsertableRelation {
 
   override def sqlContext: SQLContext = spark.sqlContext
+
+  /** `INSERT INTO` over a DV-carrying snapshot: the V1 InsertableRelation
+    * route (the analyzer plans InsertIntoDataSourceCommand for it — no
+    * extension rule needed on this path). Writes go to the HEAD, never the
+    * pinned read version: SQL insert semantics mutate the table.
+    */
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    if (overwrite) TableLog.insertOverwrite(data, root)
+    else TableLog.append(data, root)
+    ()
+  }
 
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
@@ -270,15 +282,25 @@ private[graft] class GraftLogDvRelation(spark: SparkSession, root: String,
 
 /** `format("graftlog")` — the [[TableLog]] data source:
   *
-  *  - BATCH: `spark.read.format("graftlog").option("version", v).load(root)`
-  *    plans straight from the manifest ([[GraftLog.batchRelation]]) with
-  *    partition pruning + manifest-stat skipping inside the index.
-  *  - STREAMING: `spark.readStream.format("graftlog")
+  *  - BATCH READ: `spark.read.format("graftlog").option("version", v)
+  *    .load(root)` plans straight from the manifest
+  *    ([[GraftLog.batchRelation]]) with partition pruning + manifest-stat
+  *    skipping inside the index.
+  *  - STREAMING READ: `spark.readStream.format("graftlog")
   *    .option("startingVersion", v).load(root)` tails the commit stream
   *    with VERSIONS AS OFFSETS ([[GraftLogSource]]).
+  *  - BATCH WRITE: `df.write.format("graftlog").mode(...).save(root)` —
+  *    manifest-committing Append/Overwrite/ErrorIfExists/Ignore; options
+  *    `partitionBy` + `stats` (comma-separated) set a NEW table's layout
+  *    and stat columns (see [[GraftLogWrite]] scaladoc).
+  *  - STREAMING WRITE: `df.writeStream.format("graftlog").start(root)` —
+  *    one atomic exactly-once snapshot commit per micro-batch
+  *    ([[GraftLogSink]]).
   */
 class GraftLogSourceProvider extends DataSourceRegister
-  with RelationProvider with StreamSourceProvider {
+  with RelationProvider with StreamSourceProvider
+  with org.apache.spark.sql.sources.CreatableRelationProvider
+  with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "graftlog"
 
@@ -291,6 +313,66 @@ class GraftLogSourceProvider extends DataSourceRegister
     val version = parameters.get("version")
       .orElse(parameters.get("versionAsOf")).map(_.toLong)
     GraftLog.batchRelation(sqlContext.sparkSession, rootOf(parameters), version)
+  }
+
+  /** The batch WRITER (`df.write.format("graftlog")`). Append is the blind
+    * rebasing append (concurrent writers both land); Overwrite preserves an
+    * existing table's recorded partition layout and tracked stat columns
+    * unless `partitionBy`/`stats` name a new layout; ErrorIfExists/Ignore
+    * follow their SaveMode contracts against log existence (a committed
+    * version, not a directory).
+    */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val root = rootOf(parameters)
+    val exists = TableLog.headVersion(spark, root).nonEmpty
+    val statCols = GraftLogWrite.csv(parameters, "stats")
+    val partCols = GraftLogWrite.csv(parameters, "partitionBy")
+    (partCols ++ statCols).foreach(c => require(data.columns.contains(c),
+      s"option column '$c' is not in the written schema ${data.columns.toSeq}"))
+    def create(): Unit = {
+      if (partCols.nonEmpty)
+        TableLog.overwritePartitioned(data, root, partCols, statCols: _*)
+      else TableLog.overwriteWithStats(data, root, statCols: _*)
+      ()
+    }
+    mode match {
+      case SaveMode.Append =>
+        if (!exists && (partCols.nonEmpty || statCols.nonEmpty)) create()
+        else { TableLog.append(data, root, statCols = statCols); () }
+      case SaveMode.Overwrite =>
+        if (exists && partCols.isEmpty && statCols.isEmpty)
+          TableLog.insertOverwrite(data, root) // keep the recorded layout
+        else create()
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalStateException(
+          s"graftlog table at $root already exists (SaveMode.ErrorIfExists)")
+        create()
+      case SaveMode.Ignore => if (!exists) create()
+    }
+    GraftLog.batchRelation(spark, root, None)
+  }
+
+  /** The streaming SINK: exactly-once micro-batch appends (epoch token in
+    * the manifest — [[TableLog.appendBatch]]). Append-only by construction:
+    * each batch is one atomic snapshot commit, so update/complete modes
+    * (which retract rows) cannot be expressed. A partitioned layout comes
+    * from the TABLE (create it partitioned first); `partitionBy` on the
+    * stream would race the first batch against table creation.
+    */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graftlog sink is append-only (atomic snapshot commit per batch); " +
+        s"got $outputMode")
+    require(partitionColumns.isEmpty,
+      "partition the TABLE, not the stream: create it partitioned first " +
+        "(df.write.format(\"graftlog\").option(\"partitionBy\", ...)) — the " +
+        "sink adopts the table's recorded layout")
+    new GraftLogSink(sqlContext.sparkSession, rootOf(parameters), parameters)
   }
 
   override def sourceSchema(sqlContext: SQLContext,

@@ -675,6 +675,25 @@ object TableLog {
       Seq("op:overwrite", schemaMeta(df), partColsMeta(partCols.sorted)))
   }
 
+  /** Full-snapshot REPLACE that PRESERVES the table's recorded layout:
+    * partition columns and tracked stat columns are re-derived from the
+    * current head — the `INSERT OVERWRITE` / writer-Overwrite-on-existing
+    * surface, where the caller names no layout because the table already
+    * has one. A first write (no head) adopts `df`'s schema, flat.
+    */
+  def insertOverwrite(df: DataFrame, root: String): Long = {
+    val spark = df.sparkSession
+    val st = headVersion(spark, root).map(h => state(spark, root, Some(h)))
+    val partCols = st.map(partColsOf).getOrElse(Seq.empty)
+    require(partCols.forall(df.columns.contains),
+      s"overwriting a partitioned table must carry its partition columns " +
+        s"($partCols); name a new layout explicitly to change it")
+    val statCols = st.map(trackedStatCols).getOrElse(Seq.empty)
+      .filter(df.columns.contains)
+    if (partCols.nonEmpty) overwritePartitioned(df, root, partCols, statCols: _*)
+    else overwriteWithStats(df, root, statCols: _*)
+  }
+
   /** Commit `df` APPENDED to the current snapshot: the manifest records
     * ONLY the new files — O(batch) metadata, existing data referenced,
     * never rewritten, copied or even re-listed. Commits `basedOn` the head
@@ -687,8 +706,15 @@ object TableLog {
     * MISSING existing columns is allowed (its files NULL-fill those
     * columns on read). Appends to a partitioned table automatically land
     * in the table's partition layout.
+    *
+    * `statCols` opts the batch into PER-FILE stats collection (long +
+    * typed manifest stats — the data-skipping surface): without it an
+    * append-built table never skips, which at streaming scale means a
+    * table that only ever grows less prunable. Appends stay blind (no
+    * read of existing data) either way.
     */
-  def append(df: DataFrame, root: String, meta: Seq[String] = Nil): Long = {
+  def append(df: DataFrame, root: String, meta: Seq[String] = Nil,
+      statCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val head = headVersion(spark, root)
     val st = head.map(h => state(spark, root, Some(h)))
@@ -696,9 +722,12 @@ object TableLog {
     require(partCols.forall(df.columns.contains),
       s"append to a partitioned table must carry its partition columns " +
         s"($partCols); a flat batch would corrupt the layout")
-    val files =
+    val staged =
       if (partCols.nonEmpty) writeDataPartitioned(df, root, partCols)
       else writeData(df, root)
+    val files =
+      if (statCols.isEmpty) staged
+      else withStats(spark, root, staged, statCols.filter(df.columns.contains))
     // blind append: a lost CAS auto-rebases (appends commute at file
     // level); the schema/layout meta is recomputed per attempt against the
     // base the commit actually lands on
@@ -2122,7 +2151,7 @@ object TableLog {
     * re-staging would orphan the first attempt's files).
     */
   def appendBatch(batch: DataFrame, batchId: Long, root: String,
-      casRetries: Int = 5): Unit = {
+      casRetries: Int = 5, statCols: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
     val store = LogStore.resolve(spark)
     val marker = s"${logDir(root)}/epochs/epoch-$batchId"
@@ -2136,9 +2165,12 @@ object TableLog {
       require(partCols.forall(batch.columns.contains),
         s"append to a partitioned table must carry its partition columns " +
           s"($partCols)")
-      val staged =
+      val plain =
         if (partCols.nonEmpty) writeDataPartitioned(batch, root, partCols)
         else writeData(batch, root)
+      val staged =
+        if (statCols.isEmpty) plain
+        else withStats(spark, root, plain, statCols.filter(batch.columns.contains))
       // the rebasing commit re-derives the schema meta per attempt against
       // the base it lands on — a concurrent writer's evolution is never
       // clobbered by a retried epoch (the pre-round-15 loop reused the

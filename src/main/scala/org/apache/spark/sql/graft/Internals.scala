@@ -44,4 +44,17 @@ object Internals {
     s.internalCreateDataFrame(
       s.sparkContext.emptyRDD[InternalRow], schema, isStreaming = true)
   }
+
+  /** The inverse direction, for a streaming SINK: rebind a micro-batch's
+    * DataFrame (whose leaves are streaming-flagged — no batch action can
+    * plan it) onto its already-incremental RDD as a plain BATCH frame —
+    * exactly `ForeachBatchSink.addBatch`'s construction. The rows stay
+    * executor-side; only the plan is re-rooted.
+    */
+  def asBatchFrame(data: DataFrame): DataFrame = {
+    val ds = data.asInstanceOf[ClassicDataset[org.apache.spark.sql.Row]]
+    ofRows(ds.sparkSession,
+      org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+        ds.queryExecution.toRdd, ds, isStreaming = false))
+  }
 }
