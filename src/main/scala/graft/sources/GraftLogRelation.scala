@@ -49,10 +49,27 @@ import org.apache.spark.unsafe.types.UTF8String
   * [[GraftLogSource]], the versions-as-offsets micro-batch source that
   * retired the driver-side MemoryStream bridge.
   */
+/** The DELETION-VECTOR literal triple an inline-eligible snapshot ships to
+  * its scan filter: sorted file keys, per-file run-pair offsets, flat
+  * [start, endExclusive) row-index runs — [[graft.functions.DvLive]]'s
+  * argument shape.
+  */
+private[graft] final case class DvSpec(files: Array[String],
+  offsets: Array[Long], runs: Array[Long])
+
 private[graft] class GraftLogFileIndex(
     spark: SparkSession, val root: String, entries: Seq[TableLog.Entry],
-    dataSchema: StructType, override val partitionSchema: StructType)
+    dataSchema: StructType, override val partitionSchema: StructType,
+    val pendingDv: Option[DvSpec] = None)
   extends FileIndex {
+
+  /** The same index with the DV marker CONSUMED — what
+    * [[GraftLogDvRewrite]] substitutes once it has injected the run filter
+    * (the marker must not survive or the rewrite would never reach a fixed
+    * point).
+    */
+  def withoutDv: GraftLogFileIndex =
+    new GraftLogFileIndex(spark, root, entries, dataSchema, partitionSchema)
 
   private val hadoopConf = spark.sessionState.newHadoopConf()
   private val rootPath = {
@@ -168,12 +185,13 @@ private[graft] object GraftLog {
     */
   def relation(spark: SparkSession, root: String,
       entries: Seq[TableLog.Entry], tableSchema: StructType,
-      partCols: Seq[String]): HadoopFsRelation = {
+      partCols: Seq[String], pendingDv: Option[DvSpec] = None)
+      : HadoopFsRelation = {
     val partitionSchema = StructType(partCols.map(c =>
       tableSchema.find(_.name == c).getOrElse(StructField(c, StringType))))
     val index = new GraftLogFileIndex(spark, root, entries,
       StructType(tableSchema.filterNot(f => partCols.contains(f.name))),
-      partitionSchema)
+      partitionSchema, pendingDv)
     // dataSchema is the FULL table schema: partition columns ride as
     // OVERLAPPED partition columns (HadoopFsRelation serves them from the
     // partition values, and the planner never asks the files for them), so
@@ -184,10 +202,15 @@ private[graft] object GraftLog {
   }
 
   /** The batch relation `format("graftlog")` serves: the snapshot at
-    * `version` (default head) as a [[HadoopFsRelation]]; a snapshot
-    * carrying DELETION VECTORS falls back to [[GraftLogDvRelation]] (the
-    * anti-join cannot live inside a file relation — the documented DV
-    * read seam).
+    * `version` (default head) as a [[HadoopFsRelation]]. A snapshot
+    * carrying DELETION VECTORS stays NATIVE when the sidecars fit the
+    * inline bound and [[GraftLogDvRewrite]] is installed: the relation
+    * ships the run-set triple on its index, and the rewrite injects the
+    * scan-side `graft_dv_live` filter at analysis — file scan, pruning and
+    * codegen all engage exactly as on a DV-free snapshot (round 16; this
+    * retired the RDD[Row] seam for the common case). Only snapshots whose
+    * vectors exceed the inline caps — or sessions without the extensions
+    * rule — fall back to [[GraftLogDvRelation]]'s anti-join.
     */
   def batchRelation(spark: SparkSession, root: String,
       version: Option[Long]): BaseRelation = {
@@ -196,15 +219,88 @@ private[graft] object GraftLog {
     // analysis), so the delta chain replays exactly once
     val st = TableLog.state(spark, root, version)
     val schema = TableLog.tableSchemaFor(spark, root, st.entries, st.schemaJson)
-    if (st.entries.exists(_.dvs.nonEmpty))
+    val dvPaths = st.entries.flatMap(_.dvs).distinct
+    def dvRewriteActive: Boolean =
+      try spark.sessionState.optimizer.extendedOperatorOptimizationRules
+        .exists(_ eq GraftLogDvRewrite)
+      catch { case NonFatal(_) => false }
+    if (dvPaths.isEmpty)
+      relation(spark, root, st.entries, schema,
+        TableLog.partColsOf(st).filter(schema.fieldNames.contains))
+    else if (dvRewriteActive && !schema.fieldNames.contains("_metadata") &&
+        TableLog.dvInlineEligible(spark, root, dvPaths)) {
+      val (files, offsets, runs) = TableLog.collectDvRuns(spark, root, dvPaths)
+      relation(spark, root, st.entries, schema,
+        TableLog.partColsOf(st).filter(schema.fieldNames.contains),
+        pendingDv = Some(DvSpec(files, offsets, runs)))
+    } else
       // PIN the snapshot: buildScan must read the version this relation was
       // planned against, never a re-resolved head — two actions on one
       // DataFrame (or a self-join) over a mutating table would otherwise
       // read different versions, and the schema computed here could diverge
       // from the data scanned (the DV-free path pins entries at load).
       new GraftLogDvRelation(spark, root, version.orElse(Some(st.version)), schema)
-    else relation(spark, root, st.entries, schema,
-      TableLog.partColsOf(st).filter(schema.fieldNames.contains))
+  }
+}
+
+/** OPTIMIZER rule (injected via [[graft.GraftExtensions]]) that turns a
+  * DV-marked native graftlog relation into the filtered read it stands
+  * for: `Project(table cols, Filter(graft_dv_live(file_key, row_index,
+  * <run literals>), relation + _metadata))`. The relation itself cannot
+  * carry a row filter (V1 relations only *produce* rows), so the marker
+  * rides on [[GraftLogFileIndex.pendingDv]] and this rule expands it at
+  * the start of operator optimization — after which filter pushdown,
+  * partition pruning and whole-stage codegen around the scan all see the
+  * same shape as a hand-written `.filter` over metadata columns, the
+  * exact plan [[TableLog.read]] builds for inline-eligible snapshots.
+  *
+  * Optimization-time (not resolution-time) is deliberate: the ANALYZED
+  * plan keeps the bare LogicalRelation, so `CREATE TEMPORARY VIEW`
+  * stores an insertable relation (`INSERT INTO` a DV-carrying view works
+  * through the normal command path) and schema surfaces stay the plain
+  * table schema; every execution then expands the marker here. The
+  * marker is consumed in the rewrite (fixed-point safe); the `_metadata`
+  * struct is surfaced through the relation's own metadata output.
+  */
+object GraftLogDvRewrite
+  extends org.apache.spark.sql.catalyst.rules.Rule[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{ExtractValue, RegExpExtract}
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+  import org.apache.spark.sql.execution.datasources.LogicalRelation
+  import org.apache.spark.sql.types.{ArrayType, LongType}
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case l: LogicalRelation if pending(l).nonEmpty =>
+      val rel = l.relation.asInstanceOf[HadoopFsRelation]
+      val idx = rel.location.asInstanceOf[GraftLogFileIndex]
+      val spec = idx.pendingDv.get
+      // consume the marker, then surface the _metadata struct the filter
+      // needs through the relation's own metadata output
+      val consumed = l.copy(relation =
+        rel.copy(location = idx.withoutDv)(rel.sparkSession))
+      val withMeta = consumed.withMetadataColumns()
+      val meta = withMeta.output.filterNot(l.outputSet.contains)
+        .find(_.name == "_metadata").getOrElse(
+          throw new IllegalStateException(
+            "graftlog DV rewrite: relation exposed no _metadata column"))
+      val fileKey = RegExpExtract(
+        ExtractValue(meta, Literal("file_path"), conf.resolver),
+        Literal(TableLog.FileKeyRegex), Literal(1))
+      val rowIdx = ExtractValue(meta, Literal("row_index"), conf.resolver)
+      val cond = graft.functions.DvLive(fileKey, rowIdx,
+        Literal.create(spec.files.toSeq, ArrayType(StringType)),
+        Literal.create(spec.offsets.toSeq, ArrayType(LongType)),
+        Literal.create(spec.runs.toSeq, ArrayType(LongType)))
+      Project(l.output, Filter(cond, withMeta))
+  }
+
+  private def pending(l: LogicalRelation): Option[DvSpec] = l.relation match {
+    case r: HadoopFsRelation => r.location match {
+      case i: GraftLogFileIndex => i.pendingDv
+      case _ => None
+    }
+    case _ => None
   }
 }
 

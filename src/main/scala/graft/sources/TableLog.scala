@@ -1005,10 +1005,11 @@ object TableLog {
     * [[deleteVectors]] build and a DV-applying read both use, so the
     * anti-join keys match byte-for-byte regardless of URI encoding.
     */
+  private[graft] val FileKeyRegex = "(?:^|/)(c[0-9a-f]{32}/.*)$"
+
   private def fileKeyCol: Column = {
     import org.apache.spark.sql.functions._
-    regexp_extract(col("_metadata.file_path"),
-      "(?:^|/)(c[0-9a-f]{32}/.*)$", 1)
+    regexp_extract(col("_metadata.file_path"), FileKeyRegex, 1)
   }
 
   /** Build a frame over an arbitrary entry subset of one snapshot (the
@@ -1064,6 +1065,31 @@ object TableLog {
     }.sum
   }
 
+  /** Whether a snapshot's sidecars fit the INLINE representation (the
+    * run-set scan filter): under both the byte and the exact position cap.
+    * Costs O(#sidecars) driver metadata reads, no job.
+    */
+  private[graft] def dvInlineEligible(spark: SparkSession, root: String,
+      dvPaths: Seq[String]): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val sidecarBytes = dvPaths.map(p => fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(s"$root/$p")).getLen).sum
+    sidecarBytes <= dvInlineMaxBytes(spark) &&
+      dvPositionCount(spark, root, dvPaths) <= dvInlineMaxPositions(spark)
+  }
+
+  /** Collect the sidecars' positions into the [[graft.functions.DvLive]]
+    * literal triple (one small parquet read job — the collect that
+    * replaces a per-read shuffle at execution).
+    */
+  private[graft] def collectDvRuns(spark: SparkSession, root: String,
+      dvPaths: Seq[String]): (Array[String], Array[Long], Array[Long]) = {
+    import org.apache.spark.sql.functions.col
+    dvRuns(spark.read.parquet(dvPaths.map(p => s"$root/$p"): _*)
+      .select(col("file"), col("ri")).collect())
+  }
+
   private[graft] def readEntrySet(spark: SparkSession, root: String,
       entries: Seq[Entry], schemaJson: Option[String],
       withPos: Boolean = false): DataFrame = {
@@ -1073,24 +1099,16 @@ object TableLog {
     val raw = buildEntryFrame(spark, root, entries, schemaJson, needPos)
     val undeleted =
       if (dvPaths.isEmpty) raw
-      else {
-        val fs = new org.apache.hadoop.fs.Path(root)
-          .getFileSystem(spark.sessionState.newHadoopConf())
-        val sidecarBytes = dvPaths.map(p => fs.getFileStatus(
-          new org.apache.hadoop.fs.Path(s"$root/$p")).getLen).sum
-        val dv = spark.read.parquet(dvPaths.map(p => s"$root/$p"): _*)
-          .select(col("file"), col("ri"))
-        if (sidecarBytes <= dvInlineMaxBytes(spark) &&
-            dvPositionCount(spark, root, dvPaths) <= dvInlineMaxPositions(spark)) {
-          val (files, offsets, runs) = dvRuns(dv.collect())
-          graft.functions.GraftFunctions.register(spark)
-          raw.filter(call_function("graft_dv_live",
-            col("__file"), col("__ri"),
-            lit(files), lit(offsets), lit(runs)))
-        } else
-          raw.join(dv.select(col("file").as("__file"), col("ri").as("__ri"))
-            .distinct(), Seq("__file", "__ri"), "left_anti")
-      }
+      else if (dvInlineEligible(spark, root, dvPaths)) {
+        val (files, offsets, runs) = collectDvRuns(spark, root, dvPaths)
+        graft.functions.GraftFunctions.register(spark)
+        raw.filter(call_function("graft_dv_live",
+          col("__file"), col("__ri"),
+          lit(files), lit(offsets), lit(runs)))
+      } else
+        raw.join(spark.read.parquet(dvPaths.map(p => s"$root/$p"): _*)
+          .select(col("file").as("__file"), col("ri").as("__ri"))
+          .distinct(), Seq("__file", "__ri"), "left_anti")
     if (withPos) undeleted else undeleted.drop("__file", "__ri")
   }
 

@@ -197,19 +197,39 @@ class GraftLogSourceSpec extends AnyFunSuite {
       sources.Not(sources.And(known, sources.IsNull("v")))).nonEmpty)
   }
 
-  test("DV snapshot: format read falls back and stays exact; DV-free head is native again") {
+  test("DV snapshot: inline-eligible format read stays NATIVE; over-cap falls back exact") {
     import spark.implicits._
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
     val root = tmp("gldv")
     val df = (1L to 100L).map(i => (i, i * 10)).toDF("k", "v")
       .repartitionByRange(4, col("v"))
     TableLog.overwriteWithStats(df, root, "v")
     TableLog.deleteVectors(spark, root, col("v") <= 300L)
     val got = spark.read.format("graftlog").load(root)
+    // round 16: the RDD[Row] seam is retired for inline-eligible vectors —
+    // the plan is ONE native file scan with the run filter riding the scan
+    // stage, no join, codegen preserved
+    assert(got.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f }.size == 1,
+      s"inline-eligible DV read must plan the native file scan:\n" +
+        got.queryExecution.sparkPlan)
+    assert(got.queryExecution.sparkPlan.collect {
+      case j: BaseJoinExec => j }.isEmpty)
     assert(got.select("k").as[Long].collect().sorted.toSeq == (31L to 100L))
-    // filter + projection still correct through the fallback
+    // filter + projection still exact through the injected run filter,
+    // and manifest-stat skipping still engages on the same scan
     assert(got.filter(col("v") > 900L).select("k").as[Long].collect()
       .sorted.toSeq == (91L to 100L))
-    // a compaction materializes the vectors: native relation returns
+    // over-cap vectors: the pinned fallback relation, byte-identical rows
+    spark.conf.set(TableLog.DvInlineMaxPositionsKey, "1")
+    try {
+      val fb = spark.read.format("graftlog").load(root)
+      assert(fb.queryExecution.sparkPlan.collect {
+        case f: FileSourceScanExec => f }.isEmpty,
+        "over-cap DV read must take the fallback relation")
+      assert(fb.select("k").as[Long].collect().sorted.toSeq == (31L to 100L))
+    } finally spark.conf.unset(TableLog.DvInlineMaxPositionsKey)
+    // a compaction materializes the vectors: plain native relation returns
     TableLog.compact(spark, root, targetBytes = 1L << 30)
     val after = spark.read.format("graftlog").load(root)
     assert(after.queryExecution.sparkPlan.collect {
@@ -358,20 +378,23 @@ class GraftLogSourceSpec extends AnyFunSuite {
     val root = tmp("gldvpin")
     TableLog.overwrite((1L to 50L).toDF("k"), root)
     TableLog.deleteVectors(spark, root, col("k") > 40L)
-    // version-less load of a DV-carrying snapshot → the fallback relation;
-    // its buildScan must read the version resolved AT LOAD, not re-resolve
-    // the head per action
-    val pinned = spark.read.format("graftlog").load(root)
-    assert(pinned.count() == 40L)
-    TableLog.append((100L to 110L).toDF("k"), root)
-    assert(pinned.select("k").as[Long].collect().sorted.toSeq ==
-      (1L to 40L).toSeq,
-      "a loaded DataFrame must keep reading the snapshot it was planned " +
-        "against after a concurrent append")
-    // a self-join over the pinned frame sees ONE version on both sides
-    assert(pinned.as("a").join(pinned.as("b"), "k").count() == 40L)
-    // a fresh load sees the new head
-    assert(spark.read.format("graftlog").load(root).count() == 51L)
+    // force the FALLBACK relation (the native inline path pins entries by
+    // construction; this pins the buildScan-per-action fallback): its scan
+    // must read the version resolved AT LOAD, not re-resolve the head
+    spark.conf.set(TableLog.DvInlineMaxPositionsKey, "1")
+    try {
+      val pinned = spark.read.format("graftlog").load(root)
+      assert(pinned.count() == 40L)
+      TableLog.append((100L to 110L).toDF("k"), root)
+      assert(pinned.select("k").as[Long].collect().sorted.toSeq ==
+        (1L to 40L).toSeq,
+        "a loaded DataFrame must keep reading the snapshot it was planned " +
+          "against after a concurrent append")
+      // a self-join over the pinned frame sees ONE version on both sides
+      assert(pinned.as("a").join(pinned.as("b"), "k").count() == 40L)
+      // a fresh load sees the new head
+      assert(spark.read.format("graftlog").load(root).count() == 51L)
+    } finally spark.conf.unset(TableLog.DvInlineMaxPositionsKey)
   }
 
   test("DV inline decision caps on POSITION count: dense sidecars fall back to the anti-join") {
