@@ -132,7 +132,74 @@ object GraftExtensions {
             tvfString(es(3), "keyCols").split(',').map(_.trim)
               .filter(_.nonEmpty).toSeq)
           .queryExecution.analyzed
+      }),
+
+    // -- MAINTENANCE DML as table functions (round 16) -------------------
+    // The Scala-only mutation ops, reachable from pure SQL. Each RUNS the
+    // mutation when the enclosing query is ANALYZED (once per spark.sql
+    // call — the pragmatic command surface available without a catalog
+    // plugin; note EXPLAIN over such a query also executes it) and
+    // returns a one-row frame with the resulting version. All arguments
+    // must be literals.
+    ("graft_log_delete",
+      "graft_log_delete(root, predicateSql) - DELETE FROM the logged " +
+        "table (partition/stat-triaged rewrite); returns (version)",
+      (es: Seq[Expression]) => {
+        require(es.size == 2, "graft_log_delete takes (root, predicateSql)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        versionRow(graft.sources.TableLog.delete(spark,
+          tvfString(es(0), "root"),
+          org.apache.spark.sql.functions.expr(tvfString(es(1), "predicate"))))
+      }),
+    ("graft_log_delete_dv",
+      "graft_log_delete_dv(root, predicateSql) - DELETE FROM via deletion " +
+        "vectors (zero rewrite); returns (version)",
+      (es: Seq[Expression]) => {
+        require(es.size == 2,
+          "graft_log_delete_dv takes (root, predicateSql)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        versionRow(graft.sources.TableLog.deleteVectors(spark,
+          tvfString(es(0), "root"),
+          org.apache.spark.sql.functions.expr(tvfString(es(1), "predicate"))))
+      }),
+    ("graft_log_restore",
+      "graft_log_restore(root, version) - RESTORE the table to an old " +
+        "version as a new commit; returns (version)",
+      (es: Seq[Expression]) => {
+        require(es.size == 2, "graft_log_restore takes (root, version)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        versionRow(graft.sources.TableLog.restore(spark,
+          tvfString(es(0), "root"), tvfLong(es(1), "version")))
+      }),
+    ("graft_log_compact",
+      "graft_log_compact(root, targetBytes) - compact sub-target files " +
+        "into one atomic commit; returns (version)",
+      (es: Seq[Expression]) => {
+        require(es.size == 2, "graft_log_compact takes (root, targetBytes)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        versionRow(graft.sources.TableLog.compact(spark,
+          tvfString(es(0), "root"), tvfLong(es(1), "targetBytes")))
+      }),
+    ("graft_log_vacuum",
+      "graft_log_vacuum(root, keepVersions) - drop manifests/files beyond " +
+        "the horizon (orphans by age); returns the surviving head (version)",
+      (es: Seq[Expression]) => {
+        require(es.size == 2, "graft_log_vacuum takes (root, keepVersions)")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val root = tvfString(es(0), "root")
+        graft.sources.TableLog.vacuum(spark, root,
+          tvfLong(es(1), "keepVersions").toInt)
+        versionRow(graft.sources.TableLog.headVersion(spark, root)
+          .getOrElse(0L))
       }))
+
+  /** One-row (version BIGINT) result plan for the maintenance TVFs. */
+  private def versionRow(v: Long)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+      Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        "version", org.apache.spark.sql.types.LongType, nullable = false)()),
+      Seq(org.apache.spark.sql.catalyst.InternalRow(v)))
 
   private def tvfString(e: Expression, what: String): String = {
     require(e.foldable, s"$what must be a literal string")

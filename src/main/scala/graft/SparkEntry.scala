@@ -2376,6 +2376,28 @@ object SparkEntry {
       s.read.format("graftlog").load(root).orderBy(col("doc_id"))
     }),
 
+    // MAINTENANCE DML FROM PURE SQL (round 16): DELETE was Scala-only
+    // (q213/q218 call TableLog.delete); here the SAME stat-triaged
+    // delete runs as SQL text — graft_log_delete('<root>', '<pred>')
+    // executes the rewrite (files provably outside the range kept by
+    // reference) and the table reads back through the graft_log TVF, so
+    // the whole mutation+read round trip never leaves spark.sql. Oracle:
+    // the delete's complement over the source table.
+    "q233_sql_delete" -> ((s, d) => {
+      import graft.sources.TableLog
+      val docs = t(s, d, "documents")
+      val root = logRoot(s, d, "tsqldel")
+      TableLog.overwriteWithStats(
+        docs.select(col("doc_id"), col("source"), col("n_chars"))
+          .repartitionByRange(8, col("n_chars")), root, "n_chars")
+      graft.functions.GraftFunctions.register(s)
+      val v = s.sql(s"SELECT version FROM graft_log_delete('$root', " +
+        "'n_chars BETWEEN 150 AND 250')").head().getLong(0)
+      require(v == 2L, s"SQL delete must commit version 2, got $v")
+      s.sql(s"SELECT doc_id, source, n_chars FROM graft_log('$root')")
+        .orderBy(col("doc_id"))
+    }),
+
     // TYPED MANIFEST STATS (TableLog `t:` tokens) — the most common real
     // predicate is a TIME RANGE, and before round 15 only long columns
     // could skip at the manifest layer. The table is range-clustered on
@@ -5640,6 +5662,12 @@ object SparkEntry {
     // partition the table by doc_id % 3; their union is the source table
     "q232_log_write_path" ->
       """SELECT doc_id, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // the SQL delete's complement (NULL n_chars never matches BETWEEN)
+    "q233_sql_delete" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE n_chars IS NULL OR n_chars < 150 OR n_chars > 250
         |ORDER BY doc_id""".stripMargin,
 
     // q223's deterministic audit trail, reached through pure SQL

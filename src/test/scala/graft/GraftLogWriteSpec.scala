@@ -151,6 +151,37 @@ class GraftLogWriteSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("append-only"))
   }
 
+  test("maintenance DML TVFs: delete_dv, restore, compact, vacuum from pure SQL") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val root = tmp("glwdml")
+    (1L to 100L).map(i => (i, i * 2)).toDF("k", "v")
+      .write.format("graftlog").option("stats", "v").save(root)        // v1
+    // DV delete: zero rewrite, version 2
+    val v2 = spark.sql(s"SELECT version FROM graft_log_delete_dv('$root', " +
+      "'k > 90')").as[Long].head()
+    assert(v2 == 2L)
+    assert(spark.sql(s"SELECT count(*) FROM graft_log('$root')")
+      .as[Long].head() == 90L)
+    // restore to v1 as v3
+    val v3 = spark.sql(s"SELECT version FROM graft_log_restore('$root', 1)")
+      .as[Long].head()
+    assert(v3 == 3L)
+    assert(spark.sql(s"SELECT count(*) FROM graft_log('$root')")
+      .as[Long].head() == 100L)
+    // compact everything into one file as v4
+    val v4 = spark.sql(
+      s"SELECT version FROM graft_log_compact('$root', ${1L << 30})")
+      .as[Long].head()
+    assert(v4 == 4L)
+    assert(TableLog.manifestEntries(spark, root).size == 1)
+    // vacuum to the head; old manifests swept, head intact
+    assert(spark.sql(s"SELECT version FROM graft_log_vacuum('$root', 1)")
+      .as[Long].head() == 4L)
+    assert(spark.sql(s"SELECT count(*) FROM graft_log('$root')")
+      .as[Long].head() == 100L)
+  }
+
   test("a session without the extensions fails loudly instead of corrupting") {
     val fmt = new graft.sources.GraftLogParquetFormat
     val ex = intercept[UnsupportedOperationException] {
