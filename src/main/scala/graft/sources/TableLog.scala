@@ -476,6 +476,12 @@ object TableLog {
     * append does not delete the appended rows, exactly Delta's default
     * WriteSerializable contract).
     */
+  /** Diagnostic tally of rebase rounds (lost CAS → re-commit) across the
+    * JVM — what the contention probe (ScaleProbe --rebase-law) and the
+    * concurrency specs read; never consulted by the protocol itself.
+    */
+  private[graft] val rebaseTally = new java.util.concurrent.atomic.AtomicLong
+
   private[graft] def commitDeltaRebasing(spark: SparkSession, root: String,
       adds: Seq[Entry], removes: Seq[String], basedOn: Long,
       metaFor: Long => Seq[String], maxRebases: Int = 20): Long = {
@@ -486,6 +492,7 @@ object TableLog {
       catch {
         case e: CommitConflictException =>
           attempt += 1
+          rebaseTally.incrementAndGet()
           val newHead = headVersion(spark, root).getOrElse(base)
           if (attempt > maxRebases || newHead <= base) throw e
           val touched = touchedSince(spark, root, base, newHead).getOrElse(

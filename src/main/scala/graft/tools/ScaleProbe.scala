@@ -570,6 +570,67 @@ object ScaleProbe {
     if (args.contains("--log-law")) {
       logLawSection(); spark.stop(); return
     }
+    // --rebase-law: MULTI-WRITER CONTENTION — N ∈ {2,4,8} writer threads
+    // race M blind appends each through the real HadoopLogStore CAS (the
+    // hard-link/rename-exclusive primitive), every commit auto-rebasing on
+    // a lost race (q229's correctness, here measured). Reported: commit
+    // throughput, total rebase rounds and the rebase-per-commit ratio —
+    // the law to evidence is that ALL N×M commits land (serial-equivalent
+    // state, verified) with rebase cost growing with contention but
+    // throughput staying useful; the table data is tiny so the numbers
+    // isolate the METADATA protocol, not parquet writing.
+    def rebaseLawSection(): Unit = {
+      import graft.sources.TableLog
+      import org.apache.spark.sql.functions.col
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      val perWriter = 8
+      Seq(2, 4, 8).foreach { n =>
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_rebaselaw_$n"
+        rm(new java.io.File(root))
+        TableLog.overwrite(
+          spark.range(0, 1).select(col("id").as("k")), root)     // v1
+        // pre-stage every writer's batches OUTSIDE the clock: the race
+        // being measured is manifest commits, not parquet writes
+        val staged = (0 until n).map { w =>
+          (0 until perWriter).map { i =>
+            val lo = (w * perWriter + i) * 10L + 100L
+            TableLog.writeData(
+              spark.range(lo, lo + 10L).select(col("id").as("k")), root)
+          }
+        }
+        TableLog.rebaseTally.set(0L)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+        val t0 = System.nanoTime()
+        val fs = (0 until n).map { w =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            override def call(): Unit =
+              staged(w).foreach { files =>
+                TableLog.commitDeltaRebasing(spark, root, files, Nil,
+                  basedOn = 1L, _ => Seq("op:append"))
+              }
+          })
+        }
+        fs.foreach(_.get())
+        pool.shutdown()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val rebases = TableLog.rebaseTally.get()
+        val commits = n * perWriter
+        val head = TableLog.headVersion(spark, root).get
+        val rows = TableLog.read(spark, root).count()
+        require(head == 1L + commits,
+          s"every racing append must land exactly once: head=$head")
+        require(rows == 1L + commits * 10L,
+          s"serial-equivalent state expected: rows=$rows")
+        println(f"[probe] rebase-law: writers=$n%-2d commits=$commits%-3d " +
+          f"wall=${wall}%6.2f s  throughput=${commits / wall}%5.1f commits/s  " +
+          f"rebases=$rebases%-4d (${rebases.toDouble / commits}%.2f per commit)")
+      }
+    }
+    if (args.contains("--rebase-law")) {
+      rebaseLawSection(); spark.stop(); return
+    }
     // --hashed-hundredx: the hashed-embedding retrieval chain's two-decade
     // growth fit (VERDICT r11 Next #5) — hashedEmbedding (scan-side
     // featurization) composed into hashedKnn (broadcast queries + bounded

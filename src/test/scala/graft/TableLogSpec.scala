@@ -1009,4 +1009,35 @@ class TableLogSpec extends AnyFunSuite {
     assert(TableLog.read(spark, root).count() == before,
       "a replayed epoch must stay a no-op after its marker was swept")
   }
+
+  test("racing blind appends all land exactly once through the real CAS") {
+    import spark.implicits._
+    val root = tmp("trace")
+    TableLog.overwrite(Seq(0L).toDF("k"), root) // v1
+    val writers = 4; val perWriter = 5
+    TableLog.rebaseTally.set(0L)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    val fs = (0 until writers).map { w =>
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        override def call(): Unit =
+          (0 until perWriter).foreach { i =>
+            val lo = (w * perWriter + i) * 10L + 100L
+            TableLog.append((lo until lo + 10L).toDF("k"), root)
+          }
+      })
+    }
+    fs.foreach(_.get())
+    pool.shutdown()
+    // serial-equivalent state: every commit landed exactly once, the read
+    // is the union of every writer's batches, and under 4-way contention
+    // at least one commit actually had to rebase (the race was real)
+    assert(TableLog.headVersion(spark, root).contains(1L + writers * perWriter))
+    val want = (Seq(0L) ++ (0 until writers * perWriter).flatMap { j =>
+      val lo = j * 10L + 100L; lo until lo + 10L
+    }).sorted
+    assert(TableLog.read(spark, root).select("k").as[Long]
+      .collect().sorted.toSeq == want)
+    assert(TableLog.rebaseTally.get() > 0L,
+      "4 racing writers over 20 commits should exercise the rebase path")
+  }
 }
