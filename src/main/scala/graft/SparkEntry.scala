@@ -2398,6 +2398,29 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // COLUMN MAPPING (round 16): RENAME COLUMN as a METADATA-ONLY commit
+    // — the Delta column-mapping shape. Physical names (what files and
+    // manifest stats are keyed by) never change; the rename re-points the
+    // logical name, v1 time-travels under the OLD name, the post-rename
+    // append lands under the new logical name in physical files, and the
+    // filter on the renamed column still PRUNES via stats keyed by the
+    // physical id (one alias projection Catalyst pushes filters through).
+    "q234_column_rename" -> ((s, d) => {
+      import graft.sources.TableLog
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val root = logRoot(s, d, "trename")
+      TableLog.overwriteWithStats(docs.filter(col("doc_id") % 2 === 0)
+        .repartitionByRange(4, col("n_chars")), root, "n_chars")     // v1
+      TableLog.renameColumn(s, root, "n_chars", "char_count")        // v2
+      TableLog.append(docs.filter(col("doc_id") % 2 === 1)
+        .withColumnRenamed("n_chars", "char_count"), root)           // v3
+      require(TableLog.read(s, root, Some(1L)).columns.contains("n_chars"),
+        "v1 must time-travel under its own (pre-rename) name")
+      TableLog.read(s, root).filter(col("char_count") > 100L)
+        .orderBy(col("doc_id"))
+    }),
+
     // TYPED MANIFEST STATS (TableLog `t:` tokens) — the most common real
     // predicate is a TIME RANGE, and before round 15 only long columns
     // could skip at the manifest layer. The table is range-clustered on
@@ -5668,6 +5691,13 @@ object SparkEntry {
     "q233_sql_delete" ->
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE n_chars IS NULL OR n_chars < 150 OR n_chars > 250
+        |ORDER BY doc_id""".stripMargin,
+
+    // rename is metadata-only: the read is the source derivation under
+    // the new logical name
+    "q234_column_rename" ->
+      """SELECT doc_id, source, n_chars AS char_count FROM documents
+        |WHERE n_chars > 100
         |ORDER BY doc_id""".stripMargin,
 
     // q223's deterministic audit trail, reached through pure SQL

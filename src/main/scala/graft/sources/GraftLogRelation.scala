@@ -224,7 +224,15 @@ private[graft] object GraftLog {
       try spark.sessionState.optimizer.extendedOperatorOptimizationRules
         .exists(_ eq GraftLogDvRewrite)
       catch { case NonFatal(_) => false }
-    if (dvPaths.isEmpty)
+    if (TableLog.colmapOf(st).nonEmpty)
+      // COLUMN-MAPPED snapshot: the files carry physical names while the
+      // relation must expose logical ones — a V1 relation cannot project,
+      // so serve the full aliased read pipeline behind the fallback
+      // (renames are metadata-rare; TableLog.read and the graft_log TVF
+      // stay fully native via one alias projection)
+      new GraftLogDvRelation(spark, root, version.orElse(Some(st.version)),
+        schema)
+    else if (dvPaths.isEmpty)
       relation(spark, root, st.entries, schema,
         TableLog.partColsOf(st).filter(schema.fieldNames.contains))
     else if (dvRewriteActive && !schema.fieldNames.contains("_metadata") &&
@@ -542,6 +550,17 @@ class GraftLogSource(spark: SparkSession, root: String,
   override val schema: StructType =
     userSchema.getOrElse(GraftLogSource.tableSchema(spark, root))
 
+  /** LOGICAL → PHYSICAL mapping resolved ONCE at stream construction:
+    * physical identities never change (a rename only re-points the logical
+    * name), so every window's files — before or after any rename — read
+    * correctly under the mapping of the head the stream started from; a
+    * rename DURING the stream is invisible by the fixed-schema contract.
+    */
+  private val colmap: Map[String, String] =
+    TableLog.headVersion(spark, root).map(h =>
+      TableLog.colmapOf(TableLog.state(spark, root, Some(h))))
+      .getOrElse(Map.empty)
+
   /** Furthest version handed out via getBatch this run; latestOffset also
     * honors the engine-provided start offset, which wins after a restart
     * recovery where getBatch was never called.
@@ -614,10 +633,12 @@ class GraftLogSource(spark: SparkSession, root: String,
       val partCols = entries.head.partition.keys.toSeq.sorted
       require(entries.forall(_.partition.keys.toSeq.sorted == partCols),
         "mixed partition layouts in one change window are not readable")
-      val rel = GraftLog.relation(spark, root, entries, schema,
-        partCols.filter(schema.fieldNames.contains))
+      val physSchema = TableLog.physicalSchema(schema, colmap)
+      val rel = GraftLog.relation(spark, root, entries, physSchema,
+        partCols.filter(physSchema.fieldNames.contains))
       Internals.streamingRelationFrame(spark, rel)
-        .select(schema.fieldNames.toSeq.map(col): _*)
+        .select(schema.fieldNames.toSeq.map(n =>
+          col(colmap.getOrElse(n, n)).as(n)): _*)
     }
   }
 

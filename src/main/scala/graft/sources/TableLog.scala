@@ -257,7 +257,7 @@ object TableLog {
     */
   private def escapeStat(s: String): String = {
     val needs = (c: Char) => c == '%' || c == ':' || c == '\t' ||
-      c == '\n' || c == '\r' || c == '='
+      c == '\n' || c == '\r' || c == '=' || c == ','
     if (!s.exists(needs)) s
     else s.flatMap { c =>
       if (needs(c)) c.toInt.toHexString.toUpperCase.reverse.padTo(2, '0')
@@ -291,7 +291,8 @@ object TableLog {
     */
   private[graft] final case class LogState(version: Long,
     entries: Vector[Entry], schemaJson: Option[String],
-    epochMax: Option[Long], partColsMeta: Option[Seq[String]])
+    epochMax: Option[Long], partColsMeta: Option[Seq[String]],
+    colmapMeta: Option[String] = None)
 
   /** Newest checkpoint ≤ `v`: pointer fast-path when valid, else one
     * listing. Using an OLDER checkpoint than the newest is always correct
@@ -332,6 +333,7 @@ object TableLog {
     var schemaJson: Option[String] = None
     var epochMax: Option[Long] = None
     var partColsMeta: Option[Seq[String]] = None
+    var colmapMeta: Option[String] = None
     def applyDelta(d: DeltaFile): Unit = {
       if (d.legacyReplace) m.clear() // old-format manifests ARE snapshots
       d.removes.foreach(m.remove)
@@ -342,6 +344,7 @@ object TableLog {
         case ("schema", j) => schemaJson = Some(j).filter(_.nonEmpty)
         case ("partcols", v) =>
           partColsMeta = Some(v.split(',').filter(_.nonEmpty).toSeq)
+        case ("colmap", v) => colmapMeta = Some(v).filter(_.nonEmpty)
         case ("epoch", id) =>
           epochMax = Some(math.max(epochMax.getOrElse(Long.MinValue), id.toLong))
         case ("epochmax", id) =>
@@ -360,7 +363,8 @@ object TableLog {
       applyDelta(parseDelta(store.read(spark, manifestPath(root, u))))
       u += 1
     }
-    LogState(v, m.values.toVector, schemaJson, epochMax, partColsMeta)
+    LogState(v, m.values.toVector, schemaJson, epochMax, partColsMeta,
+      colmapMeta)
   }
 
   /** The file list of `version` (default: head) — paths only. */
@@ -555,6 +559,7 @@ object TableLog {
     val lines = Seq("#format:2") ++
       st.schemaJson.map("#schema:" + _).toSeq ++
       st.partColsMeta.map(c => "#" + partColsMeta(c)).toSeq ++
+      st.colmapMeta.map("#colmap:" + _).toSeq ++
       st.epochMax.map("#epochmax:" + _).toSeq ++
       st.entries.map(fmtAdd)
     store.writeIfAbsent(spark, checkpointPath(root, version),
@@ -660,8 +665,11 @@ object TableLog {
     val prev = if (head == 0L) Vector.empty
       else state(spark, root, Some(head)).entries
     val files = withStats(spark, root, writeData(df, root), statCols)
+    // a full replace RESETS column mapping: the new files' names ARE the
+    // new schema's names (physical = logical again)
     commitDelta(spark, root, files, prev.map(_.path), Some(head),
-      Seq("op:overwrite", schemaMeta(df), partColsMeta(Nil)))
+      Seq("op:overwrite", schemaMeta(df), partColsMeta(Nil),
+        colmapMeta(Map.empty)))
   }
 
   /** Full-snapshot REPLACE with a hive-partitioned layout + optional
@@ -679,7 +687,8 @@ object TableLog {
     val files = withStats(spark, root,
       writeDataPartitioned(df, root, partCols), statCols)
     commitDelta(spark, root, files, prev.map(_.path), Some(head),
-      Seq("op:overwrite", schemaMeta(df), partColsMeta(partCols.sorted)))
+      Seq("op:overwrite", schemaMeta(df), partColsMeta(partCols.sorted),
+        colmapMeta(Map.empty)))
   }
 
   /** Full-snapshot REPLACE that PRESERVES the table's recorded layout:
@@ -695,8 +704,11 @@ object TableLog {
     require(partCols.forall(df.columns.contains),
       s"overwriting a partitioned table must carry its partition columns " +
         s"($partCols); name a new layout explicitly to change it")
+    // tracked stat columns are keyed PHYSICALLY; the overwrite resets the
+    // mapping (new files carry the logical names), so re-key to logical
+    val rev = st.map(colmapOf).getOrElse(Map.empty).map(_.swap)
     val statCols = st.map(trackedStatCols).getOrElse(Seq.empty)
-      .filter(df.columns.contains)
+      .map(p => rev.getOrElse(p, p)).filter(df.columns.contains)
     if (partCols.nonEmpty) overwritePartitioned(df, root, partCols, statCols: _*)
     else overwriteWithStats(df, root, statCols: _*)
   }
@@ -729,12 +741,18 @@ object TableLog {
     require(partCols.forall(df.columns.contains),
       s"append to a partitioned table must carry its partition columns " +
         s"($partCols); a flat batch would corrupt the layout")
+    // files are staged under PHYSICAL names (uniform with pre-rename
+    // files); stats are collected and keyed physically too
+    guardRetiredPhysical(st, df)
+    val cm = st.map(colmapOf).getOrElse(Map.empty)
+    val phys = toPhysical(df, cm)
     val staged =
-      if (partCols.nonEmpty) writeDataPartitioned(df, root, partCols)
-      else writeData(df, root)
+      if (partCols.nonEmpty) writeDataPartitioned(phys, root, partCols)
+      else writeData(phys, root)
     val files =
       if (statCols.isEmpty) staged
-      else withStats(spark, root, staged, statCols.filter(df.columns.contains))
+      else withStats(spark, root, staged, statCols
+        .filter(df.columns.contains).map(c => cm.getOrElse(c, c)))
     // blind append: a lost CAS auto-rebases (appends commute at file
     // level); the schema/layout meta is recomputed per attempt against the
     // base the commit actually lands on
@@ -782,6 +800,106 @@ object TableLog {
   private def partColsMeta(cols: Seq[String]): String =
     "partcols:" + cols.mkString(",")
 
+  // -------------------------------------------------------------------------
+  // Column mapping (rename as a metadata commit)
+  // -------------------------------------------------------------------------
+
+  /** LOGICAL → PHYSICAL column mapping of a snapshot (the Delta
+    * column-mapping shape): physical names are what the data FILES and the
+    * manifest STATS are keyed by and NEVER change; [[renameColumn]] only
+    * repoints the logical name. Identity (no renames) is the empty map.
+    */
+  private[graft] def colmapOf(st: LogState): Map[String, String] =
+    st.colmapMeta.fold(Map.empty[String, String])(_.split(',')
+      .filter(_.nonEmpty).map { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"malformed colmap token: $kv")
+        unescapePath(kv.substring(0, i)) -> unescapePath(kv.substring(i + 1))
+      }.toMap)
+
+  private def colmapMeta(m: Map[String, String]): String =
+    "colmap:" + m.toSeq.sorted.map { case (l, p) =>
+      s"${escapeStat(l)}=${escapeStat(p)}" }.mkString(",")
+
+  /** The PHYSICAL schema (file-side field names) for a logical schema
+    * under `cm` — field order, types and metadata unchanged.
+    */
+  private[graft] def physicalSchema(logical: StructType,
+      cm: Map[String, String]): StructType =
+    if (cm.isEmpty) logical
+    else StructType(logical.map(f => f.copy(name = cm.getOrElse(f.name, f.name))))
+
+  /** Rename a batch's LOGICAL columns to their physical names before the
+    * file write — every staged file carries physical names, uniformly
+    * with pre-rename files.
+    */
+  private def toPhysical(df: DataFrame, cm: Map[String, String]): DataFrame =
+    if (cm.isEmpty) df
+    else df.select(df.columns.toSeq.map(c =>
+      org.apache.spark.sql.functions.col(c).as(cm.getOrElse(c, c))): _*)
+
+  /** Re-key a logical-name-keyed map (predicate bounds) to physical names
+    * so triage can consult the physically-keyed manifest stats.
+    */
+  private def mapKeys[B](m: Map[String, B],
+      cm: Map[String, String]): Map[String, B] =
+    if (cm.isEmpty) m else m.map { case (k, v) => cm.getOrElse(k, k) -> v }
+
+  /** Refuse — BEFORE anything is staged — a batch whose new column reuses
+    * the retired PHYSICAL name of a renamed column: its physical name
+    * would equal that column's file name, making file columns ambiguous.
+    */
+  private def guardRetiredPhysical(st: Option[LogState],
+      df: DataFrame): Unit =
+    st.foreach { s =>
+      val cm = colmapOf(s)
+      if (cm.nonEmpty) {
+        val logical = s.schemaJson.map(j => DataType.fromJson(j)
+          .asInstanceOf[StructType].fieldNames.toSet).getOrElse(Set.empty)
+        val retired = cm.values.toSet -- logical
+        df.columns.find(retired.contains).foreach(c =>
+          throw new SchemaEvolutionException(
+            s"new column $c collides with the physical name of a renamed " +
+              "column; pick another name"))
+      }
+    }
+
+  /** RENAME COLUMN as a METADATA-ONLY commit: no file is touched — the new
+    * schema records the logical rename and the column mapping pins the
+    * logical name to the column's unchanged PHYSICAL identity (its name in
+    * every data file and manifest stat, which is how old files keep
+    * pruning after the rename). Time travel reads each version under the
+    * mapping recorded AT that version — a pre-rename snapshot shows the
+    * old name. Partition columns are not renamable (their values key the
+    * directory layout and the manifest partition tokens); neither are
+    * collisions with a live logical or physical name (a later ADD of the
+    * retired physical name would make file columns ambiguous).
+    */
+  def renameColumn(spark: SparkSession, root: String,
+      oldName: String, newName: String): Long = {
+    val head = headVersion(spark, root)
+    require(head.nonEmpty, s"no committed versions under $root")
+    val st = state(spark, root, Some(head.get))
+    val schema = st.schemaJson.map(j =>
+      DataType.fromJson(j).asInstanceOf[StructType]).getOrElse(
+      throw new SchemaEvolutionException(
+        s"cannot rename on a legacy table without a recorded schema ($root)"))
+    require(schema.fieldNames.contains(oldName),
+      s"no column '$oldName' in ${schema.fieldNames.toSeq}")
+    require(!schema.fieldNames.contains(newName),
+      s"column '$newName' already exists")
+    val cm = colmapOf(st)
+    require(!partColsOf(st).contains(oldName),
+      s"'$oldName' is a partition column — partition columns are not renamable")
+    require(!cm.values.toSet.contains(newName) && !cm.contains(newName),
+      s"'$newName' collides with a retired physical name")
+    val newCm = (cm - oldName) + (newName -> cm.getOrElse(oldName, oldName))
+    val newSchema = StructType(schema.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    commitDelta(spark, root, Nil, Nil, Some(head.get),
+      Seq("op:rename", "schema:" + newSchema.json, colmapMeta(newCm)))
+  }
+
   /** The schema meta an append should record: None when the table schema
     * already covers the batch; Some(widened json) for additive new
     * columns; throws [[SchemaEvolutionException]] on a type change. A
@@ -808,6 +926,14 @@ object TableLog {
         // column is missing") instead of null-filling
         val added = nw.fields.filterNot(f => old.exists(_.name == f.name))
           .map(_.copy(nullable = true))
+        // under column mapping a new column's physical name IS its logical
+        // name — colliding with a RETIRED physical name would make two
+        // logical columns share one file column
+        val retired = colmapOf(st).values.toSet
+        added.find(f => retired.contains(f.name)).foreach(f =>
+          throw new SchemaEvolutionException(
+            s"new column ${f.name} collides with the physical name of a " +
+              "renamed column; pick another name"))
         if (added.isEmpty) None
         else Some(StructType(old.fields ++ added).json)
     }
@@ -985,7 +1111,7 @@ object TableLog {
   def read(spark: SparkSession, root: String,
       version: Option[Long] = None): DataFrame = {
     val st = state(spark, root, version)
-    readEntrySet(spark, root, st.entries, st.schemaJson)
+    readEntrySet(spark, root, st.entries, st.schemaJson, colmap = colmapOf(st))
   }
 
   /** The TABLE schema an entry set reads under: the recorded one when the
@@ -1099,11 +1225,12 @@ object TableLog {
 
   private[graft] def readEntrySet(spark: SparkSession, root: String,
       entries: Seq[Entry], schemaJson: Option[String],
-      withPos: Boolean = false): DataFrame = {
+      withPos: Boolean = false,
+      colmap: Map[String, String] = Map.empty): DataFrame = {
     import org.apache.spark.sql.functions._
     val dvPaths = entries.flatMap(_.dvs).distinct
     val needPos = withPos || dvPaths.nonEmpty
-    val raw = buildEntryFrame(spark, root, entries, schemaJson, needPos)
+    val raw = buildEntryFrame(spark, root, entries, schemaJson, needPos, colmap)
     val undeleted =
       if (dvPaths.isEmpty) raw
       else if (dvInlineEligible(spark, root, dvPaths)) {
@@ -1154,7 +1281,7 @@ object TableLog {
 
   private def buildEntryFrame(spark: SparkSession, root: String,
       entries: Seq[Entry], schemaJson: Option[String],
-      withPos: Boolean): DataFrame = {
+      withPos: Boolean, colmap: Map[String, String] = Map.empty): DataFrame = {
     import org.apache.spark.sql.functions._
     val schema = schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType])
     val partCols = entries.headOption.map(_.partition.keys.toSeq.sorted)
@@ -1187,11 +1314,19 @@ object TableLog {
       // one union branch per distinct partition value; a 10k-partition
       // table built a 10k-way plan.
       val tableSchema = tableSchemaFor(spark, root, entries, schemaJson)
-      val rel = GraftLog.relation(spark, root, entries, tableSchema,
-        partCols.filter(tableSchema.fieldNames.contains))
-      val helpers = if (withPos) Seq("__file", "__ri") else Nil
+      // under COLUMN MAPPING the relation reads the files' PHYSICAL names;
+      // one alias projection restores the logical view — Catalyst pushes
+      // filters straight through it, so stats keyed by physical name keep
+      // skipping after any number of renames
+      val physSchema = physicalSchema(tableSchema, colmap)
+      val rel = GraftLog.relation(spark, root, entries, physSchema,
+        partCols.filter(physSchema.fieldNames.contains))
+      val helpers =
+        (if (withPos) Seq("__file", "__ri") else Nil).map(c => col(c))
+      val logicalCols = tableSchema.fields.toSeq.map(f =>
+        col(colmap.getOrElse(f.name, f.name)).as(f.name))
       pos(spark.baseRelationToDataFrame(rel))
-        .select((tableSchema.fieldNames.toSeq ++ helpers).map(col): _*)
+        .select(logicalCols ++ helpers: _*)
     }
   }
 
@@ -1246,7 +1381,7 @@ object TableLog {
     val (counted, uncounted) = scoped.partition(_.rows.nonEmpty)
     val scanned =
       if (uncounted.isEmpty) 0L
-      else readEntrySet(spark, root, uncounted, st.schemaJson).count()
+      else readEntrySet(spark, root, uncounted, st.schemaJson, colmap = colmapOf(st)).count()
     counted.flatMap(_.rows).sum + scanned
   }
 
@@ -1279,7 +1414,7 @@ object TableLog {
           org.apache.spark.sql.types.LongType)))
     val scannedDf =
       if (uncounted.isEmpty) metaDf.limit(0)
-      else readEntrySet(spark, root, uncounted, st.schemaJson)
+      else readEntrySet(spark, root, uncounted, st.schemaJson, colmap = colmapOf(st))
         .groupBy(partCols.map(c => col(c).cast("string").as(c)): _*)
         .agg(count(lit(1)).as("n_rows"))
     metaDf.unionByName(scannedDf)
@@ -1324,8 +1459,8 @@ object TableLog {
         e.stats.get(c).forall { case (mn, mx) => mx >= lo && mn <= hi } }
     }
     if (cand.isEmpty)
-      readEntrySet(spark, root, st.entries, st.schemaJson).limit(0)
-    else readEntrySet(spark, root, cand, st.schemaJson)
+      readEntrySet(spark, root, st.entries, st.schemaJson, colmap = colmapOf(st)).limit(0)
+    else readEntrySet(spark, root, cand, st.schemaJson, colmap = colmapOf(st))
   }
 
   // -------------------------------------------------------------------------
@@ -1361,14 +1496,19 @@ object TableLog {
     // resolve the predicate against the snapshot's schema (lazy — no IO):
     // the analyzed Filter condition is the Expression the bounds walker
     // reads, with name resolution and integral promotions already applied
-    val cond = readEntrySet(spark, root, st.entries, st.schemaJson)
+    val cond = readEntrySet(spark, root, st.entries, st.schemaJson, colmap = colmapOf(st))
       .filter(predicate).queryExecution.analyzed.collectFirst {
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
           f.condition
       }
-    val bounds = cond.map(predicateBounds).getOrElse(Map.empty)
-    val tbounds = cond.map(predicateTypedBounds).getOrElse(Map.empty)
-    val eqStrings = cond.map(predicateEqStrings).getOrElse(Map.empty)
+    // triage bounds re-key LOGICAL → PHYSICAL (manifest stats and
+    // partition tokens are keyed by physical names, which never change)
+    val cm = colmapOf(st)
+    val bounds = mapKeys(cond.map(predicateBounds).getOrElse(Map.empty), cm)
+    val tbounds =
+      mapKeys(cond.map(predicateTypedBounds).getOrElse(Map.empty), cm)
+    val eqStrings =
+      mapKeys(cond.map(predicateEqStrings).getOrElse(Map.empty), cm)
     val touched = st.entries.filterNot(e =>
       bounds.exists { case (c, b) => e.stats.get(c).exists(statDisjoint(_, b)) } ||
         tbounds.exists { case (c, b) =>
@@ -1379,8 +1519,9 @@ object TableLog {
     val rewritten =
       if (touched.isEmpty) Seq.empty
       else {
-        val survivors = readEntrySet(spark, root, touched, st.schemaJson)
-          .filter(not(coalesce(predicate, lit(false))))
+        val survivors = toPhysical(
+          readEntrySet(spark, root, touched, st.schemaJson, colmap = cm)
+            .filter(not(coalesce(predicate, lit(false)))), cm)
         val files =
           if (partCols.nonEmpty)
             writeDataPartitioned(survivors, root, partCols)
@@ -1423,14 +1564,19 @@ object TableLog {
     val head = headVersion(spark, root)
     require(head.nonEmpty, s"no committed versions under $root")
     val st = state(spark, root, Some(head.get))
-    val cond = readEntrySet(spark, root, st.entries, st.schemaJson)
+    val cond = readEntrySet(spark, root, st.entries, st.schemaJson, colmap = colmapOf(st))
       .filter(predicate).queryExecution.analyzed.collectFirst {
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
           f.condition
       }
-    val bounds = cond.map(predicateBounds).getOrElse(Map.empty)
-    val tbounds = cond.map(predicateTypedBounds).getOrElse(Map.empty)
-    val eqStrings = cond.map(predicateEqStrings).getOrElse(Map.empty)
+    // triage bounds re-key LOGICAL → PHYSICAL (manifest stats and
+    // partition tokens are keyed by physical names, which never change)
+    val cm = colmapOf(st)
+    val bounds = mapKeys(cond.map(predicateBounds).getOrElse(Map.empty), cm)
+    val tbounds =
+      mapKeys(cond.map(predicateTypedBounds).getOrElse(Map.empty), cm)
+    val eqStrings =
+      mapKeys(cond.map(predicateEqStrings).getOrElse(Map.empty), cm)
     val touched = st.entries.filterNot(e =>
       bounds.exists { case (c, b) => e.stats.get(c).exists(statDisjoint(_, b)) } ||
         tbounds.exists { case (c, b) =>
@@ -1443,7 +1589,7 @@ object TableLog {
     // existing dvs of those files are applied FIRST (readEntrySet), so an
     // already-deleted row is never re-counted
     val matches = readEntrySet(spark, root, touched, st.schemaJson,
-        withPos = true)
+        withPos = true, colmap = colmapOf(st))
       .filter(coalesce(predicate, lit(false)))
       .select(col("__file").as("file"), col("__ri").as("ri"))
       .localCheckpoint()
@@ -1834,10 +1980,11 @@ object TableLog {
         val nBins = math.max(1L,
           (totalSmall + targetBytes - 1) / targetBytes).toInt
         import org.apache.spark.sql.functions.col
-        val small = readEntrySet(spark, root, smalls, st.schemaJson)
-        val df =
+        val small = readEntrySet(spark, root, smalls, st.schemaJson, colmap = colmapOf(st))
+        val df = toPhysical(
           if (clusterBy.isEmpty) small.repartition(nBins)
-          else small.repartitionByRange(nBins, clusterBy.map(col): _*)
+          else small.repartitionByRange(nBins, clusterBy.map(col): _*),
+          colmapOf(st))
         val partCols = partColsOf(st)
         val files =
           if (partCols.nonEmpty) writeDataPartitioned(df, root, partCols)
@@ -1862,12 +2009,13 @@ object TableLog {
     require(head.nonEmpty, s"no committed versions under $root")
     val st = state(spark, root, Some(head.get))
     val merged = Warehouse.mergeUpsert(
-      readEntrySet(spark, root, st.entries, st.schemaJson),
+      readEntrySet(spark, root, st.entries, st.schemaJson, colmap = colmapOf(st)),
       updates, keyCols, seqCol)
     val partCols = partColsOf(st)
+    val physMerged = toPhysical(merged, colmapOf(st))
     val files =
-      if (partCols.nonEmpty) writeDataPartitioned(merged, root, partCols)
-      else writeData(merged, root)
+      if (partCols.nonEmpty) writeDataPartitioned(physMerged, root, partCols)
+      else writeData(physMerged, root)
     commitDelta(spark, root, files, st.entries.map(_.path), Some(head.get),
       Seq("op:merge", schemaMeta(merged)))
   }
@@ -1902,7 +2050,8 @@ object TableLog {
     commitDelta(spark, root, adds, removes, Some(head.get),
       Seq("op:restore",
         "schema:" + target.schemaJson.getOrElse(""), // empty = clear
-        partColsMeta(partColsOf(target))))
+        partColsMeta(partColsOf(target)),
+        colmapMeta(colmapOf(target)))) // restore the target's mapping too
   }
 
   /** NET file-level changes over `(vFrom, vTo]`, straight from the delta
@@ -1957,8 +2106,8 @@ object TableLog {
       s"window ($vFrom, $vTo] contains removes — not an append-only window")
     val st = state(spark, root, Some(vTo))
     if (adds.isEmpty)
-      readEntrySet(spark, root, st.entries, st.schemaJson).limit(0)
-    else readEntrySet(spark, root, adds, st.schemaJson)
+      readEntrySet(spark, root, st.entries, st.schemaJson, colmap = colmapOf(st)).limit(0)
+    else readEntrySet(spark, root, adds, st.schemaJson, colmap = colmapOf(st))
   }
 
   /** CHANGE-DATA-FEED read over `(vFrom, vTo]`: every row-level change an
@@ -2185,17 +2334,21 @@ object TableLog {
         state(spark, root, Some(h)).epochMax.exists(batchId <= _))
     if (!store.exists(spark, marker) && !alreadyCommitted) {
       val head = headVersion(spark, root)
-      val partCols = head.map(h => partColsOf(state(spark, root, Some(h))))
-        .getOrElse(Seq.empty)
+      val st = head.map(h => state(spark, root, Some(h)))
+      val partCols = st.map(partColsOf).getOrElse(Seq.empty)
       require(partCols.forall(batch.columns.contains),
         s"append to a partitioned table must carry its partition columns " +
           s"($partCols)")
+      guardRetiredPhysical(st, batch)
+      val cm = st.map(colmapOf).getOrElse(Map.empty)
+      val phys = toPhysical(batch, cm)
       val plain =
-        if (partCols.nonEmpty) writeDataPartitioned(batch, root, partCols)
-        else writeData(batch, root)
+        if (partCols.nonEmpty) writeDataPartitioned(phys, root, partCols)
+        else writeData(phys, root)
       val staged =
         if (statCols.isEmpty) plain
-        else withStats(spark, root, plain, statCols.filter(batch.columns.contains))
+        else withStats(spark, root, plain, statCols
+          .filter(batch.columns.contains).map(c => cm.getOrElse(c, c)))
       // the rebasing commit re-derives the schema meta per attempt against
       // the base it lands on — a concurrent writer's evolution is never
       // clobbered by a retried epoch (the pre-round-15 loop reused the

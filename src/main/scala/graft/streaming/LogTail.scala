@@ -80,9 +80,11 @@ object LogTail {
       var stopped = false
       while (v <= head && !stopped) {
         val (adds, removes) = TableLog.fileChanges(spark, root, v - 1, v)
-        def deliver(): Unit = if (adds.nonEmpty)
+        def deliver(): Unit = if (adds.nonEmpty) {
+          val st = TableLog.state(spark, root, Some(v))
           out :+= (v -> TableLog.readEntrySet(spark, root, adds,
-            TableLog.state(spark, root, Some(v)).schemaJson))
+            st.schemaJson, colmap = TableLog.colmapOf(st)))
+        }
         if (removes.isEmpty) { deliver(); pos = v }
         else onRewrite match {
           case Skip => pos = v

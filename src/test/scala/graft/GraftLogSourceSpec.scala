@@ -463,6 +463,62 @@ class GraftLogSourceSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("column mapping: rename is metadata-only, prunes via physical stats, time-travels") {
+    import spark.implicits._
+    val root = tmp("glrename")
+    val df = (1L to 1000L).map(i => (i, i * 3)).toDF("k", "v")
+      .repartitionByRange(4, col("v"))
+    TableLog.overwriteWithStats(df, root, "v")                        // v1
+    val filesV1 = TableLog.manifestEntries(spark, root)
+    TableLog.renameColumn(spark, root, "v", "val3")                   // v2
+    // METADATA-ONLY: not one data file changed
+    assert(TableLog.manifestEntries(spark, root) == filesV1,
+      "rename must not touch a single data file")
+    // head reads under the new logical name, values intact
+    val head = TableLog.read(spark, root)
+    assert(head.columns.toSeq == Seq("k", "val3"))
+    assert(head.filter(col("val3") === 30L).select("k").as[Long].head() == 10L)
+    // data skipping still engages: the filter on the LOGICAL name pushes
+    // through the alias to the physical column the stats are keyed by
+    val all = plannedFiles(head.filter(col("val3") > -1L))
+    val pruned = plannedFiles(head.filter(col("val3") > 2500L))
+    assert(pruned < all && pruned > 0,
+      s"stats keyed by physical name must keep pruning: $pruned / $all")
+    // time travel reads v1 under ITS OWN mapping (the old name)
+    assert(TableLog.read(spark, root, Some(1L)).columns.toSeq == Seq("k", "v"))
+    // appends across the boundary: logical batch, physical files
+    TableLog.append((1001L to 1010L).map(i => (i, i * 3)).toDF("k", "val3"), root) // v3
+    assert(TableLog.read(spark, root).count() == 1010L)
+    assert(TableLog.read(spark, root).filter(col("val3") === 3030L)
+      .select("k").as[Long].head() == 1010L)
+    // a format load of a mapped snapshot serves logical names (fallback)
+    val viaFormat = spark.read.format("graftlog").load(root)
+    assert(viaFormat.columns.toSeq == Seq("k", "val3"))
+    assert(viaFormat.count() == 1010L)
+    // delete triage re-keys logical bounds to physical stats: files
+    // provably outside the range are kept by reference
+    val before = TableLog.manifestEntries(spark, root)
+    TableLog.delete(spark, root, col("val3") <= 300L)                  // v4
+    val after = TableLog.manifestEntries(spark, root)
+    assert(before.count(after.contains) > 0,
+      "triage must keep provably-clean files by reference after a rename")
+    assert(TableLog.read(spark, root).agg(min(col("val3"))).head().getLong(0) == 303L)
+    // restore to v1 restores the OLD name; a second rename chain works
+    TableLog.restore(spark, root, 1L)                                  // v5
+    assert(TableLog.read(spark, root).columns.toSeq == Seq("k", "v"))
+    // guards: partition columns and collisions refuse
+    intercept[IllegalArgumentException] {
+      TableLog.renameColumn(spark, root, "missing", "x")
+    }
+    TableLog.renameColumn(spark, root, "v", "v2col")                   // v6
+    TableLog.renameColumn(spark, root, "v2col", "v3col")               // v7 chain
+    assert(TableLog.read(spark, root).columns.toSeq == Seq("k", "v3col"))
+    intercept[graft.sources.TableLog.SchemaEvolutionException] {
+      // adding a column named like the retired physical name is ambiguous
+      TableLog.append((1L to 2L).map(i => (i, i, i)).toDF("k", "v3col", "v"), root)
+    }
+  }
+
   test("string stats on non-UTF-8 values: no stat recorded, skipping stays sound") {
     import spark.implicits._
     val root = tmp("glbinstr")
