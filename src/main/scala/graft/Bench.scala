@@ -188,6 +188,22 @@ object Bench {
         System.err.println(s"[bench] $f write failed: $e") }
     }
     println(line)
+    // a COMPACT trailer line that fits the driver's 2000-char stdout tail
+    // window: the full line above is ~10 KB for 230+ queries, so tail
+    // capture cuts it mid-map and the driver records parsed: null. This
+    // line carries the headline total, the query count and the ten
+    // slowest queries (bounded size by construction); the complete
+    // per-query map lives in bench_out.json and the labeled artifact.
+    try {
+      val total = "\"value\":([0-9.eE+-]+)".r.findFirstMatchIn(line)
+        .map(_.group(1)).getOrElse("0")
+      val slow = parseQueriesMap(line).toSeq.sortBy(-_._2).take(10)
+        .map { case (k, v) => f""""$k":${v}%.3f""" }.mkString(",")
+      println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+        s""""sf":"$sfDir","queries_n":${qs.size},""" +
+        s""""artifact":"bench_out_$label.json","slowest":{$slow}}""")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] compact trailer failed: $e") }
     spark.stop()
   }
 }
