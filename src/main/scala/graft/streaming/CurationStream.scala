@@ -169,6 +169,18 @@ object CurationStream {
     * same [[Pipeline.stageOneFlags]] call runs on the stream) and
     * re-derived batch-side only to label eliminated docs.
     */
+  /** Wall-clock a funnel stage to stderr when SPARK_GRAFT_FUNNEL_TIMING
+    * is set — dev-only probe, zero cost otherwise.
+    */
+  private def timed[A](label: String)(f: => A): A =
+    if (sys.env.contains("SPARK_GRAFT_FUNNEL_TIMING")) {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(
+        f"[funnel] $label%-14s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      r
+    } else f
+
   def replayFunnel(spark: SparkSession, docs: DataFrame, idCol: Column,
       textCol: Column, benchPred: Column, contamThreshold: Double = 0.5,
       nBatches: Int = 4): DataFrame = {
@@ -179,29 +191,35 @@ object CurationStream {
     val flagged = Pipeline.stageOneFlags(base).localCheckpoint()
     val candidates = flagged.filter(!col("is_bench"))
 
+    // ONE LOGGED TAPE serves every stage (round 16 — no driver-side tape
+    // build, no per-stage tape rewrite): every non-benchmark doc in id
+    // order, one table version per micro-batch (the q219 pattern). Later
+    // stages NARROW the same stream with a broadcast id-join against the
+    // previous stage's keepers.
+    val tapeRoot = timed("tape_write")(MemoryReplay.writeTape(spark,
+      candidates.select(col("doc_id"), col("text")), "doc_id", nBatches))
+
     // Stage 1+2 (one query): stateless flags -> survivors -> exact-keep
-    // flag stream. Tape = every non-benchmark doc in id order.
-    val tape1 = candidates.select(col("doc_id"), col("text"))
-      .as[(Long, String)].collect().toSeq.sortBy(_._1)
-    val exactFlags = MemoryReplay.replay(spark, tape1, nBatches)(ds =>
+    // flag stream.
+    val exactFlags = timed("s2_exact")(MemoryReplay.drainTape(spark, tapeRoot)(df =>
         exactKeepStream(
-          Pipeline.stageOneFlags(ds.toDF("doc_id", "text"))
+          Pipeline.stageOneFlags(df)
             .filter(col("lang_ok") && col("quality_ok")),
           "doc_id", "text"))
-      .toDF("doc_id", "exact_keep").localCheckpoint()
+      .toDF("doc_id", "exact_keep").localCheckpoint())
 
     // Stage 3: exact-canonical survivors stream through the band index;
     // the verify join reads the landed store (here: the survivor frame).
-    val s2 = candidates
-      .join(exactFlags.filter(col("exact_keep")).select("doc_id"), Seq("doc_id"))
+    val s2ids = exactFlags.filter(col("exact_keep")).select("doc_id")
+      .localCheckpoint()
+    val s2 = candidates.join(s2ids, Seq("doc_id"))
       .select(col("doc_id"), col("text")).localCheckpoint()
-    val tape2 = s2.as[(Long, String)].collect().toSeq.sortBy(_._1)
     val s2Sets = shingleStore(s2, col("doc_id"), col("text")).localCheckpoint()
-    val drops = MemoryReplay.replay(spark, tape2, nBatches)(ds =>
-        nearDupDropsStream(ds.toDF("doc_id", "text"), "doc_id", "text",
-          storeSets = s2Sets)
+    val drops = timed("s3_neardup")(MemoryReplay.drainTape(spark, tapeRoot)(df =>
+        nearDupDropsStream(df.join(broadcast(s2ids), Seq("doc_id")),
+          "doc_id", "text", storeSets = s2Sets)
         .select(col("doc_a"), col("doc_b")).as[(Long, Long)])
-      .toDF("doc_a", "doc_b").select(col("doc_b").as("doc_id")).distinct()
+      .toDF("doc_a", "doc_b").select(col("doc_b").as("doc_id")).distinct())
     val nearFlags = s2.select(col("doc_id"))
       .join(drops.withColumn("_d", lit(true)), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(!col("_d"), lit(true)).as("neardup_keep"))
@@ -209,18 +227,18 @@ object CurationStream {
 
     // Stage 4: near-dup survivors stream against the static benchmark
     // shingle-hash index.
-    val s3 = s2.join(nearFlags.filter(col("neardup_keep")).select("doc_id"),
-      Seq("doc_id")).localCheckpoint()
-    val tape3 = s3.as[(Long, String)].collect().toSeq.sortBy(_._1)
+    val s3ids = s2.join(nearFlags.filter(col("neardup_keep")).select("doc_id"),
+      Seq("doc_id")).select("doc_id").localCheckpoint()
+    val s3 = s2.join(s3ids, Seq("doc_id")).localCheckpoint()
     val benchHashes = base.filter(col("is_bench"))
       .select(explode(call_function("graft_shingles", col("text"), lit(3))).as("s"))
       .select(xxhash64(col("s")).as("sk")).distinct().localCheckpoint()
-    val hits = MemoryReplay.replay(spark, tape3, nBatches,
-        mode = OutputMode.Update())(ds =>
-        decontamHitsStream(ds.toDF("doc_id", "text"), "doc_id", "text",
-          benchHashes)
+    val hits = timed("s4_decontam")(MemoryReplay.drainTape(spark, tapeRoot,
+        mode = OutputMode.Update())(df =>
+        decontamHitsStream(df.join(broadcast(s3ids), Seq("doc_id")),
+          "doc_id", "text", benchHashes)
         .as[(Long, Long, Long)])
-      .toDF("doc_id", "n_sh", "n_hit")
+      .toDF("doc_id", "n_sh", "n_hit"))
     val frac = when(col("n_sh") === 0, lit(0.0))
       .otherwise(col("n_hit").cast("double") / col("n_sh"))
     val deconFlags = s3
@@ -231,6 +249,7 @@ object CurationStream {
       .na.fill(0L, Seq("n_hit"))
       .select(col("doc_id"), (!(frac >= contamThreshold)).as("decontam_ok"))
 
+    MemoryReplay.dropTape(tapeRoot) // every stage's output is materialized
     candidates.select(col("doc_id"), col("lang_ok"), col("quality_ok"))
       .join(exactFlags, Seq("doc_id"), "left")
       .join(nearFlags, Seq("doc_id"), "left")
@@ -303,48 +322,56 @@ object CurationStream {
           skCol.getOrElse(lit(0L)).cast("long").as("sk")))
       .filter(col("lang_ok") && col("quality_ok"))
       .select(col("doc_id"), col("text"), col("sk"))
-      .as[(Long, String, Long)].collect().toSeq.sortBy(_._1)
-    val n = s1.size
+      .localCheckpoint()
+    val n = s1.count()
     // default TTL tracks the corpus (the q196 gate's near-dup-window
     // geometry); a probe overrides it to hold rate×TTL FIXED while the
     // tape grows — the bounded-state law the TTL ops exist for
-    val ttlMs = ttlMsOverride.getOrElse((n / 2).toLong * 1000L)
+    val ttlMs = ttlMsOverride.getOrElse((n / 2) * 1000L)
     lastTtlMs = ttlMs
     lastStageStats = Nil
     // occurrence tape: the tick IS the occurrence id (globally unique —
-    // base even in [2, 2n], in-window odd, far regime in (3n, 4n])
-    val occs: Seq[(Long, Long, String, Long)] = s1.zipWithIndex.flatMap {
-      case ((id, text, sk), i) =>
-        val r = (i + 1).toLong
-        Seq((2L * r, id, text, sk)) ++
-          (if (id % 5 == 0) Seq((2L * r + 1L, id, text, sk)) else Nil) ++
-          (if (id % 10 == 0) Seq((3L * n + r, id, text, sk)) else Nil)
-    }.sortBy(_._1)
-    def asTape(o: Seq[(Long, Long, String, Long)]) = o.map {
-      case (tick, _, text, _) =>
-        (tick, new java.sql.Timestamp(tick * 1000L), text)
-    }
+    // base even in [2, 2n], in-window odd, far regime in (3n, 4n]).
+    // Built DISTRIBUTED (rank → conditional re-emissions), never collected:
+    // the replays below read it from logged tables (round 16).
+    val ranked = s1.withColumn("r", org.apache.spark.sql.functions.row_number()
+      .over(org.apache.spark.sql.expressions.Window.orderBy(col("doc_id")))
+      .cast("long"))
+    val occDf = ranked.select(col("doc_id"), col("text"), col("sk"),
+        explode(org.apache.spark.sql.functions.filter(array(
+          col("r") * 2L,
+          when(col("doc_id") % 5 === 0, col("r") * 2L + 1L),
+          when(col("doc_id") % 10 === 0, lit(3L * n) + col("r"))
+        ), x => x.isNotNull)).as("occ"))
+      .withColumn("ts", org.apache.spark.sql.functions
+        .timestamp_seconds(col("occ")))
+      .localCheckpoint()
+    // ONE LOGGED TAPE of occurrences serves all three TTL stages; later
+    // stages narrow the stream with a broadcast keeper-join
+    val tapeRoot = MemoryReplay.writeTape(spark,
+      occDf.select(col("occ"), col("ts"), col("text"), col("sk")),
+      "occ", nBatches)
     // Stage 2 — TTL'd exact dedup over occurrences
-    val keepTicks = MemoryReplay.replay(spark, asTape(occs), nBatches)(ds =>
-        StreamingOps.exactDedupStreamTtl(ds.toDF("occ", "ts", "text"),
+    val keepTicks = MemoryReplay.drainTape(spark, tapeRoot)(df =>
+        StreamingOps.exactDedupStreamTtl(
+          df.select(col("occ"), col("ts"), col("text")),
           "occ", "ts", "text", ttlMs = ttlMs))
-      .toDF("occ")
+      .toDF("occ").localCheckpoint()
     lastStageStats = lastStageStats :+
       ("s2_exact_ttl" -> MemoryReplay.lastStateStats)
-    val occDf = spark.createDataFrame(occs).toDF("occ", "doc_id", "text", "sk")
     val keepers = occDf.join(keepTicks, Seq("occ")).localCheckpoint()
-    val keeperSet = keepers.select(col("occ")).as[Long].collect().toSet
     // Stage 3 — TTL'd band index over the keepers; verify against the
     // landed occurrence store (recall-exact r=2/b=64 geometry). The
     // shingle table is MATERIALIZED once — the static join side re-runs
     // per micro-batch (see [[shingleStore]]).
-    val tape3 = asTape(occs.filter(o => keeperSet(o._1)))
     val sets = shingleStore(keepers, col("occ"), col("text"))
       .select(col("sid").as("occ"), col("sh"), col("n").as("nsh"))
       .localCheckpoint()
-    val drops = MemoryReplay.replay(spark, tape3, nBatches)(ds =>
+    val drops = MemoryReplay.drainTape(spark, tapeRoot)(df =>
         StreamingOps.nearDupCandidatesStreamTtl(
-            ds.toDF("occ", "ts", "text"), "occ", "ts", "text",
+            df.join(broadcast(keepTicks), Seq("occ"))
+              .select(col("occ"), col("ts"), col("text")),
+            "occ", "ts", "text",
             ttlMs = ttlMs, numHashes = 128, numBands = 64)
           .toDF("occ_a", "occ_b")
           .join(sets.select(col("occ").as("occ_a"), col("sh").as("sh_a"),
@@ -369,19 +396,18 @@ object CurationStream {
     val mediaDrops = skCol match {
       case None => None
       case Some(_) =>
-        val tapeM = occs.filter(o => keeperSet(o._1)).map {
-          case (tick, _, _, sk) =>
-            (tick, new java.sql.Timestamp(tick * 1000L), sk)
-        }
-        val md = MemoryReplay.replay(spark, tapeM, nBatches)(ds =>
+        val md = MemoryReplay.drainTape(spark, tapeRoot)(df =>
             StreamingOps.sketchNearDupStreamTtl(
-              ds.toDF("occ", "ts", "sk"), "occ", "ts", "sk", ttlMs = ttlMs)
+              df.join(broadcast(keepTicks), Seq("occ"))
+                .select(col("occ"), col("ts"), col("sk")),
+              "occ", "ts", "sk", ttlMs = ttlMs)
               .map(_._2))
           .toDF("occ").distinct()
         lastStageStats = lastStageStats :+
           ("s4_media_ttl" -> MemoryReplay.lastStateStats)
         Some(md)
     }
+    MemoryReplay.dropTape(tapeRoot) // every stage's output is materialized
     val afterText = keepers
       .join(drops.withColumn("_d", lit(true)), Seq("occ"), "left")
       .filter(col("_d").isNull)

@@ -155,6 +155,74 @@ object MemoryReplay {
     detach(spark, name)
   }
 
+  /** Stage `frame` as a LOGGED-TABLE TAPE: ONE data-write job lays the
+    * rows down hive-partitioned into `nBatches` contiguous `orderCol`
+    * segments, then each tape position becomes a METADATA-ONLY commit
+    * appending its segment's files — N replayable versions for the price
+    * of one write, no driver-side rows. Returns the table root; delete it
+    * when done ([[dropTape]]).
+    */
+  def writeTape(spark: SparkSession, frame: DataFrame, orderCol: String,
+      nBatches: Int): String = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, ntile}
+    import graft.sources.TableLog
+    val root = java.nio.file.Files.createTempDirectory("graft_tape_")
+      .toString
+    val withB = frame.withColumn("tape_b",
+      ntile(nBatches).over(Window.orderBy(col(orderCol))))
+    val staged = TableLog.writeDataPartitioned(withB, root, Seq("tape_b"))
+    val schemaJson = withB.schema.json
+    val segs = staged.groupBy(_.partition("tape_b").toLong).toSeq.sortBy(_._1)
+    var acc = Vector.empty[TableLog.Entry]
+    if (segs.isEmpty)
+      TableLog.commit(spark, root, Nil,
+        meta = Seq("op:append", "schema:" + schemaJson, "partcols:tape_b"))
+    else segs.foreach { case (_, es) =>
+      acc = acc ++ es
+      TableLog.commit(spark, root, acc,
+        meta = Seq("op:append", "schema:" + schemaJson, "partcols:tape_b"))
+    }
+    root
+  }
+
+  /** Replay a [[writeTape]] table through `f` — the REAL
+    * `format("graftlog")` streaming source delivers one version per
+    * micro-batch (the q219 pattern), so batch boundaries coincide with
+    * commit points and rows flow executor-to-executor, never through the
+    * driver. A multi-stage harness writes the tape ONCE and calls this
+    * per stage, narrowing the stream inside `f` (e.g. a broadcast id-join
+    * against the previous stage's keepers) instead of re-writing a
+    * filtered tape per stage.
+    */
+  def drainTape[O](spark: SparkSession, root: String,
+      statePartitions: Int = 8, mode: OutputMode = OutputMode.Append())(
+      f: DataFrame => Dataset[O]): DataFrame =
+    drain(spark,
+      f(spark.readStream.format("graftlog").load(root).drop("tape_b")),
+      statePartitions, mode)
+
+  /** Delete a scratch tape table. */
+  def dropTape(root: String): Unit = {
+    def rm(x: java.io.File): Unit = {
+      Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+    }
+    rm(new java.io.File(root))
+  }
+
+  /** [[replay]] with the tape in a LOGGED TABLE instead of driver memory
+    * (round 16 — no driver-side tape build): [[writeTape]] then
+    * [[drainTape]], scratch table deleted after the drain.
+    */
+  def replayLogged[O](spark: SparkSession, frame: DataFrame,
+      orderCol: String, nBatches: Int, statePartitions: Int = 8,
+      mode: OutputMode = OutputMode.Append())(
+      f: DataFrame => Dataset[O]): DataFrame = {
+    val root = writeTape(spark, frame, orderCol, nBatches)
+    try drainTape(spark, root, statePartitions, mode)(f)
+    finally dropTape(root)
+  }
+
   /** Two-stream replay for stream-stream operators (interval join): both
     * tapes advance in index-lockstep chunks — for time-sorted tapes of the
     * same span that keeps the two event-time fronts roughly aligned, and
