@@ -69,16 +69,19 @@ object LiveSmoke {
       println(s"${if (ok) "PASS" else "FAIL"} $table: jdbc rows $got, published $want")
     }
 
-    // r15: the TABLE-LOG surface on the live broker — kafka ingest →
-    // exactly-once commit-log append (TableLog.appendStream, epoch tokens
-    // in the manifest) → graftlog streaming tail (versions as offsets,
-    // one version per micro-batch, rows never on the driver). The loop
+    // r15 (write side modernized r16): the TABLE-LOG surface on the live
+    // broker — kafka ingest → exactly-once commit-log append through the
+    // STREAMING SINK (`writeStream.format("graftlog")`, epoch tokens in
+    // the manifest) → graftlog streaming tail (versions as offsets, one
+    // version per micro-batch, rows never on the driver). The loop
     // ingest → commit → tail, end to end against real Kafka.
     val logRoot = java.nio.file.Files
       .createTempDirectory("graft_smoke_log").toString
-    val appendQ = graft.sources.TableLog.appendStream(
-      graft.streaming.Ingest.prices(src("prices")), logRoot,
-      java.nio.file.Files.createTempDirectory("graft_smoke_logck").toString)
+    val appendQ = graft.streaming.Ingest.prices(src("prices"))
+      .writeStream.format("graftlog")
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft_smoke_logck").toString)
+      .start(logRoot)
     appendQ.processAllAvailable(); appendQ.stop()
     val committed = graft.sources.TableLog.read(spark, logRoot).count()
     val tailed = new java.util.concurrent.atomic.AtomicLong(0L)
