@@ -151,6 +151,37 @@ class GraftLogWriteSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("append-only"))
   }
 
+  test("catalog tables: CREATE TABLE USING graftlog, CTAS, INSERT through the catalog") {
+    import spark.implicits._
+    val root = tmp("glwcat")
+    try {
+      // CTAS: CREATE TABLE ... USING graftlog AS SELECT goes through the
+      // writer's ErrorIfExists mode and records v1
+      spark.sql(s"CREATE TABLE glw_ctas USING graftlog LOCATION '$root' " +
+        "AS SELECT id AS k, id * 2 AS v FROM range(1, 51)")
+      assert(TableLog.headVersion(spark, root).contains(1L))
+      assert(spark.table("glw_ctas").count() == 50L)
+      // INSERT INTO the CATALOG table routes through the same analyzer
+      // rewrite as the temp-view path — a manifest commit, never raw files
+      spark.sql("INSERT INTO glw_ctas SELECT id AS k, id * 2 AS v " +
+        "FROM range(51, 61)")
+      assert(TableLog.headVersion(spark, root).contains(2L))
+      graft.functions.GraftFunctions.register(spark)
+      assert(spark.sql(s"SELECT k FROM graft_log('$root')")
+        .as[Long].collect().sorted.toSeq == (1L to 60L))
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val manifested = TableLog.manifestEntries(spark, root).map(_.path).toSet
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(root), true)
+      while (it.hasNext) {
+        val p = it.next().getPath.toString
+        if (p.endsWith(".parquet") && !p.contains("_graft_log"))
+          assert(manifested.exists(p.endsWith),
+            s"catalog insert left an unmanifested file: $p")
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS glw_ctas")
+  }
+
   test("maintenance DML TVFs: delete_dv, restore, compact, vacuum from pure SQL") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
