@@ -59,6 +59,8 @@ object GraftExtensions {
       (es: Seq[Expression]) => PqScore(es(0), es(1), es(2))),
     ("graft_minhash", "graft_minhash(shingles, k) - k-lane minhash signature",
       (es: Seq[Expression]) => MinHashSig(es(0), es(1))),
+    ("graft_bands", "graft_bands(sig, numBands, r) - LSH band keys (xxhash64 of each r-lane band, band id as second hash input)",
+      (es: Seq[Expression]) => graft.functions.BandKeys(es(0), es(1), es(2))),
     ("graft_simhash", "64-bit simhash of array<string> tokens",
       (es: Seq[Expression]) => SimHash64(es(0))),
     ("graft_fp", "graft_fp(text, maxChars) - polynomial rolling hash",

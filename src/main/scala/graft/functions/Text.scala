@@ -39,8 +39,24 @@ object Text {
 
   /** LSH band keys: hash of each r-lane band of the signature; a candidate
     * pair shares ≥1 band key. bands * r must equal the signature length.
+    *
+    * Native kernel ([[graft.functions.BandKeys]]): the HOF spelling
+    * ([[bandsHof]]) re-evaluates the `sig` argument expression once per
+    * band inside the interpreted lambda — ×numBands the whole minhash
+    * chain wherever the signature is not already a bound column (the
+    * streaming band indexes, the funnel gates). Values are identical
+    * (NativeExprSpec pins element-for-element equality, null sig
+    * included). Callers must have graft functions registered — every
+    * operator entry point calls [[GraftFunctions.register]].
     */
   def bands(sig: Column, numBands: Int, r: Int): Column =
+    call_function("graft_bands", sig, lit(numBands), lit(r))
+
+  /** The HOF spelling of [[bands]] — kept as the executable spec the
+    * native kernel is asserted against (NativeExprSpec), never on a hot
+    * path.
+    */
+  def bandsHof(sig: Column, numBands: Int, r: Int): Column =
     transform(
       sequence(lit(0), lit(numBands - 1)),
       b => xxhash64(slice(sig, b * lit(r) + lit(1), lit(r)), b))

@@ -81,6 +81,40 @@ object FunnelProbe {
         StreamingOps.nearDupCandidatesStream(ds.toDF("doc_id", "text"),
           "doc_id", "text", 3, 32, 8, 10000)).count()
     }
+    // DECOMPOSE the 128/64 replay: scan-side hash cost vs micro-batch
+    // machinery vs the state op itself
+    t("s3-x: BATCH minhash128+bands64 explode") {
+      s2.select(col("doc_id"),
+          explode(graft.functions.Text.bands(
+            call_function("graft_minhash",
+              call_function("graft_shingles", col("text"), lit(3)),
+              lit(128)), 64, 2)).as("band"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    t("s3-x: REPLAY stateless minhash128+bands64") {
+      MemoryReplay.replay(spark, tape2, 4)(ds =>
+        ds.toDF("doc_id", "text").select(col("doc_id").cast("long").as("d"),
+            explode(graft.functions.Text.bands(
+              call_function("graft_minhash",
+                call_function("graft_shingles", col("text"), lit(3)),
+                lit(128)), 64, 2)).as("band"))
+          .as[(Long, Long)]).count()
+    }
+    t("s3-x: REPLAY 128/64 statePartitions=32") {
+      MemoryReplay.replay(spark, tape2, 4, statePartitions = 32)(ds =>
+        StreamingOps.nearDupCandidatesStream(ds.toDF("doc_id", "text"),
+          "doc_id", "text", 3, 128, 64, 10000)).count()
+    }
+    t("s3-x: REPLAY 128/64 1 batch") {
+      MemoryReplay.replay(spark, tape2, 1)(ds =>
+        StreamingOps.nearDupCandidatesStream(ds.toDF("doc_id", "text"),
+          "doc_id", "text", 3, 128, 64, 10000)).count()
+    }
+    t("s3-x: REPLAY 128/64 2nd time (warm)") {
+      MemoryReplay.replay(spark, tape2, 4)(ds =>
+        StreamingOps.nearDupCandidatesStream(ds.toDF("doc_id", "text"),
+          "doc_id", "text", 3, 128, 64, 10000)).count()
+    }
     val s3 = s2.join(drops.withColumn("_d", lit(true)), Seq("doc_id"), "left")
       .filter(col("_d").isNull).select(col("doc_id"), col("text"))
       .localCheckpoint()

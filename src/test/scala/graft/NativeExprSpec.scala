@@ -98,6 +98,40 @@ class NativeExprSpec extends AnyFunSuite {
     assert(edge.filter(not(col("native") === col("hof"))).count() == 0)
   }
 
+  test("graft_bands equals the HOF band chain element-for-element") {
+    GraftFunctions.register(spark)
+    // real signatures, 128 lanes / 64 bands (the near-dup geometry) and
+    // 32/8 (the streaming-index geometry)
+    for ((k, b) <- Seq((128, 64), (32, 8))) {
+      val r = k / b
+      val sig = docs().select(
+        call_function("graft_minhash",
+          call_function("graft_shingles", col("text"), lit(3)), lit(k)).as("sig"))
+      val both = sig.select(
+        Text.bands(col("sig"), b, r).as("native"),
+        Text.bandsHof(col("sig"), b, r).as("hof"))
+      assert(both.filter(not(col("native") === col("hof"))).count() == 0)
+    }
+    // NULL sig (short doc -> graft_minhash null): the HOF spelling hashes
+    // the null slice as identity, yielding xxhash64(band)-only keys — the
+    // native kernel must reproduce that, not return null
+    import spark.implicits._
+    val edge = Seq("one two", "", "a b c d e f g h").toDF("text")
+      .select(call_function("graft_minhash",
+        call_function("graft_shingles", col("text"), lit(3)), lit(8)).as("sig"))
+    val eb = edge.select(
+      Text.bands(col("sig"), 4, 2).as("native"),
+      Text.bandsHof(col("sig"), 4, 2).as("hof"))
+    assert(eb.filter(col("native").isNull || not(col("native") === col("hof")))
+      .count() == 0)
+    // signature shorter than numBands*r: slice past the end = shorter slice
+    val shortSig = Seq(Seq(1L, 2L, 3L)).toDF("sig")
+    val sb = shortSig.select(
+      Text.bands(col("sig"), 4, 2).as("native"),
+      Text.bandsHof(col("sig"), 4, 2).as("hof"))
+    assert(sb.filter(not(col("native") === col("hof"))).count() == 0)
+  }
+
   test("graft_simhash equals the HOF simhash") {
     val tk = docs().select(Text.tokens(col("text")).as("tk"))
     val both = tk.select(
