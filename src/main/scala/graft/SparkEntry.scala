@@ -883,7 +883,7 @@ object SparkEntry {
     // asset, the only decode shape that survives 100 TB of media.
     "q129_image_decode" -> ((s, d) => {
       import s.implicits._
-      val media = t(s, d, "documents").select(col("doc_id")).as[Long].repartition(s.sparkContext.defaultParallelism)
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long]
         .map { id =>
           val w = 8 + (id % 32).toInt
           val h = 8 + ((id / 32) % 32).toInt
@@ -909,7 +909,7 @@ object SparkEntry {
       // 20% sample — the remaining 80% would re-prove the same kernel
       val media = t(s, d, "documents")
         .filter(pmod(col("doc_id"), lit(5)) === 0)
-        .select(col("doc_id")).as[Long].repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id")).as[Long]
         .map { id =>
           val w = 8 + (id % 32).toInt
           val h = 8 + ((id / 32) % 32).toInt
@@ -933,7 +933,7 @@ object SparkEntry {
     // integer division on both sides (no doubles in a hashed column).
     "q143_audio_decode" -> ((s, d) => {
       import s.implicits._
-      val media = t(s, d, "documents").select(col("doc_id")).as[Long].repartition(s.sparkContext.defaultParallelism)
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long]
         .map { id =>
           val sr = Array(8000, 16000, 22050, 44100)((id % 4).toInt)
           val ch = 1 + ((id / 4) % 2).toInt
@@ -956,7 +956,7 @@ object SparkEntry {
     // integer division on both sides (no doubles in a hashed column).
     "q145_video_decode" -> ((s, d) => {
       import s.implicits._
-      val media = t(s, d, "documents").select(col("doc_id")).as[Long].repartition(s.sparkContext.defaultParallelism)
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long]
         .map { id =>
           val ts = Array(600, 1000, 12288, 90000)((id % 4).toInt)
           val dur = 1000L + (id % 77) * 13
@@ -977,7 +977,7 @@ object SparkEntry {
     // by pts. The oracle replays the same run arithmetic per doc_id.
     "q146_frame_sample" -> ((s, d) => {
       import s.implicits._
-      val media = t(s, d, "documents").select(col("doc_id")).as[Long].repartition(s.sparkContext.defaultParallelism)
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long]
         .map { id =>
           val ts = Array(600, 1000, 12288, 90000)((id % 4).toInt)
           val dur = 1000L + (id % 77) * 13
@@ -1618,7 +1618,7 @@ object SparkEntry {
     // across groups).
     "q199_image_phash_pairs" -> ((s, d) => {
       import s.implicits._
-      val sk = t(s, d, "documents").select(col("doc_id")).as[Long].repartition(s.sparkContext.defaultParallelism)
+      val sk = t(s, d, "documents").select(col("doc_id")).as[Long]
         .map { id =>
           val png = Multimodal.encodeDHashPng(
             Multimodal.dHashPatternOf(id), cell = 1 + (id % 3).toInt)
@@ -1642,7 +1642,7 @@ object SparkEntry {
     // integer window partition is exercised across lengths.
     "q202_audio_fingerprint_pairs" -> ((s, d) => {
       import s.implicits._
-      val sk = t(s, d, "documents").select(col("doc_id")).as[Long].repartition(s.sparkContext.defaultParallelism)
+      val sk = t(s, d, "documents").select(col("doc_id")).as[Long]
         .map { id =>
           val wav = Multimodal.encodeEnergyWav(
             Multimodal.dHashPatternOf(id),
@@ -1665,7 +1665,7 @@ object SparkEntry {
     // three completely different engine decode paths (pixels, PCM, boxes).
     "q203_video_fingerprint_pairs" -> ((s, d) => {
       import s.implicits._
-      val sk = t(s, d, "documents").select(col("doc_id")).as[Long].repartition(s.sparkContext.defaultParallelism)
+      val sk = t(s, d, "documents").select(col("doc_id")).as[Long]
         .map { id =>
           val mp4 = Multimodal.encodeTimingMp4(
             Multimodal.dHashPatternOf(id), seed = id.toInt)
@@ -1688,7 +1688,7 @@ object SparkEntry {
       import s.implicits._
       // sketches computed DISTRIBUTED (the real PNG decode is the per-asset
       // cost — 32 threads, not a driver loop), then collected as the tape
-      val tape = t(s, d, "documents").select(col("doc_id")).as[Long].repartition(s.sparkContext.defaultParallelism)
+      val tape = t(s, d, "documents").select(col("doc_id")).as[Long]
         .map { id =>
           (id, Multimodal.imageDHash(Multimodal.encodeDHashPng(
             Multimodal.dHashPatternOf(id), cell = 1 + (id % 3).toInt)).get)
@@ -1713,7 +1713,7 @@ object SparkEntry {
     "q205_streaming_media_dedup_ttl" -> ((s, d) => {
       import s.implicits._
       // sketches computed DISTRIBUTED (q204 convention), then parity-ordered
-      val sks = t(s, d, "documents").select(col("doc_id")).as[Long].repartition(s.sparkContext.defaultParallelism)
+      val sks = t(s, d, "documents").select(col("doc_id")).as[Long]
         .map { id =>
           (id, Multimodal.imageDHash(Multimodal.encodeDHashPng(
             Multimodal.dHashPatternOf(id), cell = 1 + (id % 3).toInt)).get)
@@ -1751,7 +1751,7 @@ object SparkEntry {
       import s.implicits._
       val docs = t(s, d, "documents")
       // sketches computed DISTRIBUTED (q204 convention), joined as a column
-      val sk = docs.select(col("doc_id")).as[Long].repartition(s.sparkContext.defaultParallelism)
+      val sk = docs.select(col("doc_id")).as[Long]
         .map { id =>
           (id, Multimodal.imageDHash(Multimodal.encodeDHashPng(
             Multimodal.dHashPatternOf(id), cell = 1 + (id % 3).toInt)).get)
@@ -1778,7 +1778,7 @@ object SparkEntry {
       import s.implicits._
       // sketches computed DISTRIBUTED (q204 convention: the per-asset real
       // decode is the cost — 32 threads, not a driver loop)
-      val tape = t(s, d, "documents").select(col("doc_id")).as[Long].repartition(s.sparkContext.defaultParallelism)
+      val tape = t(s, d, "documents").select(col("doc_id")).as[Long]
         .map { id =>
           val pat = Multimodal.dHashPatternOf(id)
           // per-modality encode params vary by (id/3)%3 — id%3 picked the
@@ -2483,7 +2483,7 @@ object SparkEntry {
     "q201_image_dup_groups" -> ((s, d) => {
       import s.implicits._
       val docs = t(s, d, "documents")
-      val sk = docs.select(col("doc_id")).as[Long].repartition(s.sparkContext.defaultParallelism)
+      val sk = docs.select(col("doc_id")).as[Long]
         .map { id =>
           val png = Multimodal.encodeDHashPng(
             Multimodal.dHashPatternOf(id), cell = 1 + (id % 3).toInt)
