@@ -61,6 +61,8 @@ object GraftExtensions {
       (es: Seq[Expression]) => MinHashSig(es(0), es(1))),
     ("graft_bands", "graft_bands(sig, numBands, r) - LSH band keys (xxhash64 of each r-lane band, band id as second hash input)",
       (es: Seq[Expression]) => graft.functions.BandKeys(es(0), es(1), es(2))),
+    ("graft_stage1", "graft_stage1(text) - curation stage-1 counters [n_tokens, n_stop, en_hits, es_hits, de_hits] in one pass",
+      (es: Seq[Expression]) => graft.functions.Stage1Counts(es(0))),
     ("graft_simhash", "64-bit simhash of array<string> tokens",
       (es: Seq[Expression]) => SimHash64(es(0))),
     ("graft_fp", "graft_fp(text, maxChars) - polynomial rolling hash",

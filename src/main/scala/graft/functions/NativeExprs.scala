@@ -243,6 +243,63 @@ case class MinHashSig(child: Expression, kExpr: Expression)
     copy(child = l, kExpr = r)
 }
 
+/** The curation funnel's stage-1 counters in ONE pass over the text —
+  * native twin of the five separate `size(filter(split(...), lambda))` HOF
+  * chains in [[graft.operators.Pipeline.stageOneFlags]] (each chain is an
+  * interpreted split + per-token lambda walk; five of them re-split every
+  * document five times, twice more over `lower(text)`). Output:
+  * array<bigint> [n_tokens, n_stop, en_hits, es_hits, de_hits] with the
+  * EXACT semantics of the HOF spelling (asserted in NativeExprSpec):
+  *   - tokens = split(text, ' ') (single-space, trailing empties moot)
+  *   - n_tokens = count of non-empty tokens
+  *   - n_stop   = tokens ∈ {the,a,of,and,to,in,is} (raw, case-sensitive)
+  *   - en/es/de = tokens of split(lower(text), ' ') in the respective
+  *     stopword sets (whole-text lowercase first, as the HOF does)
+  */
+case class Stage1Counts(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("graft_stage1 expects (string)")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any): Any = {
+    import Stage1Counts._
+    val raw = a.asInstanceOf[UTF8String].toString
+    var nTokens = 0L
+    var nStop = 0L
+    for (tok <- raw.split(' ')) {
+      if (tok.nonEmpty) {
+        nTokens += 1
+        if (STOP(tok)) nStop += 1
+      }
+    }
+    // lower-case the WHOLE text first — identical to split(lower(text), ' ')
+    val low = a.asInstanceOf[UTF8String].toLowerCase.toString
+    var en = 0L; var es = 0L; var de = 0L
+    for (tok <- low.split(' ')) {
+      if (tok.nonEmpty) {
+        if (EN(tok)) en += 1
+        if (ES(tok)) es += 1
+        if (DE(tok)) de += 1
+      }
+    }
+    new GenericArrayData(Array(nTokens, nStop, en, es, de))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Stage1Counts {
+  private val STOP = Set("the", "a", "of", "and", "to", "in", "is")
+  private val EN = Set("the", "and", "of", "is", "to")
+  private val ES = Set("el", "la", "de", "que", "y", "los")
+  private val DE = Set("der", "die", "das", "und", "ist")
+}
+
 /** LSH band keys over a minhash signature — the one-pass native twin of the
   * HOF spelling `transform(sequence(0, b-1), band -> xxhash64(slice(sig,
   * band*r+1, r), band))` ([[graft.functions.Text.bandsHof]], asserted

@@ -40,22 +40,21 @@ object Pipeline {
     * by construction, not by test.
     */
   def stageOneFlags(docs: DataFrame): DataFrame = {
-    val nTokens =
-      expr("CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT)")
-    val nStop =
-      expr("CAST(size(filter(split(text, ' '), x -> array_contains(array('the','a','of','and','to','in','is'), x))) AS BIGINT)")
-    val enHits =
-      expr("CAST(size(filter(split(lower(text), ' '), x -> array_contains(array('the','and','of','is','to'), x))) AS BIGINT)")
-    val esHits =
-      expr("CAST(size(filter(split(lower(text), ' '), x -> array_contains(array('el','la','de','que','y','los'), x))) AS BIGINT)")
-    val deHits =
-      expr("CAST(size(filter(split(lower(text), ' '), x -> array_contains(array('der','die','das','und','ist'), x))) AS BIGINT)")
+    // ONE pass over the text (native graft_stage1 — r16 optimization):
+    // the original five size(filter(split(...), lambda)) HOF chains each
+    // re-split the document inside an interpreted lambda walk; the kernel
+    // computes the same five counters (NativeExprSpec pins count-for-count
+    // equality against the HOF spelling) in a single scan-side expression.
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val s1 = call_function("graft_stage1", col("text"))
     docs
-      .withColumn("n_tokens", nTokens)
-      .withColumn("n_stop", nStop)
-      .withColumn("en_hits", enHits)
-      .withColumn("es_hits", esHits)
-      .withColumn("de_hits", deHits)
+      .withColumn("_s1", s1)
+      .withColumn("n_tokens", col("_s1").getItem(0))
+      .withColumn("n_stop", col("_s1").getItem(1))
+      .withColumn("en_hits", col("_s1").getItem(2))
+      .withColumn("es_hits", col("_s1").getItem(3))
+      .withColumn("de_hits", col("_s1").getItem(4))
+      .drop("_s1")
       .withColumn("stop_ratio",
         when(col("n_tokens") === 0, lit(0.0))
           .otherwise(col("n_stop").cast("double") / col("n_tokens")))

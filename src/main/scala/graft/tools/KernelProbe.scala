@@ -64,6 +64,23 @@ object KernelProbe {
         call_function("graft_minhash",
           call_function("graft_shingles", col("text"), lit(3)), lit(128)),
         64, 2)).as("band"))))
+    // stage-1 flags: duplication check (graft_stage1 must appear ONCE in
+    // the optimized plan) + timing vs the old five-HOF spelling
+    val flags = graft.operators.Pipeline.stageOneFlags(
+      docs.withColumn("is_bench", col("doc_id") % 10 === 0))
+    val plan = flags.queryExecution.optimizedPlan.toString
+    val occurrences = "graft_stage1".r.findAllIn(plan).length
+    println(s"[kernel-probe] graft_stage1 occurrences in optimized plan = $occurrences")
+    t("stageOneFlags native (1 pass)")(noop(flags))
+    t("stageOneFlags native x2")(noop(graft.operators.Pipeline.stageOneFlags(
+      docs.withColumn("is_bench", col("doc_id") % 10 === 0))))
+    val oldFlags = docs
+      .withColumn("n_tokens", expr("CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT)"))
+      .withColumn("n_stop", expr("CAST(size(filter(split(text, ' '), x -> array_contains(array('the','a','of','and','to','in','is'), x))) AS BIGINT)"))
+      .withColumn("en_hits", expr("CAST(size(filter(split(lower(text), ' '), x -> array_contains(array('the','and','of','is','to'), x))) AS BIGINT)"))
+      .withColumn("es_hits", expr("CAST(size(filter(split(lower(text), ' '), x -> array_contains(array('el','la','de','que','y','los'), x))) AS BIGINT)"))
+      .withColumn("de_hits", expr("CAST(size(filter(split(lower(text), ' '), x -> array_contains(array('der','die','das','und','ist'), x))) AS BIGINT)"))
+    t("stageOneFlags OLD five-HOF spelling")(noop(oldFlags))
     spark.stop()
   }
 }

@@ -132,6 +132,34 @@ class NativeExprSpec extends AnyFunSuite {
     assert(sb.filter(not(col("native") === col("hof"))).count() == 0)
   }
 
+  test("graft_stage1 equals the five HOF split/filter counters") {
+    GraftFunctions.register(spark)
+    val both = docs().select(
+      call_function("graft_stage1", col("text")).as("native"),
+      array(
+        expr("CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT)"),
+        expr("CAST(size(filter(split(text, ' '), x -> array_contains(array('the','a','of','and','to','in','is'), x))) AS BIGINT)"),
+        expr("CAST(size(filter(split(lower(text), ' '), x -> array_contains(array('the','and','of','is','to'), x))) AS BIGINT)"),
+        expr("CAST(size(filter(split(lower(text), ' '), x -> array_contains(array('el','la','de','que','y','los'), x))) AS BIGINT)"),
+        expr("CAST(size(filter(split(lower(text), ' '), x -> array_contains(array('der','die','das','und','ist'), x))) AS BIGINT)")
+      ).as("hof"))
+    assert(both.filter(not(col("native") === col("hof"))).count() == 0)
+    // edges: empty text, all-stopword text, mixed case, repeated spaces
+    import spark.implicits._
+    val edge = Seq("", "the a of and to in is", "The THE the", "  el  la  ",
+        "der und das ist la the").toDF("text")
+      .select(
+        call_function("graft_stage1", col("text")).as("native"),
+        array(
+          expr("CAST(size(filter(split(text, ' '), x -> x != '')) AS BIGINT)"),
+          expr("CAST(size(filter(split(text, ' '), x -> array_contains(array('the','a','of','and','to','in','is'), x))) AS BIGINT)"),
+          expr("CAST(size(filter(split(lower(text), ' '), x -> array_contains(array('the','and','of','is','to'), x))) AS BIGINT)"),
+          expr("CAST(size(filter(split(lower(text), ' '), x -> array_contains(array('el','la','de','que','y','los'), x))) AS BIGINT)"),
+          expr("CAST(size(filter(split(lower(text), ' '), x -> array_contains(array('der','die','das','und','ist'), x))) AS BIGINT)")
+        ).as("hof"))
+    assert(edge.filter(not(col("native") === col("hof"))).count() == 0)
+  }
+
   test("graft_simhash equals the HOF simhash") {
     val tk = docs().select(Text.tokens(col("text")).as("tk"))
     val both = tk.select(
