@@ -215,9 +215,15 @@ object CurationStream {
     val s2 = candidates.join(s2ids, Seq("doc_id"))
       .select(col("doc_id"), col("text")).localCheckpoint()
     val s2Sets = shingleStore(s2, col("doc_id"), col("text")).localCheckpoint()
+    // broadcast hint on the GATE-SIZED landed store: a localCheckpointed
+    // static side has no size statistics, so every micro-batch re-plans
+    // the verify joins as sort-merge and re-sorts the store per batch
+    // (measured ~1.4 s/batch at sf0.1). The hint is a harness decision —
+    // at production scale the landed store is not broadcastable and the
+    // planner must choose from real table stats.
     val drops = timed("s3_neardup")(MemoryReplay.drainTape(spark, tapeRoot)(df =>
         nearDupDropsStream(df.join(broadcast(s2ids), Seq("doc_id")),
-          "doc_id", "text", storeSets = s2Sets)
+          "doc_id", "text", storeSets = broadcast(s2Sets))
         .select(col("doc_a"), col("doc_b")).as[(Long, Long)])
       .toDF("doc_a", "doc_b").select(col("doc_b").as("doc_id")).distinct())
     val nearFlags = s2.select(col("doc_id"))
@@ -236,7 +242,7 @@ object CurationStream {
     val hits = timed("s4_decontam")(MemoryReplay.drainTape(spark, tapeRoot,
         mode = OutputMode.Update())(df =>
         decontamHitsStream(df.join(broadcast(s3ids), Seq("doc_id")),
-          "doc_id", "text", benchHashes)
+          "doc_id", "text", broadcast(benchHashes))
         .as[(Long, Long, Long)])
       .toDF("doc_id", "n_sh", "n_hit"))
     val frac = when(col("n_sh") === 0, lit(0.0))
@@ -374,10 +380,12 @@ object CurationStream {
             "occ", "ts", "text",
             ttlMs = ttlMs, numHashes = 128, numBands = 64)
           .toDF("occ_a", "occ_b")
-          .join(sets.select(col("occ").as("occ_a"), col("sh").as("sh_a"),
-            col("nsh").as("n_a")), Seq("occ_a"))
-          .join(sets.select(col("occ").as("occ_b"), col("sh").as("sh_b"),
-            col("nsh").as("n_b")), Seq("occ_b"))
+          // gate-sized store: broadcast, or every micro-batch re-sorts it
+          // (same reasoning as replayFunnel's s3 hint)
+          .join(broadcast(sets.select(col("occ").as("occ_a"), col("sh").as("sh_a"),
+            col("nsh").as("n_a"))), Seq("occ_a"))
+          .join(broadcast(sets.select(col("occ").as("occ_b"), col("sh").as("sh_b"),
+            col("nsh").as("n_b"))), Seq("occ_b"))
           .filter(col("n_a") > 0 && col("n_b") > 0)
           .select(col("occ_b"),
             size(array_intersect(col("sh_a"), col("sh_b"))).as("c"),
