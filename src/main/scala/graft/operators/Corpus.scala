@@ -93,7 +93,14 @@ object Corpus {
     val blocks = split(blockified, "")
     // per block: count anchors BEFORE stripping, then strip inline tags,
     // decode entities, normalize whitespace, tokenize
-    val scored = transform(blocks, b => {
+    // TWO nested transforms (r16 optimization): with `toks` derived from
+    // `norm` inside one lambda, the normalize/decode regex chain was
+    // spelled (and interpreted) three times per block — once for txt,
+    // twice inside the token count. The inner transform binds the
+    // normalized text as a struct field; the outer derives the token
+    // count from the BOUND field, so the 9-regexp chain runs once per
+    // block. Same values by construction.
+    val normed = transform(blocks, b => {
       val anchors = (size(split(b, "(?i)<a[\\s>/]", -1)) - 1).cast("long")
       val stripped = regexp_replace(
         regexp_replace(b, "<[^>]*>", " "), "<[^>]*$", " ")
@@ -102,18 +109,35 @@ object Corpus {
           "&lt;", "<"), "&gt;", ">"), "&quot;", "\""), "&#39;", "'"),
           "&nbsp;", " "), "&amp;", "&")
       val norm = trim(regexp_replace(decoded, "\\s+", " "))
-      val toks = when(norm === "", lit(0L))
-        .otherwise(size(split(norm, " ", -1)).cast("long"))
-      struct(norm.as("txt"), toks.as("toks"), anchors.as("anchors"))
+      struct(norm.as("txt"), anchors.as("anchors"))
     })
+    val scored = transform(normed, s => {
+      val txt = s.getField("txt")
+      val toks = when(txt === "", lit(0L))
+        .otherwise(size(split(txt, " ", -1)).cast("long"))
+      struct(txt.as("txt"), toks.as("toks"),
+        s.getField("anchors").as("anchors"))
+    })
+    // STAGED projections (r16 optimization): the original single select
+    // referenced `kept` three times and `nonEmpty` twice, textually
+    // duplicating the whole regex-bank transform chain into four output
+    // expressions — ~4 evaluations of the heavy lambda per row. Binding
+    // each stage to a column alias evaluates the chain once;
+    // CollapseProject cannot re-inline a non-cheap alias consumed more
+    // than once, so the staging survives optimization.
     val nonEmpty = filter(scored, s => s.getField("toks") > 0L)
-    val kept = filter(nonEmpty, s =>
-      s.getField("anchors").cast("double") <=
-        lit(maxLinkDensity) * s.getField("toks").cast("double"))
-    docs.select(idCol.as("doc_id"),
-      array_join(transform(kept, _.getField("txt")), " ").as("main_text"),
-      size(kept).cast("long").as("n_kept"),
-      (size(nonEmpty) - size(kept)).cast("long").as("n_dropped"))
+    docs
+      .select(idCol.as("doc_id"), nonEmpty.as("_ne"))
+      .select(col("doc_id"), col("_ne"),
+        filter(col("_ne"), s =>
+          s.getField("anchors").cast("double") <=
+            lit(maxLinkDensity) * s.getField("toks").cast("double"))
+          .as("_kept"))
+      .select(col("doc_id"),
+        array_join(transform(col("_kept"), _.getField("txt")), " ")
+          .as("main_text"),
+        size(col("_kept")).cast("long").as("n_kept"),
+        (size(col("_ne")) - size(col("_kept"))).cast("long").as("n_dropped"))
   }
 
   /** Benchmark decontamination: for every eval doc (rows where `evalPred`),
