@@ -1,0 +1,33 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+object PctProbe {
+  def main(args: Array[String]): Unit = {
+    val spark: SparkSession = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[pct-probe] $label%-46s ${(System.nanoTime() - t0) / 1e9}%7.2f s"); r }
+    val li = graft.Tables.load(spark, "/root/testdata/sf0.1", "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice")).localCheckpoint()
+    println(s"[pct-probe] rows = ${li.count()}")
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    for (acc <- Seq(10000, 10000, 1000, 100)) {
+      t(s"percentile_approx acc=$acc") {
+        noop(li.groupBy(col("l_returnflag")).agg(
+          expr(s"percentile_approx(l_extendedprice, array(0.4998D,0.5002D), $acc)")))
+      }
+    }
+    for (acc <- Seq(10000, 1000, 100)) {
+      t(s"Percentiles.exact acc=$acc (median per flag)") {
+        noop(graft.operators.Percentiles.exact(li, col("l_returnflag"),
+          col("l_extendedprice"), Seq(("med", 0.5)), accuracy = acc))
+      }
+    }
+    spark.stop()
+  }
+}
