@@ -152,9 +152,23 @@ object Pca {
       Similarity.dot(centered, litArr(model.components(c))).as(s"pc$c"))
   }
 
-  /** Project `emb` (`vec_id`, `embedding`) onto the top-k components. */
-  def transform(emb: DataFrame, model: PcaModel, k: Int): DataFrame =
-    emb.select(col("vec_id") +: projections(col("embedding"), model, k): _*)
+  /** Project `emb` (`vec_id`, `embedding`) onto the top-k components.
+    *
+    * Stages the centered vector behind a column alias (r16 optimization):
+    * [[projections]] inlines `centered` into each of the k dot kernels, so
+    * the interpreted zip_with centering ran k times per row; the staged
+    * form centers once (CollapseProject cannot re-inline a non-cheap alias
+    * consumed k > 1 times). Same values — same kernels over the same
+    * centered vector.
+    */
+  def transform(emb: DataFrame, model: PcaModel, k: Int): DataFrame = {
+    require(k >= 1 && k <= model.d, s"k must be in [1, ${model.d}], got $k")
+    val centered = zip_with(Similarity.toDouble(col("embedding")),
+      litArr(model.mean), (x, m) => x - m)
+    emb.select(col("vec_id"), centered.as("_c"))
+      .select(col("vec_id") +: (0 until k).map(c =>
+        Similarity.dot(col("_c"), litArr(model.components(c))).as(s"pc$c")): _*)
+  }
 
   /** The q128 gate — (metric, ok) booleans pinning the CONTRACT of the fit
     * (driver-side: basis orthonormality, eigenvalues descending, trace
