@@ -8,7 +8,11 @@ import org.apache.spark.sql.SparkSession
   */
 object ExplainCheck {
   def main(args: Array[String]): Unit = {
+    // withExtensions: without the session extensions the dumped plans lack
+    // the injected rules (TopKRewrite, the graftlog insert/DV rules) and
+    // would NOT be the plans Bench runs (r16 fix)
     val spark = SparkSession.builder().master("local[4]")
+      .withExtensions(new graft.GraftExtensions)
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", "target/spark-warehouse")
