@@ -322,15 +322,33 @@ case class BandKeys(sig: Expression, bExpr: Expression, rExpr: Expression)
   override def first: Expression = sig
   override def second: Expression = bExpr
   override def third: Expression = rExpr
+  // b/r must be FOLDABLE, NON-NULL and >= 1 (r17, the r16 ADVICE item):
+  // the declared nullable = false is only honest when eval's null-guard on
+  // b/r is unreachable, and the HOF spec diverges for b <= 0 (sequence(0,
+  // b-1) descends, so bandsHof(sig, 0, r) yields keys for bands [0, -1]
+  // where the kernel yields an empty array) — rejecting those at analysis
+  // keeps the SQL surface inside the spec-pinned domain. Every call site
+  // passes literal geometry, so no plan changes.
   override def checkInputDataTypes(): TypeCheckResult =
-    if (sig.dataType.isInstanceOf[ArrayType] &&
+    if (!(sig.dataType.isInstanceOf[ArrayType] &&
         sig.dataType.asInstanceOf[ArrayType].elementType == LongType &&
-        bExpr.dataType == IntegerType && rExpr.dataType == IntegerType) {
-      TypeCheckResult.TypeCheckSuccess
-    } else {
+        bExpr.dataType == IntegerType && rExpr.dataType == IntegerType)) {
       TypeCheckResult.TypeCheckFailure("graft_bands expects (array<bigint>, int, int)")
+    } else if (!bExpr.foldable || !rExpr.foldable) {
+      TypeCheckResult.TypeCheckFailure(
+        "graft_bands needs literal (foldable) numBands/rowsPerBand")
+    } else {
+      val b = bExpr.eval()
+      val r = rExpr.eval()
+      if (b == null || r == null || b.asInstanceOf[Int] < 1 ||
+          r.asInstanceOf[Int] < 1)
+        TypeCheckResult.TypeCheckFailure(
+          "graft_bands needs numBands >= 1 and rowsPerBand >= 1")
+      else TypeCheckResult.TypeCheckSuccess
     }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // honest: a null/degenerate b or r can no longer reach eval (rejected at
+  // analysis above), and a null sig still yields the xxhash64(band) keys
   override def nullable: Boolean = false
 
   // custom eval (not nullSafeEval): a null sig must yield the

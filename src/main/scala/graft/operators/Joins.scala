@@ -15,6 +15,47 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
+  /** Conf key capping [[hintSmall]]'s row count (set 0 to disable every
+    * graft size-gated broadcast hint at once).
+    */
+  val HintSmallMaxRowsKey = "spark.graft.broadcast.maxRows"
+
+  /** SIZE-GATED broadcast hint for a MATERIALIZED (checkpointed /
+    * localCheckpointed) frame: such frames carry no size statistics, so
+    * the planner falls back to its default (huge) estimate and plans
+    * sort-merge — per micro-batch in a stream-static join, per join in a
+    * multi-stage assembly — even when the frame is KBs. Hinting
+    * unconditionally is worse (r16 ADVICE): a production landed store or
+    * flag frame is NOT broadcastable, and a hard-wired hint turns a slow
+    * plan into a driver OOM. So the hint is gated on the frame's REAL row
+    * count — one cheap job against already-materialized blocks — under
+    * `spark.graft.broadcast.maxRows` (default 100 000 rows: ids/flags/
+    * sketch rows ≤ ~1 KB keep the built relation well inside the guide's
+    * few-hundred-MB broadcast comfort zone; 0 disables the hint entirely,
+    * restoring pure planner choice). Above the cap the frame is returned
+    * unhinted and the planner decides from whatever it knows.
+    */
+  def hintSmall(df: DataFrame): DataFrame = {
+    val cap = hintCap(df)
+    if (cap > 0 && df.count() <= cap) broadcast(df) else df
+  }
+
+  private def hintCap(df: DataFrame): Long =
+    df.sparkSession.conf.getOption(HintSmallMaxRowsKey)
+      .map(_.toLong).getOrElse(100000L)
+
+  /** [[hintSmall]] for callers that already hold an UPPER BOUND on the
+    * frame's row count (a funnel gates every stage frame by the corpus
+    * count it measures once) — same size gate, zero extra count jobs:
+    * the per-frame `count()` probes measurably ate the plan win at gate
+    * scale (~10 jobs/gate in the r17 A/B). `boundRows` must bound the
+    * frame's true cardinality or the gate is meaningless.
+    */
+  def hintSmallBounded(df: DataFrame, boundRows: Long): DataFrame = {
+    val cap = hintCap(df)
+    if (cap > 0 && boundRows >= 0 && boundRows <= cap) broadcast(df) else df
+  }
+
   /** As-of join: for every `left` row, the single nearest `right` row at or
     * before it in the order (`direction = "backward"`, the default — order
     * key ≤ the left row's) or at or after it (`direction = "forward"` —

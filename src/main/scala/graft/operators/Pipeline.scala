@@ -122,9 +122,18 @@ object Pipeline {
     // Stage 3 — near-dup clusters among exact-canonical survivors; keep
     // the highest-token-count member of each cluster (ties → min id).
     // s2 is pinned: three consumers (band join, argmax, stage 4) would
-    // otherwise each re-run the scan + dedup window
+    // otherwise each re-run the scan + dedup window.
+    // The flag-frame joins here and below carry SIZE-GATED broadcast
+    // hints ([[Joins.hintSmall]]): pinned frames have no statistics, so
+    // the planner SMJs both sides of every assembly join; the hint fires
+    // only when the materialized flag frame COUNTS small (r17 — above the
+    // cap, e.g. a 100 TB corpus' flags, the plan is unchanged).
+    // one size probe (count of the pinned stage-2 flags) gates every
+    // hint below: the later flag frames are doc_id-keyed subsets of it
+    val nS1 = exactFlags.count()
+    def hb(df: DataFrame): DataFrame = Joins.hintSmallBounded(df, nS1)
     val s2 = pin(s1.select(col("doc_id"), col("text"), col("n_tokens"))
-      .join(exactFlags.filter(col("exact_keep")).select("doc_id"),
+      .join(hb(exactFlags.filter(col("exact_keep")).select("doc_id")),
         Seq("doc_id")))
     val pairs = Dedup.minhashNearDups(s2, col("doc_id"), col("text"))
     val nearFlags = pin(
@@ -133,8 +142,8 @@ object Pipeline {
 
     // Stage 4 — decontamination: survivors scored against the benchmark
     // split's shingle set (inverted index on hashed shingles, no doc×doc)
-    val s3 = s2.join(nearFlags.filter(col("neardup_keep")).select("doc_id"),
-      Seq("doc_id"))
+    val s3 = s2.join(hb(nearFlags.filter(col("neardup_keep"))
+      .select("doc_id")), Seq("doc_id"))
     val deconFrame = base.filter(col("is_bench"))
       .select(col("doc_id"), col("text"), col("is_bench"))
       .unionByName(s3.select(col("doc_id"), col("text"), lit(false).as("is_bench")))
@@ -143,9 +152,9 @@ object Pipeline {
       .select(col("doc_id"), (!col("contaminated")).as("decontam_ok")))
 
     candidates.select(col("doc_id"), col("lang_ok"), col("quality_ok"))
-      .join(exactFlags, Seq("doc_id"), "left")
-      .join(nearFlags, Seq("doc_id"), "left")
-      .join(deconFlags, Seq("doc_id"), "left")
+      .join(hb(exactFlags), Seq("doc_id"), "left")
+      .join(hb(nearFlags), Seq("doc_id"), "left")
+      .join(hb(deconFlags), Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang_ok"), col("quality_ok"),
         col("exact_keep"), col("neardup_keep"), col("decontam_ok"),
         coalesce(col("lang_ok") && col("quality_ok") && col("exact_keep") &&

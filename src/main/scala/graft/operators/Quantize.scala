@@ -26,16 +26,29 @@ object Quantize {
 
   /** (vec_id, scale, codes) for every row of `emb`. Pure codegen'd column
     * map over the scan — no shuffle, no driver probe.
+    *
+    * Staged like [[Pca.transform]] (r17): the inlined spelling evaluated
+    * the cast vector 3× per row and — far worse — re-evaluated the whole
+    * `array_max(transform(v, abs))` amax chain once PER OUTPUT ELEMENT
+    * inside the codes lambda (the scale expression rode into the
+    * interpreted `transform`, the r16 graft_bands duplication class). Two
+    * stacked projects bind the vector and amax once; CollapseProject does
+    * not re-inline a non-cheap alias consumed more than once. Same
+    * arithmetic over the same bound values — codes/scale bit-identical
+    * (QuantizeSpec pins the staged ≡ inlined equality).
     */
   def quantize(emb: DataFrame, idCol: Column, vecCol: Column): DataFrame = {
-    val v = Similarity.toDouble(vecCol)
-    val amax = array_max(transform(v, abs(_)))
-    val scale = amax / lit(127.0)
-    emb.select(
-      idCol.as("vec_id"),
-      when(amax === 0.0, lit(0.0)).otherwise(scale).as("scale"),
-      when(amax === 0.0, transform(v, _ => lit(0L)))
-        .otherwise(transform(v, x => floor(x / scale + lit(0.5)).cast("long")))
+    val staged = emb
+      .select(idCol.as("vec_id"), Similarity.toDouble(vecCol).as("_v"))
+      .select(col("vec_id"), col("_v"),
+        array_max(transform(col("_v"), abs(_))).as("_amax"))
+    staged.select(
+      col("vec_id"),
+      when(col("_amax") === 0.0, lit(0.0))
+        .otherwise(col("_amax") / lit(127.0)).as("scale"),
+      when(col("_amax") === 0.0, transform(col("_v"), _ => lit(0L)))
+        .otherwise(transform(col("_v"),
+          x => floor(x / (col("_amax") / lit(127.0)) + lit(0.5)).cast("long")))
         .as("codes"))
   }
 

@@ -194,6 +194,47 @@ object TableLog {
   private final case class DeltaFile(meta: Seq[(String, String)],
     removes: Seq[String], adds: Seq[Entry], legacyReplace: Boolean)
 
+  /** Parsed log-file cache (r17): manifests and checkpoints are IMMUTABLE
+    * once published — the [[LogStore.writeIfAbsent]] CAS is the only writer
+    * and versions are never rewritten (vacuum only DELETES, and every read
+    * path keeps its exists() probe first, so post-vacuum behavior — the
+    * typed "vacuumed?" errors — is unchanged). Parsed content keyed by
+    * absolute path is therefore valid for the life of the JVM. Engaged
+    * ONLY for the default [[HadoopLogStore]] singleton: a plugged store
+    * (conflict-injecting test mocks, conditional-put object stores) sees
+    * every read exactly as before. Bounded LRU so unbounded distinct roots
+    * over a long session cannot pin memory. The tallies are the probe
+    * surface for the streaming source's one-parse-per-version claim
+    * (a graftlog tail re-walked `(v-1, v]` manifests per micro-batch AND
+    * re-replayed the whole delta chain per stream construction — constant
+    * at gate scale, a real tax at production commit rates).
+    */
+  private[graft] val manifestReadTally =
+    new java.util.concurrent.atomic.AtomicLong
+  private[graft] val manifestCacheHitTally =
+    new java.util.concurrent.atomic.AtomicLong
+  private val deltaCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, DeltaFile](256, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, DeltaFile]): Boolean = size() > 8192
+    })
+
+  private def readDelta(spark: SparkSession, store: LogStore,
+      path: String): DeltaFile =
+    if (!store.eq(HadoopLogStore)) {
+      manifestReadTally.incrementAndGet()
+      parseDelta(store.read(spark, path))
+    } else {
+      val hit = deltaCache.get(path)
+      if (hit != null) { manifestCacheHitTally.incrementAndGet(); hit }
+      else {
+        manifestReadTally.incrementAndGet()
+        val d = parseDelta(store.read(spark, path))
+        deltaCache.put(path, d)
+        d
+      }
+    }
+
   private def parseDelta(content: String): DeltaFile = {
     val meta = Seq.newBuilder[(String, String)]
     val removes = Seq.newBuilder[String]
@@ -353,14 +394,14 @@ object TableLog {
       }
     }
     cp.foreach(c =>
-      applyDelta(parseDelta(store.read(spark, checkpointPath(root, c)))))
+      applyDelta(readDelta(spark, store, checkpointPath(root, c))))
     var u = cp.getOrElse(0L) + 1
     while (u <= v) {
       if (!store.exists(spark, manifestPath(root, u)))
         throw new IllegalStateException(
           s"manifest for version $u missing under $root (vacuumed past its " +
             "checkpoint?) — cannot reconstruct the snapshot")
-      applyDelta(parseDelta(store.read(spark, manifestPath(root, u))))
+      applyDelta(readDelta(spark, store, manifestPath(root, u)))
       u += 1
     }
     LogState(v, m.values.toVector, schemaJson, epochMax, partColsMeta,
@@ -531,7 +572,7 @@ object TableLog {
         throw new IllegalStateException(
           s"manifest for version $u missing under $root — cannot compute " +
             "the conflict footprint (vacuumed?)")
-      val d = parseDelta(store.read(spark, manifestPath(root, u)))
+      val d = readDelta(spark, store, manifestPath(root, u))
       if (d.legacyReplace) return None
       out ++= d.removes
       out ++= d.adds.map(_.path)
@@ -2075,7 +2116,7 @@ object TableLog {
         throw new IllegalStateException(
           s"manifest for version $u missing under $root — file-level " +
             "changes need the delta chain (vacuumed?)")
-      val d = parseDelta(store.read(spark, manifestPath(root, u)))
+      val d = readDelta(spark, store, manifestPath(root, u))
       if (d.legacyReplace)
         throw new IllegalStateException(
           s"version $u of $root is a legacy full-snapshot manifest — it " +
@@ -2200,7 +2241,7 @@ object TableLog {
   def history(spark: SparkSession, root: String): DataFrame = {
     val store = LogStore.resolve(spark)
     val rows = versions(spark, root).map { v =>
-      val d = parseDelta(store.read(spark, manifestPath(root, v)))
+      val d = readDelta(spark, store, manifestPath(root, v))
       Row(v, d.meta.collectFirst { case ("op", o) => o }.orNull,
         d.adds.size.toLong, d.removes.size.toLong,
         d.meta.collectFirst { case ("epoch", e) => e.toLong }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
-import graft.operators.Pipeline
+import graft.operators.{Joins, Pipeline}
 
 /** The curation funnel at INGEST time — "filter while the data lands, not
   * after" — the deploy shape a 100 TB/day training-data pipeline actually
@@ -190,6 +190,13 @@ object CurationStream {
       benchPred.as("is_bench"))
     val flagged = Pipeline.stageOneFlags(base).localCheckpoint()
     val candidates = flagged.filter(!col("is_bench"))
+    // ONE size probe (a count over the already-materialized flag frame)
+    // gates every broadcast hint in this gate: each stage frame below is
+    // keyed by doc_id, so the corpus row count bounds them all — the
+    // per-frame count() probes of the first r17 cut cost ~10 jobs/gate
+    // and ate the plan win ([[Joins.hintSmallBounded]]).
+    val nDocs = flagged.count()
+    def hb(df: DataFrame): DataFrame = Joins.hintSmallBounded(df, nDocs)
 
     // ONE LOGGED TAPE serves every stage (round 16 — no driver-side tape
     // build, no per-stage tape rewrite): every non-benchmark doc in id
@@ -210,39 +217,47 @@ object CurationStream {
 
     // Stage 3: exact-canonical survivors stream through the band index;
     // the verify join reads the landed store (here: the survivor frame).
-    val s2ids = exactFlags.filter(col("exact_keep")).select("doc_id")
-      .localCheckpoint()
+    // SIZE-GATED broadcast hints ([[Joins.hintSmall]]) on every
+    // materialized gate frame: a localCheckpointed side has no size
+    // statistics, so every micro-batch re-plans the stream-static verify
+    // joins as sort-merge and re-sorts the store per batch (measured
+    // ~1.4 s/batch at sf0.1), and each batch-side assembly join below
+    // re-shuffles both KB-sized sides across 32 partitions. The gate keeps
+    // the hint only because the frames COUNT small (r16 ADVICE: an
+    // unconditional hint would turn a production-scale landed store into
+    // a driver OOM; above the cap the planner chooses as before).
+    val s2ids = hb(exactFlags.filter(col("exact_keep"))
+      .select("doc_id").localCheckpoint())
     val s2 = candidates.join(s2ids, Seq("doc_id"))
       .select(col("doc_id"), col("text")).localCheckpoint()
-    val s2Sets = shingleStore(s2, col("doc_id"), col("text")).localCheckpoint()
-    // broadcast hint on the GATE-SIZED landed store: a localCheckpointed
-    // static side has no size statistics, so every micro-batch re-plans
-    // the verify joins as sort-merge and re-sorts the store per batch
-    // (measured ~1.4 s/batch at sf0.1). The hint is a harness decision —
-    // at production scale the landed store is not broadcastable and the
-    // planner must choose from real table stats.
+    val s2Sets = hb(
+      shingleStore(s2, col("doc_id"), col("text")).localCheckpoint())
     val drops = timed("s3_neardup")(MemoryReplay.drainTape(spark, tapeRoot)(df =>
-        nearDupDropsStream(df.join(broadcast(s2ids), Seq("doc_id")),
-          "doc_id", "text", storeSets = broadcast(s2Sets))
+        nearDupDropsStream(df.join(s2ids, Seq("doc_id")),
+          "doc_id", "text", storeSets = s2Sets)
         .select(col("doc_a"), col("doc_b")).as[(Long, Long)])
       .toDF("doc_a", "doc_b").select(col("doc_b").as("doc_id")).distinct())
     val nearFlags = s2.select(col("doc_id"))
-      .join(drops.withColumn("_d", lit(true)), Seq("doc_id"), "left")
+      .join(hb(drops.withColumn("_d", lit(true))), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(!col("_d"), lit(true)).as("neardup_keep"))
       .localCheckpoint()
 
     // Stage 4: near-dup survivors stream against the static benchmark
     // shingle-hash index.
-    val s3ids = s2.join(nearFlags.filter(col("neardup_keep")).select("doc_id"),
-      Seq("doc_id")).select("doc_id").localCheckpoint()
+    val s3ids = hb(s2
+      .join(hb(nearFlags.filter(col("neardup_keep")).select("doc_id")),
+        Seq("doc_id"))
+      .select("doc_id").localCheckpoint())
     val s3 = s2.join(s3ids, Seq("doc_id")).localCheckpoint()
-    val benchHashes = base.filter(col("is_bench"))
+    // benchHashes rows are distinct SHINGLES (not docs), so the doc-count
+    // bound does not apply — this one keeps its own count probe.
+    val benchHashes = Joins.hintSmall(base.filter(col("is_bench"))
       .select(explode(call_function("graft_shingles", col("text"), lit(3))).as("s"))
-      .select(xxhash64(col("s")).as("sk")).distinct().localCheckpoint()
+      .select(xxhash64(col("s")).as("sk")).distinct().localCheckpoint())
     val hits = timed("s4_decontam")(MemoryReplay.drainTape(spark, tapeRoot,
         mode = OutputMode.Update())(df =>
-        decontamHitsStream(df.join(broadcast(s3ids), Seq("doc_id")),
-          "doc_id", "text", broadcast(benchHashes))
+        decontamHitsStream(df.join(s3ids, Seq("doc_id")),
+          "doc_id", "text", benchHashes)
         .as[(Long, Long, Long)])
       .toDF("doc_id", "n_sh", "n_hit"))
     val frac = when(col("n_sh") === 0, lit(0.0))
@@ -251,15 +266,16 @@ object CurationStream {
       .select(col("doc_id"),
         size(call_function("graft_shingles", col("text"), lit(3)))
           .cast("long").as("n_sh"))
-      .join(hits.select(col("doc_id"), col("n_hit")), Seq("doc_id"), "left")
+      .join(hb(hits.select(col("doc_id"), col("n_hit"))),
+        Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_hit"))
       .select(col("doc_id"), (!(frac >= contamThreshold)).as("decontam_ok"))
 
     MemoryReplay.dropTape(tapeRoot) // every stage's output is materialized
     candidates.select(col("doc_id"), col("lang_ok"), col("quality_ok"))
-      .join(exactFlags, Seq("doc_id"), "left")
-      .join(nearFlags, Seq("doc_id"), "left")
-      .join(deconFlags, Seq("doc_id"), "left")
+      .join(hb(exactFlags), Seq("doc_id"), "left")
+      .join(hb(nearFlags), Seq("doc_id"), "left")
+      .join(hb(deconFlags), Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang_ok"), col("quality_ok"),
         col("exact_keep"), col("neardup_keep"), col("decontam_ok"),
         coalesce(col("lang_ok") && col("quality_ok") && col("exact_keep") &&
@@ -334,6 +350,10 @@ object CurationStream {
     // geometry); a probe overrides it to hold rate×TTL FIXED while the
     // tape grows — the bounded-state law the TTL ops exist for
     val ttlMs = ttlMsOverride.getOrElse((n / 2) * 1000L)
+    // every stage frame below is keyed by occurrence; each doc emits at
+    // most 3 occurrences, so 3n bounds them all — one size gate, zero
+    // extra count jobs ([[Joins.hintSmallBounded]], r17)
+    def hb(df: DataFrame): DataFrame = Joins.hintSmallBounded(df, 3 * n)
     lastTtlMs = ttlMs
     lastStageStats = Nil
     // occurrence tape: the tick IS the occurrence id (globally unique —
@@ -357,12 +377,16 @@ object CurationStream {
     val tapeRoot = MemoryReplay.writeTape(spark,
       occDf.select(col("occ"), col("ts"), col("text"), col("sk")),
       "occ", nBatches)
-    // Stage 2 — TTL'd exact dedup over occurrences
-    val keepTicks = MemoryReplay.drainTape(spark, tapeRoot)(df =>
+    // Stage 2 — TTL'd exact dedup over occurrences. Size-gated hints
+    // ([[Joins.hintSmall]], r16-ADVICE gating) on every materialized gate
+    // frame: stream-static sides re-plan per micro-batch, and the
+    // batch-side keeper/drop joins otherwise SMJ KB frames across 32
+    // shuffle partitions.
+    val keepTicks = hb(MemoryReplay.drainTape(spark, tapeRoot)(df =>
         StreamingOps.exactDedupStreamTtl(
           df.select(col("occ"), col("ts"), col("text")),
           "occ", "ts", "text", ttlMs = ttlMs))
-      .toDF("occ").localCheckpoint()
+      .toDF("occ").localCheckpoint())
     lastStageStats = lastStageStats :+
       ("s2_exact_ttl" -> MemoryReplay.lastStateStats)
     val keepers = occDf.join(keepTicks, Seq("occ")).localCheckpoint()
@@ -375,16 +399,16 @@ object CurationStream {
       .localCheckpoint()
     val drops = MemoryReplay.drainTape(spark, tapeRoot)(df =>
         StreamingOps.nearDupCandidatesStreamTtl(
-            df.join(broadcast(keepTicks), Seq("occ"))
+            df.join(keepTicks, Seq("occ"))
               .select(col("occ"), col("ts"), col("text")),
             "occ", "ts", "text",
             ttlMs = ttlMs, numHashes = 128, numBands = 64)
           .toDF("occ_a", "occ_b")
-          // gate-sized store: broadcast, or every micro-batch re-sorts it
+          // gate-sized store: hint, or every micro-batch re-sorts it
           // (same reasoning as replayFunnel's s3 hint)
-          .join(broadcast(sets.select(col("occ").as("occ_a"), col("sh").as("sh_a"),
+          .join(hb(sets.select(col("occ").as("occ_a"), col("sh").as("sh_a"),
             col("nsh").as("n_a"))), Seq("occ_a"))
-          .join(broadcast(sets.select(col("occ").as("occ_b"), col("sh").as("sh_b"),
+          .join(hb(sets.select(col("occ").as("occ_b"), col("sh").as("sh_b"),
             col("nsh").as("n_b"))), Seq("occ_b"))
           .filter(col("n_a") > 0 && col("n_b") > 0)
           .select(col("occ_b"),
@@ -406,7 +430,7 @@ object CurationStream {
       case Some(_) =>
         val md = MemoryReplay.drainTape(spark, tapeRoot)(df =>
             StreamingOps.sketchNearDupStreamTtl(
-              df.join(broadcast(keepTicks), Seq("occ"))
+              df.join(keepTicks, Seq("occ"))
                 .select(col("occ"), col("ts"), col("sk")),
               "occ", "ts", "sk", ttlMs = ttlMs)
               .map(_._2))
@@ -417,11 +441,11 @@ object CurationStream {
     }
     MemoryReplay.dropTape(tapeRoot) // every stage's output is materialized
     val afterText = keepers
-      .join(drops.withColumn("_d", lit(true)), Seq("occ"), "left")
+      .join(hb(drops.withColumn("_d", lit(true))), Seq("occ"), "left")
       .filter(col("_d").isNull)
     mediaDrops.fold(afterText)(md =>
         afterText.drop("_d")
-          .join(md.withColumn("_m", lit(true)), Seq("occ"), "left")
+          .join(hb(md.withColumn("_m", lit(true))), Seq("occ"), "left")
           .filter(col("_m").isNull))
       .select(col("doc_id"), col("occ").as("tick"))
   }

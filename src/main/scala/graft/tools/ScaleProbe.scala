@@ -804,6 +804,65 @@ object ScaleProbe {
     if (args.contains("--pagerank-only")) {
       pagerankSection(); spark.stop(); return
     }
+    // --core-law: the CORE-SCALING signal the sf0.1 bench cannot give
+    // (single-row-group parquet fixtures can't split, so 8-core and
+    // 32-core totals differ by ~1% — r16 VERDICT watch item 1): time the
+    // heavy dedup/curation/ANN chains over the synthesized MULTI-FILE 10×
+    // corpus (32-way parquet, splittable scans) at THIS invocation's
+    // $SPARK_GRAFT_CPUS. Run twice — SPARK_GRAFT_CPUS=32 then =8 — and
+    // compare walls: the low/high-core ratio over splittable input is the
+    // guide-§2 scale evidence for these operators.
+    def coreLawSection(): Unit = {
+      println(s"[probe] core-law at local[$cpus]")
+      val docs = docsOf(dir)
+      val emb = embOf(dir)
+      measure("core q62_dup_clusters") {
+        val pairs = Dedup.minhashNearDups(docs, col("doc_id"), col("text"))
+        Dedup.dupGroups(docs, col("doc_id"), pairs).count()
+      }
+      measure("core q99_keep_best") {
+        val pairs = Dedup.minhashNearDups(docs, col("doc_id"), col("text"))
+        Dedup.dupGroupsBest(docs, col("doc_id"),
+          length(col("text")).cast("long"), pairs).count()
+      }
+      measure("core q100_curation") {
+        Pipeline.curate(docs, col("doc_id"), col("text"),
+          benchPred = col("doc_id") % 10 === 0).count()
+      }
+      measure("core q163_triangles") {
+        val pairs = Dedup.minhashNearDups(docs, col("doc_id"), col("text"))
+          .select(col("doc_a"), col("doc_b"))
+        graft.operators.Graph.triangles(pairs).count()
+      }
+      val e = emb.select(col("vec_id"),
+        Similarity.toDouble(col("embedding")).as("v"))
+      measure("core q102_semdedup(k=80)") {
+        Similarity.semDedup(emb,
+          e.filter(col("vec_id") < 80).select(col("vec_id").as("cid"),
+            col("v").as("cv")), threshold = 0.4).count()
+      }
+      measure("core q126_covariance") {
+        graft.operators.Kmeans.covarianceMatrix(emb).count()
+      }
+      measure("core q22_brute_knn") {
+        Similarity.bruteForceKnn(emb, col("vec_id") < 5, k = 10).count()
+      }
+      measure("core q27_lsh_knn") {
+        Similarity.lshKnn(emb, col("vec_id") < 5, k = 10).count()
+      }
+      measure("core q33_ivf_knn") {
+        Similarity.ivfKnn(emb, col("vec_id") < 5, k = 10).count()
+      }
+      measure("core q206_html_extract") {
+        graft.operators.Corpus.extractMainText(
+          docs.select(col("doc_id"), concat(lit("<html><body><p>"),
+            col("text"), lit("</p></body></html>")).as("html")),
+          col("doc_id"), col("html")).count()
+      }
+    }
+    if (args.contains("--core-law")) {
+      coreLawSection(); spark.stop(); return
+    }
     if (args.contains("--seq-only")) {
       seqSection(); spark.stop(); return
     }

@@ -15,6 +15,91 @@ class KmeansSpec extends AnyFunSuite {
   private def cents0 = vecs.filter(col("vec_id") < 4)
     .select(col("vec_id").as("cid"), col("v").as("cv"))
 
+  test("q12Fast: fast quantization equals BigDecimal.valueOf.setScale(12) " +
+      "wherever it answers (adversarial boundaries + random magnitudes)") {
+    def ref(x: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(12, java.math.RoundingMode.HALF_UP)
+    def check(x: Double): Unit = {
+      val q = Kmeans.q12Fast(x)
+      if (q != Long.MinValue) {
+        val r = ref(x)
+        assert(java.math.BigDecimal.valueOf(q, 12).compareTo(r) == 0,
+          s"q12Fast($x) = $q but reference = $r")
+      } // sentinel: the caller runs the reference itself — nothing to pin
+    }
+    // exact half-boundary decimals (HALF_UP must round away from zero; the
+    // fast path may answer or refuse, but never answer wrong)
+    for (k <- Seq(0L, 1L, 2L, 999L, 123456L, 999999999999L);
+         s <- Seq(1, -1)) {
+      check(s * (k + 0.5) / 1e12)
+      check(s * (k.toDouble + 0.4999999999) / 1e12)
+      check(s * (k.toDouble + 0.5000000001) / 1e12)
+    }
+    // specials and extremes
+    Seq(0.0, -0.0, Double.MinPositiveValue, -Double.MinPositiveValue,
+      1e-300, -1e-300, 4503.6, -4503.6, 4.5e15, 9.3e6, -9.3e6, 1e9, 1e18,
+      0.1, 0.2, 0.3, 1.0 / 3.0, math.Pi, -math.E).foreach(check)
+    assert(Kmeans.q12Fast(Double.NaN) == Long.MinValue)
+    assert(Kmeans.q12Fast(Double.PositiveInfinity) == Long.MinValue)
+    // random magnitudes across the whole embedding-product range
+    val rnd = new scala.util.Random(42)
+    (0 until 200000).foreach { _ =>
+      val x = (rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(26) - 16)
+      check(x)
+    }
+    // and the fixture's own values/products must mostly take the fast path
+    // (the win is real, not a fallback in disguise)
+    val sample = vecs.limit(200).collect().map(_.getSeq[Double](1))
+    val prods = sample.flatMap(v => v.indices.flatMap(i =>
+      (i until v.size).map(j => v(i) * v(j))))
+    prods.foreach(check)
+    val fastShare = prods.count(p =>
+      Kmeans.q12Fast(p) != Long.MinValue).toDouble / prods.length
+    assert(fastShare > 0.99, s"fast-path share $fastShare unexpectedly low")
+  }
+
+  test("covarianceMatrix: long-lane kernel equals a pure-BigDecimal " +
+      "reference on the fixture (bit parity)") {
+    // driver-side reference: the original BigDecimal spelling of the same
+    // closed form, over the collected fixture vectors
+    val vs = vecs.collect().map(_.getSeq[Double](1).toArray)
+    val d = vs.head.length
+    val n = vs.length.toLong
+    def q(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(12, java.math.RoundingMode.HALF_UP)
+    val sums = Array.fill(d)(java.math.BigDecimal.ZERO)
+    val acc = Array.fill(d * (d + 1) / 2)(java.math.BigDecimal.ZERO)
+    vs.foreach { v =>
+      var idx = 0
+      var i = 0
+      while (i < d) {
+        sums(i) = sums(i).add(q(v(i)))
+        var j = i
+        while (j < d) { acc(idx) = acc(idx).add(q(v(i) * v(j))); idx += 1; j += 1 }
+        i += 1
+      }
+    }
+    val mu = sums.map(_.doubleValue / n)
+    val want = scala.collection.mutable.Map.empty[(Int, Int), Double]
+    var idx = 0
+    for (i <- 0 until d; j <- i until d) {
+      want((i, j)) = java.math.BigDecimal
+        .valueOf((acc(idx).doubleValue - n * mu(i) * mu(j)) / (n - 1))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue + 0.0
+      idx += 1
+    }
+    val got = Kmeans.covarianceMatrix(
+        Tables.load(spark, sf, "embeddings")).collect()
+      .map(r => (r.getAs[Int]("i"), r.getAs[Int]("j")) -> r.getAs[Double]("cov"))
+      .toMap
+    assert(got.size == d * (d + 1) / 2)
+    got.foreach { case (k, v) =>
+      assert(java.lang.Double.doubleToLongBits(v) ==
+        java.lang.Double.doubleToLongBits(want(k)), s"cell $k: $v != ${want(k)}")
+    }
+  }
+
   test("covarianceMatrix: hand-computed 2-dim upper triangle") {
     import spark.implicits._
     // vectors (1,2) (3,4) (5,0): mu=(3,2)

@@ -132,6 +132,31 @@ class NativeExprSpec extends AnyFunSuite {
     assert(sb.filter(not(col("native") === col("hof"))).count() == 0)
   }
 
+  test("graft_bands rejects non-literal and degenerate geometry at analysis") {
+    // r17 (ADVICE): nullable = false is only honest when b/r cannot reach
+    // eval as null, and b <= 0 is where the kernel diverges from the HOF
+    // spec (sequence(0, b-1) descends) — both must die in analysis, not
+    // reach execution
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((Seq(1L, 2L, 3L, 4L), 4)).toDF("sig", "b")
+    // analysis is eager at select(), so each bad projection is built
+    // lazily INSIDE the intercept
+    val bads: Seq[() => org.apache.spark.sql.DataFrame] = Seq(
+      () => df.select(call_function("graft_bands", col("sig"), col("b"), lit(2))),
+      () => df.select(call_function("graft_bands", col("sig"), lit(0), lit(2))),
+      () => df.select(call_function("graft_bands", col("sig"), lit(4), lit(0))),
+      () => df.select(call_function("graft_bands", col("sig"),
+        lit(null).cast("int"), lit(2))))
+    for (bad <- bads) {
+      val e = intercept[org.apache.spark.sql.AnalysisException](bad().collect())
+      assert(e.getMessage.contains("graft_bands"), e.getMessage)
+    }
+    // the legal geometry still analyzes and returns b keys
+    assert(df.select(call_function("graft_bands", col("sig"), lit(2), lit(2)))
+      .head().getSeq[Long](0).length == 2)
+  }
+
   test("graft_stage1 equals the five HOF split/filter counters") {
     GraftFunctions.register(spark)
     val both = docs().select(

@@ -31,6 +31,36 @@ class QuantizeSpec extends AnyFunSuite {
     assert(err.count() == 0, "dequantization error must be within scale/2")
   }
 
+  test("codec: staged quantize equals the inlined spelling bit-for-bit") {
+    import org.apache.spark.sql.DataFrame
+    // r17 staging binds the cast vector and amax behind aliases; this pins
+    // the staged output against the original inlined expression tree
+    // (identical arithmetic, so doubles and codes must match exactly),
+    // over the real fixture plus zero-vector and null-vector edges.
+    def inlined(df: DataFrame): DataFrame = {
+      val v = Similarity.toDouble(col("embedding"))
+      val amax = array_max(transform(v, abs(_)))
+      val scale = amax / lit(127.0)
+      df.select(col("vec_id"),
+        when(amax === 0.0, lit(0.0)).otherwise(scale).as("scale"),
+        when(amax === 0.0, transform(v, _ => lit(0L)))
+          .otherwise(transform(v, x => floor(x / scale + lit(0.5)).cast("long")))
+          .as("codes"))
+    }
+    import spark.implicits._
+    val edges = Seq((900001L, Array(0f, 0f, 0f)),
+        (900002L, null.asInstanceOf[Array[Float]]),
+        (900003L, Array(1e-30f, -1e30f, 0.3f)))
+      .toDF("vec_id", "embedding")
+    for (df <- Seq(emb.select(col("vec_id"), col("embedding")), edges)) {
+      val got = Quantize.quantize(df, col("vec_id"), col("embedding"))
+        .orderBy("vec_id").collect()
+      val want = inlined(df).orderBy("vec_id").collect()
+      assert(got.length == want.length)
+      got.zip(want).foreach { case (g, w) => assert(g == w, s"$g != $w") }
+    }
+  }
+
   test("codec: quantizing a zero vector yields zero codes and zero scale") {
     import spark.implicits._
     val z = Seq((0L, Array(0f, 0f, 0f)), (1L, Array(1f, -2f, 0.5f)))
