@@ -57,6 +57,10 @@ object GraftExtensions {
       (es: Seq[Expression]) => PqLut(es(0), es(1), es(2), es(3))),
     ("graft_pqscore", "graft_pqscore(codes, lut, k) - PQ asymmetric-distance score sum(lut[s*k+codes[s]])",
       (es: Seq[Expression]) => PqScore(es(0), es(1), es(2))),
+    ("graft_cellargmax", "graft_cellargmax(lut, nrm, cnrms, cids) - IVF nearest-cell id: argmax of lut[c]/(nrm*cnrms[c]) with max-cid tie-break",
+      (es: Seq[Expression]) => graft.functions.CellArgMax(es(0), es(1), es(2), es(3))),
+    ("graft_celltop", "graft_celltop(lut, nrm, cnrms, cids, n) - top-n IVF cell ids by lut[c]/(nrm*cnrms[c]), score desc then cid desc",
+      (es: Seq[Expression]) => graft.functions.CellTopIds(es(0), es(1), es(2), es(3), es(4))),
     ("graft_minhash", "graft_minhash(shingles, k) - k-lane minhash signature",
       (es: Seq[Expression]) => MinHashSig(es(0), es(1))),
     ("graft_bands", "graft_bands(sig, numBands, r) - LSH band keys (xxhash64 of each r-lane band, band id as second hash input)",

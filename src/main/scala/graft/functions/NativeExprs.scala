@@ -549,6 +549,136 @@ case class PqScore(codes: Expression, lut: Expression, kExpr: Expression)
     copy(codes = f, lut = sE, kExpr = t)
 }
 
+/** IVF cell-selection kernels over a centroid-dot LUT — the argmax / top-n
+  * of `struct(lut[c] / (nrm · cnrm[c]), cid[c])` that the ivfKnn/ivfPqKnn
+  * expression spelling built as a `cells`-element struct array for
+  * `array_max` / `slice(reverse(array_sort(...)))`. At 64 cells that
+  * projection generated borderline-huge methods — the stage fell out of
+  * whole-stage codegen (or HotSpot refused the method) and ran ~100×
+  * slower than its arithmetic over a 200k-vector corpus (AnnCoreProbe,
+  * r17); staging the dots through graft_pqlut recovered the corpus map
+  * but left a measured q97 regression from the surviving 64-struct
+  * consumers. These kernels keep the EXACT semantics of the expression
+  * form on non-null inputs: score = lut[c] / (nrm · cnrm[c]) (same
+  * mul-then-div doubles), Spark's nan-safe double ordering (NaN greatest,
+  * -0.0 = 0.0), ties broken by cid exactly as the struct comparison did —
+  * argmax keeps the LARGEST cid on a score tie; top-n orders score desc
+  * then cid desc (the reverse of ascending (score, cid)). NativeExprSpec
+  * pins kernel ≡ expression over random and tied scores. Two documented
+  * edges outside the operators' input domain: a null lut or nrm returns
+  * null (reachable only for null/ragged vectors, which the fixtures and
+  * operators exclude), and a ZERO divisor (zero-norm vector) yields plain
+  * double ±Inf/NaN where the ANSI-mode expression form would THROW
+  * DIVIDE_BY_ZERO — i.e. the kernels only diverge where the spelling they
+  * replace errors out.
+  */
+abstract class CellKernel extends Expression with CodegenFallback {
+  def lut: Expression
+  def nrm: Expression
+  def cnrms: Expression
+  def cids: Expression
+  override def nullable: Boolean = true
+  @transient protected lazy val cnrmArr: Array[Double] =
+    cnrms.eval(null).asInstanceOf[ArrayData].toDoubleArray()
+  @transient protected lazy val cidArr: Array[Long] =
+    cids.eval(null).asInstanceOf[ArrayData].toLongArray()
+  protected def argsOk: TypeCheckResult =
+    (lut.dataType, nrm.dataType, cnrms.dataType, cids.dataType) match {
+      case (ArrayType(DoubleType, _), DoubleType, ArrayType(DoubleType, _),
+          ArrayType(LongType, _)) =>
+        if (!cnrms.foldable || !cids.foldable)
+          TypeCheckResult.TypeCheckFailure(
+            "cell kernel cnrms/cids must be literal arrays")
+        else if (cnrmArr.length != cidArr.length)
+          TypeCheckResult.TypeCheckFailure(
+            "cell kernel cnrms and cids must have equal length")
+        else TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "cell kernel expects (array<double>, double, array<double>, array<bigint>)")
+    }
+  /** Spark's nan-safe double compare: NaN greatest and equal to NaN,
+    * -0.0 = 0.0 — the ordering the struct comparison used.
+    */
+  protected final def cmpD(x: Double, y: Double): Int = {
+    val xn = java.lang.Double.isNaN(x)
+    val yn = java.lang.Double.isNaN(y)
+    if ((xn && yn) || (x == y)) 0
+    else if (xn) 1
+    else if (yn) -1
+    else if (x > y) 1 else -1
+  }
+}
+
+case class CellArgMax(lut: Expression, nrm: Expression, cnrms: Expression,
+    cids: Expression) extends CellKernel {
+  override def children: Seq[Expression] = Seq(lut, nrm, cnrms, cids)
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = argsOk
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val l = lut.eval(input)
+    val nv = nrm.eval(input)
+    if (l == null || nv == null) return null
+    val la = l.asInstanceOf[ArrayData]
+    val n = math.min(la.numElements(), cnrmArr.length)
+    if (n == 0) return null
+    val nd = nv.asInstanceOf[Double]
+    var bestS = la.getDouble(0) / (nd * cnrmArr(0))
+    var bestC = cidArr(0)
+    var c = 1
+    while (c < n) {
+      val s = la.getDouble(c) / (nd * cnrmArr(c))
+      val k = cmpD(s, bestS)
+      if (k > 0 || (k == 0 && cidArr(c) > bestC)) { bestS = s; bestC = cidArr(c) }
+      c += 1
+    }
+    bestC
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(lut = cs(0), nrm = cs(1), cnrms = cs(2), cids = cs(3))
+}
+
+case class CellTopIds(lut: Expression, nrm: Expression, cnrms: Expression,
+    cids: Expression, nExpr: Expression) extends CellKernel {
+  override def children: Seq[Expression] = Seq(lut, nrm, cnrms, cids, nExpr)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = argsOk
+    if (base != TypeCheckResult.TypeCheckSuccess) base
+    else if (nExpr.dataType != IntegerType || !nExpr.foldable)
+      TypeCheckResult.TypeCheckFailure("cell kernel n must be a literal int")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+  @transient private lazy val nVal: Int = nExpr.eval(null).asInstanceOf[Int]
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val l = lut.eval(input)
+    val nv = nrm.eval(input)
+    if (l == null || nv == null) return null
+    val la = l.asInstanceOf[ArrayData]
+    val k = math.min(la.numElements(), cnrmArr.length)
+    val nd = nv.asInstanceOf[Double]
+    val scores = new Array[Double](k)
+    var c = 0
+    while (c < k) { scores(c) = la.getDouble(c) / (nd * cnrmArr(c)); c += 1 }
+    val order = new Array[Integer](k)
+    c = 0
+    while (c < k) { order(c) = c; c += 1 }
+    java.util.Arrays.sort(order, new java.util.Comparator[Integer] {
+      // descending (score, cid) — reverse(array_sort(...))'s order
+      override def compare(a: Integer, b: Integer): Int = {
+        val s = cmpD(scores(b), scores(a))
+        if (s != 0) s else java.lang.Long.compare(cidArr(b), cidArr(a))
+      }
+    })
+    val n = math.max(0, math.min(nVal, k))
+    val out = new Array[Long](n)
+    c = 0
+    while (c < n) { out(c) = cidArr(order(c)); c += 1 }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(lut = cs(0), nrm = cs(1), cnrms = cs(2), cids = cs(3), nExpr = cs(4))
+}
+
 /** 64-bit SimHash over array<string> tokens; bit j = sign of
   * Σ_tokens (bit j of portableTokenHash(token) ? +1 : -1). Equals
   * [[graft.functions.Text.simhash]] (asserted in NativeExprSpec), and the

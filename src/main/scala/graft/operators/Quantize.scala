@@ -286,23 +286,31 @@ object Quantize {
       .map { case (cid, v) =>
         (cid, v, math.sqrt(v.iterator.map(x => x * x).sum))
       }
-    def cellScores(v: Column, nrm: Column): Column = array(cents.map {
-      case (cid, cv, cnrm) => struct(
-        Similarity.cosine(v, typedLit(cv).cast("array<double>"), nrm, lit(cnrm)).as("score"),
-        lit(cid).as("cid"))
-    }.toIndexedSeq: _*)
-    // one scan: cell assignment + PQ codes, both pure codegen'd maps
+    // nearest cell / probed cells via the native cell kernels over ONE
+    // graft_pqlut centroid-dot pass — exact semantics of the array_max /
+    // reverse(array_sort) struct spelling, which broke whole-stage codegen
+    // past ~64 cells (r17 — see Similarity.ivfKnn and NativeExprs
+    // CellKernel)
+    val dimV = sample.head._2.size
+    val centsFlat = typedLit(cents.toSeq.flatMap(_._2)).cast("array<double>")
+    val cnrmsLit = typedLit(cents.toSeq.map(_._3)).cast("array<double>")
+    val cidsLit = typedLit(cents.toSeq.map(_._1)).cast("array<bigint>")
+    val cellLut = call_function("graft_pqlut", col("v"), centsFlat,
+      lit(dimV), lit(cents.length))
+    // one scan: cell assignment + PQ codes, both pure scan-side maps
     val index = e.select(col("vec_id"),
-      array_max(cellScores(col("v"), col("nrm"))).getField("cid").as("cell"),
+      call_function("graft_cellargmax", cellLut, col("nrm"), cnrmsLit,
+        cidsLit).as("cell"),
       call_function("graft_pqencode", col("v"), booksLit, lit(sub),
         lit(codebookSize)).as("codes"))
     val q = e.where(queryPred)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"),
         call_function("graft_pqlut", col("v"), booksLit, lit(sub),
           lit(codebookSize)).as("lut"),
-        slice(reverse(array_sort(cellScores(col("v"), col("nrm")))), 1, nprobe).as("pr"))
+        call_function("graft_celltop", cellLut, col("nrm"), cnrmsLit,
+          cidsLit, lit(nprobe)).as("pr"))
     val probes = q.select(col("qid"), col("lut"),
-      explode(transform(col("pr"), _.getField("cid"))).as("cell"))
+      explode(col("pr")).as("cell"))
     // each vector lives in exactly one cell, so (qid, vec_id) meets at most
     // once — no candidate dedup needed
     val approx = broadcast(probes).join(index, Seq("cell"))

@@ -118,11 +118,41 @@ object Similarity {
       when(dot(v, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
-  /** (tbl, bucket) entries for all `tables` hash tables, ready to explode. */
-  private def allBuckets(v: Column, planes: Int, tables: Int, dim: Int): Column =
+  /** (tbl, bucket) entries for all `tables` hash tables, ready to explode —
+    * the executable SPEC of [[withBucketEntries]] (SimilaritySpec pins
+    * entry-for-entry equality); scale callers use the staged form.
+    */
+  private[graft] def allBuckets(v: Column, planes: Int, tables: Int, dim: Int): Column =
     array((0 until tables).map { t =>
       struct(lit(t).as("tbl"), lshBucket(v, planes, dim, t).as("bucket"))
     }: _*)
+
+  /** `df` + an exploded `tb = (tbl, bucket)` column — [[allBuckets]] with
+    * the tables·planes hyperplane dots staged through ONE native pass
+    * (graft_pqlut with sub = dim, k = tables·planes: lut[i] = dot(v,
+    * plane_i), the same sequential index-order fold as [[dot]], so every
+    * sign bit — and therefore every bucket — is bit-identical to the
+    * inlined spelling). The inlined form put tables·planes literal-vector
+    * dot subtrees into one projection; past ~64 dots that exceeds the
+    * generated-method budget and drops the whole stage out of whole-stage
+    * codegen — measured 42 s vs 0.3 s over 200k vectors (AnnCoreProbe,
+    * r17). `df` must carry the vector as `v`.
+    */
+  private[graft] def withBucketEntries(df: DataFrame, planes: Int, tables: Int,
+      dim: Int): DataFrame = {
+    val flat = typedLit((0 until tables * planes).flatMap(i => planeVec(i, dim)))
+      .cast("array<double>")
+    df.withColumn("_plut", call_function("graft_pqlut", col("v"), flat,
+        lit(dim), lit(tables * planes)))
+      .withColumn("tb", explode(array((0 until tables).map { t =>
+        struct(lit(t).as("tbl"),
+          (0 until planes).map(p =>
+            when(element_at(col("_plut"), lit(t * planes + p + 1)) >= 0,
+              lit(1L << p)).otherwise(lit(0L)))
+            .reduce((a, b) => a.bitwiseOR(b)).as("bucket"))
+      }: _*)))
+      .drop("_plut")
+  }
 
   /** Embedding dim probed from one row (constant per corpus). Probing is a
     * driver-side job at plan-build time — callers on the scale path should
@@ -167,13 +197,11 @@ object Similarity {
     val d = if (dim > 0) dim else dimOf(emb)
     val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val eb = e
-      .withColumn("tb", explode(allBuckets(col("v"), planes, tables, d)))
+    val eb = withBucketEntries(e, planes, tables, d)
       .select(col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"), col("vec_id"))
     // sketch the (few) query rows directly — bucketing is a pure function of
     // the vector, so this avoids a second full-corpus sketch pass
-    val qb = e.filter(queryPred)
-      .withColumn("tb", explode(allBuckets(col("v"), planes, tables, d)))
+    val qb = withBucketEntries(e.filter(queryPred), planes, tables, d)
       .select(col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"), col("vec_id").as("qid"))
     val cand = broadcast(qb).join(eb, Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("qid"))
@@ -223,18 +251,28 @@ object Similarity {
         val v = r.getSeq[Double](1)
         (r.getLong(0), v, math.sqrt(v.iterator.map(x => x * x).sum))
       }
-    // (cosine-to-centroid, cell-id) structs; array_max = lexicographic max
-    // = nearest cell, all inside whole-stage codegen
-    def cellScores(v: Column, nrm: Column): Column = array(cents.map {
-      case (cid, cv, cnrm) =>
-        val cvLit = typedLit(cv).cast("array<double>")
-        struct(cosine(v, cvLit, nrm, lit(cnrm)).as("score"), lit(cid).as("cid"))
-    }.toIndexedSeq: _*)
-    val assigned = e.withColumn("cell", array_max(cellScores(col("v"), col("nrm"))).getField("cid"))
+    // nearest cell / probed cells via the native cell kernels (r17): the
+    // centroid dots run through ONE graft_pqlut pass (lut[c] = dot(v,
+    // cent_c), the same sequential fold as [[dot]]) and graft_cellargmax /
+    // graft_celltop reproduce exactly what array_max / reverse(array_sort)
+    // over struct(lut[c]/(nrm·cnrm[c]), cid[c]) selected — same
+    // mul-then-div doubles, same nan-safe ordering, same cid tie-breaks
+    // (NativeExprSpec pins kernel ≡ expression). The inlined literal-dot
+    // struct array broke whole-stage codegen past ~64 cells and ran ~100×
+    // slower on a 200k corpus (AnnCoreProbe).
+    val dimV = cents.head._2.size
+    val centsFlat = typedLit(cents.toSeq.flatMap(_._2)).cast("array<double>")
+    val cnrmsLit = typedLit(cents.toSeq.map(_._3)).cast("array<double>")
+    val cidsLit = typedLit(cents.toSeq.map(_._1)).cast("array<bigint>")
+    val lutCol = call_function("graft_pqlut", col("v"), centsFlat,
+      lit(dimV), lit(cents.length))
+    val assigned = e.withColumn("cell",
+      call_function("graft_cellargmax", lutCol, col("nrm"), cnrmsLit, cidsLit))
     val probes = e.filter(queryPred)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"),
-        slice(reverse(array_sort(cellScores(col("v"), col("nrm")))), 1, nprobe).as("pr"))
-      .withColumn("cell", explode(transform(col("pr"), _.getField("cid"))))
+        call_function("graft_celltop", lutCol, col("nrm"), cnrmsLit, cidsLit,
+          lit(nprobe)).as("pr"))
+      .withColumn("cell", explode(col("pr")))
       .drop("pr")
     topkOf(broadcast(probes).join(assigned, Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
@@ -350,8 +388,7 @@ object Similarity {
     val p =
       if (planes > 0) planes
       else autoPlanes(corpusRows(emb, corpusSize))
-    val eb = e
-      .withColumn("tb", explode(allBuckets(col("v"), p, tables, d)))
+    val eb = withBucketEntries(e, p, tables, d)
       .select(col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"), col("vec_id"))
       .repartition(col("tbl"), col("bucket")) // sketch once; self-join reuses the exchange
     val a = eb.select(col("tbl"), col("bucket"), col("vec_id").as("id_a"))

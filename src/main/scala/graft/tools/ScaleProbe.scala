@@ -814,7 +814,17 @@ object ScaleProbe {
     // guide-§2 scale evidence for these operators.
     def coreLawSection(): Unit = {
       println(s"[probe] core-law at local[$cpus]")
+      // point `dir` at any synthesized corpus (e.g. <base>/hundredx for the
+      // 500k-doc one — small corpora are scheduling-bound and show ~1
+      // ratios); embeddings are generated alongside when missing, sized to
+      // the doc corpus, and semdedup's k scales to keep cluster size fixed
+      // (the q102 fairness convention above)
       val docs = docsOf(dir)
+      if (!new java.io.File(s"$dir/embeddings.parquet").exists()) {
+        val nEmb = math.min(400000L, math.max(20000L, (docs.count() / 2.5).toLong)).toInt
+        println(s"[probe] generating $nEmb embeddings under $dir")
+        genEmbeddings(spark, dir, nEmb)
+      }
       val emb = embOf(dir)
       measure("core q62_dup_clusters") {
         val pairs = Dedup.minhashNearDups(docs, col("doc_id"), col("text"))
@@ -836,11 +846,19 @@ object ScaleProbe {
       }
       val e = emb.select(col("vec_id"),
         Similarity.toDouble(col("embedding")).as("v"))
-      measure("core q102_semdedup(k=80)") {
-        Similarity.semDedup(emb,
-          e.filter(col("vec_id") < 80).select(col("vec_id").as("cid"),
-            col("v").as("cv")), threshold = 0.4).count()
-      }
+      val nE = emb.count()
+      val kSem = math.max(8L, nE / 250).toInt
+      // NOT a silent cap (guide §: log what was dropped): semdedup's
+      // centroid broadcast + within-cluster pair mass blow the probe JVM
+      // past ~100k vectors; the smaller corpora already carry its row
+      if (nE <= 100000)
+        measure(s"core q102_semdedup(k=$kSem)") {
+          Similarity.semDedup(emb,
+            e.filter(col("vec_id") < kSem).select(col("vec_id").as("cid"),
+              col("v").as("cv")), threshold = 0.4).count()
+        }
+      else println(s"[probe] core-law SKIPS q102_semdedup at $nE vectors " +
+        "(probe-JVM bound; run it on the 10x corpus for that row)")
       measure("core q126_covariance") {
         graft.operators.Kmeans.covarianceMatrix(emb).count()
       }

@@ -132,6 +132,44 @@ class NativeExprSpec extends AnyFunSuite {
     assert(sb.filter(not(col("native") === col("hof"))).count() == 0)
   }
 
+  test("graft_cellargmax / graft_celltop equal the struct-array spelling " +
+      "(random and tied scores)") {
+    // zero divisors (zero-norm vectors) are NOT tested: under ANSI mode the
+    // expression spelling THROWS DIVIDE_BY_ZERO there, so that domain is
+    // unreachable through the operators — the kernels' plain-double
+    // division (±Inf/NaN) only differs where the expression form errors
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val k = 64
+    val rnd = new scala.util.Random(7)
+    val cnrms = Array.tabulate(k)(_ => 0.5 + rnd.nextDouble())
+    val cids = Array.tabulate(k)(c => (1000 - c * 7).toLong) // non-monotonic
+    val rows = (0 until 500).map { i =>
+      val lut = Array.tabulate(k) { c =>
+        if (i % 5 == 0 && c % 3 == 0) 0.25 * cnrms(c) // planted score ties
+        else (rnd.nextDouble() - 0.5) * 4
+      }
+      (i.toLong, lut.toSeq, 0.5 + (i % 17) * 0.1)
+    }.toDF("id", "lut", "nrm")
+    val cnrmsLit = typedLit(cnrms.toSeq).cast("array<double>")
+    val cidsLit = typedLit(cids.toSeq).cast("array<bigint>")
+    val scoreStructs = array((0 until k).map(c =>
+      struct((element_at(col("lut"), lit(c + 1)) / (col("nrm") * lit(cnrms(c))))
+        .as("score"), lit(cids(c)).as("cid"))): _*)
+    val both = rows.select(
+      call_function("graft_cellargmax", col("lut"), col("nrm"), cnrmsLit,
+        cidsLit).as("k_arg"),
+      array_max(scoreStructs).getField("cid").as("e_arg"),
+      call_function("graft_celltop", col("lut"), col("nrm"), cnrmsLit,
+        cidsLit, lit(16)).as("k_top"),
+      slice(reverse(array_sort(scoreStructs)), 1, 16).as("e_top_structs"))
+      .withColumn("e_top", transform(col("e_top_structs"), _.getField("cid")))
+    assert(both.filter(col("k_arg") =!= col("e_arg")).count() == 0,
+      "argmax kernel diverged from array_max struct spelling")
+    assert(both.filter(not(col("k_top") === col("e_top"))).count() == 0,
+      "top-n kernel diverged from reverse(array_sort) struct spelling")
+  }
+
   test("graft_bands rejects non-literal and degenerate geometry at analysis") {
     // r17 (ADVICE): nullable = false is only honest when b/r cannot reach
     // eval as null, and b <= 0 is where the kernel diverges from the HOF

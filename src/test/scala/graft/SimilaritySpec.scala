@@ -14,6 +14,25 @@ class SimilaritySpec extends AnyFunSuite {
 
   private def emb = Tables.load(spark, dir, "embeddings")
 
+  test("withBucketEntries equals the inlined allBuckets spelling " +
+      "entry-for-entry (r17 lut staging)") {
+    graft.functions.GraftFunctions.register(spark)
+    val e = emb.select(col("vec_id"),
+      Similarity.toDouble(col("embedding")).as("v"))
+    for ((planes, tables) <- Seq((4, 16), (9, 16), (5, 3))) {
+      val staged = Similarity.withBucketEntries(e, planes, tables, 64)
+        .select(col("vec_id"), col("tb.tbl").as("tbl"),
+          col("tb.bucket").as("bucket"))
+      val inlined = e.withColumn("tb",
+          explode(Similarity.allBuckets(col("v"), planes, tables, 64)))
+        .select(col("vec_id"), col("tb.tbl").as("tbl"),
+          col("tb.bucket").as("bucket"))
+      assert(staged.exceptAll(inlined).count() == 0 &&
+        inlined.exceptAll(staged).count() == 0,
+        s"bucket divergence at planes=$planes tables=$tables")
+    }
+  }
+
   /** (qid -> top-k neighbour ids) from a knn result frame. */
   private def topk(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
     df.select(col("qid"), col("vec_id")).collect()
